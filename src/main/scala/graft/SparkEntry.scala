@@ -12,7 +12,10 @@ import graft.queries._
 object SparkEntry {
 
   private def modules: Seq[Map[String, Q]] = Seq(
-    CoreQueries.queries
+    CoreQueries.queries,
+    DedupQueries.queries,
+    AnnQueries.queries,
+    TextQueries.queries
   )
 
   private lazy val registry: Map[String, Q] =

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators: exact, exact n-gram Jaccard,
+  * MinHash+LSH, SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: one hash-groupBy shuffle on the content hash — linear.
+  *  - exact Jaccard: inverted-index self-join on shingle. Correct but
+  *    quadratic in the worst case; at corpus scale the hot shingles are
+  *    the skew keys, so this is the *verification* primitive, not the
+  *    candidate generator.
+  *  - MinHash+LSH: fixed-width signature per doc (one groupBy), then a
+  *    band-bucket equi-join — the shuffle key is (band, signature), so
+  *    cost is proportional to candidate pairs, not all pairs. This is
+  *    the 100 TB path; candidates are then exact-verified with Jaccard.
+  *  - SimHash: one 64-bit sketch per doc; near-dup = small Hamming
+  *    distance. Pair generation here is a pivoted-prefix join at scale;
+  *    this implementation joins on 4 ×16-bit sketch blocks (any pair at
+  *    Hamming ≤ 3 shares at least one exact block — pigeonhole), which
+  *    keeps the join equi-keyed and shuffle-partitionable.
+  */
+object Dedup {
+
+  /** Modulus for the MinHash permutation family — smallest prime above
+    * 2^32, so `a*h + b` stays well inside Long for 32-bit reduced `h`.
+    */
+  val MinHashPrime = 4294967311L
+
+  /** One row per (id, distinct shingle). */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.wordShingles(col(textCol), n)).as("shingle"))
+
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index
+    * self-join. `candidates` (optional) restricts the pair space —
+    * pass LSH candidates to turn this into the verify stage.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("doc_a", "shingle")
+    val b = sh.toDF("doc_b", "shingle")
+    val interAll = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val inter = candidates.fold(interAll)(c => interAll.join(c, Seq("doc_a", "doc_b"), "left_semi"))
+    inter
+      .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
+      .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signature columns `mh_0..mh_{k-1}` per id. One shuffle
+    * (groupBy id); the k permutations are computed map-side from a
+    * single xxhash64 of each shingle.
+    */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val h = pmod(xxhash64(col("shingle")), lit(1L << 32))
+    val aggs = (0 until numHashes).map { i =>
+      min(pmod(h * lit(2L * i + 1) + lit(1000003L * i + 12345L), lit(MinHashPrime))).as(s"mh_$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a signature frame: docs sharing any band
+    * signature become a candidate pair. The equi-join key is
+    * (band, concatenated row signature) — shuffle-friendly, no
+    * cross product.
+    */
+  def lshCandidatePairs(signatures: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        concat_ws("_", (0 until r).map(j => col(s"mh_${bi * r + j}")): _*).as("sig"))
+    }
+    val exploded = signatures
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    exploded.toDF("doc_a", "band", "sig")
+      .join(exploded.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** MinHash LSH near-dup detection with exact-Jaccard verification:
+    * the approximate stage only prunes the pair space; reported pairs
+    * carry their true Jaccard.
+    */
+  def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    val cands = lshCandidatePairs(sigs, numHashes, bands)
+    jaccardPairs(docs, idCol, textCol, n, threshold, Some(cands))
+  }
+
+  /** 64-bit SimHash per document from xxhash64 token hashes (unit
+    * weights): bit j of the sketch is the sign of the sum of ±1 votes
+    * from each token's bit j.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.whitespaceTokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val votes = (0 until 64).map { j =>
+      sum(shiftright(h, j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sketch = (0 until 64)
+      .map(j => when(col(s"v$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("doc_id"), sketch.as("simhash"))
+  }
+
+  /** Pairs with SimHash Hamming distance ≤ maxDist (must be ≤ 3 for
+    * the 4-block pigeonhole join to be exhaustive).
+    */
+  def simHashPairs(sketches: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4-block pigeonhole join covers Hamming <= 3")
+    val blocks = (0 until 4).map(b =>
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key")))
+    val exploded = sketches
+      .select(col("doc_id"), col("simhash"), explode(array(blocks: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.blk").as("blk"), col("bk.key").as("key"))
+    exploded.toDF("doc_a", "sim_a", "blk", "key")
+      .join(exploded.toDF("doc_b", "sim_b", "blk", "key"), Seq("blk", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

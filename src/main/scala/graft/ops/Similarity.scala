@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * Numeric contract: vectors are cast element-wise to double and the
+  * dot product is a *sequential left fold* (`aggregate` over
+  * `zip_with`), so the result is bit-deterministic and reproducible by
+  * any engine that folds the same doubles in order (the DuckDB oracle
+  * does exactly this with list_zip + list_aggregate).
+  *
+  * Scale design: brute-force is a crossJoin — correct at thousands of
+  * vectors, quadratic beyond. The LSH variant buckets each vector by
+  * the sign pattern of `nPlanes` fixed pseudo-random hyperplanes; the
+  * search join is then an equi-join on bucket id, shuffle-partitioned,
+  * with cost proportional to bucket occupancy. Recall/cost is tuned by
+  * nPlanes (more planes = smaller buckets) and multi-probe (flipping
+  * low-confidence bits) — the standard ANN trade, expressed as plain
+  * Spark joins.
+  */
+object Similarity {
+
+  def toDoubleVec(c: Column): Column = c.cast("array<double>")
+
+  /** Sequential-fold dot product (bit-deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** All pairs (id_a < id_b) with cosine ≥ threshold — embedding
+    * near-duplicate detection (exact, quadratic baseline).
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), toDoubleVec(col(vecCol)).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), toDoubleVec(col(vecCol)).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force):
+    * rank by cosine desc with id tie-break, excluding self.
+    */
+  def bruteForceTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("vn"))
+    val qs = queries.select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("vq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    base.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("vq"), col("vn")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component (plane p, dim j).
+    * sin() of a fixed integer lattice — reproducible, no RNG state.
+    */
+  private def planeWeight(p: Int, j: Int): Double =
+    math.sin(p * 7919.0 + j * 104729.0)
+
+  /** Bucket id = sign pattern of `nPlanes` hyperplane projections. */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val buckets = (0 until nPlanes).map { p =>
+      val plane = typedLit((0 until dim).map(j => planeWeight(p, j)))
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    buckets.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** Approximate top-k: exact ranking *within* the query's LSH bucket.
+    * Equi-join on bucket — the shuffle is keyed and balanced, never a
+    * cross product.
+    */
+  def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("vn"))
+      .withColumn("bucket", hyperplaneBucket(col("vn"), dim, nPlanes))
+    val qs = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("vq"))
+      .withColumn("bucket", hyperplaneBucket(col("vq"), dim, nPlanes))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    base.join(qs, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("vq"), col("vn")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

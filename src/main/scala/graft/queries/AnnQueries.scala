@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Similarity
+
+/** Embedding similarity-search coverage over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * The oracle computes the identical sequential double fold with
+  * DuckDB list lambdas (NOT list_cosine_similarity, which accumulates
+  * in float and diverges), so cosines are bit-identical across engines
+  * and no rounding tolerance is needed.
+  */
+object AnnQueries {
+
+  /** DuckDB double-precision sequential-fold cosine over two list
+    * columns `ea`, `eb` (pre-cast to DOUBLE).
+    */
+  private val cosExpr =
+    """list_aggregate(list_transform(list_zip(ea, eb), z -> z[1]*z[2]), 'sum')
+      | / (sqrt(list_aggregate(list_transform(ea, x -> x*x), 'sum'))
+      |    * sqrt(list_aggregate(list_transform(eb, x -> x*x), 'sum')))""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+
+    // Embedding near-duplicate pairs (exact quadratic baseline).
+    "q35_embed_cosine_pairs" -> Q(
+      (s, d) => Similarity.cosinePairs(
+        Tables(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4),
+      s"""WITH p AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(b.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, $cosExpr AS cos
+         |FROM p
+         |WHERE $cosExpr >= 0.4""".stripMargin),
+
+    // Brute-force exact cosine top-10 for 5 query vectors.
+    "q36_ann_topk" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      },
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $cosExpr AS cos FROM p),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin),
+
+    // Random-hyperplane LSH bucketed search (the ANN scale path):
+    // approximate by construction → driver rows-only check.
+    "q37_ann_lsh" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          dim = 64, nPlanes = 8, k = 3)
+      },
+      None)
+  )
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextOps
+
+/** Text-analysis operator coverage over `documents`: token counting,
+  * quality scoring, language ID, fingerprinting, and the SQL-visible
+  * part of the multimodal binary-column plumbing.
+  */
+object TextQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // Whitespace + BPE-ish token counts and char length.
+    "q40_token_stats" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          size(TextOps.whitespaceTokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars")),
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+        | length(text) AS n_chars
+        |FROM documents""".stripMargin),
+
+    // Quality features: single-division ratios are bit-deterministic.
+    "q41_quality_score" -> Q(
+      (s, d) => {
+        val nTok = size(TextOps.whitespaceTokens(col("text"))).cast("long")
+        val nChar = length(col("text")).cast("long")
+        val punct = TextOps.punctCount(col("text")).cast("long")
+        val stops = TextOps.stopwordCount(col("text"), TextOps.langStopwords.head._2).cast("long")
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          (punct / nChar).as("punct_ratio"),
+          (stops / nTok).as("stopword_ratio"),
+          ((nChar - punct) / nTok).as("avg_token_span"),
+          when(nTok >= 50 && (stops / nTok) > lit(0.01), "ok")
+            .otherwise("low").as("quality_flag"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS n_stops
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        | n_punct * 1.0 / n_chars AS punct_ratio,
+        | n_stops * 1.0 / n_tokens AS stopword_ratio,
+        | (n_chars - n_punct) * 1.0 / n_tokens AS avg_token_span,
+        | CASE WHEN n_tokens >= 50 AND n_stops * 1.0 / n_tokens > 0.01
+        |      THEN 'ok' ELSE 'low' END AS quality_flag
+        |FROM f""".stripMargin),
+
+    // N-gram-heuristic language ID: per-language stopword hit counts,
+    // argmax with fixed tie-break order.
+    "q42_lang_id" -> Q(
+      (s, d) => {
+        val scoreCols = TextOps.langScores(col("text")).map {
+          case (lang, c) => c.as(s"${lang}_hits")
+        }
+        Tables(s, d, "documents").select(
+          (col("doc_id") +: scoreCols :+
+            TextOps.predictedLang(col("text")).as("pred_lang")): _*)
+      },
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS en_hits,
+        |    len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b')) AS fr_hits,
+        |    len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) AS de_hits,
+        |    len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) AS es_hits
+        |  FROM documents)
+        |SELECT doc_id, en_hits, fr_hits, de_hits, es_hits,
+        | CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+        |      WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+        |      WHEN de_hits >= es_hits THEN 'de'
+        |      ELSE 'es' END AS pred_lang
+        |FROM f""".stripMargin),
+
+    // Rolling/normalized fingerprint per document (X-series string ops
+    // + md5), usable as a dedup key or shard key.
+    "q43_fingerprint" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          substring(TextOps.fingerprint(col("text")), 1, 4).as("shard_key")),
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_key
+        |FROM documents""".stripMargin),
+
+    // Multimodal plumbing, SQL-visible part: opaque binary payload +
+    // typed metadata (byte length, header hex). The decode stage is a
+    // deterministic stub over mapPartitions — see graft.ops.Multimodal.
+    "q44_multimodal_meta" -> Q(
+      (s, d) => {
+        val bin = encode(col("text"), "UTF-8")
+        Tables(s, d, "documents").select(
+          col("doc_id"),
+          length(bin).cast("long").as("n_bytes"),
+          hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_hex"))
+      },
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | hex(encode(substring(text, 1, 8))) AS header_hex
+        |FROM documents""".stripMargin)
+  )
+}
