@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Sanity specs for the training-data operators (dedup / similarity /
+  * text); the DuckDB oracle harness provides the cross-engine checks.
+  */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different text about spark query engines and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")) // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("wordShingles: n-2 distinct 3-grams; short docs empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextOps.wordShingles($"t", 3).as("s")).as[Seq[String]].head()
+    assert(sh.toSet == Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.wordShingles($"t", 3).as("s")).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("minHashDedup finds near and exact dup pairs, skips distinct docs") {
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccardPairs exact: identical docs => 1.0") {
+    val j = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.99)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(j.toSeq == Seq((1L, 4L, 1.0)))
+  }
+
+  test("simHash: identical docs share sketch, hamming 0") {
+    val pairs = Dedup.simHashPairs(
+      Dedup.simHash(docs, "doc_id", "text"), maxDist = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs.get((1L, 4L)).contains(0L))
+  }
+
+  test("cosine: self-similarity 1.0, orthogonal 0.0") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), (3L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(emb, "vec_id", "embedding", -2.0)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(pairs((1L, 3L)) == 1.0)
+    assert(pairs((1L, 2L)) == 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tie-break") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.1f)),
+      (2L, Seq(0.5f, 0.5f)), (3L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("langScores + predictedLang prefer matching stopwords") {
+    val df = Seq("le chat et la porte de la maison et un arbre")
+      .toDF("text").select(TextOps.predictedLang($"text").as("l"))
+    assert(df.as[String].head() == "fr")
+  }
+
+  test("fingerprint normalizes case and whitespace") {
+    val fps = Seq("Hello  World", "hello world ").toDF("t")
+      .select(TextOps.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}
