@@ -15,7 +15,8 @@ object SparkEntry {
     CoreQueries.queries,
     DedupQueries.queries,
     AnnQueries.queries,
-    TextQueries.queries
+    TextQueries.queries,
+    StreamQueries.queries
   )
 
   private lazy val registry: Map[String, Q] =

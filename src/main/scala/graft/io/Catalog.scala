@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Managed parquet table catalog with per-product overwrite semantics.
+  *
+  * Replaces the reference's cascading transactional delete
+  * (scdb.py:32-72, K2): "update product" = dynamically overwrite that
+  * product's partition of each table, leaving other products' data
+  * untouched. Partitioning by product id also gives partition pruning
+  * on the read side for the serving queries.
+  */
+class ParquetCatalog(spark: SparkSession, root: String) {
+
+  private val PartCol = "ProductPartitionId"
+
+  /** Append-or-replace the rows of one product in `table`.
+    * Dynamic partition overwrite: only the written partition is
+    * replaced — the Spark-native equivalent of delete-then-append
+    * inside one transaction.
+    */
+  def writeProduct(table: String, df: DataFrame, productId: Long): Unit =
+    df.withColumn(PartCol, lit(productId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartCol)
+      .mode(SaveMode.Overwrite)
+      .parquet(s"$root/$table")
+
+  def read(table: String): DataFrame =
+    spark.read.parquet(s"$root/$table").drop(PartCol)
+
+  def readProduct(table: String, productId: Long): DataFrame =
+    spark.read.parquet(s"$root/$table")
+      .filter(col(PartCol) === productId).drop(PartCol)
+
+  /** Remove one product from a table (K2 delete path without a
+    * re-append).
+    */
+  def deleteProduct(table: String, productId: Long): Unit = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$table/$PartCol=$productId")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) { fs.delete(path, true); () }
+  }
+
+  def exists(table: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$table")
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+}

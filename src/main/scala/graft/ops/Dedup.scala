@@ -29,10 +29,15 @@ object Dedup {
     */
   val MinHashPrime = 4294967311L
 
-  /** One row per (id, distinct shingle). */
+  /** One row per (id, distinct shingle). Tokenizes in its own
+    * projection so the split runs once per document, not once per
+    * shingle element.
+    */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      explode(TextOps.wordShingles(col(textCol), n)).as("shingle"))
+      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+      .select(col("doc_id"),
+        explode(TextOps.shinglesFromTokens(col("__w"), n)).as("shingle"))
 
   /** Exact all-pairs n-gram Jaccard ≥ threshold via inverted-index
     * self-join. `candidates` (optional) restricts the pair space —
@@ -63,10 +68,13 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
+    // hash each shingle once; the k permutations are cheap affine maps
+    // of the precomputed column, not k string hashes
     val sh = shingleRows(docs, idCol, textCol, n)
-    val h = pmod(xxhash64(col("shingle")), lit(1L << 32))
+      .withColumn("__h", pmod(xxhash64(col("shingle")), lit(1L << 32)))
     val aggs = (0 until numHashes).map { i =>
-      min(pmod(h * lit(2L * i + 1) + lit(1000003L * i + 12345L), lit(MinHashPrime))).as(s"mh_$i")
+      min(pmod(col("__h") * lit(2L * i + 1) + lit(1000003L * i + 12345L),
+        lit(MinHashPrime))).as(s"mh_$i")
     }
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -100,9 +108,33 @@ object Dedup {
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
+    // signatures are tiny (1 row × k ints per doc) and feed both sides
+    // of the band self-join — persist to avoid recomputing the shingle
+    // scan (MLlib's LSH does the same internally)
+    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes).persist()
     val cands = lshCandidatePairs(sigs, numHashes, bands)
-    jaccardPairs(docs, idCol, textCol, n, threshold, Some(cands))
+    verifiedJaccard(docs, idCol, textCol, n, threshold, cands)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs via per-doc shingle
+    * sets + array_intersect: cost scales with |candidates|, not with
+    * the inverted-index join of the full corpus. Counts (and therefore
+    * the jaccard division) are identical to [[jaccardPairs]].
+    */
+  def verifiedJaccard(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, candidates: DataFrame): DataFrame = {
+    val sets = docs.select(col(idCol).as("doc_id"),
+      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("__w"), n).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      .persist() // joined once per pair side
+    candidates
+      .join(sets.toDF("doc_a", "sa", "na"), Seq("doc_a"))
+      .join(sets.toDF("doc_b", "sb", "nb"), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** 64-bit SimHash per document from xxhash64 token hashes (unit

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, and batched per-partition feature
+  * extraction (the Scala analog of `mapInPandas` batch processing).
+  *
+  * The actual media decode is STUBBED (no image/audio libraries in
+  * this environment): [[stubDecode]] derives a deterministic fake
+  * feature vector from the payload bytes. The Spark-side contract —
+  * schema, partitioning, batch shape, iterator-to-iterator transform
+  * that never materializes a partition — is real and is what matters
+  * at 100 TB: media payloads stream through one partition at a time,
+  * the decoder is invoked batch-wise, and the output is a normal
+  * columnar frame ready for ANN / dedup downstream.
+  */
+object Multimodal {
+
+  final case class MediaRecord(
+      media_id: Long,
+      payload: Array[Byte],
+      media_type: String,
+      n_bytes: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Int,
+      header_hex: String,
+      feature: Array[Float])
+
+  /** Wrap a text column as a binary payload frame (stand-in for real
+    * media bytes; schema identical to what an image table would use).
+    */
+  def packAsMedia(df: DataFrame, idCol: String, textCol: String,
+      mediaType: String = "text/plain"): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit(mediaType).as("media_type"),
+      length(encode(col(textCol), "UTF-8")).as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder — a real implementation would hand each batch of
+    * payloads to an image/audio codec (JNI or subprocess). The fake is
+    * deterministic in the payload bytes so tests and oracles can rely
+    * on it: feature[i] = byte[i * stride] / 128.0.
+    */
+  def stubDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (payload.nonEmpty) {
+      val stride = math.max(1, payload.length / dim)
+      var i = 0
+      while (i < dim) {
+        out(i) = payload((i * stride) % payload.length) / 128.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Batched per-partition feature extraction. `batchSize` controls
+    * the unit handed to the decoder (mirrors mapInPandas arrow-batch
+    * sizing); the transform is iterator-to-iterator so a partition is
+    * never fully materialized.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], dim: Int = 16,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one unit here
+        batch.iterator.map { r =>
+          val hex = r.payload.take(8).map(b => f"${b & 0xff}%02X").mkString
+          MediaFeatures(r.media_id, r.n_bytes, hex, stubDecode(r.payload, dim))
+        }
+      }
+    }
+  }
+}

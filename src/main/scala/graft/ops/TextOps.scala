@@ -25,17 +25,30 @@ object TextOps {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit(bpeishPattern), lit(0))
 
-  /** Distinct word n-gram shingles (the dedup unit). Returns an empty
-    * array for documents with fewer than `n` tokens.
+  /** Distinct word n-gram shingles from a *materialized* token-array
+    * column. Callers should project the token array into its own
+    * column first (see [[wordShingles]] note) so the tokenizer runs
+    * once per row.
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    val w = whitespaceTokens(c)
+  def shinglesFromTokens(w: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
     array_distinct(
       when(size(w) >= n, grams).otherwise(array().cast("array<string>")))
   }
+
+  /** Distinct word n-gram shingles (the dedup unit). Returns an empty
+    * array for documents with fewer than `n` tokens.
+    *
+    * Performance: this inlines the tokenizer into every element_at of
+    * the shingle lambda (no common-subexpression reuse inside HOF
+    * lambdas), making it O(tokens²) per document. Hot paths must
+    * project `whitespaceTokens` into a column and call
+    * [[shinglesFromTokens]] — 10× at bench scale.
+    */
+  def wordShingles(c: Column, n: Int): Column =
+    shinglesFromTokens(whitespaceTokens(c), n)
 
   /** Count of matches of any word in `words` (word-boundary anchored). */
   def stopwordCount(c: Column, words: Seq[String]): Column =

@@ -1,0 +1,20 @@
+package graft.queries
+
+import graft.streaming.EventStream
+
+/** Structured Streaming coverage: the same events windowing as
+  * q23_event_window, but executed through readStream → watermark →
+  * windowed agg → memory sink with Trigger.AvailableNow. Against a
+  * static directory the final complete-mode result equals the batch
+  * aggregation, so the batch SQL is an exact oracle.
+  */
+object StreamQueries {
+
+  val queries: Map[String, Q] = Map(
+    "q50_stream_window" -> Q(
+      (s, d) => EventStream.windowedCounts(s, d),
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | count(*) AS n, floor(sum(value)*100 + 0.5)/100 AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)
+  )
+}

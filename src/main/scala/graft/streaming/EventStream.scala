@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the events table: watermarked
+  * tumbling-window aggregation and stateful gap-based sessionization.
+  *
+  * The reference is strictly batch (SURVEY.md §2.10); these provide the
+  * incremental path a large-scale pipeline needs. `Trigger.AvailableNow`
+  * turns the same query into an incremental batch (the reference's
+  * changed-cube poll pattern): each run processes exactly the files not
+  * yet seen, tracked by the checkpoint.
+  */
+object EventStream {
+
+  /** events.parquet schema as read under nanosAsLong (the file stores
+    * TIMESTAMP(NANOS); see graft.Tables.events).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)) :+
+    StructField("props", StringType))
+
+  private val runId = new AtomicInteger(0)
+
+  /** Streaming source over the events parquet with `ts` normalized to
+    * a microsecond timestamp.
+    */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source requires a directory: scan `dir` with
+    // a glob filter selecting only the events table
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation, run to completion with
+    * AvailableNow against a memory sink; returns the final result
+    * frame. Batch-equivalent to grouping on date_trunc('hour', ts).
+    */
+  def windowedCounts(spark: SparkSession, dir: String,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val name = s"graft_stream_win_${runId.incrementAndGet()}"
+    val agg = source(spark, dir)
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum("value") * 100 + lit(0.5)) / 100).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int)
+
+  /** Stateful gap-based sessionizer for a streaming Dataset[Event]:
+    * emits a session when `gap` passes without activity (processing-
+    * time timeout). The batch equivalent is the lag/running-sum
+    * sessionization of q24_sessionize.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      useTimeout: Boolean = true): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append, timeoutConf) {
+        case (uid, rows, state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(s =>
+              UserSession(uid, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n))
+            state.remove()
+            out.iterator
+          } else {
+            // fold new events into open sessions; emit any that closed
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val init = state.getOption.getOrElse(Nil)
+            val (closed, open) = sorted.foldLeft((List.empty[SessionState], init)) {
+              case ((done, cur), e) =>
+                val t = e.ts.getTime
+                cur match {
+                  case s :: rest if t - s.last <= gapMs =>
+                    (done, s.copy(last = t, n = s.n + 1) :: rest)
+                  case s :: rest =>
+                    (s :: done, SessionState(t, t, 1) :: rest)
+                  case Nil =>
+                    (done, SessionState(t, t, 1) :: Nil)
+                }
+            }
+            state.update(open)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+            closed.reverse.iterator.map(s =>
+              UserSession(uid, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.last), s.n))
+          }
+      }
+  }
+}

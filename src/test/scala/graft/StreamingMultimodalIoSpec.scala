@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{ParquetCatalog, Wds}
+import graft.ops.Multimodal
+import graft.streaming.EventStream
+
+class StreamingMultimodalIoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming windowed counts equal the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.windowedCounts(spark, dir)
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val batch = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("stateful sessionizer closes sessions on gap timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    // NoTimeout keeps the test deterministic: sessions close when a
+    // later-than-gap event arrives (production uses the
+    // processing-time timeout to flush idle sessions).
+    val sessions = EventStream.sessionize(input.toDS(), gapMs = 60000L,
+      useTimeout = false)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_sessions_test").start()
+    def ev(id: Long, t: Long, uid: Long) =
+      EventStream.Event(id, new java.sql.Timestamp(t), uid, "click", 1.0)
+    // two bursts for user 7, 5 minutes apart -> first closes when second arrives
+    input.addData(ev(1, 1000L, 7), ev(2, 2000L, 7))
+    q.processAllAvailable()
+    input.addData(ev(3, 300000L, 7))
+    q.processAllAvailable()
+    val out = spark.table("graft_sessions_test")
+      .select("user_id", "n_events").as[(Long, Int)].collect().toSeq
+    q.stop()
+    assert(out == Seq((7L, 2))) // the first 2-event session closed
+  }
+
+  test("multimodal: pack -> batched stub decode roundtrip, deterministic") {
+    val docs = Seq((1L, "hello world of bytes"), (2L, "x")).toDF("doc_id", "text")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.packAsMedia(docs, "doc_id", "text"), dim = 4, batchSize = 1)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    assert(feats(0).n_bytes == 20)
+    assert(feats(0).header_hex == "68656C6C6F20776F") // "hello wo"
+    val again = Multimodal.extractFeatures(
+      Multimodal.packAsMedia(docs, "doc_id", "text"), dim = 4, batchSize = 64)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).feature.toSeq == again(0).feature.toSeq) // batch-size independent
+  }
+
+  test("catalog: per-product dynamic overwrite leaves other products intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val cat = new ParquetCatalog(spark, dir)
+    cat.writeProduct("t", Seq((1, "a")).toDF("id", "v"), 100L)
+    cat.writeProduct("t", Seq((2, "b")).toDF("id", "v"), 200L)
+    cat.writeProduct("t", Seq((3, "c")).toDF("id", "v"), 100L) // replace product 100
+    val all = cat.read("t").as[(Int, String)].collect().toSet
+    assert(all == Set((3, "c"), (2, "b")))
+    cat.deleteProduct("t", 200L)
+    assert(cat.read("t").as[(Int, String)].collect().toSet == Set((3, "c")))
+  }
+
+  test("Wds parsers: metadata, merge config, defaults, changed list") {
+    val metaJson =
+      """[{"status":"SUCCESS","object":{"productId":35100002,
+        |"cubeTitleEn":"T","cubeTitleFr":"Tf","cubeStartDate":"2018-01-01",
+        |"cubeEndDate":"2020-01-01","releaseTime":"2021-01-05 08:30",
+        |"frequencyCode":12,"surveyCode":["3302"],"subjectCode":["350102","99"],
+        |"dimension":[{"dimensionPositionId":1,"dimensionNameEn":"Geography",
+        |"dimensionNameFr":"G","hasUom":false,
+        |"member":[{"memberId":1,"memberNameEn":"Canada","memberNameFr":"Canada",
+        |"memberUomCode":null}]}]}}]""".stripMargin
+    val m = Wds.cubeMetadata(metaJson)
+    assert(m.productId == 35100002L)
+    assert(m.subjectCode == "350102") // prefix 35 matches pid
+    assert(m.subjectCodeShort == "35")
+    assert(m.dimensions.head.members.head.uomCode.isEmpty)
+
+    val merge = Wds.mergeConfig(
+      """{"35100002": {"linked_tables": ["35100026", "35100068"]}}""")
+    assert(merge == Map(35100002L -> Seq(35100026L, 35100068L)))
+
+    val defs = Wds.productDefaults(
+      """{"default": {"default_breaks_algorithm_id": 1, "default_breaks": "d",
+        |"primary_chart_type_id": 2, "color_to": "#fff", "color_from": "#000",
+        |"related_chart_type_id": 3}}""".stripMargin, 123L)
+    assert(defs.primaryChartTypeId == 2)
+
+    assert(Wds.changedCubeList(
+      """{"status":"SUCCESS","object":[{"productId":101},{"productId":102},{"productId":101}]}""")
+      == Seq(101L, 102L))
+  }
+}
