@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def modules: Seq[Map[String, Q]] = Seq(
     CoreQueries.queries,
+    ExtraQueries.queries,
     DedupQueries.queries,
     AnnQueries.queries,
     TextQueries.queries,

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.ops.{AsOfJoin, SkewJoin}
+import graft.queries.Fns._
+
+/** Coverage beyond the reference surface: full window-function battery,
+  * set intersection, CUBE, as-of join, exact distinct counts, and the
+  * salted-skew-join utility checked against its unsalted oracle.
+  */
+object ExtraQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // lag/lead/rank/dense_rank/running-sum battery over a per-customer
+    // ordered window.
+    "q25_window_battery" -> Q(
+      (s, d) => {
+        val wSeq = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wRank = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(s, d, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          lag("o_totalprice", 1).over(wSeq).as("prev_price"),
+          lead("o_totalprice", 1).over(wSeq).as("next_price"),
+          rank().over(wRank).cast("long").as("price_rank"),
+          dense_rank().over(wRank).cast("long").as("price_dense_rank"),
+          r2(sum("o_totalprice").over(wRun)).as("running_total"))
+      },
+      """SELECT o_orderkey, o_custkey,
+        | lag(o_totalprice, 1) OVER w1 AS prev_price,
+        | lead(o_totalprice, 1) OVER w1 AS next_price,
+        | rank() OVER w2 AS price_rank,
+        | dense_rank() OVER w2 AS price_dense_rank,
+        | floor(sum(o_totalprice) OVER (w1 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)*100 + 0.5)/100 AS running_total
+        |FROM orders
+        |WINDOW
+        | w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin),
+
+    // INTERSECT (set semantics).
+    "q26_intersect" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        li.filter(col("l_returnflag") === "R").select("l_suppkey", "l_partkey")
+          .intersect(li.filter(col("l_returnflag") === "A").select("l_suppkey", "l_partkey"))
+      },
+      """SELECT l_suppkey, l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |INTERSECT
+        |SELECT l_suppkey, l_partkey FROM lineitem WHERE l_returnflag = 'A'""".stripMargin),
+
+    // GROUP BY CUBE through the SQL front-end.
+    "q27_cube" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("q27_orders")
+        s.sql(
+          """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+            |FROM q27_orders
+            |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+      },
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
+
+    // Backward as-of join: each event matched to the user's latest
+    // purchase at-or-before it (LEFT ASOF semantics). Spark side is
+    // the union+window composition in ops.AsOfJoin; the oracle uses
+    // DuckDB's native ASOF LEFT JOIN.
+    "q28_asof_join" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts")).distinct()
+        AsOfJoin.backward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          key = "user_id", leftTs = "ts", rightTs = "purchase_ts",
+          asOfCol = "last_purchase_ts")
+          .select("event_id", "user_id", "last_purchase_ts")
+      },
+      """SELECT e.event_id, e.user_id, p.purchase_ts AS last_purchase_ts
+        |FROM events e
+        |ASOF LEFT JOIN
+        |  (SELECT DISTINCT user_id, ts AS purchase_ts FROM events
+        |   WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.purchase_ts""".stripMargin),
+
+    // Exact distinct counts (the reference's DISTINCT probes, A3).
+    "q29_count_distinct" -> Q(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(countDistinct("o_custkey").as("n_customers"),
+            count(lit(1)).as("n_orders")),
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin),
+
+    // Salted skew join: must produce exactly the rows of the plain
+    // equi-join (the oracle) — correctness proof of the utility.
+    "q45_salted_join" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+        val p = Tables(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        SkewJoin.saltedInner(li, p, "l_partkey", salts = 8)
+          .groupBy("p_brand").agg(sum("l_quantity").as("total_qty"))
+      },
+      """SELECT p_brand, sum(l_quantity) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin)
+  )
+}
