@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** SparkSessionExtensions entry point: registers the library's custom
+  * Catalyst expressions with the SQL function registry, so
+  * `SELECT dot_product(a, b)` works from plain Spark SQL.
+  *
+  * Enable with:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)        // programmatic, or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
+  }
+}
+
+object GraftExtensions {
+  val dotProductDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "dot_product takes exactly 2 array<double> arguments")
+      DotProduct(children.head, children(1))
+    })
+}

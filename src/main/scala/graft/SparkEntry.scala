@@ -14,6 +14,7 @@ object SparkEntry {
   private def modules: Seq[Map[String, Q]] = Seq(
     CoreQueries.queries,
     ExtraQueries.queries,
+    StatsQueries.queries,
     DedupQueries.queries,
     AnnQueries.queries,
     TextQueries.queries,

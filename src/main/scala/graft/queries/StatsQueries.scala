@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.Fns._
+
+/** Statistical / sampling operator coverage: exact interpolated
+  * percentiles, histogram binning, deterministic content-hash
+  * sampling, full-outer set reconciliation, and basic moments.
+  */
+object StatsQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`), rounded at stable decimals.
+    "q46_percentiles" -> Q(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .agg(
+            r4(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+            r4(expr("percentile(o_totalprice, 0.9)")).as("p90_price"),
+            count(lit(1)).as("n")),
+      """SELECT o_orderpriority,
+        | floor(quantile_cont(o_totalprice, 0.5)*10000 + 0.5)/10000 AS median_price,
+        | floor(quantile_cont(o_totalprice, 0.9)*10000 + 0.5)/10000 AS p90_price,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin),
+
+    // Histogram binning (width_bucket-style via integer floor).
+    "q47_histogram" -> Q(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .groupBy(floor(col("o_totalprice") / 1000).cast("long").as("price_bucket"))
+          .agg(count(lit(1)).as("n")),
+      """SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_bucket, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin),
+
+    // Deterministic content-hash sampling: md5 is identical across
+    // engines, so the ~1/16 sample is reproducible anywhere — the
+    // sampling primitive a 100 TB pipeline needs (rerunnable,
+    // engine-independent), unlike rng-based Dataset.sample.
+    "q48_deterministic_sample" -> Q(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "a")
+          .select("o_orderkey", "o_totalprice"),
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'""".stripMargin),
+
+    // FULL OUTER reconciliation of two aggregates.
+    "q49_full_outer" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val a = o.filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_f"))
+        val b = o.filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_urgent"))
+        a.join(b, Seq("custkey"), "full_outer")
+      },
+      """SELECT COALESCE(a.custkey, b.custkey) AS custkey, a.n_f, b.n_urgent
+        |FROM (SELECT o_custkey AS custkey, count(*) AS n_f FROM orders
+        |      WHERE o_orderstatus = 'F' GROUP BY 1) a
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey AS custkey, count(*) AS n_urgent FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' GROUP BY 1) b
+        |USING (custkey)""".stripMargin),
+
+    // Moments: stddev/variance (sample), min/max.
+    "q51_moments" -> Q(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            r4(stddev_samp("l_quantity")).as("sd_qty"),
+            r4(var_samp("l_quantity")).as("var_qty"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty")),
+      """SELECT l_returnflag,
+        | floor(stddev_samp(l_quantity)*10000 + 0.5)/10000 AS sd_qty,
+        | floor(var_samp(l_quantity)*10000 + 0.5)/10000 AS var_qty,
+        | min(l_quantity) AS min_qty,
+        | max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+  )
+}

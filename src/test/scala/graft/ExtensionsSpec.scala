@@ -1,0 +1,22 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-function registration: the descriptor GraftExtensions injects
+  * makes dot_product usable from SQL. (Registered directly into the
+  * shared test session's registry — suites share one SparkContext, so
+  * building a second context just for the extensions path would tear
+  * down the shared one.)
+  */
+class ExtensionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dot_product descriptor resolves and evaluates in SQL") {
+    val (ident, info, builder) = GraftExtensions.dotProductDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+}
