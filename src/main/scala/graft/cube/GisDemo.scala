@@ -60,24 +60,19 @@ object GisDemo {
       defaults = ProductDefaults(1, "default", 1, "#FFFFFF", "#000000", 2),
       ids = NextIds())
 
-    val t = GisPipeline.run(spark, in,
+    // run through the orchestrator + catalog (per-product dynamic
+    // partition overwrite), exactly as a multi-product load would
+    val catalog = new graft.io.ParquetCatalog(spark, out)
+    ProductRunner.runGroup(spark, catalog, meta.productId,
+      products = Map(meta.productId -> ((meta, in.csv))),
+      mergeConfig = Map.empty,
+      geoRef = in.geoRef, nullReasons = in.nullReasons,
+      defaults = in.defaults,
       uomCodeset = Map(223 -> ("Number", "Nombre")),
       subjectCodeset = Seq(("99", "Demo subject", "Sujet démo"),
         ("9910", "Demo/Nested", "Démo/Imbriqué")))
-
-    val tables = Seq(
-      "IndicatorTheme" -> t.indicatorTheme,
-      "Dimensions" -> t.dimensions,
-      "DimensionValues" -> t.dimensionValues,
-      "Indicator" -> t.indicator,
-      "IndicatorValues" -> t.indicatorValues,
-      "GeographyReferenceForIndicator" -> t.geographyReferenceForIndicator,
-      "GeographicLevelForIndicator" -> t.geographicLevelForIndicator,
-      "IndicatorMetaData" -> t.indicatorMetaData,
-      "RelatedCharts" -> t.relatedCharts)
-    tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$out/$name")
-      println(s"[gis-demo] $name: ${spark.read.parquet(s"$out/$name").count()} rows")
+    ProductRunner.tableNames.foreach { name =>
+      println(s"[gis-demo] $name: ${catalog.read(name).count()} rows")
     }
     spark.stop()
   }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube._
+import graft.io.ParquetCatalog
+
+/** Orchestration semantics: changed-list resolution, master-first
+  * expansion, catalog round-trip of a master+sibling group.
+  */
+class ProductRunnerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("resolveChangedProducts filters unknown and merged pids (E2)") {
+    val merge = Map(100L -> Seq(101L, 102L))
+    val (run, skipped) = ProductRunner.resolveChangedProducts(
+      changed = Seq(100L, 101L, 200L, 300L, 200L),
+      known = Set(100L, 101L, 200L),
+      mergeConfig = merge)
+    assert(run == Seq(200L))
+    assert(skipped == Seq(100L, 101L))
+  }
+
+  test("expandSiblings: master first, deduplicated") {
+    val merge = Map(100L -> Seq(101L, 100L, 102L))
+    assert(ProductRunner.expandSiblings(100L, merge) == Seq(100L, 101L, 102L))
+    assert(ProductRunner.expandSiblings(999L, merge) == Seq(999L))
+  }
+
+  test("runGroup writes master + sibling through the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_runner").toString
+    val catalog = new ParquetCatalog(spark, dir)
+    val masterPid = MiniCube.meta.productId
+    val siblingPid = masterPid + 1
+    val siblingMeta = MiniCube.meta.copy(productId = siblingPid)
+    val out = ProductRunner.runGroup(
+      spark, catalog, masterPid,
+      products = Map(
+        masterPid -> (MiniCube.meta, MiniCube.csv(spark)),
+        siblingPid -> (siblingMeta, MiniCube.csv(spark))),
+      mergeConfig = Map(masterPid -> Seq(siblingPid)),
+      geoRef = MiniCube.geoRef(spark),
+      nullReasons = MiniCube.nullReasons(spark),
+      defaults = MiniCube.defaults,
+      uomCodeset = MiniCube.uomCodeset,
+      subjectCodeset = MiniCube.subjectCodeset)
+
+    assert(out.keySet == Set(masterPid, siblingPid))
+    // master wrote Indicator; sibling did not (reuses master's)
+    assert(catalog.readProduct("Indicator", masterPid).count() == 6)
+    assert(!new java.io.File(s"$dir/Indicator/ProductPartitionId=$siblingPid").exists())
+    // both wrote their values
+    assert(catalog.readProduct("IndicatorValues", masterPid).count() == 6)
+    assert(catalog.readProduct("IndicatorValues", siblingPid).count() == 6)
+    // re-running the master replaces, not duplicates
+    ProductRunner.runGroup(spark, catalog, masterPid,
+      products = Map(masterPid -> (MiniCube.meta, MiniCube.csv(spark))),
+      mergeConfig = Map.empty,
+      geoRef = MiniCube.geoRef(spark),
+      nullReasons = MiniCube.nullReasons(spark),
+      defaults = MiniCube.defaults,
+      uomCodeset = MiniCube.uomCodeset,
+      subjectCodeset = MiniCube.subjectCodeset)
+    assert(catalog.readProduct("IndicatorValues", masterPid).count() == 6)
+  }
+}
