@@ -140,8 +140,24 @@ object Dedup {
   /** 64-bit SimHash per document from xxhash64 token hashes (unit
     * weights): bit j of the sketch is the sign of the sum of ±1 votes
     * from each token's bit j.
+    *
+    * Computed by the one-pass codegen'd
+    * [[graft.functions.SimHash64]] expression — no token explode, no
+    * groupBy shuffle (see [[simHashCompositional]] for the pipeline it
+    * replaces bit-for-bit).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) > 0)
+      .select(col("doc_id"),
+        graft.functions.SimHashFunctions.simhash64(col("__w")).as("simhash"))
+
+  /** The same sketch built from Spark built-ins only (explode →
+    * xxhash64 → 64 grouped vote sums → bit reassembly). Kept as the
+    * cross-check for the custom expression.
+    */
+  def simHashCompositional(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.whitespaceTokens(col(textCol))).as("tok"))
     val h = xxhash64(col("tok"))

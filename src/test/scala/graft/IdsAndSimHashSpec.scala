@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Ids}
+
+class IdsAndSimHashSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("distributedDenseIds equals globalDenseIds (scale path, W2)") {
+    val df = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val order = Seq("l_orderkey", "l_linenumber")
+    val global = Ids.globalDenseIds(df, "id", 1000L, order)
+      .select("l_orderkey", "l_linenumber", "id")
+      .as[(Long, Int, Long)].collect().toSet
+    val dist = Ids.distributedDenseIds(df, "id", 1000L, order, numPartitions = 7)
+      .select("l_orderkey", "l_linenumber", "id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(dist == global)
+    val ids = dist.map(_._3)
+    assert(ids.min == 1000L && ids.max == 999L + df.count())
+  }
+
+  test("codegen SimHash64 equals the compositional pipeline bit-for-bit") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    val fast = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val slow = Dedup.simHashCompositional(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fast == slow && fast.size == 100)
+  }
+}
