@@ -15,6 +15,7 @@ object SparkEntry {
     CoreQueries.queries,
     ExtraQueries.queries,
     StatsQueries.queries,
+    ComplexTypeQueries.queries,
     DedupQueries.queries,
     AnnQueries.queries,
     TextQueries.queries,

@@ -46,10 +46,18 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+    val sh = shingleRows(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("doc_a", "shingle")
-    val b = sh.toDF("doc_b", "shingle")
+    // a shingle occurring in exactly one document cannot contribute to
+    // any pair: drop it before the self-join. Exactness is preserved
+    // (intersection counts are unchanged) while the join input shrinks
+    // to the shared vocabulary — the dominant term for mostly-unique
+    // corpora.
+    val shared = sh.withColumn("__df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("__df") > 1).drop("__df")
+    val a = shared.toDF("doc_a", "shingle")
+    val b = shared.toDF("doc_b", "shingle")
     val interAll = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
