@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions with the SQL function registry, so
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    ext.injectFunction(GraftExtensions.simHashDescriptor)
   }
 }
 
@@ -32,5 +33,13 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "dot_product takes exactly 2 array<double> arguments")
       DotProduct(children.head, children(1))
+    })
+
+  val simHashDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "simhash64 takes exactly 1 array<string> argument")
+      SimHash64(children.head)
     })
 }

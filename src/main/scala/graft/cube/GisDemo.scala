@@ -74,6 +74,22 @@ object GisDemo {
     ProductRunner.tableNames.foreach { name =>
       println(s"[gis-demo] $name: ${catalog.read(name).count()} rows")
     }
+
+    // serve indicator 1 through the executable PrimaryQuery join
+    val geoRefLookup = Seq(
+      ("2021A000011124", "A0000"), ("2016A000235", "A0002"))
+      .toDF("GeographyReferenceId", "GeographicLevelId")
+    val geoLevelLookup = Seq(
+      ("A0000", "Country", "Pays"), ("A0002", "Province", "Province"))
+      .toDF("GeographicLevelId", "LevelName_EN", "LevelName_FR")
+    val nullReasonLookup = Seq((1, "x", "suppressed", "supprimé"))
+      .toDF("NullReasonId", "Symbol", "Description_EN", "Description_FR")
+    ServingQueries.primaryQuery(spark, catalog, 1L,
+      geoRefLookup, geoLevelLookup, nullReasonLookup)
+      .select("GeographyReferenceId", "FormattedValue_EN", "FormattedValue_FR",
+        "LevelName_EN", "IndicatorDisplay_EN")
+      .collect()
+      .foreach(r => println(s"[gis-demo] serve: $r"))
     spark.stop()
   }
 }

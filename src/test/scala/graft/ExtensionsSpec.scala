@@ -19,4 +19,14 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(r == 32.0)
   }
+
+  test("simhash64 descriptor resolves and is deterministic in SQL") {
+    val (ident, info, builder) = GraftExtensions.simHashDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val r = spark.sql(
+      "SELECT simhash64(array('a','b')) = simhash64(array('a','b')) AS same, " +
+        "simhash64(array('a','b')) <> simhash64(array('x','y','z')) AS diff")
+      .collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
 }
