@@ -1,0 +1,102 @@
+package graft.cube
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.GraftExtensions
+import graft.io.{ParquetCatalog, Staging, Wds}
+
+/** The engine's `main.py` equivalent: CLI-compatible entry point over
+  * a staged data directory (zero-egress stand-in for the WDS HTTP
+  * layer — the staging dir holds what the reference would download).
+  *
+  * Staging layout, per product:
+  *   {stage}/{pid}.zip            zipped observation CSV ({pid}.csv)
+  *   {stage}/{pid}-meta.json      getCubeMetadata response body
+  *   {stage}/products_to_merge.json   (optional) merge config
+  *   {stage}/product_defaults.json    chart defaults w/ "default" entry
+  *   {stage}/geography_reference.csv  GeographyReferenceId lookup
+  *   {stage}/null_reasons.csv         NullReasonId,Symbol lookup
+  *
+  * Usage:
+  *   sbt "runMain graft.cube.EtlMain <stageDir> <warehouseDir> -i --prodid P [P2 …]"
+  *   sbt "runMain graft.cube.EtlMain <stageDir> <warehouseDir> --prodid P [--minrefyear YYYY]"
+  */
+object EtlMain {
+
+  def main(argv: Array[String]): Unit = {
+    require(argv.length >= 2, "usage: EtlMain <stageDir> <warehouseDir> <flags…>")
+    val stage = argv(0)
+    val warehouse = argv(1)
+    val args = CliArgs.parse(argv.drop(2).toSeq) match {
+      case Left(msg) => System.err.println(s"Error: $msg"); sys.exit(2)
+      case Right(a) => a
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, stage, warehouse, args)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, stage: String, warehouse: String,
+      args: CliArgs): Unit = {
+    import spark.implicits._
+    val catalog = new ParquetCatalog(spark, warehouse)
+
+    def readText(name: String): Option[String] = {
+      val p = Paths.get(stage, name)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val mergeConfig = readText("products_to_merge.json")
+      .map(Wds.mergeConfig).getOrElse(Map.empty)
+    val defaultsJson = readText("product_defaults.json").getOrElse(
+      """{"default": {"default_breaks_algorithm_id": 1, "default_breaks": "natural",
+        |"primary_chart_type_id": 1, "color_to": "#FFFFFF", "color_from": "#000000",
+        |"related_chart_type_id": 2}}""".stripMargin)
+    val geoRef = spark.read.option("header", "true")
+      .csv(s"$stage/geography_reference.csv")
+    val nullReasons = spark.read.option("header", "true")
+      .csv(s"$stage/null_reasons.csv")
+      .selectExpr("CAST(NullReasonId AS INT) AS NullReasonId", "Symbol")
+
+    val masterPid = args.prodIds.head
+    // merged-insert bookkeeping (main.py:55-56): multiple pids with -i
+    // define/refresh the merge group
+    val effectiveMerge =
+      if (args.insertNewTable && args.prodIds.length > 1)
+        mergeConfig + (masterPid -> args.prodIds.tail)
+      else mergeConfig
+
+    val order = ProductRunner.expandSiblings(masterPid, effectiveMerge)
+    val products = order.flatMap { pid =>
+      readText(s"$pid-meta.json").map { metaJson =>
+        val meta = Wds.cubeMetadata(metaJson)
+        val zip = s"$stage/$pid.zip"
+        require(Staging.isValidZip(zip), s"not a valid zip: $zip")
+        val extracted = Staging.extractZip(zip, s"$warehouse/_staging/$pid")
+        val csvPath = extracted.find(_.getFileName.toString == s"$pid.csv")
+          .getOrElse(sys.error(s"zip $zip has no $pid.csv member"))
+        pid -> ((meta, Staging.readObservations(spark, csvPath.toString, meta)))
+      }
+    }.toMap
+
+    val defaults = Wds.productDefaults(defaultsJson, masterPid)
+    val out = ProductRunner.runGroup(spark, catalog, masterPid,
+      products, effectiveMerge, geoRef, nullReasons, defaults,
+      minRefYear = args.minRefYear)
+    out.toSeq.sortBy(_._1).foreach { case (pid, t) =>
+      println(s"[graft-etl] product $pid loaded: " +
+        s"${t.indicatorValues.count()} values, " +
+        s"${t.dguidWarnings.count()} unmatched DGUIDs")
+    }
+  }
+}
