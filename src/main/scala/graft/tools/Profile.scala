@@ -42,6 +42,15 @@ object Profile {
       Dedup.verifiedJaccard(docs, "doc_id", "text", 3, 0.8, cands).count())
     time("inverted-index jaccard")(
       Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+
+    val orders = Tables(spark, sfDir, "orders")
+    time("sketch profile") {
+      graft.ops.Sketches.profile(orders, Seq("o_orderpriority"),
+        "o_totalprice", "o_custkey")
+        .orderBy("o_orderpriority")
+        .collect()
+        .foreach(r => println(s"[profile] sketch: $r"))
+    }
     spark.stop()
   }
 }
