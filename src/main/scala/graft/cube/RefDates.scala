@@ -55,4 +55,10 @@ object RefDates {
     }
     Iterator.iterate(first)(step).takeWhile(!_.isAfter(end)).toSeq
   }
+
+  /** Inclusive day range (helpers.py:69-75) — drives the per-day
+    * changed-cube poll of E2 (main.py:102-108).
+    */
+  def dailyRange(start: LocalDate, end: LocalDate): Seq[LocalDate] =
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).toSeq
 }

@@ -48,4 +48,22 @@ class ParquetCatalog(spark: SparkSession, root: String) {
     val path = new org.apache.hadoop.fs.Path(s"$root/$table")
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
+
+  /** Write `df` as a bucketed managed table (hash-bucketed and sorted
+    * by `bucketCol`). Two tables bucketed the same way join and
+    * aggregate on that key with NO shuffle exchange — the co-location
+    * primitive for repeated fact⋈fact joins at warehouse scale
+    * (bucketing metadata requires the session catalog, hence
+    * saveAsTable rather than a path write).
+    */
+  def writeBucketed(table: String, df: DataFrame, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode(SaveMode.Overwrite)
+      .option("path", s"$root/$table")
+      .saveAsTable(table)
+
+  def readTable(table: String): DataFrame = spark.table(table)
 }
