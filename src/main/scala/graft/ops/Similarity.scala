@@ -93,15 +93,25 @@ object Similarity {
     * cross product.
     */
   def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, dim: Int, nPlanes: Int, k: Int): DataFrame = {
+      vecCol: String, dim: Int, nPlanes: Int, k: Int,
+      multiProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = emb.select(col(idCol).as("neighbor_id"),
       toDoubleVec(col(vecCol)).as("vn"))
       .withColumn("bucket", hyperplaneBucket(col("vn"), dim, nPlanes))
       .withColumn("nn", l2Norm(col("vn")))
+    // multi-probe: each query also searches the nPlanes buckets at
+    // Hamming distance 1 from its own (one flipped hyperplane sign) —
+    // the standard recall lever; cost grows by the probe count, the
+    // join stays equi-keyed.
+    val qBucket = hyperplaneBucket(col("vq"), dim, nPlanes)
+    val probeExpr =
+      if (!multiProbe) array(qBucket)
+      else array(qBucket +: (0 until nPlanes).map(p =>
+        qBucket.bitwiseXOR(lit(1L << p))): _*)
     val qs = queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("vq"))
-      .withColumn("bucket", hyperplaneBucket(col("vq"), dim, nPlanes))
+      .withColumn("bucket", explode(probeExpr))
       .withColumn("nq", l2Norm(col("vq")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     base.join(qs, Seq("bucket"))

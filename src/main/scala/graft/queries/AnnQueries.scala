@@ -59,14 +59,15 @@ object AnnQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
-    // Random-hyperplane LSH bucketed search (the ANN scale path):
-    // approximate by construction → driver rows-only check.
+    // Random-hyperplane LSH bucketed search with Hamming-1 multi-probe
+    // (the ANN scale path): approximate by construction → driver
+    // rows-only check.
     "q37_ann_lsh" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         Similarity.lshTopK(
           emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-          dim = 64, nPlanes = 8, k = 3)
+          dim = 64, nPlanes = 8, k = 3, multiProbe = true)
       },
       None)
   )

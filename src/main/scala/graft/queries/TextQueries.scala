@@ -96,6 +96,27 @@ object TextQueries {
         | substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_key
         |FROM documents""".stripMargin),
 
+    // Edit-distance similarity (fuzzy text matching): near-identical
+    // part names within a type class. Levenshtein has identical unit
+    // costs in both engines.
+    "q54_edit_distance" -> Q(
+      (s, d) => {
+        val a = Tables(s, d, "part").select(
+          col("p_type").as("t"), col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
+        val b = Tables(s, d, "part").select(
+          col("p_type").as("t"), col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("t"))
+          .filter(col("pk_a") < col("pk_b"))
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 2)
+          .select("pk_a", "pk_b", "dist")
+      },
+      """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
+        | levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin),
+
     // Multimodal plumbing, SQL-visible part: opaque binary payload +
     // typed metadata (byte length, header hex). The decode stage is a
     // deterministic stub over mapPartitions — see graft.ops.Multimodal.

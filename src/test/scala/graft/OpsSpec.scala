@@ -72,6 +72,21 @@ class OpsSpec extends AnyFunSuite {
     assert(top.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("multi-probe LSH recall >= single-bucket recall vs brute force") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
+    val single = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 64, 8, 5))
+    val multi = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 64, 8, 5,
+      multiProbe = true))
+    val rs = (single intersect truth).size.toDouble / truth.size
+    val rm = (multi intersect truth).size.toDouble / truth.size
+    assert(rm >= rs, s"multi-probe recall $rm < single $rs")
+    assert(multi.size >= single.size)
+  }
+
   test("langScores + predictedLang prefer matching stopwords") {
     val df = Seq("le chat et la porte de la maison et un arbre")
       .toDF("text").select(TextOps.predictedLang($"text").as("l"))
