@@ -69,6 +69,17 @@ object AnnQueries {
           emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
           dim = 64, nPlanes = 8, k = 3, multiProbe = true)
       },
+      None),
+
+    // IVF: deterministic k-means cells + probed exact re-rank (the
+    // data-adaptive ANN scale path). Approximate → rows-only check.
+    "q38_ann_ivf" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        graft.ops.Ivf.search(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 5, nCells = 16, nProbe = 4)
+      },
       None)
   )
 }

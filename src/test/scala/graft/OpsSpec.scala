@@ -87,6 +87,20 @@ class OpsSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("IVF search: high recall at nProbe=4/16 cells, perfect at full probe") {
+    import graft.ops.Ivf
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
+    val probed = pairs(Ivf.search(emb, qs, "vec_id", "embedding", 5, 16, 4))
+    val full = pairs(Ivf.search(emb, qs, "vec_id", "embedding", 5, 16, 16))
+    assert(full == truth) // probing every cell == brute force
+    val recall = (probed intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
   test("langScores + predictedLang prefer matching stopwords") {
     val df = Seq("le chat et la porte de la maison et un arbre")
       .toDF("text").select(TextOps.predictedLang($"text").as("l"))
