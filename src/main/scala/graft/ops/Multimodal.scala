@@ -62,6 +62,39 @@ object Multimodal {
     out
   }
 
+  final case class Frame(
+      media_id: Long,
+      frame_no: Int,
+      payload: Array[Byte])
+
+  /** Frame sampling: split each payload into fixed-size frames and
+    * keep every `every`-th (video keyframe-sampling shape). The byte
+    * plumbing is real; only the codec that would delimit true frames
+    * is stubbed by the fixed size.
+    */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int,
+      every: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      r.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (bytes, i) if i % every == 0 =>
+          Frame(r.media_id, i, bytes) }
+    }
+  }
+
+  /** STUB resize: deterministic re-dimension of a feature vector
+    * (truncate or cycle-pad) — stands in for image resize / audio
+    * resample, which would re-decode in a real pipeline.
+    */
+  def resizeStub(features: Dataset[MediaFeatures], newDim: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val v = Array.tabulate(newDim)(i =>
+        if (f.feature.isEmpty) 0.0f else f.feature(i % f.feature.length))
+      f.copy(feature = v)
+    }
+  }
+
   /** Batched per-partition feature extraction. `batchSize` controls
     * the unit handed to the decoder (mirrors mapInPandas arrow-batch
     * sizing); the transform is iterator-to-iterator so a partition is

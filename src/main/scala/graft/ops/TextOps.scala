@@ -65,6 +65,27 @@ object TextOps {
   def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), "\\s+", " "))
 
+  val PolyMod = 1000000007L
+
+  /** Rolling polynomial (Rabin-Karp) hash over characters,
+    * mod 1e9+7 — the incremental-hash primitive for content-defined
+    * fingerprinting. Pure fold, reproducible in any engine.
+    */
+  def polyHash(c: Column): Column =
+    aggregate(
+      transform(split(c, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => pmod(acc * 31 + x, lit(PolyMod)))
+
+  /** Winnowing-style document fingerprint: the minimum rolling hash
+    * over the document's word n-gram shingles. Robust to local edits
+    * (only windows containing the edit change; the min usually
+    * survives) — the shingle-fingerprint scheme of winnowing, with
+    * min-selection as the window rule.
+    */
+  def winnowFingerprint(tokens: Column, n: Int): Column =
+    array_min(transform(shinglesFromTokens(tokens, n), s => polyHash(s)))
+
   /** Per-language stopword lists for the n-gram language-ID heuristic.
     * Order matters: ties resolve in this sequence.
     */

@@ -99,14 +99,21 @@ object TextQueries {
     // Edit-distance similarity (fuzzy text matching): near-identical
     // part names within a type class. Levenshtein has identical unit
     // costs in both engines.
+    // Blocking keys (type, size) bound the candidate pair space; the
+    // length-difference prune is exactness-preserving for dist<=2
+    // (edit distance >= |Δlen|), so cheap predicates run before the
+    // quadratic-cost levenshtein.
     "q54_edit_distance" -> Q(
       (s, d) => {
         val a = Tables(s, d, "part").select(
-          col("p_type").as("t"), col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
+          col("p_type").as("t"), col("p_size").as("sz"),
+          col("p_partkey").as("pk_a"), col("p_name").as("name_a"))
         val b = Tables(s, d, "part").select(
-          col("p_type").as("t"), col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
-        a.join(b, Seq("t"))
-          .filter(col("pk_a") < col("pk_b"))
+          col("p_type").as("t"), col("p_size").as("sz"),
+          col("p_partkey").as("pk_b"), col("p_name").as("name_b"))
+        a.join(b, Seq("t", "sz"))
+          .filter(col("pk_a") < col("pk_b") &&
+            abs(length(col("name_a")) - length(col("name_b"))) <= 2)
           .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
           .filter(col("dist") <= 2)
           .select("pk_a", "pk_b", "dist")
@@ -114,8 +121,39 @@ object TextQueries {
       """SELECT a.p_partkey AS pk_a, b.p_partkey AS pk_b,
         | levenshtein(a.p_name, b.p_name) AS dist
         |FROM part a JOIN part b
-        |  ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+        |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
         |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin),
+
+    // Rolling-hash fingerprinting (X-series at scale): full-content
+    // Rabin-Karp hash + winnowing-style min-shingle-hash fingerprint.
+    // DuckDB reproduces the identical integer fold with list_reduce.
+    "q55_rolling_fingerprint" -> Q(
+      (s, d) => {
+        val w = TextOps.whitespaceTokens(col("text"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("text"), w.as("__w"))
+          .select(
+            col("doc_id"),
+            TextOps.polyHash(col("text")).as("content_hash"),
+            TextOps.winnowFingerprint(col("__w"), 3).as("winnow_fp"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, text,
+        |    list_distinct(list_transform(range(1, greatest(array_length(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shs
+        |  FROM t)
+        |SELECT doc_id,
+        | list_reduce(list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT)),
+        |   (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007) AS content_hash,
+        | list_min(list_transform(shs,
+        |   s -> list_reduce(list_transform(string_split(s, ''), x -> CAST(ascii(x) AS BIGINT)),
+        |     (a, b) -> (CAST(a AS BIGINT) * 31 + b) % 1000000007))) AS winnow_fp
+        |FROM sh""".stripMargin),
 
     // Multimodal plumbing, SQL-visible part: opaque binary payload +
     // typed metadata (byte length, header hex). The decode stage is a

@@ -62,6 +62,20 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(feats(0).feature.toSeq == again(0).feature.toSeq) // batch-size independent
   }
 
+  test("multimodal: frame sampling and resize stubs are deterministic") {
+    val docs = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
+    val media = Multimodal.packAsMedia(docs, "doc_id", "text")
+    val frames = Multimodal.frameSample(media, frameBytes = 4, every = 2)
+      .collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2))
+    assert(new String(frames(0).payload) == "0123")
+    assert(new String(frames(1).payload) == "89ab")
+    val resized = Multimodal.resizeStub(
+      Multimodal.extractFeatures(media, dim = 4), newDim = 6).collect().head
+    assert(resized.feature.length == 6)
+    assert(resized.feature(4) == resized.feature(0)) // cycle-pad
+  }
+
   test("catalog: per-product dynamic overwrite leaves other products intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val cat = new ParquetCatalog(spark, dir)
