@@ -72,9 +72,13 @@ object EtlMain {
     // merged-insert bookkeeping (main.py:55-56): multiple pids with -i
     // define/refresh the merge group
     val effectiveMerge =
-      if (args.insertNewTable && args.prodIds.length > 1)
-        mergeConfig + (masterPid -> args.prodIds.tail)
-      else mergeConfig
+      if (args.insertNewTable && args.prodIds.length > 1) {
+        val updated = mergeConfig + (masterPid -> args.prodIds.tail)
+        // persist the merge bookkeeping (json_handler.py:87-96)
+        Files.writeString(Paths.get(stage, "products_to_merge.json"),
+          Wds.mergeConfigJson(updated))
+        updated
+      } else mergeConfig
 
     val order = ProductRunner.expandSiblings(masterPid, effectiveMerge)
     val products = order.flatMap { pid =>

@@ -107,6 +107,14 @@ object Wds {
     out.result().toMap
   }
 
+  /** Serialize a merge config back to products_to_merge.json form
+    * (the read-modify-write of json_handler.py:87-96).
+    */
+  def mergeConfigJson(config: Map[Long, Seq[Long]]): String =
+    config.toSeq.sortBy(_._1).map { case (master, siblings) =>
+      s""""$master": {"linked_tables": [${siblings.map(s => s""""$s"""").mkString(", ")}]}"""
+    }.mkString("{", ", ", "}")
+
   /** `product_defaults.json` entry for a pid, falling back to the
     * "default" entry (json_handler.py:29-37, product_defaults.json:498-505).
     */
