@@ -31,20 +31,24 @@ object Bench {
     try { exec("q14_multiway_join"); exec("q15_strings") }
     catch { case _: Throwable => () }
 
-    // min of two measured runs per query: filters scheduler/GC noise
-    // while still timing full cold plans (nothing is cached between
-    // runs — only JIT/codegen warmth carries over)
+    // min of two measured runs per query: filters scheduler/GC noise.
+    // spark.catalog.clearCache() before each run evicts any frames the
+    // query persisted internally (LSH signatures etc.), so both runs
+    // compute from cold data — only JIT/codegen warmth carries over.
+    // Failures are reported as -1, never as a (fast) fake timing.
     def timeOnce(name: String): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try { exec(name); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> math.min(timeOnce(name), timeOnce(name))
+      val (a, b) = (timeOnce(name), timeOnce(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

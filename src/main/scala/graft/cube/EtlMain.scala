@@ -68,6 +68,28 @@ object EtlMain {
       .csv(s"$stage/null_reasons.csv")
       .selectExpr("CAST(NullReasonId AS INT) AS NullReasonId", "Symbol")
 
+    // E2 date-range mode (main.py:102-121): per-day staged changed-cube
+    // lists resolve to the runnable product set; merged pids skipped
+    // with a warning (they must be run explicitly).
+    if (args.prodIds.isEmpty) {
+      val known = new java.io.File(stage).list().toSeq
+        .collect { case n if n.endsWith("-meta.json") => n.stripSuffix("-meta.json").toLong }
+        .toSet
+      val changed = RefDates.dailyRange(args.start.get, args.end.get).flatMap { day =>
+        readText(s"changed-$day.json").map(Wds.changedCubeList).getOrElse(Nil)
+      }
+      val (runnable, skipped) = ProductRunner.resolveChangedProducts(
+        changed, known, mergeConfig)
+      skipped.foreach(p => System.err.println(
+        s"Warning: product $p is part of a merged product and cannot be " +
+          "updated automatically in a date range. Run it explicitly."))
+      if (runnable.isEmpty) { println("[graft-etl] no changed products to update"); return }
+      runnable.foreach(pid =>
+        runGroupFromStage(spark, stage, warehouse, catalog, pid, mergeConfig,
+          geoRef, nullReasons, defaultsJson, args.minRefYear))
+      return
+    }
+
     val masterPid = args.prodIds.head
     // merged-insert bookkeeping (main.py:55-56): multiple pids with -i
     // define/refresh the merge group
@@ -80,7 +102,22 @@ object EtlMain {
         updated
       } else mergeConfig
 
-    val order = ProductRunner.expandSiblings(masterPid, effectiveMerge)
+    runGroupFromStage(spark, stage, warehouse, catalog, masterPid,
+      effectiveMerge, geoRef, nullReasons, defaultsJson, args.minRefYear)
+  }
+
+  /** Stage one master (or single) pid's group and run it end to end. */
+  private def runGroupFromStage(spark: SparkSession, stage: String,
+      warehouse: String, catalog: ParquetCatalog, masterPid: Long,
+      mergeConfig: Map[Long, Seq[Long]],
+      geoRef: org.apache.spark.sql.DataFrame,
+      nullReasons: org.apache.spark.sql.DataFrame,
+      defaultsJson: String, minRefYear: Option[Int]): Unit = {
+    def readText(name: String): Option[String] = {
+      val p = Paths.get(stage, name)
+      if (Files.exists(p)) Some(Files.readString(p)) else None
+    }
+    val order = ProductRunner.expandSiblings(masterPid, mergeConfig)
     val products = order.flatMap { pid =>
       readText(s"$pid-meta.json").map { metaJson =>
         val meta = Wds.cubeMetadata(metaJson)
@@ -95,8 +132,8 @@ object EtlMain {
 
     val defaults = Wds.productDefaults(defaultsJson, masterPid)
     val out = ProductRunner.runGroup(spark, catalog, masterPid,
-      products, effectiveMerge, geoRef, nullReasons, defaults,
-      minRefYear = args.minRefYear)
+      products, mergeConfig, geoRef, nullReasons, defaults,
+      minRefYear = minRefYear)
     out.toSeq.sortBy(_._1).foreach { case (pid, t) =>
       println(s"[graft-etl] product $pid loaded: " +
         s"${t.indicatorValues.count()} values, " +

@@ -20,7 +20,8 @@ final case class GisTables(
     geographicLevelForIndicator: DataFrame,
     indicatorMetaData: DataFrame,
     relatedCharts: DataFrame,
-    dguidWarnings: DataFrame)
+    dguidWarnings: DataFrame,
+    dateDimensionValues: DataFrame)
 
 /** Everything one product append needs (main.py:123-281 environment). */
 final case class PipelineInputs(
@@ -35,7 +36,9 @@ final case class PipelineInputs(
     ids: NextIds,
     minRefYear: Option[Int] = None,
     isSibling: Boolean = false,
-    masterIndicators: Option[DataFrame] = None)
+    masterIndicators: Option[DataFrame] = None,
+    functionalPid: Option[Long] = None, // sibling rows are stored under the MASTER pid (main.py:143)
+    nextDateValueOrder: Long = 1L)
 
 /** The E1-insert + E3-append dataflow (main.py:53-281) as one lazy
   * DataFrame graph per product: the reference's 20k-row chunk loop,
@@ -53,8 +56,11 @@ object GisPipeline {
     * min-year filter — one fused codegen projection over the scan.
     */
   def setupColumns(csv: DataFrame, meta: CubeMetadata,
-      minRefYear: Option[Int]): DataFrame = {
-    val pid = lit(meta.productId.toString)
+      minRefYear: Option[Int], functionalPid: Option[Long] = None): DataFrame = {
+    // siblings of a merged product are coded and stored under the
+    // master pid (functional_pid_str, main.py:143, 199-201)
+    val fpid = functionalPid.getOrElse(meta.productId)
+    val pid = lit(fpid.toString)
     val base = csv
       .withColumn("IndicatorCode",
         CubeOps.indicatorCode(col("COORDINATE"), col("REF_DATE"), pid))
@@ -70,7 +76,7 @@ object GisPipeline {
       .withColumn("Vector", CubeOps.vectorId(col("Vector")))
       .withColumn("GeographicLevelId", CubeOps.geoLevelId(col("DGUID")))
     minRefYear match {
-      case Some(y) if !mixedGeoJusticePids.contains(meta.productId) =>
+      case Some(y) if !mixedGeoJusticePids.contains(fpid) =>
         base.filter(col("RefYear").cast("int") >= y)
       case _ => base
     }
@@ -430,7 +436,8 @@ object GisPipeline {
     val dates = if (refDates.nonEmpty) refDates
       else RefDates.generate(meta.startDate, meta.endDate, meta.frequencyCode)
 
-    val prepared = setupColumns(in.csv, meta, in.minRefYear).cache()
+    val fpid = in.functionalPid.getOrElse(meta.productId)
+    val prepared = setupColumns(in.csv, meta, in.minRefYear, in.functionalPid).cache()
 
     val theme = buildIndicatorTheme(spark, meta, subjectCodeset,
       needParentSubject = true, needDummySubject = true,
@@ -444,17 +451,17 @@ object GisPipeline {
         in.ids.indicatorId, in.minRefYear, mixedGeoJusticePids))
 
     val values = buildIndicatorValues(prepared, in.geoRef, in.nullReasons,
-      in.ids.indicatorValueId, meta.productId, in.isSibling)
+      in.ids.indicatorValueId, fpid, in.isSibling)
     val (gri, warnings) = buildGeoRefForIndicator(prepared, indicators,
       in.geoRef, values)
-    val gli = buildGeoLevelForIndicator(prepared, indicators, meta.productId,
+    val gli = buildGeoLevelForIndicator(prepared, indicators, fpid,
       in.existingGeoLevels, in.isSibling)
 
     val nextDimValAfter = in.ids.dimensionValueId +
       meta.nonGeoDimensions.map(_.members.size).sum
     val dateDimId = in.ids.dimensionId // Date dimension is first
     val dateValues = buildDateDimensionValues(prepared, in.existingDateValues,
-      dateDimId, nextDimValAfter, 1L)
+      dateDimId, nextDimValAfter, in.nextDateValueOrder)
 
     val keys = dimensionUniqueKeys(dims, dimValues, dateValues)
     val metaData =
@@ -464,7 +471,10 @@ object GisPipeline {
       if (in.isSibling) spark.emptyDataFrame
       else buildRelatedCharts(indicators, in.existingMeta, in.defaults)
 
-    GisTables(theme, dims, dimValues, IndicatorBuilder.insertSubset(indicators),
-      values, gri, gli, metaData, related, warnings)
+    // date-dimension values are stored in the same gis.DimensionValues
+    // table (main.py:246-259)
+    GisTables(theme, dims, dimValues.unionByName(dateValues),
+      IndicatorBuilder.insertSubset(indicators),
+      values, gri, gli, metaData, related, warnings, dateValues)
   }
 }

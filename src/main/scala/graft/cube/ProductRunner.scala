@@ -1,12 +1,14 @@
 package graft.cube
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.io.ParquetCatalog
 
 /** Multi-product orchestration (main.py:102-281): changed-cube
   * resolution, merge-config expansion with master-first ordering,
-  * sibling indicator reuse, and catalog writes with per-product
+  * sibling indicator reuse under the master pid, id-watermark
+  * advancement between products, and catalog writes with per-product
   * overwrite semantics.
   */
 object ProductRunner {
@@ -39,11 +41,55 @@ object ProductRunner {
       case None => Seq(pid)
     }
 
-  /** One product group end-to-end: runs the master (or single) product
-    * first, then each sibling reusing the master's indicator frame,
-    * writing every table through the catalog's per-product overwrite.
+  /** MAX(id)+1 watermark from a written table (scdb.py:145-159). */
+  private def nextIdFrom(catalog: ParquetCatalog, table: String,
+      idCol: String, fallback: Long): Long =
+    if (!catalog.exists(table)) fallback
+    else catalog.read(table).agg(max(col(idCol))).head() match {
+      case row if row.isNullAt(0) => fallback
+      case row => row.getLong(0) + 1
+    }
+
+  /** Current id watermarks across the whole catalog (the reference's
+    * per-insert MAX probes, run once per product).
+    */
+  def nextIds(catalog: ParquetCatalog): NextIds = NextIds(
+    dimensionId = nextIdFrom(catalog, "Dimensions", "DimensionId", 1L),
+    dimensionValueId = nextIdFrom(catalog, "DimensionValues", "DimensionValueId", 1L),
+    indicatorId = nextIdFrom(catalog, "Indicator", "IndicatorId", 1L),
+    indicatorValueId = nextIdFrom(catalog, "IndicatorValues", "IndicatorValueId", 1L))
+
+  /** Preserved chart metadata for a product from the current catalog
+    * (get_indicator_chart_info, scdb.py:128-137): metadata/related
+    * joined back to IndicatorCode via the Indicator table.
     *
-    * `products` maps pid → (metadata, observation CSV frame).
+    * Materialized EAGERLY (as the reference's DB read is): the run
+    * overwrites these same parquet paths later, and a lazy frame would
+    * read from the path being overwritten.
+    */
+  def existingChartMeta(spark: SparkSession, catalog: ParquetCatalog,
+      pid: Long): Option[DataFrame] =
+    if (!catalog.exists("IndicatorMetaData") || !catalog.exists("Indicator")) None
+    else {
+      val ind = catalog.readProduct("Indicator", pid)
+        .select("IndicatorId", "IndicatorCode")
+      val md = catalog.readProduct("IndicatorMetaData", pid)
+        .select("IndicatorId", "DefaultBreaksAlgorithmId", "DefaultBreaks",
+          "PrimaryChartTypeId", "ColorTo", "ColorFrom")
+      val rc = catalog.readProduct("RelatedCharts", pid)
+        .select(col("RelatedChartId").as("IndicatorId"), col("ChartTypeId"))
+      val joined = md.join(rc, Seq("IndicatorId"), "left")
+        .join(ind, Seq("IndicatorId"))
+        .drop("IndicatorId")
+      val rows = joined.collect()
+      Some(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), joined.schema))
+    }
+
+  /** One product group end-to-end: master (or single) first, then each
+    * sibling reusing the master's indicator frame and pid, writing
+    * every table through the catalog's per-product overwrite. Id
+    * watermarks advance between products from the written tables.
     */
   def runGroup(spark: SparkSession, catalog: ParquetCatalog,
       masterPid: Long,
@@ -58,21 +104,41 @@ object ProductRunner {
 
     val order = expandSiblings(masterPid, mergeConfig)
     var masterIndicators: Option[DataFrame] = None
-    order.flatMap { pid =>
+    var masterGli: Option[DataFrame] = None
+    var masterDateValues: Option[DataFrame] = None
+    // continue from whatever ids the warehouse already holds (the
+    // reference's MAX+1 probes); the caller's watermarks set the floor
+    val onDisk = nextIds(catalog)
+    var watermarks = NextIds(
+      math.max(ids.dimensionId, onDisk.dimensionId),
+      math.max(ids.dimensionValueId, onDisk.dimensionValueId),
+      math.max(ids.indicatorId, onDisk.indicatorId),
+      math.max(ids.indicatorValueId, onDisk.indicatorValueId))
+    order.zipWithIndex.flatMap { case (pid, i) =>
       products.get(pid).map { case (meta, csv) =>
-        val isSibling = pid != order.head
+        val isSibling = i > 0
         val in = PipelineInputs(
           meta = meta, csv = csv, geoRef = geoRef,
           nullReasons = nullReasons,
-          existingMeta = None, existingGeoLevels = None,
-          existingDateValues = None,
-          defaults = defaults, ids = ids,
+          existingMeta = existingChartMeta(spark, catalog, pid),
+          existingGeoLevels = masterGli.map(g =>
+            g.select(col("IndicatorId").as("IndicatorIdExist"),
+              col("GeographicLevelId").as("GeographicLevelIdExist"))),
+          existingDateValues = masterDateValues.map(_.select("Display_EN", "DimensionId")),
+          defaults = defaults, ids = watermarks,
           minRefYear = minRefYear,
           isSibling = isSibling,
-          masterIndicators = if (isSibling) masterIndicators else None)
+          masterIndicators = if (isSibling) masterIndicators else None,
+          functionalPid = if (isSibling) Some(masterPid) else None)
         val tables = GisPipeline.run(spark, in, uomCodeset, subjectCodeset)
-        if (!isSibling) masterIndicators = Some(tables.indicator)
+        if (!isSibling) {
+          masterIndicators = Some(tables.indicator)
+          masterGli = Some(tables.geographicLevelForIndicator.persist())
+          masterDateValues = Some(tables.dateDimensionValues.persist())
+        }
         write(catalog, pid, tables, isSibling)
+        // advance id watermarks from what is now on disk (MAX+1 probes)
+        watermarks = nextIds(catalog)
         pid -> tables
       }
     }.toMap
@@ -80,9 +146,6 @@ object ProductRunner {
 
   private def write(catalog: ParquetCatalog, pid: Long,
       t: GisTables, isSibling: Boolean): Unit = {
-    catalog.writeProduct("IndicatorTheme", t.indicatorTheme, pid)
-    catalog.writeProduct("Dimensions", t.dimensions, pid)
-    catalog.writeProduct("DimensionValues", t.dimensionValues, pid)
     catalog.writeProduct("IndicatorValues", t.indicatorValues, pid)
     catalog.writeProduct("GeographyReferenceForIndicator",
       t.geographyReferenceForIndicator, pid)
@@ -90,7 +153,11 @@ object ProductRunner {
       t.geographicLevelForIndicator, pid)
     if (!isSibling) {
       // sibling runs reuse the master's indicator rows and skip
-      // Indicator/Metadata/RelatedCharts (main.py:166-170, 261)
+      // Indicator/Metadata/RelatedCharts and the dimension tables
+      // (main.py:166-170, 261)
+      catalog.writeProduct("IndicatorTheme", t.indicatorTheme, pid)
+      catalog.writeProduct("Dimensions", t.dimensions, pid)
+      catalog.writeProduct("DimensionValues", t.dimensionValues, pid)
       catalog.writeProduct("Indicator", t.indicator, pid)
       catalog.writeProduct("IndicatorMetaData", t.indicatorMetaData, pid)
       catalog.writeProduct("RelatedCharts", t.relatedCharts, pid)

@@ -49,11 +49,14 @@ class GisPipelineSpec extends AnyFunSuite {
     assert(dims.map(_._2).toSeq == Seq("Filter", "Filter", "Filter", "Value"))
   }
 
-  test("dimension values: geography dropped, prefixed display order (W1/X7)") {
+  test("dimension values: geography dropped, prefixed order, dates appended (W1/X7)") {
     val dv = tables.dimensionValues.orderBy("DimensionValueId")
       .select("Display_EN", "ValueDisplayOrder").as[(String, Long)].collect()
+    // member values first (ids 1-3), then the Date dimension's values
+    // (REF_DATE strings, ids continuing; main.py:246-259)
     assert(dv.toSeq == Seq(
-      ("01. All ages", 1L), ("02. Youth", 2L), ("01. Count", 1L)))
+      ("01. All ages", 1L), ("02. Youth", 2L), ("01. Count", 1L),
+      ("2019", 1L), ("2020", 2L), ("2021", 3L)))
   }
 
   test("indicator values: FK-validated, null reason joined (J5/J6)") {

@@ -58,13 +58,17 @@ class MergedProductSpec extends AnyFunSuite {
     defaults = defaults, ids = NextIds(),
     isSibling = sibling, masterIndicators = masterInd)
 
+  private val siblingPid = 35100026L // also a mixed-geo justice pid
+
   lazy val master: GisTables = GisPipeline.run(spark,
     inputs(justiceMaster, sibling = false, None),
     uomCodeset = Map(223 -> ("Number", "Nombre")))
 
+  // sibling runs under its own metadata pid but is coded/stored under
+  // the master pid (functional_pid_str, main.py:143)
   lazy val sibling: GisTables = GisPipeline.run(spark,
-    inputs(justiceMaster, sibling = true,
-      Some(master.indicator)),
+    inputs(siblingPid, sibling = true, Some(master.indicator))
+      .copy(functionalPid = Some(justiceMaster)),
     uomCodeset = Map(223 -> ("Number", "Nombre")))
 
   test("master keeps pre-2017 rows only at core geo levels (F2)") {
@@ -85,6 +89,10 @@ class MergedProductSpec extends AnyFunSuite {
   test("sibling reuses master indicator ids and skips metadata/charts") {
     assert(sibling.indicator.select("IndicatorId").as[Long].collect().toSet ==
       master.indicator.select("IndicatorId").as[Long].collect().toSet)
+    // functional pid: sibling GRI rows resolve against MASTER codes
+    assert(sibling.geographyReferenceForIndicator
+      .filter($"IndicatorId".isNull).count() == 0)
+    assert(sibling.geographyReferenceForIndicator.count() > 0)
     assert(sibling.indicatorMetaData.isEmpty)
     assert(sibling.relatedCharts.isEmpty)
     assert(sibling.geographicLevelForIndicator

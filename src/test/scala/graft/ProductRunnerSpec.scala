@@ -50,9 +50,15 @@ class ProductRunnerSpec extends AnyFunSuite {
     // master wrote Indicator; sibling did not (reuses master's)
     assert(catalog.readProduct("Indicator", masterPid).count() == 6)
     assert(!new java.io.File(s"$dir/Indicator/ProductPartitionId=$siblingPid").exists())
-    // both wrote their values
-    assert(catalog.readProduct("IndicatorValues", masterPid).count() == 6)
-    assert(catalog.readProduct("IndicatorValues", siblingPid).count() == 6)
+    // both wrote their values, with disjoint id ranges (watermarks
+    // advance between products — scdb.py:145-159 MAX+1 semantics)
+    val masterIds = catalog.readProduct("IndicatorValues", masterPid)
+      .select("IndicatorValueId").as[Long].collect().toSet
+    val siblingIds = catalog.readProduct("IndicatorValues", siblingPid)
+      .select("IndicatorValueId").as[Long].collect().toSet
+    assert(masterIds.size == 6 && siblingIds.size == 6)
+    assert((masterIds intersect siblingIds).isEmpty,
+      s"id collision: ${masterIds intersect siblingIds}")
     // re-running the master replaces, not duplicates
     ProductRunner.runGroup(spark, catalog, masterPid,
       products = Map(masterPid -> (MiniCube.meta, MiniCube.csv(spark))),
