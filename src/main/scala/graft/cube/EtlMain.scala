@@ -25,6 +25,11 @@ import graft.io.{ParquetCatalog, Staging, Wds}
   */
 object EtlMain {
 
+  private def readText(stage: String, name: String): Option[String] = {
+    val p = Paths.get(stage, name)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
+
   def main(argv: Array[String]): Unit = {
     require(argv.length >= 2, "usage: EtlMain <stageDir> <warehouseDir> <flags…>")
     val stage = argv(0)
@@ -52,10 +57,7 @@ object EtlMain {
     import spark.implicits._
     val catalog = new ParquetCatalog(spark, warehouse)
 
-    def readText(name: String): Option[String] = {
-      val p = Paths.get(stage, name)
-      if (Files.exists(p)) Some(Files.readString(p)) else None
-    }
+    def readText(name: String): Option[String] = EtlMain.readText(stage, name)
     val mergeConfig = readText("products_to_merge.json")
       .map(Wds.mergeConfig).getOrElse(Map.empty)
     val defaultsJson = readText("product_defaults.json").getOrElse(
@@ -84,9 +86,15 @@ object EtlMain {
         s"Warning: product $p is part of a merged product and cannot be " +
           "updated automatically in a date range. Run it explicitly."))
       if (runnable.isEmpty) { println("[graft-etl] no changed products to update"); return }
-      runnable.foreach(pid =>
-        runGroupFromStage(spark, stage, warehouse, catalog, pid, mergeConfig,
-          geoRef, nullReasons, defaultsJson, args.minRefYear))
+      // per-product isolation (main.py:145-146): one bad staging
+      // artifact skips that product, not the rest of the range
+      runnable.foreach { pid =>
+        try runGroupFromStage(spark, stage, warehouse, catalog, pid, mergeConfig,
+          geoRef, nullReasons, defaultsJson, args.minRefYear)
+        catch { case e: Exception =>
+          System.err.println(s"Warning: product $pid failed and was skipped: ${e.getMessage}")
+        }
+      }
       return
     }
 
@@ -95,7 +103,10 @@ object EtlMain {
     // define/refresh the merge group
     val effectiveMerge =
       if (args.insertNewTable && args.prodIds.length > 1) {
-        val updated = mergeConfig + (masterPid -> args.prodIds.tail)
+        // master must not appear in its own sibling list
+        // (json_handler.py:89-91)
+        val updated = mergeConfig +
+          (masterPid -> args.prodIds.tail.filterNot(_ == masterPid).distinct)
         // persist the merge bookkeeping (json_handler.py:87-96)
         Files.writeString(Paths.get(stage, "products_to_merge.json"),
           Wds.mergeConfigJson(updated))
@@ -113,10 +124,7 @@ object EtlMain {
       geoRef: org.apache.spark.sql.DataFrame,
       nullReasons: org.apache.spark.sql.DataFrame,
       defaultsJson: String, minRefYear: Option[Int]): Unit = {
-    def readText(name: String): Option[String] = {
-      val p = Paths.get(stage, name)
-      if (Files.exists(p)) Some(Files.readString(p)) else None
-    }
+    def readText(name: String): Option[String] = EtlMain.readText(stage, name)
     val order = ProductRunner.expandSiblings(masterPid, mergeConfig)
     val products = order.flatMap { pid =>
       readText(s"$pid-meta.json").map { metaJson =>

@@ -38,7 +38,8 @@ final case class PipelineInputs(
     isSibling: Boolean = false,
     masterIndicators: Option[DataFrame] = None,
     functionalPid: Option[Long] = None, // sibling rows are stored under the MASTER pid (main.py:143)
-    nextDateValueOrder: Long = 1L)
+    nextDateValueOrder: Long = 1L,
+    dateDimensionId: Option[Long] = None) // sibling new dates attach to the MASTER's Date dimension
 
 /** The E1-insert + E3-append dataflow (main.py:53-281) as one lazy
   * DataFrame graph per product: the reference's 20k-row chunk loop,
@@ -459,17 +460,21 @@ object GisPipeline {
 
     val nextDimValAfter = in.ids.dimensionValueId +
       meta.nonGeoDimensions.map(_.members.size).sum
-    val dateDimId = in.ids.dimensionId // Date dimension is first
+    // Date dimension is first for a master; siblings attach to the
+    // master's Date dimension id (get_date_dimension_id, scdb.py:108-114)
+    val dateDimId = in.dateDimensionId.getOrElse(in.ids.dimensionId)
     val dateValues = buildDateDimensionValues(prepared, in.existingDateValues,
       dateDimId, nextDimValAfter, in.nextDateValueOrder)
 
-    val keys = dimensionUniqueKeys(dims, dimValues, dateValues)
-    val metaData =
-      if (in.isSibling) spark.emptyDataFrame
-      else buildIndicatorMetadata(indicators, keys, in.existingMeta, in.defaults)
-    val related =
-      if (in.isSibling) spark.emptyDataFrame
-      else buildRelatedCharts(indicators, in.existingMeta, in.defaults)
+    // unique-key matching feeds only metadata/charts, which siblings
+    // skip — don't pay its collect + crossJoin on sibling runs
+    val (metaData, related) =
+      if (in.isSibling) (spark.emptyDataFrame, spark.emptyDataFrame)
+      else {
+        val keys = dimensionUniqueKeys(dims, dimValues, dateValues)
+        (buildIndicatorMetadata(indicators, keys, in.existingMeta, in.defaults),
+          buildRelatedCharts(indicators, in.existingMeta, in.defaults))
+      }
 
     // date-dimension values are stored in the same gis.DimensionValues
     // table (main.py:246-259)

@@ -69,7 +69,8 @@ object ProductRunner {
     */
   def existingChartMeta(spark: SparkSession, catalog: ParquetCatalog,
       pid: Long): Option[DataFrame] =
-    if (!catalog.exists("IndicatorMetaData") || !catalog.exists("Indicator")) None
+    if (!catalog.exists("IndicatorMetaData") || !catalog.exists("Indicator") ||
+      !catalog.exists("RelatedCharts")) None
     else {
       val ind = catalog.readProduct("Indicator", pid)
         .select("IndicatorId", "IndicatorCode")
@@ -114,7 +115,9 @@ object ProductRunner {
       math.max(ids.dimensionValueId, onDisk.dimensionValueId),
       math.max(ids.indicatorId, onDisk.indicatorId),
       math.max(ids.indicatorValueId, onDisk.indicatorValueId))
-    order.zipWithIndex.flatMap { case (pid, i) =>
+    var masterDateDimId = watermarks.dimensionId // master's Date dim is created first
+    var masterDateOrderNext = 1L
+    val out = order.zipWithIndex.flatMap { case (pid, i) =>
       products.get(pid).map { case (meta, csv) =>
         val isSibling = i > 0
         val in = PipelineInputs(
@@ -129,12 +132,18 @@ object ProductRunner {
           minRefYear = minRefYear,
           isSibling = isSibling,
           masterIndicators = if (isSibling) masterIndicators else None,
-          functionalPid = if (isSibling) Some(masterPid) else None)
+          functionalPid = if (isSibling) Some(masterPid) else None,
+          dateDimensionId = if (isSibling) Some(masterDateDimId) else None,
+          nextDateValueOrder = if (isSibling) masterDateOrderNext else 1L)
         val tables = GisPipeline.run(spark, in, uomCodeset, subjectCodeset)
         if (!isSibling) {
+          masterDateDimId = watermarks.dimensionId
           masterIndicators = Some(tables.indicator)
           masterGli = Some(tables.geographicLevelForIndicator.persist())
-          masterDateValues = Some(tables.dateDimensionValues.persist())
+          val dv = tables.dateDimensionValues.persist()
+          masterDateValues = Some(dv)
+          masterDateOrderNext = dv.agg(coalesce(max("ValueDisplayOrder"), lit(0L)))
+            .head().getLong(0) + 1
         }
         write(catalog, pid, tables, isSibling)
         // advance id watermarks from what is now on disk (MAX+1 probes)
@@ -142,6 +151,9 @@ object ProductRunner {
         pid -> tables
       }
     }.toMap
+    masterGli.foreach(_.unpersist())
+    masterDateValues.foreach(_.unpersist())
+    out
   }
 
   private def write(catalog: ParquetCatalog, pid: Long,
@@ -152,15 +164,23 @@ object ProductRunner {
     catalog.writeProduct("GeographicLevelForIndicator",
       t.geographicLevelForIndicator, pid)
     if (!isSibling) {
-      // sibling runs reuse the master's indicator rows and skip
-      // Indicator/Metadata/RelatedCharts and the dimension tables
-      // (main.py:166-170, 261)
       catalog.writeProduct("IndicatorTheme", t.indicatorTheme, pid)
       catalog.writeProduct("Dimensions", t.dimensions, pid)
       catalog.writeProduct("DimensionValues", t.dimensionValues, pid)
       catalog.writeProduct("Indicator", t.indicator, pid)
       catalog.writeProduct("IndicatorMetaData", t.indicatorMetaData, pid)
       catalog.writeProduct("RelatedCharts", t.relatedCharts, pid)
+    } else {
+      // sibling runs reuse the master's indicator rows and skip
+      // Indicator/Metadata/RelatedCharts/Theme/Dimensions
+      // (main.py:166-170, 261) — but their NEW reference dates do get
+      // inserted into the shared DimensionValues (main.py:246-259),
+      // and any stale partitions from a pre-merge standalone load of
+      // this pid are removed (delete-then-skip semantics)
+      catalog.writeProduct("DimensionValues", t.dateDimensionValues, pid)
+      Seq("IndicatorTheme", "Dimensions", "Indicator",
+        "IndicatorMetaData", "RelatedCharts")
+        .foreach(tb => if (catalog.exists(tb)) catalog.deleteProduct(tb, pid))
     }
   }
 }
