@@ -16,6 +16,7 @@ object SparkEntry {
     ExtraQueries.queries,
     StatsQueries.queries,
     ComplexTypeQueries.queries,
+    TypedQueries.queries,
     DedupQueries.queries,
     AnnQueries.queries,
     TextQueries.queries,
