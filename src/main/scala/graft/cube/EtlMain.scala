@@ -4,7 +4,6 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
-import graft.GraftExtensions
 import graft.io.{ParquetCatalog, Staging, Wds}
 
 /** The engine's `main.py` equivalent: CLI-compatible entry point over
@@ -38,15 +37,9 @@ object EtlMain {
       case Left(msg) => System.err.println(s"Error: $msg"); sys.exit(2)
       case Right(a) => a
     }
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-etl")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    val spark = graft.GraftSession.local(
+      cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt,
+      appName = "graft-etl")
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, stage, warehouse, args)
     finally spark.stop()
