@@ -97,6 +97,31 @@ object ExtraQueries {
         | count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin),
 
+    // Non-equi range join: values bucketed into a small band table via
+    // BETWEEN (broadcast-nested-loop with a literal-sized build side —
+    // the right plan; at scale a banded key precomputation turns this
+    // into an equi-join).
+    "q60_range_join" -> Q(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val bands = Seq(
+          ("tiny", 0.0, 10.0), ("small", 10.0, 20.0),
+          ("large", 20.0, 50.0), ("huge", 50.0, 1e9))
+          .toDF("band", "lo", "hi")
+        Tables(s, d, "events")
+          .join(broadcast(bands),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"), r2(sum("value")).as("total"))
+      },
+      """SELECT b.band, count(*) AS n, floor(sum(e.value)*100 + 0.5)/100 AS total
+        |FROM events e JOIN (VALUES
+        |  ('tiny', 0.0, 10.0), ('small', 10.0, 20.0),
+        |  ('large', 20.0, 50.0), ('huge', 50.0, 1e9)) b(band, lo, hi)
+        |ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY b.band""".stripMargin),
+
     // Salted skew join: must produce exactly the rows of the plain
     // equi-join (the oracle) — correctness proof of the utility.
     "q45_salted_join" -> Q(
