@@ -67,8 +67,9 @@ object EtlMain {
     // lists resolve to the runnable product set; merged pids skipped
     // with a warning (they must be run explicitly).
     if (args.prodIds.isEmpty) {
-      val known = new java.io.File(stage).list().toSeq
-        .collect { case n if n.endsWith("-meta.json") => n.stripSuffix("-meta.json").toLong }
+      val known = Option(new java.io.File(stage).list()).map(_.toSeq).getOrElse(Nil)
+        .collect { case n if n.endsWith("-meta.json") => n.stripSuffix("-meta.json") }
+        .flatMap(n => scala.util.Try(n.toLong).toOption) // ignore stray files
         .toSet
       val changed = RefDates.dailyRange(args.start.get, args.end.get).flatMap { day =>
         readText(s"changed-$day.json").map(Wds.changedCubeList).getOrElse(Nil)

@@ -39,7 +39,8 @@ final case class PipelineInputs(
     masterIndicators: Option[DataFrame] = None,
     functionalPid: Option[Long] = None, // sibling rows are stored under the MASTER pid (main.py:143)
     nextDateValueOrder: Long = 1L,
-    dateDimensionId: Option[Long] = None) // sibling new dates attach to the MASTER's Date dimension
+    dateDimensionId: Option[Long] = None, // sibling new dates attach to the MASTER's Date dimension
+    themeNeeds: ThemeNeeds = ThemeNeeds())
 
 /** The E1-insert + E3-append dataflow (main.py:53-281) as one lazy
   * DataFrame graph per product: the reference's 20k-row chunk loop,
@@ -441,8 +442,10 @@ object GisPipeline {
     val prepared = setupColumns(in.csv, meta, in.minRefYear, in.functionalPid).cache()
 
     val theme = buildIndicatorTheme(spark, meta, subjectCodeset,
-      needParentSubject = true, needDummySubject = true,
-      needParentShort = true, needDummyShort = true)
+      needParentSubject = in.themeNeeds.parentSubject,
+      needDummySubject = in.themeNeeds.dummySubject,
+      needParentShort = in.themeNeeds.parentShort,
+      needDummyShort = in.themeNeeds.dummyShort)
     val dims = buildDimensions(spark, meta, in.ids.dimensionId)
     val dimValues = buildDimensionValues(spark, meta, dims, in.ids.dimensionValueId)
 

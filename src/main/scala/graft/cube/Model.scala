@@ -60,6 +60,16 @@ final case class ProductDefaults(
   * In the Spark engine ids are assigned once per product with a single
   * deterministic window (SURVEY.md §7.4 risk 1), not per 20k chunk.
   */
+/** Which parent/dummy subject rows IndicatorTheme still needs — the
+  * reference's sc_row_count/scs_row_count DB existence probes
+  * (dfhandler.py:392-411); false = the row already exists.
+  */
+final case class ThemeNeeds(
+    parentSubject: Boolean = true,
+    dummySubject: Boolean = true,
+    parentShort: Boolean = true,
+    dummyShort: Boolean = true)
+
 final case class NextIds(
     dimensionId: Long = 1L,
     dimensionValueId: Long = 1L,

@@ -87,6 +87,24 @@ object ProductRunner {
         java.util.Arrays.asList(rows: _*), joined.schema))
     }
 
+  /** Parent/dummy subject-row existence probe against the catalog
+    * (the reference's sc_row_count/scs_row_count checks).
+    */
+  def themeNeeds(catalog: ParquetCatalog, meta: CubeMetadata): ThemeNeeds =
+    if (!catalog.exists("IndicatorTheme")) ThemeNeeds()
+    else {
+      val existing = catalog.read("IndicatorTheme")
+        .select("IndicatorThemeId").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val sc = meta.subjectCode
+      val scs = meta.subjectCodeShort
+      ThemeNeeds(
+        parentSubject = !existing.contains(sc.toLong),
+        dummySubject = !existing.contains((sc + CubeOps.dummySubjectSuffix(sc)).toLong),
+        parentShort = !existing.contains(scs.toLong),
+        dummyShort = !existing.contains((scs + CubeOps.dummySubjectSuffix(scs)).toLong))
+    }
+
   /** One product group end-to-end: master (or single) first, then each
     * sibling reusing the master's indicator frame and pid, writing
     * every table through the catalog's per-product overwrite. Id
@@ -116,43 +134,52 @@ object ProductRunner {
       math.max(ids.indicatorId, onDisk.indicatorId),
       math.max(ids.indicatorValueId, onDisk.indicatorValueId))
     var masterDateDimId = watermarks.dimensionId // master's Date dim is created first
-    var masterDateOrderNext = 1L
+    var dateOrderNext = 1L
+    // accumulated date-dimension values across the group: each product
+    // anti-joins against ALL dates inserted so far (the reference
+    // re-probes the DB per product, main.py:246-254), so a second
+    // sibling cannot re-insert a date the first sibling added
+    var knownDates: Option[DataFrame] = None
     val out = order.zipWithIndex.flatMap { case (pid, i) =>
       products.get(pid).map { case (meta, csv) =>
         val isSibling = i > 0
         val in = PipelineInputs(
           meta = meta, csv = csv, geoRef = geoRef,
           nullReasons = nullReasons,
-          existingMeta = existingChartMeta(spark, catalog, pid),
+          // siblings skip metadata/chart builds entirely — don't pay
+          // the preserved-metadata collect for them
+          existingMeta = if (isSibling) None else existingChartMeta(spark, catalog, pid),
           existingGeoLevels = masterGli.map(g =>
             g.select(col("IndicatorId").as("IndicatorIdExist"),
               col("GeographicLevelId").as("GeographicLevelIdExist"))),
-          existingDateValues = masterDateValues.map(_.select("Display_EN", "DimensionId")),
+          existingDateValues = knownDates.map(_.select("Display_EN", "DimensionId")),
           defaults = defaults, ids = watermarks,
           minRefYear = minRefYear,
           isSibling = isSibling,
           masterIndicators = if (isSibling) masterIndicators else None,
           functionalPid = if (isSibling) Some(masterPid) else None,
           dateDimensionId = if (isSibling) Some(masterDateDimId) else None,
-          nextDateValueOrder = if (isSibling) masterDateOrderNext else 1L)
+          nextDateValueOrder = dateOrderNext,
+          themeNeeds = if (isSibling) ThemeNeeds() else themeNeeds(catalog, meta))
         val tables = GisPipeline.run(spark, in, uomCodeset, subjectCodeset)
         if (!isSibling) {
           masterDateDimId = watermarks.dimensionId
           masterIndicators = Some(tables.indicator)
           masterGli = Some(tables.geographicLevelForIndicator.persist())
-          val dv = tables.dateDimensionValues.persist()
-          masterDateValues = Some(dv)
-          masterDateOrderNext = dv.agg(coalesce(max("ValueDisplayOrder"), lit(0L)))
-            .head().getLong(0) + 1
         }
         write(catalog, pid, tables, isSibling)
+        // fold this product's new dates into the running set and
+        // advance the display-order watermark past them
+        val dv = tables.dateDimensionValues.persist()
+        knownDates = Some(knownDates.fold(dv)(_.unionByName(dv)))
+        dateOrderNext = knownDates.get
+          .agg(coalesce(max("ValueDisplayOrder"), lit(0L))).head().getLong(0) + 1
         // advance id watermarks from what is now on disk (MAX+1 probes)
         watermarks = nextIds(catalog)
         pid -> tables
       }
     }.toMap
     masterGli.foreach(_.unpersist())
-    masterDateValues.foreach(_.unpersist())
     out
   }
 

@@ -21,8 +21,13 @@ object SkewJoin {
     */
   def saltedInner(left: DataFrame, right: DataFrame, key: String,
       salts: Int): DataFrame = {
+    // salt must be DETERMINISTIC per row: a stage retry recomputes
+    // rows, and a salt derived from monotonically_increasing_id (or
+    // rand) could land them in a different shuffle partition than the
+    // original attempt, silently dropping/duplicating rows. Hash the
+    // full row content instead.
     val l = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
