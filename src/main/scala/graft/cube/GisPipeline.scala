@@ -102,10 +102,13 @@ object GisPipeline {
   def buildIndicatorValues(prepared: DataFrame, geoRef: DataFrame,
       nullReasons: DataFrame, nextId: Long, pid: Long,
       isSibling: Boolean): DataFrame = {
-    val base = justiceGeoFilter(prepared, pid, isSibling)
-      .select("DGUID", "IndicatorCode", "STATUS", "VALUE")
-      .withColumn("IndicatorValueId",
-        row_number().over(Window.orderBy("IndicatorCode", "DGUID")) + lit(nextId - 1))
+    // Distributed dense-id assignment (ops.Ids): range-partition +
+    // per-partition offsets instead of a single-partition global window
+    // — id-identical, but survives a 100× fact table.
+    val base = graft.ops.Ids.distributedDenseIds(
+      justiceGeoFilter(prepared, pid, isSibling)
+        .select("DGUID", "IndicatorCode", "STATUS", "VALUE"),
+      "IndicatorValueId", nextId, Seq("IndicatorCode", "DGUID"))
     base
       .join(broadcast(geoRef), base("DGUID") === geoRef("GeographyReferenceId"), "inner")
       .withColumn("IndicatorValueCode",

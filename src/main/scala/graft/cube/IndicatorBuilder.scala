@@ -3,7 +3,6 @@ package graft.cube
 import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Builds the gis.Indicator frame: the cross product of all non-geo
@@ -73,12 +72,11 @@ object IndicatorBuilder {
       .toDF("__refDateStr", "__dateIdx")
 
     val pid = meta.productId.toString
-    val idOrder = Window.orderBy(
-      (col("__dateIdx") +: (0 until nOrd).map(i => col(s"__ord_$i"))): _*)
+    val idOrderCols = "__dateIdx" +: (0 until nOrd).map(i => s"__ord_$i")
     val uomDf = uomCodeset.toSeq.map { case (k, (en, fr)) => (k, en, fr) }
       .toDF("__uom_code", "UOM_EN", "UOM_FR")
 
-    combos.crossJoin(broadcast(dates))
+    val framed = combos.crossJoin(broadcast(dates))
       .withColumn("RefYear", substring(col("__refDateStr"), 1, 4))
       .withColumn("ReferencePeriod", to_timestamp(col("__refDateStr")))
       .withColumn("IndicatorCode",
@@ -103,7 +101,9 @@ object IndicatorBuilder {
       .withColumn("IndicatorThemeID", lit(meta.productId))
       .withColumn("ReleaseIndicatorDate", to_timestamp(lit(meta.releaseTime)))
       .withColumn("Vector", lit(null).cast("int"))
-      .withColumn("IndicatorId", row_number().over(idOrder) + lit(nextId - 1))
+    // Dense id assignment over (dateIdx, member ords) without a
+    // single-partition window — same ids, distributed plan.
+    graft.ops.Ids.distributedDenseIds(framed, "IndicatorId", nextId, idOrderCols)
       .drop((Seq("__refDateStr", "__dateIdx", "__uom_code") ++
         (0 until nOrd).map(i => s"__ord_$i")): _*)
   }

@@ -10,8 +10,8 @@ import graft.ops.Similarity.{dot, l2Norm, toDoubleVec}
   * vector space with k-means, search only the `nProbe` nearest cells,
   * exact-rank within them.
   *
-  * Training is deterministic (centroid init = evenly id-strided
-  * vectors, fixed iteration count) so index builds are reproducible.
+  * Training is deterministic (centroid init = k smallest id-hashes,
+  * fixed iteration count) so index builds are reproducible.
   * All stages are DataFrame ops: assignment is a broadcast join
   * against the centroid table (k rows) + per-cell argmin window; the
   * per-iteration centroid update is one (cell, dimension) aggregation.
@@ -28,14 +28,18 @@ object Ivf {
     import spark.implicits._
     val vecs = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .persist()
-    val n = vecs.count()
-    val stride = math.max(1L, n / k)
-    // deterministic init: every stride-th vector in id order
-    var centroids = vecs
-      .withColumn("__rn", row_number().over(Window.orderBy("id")))
-      .filter((col("__rn") - 1) % stride === 0 && col("__rn") <= stride * k)
-      .withColumn("cell_id", ((col("__rn") - 1) / stride).cast("int"))
-      .select("cell_id", "v")
+    // deterministic init: the k vectors with the smallest id-hash —
+    // a uniform pseudo-random sample with no global window. orderBy +
+    // limit(k) compiles to TakeOrderedAndProject (per-partition top-k,
+    // driver merge), so no partition ever sees more than its own rows.
+    val seeds = vecs
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h", "id")
+      .limit(k)
+      .collect()
+    var centroids = spark.createDataFrame(
+      seeds.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq)
+      .toDF("cell_id", "v")
 
     (0 until iters).foreach { _ =>
       val assigned = assignCells(vecs, centroids)
@@ -49,7 +53,11 @@ object Ivf {
           array_sort(collect_list(struct(col("dim"), col("m")))),
           e => e.getField("m")).as("v"))
     }
-    centroids
+    // k rows: materialize on the driver to cut the iters-deep training
+    // lineage, then release the cached vector frame.
+    val trained = centroids.as[(Int, Seq[Double])].collect().toSeq
+    vecs.unpersist()
+    trained.toDF("cell_id", "v")
   }
 
   /** Adds `cell_id` = nearest centroid (max cosine, cell tie-break). */

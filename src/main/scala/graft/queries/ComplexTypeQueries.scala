@@ -12,14 +12,18 @@ object ComplexTypeQueries {
 
   val queries: Map[String, Q] = Map(
 
-    // Sorted array aggregation per group (array-typed output column;
-    // the driver compares parquet lists against DuckDB lists).
+    // Sorted array aggregation per group, emitted as a joined string so
+    // the driver's pandas sort can hash the column (raw list columns are
+    // unhashable there); ComplexTypeSpec asserts the true array-typed
+    // collect_set output separately.
     "q52_array_agg" -> Q(
       (s, d) =>
         Tables(s, d, "nation")
           .groupBy("n_regionkey")
-          .agg(sort_array(collect_set(col("n_name"))).as("nations")),
-      """SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+          .agg(array_join(sort_array(collect_set(col("n_name"))), ",")
+            .as("nations")),
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
         |FROM nation GROUP BY n_regionkey""".stripMargin),
 
     // Generator with position: split + posexplode (X24-family), the

@@ -20,6 +20,21 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(q.size >= 57)
   }
 
+  test("array_agg true array output: sorted distinct names per region") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // q52 ships a string-joined column for the harness; assert the
+    // genuine array-typed aggregation here.
+    val nations = Tables(spark, "/root/testdata/sf0.001", "nation")
+      .groupBy("n_regionkey")
+      .agg(sort_array(collect_set(col("n_name"))).as("nations"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(nations.size == 5)
+    nations.values.foreach { ns =>
+      assert(ns == ns.sorted && ns.distinct == ns && ns.nonEmpty)
+    }
+  }
+
   test("oracle SQL is single-statement and non-empty") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, name)
