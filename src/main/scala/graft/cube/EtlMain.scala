@@ -15,6 +15,9 @@ import graft.io.{ParquetCatalog, Staging, Wds}
   *   {stage}/{pid}-meta.json      getCubeMetadata response body
   *   {stage}/products_to_merge.json   (optional) merge config
   *   {stage}/product_defaults.json    chart defaults w/ "default" entry
+  *   {stage}/code_sets.json           (optional) getCodeSets response
+  *                                    body (uom + subject descriptions,
+  *                                    scwds.py:147-184, main.py:177)
   *   {stage}/geography_reference.csv  GeographyReferenceId lookup
   *   {stage}/null_reasons.csv         NullReasonId,Symbol lookup
   *
@@ -133,8 +136,15 @@ object EtlMain {
     }.toMap
 
     val defaults = Wds.productDefaults(defaultsJson, masterPid)
+    // code sets feed Indicator UOM_EN/FR, IndicatorMetaData field
+    // aliases, and IndicatorTheme parent-subject descriptions
+    // (main.py:177); without the staged file they stay empty, as when
+    // the reference's get_code_sets call fails
+    val codeSetsJson = readText("code_sets.json")
     val out = ProductRunner.runGroup(spark, catalog, masterPid,
       products, mergeConfig, geoRef, nullReasons, defaults,
+      uomCodeset = codeSetsJson.map(Wds.uomCodeset).getOrElse(Map.empty),
+      subjectCodeset = codeSetsJson.map(Wds.subjectCodeset).getOrElse(Nil),
       minRefYear = minRefYear)
     out.toSeq.sortBy(_._1).foreach { case (pid, t) =>
       println(s"[graft-etl] product $pid loaded: " +

@@ -21,7 +21,12 @@ final case class GisTables(
     indicatorMetaData: DataFrame,
     relatedCharts: DataFrame,
     dguidWarnings: DataFrame,
-    dateDimensionValues: DataFrame)
+    dateDimensionValues: DataFrame,
+    /** Frames [[GisPipeline.run]] persisted for this product (prepared
+      * CSV, id-frozen values). Callers unpersist after the tables are
+      * materialized — ProductRunner does so after each catalog write.
+      */
+    cached: Seq[DataFrame] = Nil)
 
 /** Everything one product append needs (main.py:123-281 environment). */
 final case class PipelineInputs(
@@ -119,6 +124,9 @@ object GisPipeline {
 
   /** gis.GeographyReferenceForIndicator (dfhandler.py:185-207) + the
     * unmatched-DGUID warning frame (dfhandler.py:556-559, 694-705).
+    * `prepared` must already be justice-geo-filtered: the reference
+    * builds both frames after the mixed-geo drop (main.py:219-222), so
+    * warnings never inspect rows that filter removed.
     */
   def buildGeoRefForIndicator(prepared: DataFrame, indicators: DataFrame,
       geoRef: DataFrame, indicatorValues: DataFrame): (DataFrame, DataFrame) = {
@@ -457,15 +465,26 @@ object GisPipeline {
       IndicatorBuilder.build(spark, meta, dates, uomCodeset,
         in.ids.indicatorId, in.minRefYear, mixedGeoJusticePids))
 
+    // persisted so every consumer (the values write, the GRFI join)
+    // sees ONE materialization of the dense-id assignment; unpersisted
+    // by the caller via GisTables.cached after the write
     val values = buildIndicatorValues(prepared, in.geoRef, in.nullReasons,
-      in.ids.indicatorValueId, fpid, in.isSibling)
-    val (gri, warnings) = buildGeoRefForIndicator(prepared, indicators,
+      in.ids.indicatorValueId, fpid, in.isSibling).persist()
+    // the reference builds GRFI and its DGUID warnings after the
+    // mixed-geo justice drop (main.py:219-222) — warnings must not
+    // inspect rows that filter removed
+    val justiced = justiceGeoFilter(prepared, fpid, in.isSibling)
+    val (gri, warnings) = buildGeoRefForIndicator(justiced, indicators,
       in.geoRef, values)
     val gli = buildGeoLevelForIndicator(prepared, indicators, fpid,
       in.existingGeoLevels, in.isSibling)
 
-    val nextDimValAfter = in.ids.dimensionValueId +
-      meta.nonGeoDimensions.map(_.members.size).sum
+    // sibling runs never write non-geo dimension values (main.py:261),
+    // so their new date ids continue directly from the watermark
+    // (main.py:252 takes MAX+1 with no member offset)
+    val nextDimValAfter =
+      if (in.isSibling) in.ids.dimensionValueId
+      else in.ids.dimensionValueId + meta.nonGeoDimensions.map(_.members.size).sum
     // Date dimension is first for a master; siblings attach to the
     // master's Date dimension id (get_date_dimension_id, scdb.py:108-114)
     val dateDimId = in.dateDimensionId.getOrElse(in.ids.dimensionId)
@@ -486,6 +505,7 @@ object GisPipeline {
     // table (main.py:246-259)
     GisTables(theme, dims, dimValues.unionByName(dateValues),
       IndicatorBuilder.insertSubset(indicators),
-      values, gri, gli, metaData, related, warnings, dateValues)
+      values, gri, gli, metaData, related, warnings, dateValues,
+      cached = Seq(prepared, values))
   }
 }

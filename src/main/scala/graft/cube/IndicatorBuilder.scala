@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale note: per-dimension member frames are tiny (10s of rows);
   * the crossJoin chain is broadcast-nested-loop over literal-sized
-  * inputs, and the only wide shuffle is the final deterministic
-  * row_number window — partition it by product when batching products.
+  * inputs, and id assignment goes through
+  * [[graft.ops.Ids.distributedDenseIds]] — range partition +
+  * per-partition numbering, no single-partition global window.
   */
 object IndicatorBuilder {
 

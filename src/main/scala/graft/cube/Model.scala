@@ -37,10 +37,13 @@ final case class CubeMetadata(
   def subjectCodeShort: String = productId.toString.take(2)
 
   /** Dimension names excluding Geography (dimension 1 is always
-    * Geography and is stripped from indicator space, scwds.py:35-48).
+    * Geography and is stripped from indicator space; the reference
+    * compares upper-cased, scwds.py:43 — match that so a
+    * differently-cased geography dimension cannot desynchronize the
+    * dimension-value id watermark arithmetic).
     */
   def nonGeoDimensions: Seq[Dimension] =
-    dimensions.filter(_.nameEn != "Geography")
+    dimensions.filterNot(_.nameEn.equalsIgnoreCase("Geography"))
 
   def dimensionNamesEn: Seq[String] = dimensions.map(_.nameEn)
 }

@@ -123,8 +123,13 @@ object ProductRunner {
 
     val order = expandSiblings(masterPid, mergeConfig)
     var masterIndicators: Option[DataFrame] = None
-    var masterGli: Option[DataFrame] = None
-    var masterDateValues: Option[DataFrame] = None
+    // accumulated (IndicatorId, GeographicLevelId) rows across the
+    // group: each product anti-joins against ALL rows inserted so far
+    // (the reference re-probes the DB per product, main.py:243,
+    // scdb.py:108-114), so a later sibling cannot re-insert a pair an
+    // earlier sibling already added
+    var knownGli: Option[DataFrame] = None
+    val persisted = scala.collection.mutable.Buffer.empty[DataFrame]
     // continue from whatever ids the warehouse already holds (the
     // reference's MAX+1 probes); the caller's watermarks set the floor
     val onDisk = nextIds(catalog)
@@ -149,7 +154,7 @@ object ProductRunner {
           // siblings skip metadata/chart builds entirely — don't pay
           // the preserved-metadata collect for them
           existingMeta = if (isSibling) None else existingChartMeta(spark, catalog, pid),
-          existingGeoLevels = masterGli.map(g =>
+          existingGeoLevels = knownGli.map(g =>
             g.select(col("IndicatorId").as("IndicatorIdExist"),
               col("GeographicLevelId").as("GeographicLevelIdExist"))),
           existingDateValues = knownDates.map(_.select("Display_EN", "DimensionId")),
@@ -165,21 +170,30 @@ object ProductRunner {
         if (!isSibling) {
           masterDateDimId = watermarks.dimensionId
           masterIndicators = Some(tables.indicator)
-          masterGli = Some(tables.geographicLevelForIndicator.persist())
         }
+        // persisted BEFORE the write so the write action populates the
+        // cache, freezing these frames for later siblings' anti-joins
+        val gliNew = tables.geographicLevelForIndicator.persist()
+        val dv = tables.dateDimensionValues.persist()
+        persisted += gliNew
+        persisted += dv
         write(catalog, pid, tables, isSibling)
+        // fold this product's new geo-level rows into the running set
+        knownGli = Some(knownGli.fold(gliNew)(_.unionByName(gliNew)))
         // fold this product's new dates into the running set and
         // advance the display-order watermark past them
-        val dv = tables.dateDimensionValues.persist()
         knownDates = Some(knownDates.fold(dv)(_.unionByName(dv)))
         dateOrderNext = knownDates.get
           .agg(coalesce(max("ValueDisplayOrder"), lit(0L))).head().getLong(0) + 1
         // advance id watermarks from what is now on disk (MAX+1 probes)
         watermarks = nextIds(catalog)
+        // per-product caches (prepared CSV, id-frozen values) are no
+        // longer needed once the product's tables are on disk
+        tables.cached.foreach(_.unpersist())
         pid -> tables
       }
     }.toMap
-    masterGli.foreach(_.unpersist())
+    persisted.foreach(_.unpersist())
     out
   }
 

@@ -46,16 +46,20 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n).persist()
+    val sh = shingleRows(docs, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // a shingle occurring in exactly one document cannot contribute to
     // any pair: drop it before the self-join. Exactness is preserved
     // (intersection counts are unchanged) while the join input shrinks
     // to the shared vocabulary — the dominant term for mostly-unique
-    // corpora.
-    val shared = sh.withColumn("__df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("__df") > 1).drop("__df")
+    // corpora. Document frequency comes from a groupBy (map-side
+    // partial agg: one row per distinct shingle crosses the wire) +
+    // left-semi join — NOT a per-shingle window, which would shuffle
+    // every (doc, shingle) row and pin each hot shingle in one task.
+    val sharedVocab = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > 1).select("shingle")
+    val shared = sh.join(sharedVocab, Seq("shingle"), "left_semi")
+      .select("doc_id", "shingle") // using-join moved the key first
     val a = shared.toDF("doc_a", "shingle")
     val b = shared.toDF("doc_b", "shingle")
     val interAll = a.join(b, Seq("shingle"))
@@ -116,10 +120,11 @@ object Dedup {
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    // signatures are tiny (1 row × k ints per doc) and feed both sides
-    // of the band self-join — persist to avoid recomputing the shingle
-    // scan (MLlib's LSH does the same internally)
-    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes).persist()
+    // signatures feed both sides of the band self-join; both sides
+    // shuffle on the same (band, sig) key over identical subtrees, so
+    // Spark's ReuseExchange computes the shingle scan once — no persist
+    // needed, and no cache entry leaks out of a library call
+    val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
     val cands = lshCandidatePairs(sigs, numHashes, bands)
     verifiedJaccard(docs, idCol, textCol, n, threshold, cands)
   }
@@ -131,11 +136,13 @@ object Dedup {
     */
   def verifiedJaccard(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, candidates: DataFrame): DataFrame = {
+    // joined once per pair side; the two hash exchanges canonicalize
+    // identically (same subtree, first-column key), so ReuseExchange
+    // shares the shingle computation without a persisted cache entry
     val sets = docs.select(col(idCol).as("doc_id"),
       TextOps.whitespaceTokens(col(textCol)).as("__w"))
       .select(col("doc_id"), TextOps.shinglesFromTokens(col("__w"), n).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
-      .persist() // joined once per pair side
     candidates
       .join(sets.toDF("doc_a", "sa", "na"), Seq("doc_a"))
       .join(sets.toDF("doc_b", "sb", "nb"), Seq("doc_b"))

@@ -14,7 +14,7 @@ object ComplexTypeQueries {
 
     // Sorted array aggregation per group, emitted as a joined string so
     // the driver's pandas sort can hash the column (raw list columns are
-    // unhashable there); ComplexTypeSpec asserts the true array-typed
+    // unhashable there); SparkEntrySpec asserts the true array-typed
     // collect_set output separately.
     "q52_array_agg" -> Q(
       (s, d) =>

@@ -1,0 +1,115 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.{Files, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cube.{CliArgs, EtlMain}
+import graft.io.ParquetCatalog
+
+/** CLI entry end-to-end over a staged directory, including the
+  * code_sets.json path (main.py:177, scwds.py:147-184): a run with the
+  * staged code sets must produce non-null Indicator UOM descriptions,
+  * IndicatorMetaData field aliases, and parent-subject theme rows.
+  */
+class EtlMainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val pid = 99100001L
+
+  private def write(dir: String, name: String, text: String): Unit =
+    Files.writeString(Paths.get(dir, name), text)
+
+  private def stageMiniCube(stage: String): Unit = {
+    val csvText =
+      """REF_DATE,DGUID,UOM,UOM_ID,VECTOR,COORDINATE,STATUS,SYMBOL,VALUE,Age group,Estimate
+        |2019,2021A000011124,Number,223,v100,1.1.1,,,10.0,All ages,Count
+        |2019,2021A000011124,Number,223,v101,1.2.1,,,4.0,Youth,Count
+        |2020,2016A000235,Number,223,v102,2.1.1,x,x,,All ages,Count
+        |2021,2021A000011124,Number,223,v100,1.1.1,,,12.0,All ages,Count
+        |""".stripMargin
+    val zos = new ZipOutputStream(new FileOutputStream(s"$stage/$pid.zip"))
+    zos.putNextEntry(new ZipEntry(s"$pid.csv"))
+    zos.write(csvText.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+
+    write(stage, s"$pid-meta.json",
+      s"""[{"status": "SUCCESS", "object": {
+         |  "productId": $pid,
+         |  "cubeTitleEn": "Mini cube", "cubeTitleFr": "Mini cube fr",
+         |  "cubeStartDate": "2019-01-01", "cubeEndDate": "2021-01-01",
+         |  "releaseTime": "2022-03-01 08:30:00",
+         |  "frequencyCode": 12,
+         |  "surveyCode": ["5000"],
+         |  "subjectCode": ["9910"],
+         |  "dimension": [
+         |    {"dimensionPositionId": 1, "dimensionNameEn": "Geography",
+         |     "dimensionNameFr": "G\\u00e9ographie", "hasUom": false, "member": [
+         |       {"memberId": 1, "memberNameEn": "Canada", "memberNameFr": "Canada", "memberUomCode": null},
+         |       {"memberId": 2, "memberNameEn": "Ontario", "memberNameFr": "Ontario", "memberUomCode": null}]},
+         |    {"dimensionPositionId": 2, "dimensionNameEn": "Age group",
+         |     "dimensionNameFr": "Groupe d'\\u00e2ge", "hasUom": false, "member": [
+         |       {"memberId": 1, "memberNameEn": "All ages", "memberNameFr": "Tous les \\u00e2ges", "memberUomCode": null},
+         |       {"memberId": 2, "memberNameEn": "Youth", "memberNameFr": "Jeunes", "memberUomCode": null}]},
+         |    {"dimensionPositionId": 3, "dimensionNameEn": "Estimate",
+         |     "dimensionNameFr": "Estimation", "hasUom": true, "member": [
+         |       {"memberId": 1, "memberNameEn": "Count", "memberNameFr": "Nombre", "memberUomCode": 223}]}
+         |  ]}}]""".stripMargin)
+
+    write(stage, "code_sets.json",
+      """{"status": "SUCCESS", "object": {
+        |  "uom": [{"memberUomCode": 223, "memberUomEn": "Number", "memberUomFr": "Nombre"}],
+        |  "subject": [
+        |    {"subjectCode": "99", "subjectEn": "Test subject", "subjectFr": "Sujet test"},
+        |    {"subjectCode": "9910", "subjectEn": "Test/Nested subject", "subjectFr": "Test/Sujet imbriqué"}]
+        |}}""".stripMargin)
+
+    write(stage, "geography_reference.csv",
+      "GeographyReferenceId\n2021A000011124\n2016A000235\n")
+    write(stage, "null_reasons.csv", "NullReasonId,Symbol\n1,x\n2,F\n")
+  }
+
+  test("insert run threads staged code sets into UOM/alias/theme output") {
+    val stage = Files.createTempDirectory("graft_etl_stage").toString
+    val warehouse = Files.createTempDirectory("graft_etl_wh").toString
+    stageMiniCube(stage)
+
+    EtlMain.run(spark, stage, warehouse,
+      CliArgs(insertNewTable = true, prodIds = Seq(pid)))
+
+    val catalog = new ParquetCatalog(spark, warehouse)
+    // Indicator UOM descriptions resolved from the uom code set
+    val uoms = catalog.readProduct("Indicator", pid)
+      .select("UOM_EN", "UOM_FR").distinct()
+      .as[(String, String)].collect().toSet
+    assert(uoms == Set(("Number", "Nombre")), s"UOM not populated: $uoms")
+    // IndicatorMetaData field aliases come from the same descriptions
+    val aliases = catalog.readProduct("IndicatorMetaData", pid)
+      .select("FieldAlias_EN").distinct().as[String].collect().toSet
+    assert(aliases == Set("Number"), s"FieldAlias not populated: $aliases")
+    // parent-subject theme rows carry the partitioned subject text
+    val themes = catalog.read("IndicatorTheme")
+      .select("IndicatorThemeId", "IndicatorTheme_EN")
+      .as[(Long, String)].collect().toMap
+    assert(themes(9910L) == "Nested subject", s"themes: $themes")
+    assert(themes(99L) == "Test subject")
+  }
+
+  test("run without code_sets.json still loads (empty descriptions)") {
+    val stage = Files.createTempDirectory("graft_etl_stage2").toString
+    val warehouse = Files.createTempDirectory("graft_etl_wh2").toString
+    stageMiniCube(stage)
+    Files.delete(Paths.get(stage, "code_sets.json"))
+
+    EtlMain.run(spark, stage, warehouse,
+      CliArgs(insertNewTable = true, prodIds = Seq(pid)))
+    val catalog = new ParquetCatalog(spark, warehouse)
+    assert(catalog.readProduct("IndicatorValues", pid).count() > 0)
+    val uoms = catalog.readProduct("Indicator", pid)
+      .select("UOM_EN").distinct().as[String].collect().toSet
+    assert(uoms.forall(u => u == null || u.isEmpty))
+  }
+}

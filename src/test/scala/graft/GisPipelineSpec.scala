@@ -90,6 +90,17 @@ class GisPipelineSpec extends AnyFunSuite {
       .select("IndicatorId").distinct().count())
   }
 
+  test("Geography dimension excluded case-insensitively (scwds.py:43)") {
+    // the reference upper-cases before comparing; a differently-cased
+    // geography dimension must not leak into indicator space or shift
+    // the dimension-value id watermark arithmetic
+    val cased = MiniCube.meta.copy(dimensions = MiniCube.meta.dimensions.map(d =>
+      if (d.nameEn == "Geography") d.copy(nameEn = "GEOGRAPHY") else d))
+    assert(cased.nonGeoDimensions.map(_.nameEn) == Seq("Age group", "Estimate"))
+    val combos = IndicatorBuilder.memberCombos(spark, cased)
+    assert(combos.count() == 2) // 2×1 non-geo members; geography stays out
+  }
+
   test("indicator theme: product + parent/dummy rows (dfhandler.py:380-427)") {
     val t = tables.indicatorTheme
     assert(t.count() == 5)

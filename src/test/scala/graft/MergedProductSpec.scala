@@ -99,6 +99,34 @@ class MergedProductSpec extends AnyFunSuite {
       .filter($"GeographicLevelId" === "SSSS").count() == 0)
   }
 
+  test("sibling new-date ids continue directly from the watermark (main.py:252)") {
+    // siblings never write non-geo dimension values, so their date
+    // DimensionValueIds must NOT skip ahead by the member count — the
+    // reference takes MAX+1 directly. Fixture: watermark 1, one non-geo
+    // member; a gap would start the date ids at 2.
+    val ids = sibling.dateDimensionValues
+      .select("DimensionValueId").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L), s"sibling date ids not contiguous from watermark: $ids")
+  }
+
+  test("DGUID warnings scoped to the justice-filtered frame (main.py:219-222)") {
+    // one pre-2017 non-core row with an unknown DGUID: the justice
+    // filter drops it before the reference ever probes GeographyReference,
+    // so it must NOT warn. A kept 2018 row with an unknown DGUID must.
+    val csv = Seq(
+      ("2015", "2016S9988001", "Number", 223.toShort, "v900", "1.1", "", "", Some(1.0), "Total"),
+      ("2018", "2018S9977001", "Number", 223.toShort, "v901", "1.1", "", "", Some(2.0), "Total"),
+      ("2018", "2018A000011124", "Number", 223.toShort, "v902", "1.1", "", "", Some(3.0), "Total"))
+      .toDF("REF_DATE", "DGUID", "UOM", "UOM_ID", "VECTOR", "COORDINATE",
+        "STATUS", "SYMBOL", "VALUE", "Offence")
+    val out = GisPipeline.run(spark,
+      inputs(justiceMaster, sibling = false, None).copy(csv = csv),
+      uomCodeset = Map(223 -> ("Number", "Nombre")))
+    val warned = out.dguidWarnings.select("DGUID").as[String].collect().toSet
+    assert(warned == Set("2018S9977001"),
+      s"warnings must exclude rows dropped by the justice filter: $warned")
+  }
+
   test("justice DGUID re-vintage applied in master values path") {
     // 2018 CMA row: DGUID untouched (not 2011-vintage), geo level S0503
     val gl = master.geographicLevelForIndicator

@@ -70,4 +70,38 @@ class ProductRunnerSpec extends AnyFunSuite {
       subjectCodeset = MiniCube.subjectCodeset)
     assert(catalog.readProduct("IndicatorValues", masterPid).count() == 6)
   }
+
+  test("sibling GLI anti-join accumulates across the group (main.py:243)") {
+    // master loads only national-level (A0000) rows; both siblings load
+    // the full CSV, so they share (IndicatorId, GeographicLevelId)
+    // pairs the master never wrote. The second sibling must anti-join
+    // against the FIRST sibling's rows (the reference re-probes the DB
+    // per product) — not just the master's — or the shared pairs land
+    // twice in the combined table.
+    val dir = java.nio.file.Files.createTempDirectory("graft_runner_gli").toString
+    val catalog = new ParquetCatalog(spark, dir)
+    val masterPid = MiniCube.meta.productId
+    val s1 = masterPid + 1
+    val s2 = masterPid + 2
+    val masterCsv = MiniCube.csv(spark).filter($"DGUID".startsWith("2021"))
+    ProductRunner.runGroup(spark, catalog, masterPid,
+      products = Map(
+        masterPid -> ((MiniCube.meta, masterCsv)),
+        s1 -> ((MiniCube.meta.copy(productId = s1), MiniCube.csv(spark))),
+        s2 -> ((MiniCube.meta.copy(productId = s2), MiniCube.csv(spark)))),
+      mergeConfig = Map(masterPid -> Seq(s1, s2)),
+      geoRef = MiniCube.geoRef(spark),
+      nullReasons = MiniCube.nullReasons(spark),
+      defaults = MiniCube.defaults,
+      uomCodeset = MiniCube.uomCodeset,
+      subjectCodeset = MiniCube.subjectCodeset)
+    val gli = catalog.read("GeographicLevelForIndicator")
+      .groupBy("IndicatorId", "GeographicLevelId").count()
+    val dupes = gli.filter($"count" > 1)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(dupes.isEmpty, s"duplicate (IndicatorId, GeographicLevelId) rows: $dupes")
+    // the non-national pairs exist exactly once — written by sibling 1
+    assert(catalog.readProduct("GeographicLevelForIndicator", s1)
+      .filter($"GeographicLevelId" =!= "A0000").count() > 0)
+  }
 }
