@@ -60,8 +60,10 @@ object AnnQueries {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 10""".stripMargin),
 
     // Random-hyperplane LSH bucketed search with Hamming-1 multi-probe
-    // (the ANN scale path): approximate by construction → driver
-    // rows-only check.
+    // (the ANN scale path). Approximate, but DETERMINISTIC: the
+    // hyperplanes are a fixed sin() lattice (Similarity.planeWeight),
+    // so DuckDB can rebuild the exact buckets and probe sets with the
+    // same double arithmetic — full hash-match oracle, not rows-only.
     "q37_ann_lsh" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
@@ -69,7 +71,36 @@ object AnnQueries {
           emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
           dim = 64, nPlanes = 8, k = 3, multiProbe = true)
       },
-      None),
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT p,
+         |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
+         |  FROM range(0, 8) t(p)),
+         |bucketed AS (
+         |  SELECT vec_id, e,
+         |    CAST(sum(CASE WHEN list_aggregate(
+         |        list_transform(list_zip(e, w), z -> z[1]*z[2]), 'sum') >= 0
+         |      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb, planes GROUP BY vec_id, e),
+         |probes AS (
+         |  SELECT b.vec_id AS query_id, b.e AS eq,
+         |    unnest([b.bucket] ||
+         |      list_transform(range(0, 8), p -> xor(b.bucket, 1 << p))) AS pb
+         |  FROM bucketed b WHERE b.vec_id < 50),
+         |pairs AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id, q.eq AS ea, n.e AS eb
+         |  FROM probes q JOIN bucketed n ON n.bucket = q.pb
+         |  WHERE q.query_id <> n.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $cosExpr AS cos FROM pairs),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
 
     // IVF: deterministic k-means cells + probed exact re-rank (the
     // data-adaptive ANN scale path). Approximate → rows-only check.
