@@ -18,6 +18,9 @@ import graft.io.{ParquetCatalog, Staging, Wds}
   *   {stage}/code_sets.json           (optional) getCodeSets response
   *                                    body (uom + subject descriptions,
   *                                    scwds.py:147-184, main.py:177)
+  *   {stage}/jdbc.json                (optional) JDBC mirror target
+  *                                    {"url": …, "properties": {…}}
+  *                                    (scdb.py:27-30 engine params)
   *   {stage}/geography_reference.csv  GeographyReferenceId lookup
   *   {stage}/null_reasons.csv         NullReasonId,Symbol lookup
   *
@@ -150,6 +153,20 @@ object EtlMain {
       println(s"[graft-etl] product $pid loaded: " +
         s"${t.indicatorValues.count()} values, " +
         s"${t.dguidWarnings.count()} unmatched DGUIDs")
+    }
+
+    // optional JDBC mirror (K1's .jdbc variant): replay each written
+    // product partition into the configured database with the same
+    // delete-then-append per-product semantics
+    readText("jdbc.json").foreach { cfg =>
+      val (jdbcUrl, jdbcProps) = Wds.jdbcConfig(cfg)
+      val sink = new graft.io.JdbcSink(spark, jdbcUrl, jdbcProps)
+      for {
+        table <- ProductRunner.tableNames
+        pid <- out.keys.toSeq.sorted
+        if catalog.hasProduct(table, pid)
+      } sink.writeProduct(table, catalog.readProduct(table, pid), pid)
+      println(s"[graft-etl] mirrored ${out.size} product(s) to $jdbcUrl")
     }
   }
 }

@@ -49,6 +49,14 @@ class ParquetCatalog(spark: SparkSession, root: String) {
     path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
+  /** True iff `table` holds a partition for this product (cheap fs
+    * probe — no file listing or scan).
+    */
+  def hasProduct(table: String, productId: Long): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$root/$table/$PartCol=$productId")
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
   /** Write `df` as a bucketed managed table (hash-bucketed and sorted
     * by `bucketCol`). Two tables bucketed the same way join and
     * aggregate on that key with NO shuffle exchange — the co-location

@@ -142,6 +142,21 @@ object Wds {
     }.toMap
   }
 
+  /** Optional `jdbc.json` sink config: {"url": "...",
+    * "properties": {"user": "...", …}} (the engine-parameter role of
+    * scdb.py:27-30, staged instead of env-injected).
+    */
+  def jdbcConfig(json: String): (String, Map[String, String]) = {
+    val root = parse(json)
+    val props = Option(root.get("properties")).filterNot(_.isNull).map { p =>
+      val it = p.properties().iterator()
+      val out = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asText() }
+      out.result()
+    }.getOrElse(Map.empty)
+    (root.get("url").asText(), props)
+  }
+
   def subjectCodeset(json: String): Seq[(String, String, String)] = {
     val arr = parse(json).get("object").get("subject")
     (0 until arr.size()).map { i =>

@@ -98,6 +98,24 @@ class EtlMainSpec extends AnyFunSuite {
     assert(themes(99L) == "Test subject")
   }
 
+  test("jdbc.json mirrors written product partitions to the database") {
+    val stage = Files.createTempDirectory("graft_etl_stage3").toString
+    val warehouse = Files.createTempDirectory("graft_etl_wh3").toString
+    val dbDir = Files.createTempDirectory("graft_etl_db").toString
+    stageMiniCube(stage)
+    write(stage, "jdbc.json", s"""{"url": "jdbc:derby:$dbDir/mirror;create=true"}""")
+
+    EtlMain.run(spark, stage, warehouse,
+      CliArgs(insertNewTable = true, prodIds = Seq(pid)))
+
+    val sink = new graft.io.JdbcSink(spark, s"jdbc:derby:$dbDir/mirror")
+    val catalog = new ParquetCatalog(spark, warehouse)
+    // same row counts through both stores for the fact + dim tables
+    for (t <- Seq("IndicatorValues", "Indicator", "DimensionValues"))
+      assert(sink.readProduct(t, pid).count() ==
+        catalog.readProduct(t, pid).count(), s"mirror mismatch for $t")
+  }
+
   test("run without code_sets.json still loads (empty descriptions)") {
     val stage = Files.createTempDirectory("graft_etl_stage2").toString
     val warehouse = Files.createTempDirectory("graft_etl_wh2").toString
