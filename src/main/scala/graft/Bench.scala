@@ -46,6 +46,7 @@ object Bench {
       val (a, b) = (timeOnce(name), timeOnce(name))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    spark.catalog.clearCache() // release the last query's result cache
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

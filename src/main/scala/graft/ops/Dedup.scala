@@ -43,10 +43,22 @@ object Dedup {
     * self-join. `candidates` (optional) restricts the pair space —
     * pass LSH candidates to turn this into the verify stage.
     */
+  /** Cache contract (applies to every Dedup entry point that returns
+    * a persisted frame): heavy intermediates are persisted, the SMALL
+    * final result is materialized eagerly while they are cached, and
+    * the intermediates are unpersisted before returning — so one call
+    * leaves exactly one cached frame: the returned result, sized by
+    * the operator's output (near-dup pairs), not its input. The caller
+    * owns that one entry (`result.unpersist()` when done); the Verify
+    * and Bench harnesses clear it after each query's write.
+    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n)
+    // the exploded (doc, shingle) frame feeds four consumers (sizes,
+    // vocabulary, both self-join sides): persist for the duration of
+    // this call, freed below after the result materializes
+    val sh = shingleRows(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // a shingle occurring in exactly one document cannot contribute to
     // any pair: drop it before the self-join. Exactness is preserved
@@ -62,16 +74,20 @@ object Dedup {
       .select("doc_id", "shingle") // using-join moved the key first
     val a = shared.toDF("doc_a", "shingle")
     val b = shared.toDF("doc_b", "shingle")
-    val interAll = a.join(b, Seq("shingle"))
+    val interAll = a.join(b.hint("merge"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val inter = candidates.fold(interAll)(c => interAll.join(c, Seq("doc_a", "doc_b"), "left_semi"))
-    inter
+    val out = inter
       .join(broadcast(sizes.toDF("doc_a", "na")), Seq("doc_a"))
       .join(broadcast(sizes.toDF("doc_b", "nb")), Seq("doc_b"))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .persist()
+    out.count() // materialize while sh is cached
+    sh.unpersist()
+    out
   }
 
   /** MinHash signature columns `mh_0..mh_{k-1}` per id. One shuffle
@@ -106,8 +122,13 @@ object Dedup {
     val exploded = signatures
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    // merge-join hint: both sides then shuffle on the identical
+    // (band, sig) exchange over the same subtree, so ReuseExchange
+    // computes the signature pipeline ONCE. Left to AQE, the small
+    // side becomes a broadcast at test scale and the heavy signature
+    // scan runs twice.
     exploded.toDF("doc_a", "band", "sig")
-      .join(exploded.toDF("doc_b", "band", "sig"), Seq("band", "sig"))
+      .join(exploded.toDF("doc_b", "band", "sig").hint("merge"), Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
@@ -120,13 +141,19 @@ object Dedup {
   def minHashDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    // signatures feed both sides of the band self-join; both sides
-    // shuffle on the same (band, sig) key over identical subtrees, so
-    // Spark's ReuseExchange computes the shingle scan once — no persist
-    // needed, and no cache entry leaks out of a library call
+    // candidate pairs are tiny (the point of LSH) but their lineage is
+    // the whole signature pipeline, and the verify stage consumes them
+    // three times (id restriction + both join sides): persist + eager
+    // count, freed after the verified result materializes. Same cache
+    // contract as [[jaccardPairs]]: exactly one cached frame (the
+    // result) survives the call, owned by the caller.
     val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
-    val cands = lshCandidatePairs(sigs, numHashes, bands)
-    verifiedJaccard(docs, idCol, textCol, n, threshold, cands)
+    val cands = lshCandidatePairs(sigs, numHashes, bands).persist()
+    cands.count()
+    val out = verifiedJaccard(docs, idCol, textCol, n, threshold, cands).persist()
+    out.count()
+    cands.unpersist()
+    out
   }
 
   /** Exact-Jaccard verification of candidate pairs via per-doc shingle
@@ -136,11 +163,17 @@ object Dedup {
     */
   def verifiedJaccard(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, candidates: DataFrame): DataFrame = {
-    // joined once per pair side; the two hash exchanges canonicalize
-    // identically (same subtree, first-column key), so ReuseExchange
-    // shares the shingle computation without a persisted cache entry
-    val sets = docs.select(col(idCol).as("doc_id"),
-      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+    // shingle sets are computed ONLY for documents that appear in some
+    // candidate pair — at corpus scale the candidate set is orders of
+    // magnitude smaller than the corpus, so the heavy tokenize/shingle
+    // projection runs over a sliver of the data (and the full-corpus
+    // scan it replaces was the dominant cost of the verify stage)
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("cid")).distinct()
+    val sets = docs
+      .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        TextOps.whitespaceTokens(col(textCol)).as("__w"))
       .select(col("doc_id"), TextOps.shinglesFromTokens(col("__w"), n).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
     candidates

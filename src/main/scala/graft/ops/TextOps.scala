@@ -25,27 +25,34 @@ object TextOps {
   def bpeishTokens(c: Column): Column =
     regexp_extract_all(c, lit(bpeishPattern), lit(0))
 
-  /** Distinct word n-gram shingles from a *materialized* token-array
-    * column. Callers should project the token array into its own
-    * column first (see [[wordShingles]] note) so the tokenizer runs
-    * once per row.
+  /** Distinct word n-gram shingles from a token-array column.
+    *
+    * Built by zipping the token array with its own n-1 shifted slices
+    * rather than indexing it from inside a lambda: `zip_with`/`slice`
+    * evaluate each ARRAY argument once per row, so even when the
+    * optimizer collapses the token projection into this expression
+    * (CollapseProject re-inlines it — HOF lambdas get no
+    * common-subexpression reuse), the tokenizer runs a constant number
+    * of times per row. The earlier element_at-per-lambda-element form
+    * degraded to O(tokens²) per document whenever no materialization
+    * barrier (cache/exchange/generator) stood between tokenize and
+    * shingle — a 10× swing at bench scale.
     */
   def shinglesFromTokens(w: Column, n: Int): Column = {
-    val grams = transform(
-      sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + lit(k))): _*))
+    val len = size(w)
+    // step k: entry i = tokens i..i+k joined; the zip's null-padded
+    // tail (slice is shorter than acc) is cut by the final slice
+    val grams = (1 until n).foldLeft(w) { (acc, k) =>
+      zip_with(acc, slice(w, lit(k + 1), greatest(len - k, lit(0))),
+        (a, b) => concat_ws(" ", a, b))
+    }
     array_distinct(
-      when(size(w) >= n, grams).otherwise(array().cast("array<string>")))
+      when(len >= n, slice(grams, lit(1), len - (n - 1)))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** Distinct word n-gram shingles (the dedup unit). Returns an empty
     * array for documents with fewer than `n` tokens.
-    *
-    * Performance: this inlines the tokenizer into every element_at of
-    * the shingle lambda (no common-subexpression reuse inside HOF
-    * lambdas), making it O(tokens²) per document. Hot paths must
-    * project `whitespaceTokens` into a column and call
-    * [[shinglesFromTokens]] — 10× at bench scale.
     */
   def wordShingles(c: Column, n: Int): Column =
     shinglesFromTokens(whitespaceTokens(c), n)
