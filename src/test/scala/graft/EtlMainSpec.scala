@@ -116,6 +116,32 @@ class EtlMainSpec extends AnyFunSuite {
         catalog.readProduct(t, pid).count(), s"mirror mismatch for $t")
   }
 
+  test("date-range mode resolves changed cubes and skips merged pids (E2)") {
+    val stage = Files.createTempDirectory("graft_etl_stage4").toString
+    val warehouse = Files.createTempDirectory("graft_etl_wh4").toString
+    stageMiniCube(stage)
+    // changed list: our staged pid, an unknown pid (no staging), and a
+    // merged pid (must be skipped with a warning, not run)
+    val mergedPid = 77700001L
+    write(stage, "changed-2022-03-01.json",
+      s"""{"status": "SUCCESS", "object": [
+         |  {"productId": $pid}, {"productId": 12345678},
+         |  {"productId": $mergedPid}]}""".stripMargin)
+    write(stage, s"$mergedPid-meta.json", "{}") // known, but merged
+    write(stage, "products_to_merge.json",
+      s"""{"$mergedPid": {"linked_tables": ["77700002"]}}""")
+
+    EtlMain.run(spark, stage, warehouse, CliArgs(
+      start = Some(java.time.LocalDate.parse("2022-03-01")),
+      end = Some(java.time.LocalDate.parse("2022-03-01"))))
+
+    val catalog = new ParquetCatalog(spark, warehouse)
+    assert(catalog.readProduct("IndicatorValues", pid).count() > 0)
+    // merged + unknown pids were not run
+    assert(!catalog.hasProduct("IndicatorValues", mergedPid))
+    assert(!catalog.hasProduct("IndicatorValues", 12345678L))
+  }
+
   test("run without code_sets.json still loads (empty descriptions)") {
     val stage = Files.createTempDirectory("graft_etl_stage2").toString
     val warehouse = Files.createTempDirectory("graft_etl_wh2").toString
