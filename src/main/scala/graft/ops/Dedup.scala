@@ -143,13 +143,13 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     // candidate pairs are tiny (the point of LSH) but their lineage is
     // the whole signature pipeline, and the verify stage consumes them
-    // three times (id restriction + both join sides): persist + eager
-    // count, freed after the verified result materializes. Same cache
-    // contract as [[jaccardPairs]]: exactly one cached frame (the
-    // result) survives the call, owned by the caller.
+    // three times (id restriction + both join sides): persist them for
+    // the duration of the result materialization — the cache populates
+    // on their first computation inside out.count(), no separate eager
+    // pass needed. Same cache contract as [[jaccardPairs]]: exactly
+    // one cached frame (the result) survives, owned by the caller.
     val sigs = minHashSignatures(docs, idCol, textCol, n, numHashes)
     val cands = lshCandidatePairs(sigs, numHashes, bands).persist()
-    cands.count()
     val out = verifiedJaccard(docs, idCol, textCol, n, threshold, cands).persist()
     out.count()
     cands.unpersist()

@@ -88,6 +88,39 @@ object Similarity {
     buckets.reduce((x, y) => x.bitwiseOR(y))
   }
 
+  /** Embedding near-duplicate pairs at scale: LSH candidate
+    * generation (bucket collision directly or at Hamming distance 1 —
+    * one flipped hyperplane on the probe side) followed by EXACT
+    * cosine verification. The linear equi-keyed replacement for
+    * [[cosinePairs]]' quadratic crossJoin; reported cosines are exact,
+    * the approximation only prunes the pair space.
+    */
+  def lshCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, threshold: Double): DataFrame = {
+    // bucket is projected into a column BEFORE the probe explode: the
+    // Generate node keeps it an attribute, so the 8 hyperplane dot
+    // products run once per row, not once per probe element
+    val withBucket = emb
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("bucket", hyperplaneBucket(col("v"), dim, nPlanes))
+      .select("id", "bucket")
+    val probes = withBucket.select(col("id").as("id_a"),
+      explode(array(col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+    val cands = probes
+      .join(withBucket.toDF("id_b", "bucket").hint("merge"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .select(col("id"), col("v"), l2Norm(col("v")).as("nrm"))
+    cands
+      .join(vecs.toDF("id_a", "va", "na"), Seq("id_a"))
+      .join(vecs.toDF("id_b", "vb", "nb"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Approximate top-k: exact ranking *within* the query's LSH bucket.
     * Equi-join on bucket — the shuffle is keyed and balanced, never a
     * cross product.

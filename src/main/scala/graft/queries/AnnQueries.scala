@@ -102,6 +102,46 @@ object AnnQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
 
+    // Embedding near-dup pairs at scale: LSH candidate generation +
+    // exact-cosine verify (the linear replacement for q35's quadratic
+    // crossJoin). Deterministic sin-lattice hyperplanes → full
+    // hash-match oracle like q37.
+    "q61_embed_neardup_lsh" -> Q(
+      (s, d) => Similarity.lshCosinePairs(
+        Tables(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, nPlanes = 8, threshold = 0.4),
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT p,
+         |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
+         |  FROM range(0, 8) t(p)),
+         |bucketed AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_aggregate(
+         |        list_transform(list_zip(e, w), z -> z[1]*z[2]), 'sum') >= 0
+         |      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM emb, planes GROUP BY vec_id, e),
+         |probes AS (
+         |  SELECT vec_id AS id_a,
+         |    unnest([bucket] ||
+         |      list_transform(range(0, 8), p -> xor(bucket, 1 << p))) AS pb
+         |  FROM bucketed),
+         |cands AS (
+         |  SELECT DISTINCT a.id_a, b.vec_id AS id_b
+         |  FROM probes a JOIN bucketed b ON b.bucket = a.pb
+         |  WHERE a.id_a < b.vec_id),
+         |pairs AS (
+         |  SELECT c.id_a, c.id_b, va.e AS ea, vb.e AS eb
+         |  FROM cands c
+         |  JOIN emb va ON va.vec_id = c.id_a
+         |  JOIN emb vb ON vb.vec_id = c.id_b)
+         |SELECT id_a, id_b, $cosExpr AS cos
+         |FROM pairs
+         |WHERE $cosExpr >= 0.4""".stripMargin),
+
     // IVF: deterministic k-means cells + probed exact re-rank (the
     // data-adaptive ANN scale path). Approximate → rows-only check.
     "q38_ann_ivf" -> Q(

@@ -87,6 +87,27 @@ class OpsSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("lshCosinePairs: subset of exact pairs, cosines bit-identical") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "cos").as[(Long, Long, Double)]
+        .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val exact = asMap(Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4))
+    val lsh = asMap(Similarity.lshCosinePairs(emb, "vec_id", "embedding",
+      dim = 64, nPlanes = 8, threshold = 0.4))
+    // the LSH stage only prunes: every reported pair is an exact pair
+    // with the exact cosine (bit-identical — same sequential fold)
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, cos) =>
+      assert(exact.get(pair).contains(cos), s"pair $pair diverges from exact")
+    }
+    // near-identical vectors share all hyperplane signs → high recall
+    // on the strong pairs (cos >= 0.9 collide in-bucket by geometry)
+    val strong = exact.filter(_._2 >= 0.9).keySet
+    assert(strong.subsetOf(lsh.keySet),
+      s"missing strong pairs: ${strong -- lsh.keySet}")
+  }
+
   test("IVF search: high recall at nProbe=4/16 cells, perfect at full probe") {
     import graft.ops.Ivf
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
