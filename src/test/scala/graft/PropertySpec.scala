@@ -76,6 +76,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shinglesFromTokens equals sliding-window reference on random docs") {
+    import org.apache.spark.sql.functions.col
+    val tokenGen: Gen[List[String]] =
+      Gen.chooseNum(0, 12).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf("a", "bb", "ccc", "d", "e")))
+    val docs = samples(Gen.zip(tokenGen, Gen.chooseNum(1, 4)), 20)
+    docs.zipWithIndex.foreach { case ((tokens, n), i) =>
+      val expected = tokens.sliding(n).filter(_.size == n)
+        .map(_.mkString(" ")).toSeq.distinct
+      val got = Seq(tokens.mkString(" "))
+        .toDF("text")
+        .select(graft.ops.TextOps.wordShingles(col("text"), n).as("sh"))
+        .as[Seq[String]].head()
+      // empty text tokenizes to [""] (size 1), never to []: the n=1
+      // reference must account for that split() artifact
+      val exp = if (tokens.isEmpty && n == 1) Seq("") else expected
+      assert(got == exp, s"tokens=$tokens n=$n i=$i")
+    }
+  }
+
   test("varchar caps hold on generated codes (schema contract)") {
     samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 5).foreach { s =>
       val code = Seq((s * 30, "2018", "13100778")).toDF("a", "b", "p")
