@@ -121,6 +121,52 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** Query-adaptive multi-probe top-k: instead of flipping ALL
+    * nPlanes Hamming-1 buckets (lshTopK's multiProbe), each query
+    * probes only the `nProbe` planes with the smallest |projection| —
+    * the planes most likely to have split true neighbors across the
+    * boundary. Standard multi-probe LSH probe scheduling: most of the
+    * full multi-probe recall at a fraction of the candidate cost, and
+    * the join stays equi-keyed on bucket.
+    */
+  def adaptiveLshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nPlanes: Int, k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nProbe <= nPlanes, "nProbe cannot exceed nPlanes")
+    val base = emb.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("vn"))
+      .withColumn("bucket", hyperplaneBucket(col("vn"), dim, nPlanes))
+      .withColumn("nn", l2Norm(col("vn")))
+    // per-plane projections as a materialized array column: the sign
+    // pattern rebuilds the bucket (same sequential fold as
+    // hyperplaneBucket) and |projection| ranks the flip order
+    val planeLit = typedLit((0 until nPlanes).map(p =>
+      (0 until dim).map(j => planeWeight(p, j))))
+    val qs = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("vq"))
+      .withColumn("projs", transform(planeLit, w => dot(col("vq"), w)))
+      .withColumn("bucket", (0 until nPlanes).map(p =>
+        when(element_at(col("projs"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce((x, y) => x.bitwiseOR(y)))
+      // least-confident planes first: sort (|proj|, p) pairs, take nProbe
+      .withColumn("flips", expr(
+        s"""transform(slice(array_sort(transform(sequence(0, ${nPlanes - 1}),
+           |  p -> struct(abs(element_at(projs, p + 1)) AS a, p AS p))),
+           |  1, $nProbe), s -> s.p)""".stripMargin))
+      .withColumn("bucket", explode(concat(array(col("bucket")),
+        expr("transform(flips, p -> bucket ^ shiftleft(1L, p))"))))
+      .withColumn("nq", l2Norm(col("vq")))
+      .select("query_id", "vq", "nq", "bucket")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    base.join(qs, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: exact ranking *within* the query's LSH bucket.
     * Equi-join on bucket — the shuffle is keyed and balanced, never a
     * cross product.

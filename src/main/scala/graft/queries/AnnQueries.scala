@@ -142,6 +142,60 @@ object AnnQueries {
          |FROM pairs
          |WHERE $cosExpr >= 0.4""".stripMargin),
 
+    // Query-adaptive multi-probe: probe only the 2 least-confident
+    // hyperplanes (smallest |projection|) instead of all 8 Hamming-1
+    // flips — most of the recall at a quarter of the candidate cost.
+    // Deterministic probe schedule → full hash-match oracle.
+    "q62_ann_adaptive_probe" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.adaptiveLshTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          dim = 64, nPlanes = 8, k = 3, nProbe = 2)
+      },
+      s"""WITH emb AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |planes AS (
+         |  SELECT p,
+         |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
+         |  FROM range(0, 8) t(p)),
+         |projected AS (
+         |  SELECT e.vec_id, e.e,
+         |    list(list_aggregate(
+         |      list_transform(list_zip(e.e, pl.w), z -> z[1]*z[2]), 'sum')
+         |      ORDER BY pl.p) AS projs
+         |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, e.e),
+         |bucketed AS (
+         |  SELECT vec_id, e, projs,
+         |    CAST(list_aggregate(list_transform(range(0, 8),
+         |      p -> CASE WHEN projs[p+1] >= 0 THEN 1 << p ELSE 0 END),
+         |      'sum') AS BIGINT) AS bucket
+         |  FROM projected),
+         |queries AS (
+         |  SELECT vec_id AS query_id, e AS eq, bucket,
+         |    list_transform(list_slice(list_sort(
+         |      list_transform(range(0, 8),
+         |        p -> [abs(projs[p+1]), CAST(p AS DOUBLE)])), 1, 2),
+         |      x -> CAST(x[2] AS BIGINT)) AS flips
+         |  FROM bucketed WHERE vec_id < 50),
+         |probes AS (
+         |  SELECT query_id, eq,
+         |    unnest([bucket] || list_transform(flips, p -> xor(bucket, 1 << p))) AS pb
+         |  FROM queries),
+         |pairs AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id, q.eq AS ea, n.e AS eb
+         |  FROM probes q JOIN bucketed n ON n.bucket = q.pb
+         |  WHERE q.query_id <> n.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $cosExpr AS cos FROM pairs),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
+
     // IVF: deterministic k-means cells + probed exact re-rank (the
     // data-adaptive ANN scale path). Approximate → rows-only check.
     "q38_ann_ivf" -> Q(

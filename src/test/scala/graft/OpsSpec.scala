@@ -87,6 +87,26 @@ class OpsSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("adaptive probe: recall between single-bucket and full multi-probe") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val truth = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5))
+    val single = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 64, 8, 5))
+    val full = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding", 64, 8, 5,
+      multiProbe = true))
+    val adaptive = pairs(Similarity.adaptiveLshTopK(emb, qs, "vec_id", "embedding",
+      64, 8, 5, nProbe = 2))
+    def recall(s: Set[(Long, Long)]) = (s intersect truth).size.toDouble / truth.size
+    // 2 targeted probes should recover most of what 8 blind flips do
+    assert(recall(adaptive) >= recall(single),
+      s"adaptive ${recall(adaptive)} < single ${recall(single)}")
+    assert(recall(full) >= recall(adaptive)) // full probe is the ceiling
+    // (result sets are NOT subsets across probe budgets: top-k is not
+    // monotone under candidate-set inclusion — only recall is ordered)
+  }
+
   test("lshCosinePairs: subset of exact pairs, cosines bit-identical") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     def asMap(df: org.apache.spark.sql.DataFrame) =
