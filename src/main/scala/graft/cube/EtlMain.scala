@@ -150,22 +150,31 @@ object EtlMain {
       subjectCodeset = codeSetsJson.map(Wds.subjectCodeset).getOrElse(Nil),
       minRefYear = minRefYear)
     out.toSeq.sortBy(_._1).foreach { case (pid, t) =>
+      // values count from the parquet just written (metadata read) —
+      // the in-memory frame's caches were already released by runGroup
+      // and a count() on it would re-run the whole fact pipeline
       println(s"[graft-etl] product $pid loaded: " +
-        s"${t.indicatorValues.count()} values, " +
+        s"${catalog.readProduct("IndicatorValues", pid).count()} values, " +
         s"${t.dguidWarnings.count()} unmatched DGUIDs")
     }
 
     // optional JDBC mirror (K1's .jdbc variant): replay each written
     // product partition into the configured database with the same
-    // delete-then-append per-product semantics
+    // delete-then-append per-product semantics. Partitions the run
+    // REMOVED (a sibling's delete-then-skip of Indicator/Theme/… from
+    // a pre-merge standalone load) must be deleted from the mirror
+    // too, or it silently diverges from the catalog.
     readText("jdbc.json").foreach { cfg =>
       val (jdbcUrl, jdbcProps) = Wds.jdbcConfig(cfg)
       val sink = new graft.io.JdbcSink(spark, jdbcUrl, jdbcProps)
       for {
         table <- ProductRunner.tableNames
         pid <- out.keys.toSeq.sorted
-        if catalog.hasProduct(table, pid)
-      } sink.writeProduct(table, catalog.readProduct(table, pid), pid)
+      } {
+        if (catalog.hasProduct(table, pid))
+          sink.writeProduct(table, catalog.readProduct(table, pid), pid)
+        else sink.deleteProduct(table, pid)
+      }
       println(s"[graft-etl] mirrored ${out.size} product(s) to $jdbcUrl")
     }
   }

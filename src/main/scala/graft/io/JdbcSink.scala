@@ -61,14 +61,22 @@ class JdbcSink(spark: SparkSession, url: String,
   /** Remove one product's rows (no-op when the table doesn't exist
     * yet). The partition column is quoted to match Spark's JDBC
     * writer, which quotes column identifiers at CREATE time.
+    *
+    * Failure handling: the DELETE is attempted first and a missing
+    * table is diagnosed only afterwards — swallowing every
+    * SQLException up front would turn a transient failure (lock
+    * timeout, revoked privilege) into a silently skipped delete, and
+    * the following append would then duplicate the product's rows.
     */
   def deleteProduct(table: String, productId: Long): Unit = withConnection { c =>
-    if (tableExists(c, table)) {
-      val st = c.createStatement()
-      try st.executeUpdate(
-        s"""DELETE FROM ${q(table)} WHERE "$PartCol" = $productId""")
-      finally st.close()
+    val st = c.createStatement()
+    try st.executeUpdate(
+      s"""DELETE FROM ${q(table)} WHERE "$PartCol" = $productId""")
+    catch {
+      case e: java.sql.SQLException =>
+        if (tableExists(c, table)) throw e // real failure, not a missing table
     }
+    finally st.close()
   }
 
   /** Delete-then-append one product's rows (creates the table on first

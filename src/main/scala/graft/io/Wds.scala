@@ -154,7 +154,10 @@ object Wds {
       while (it.hasNext) { val e = it.next(); out += e.getKey -> e.getValue.asText() }
       out.result()
     }.getOrElse(Map.empty)
-    (root.get("url").asText(), props)
+    val url = Option(root.get("url")).filterNot(_.isNull).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(
+        """jdbc.json must have a "url" key (e.g. {"url": "jdbc:…"})"""))
+    (url, props)
   }
 
   def subjectCodeset(json: String): Seq[(String, String, String)] = {

@@ -42,6 +42,10 @@ object WdsHttp {
   def jdkTransport(timeoutSeconds: Long = 30): Transport = new Transport {
     private lazy val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(timeoutSeconds))
+      // the reference client (python requests) follows redirects; the
+      // JDK default is Redirect.NEVER, which would turn a CDN 301/302
+      // on the download link into a permanent failure
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
       .build()
     def send(method: String, url: String, body: Option[String]): Response = {
       val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
@@ -121,10 +125,17 @@ class WdsHttp(
   def downloadFullTable(pid: Long, destDir: String, lang: String = "en"): Path = {
     val linkJson = get(s"/getFullTableDownloadCSV/$pid/$lang")
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(linkJson)
-    if (root.get("status").asText() != "SUCCESS")
+    // guard the shape before dereferencing: a proxy can return 200
+    // with a JSON body missing "status"/"object", and a bare NPE here
+    // would lose the pid/endpoint context the per-product isolation
+    // reporting relies on
+    val status = Option(root.get("status")).filterNot(_.isNull).map(_.asText())
+    if (!status.contains("SUCCESS"))
       throw new WdsHttpException(
-        s"getFullTableDownloadCSV/$pid: status ${root.get("status").asText()}")
-    val link = root.get("object").asText()
+        s"getFullTableDownloadCSV/$pid: status ${status.getOrElse("<missing>")}")
+    val link = Option(root.get("object")).filterNot(_.isNull).map(_.asText())
+      .getOrElse(throw new WdsHttpException(
+        s"getFullTableDownloadCSV/$pid: SUCCESS response without a download link"))
     val bytes = request("GET", link, None).body
     Files.createDirectories(Paths.get(destDir))
     val dest = Paths.get(destDir, s"$pid.zip")

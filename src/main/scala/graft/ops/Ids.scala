@@ -52,6 +52,14 @@ object Ids {
     val withId = ranged.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ (startId + idx))
     }
-    spark.createDataFrame(withId, ranged.schema.add(idName, LongType, nullable = false))
+    // withColumn-replace semantics: when df already carries idName
+    // (renumbering), append under a temp name and swap — a plain
+    // schema.add would produce two same-named columns and downstream
+    // col(idName) would fail with AMBIGUOUS_REFERENCE
+    val outName = if (df.columns.contains(idName)) s"__${idName}_renum" else idName
+    val out = spark.createDataFrame(withId,
+      ranged.schema.add(outName, LongType, nullable = false))
+    if (outName == idName) out
+    else out.drop(idName).withColumnRenamed(outName, idName)
   }
 }

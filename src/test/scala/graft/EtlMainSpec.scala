@@ -23,7 +23,9 @@ class EtlMainSpec extends AnyFunSuite {
   private def write(dir: String, name: String, text: String): Unit =
     Files.writeString(Paths.get(dir, name), text)
 
-  private def stageMiniCube(stage: String): Unit = {
+  private def stageMiniCube(stage: String): Unit = stageMiniCube(stage, pid)
+
+  private def stageMiniCube(stage: String, stagePid: Long): Unit = {
     val csvText =
       """REF_DATE,DGUID,UOM,UOM_ID,VECTOR,COORDINATE,STATUS,SYMBOL,VALUE,Age group,Estimate
         |2019,2021A000011124,Number,223,v100,1.1.1,,,10.0,All ages,Count
@@ -31,14 +33,14 @@ class EtlMainSpec extends AnyFunSuite {
         |2020,2016A000235,Number,223,v102,2.1.1,x,x,,All ages,Count
         |2021,2021A000011124,Number,223,v100,1.1.1,,,12.0,All ages,Count
         |""".stripMargin
-    val zos = new ZipOutputStream(new FileOutputStream(s"$stage/$pid.zip"))
-    zos.putNextEntry(new ZipEntry(s"$pid.csv"))
+    val zos = new ZipOutputStream(new FileOutputStream(s"$stage/$stagePid.zip"))
+    zos.putNextEntry(new ZipEntry(s"$stagePid.csv"))
     zos.write(csvText.getBytes("UTF-8"))
     zos.closeEntry(); zos.close()
 
-    write(stage, s"$pid-meta.json",
+    write(stage, s"$stagePid-meta.json",
       s"""[{"status": "SUCCESS", "object": {
-         |  "productId": $pid,
+         |  "productId": $stagePid,
          |  "cubeTitleEn": "Mini cube", "cubeTitleFr": "Mini cube fr",
          |  "cubeStartDate": "2019-01-01", "cubeEndDate": "2021-01-01",
          |  "releaseTime": "2022-03-01 08:30:00",
@@ -114,6 +116,31 @@ class EtlMainSpec extends AnyFunSuite {
     for (t <- Seq("IndicatorValues", "Indicator", "DimensionValues"))
       assert(sink.readProduct(t, pid).count() ==
         catalog.readProduct(t, pid).count(), s"mirror mismatch for $t")
+  }
+
+  test("jdbc mirror deletes partitions a merged re-run removed") {
+    val stage = Files.createTempDirectory("graft_etl_stage5").toString
+    val warehouse = Files.createTempDirectory("graft_etl_wh5").toString
+    val dbDir = Files.createTempDirectory("graft_etl_db5").toString
+    val masterPid = pid + 10
+    stageMiniCube(stage) // the future sibling, staged under `pid`
+    stageMiniCube(stage, masterPid)
+    write(stage, "jdbc.json", s"""{"url": "jdbc:derby:$dbDir/mirror;create=true"}""")
+
+    // 1) standalone load of `pid`: mirror gets its Indicator rows
+    EtlMain.run(spark, stage, warehouse,
+      CliArgs(insertNewTable = true, prodIds = Seq(pid)))
+    val sink = new graft.io.JdbcSink(spark, s"jdbc:derby:$dbDir/mirror")
+    assert(sink.readProduct("Indicator", pid).count() > 0)
+
+    // 2) re-run as a sibling of masterPid: the catalog drops pid's
+    // Indicator partition (delete-then-skip) — the mirror must too
+    EtlMain.run(spark, stage, warehouse,
+      CliArgs(insertNewTable = true, prodIds = Seq(masterPid, pid)))
+    assert(sink.readProduct("Indicator", pid).count() == 0,
+      "mirror kept pre-merge Indicator rows the catalog deleted")
+    assert(sink.readProduct("Indicator", masterPid).count() > 0)
+    assert(sink.readProduct("IndicatorValues", pid).count() > 0) // siblings still write values
   }
 
   test("date-range mode resolves changed cubes and skips merged pids (E2)") {

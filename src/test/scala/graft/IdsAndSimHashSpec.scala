@@ -23,6 +23,19 @@ class IdsAndSimHashSpec extends AnyFunSuite {
     assert(ids.min == 1000L && ids.max == 999L + df.count())
   }
 
+  test("distributedDenseIds replaces an existing id column (withColumn semantics)") {
+    val df = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber")
+      .limit(100)
+    val once = Ids.distributedDenseIds(df, "id", 1L, Seq("l_orderkey", "l_linenumber"), 3)
+    // renumber from a different watermark: the old column must be
+    // replaced, not duplicated (AMBIGUOUS_REFERENCE otherwise)
+    val again = Ids.distributedDenseIds(once, "id", 500L, Seq("l_orderkey", "l_linenumber"), 3)
+    assert(again.columns.count(_ == "id") == 1)
+    val ids = again.select("id").as[Long].collect().sorted
+    assert(ids.toSeq == (500L to 599L))
+  }
+
   test("codegen SimHash64 equals the compositional pipeline bit-for-bit") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
     val fast = Dedup.simHash(docs, "doc_id", "text")
