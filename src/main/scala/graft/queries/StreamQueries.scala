@@ -15,6 +15,15 @@ object StreamQueries {
       (s, d) => EventStream.windowedCounts(s, d),
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         | count(*) AS n, floor(sum(value)*100 + 0.5)/100 AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin),
+
+    // Streaming exact dedup (q30's operator as an incremental ingest):
+    // fingerprint-grouped streaming aggregation, AvailableNow. The
+    // batch groupBy is an exact oracle against a static directory.
+    "q63_stream_dedup" -> Q(
+      (s, d) => EventStream.dedupDocuments(s, d),
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        | min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin)
   )
 }

@@ -69,6 +69,41 @@ object EventStream {
     spark.table(name)
   }
 
+  /** documents.parquet schema (TESTDATA.md). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact deduplication over a document directory: group by
+    * normalized-content fingerprint, keep the first doc id and the
+    * copy count — the streaming-ingest form of q30's exact dedup.
+    * With Trigger.AvailableNow each invocation processes only files
+    * the checkpoint hasn't seen, so a training-data ingest can dedup
+    * incrementally as new document dumps land; against a static
+    * directory the complete-mode result equals the batch groupBy.
+    */
+  def dedupDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val agg = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)
