@@ -112,13 +112,29 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val vecs = emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
-      .select(col("id"), col("v"), l2Norm(col("v")).as("nrm"))
+      .withColumn("nrm", l2Norm(col("v")))
     cands
       .join(vecs.toDF("id_a", "va", "na"), Seq("id_a"))
       .join(vecs.toDF("id_b", "vb", "nb"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** Shared tail of the bucketed top-k searches: equi-join queries to
+    * base vectors on bucket, score exactly, rank per query (cos desc,
+    * id tie-break), keep top k. `base` carries (neighbor_id, vn, nn,
+    * bucket); `qs` carries (query_id, vq, nq, bucket).
+    */
+  private def bucketedTopK(base: DataFrame, qs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    base.join(qs, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Query-adaptive multi-probe top-k: instead of flipping ALL
@@ -132,7 +148,6 @@ object Similarity {
   def adaptiveLshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, nPlanes: Int, k: Int,
       nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(nProbe <= nPlanes, "nProbe cannot exceed nPlanes")
     val base = emb.select(col(idCol).as("neighbor_id"),
       toDoubleVec(col(vecCol)).as("vn"))
@@ -158,13 +173,7 @@ object Similarity {
         expr("transform(flips, p -> bucket ^ shiftleft(1L, p))"))))
       .withColumn("nq", l2Norm(col("vq")))
       .select("query_id", "vq", "nq", "bucket")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    base.join(qs, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    bucketedTopK(base, qs, k)
   }
 
   /** Approximate top-k: exact ranking *within* the query's LSH bucket.
@@ -174,7 +183,6 @@ object Similarity {
   def lshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, nPlanes: Int, k: Int,
       multiProbe: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = emb.select(col(idCol).as("neighbor_id"),
       toDoubleVec(col(vecCol)).as("vn"))
       .withColumn("bucket", hyperplaneBucket(col("vn"), dim, nPlanes))
@@ -192,12 +200,6 @@ object Similarity {
       toDoubleVec(col(vecCol)).as("vq"))
       .withColumn("bucket", explode(probeExpr))
       .withColumn("nq", l2Norm(col("vq")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    base.join(qs, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    bucketedTopK(base, qs, k)
   }
 }

@@ -23,6 +23,30 @@ object AnnQueries {
       | / (sqrt(list_aggregate(list_transform(ea, x -> x*x), 'sum'))
       |    * sqrt(list_aggregate(list_transform(eb, x -> x*x), 'sum')))""".stripMargin
 
+  /** Shared CTEs of the hyperplane-LSH oracles (q37/q61/q62): cast
+    * embeddings to double lists, materialize the deterministic sin
+    * lattice, and (for the bucket-only consumers) fold sign bits into
+    * the 8-plane bucket id. One definition so the three oracles cannot
+    * drift apart.
+    */
+  private val embCte =
+    """emb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings)""".stripMargin
+  private val planesCte =
+    """planes AS (
+      |  SELECT p,
+      |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
+      |  FROM range(0, 8) t(p))""".stripMargin
+  private val bucketedCte =
+    """bucketed AS (
+      |  SELECT vec_id, e,
+      |    CAST(sum(CASE WHEN list_aggregate(
+      |        list_transform(list_zip(e, w), z -> z[1]*z[2]), 'sum') >= 0
+      |      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM emb, planes GROUP BY vec_id, e)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Embedding near-duplicate pairs (exact quadratic baseline).
@@ -71,20 +95,9 @@ object AnnQueries {
           emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
           dim = 64, nPlanes = 8, k = 3, multiProbe = true)
       },
-      s"""WITH emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |planes AS (
-         |  SELECT p,
-         |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
-         |  FROM range(0, 8) t(p)),
-         |bucketed AS (
-         |  SELECT vec_id, e,
-         |    CAST(sum(CASE WHEN list_aggregate(
-         |        list_transform(list_zip(e, w), z -> z[1]*z[2]), 'sum') >= 0
-         |      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM emb, planes GROUP BY vec_id, e),
+      s"""WITH $embCte,
+         |$planesCte,
+         |$bucketedCte,
          |probes AS (
          |  SELECT b.vec_id AS query_id, b.e AS eq,
          |    unnest([b.bucket] ||
@@ -110,20 +123,9 @@ object AnnQueries {
       (s, d) => Similarity.lshCosinePairs(
         Tables(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, nPlanes = 8, threshold = 0.4),
-      s"""WITH emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |planes AS (
-         |  SELECT p,
-         |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
-         |  FROM range(0, 8) t(p)),
-         |bucketed AS (
-         |  SELECT vec_id,
-         |    CAST(sum(CASE WHEN list_aggregate(
-         |        list_transform(list_zip(e, w), z -> z[1]*z[2]), 'sum') >= 0
-         |      THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM emb, planes GROUP BY vec_id, e),
+      s"""WITH $embCte,
+         |$planesCte,
+         |$bucketedCte,
          |probes AS (
          |  SELECT vec_id AS id_a,
          |    unnest([bucket] ||
@@ -153,14 +155,8 @@ object AnnQueries {
           emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
           dim = 64, nPlanes = 8, k = 3, nProbe = 2)
       },
-      s"""WITH emb AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         |  FROM embeddings),
-         |planes AS (
-         |  SELECT p,
-         |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
-         |  FROM range(0, 8) t(p)),
+      s"""WITH $embCte,
+         |$planesCte,
          |projected AS (
          |  SELECT e.vec_id, e.e,
          |    list(list_aggregate(

@@ -59,6 +59,15 @@ object EventStream {
         (floor(sum("value") * 100 + lit(0.5)) / 100).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+    runToTable(spark, agg, name)
+  }
+
+  /** Run a streaming aggregation to completion (AvailableNow) into a
+    * named memory sink and return the final table — the
+    * incremental-batch execution shape shared by every operator here.
+    */
+  private def runToTable(spark: SparkSession, agg: DataFrame,
+      name: String): DataFrame = {
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")
@@ -94,14 +103,7 @@ object EventStream {
       .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    runToTable(spark, agg, name)
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
