@@ -27,6 +27,26 @@ object TextQueries {
         | length(text) AS n_chars
         |FROM documents""".stripMargin),
 
+    // Vocabulary heavy hitters: corpus-wide token frequencies, top 100
+    // with deterministic tie-break. The explode → groupBy shape gets
+    // map-side partial aggregation (one row per distinct token crosses
+    // the shuffle) and TakeOrderedAndProject for the top-k — the exact
+    // heavy-hitter baseline a vocab/stats pass over a 100 TB corpus
+    // needs (the approximate path is ops.Sketches).
+    "q64_token_topk" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(explode(TextOps.whitespaceTokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(100),
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 100""".stripMargin),
+
     // Quality features: single-division ratios are bit-deterministic.
     "q41_quality_score" -> Q(
       (s, d) => {
