@@ -103,6 +103,49 @@ object TextQueries {
         |      ELSE 'es' END AS pred_lang
         |FROM f""".stripMargin),
 
+    // End-to-end training-data prep: quality gate (token count, punct
+    // ratio) → language filter (n-gram heuristic) → exact dedup by
+    // normalized fingerprint (keep first) — the composed pipeline a
+    // corpus-prep job runs, as ONE declarative plan: every stage is a
+    // codegen'd row-wise projection or a map-side-combinable groupBy,
+    // so the whole thing is one scan + one shuffle at any scale.
+    "q65_prep_pipeline" -> Q(
+      (s, d) => {
+        val nTok = size(TextOps.whitespaceTokens(col("text"))).cast("long")
+        val scored = Tables(s, d, "documents").select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          TextOps.predictedLang(col("text")).as("pred_lang"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          (TextOps.punctCount(col("text")).cast("long") /
+            length(col("text")).cast("long")).as("punct_ratio"))
+        scored
+          .filter(col("n_tokens") >= 5 && col("punct_ratio") < 0.2 &&
+            col("pred_lang") === "en")
+          .groupBy("fp")
+          .agg(min("doc_id").as("keep_id"),
+            count(lit(1)).as("n_dups"),
+            max("n_tokens").as("n_tokens"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b'))
+        |          AND len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b'))
+        |          AND len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) THEN 'en'
+        |         WHEN len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b'))
+        |          AND len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) THEN 'fr'
+        |         WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) THEN 'de'
+        |         ELSE 'es' END AS pred_lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text) AS punct_ratio
+        |  FROM documents)
+        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups,
+        |  max(n_tokens) AS n_tokens
+        |FROM f
+        |WHERE n_tokens >= 5 AND punct_ratio < 0.2 AND pred_lang = 'en'
+        |GROUP BY fp""".stripMargin),
+
     // Rolling/normalized fingerprint per document (X-series string ops
     // + md5), usable as a dedup key or shard key.
     "q43_fingerprint" -> Q(

@@ -72,6 +72,15 @@ class ServingStagingSpec extends AnyFunSuite {
     assert(n == 3) // ind 1: Canada+Ontario; ind 2 (Youth 2019): Canada
   }
 
+  test("readProduct prunes to the product partition at the scan") {
+    val plan = catalog.readProduct("IndicatorValues", MiniCube.meta.productId)
+      .queryExecution.executedPlan.toString
+    // serving reads must touch one ProductPartitionId directory, not
+    // scan the table — the pruning the per-product layout exists for
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
+    assert(plan.contains("ProductPartitionId"), s"partition column not pruned:\n$plan")
+  }
+
   test("zip staging: validate, extract, read with declared schema (S1/S5)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zip").toString
     val csvText =
