@@ -44,7 +44,18 @@ object Bench {
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val (a, b) = (timeOnce(name), timeOnce(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      if (a < 0 || b < 0) name -> -1.0
+      else {
+        val best = math.min(a, b)
+        // the box has bursty co-tenancy noise: when the two runs
+        // disagree badly, take one more sample so a single contended
+        // run can't masquerade as the query's cost
+        val settled = if (math.max(a, b) > best * 1.5) {
+          val c = timeOnce(name)
+          if (c < 0) best else math.min(best, c)
+        } else best
+        name -> settled
+      }
     }
     spark.catalog.clearCache() // release the last query's result cache
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
