@@ -74,7 +74,16 @@ class JdbcSink(spark: SparkSession, url: String,
       s"""DELETE FROM ${q(table)} WHERE "$PartCol" = $productId""")
     catch {
       case e: java.sql.SQLException =>
-        if (tableExists(c, table)) throw e // real failure, not a missing table
+        // swallow ONLY a positively-confirmed missing table: the probe
+        // must run on a still-healthy connection and come back false.
+        // A dead connection (or a probe that itself errors) means we
+        // cannot distinguish "missing" from a failed DELETE — and a
+        // swallowed DELETE failure turns the following append into
+        // silent row duplication.
+        val confirmedMissing =
+          try c.isValid(2) && !tableExists(c, table)
+          catch { case _: Exception => false }
+        if (!confirmedMissing) throw e
     }
     finally st.close()
   }

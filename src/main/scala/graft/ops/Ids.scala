@@ -53,13 +53,16 @@ object Ids {
       Row.fromSeq(row.toSeq :+ (startId + idx))
     }
     // withColumn-replace semantics: when df already carries idName
-    // (renumbering), append under a temp name and swap — a plain
-    // schema.add would produce two same-named columns and downstream
-    // col(idName) would fail with AMBIGUOUS_REFERENCE
+    // (renumbering), append under a temp name, swap, and restore the
+    // original column ORDER — a plain schema.add would produce two
+    // same-named columns (AMBIGUOUS_REFERENCE downstream), and a bare
+    // drop+rename would move the id to the end, silently misaligning
+    // positional consumers (union, insertInto)
     val outName = if (df.columns.contains(idName)) s"__${idName}_renum" else idName
     val out = spark.createDataFrame(withId,
       ranged.schema.add(outName, LongType, nullable = false))
     if (outName == idName) out
     else out.drop(idName).withColumnRenamed(outName, idName)
+      .select(df.columns.map(col): _*)
   }
 }

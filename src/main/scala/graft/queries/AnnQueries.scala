@@ -34,11 +34,23 @@ object AnnQueries {
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       |  FROM embeddings)""".stripMargin
-  private val planesCte =
-    """planes AS (
-      |  SELECT p,
-      |    list_transform(range(0, 64), j -> sin(p*7919.0 + j*104729.0)) AS w
-      |  FROM range(0, 8) t(p))""".stripMargin
+  /** The hyperplane weights are emitted as LITERALS computed by the
+    * same `math.sin` the Spark side uses (Similarity.planeWeight) —
+    * NOT recomputed with DuckDB's `sin`: the two libms differ by 1 ulp
+    * on this lattice (verified at p=0, j=57 on this box), which is
+    * enough to flip a sign or reorder q62's |projection| ranking for
+    * boundary vectors. Double.toString round-trips exactly, so the
+    * literal path is bit-identical by construction.
+    */
+  private val planesCte = {
+    val rows = (0 until 8).map { p =>
+      val w = (0 until 64)
+        .map(j => math.sin(p * 7919.0 + j * 104729.0))
+        .mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"  SELECT $p AS p, $w AS w"
+    }.mkString("\nUNION ALL\n")
+    s"planes AS (\n$rows)"
+  }
   private val bucketedCte =
     """bucketed AS (
       |  SELECT vec_id, e,

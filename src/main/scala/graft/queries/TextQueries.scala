@@ -11,6 +11,35 @@ import graft.ops.TextOps
   */
 object TextQueries {
 
+  /** Shared DuckDB fragments mirroring the TextOps expressions — one
+    * definition each so the oracles that compose them (q40/q42/q43/q65)
+    * cannot drift apart when a stopword list or normalization rule
+    * changes.
+    */
+  private val wsTokensSql = """string_split_regex(trim(text), '\s+')"""
+  private val wsTokenLenSql = s"len($wsTokensSql)"
+  private val fingerprintSql =
+    """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+  private def hitsSql(words: Seq[String]): String =
+    s"""len(regexp_extract_all(text, '\\b(${words.mkString("|")})\\b'))"""
+  /** Argmax CASE over the per-language stopword hit counts, first
+    * language listed wins ties (TextOps.predictedLang semantics).
+    * Expects columns `<lang>_hits` in scope.
+    */
+  private val predLangCaseSql = {
+    val langs = TextOps.langStopwords.map(_._1)
+    val branches = langs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1)
+      val cond = rest.map(r => s"${lang}_hits >= ${r}_hits").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }
+    s"CASE ${branches.mkString(" ")} ELSE '${langs.last}' END"
+  }
+  private val langHitsSelectSql =
+    TextOps.langStopwords.map { case (lang, words) =>
+      s"${hitsSql(words)} AS ${lang}_hits"
+    }.mkString(",\n    ")
+
   val queries: Map[String, Q] = Map(
 
     // Whitespace + BPE-ish token counts and char length.
@@ -21,11 +50,11 @@ object TextQueries {
           size(TextOps.whitespaceTokens(col("text"))).cast("long").as("n_ws_tokens"),
           size(TextOps.bpeishTokens(col("text"))).cast("long").as("n_bpe_tokens"),
           length(col("text")).cast("long").as("n_chars")),
-      """SELECT doc_id,
-        | len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
-        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
-        | length(text) AS n_chars
-        |FROM documents""".stripMargin),
+      s"""SELECT doc_id,
+         | $wsTokenLenSql AS n_ws_tokens,
+         | len(regexp_extract_all(text, '${TextOps.bpeishPattern}')) AS n_bpe_tokens,
+         | length(text) AS n_chars
+         |FROM documents""".stripMargin),
 
     // Vocabulary heavy hitters: corpus-wide token frequencies, top 100
     // with deterministic tie-break. The explode → groupBy shape gets
@@ -40,12 +69,12 @@ object TextQueries {
           .groupBy("token").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("token"))
           .limit(100),
-      """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
-        |      FROM documents)
-        |GROUP BY token
-        |ORDER BY n DESC, token
-        |LIMIT 100""".stripMargin),
+      s"""SELECT token, count(*) AS n
+         |FROM (SELECT unnest($wsTokensSql) AS token
+         |      FROM documents)
+         |GROUP BY token
+         |ORDER BY n DESC, token
+         |LIMIT 100""".stripMargin),
 
     // Quality features: single-division ratios are bit-deterministic.
     "q41_quality_score" -> Q(
@@ -89,19 +118,13 @@ object TextQueries {
           (col("doc_id") +: scoreCols :+
             TextOps.predictedLang(col("text")).as("pred_lang")): _*)
       },
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) AS en_hits,
-        |    len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b')) AS fr_hits,
-        |    len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) AS de_hits,
-        |    len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) AS es_hits
-        |  FROM documents)
-        |SELECT doc_id, en_hits, fr_hits, de_hits, es_hits,
-        | CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
-        |      WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
-        |      WHEN de_hits >= es_hits THEN 'de'
-        |      ELSE 'es' END AS pred_lang
-        |FROM f""".stripMargin),
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    $langHitsSelectSql
+         |  FROM documents)
+         |SELECT doc_id, ${TextOps.langStopwords.map(_._1 + "_hits").mkString(", ")},
+         | $predLangCaseSql AS pred_lang
+         |FROM f""".stripMargin),
 
     // End-to-end training-data prep: quality gate (token count, punct
     // ratio) → language filter (n-gram heuristic) → exact dedup by
@@ -127,24 +150,22 @@ object TextQueries {
             count(lit(1)).as("n_dups"),
             max("n_tokens").as("n_tokens"))
       },
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |    CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) >= len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b'))
-        |          AND len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b'))
-        |          AND len(regexp_extract_all(text, '\b(the|a|of|to|and|in|is)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) THEN 'en'
-        |         WHEN len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b')) >= len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b'))
-        |          AND len(regexp_extract_all(text, '\b(le|la|les|de|et|un|une)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) THEN 'fr'
-        |         WHEN len(regexp_extract_all(text, '\b(der|die|das|und|ein|ist)\b')) >= len(regexp_extract_all(text, '\b(el|la|los|de|y|un|es)\b')) THEN 'de'
-        |         ELSE 'es' END AS pred_lang,
-        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) / length(text) AS punct_ratio
-        |  FROM documents)
-        |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups,
-        |  max(n_tokens) AS n_tokens
-        |FROM f
-        |WHERE n_tokens >= 5 AND punct_ratio < 0.2 AND pred_lang = 'en'
-        |GROUP BY fp""".stripMargin),
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    $langHitsSelectSql
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    $wsTokenLenSql AS n_tokens,
+         |    $predLangCaseSql AS pred_lang,
+         |    $fingerprintSql AS fp,
+         |    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / length(text) AS punct_ratio
+         |  FROM h)
+         |SELECT fp, min(doc_id) AS keep_id, count(*) AS n_dups,
+         |  max(n_tokens) AS n_tokens
+         |FROM f
+         |WHERE n_tokens >= 5 AND punct_ratio < 0.2 AND pred_lang = 'en'
+         |GROUP BY fp""".stripMargin),
 
     // Rolling/normalized fingerprint per document (X-series string ops
     // + md5), usable as a dedup key or shard key.
@@ -154,10 +175,10 @@ object TextQueries {
           col("doc_id"),
           TextOps.fingerprint(col("text")).as("fp"),
           substring(TextOps.fingerprint(col("text")), 1, 4).as("shard_key")),
-      """SELECT doc_id,
-        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        | substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 4) AS shard_key
-        |FROM documents""".stripMargin),
+      s"""SELECT doc_id,
+         | $fingerprintSql AS fp,
+         | substring($fingerprintSql, 1, 4) AS shard_key
+         |FROM documents""".stripMargin),
 
     // Edit-distance similarity (fuzzy text matching): near-identical
     // part names within a type class. Levenshtein has identical unit

@@ -65,14 +65,19 @@ object EventStream {
   /** Run a streaming aggregation to completion (AvailableNow) into a
     * named memory sink and return the final table — the
     * incremental-batch execution shape shared by every operator here.
+    * A `checkpointDir` makes successive runs incremental (file-source
+    * progress + aggregate state persist there); None = fresh temp
+    * checkpoint, full recompute.
     */
   private def runToTable(spark: SparkSession, agg: DataFrame,
-      name: String): DataFrame = {
-    val q = agg.writeStream
+      name: String, checkpointDir: Option[String] = None): DataFrame = {
+    val writer = agg.writeStream
       .outputMode(OutputMode.Complete)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
+    val q = checkpointDir
+      .fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
     q.awaitTermination()
     spark.table(name)
@@ -89,12 +94,20 @@ object EventStream {
   /** Streaming exact deduplication over a document directory: group by
     * normalized-content fingerprint, keep the first doc id and the
     * copy count — the streaming-ingest form of q30's exact dedup.
-    * With Trigger.AvailableNow each invocation processes only files
-    * the checkpoint hasn't seen, so a training-data ingest can dedup
-    * incrementally as new document dumps land; against a static
-    * directory the complete-mode result equals the batch groupBy.
+    * Against a static directory the complete-mode result equals the
+    * batch groupBy (that is the q63 oracle).
+    *
+    * Incrementality requires a caller-supplied `checkpointDir`: with
+    * one, each invocation processes only files the checkpoint hasn't
+    * seen (aggregate state restored from the state store) — the shape
+    * an ingest needs to dedup new dumps at O(new), not O(total). When
+    * NOTHING is new, AvailableNow runs zero batches and the fresh
+    * memory-sink table comes back empty — a durable sink would still
+    * hold the previous complete-mode output. Without a checkpoint
+    * (the default), every call recomputes from scratch.
     */
-  def dedupDocuments(spark: SparkSession, dir: String): DataFrame = {
+  def dedupDocuments(spark: SparkSession, dir: String,
+      checkpointDir: Option[String] = None): DataFrame = {
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
     val agg = spark.readStream
       .schema(documentsSchema)
@@ -103,7 +116,7 @@ object EventStream {
       .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-    runToTable(spark, agg, name)
+    runToTable(spark, agg, name, checkpointDir)
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

@@ -32,6 +32,8 @@ class IdsAndSimHashSpec extends AnyFunSuite {
     // replaced, not duplicated (AMBIGUOUS_REFERENCE otherwise)
     val again = Ids.distributedDenseIds(once, "id", 500L, Seq("l_orderkey", "l_linenumber"), 3)
     assert(again.columns.count(_ == "id") == 1)
+    // in-place replace: column order preserved for positional consumers
+    assert(again.columns.toSeq == once.columns.toSeq)
     val ids = again.select("id").as[Long].collect().sorted
     assert(ids.toSeq == (500L to 599L))
   }

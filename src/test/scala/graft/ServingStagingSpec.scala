@@ -76,9 +76,13 @@ class ServingStagingSpec extends AnyFunSuite {
     val plan = catalog.readProduct("IndicatorValues", MiniCube.meta.productId)
       .queryExecution.executedPlan.toString
     // serving reads must touch one ProductPartitionId directory, not
-    // scan the table — the pruning the per-product layout exists for
-    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n$plan")
-    assert(plan.contains("ProductPartitionId"), s"partition column not pruned:\n$plan")
+    // scan the table. The predicate must appear INSIDE the scan's
+    // PartitionFilters bracket — "PartitionFilters: []" plus a
+    // post-scan Filter node would satisfy naive substring checks while
+    // scanning every partition.
+    val pushed = """PartitionFilters: \[[^\]]*ProductPartitionId""".r
+    assert(pushed.findFirstIn(plan).isDefined,
+      s"ProductPartitionId not pushed into PartitionFilters:\n$plan")
   }
 
   test("zip staging: validate, extract, read with declared schema (S1/S5)") {

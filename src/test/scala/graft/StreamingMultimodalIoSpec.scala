@@ -23,6 +23,26 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming dedup checkpoint makes re-runs incremental (0 new files)") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.streaming.EventStream
+      .dedupDocuments(spark, dir, Some(ckpt))
+    assert(first.count() > 0)
+    // second run over the same checkpoint: the file-source progress
+    // marks every file as seen, so AvailableNow runs ZERO batches —
+    // O(new)=0 work, and the fresh memory sink stays empty. (A durable
+    // sink would still hold the prior complete-mode output; the empty
+    // table here is the proof the input was not reprocessed.)
+    val second = graft.streaming.EventStream
+      .dedupDocuments(spark, dir, Some(ckpt))
+    assert(second.isEmpty,
+      "re-run with a caught-up checkpoint must not reprocess input")
+    // and without a checkpoint each call recomputes the full result
+    val fresh = graft.streaming.EventStream.dedupDocuments(spark, dir)
+    assert(fresh.count() == first.count())
+  }
+
   test("stateful sessionizer closes sessions on gap timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
