@@ -21,6 +21,13 @@ class IdsAndSimHashSpec extends AnyFunSuite {
     assert(dist == global)
     val ids = dist.map(_._3)
     assert(ids.min == 1000L && ids.max == 999L + df.count())
+    // re-executing the SAME result frame must reproduce the id→row
+    // mapping (total order keys + frozen RangePartitioner boundaries):
+    // the write action and any later consumer see identical ids
+    val frame = Ids.distributedDenseIds(df, "id", 1000L, order, numPartitions = 7)
+    val run1 = frame.collect().map(_.toSeq).toSet
+    val run2 = frame.collect().map(_.toSeq).toSet
+    assert(run1 == run2, "id assignment must be stable across actions")
   }
 
   test("distributedDenseIds replaces an existing id column (withColumn semantics)") {
