@@ -64,6 +64,29 @@ object ExtraQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
 
+    // Correlated scalar subquery: parts within 2% of their brand's
+    // top price. Exercises Catalyst's subquery decorrelation
+    // (RewriteCorrelatedScalarSubquery → left outer join + agg) — a
+    // distinct optimizer path from the explicit-join queries. The
+    // inner aggregate is MAX (order-independent), so the threshold is
+    // bit-identical across engines; an AVG here would expose
+    // float-summation-order divergence.
+    "q66_correlated_subquery" -> Q(
+      (s, d) => {
+        Tables(s, d, "part").createOrReplaceTempView("q66_part")
+        s.sql(
+          """SELECT p_partkey, p_brand, p_retailprice
+            |FROM q66_part p
+            |WHERE p_retailprice >= 0.98 * (
+            |  SELECT max(p2.p_retailprice) FROM q66_part p2
+            |  WHERE p2.p_brand = p.p_brand)""".stripMargin)
+      },
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p
+        |WHERE p_retailprice >= 0.98 * (
+        |  SELECT max(p2.p_retailprice) FROM part p2
+        |  WHERE p2.p_brand = p.p_brand)""".stripMargin),
+
     // Backward as-of join: each event matched to the user's latest
     // purchase at-or-before it (LEFT ASOF semantics). Spark side is
     // the union+window composition in ops.AsOfJoin; the oracle uses
