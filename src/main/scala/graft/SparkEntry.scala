@@ -37,5 +37,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.collect { case (k, Q(_, Some(sql))) => k -> sql }
+    registry.collect { case (k, Q(_, Some(sql), _)) => k -> sql }
+
+  /** Data-dependent oracles, rendered against the actual sf dir at
+    * Verify time (e.g. q38's trained-centroid literals). Renders are
+    * deterministic; a failed render just leaves that query rows-only.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    registry.collect { case (k, q) if q.dynOracle.isDefined =>
+      k -> q.dynOracle.get(spark, sfDir)
+    }
 }

@@ -37,7 +37,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // data-dependent oracles (centroid literals etc.) render against the
+    // actual sf dir; a failed render degrades that query to rows-only
+    // rather than failing the whole dump
+    val dynamic = try SparkEntry.dynamicOracleSql(spark, sfDir) catch {
+      case e: Throwable =>
+        System.err.println(s"[verify] dynamic oracle render failed: ${e.getMessage}")
+        Map.empty[String, String]
+    }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

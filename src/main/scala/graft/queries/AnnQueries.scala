@@ -205,14 +205,65 @@ object AnnQueries {
          |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
 
     // IVF: deterministic k-means cells + probed exact re-rank (the
-    // data-adaptive ANN scale path). Approximate → rows-only check.
-    "q38_ann_ivf" -> Q(
+    // data-adaptive ANN scale path). Approximate but DETERMINISTIC:
+    // training is sequential driver k-means over an xxhash64-ordered
+    // sample, so the oracle re-trains the same index and receives the
+    // unit centroids as double literals (the q37/q61 pinned-plane
+    // trick), then replays assign + probe + exact re-rank in SQL with
+    // the identical sequential folds → full hash-match.
+    "q38_ann_ivf" -> Q.dynamic(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
-        graft.ops.Ivf.search(
-          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
-          k = 5, nCells = 16, nProbe = 4)
-      },
-      None)
+        graft.ops.Ivf.searchWith(ivfIndex(s, d), emb,
+          emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          k = 5, nProbe = 4)
+      })(ivfOracle)
   )
+
+  /** The q38 index: trained once per call, deterministic for a given
+    * sf dir (sequential driver k-means over the hash-ordered sample),
+    * so the query run and the oracle render independently recompute
+    * identical centroids.
+    */
+  private def ivfIndex(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.Ivf.train(Tables(s, d, "embeddings"), "vec_id", "embedding",
+      k = 16, iters = 3, maxTrainRows = 4096)
+
+  /** DuckDB replay of the IVF search: centroid literals → projection
+    * via the same list fold → per-vector argmax cell (projection desc,
+    * cell asc) → per-query top-4 probe cells → exact cosine re-rank.
+    */
+  private def ivfOracle(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val cents = ivfIndex(s, d).centroidSql.zipWithIndex.map { case (w, c) =>
+      s"  SELECT $c AS cell_id, CAST($w AS DOUBLE[]) AS cw"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $embCte,
+       |cents AS (
+       |$cents),
+       |proj AS (
+       |  SELECT e.vec_id, e.e, c.cell_id,
+       |    list_aggregate(list_transform(list_zip(e.e, c.cw), z -> z[1]*z[2]), 'sum') AS p
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, e, cell_id FROM (
+       |    SELECT vec_id, e, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, cell_id) AS rk
+       |    FROM proj) WHERE rk = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, e AS eq, cell_id FROM (
+       |    SELECT vec_id, e, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, cell_id) AS rk
+       |    FROM proj WHERE vec_id < 50) WHERE rk <= 4),
+       |pairs AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id, q.eq AS ea, n.e AS eb
+       |  FROM probes q JOIN assigned n ON n.cell_id = q.cell_id
+       |  WHERE q.query_id <> n.vec_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $cosExpr AS cos FROM pairs),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
 }

@@ -8,14 +8,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `oracle == None` marks operators whose semantics are not
   * SQL-expressible in DuckDB (e.g. approximate LSH bucketing); the
   * driver then records a weaker rows-only check.
+  *
+  * `dynOracle` covers oracles whose SQL depends on the DATA (e.g. q38
+  * emits the trained IVF centroids as literals): it is rendered at
+  * Verify time with the actual sf dir and merged into oracle_sql.json.
+  * The rendering must be deterministic for the same inputs — the
+  * engine run and the oracle render each recompute it and must agree.
   */
 final case class Q(
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    dynOracle: Option[(SparkSession, String) => String] = None)
 
 object Q {
   def apply(fn: (SparkSession, String) => DataFrame, oracle: String): Q =
     Q(fn, Some(oracle))
+  def dynamic(fn: (SparkSession, String) => DataFrame)(
+      render: (SparkSession, String) => String): Q =
+    Q(fn, None, Some(render))
 }
 
 /** Oracle-stable numeric helpers.
