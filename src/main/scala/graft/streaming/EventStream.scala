@@ -45,29 +45,51 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
-  /** Watermarked tumbling-window aggregation, run to completion with
-    * AvailableNow against a memory sink; returns the final result
-    * frame. Batch-equivalent to grouping on date_trunc('hour', ts).
+  /** The windowed-count aggregation plan (shared by the memory-sink
+    * and durable-sink execution paths).
     */
-  def windowedCounts(spark: SparkSession, dir: String,
-      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
-    val name = s"graft_stream_win_${runId.incrementAndGet()}"
-    val agg = source(spark, dir)
+  private def windowAgg(spark: SparkSession, dir: String,
+      window: String, watermark: String): DataFrame =
+    source(spark, dir)
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n"),
         (floor(sum("value") * 100 + lit(0.5)) / 100).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
-    runToTable(spark, agg, name)
+
+  /** Watermarked tumbling-window aggregation, run to completion with
+    * AvailableNow against a memory sink; returns the final result
+    * frame. Batch-equivalent to grouping on date_trunc('hour', ts).
+    * Test/exploration harness — the durable path is
+    * [[windowedCountsTo]].
+    */
+  def windowedCounts(spark: SparkSession, dir: String,
+      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val name = s"graft_stream_win_${runId.incrementAndGet()}"
+    runToTable(spark, windowAgg(spark, dir, window, watermark), name)
+  }
+
+  /** Durable incremental windowed counts: Update-mode changed rows
+    * appended to the parquet log at `sinkPath`; returns the compacted
+    * current state. See [[runToParquetLog]] for the scale contract.
+    */
+  def windowedCountsTo(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointDir: String, window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    runToParquetLog(windowAgg(spark, dir, window, watermark), sinkPath, checkpointDir)
+    compactLog(spark, sinkPath, Seq("window_start", "event_type"))
   }
 
   /** Run a streaming aggregation to completion (AvailableNow) into a
-    * named memory sink and return the final table — the
-    * incremental-batch execution shape shared by every operator here.
-    * A `checkpointDir` makes successive runs incremental (file-source
-    * progress + aggregate state persist there); None = fresh temp
-    * checkpoint, full recompute.
+    * named memory sink and return the final table. Complete mode +
+    * memory sink re-emits the whole aggregate into driver memory every
+    * trigger — right for specs and small exploration runs, wrong as a
+    * library execution path at scale; production callers use the
+    * `...To` variants, which run Update mode into a durable parquet
+    * log ([[runToParquetLog]]). A `checkpointDir` makes successive
+    * runs incremental (file-source progress + aggregate state persist
+    * there); None = fresh temp checkpoint, full recompute.
     */
   private def runToTable(spark: SparkSession, agg: DataFrame,
       name: String, checkpointDir: Option[String] = None): DataFrame = {
@@ -83,6 +105,48 @@ object EventStream {
     spark.table(name)
   }
 
+  /** The durable incremental execution shape: Update mode emits only
+    * the aggregate rows CHANGED by each micro-batch, and foreachBatch
+    * appends them to a parquet log stamped with the batch id — so each
+    * trigger writes O(changed keys), never the full aggregate
+    * (Complete mode's re-emit) and never into driver memory (the
+    * memory sink's materialization). The checkpoint makes successive
+    * AvailableNow runs process only unseen files with state restored
+    * from the state store: O(new) ingest end to end.
+    *
+    * Delivery is at-least-once: a batch replayed after a crash appends
+    * its rows again under the SAME batch id with identical contents,
+    * which [[compactLog]]'s latest-per-key read absorbs.
+    */
+  private def runToParquetLog(agg: DataFrame, sinkPath: String,
+      checkpointDir: String): Unit = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Current state of an update log written by [[runToParquetLog]]:
+    * the row with the highest batch id per key. One map-side-combinable
+    * aggregation — scales with log size; periodic compaction = write
+    * this result back as the new log.
+    */
+  def compactLog(spark: SparkSession, sinkPath: String,
+      keyCols: Seq[String]): DataFrame = {
+    val log = spark.read.parquet(sinkPath)
+    val valueCols = log.columns.filterNot(c => keyCols.contains(c) || c == "__batch")
+    log.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(valueCols.map(col): _*), col("__batch")).as("__s"))
+      .select(keyCols.map(col) ++ valueCols.map(c => col(s"__s.$c").as(c)): _*)
+  }
+
   /** documents.parquet schema (TESTDATA.md). */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -90,6 +154,19 @@ object EventStream {
     StructField("lang", StringType),
     StructField("source", StringType),
     StructField("n_chars", LongType)))
+
+  /** The fingerprint-dedup aggregation plan (shared by the memory-sink
+    * and durable-sink execution paths). `glob` selects which files in
+    * `dir` are document dumps.
+    */
+  private def dedupAgg(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Streaming exact deduplication over a document directory: group by
     * normalized-content fingerprint, keep the first doc id and the
@@ -102,21 +179,29 @@ object EventStream {
     * seen (aggregate state restored from the state store) — the shape
     * an ingest needs to dedup new dumps at O(new), not O(total). When
     * NOTHING is new, AvailableNow runs zero batches and the fresh
-    * memory-sink table comes back empty — a durable sink would still
-    * hold the previous complete-mode output. Without a checkpoint
-    * (the default), every call recomputes from scratch.
+    * memory-sink table comes back empty — the durable variant
+    * [[dedupDocumentsTo]] still holds the full state. Without a
+    * checkpoint (the default), every call recomputes from scratch.
     */
   def dedupDocuments(spark: SparkSession, dir: String,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      glob: String = "documents.parquet"): DataFrame = {
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val agg = spark.readStream
-      .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
-      .groupBy("fp")
-      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-    runToTable(spark, agg, name, checkpointDir)
+    runToTable(spark, dedupAgg(spark, dir, glob), name, checkpointDir)
+  }
+
+  /** Durable incremental dedup: each run ingests only files the
+    * checkpoint hasn't seen and appends only the CHANGED fingerprints
+    * to the parquet log at `sinkPath` (Update mode — O(new) input,
+    * O(changed) output per run); returns the compacted current state,
+    * which survives runs where nothing is new. This is the
+    * library-scale execution path; [[dedupDocuments]]'s memory sink is
+    * the spec/exploration harness.
+    */
+  def dedupDocumentsTo(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointDir: String, glob: String = "documents.parquet"): DataFrame = {
+    runToParquetLog(dedupAgg(spark, dir, glob), sinkPath, checkpointDir)
+    compactLog(spark, sinkPath, Seq("fp"))
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

@@ -43,6 +43,59 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(fresh.count() == first.count())
   }
 
+  test("durable dedup sink: two incremental batches, O(changed) writes") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_dedup_src").toString
+    val sink = Files.createTempDirectory("graft_dedup_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt2").toString
+    def writeDump(name: String, docs: Seq[(Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft_dump").toString
+      docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+    }
+    writeDump("a.parquet", Seq(1L -> "alpha text", 2L -> "beta text", 3L -> "alpha text"))
+    val state1 = EventStream
+      .dedupDocumentsTo(spark, src, sink, ckpt, glob = "*.parquet")
+      .as[(String, Long, Long)].collect()
+    assert(state1.length == 2) // alpha (2 copies) + beta
+    val batchesAfterFirst = spark.read.parquet(sink)
+      .agg(max("__batch")).as[Long].head()
+    // second dump: one duplicate of an existing doc, one brand-new doc
+    writeDump("b.parquet", Seq(4L -> "alpha text", 5L -> "gamma text"))
+    val state2 = EventStream
+      .dedupDocumentsTo(spark, src, sink, ckpt, glob = "*.parquet")
+    // alpha's count grew through the state store; beta untouched
+    val byFp = state2.as[(String, Long, Long)].collect()
+      .map { case (_, keep, n) => (keep, n) }.toSet
+    assert(byFp == Set((1L, 3L), (2L, 1L), (5L, 1L)))
+    // O(changed) writes: the second run appended rows ONLY for the
+    // fingerprints batch b touched (alpha updated + gamma new), not a
+    // re-emit of the full aggregate — the Complete-mode scale hazard
+    val secondRun = spark.read.parquet(sink)
+      .filter($"__batch" > batchesAfterFirst)
+    assert(secondRun.count() == 2,
+      s"expected 2 changed-key rows, got ${secondRun.count()}")
+  }
+
+  test("durable windowed counts equal the memory-sink result") {
+    import java.nio.file.Files
+    val dir = "/root/testdata/sf0.001"
+    val sink = Files.createTempDirectory("graft_win_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_win_ckpt").toString
+    val durable = EventStream.windowedCountsTo(spark, dir, sink, ckpt)
+      .select("window_start", "event_type", "n", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val mem = EventStream.windowedCounts(spark, dir)
+      .select("window_start", "event_type", "n", "total_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(durable == mem && durable.nonEmpty)
+  }
+
   test("stateful sessionizer closes sessions on gap timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
