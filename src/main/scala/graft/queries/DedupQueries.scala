@@ -58,14 +58,18 @@ object DedupQueries {
         Tables(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5),
       jaccardOracle("0.5")),
 
-    // SimHash sketch + blocked Hamming join. No SQL oracle: the sketch
-    // depends on xxhash64, which DuckDB lacks → driver rows-only check.
+    // SimHash sketch + blocked Hamming join. DuckDB has no xxhash64,
+    // so the oracle IMPLEMENTS XXH64(seed=42) in pure SQL (see
+    // XxhSql): HUGEINT limb arithmetic emulates the mod-2^64
+    // wraparound, list folds run the stripe/tail loops, and the
+    // vote-sum sketch + all-pairs Hamming join replay the engine
+    // exactly — full hash-match despite the custom hash function.
     "q33_dedup_simhash" -> Q(
       (s, d) => {
         val sketches = Dedup.simHash(Tables(s, d, "documents"), "doc_id", "text")
         Dedup.simHashPairs(sketches, maxDist = 3)
       },
-      None),
+      XxhSql.simhashPairsOracle(maxDist = 3)),
 
     // Exact whitespace/case-normalized fingerprint dedup.
     "q34_fingerprint_dedup" -> Q(
