@@ -64,11 +64,16 @@ object Bench {
       }
     }
     spark.catalog.clearCache() // release the last query's result cache
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal timings: millisecond precision is all the box's noise
+    // floor supports, and the ~40% shorter line fits the driver's
+    // stdout tail-capture window (full-precision doubles overflowed it)
+    def r3(v: Double): String =
+      if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver's tail-parse (run/outputStrategy passes it
     // through un-prefixed), plus a file copy as the robust channel
     println(line)

@@ -148,32 +148,77 @@ object Similarity {
   def adaptiveLshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, dim: Int, nPlanes: Int, k: Int,
       nProbe: Int): DataFrame = {
-    require(nProbe <= nPlanes, "nProbe cannot exceed nPlanes")
-    val base = emb.select(col(idCol).as("neighbor_id"),
+    val base = bucketedBase(emb, idCol, vecCol, dim, nPlanes)
+    val qs = flipSchedule(queries, idCol, vecCol, dim, nPlanes, nProbe)
+      .withColumn("bucket", explode(concat(array(col("bucket")),
+        expr("transform(flips, p -> bucket ^ shiftleft(1L, p))"))))
+      .select("query_id", "vq", "nq", "bucket")
+    bucketedTopK(base, qs, k)
+  }
+
+  /** Dynamic probe budget: probe the least-confident flips in order,
+    * but STOP as soon as the buckets already scheduled (home + earlier
+    * flips) hold at least `targetCandidates` vectors — a per-query
+    * early exit for queries that land in dense cells, full `maxProbe`
+    * recall for queries in sparse ones. The budget rule reads only
+    * bucket occupancy (one tiny broadcast aggregate) and a per-query
+    * window over ≤ maxProbe+1 schedule rows, so the plan stays
+    * equi-keyed end to end and the whole schedule is deterministic —
+    * oracle-replayable in SQL (q67).
+    */
+  def budgetedLshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dim: Int, nPlanes: Int, k: Int,
+      maxProbe: Int, targetCandidates: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = bucketedBase(emb, idCol, vecCol, dim, nPlanes)
+    // bucket occupancy: ≤ 2^nPlanes rows, broadcast-sized
+    val sizes = base.groupBy("bucket").agg(count(lit(1)).as("bsize"))
+    val sched = flipSchedule(queries, idCol, vecCol, dim, nPlanes, maxProbe)
+      .select(col("query_id"), col("vq"), col("nq"),
+        posexplode(concat(array(col("bucket")),
+          expr("transform(flips, p -> bucket ^ shiftleft(1L, p))")))
+          .as(Seq("probe_rank", "bucket")))
+    val w = Window.partitionBy("query_id").orderBy("probe_rank")
+    val probes = sched
+      .join(broadcast(sizes), Seq("bucket"), "left")
+      .withColumn("bsize", coalesce(col("bsize"), lit(0L)))
+      .withColumn("cum_before", sum("bsize").over(w) - col("bsize"))
+      .filter(col("probe_rank") === 0 || col("cum_before") < targetCandidates)
+      .select("query_id", "vq", "nq", "bucket")
+    bucketedTopK(base, probes, k)
+  }
+
+  /** (neighbor_id, vn, bucket, nn) — the searchable side of every
+    * bucketed top-k variant.
+    */
+  private def bucketedBase(emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int): DataFrame =
+    emb.select(col(idCol).as("neighbor_id"),
       toDoubleVec(col(vecCol)).as("vn"))
       .withColumn("bucket", hyperplaneBucket(col("vn"), dim, nPlanes))
       .withColumn("nn", l2Norm(col("vn")))
-    // per-plane projections as a materialized array column: the sign
-    // pattern rebuilds the bucket (same sequential fold as
-    // hyperplaneBucket) and |projection| ranks the flip order
+
+  /** (query_id, vq, projs, bucket, flips, nq): per-plane projections as
+    * a materialized array column — the sign pattern rebuilds the bucket
+    * (same sequential fold as hyperplaneBucket) and |projection| ranks
+    * the flip order, least-confident planes first.
+    */
+  private def flipSchedule(queries: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, nProbe: Int): DataFrame = {
+    require(nProbe <= nPlanes, "nProbe cannot exceed nPlanes")
     val planeLit = typedLit((0 until nPlanes).map(p =>
       (0 until dim).map(j => planeWeight(p, j))))
-    val qs = queries.select(col(idCol).as("query_id"),
+    queries.select(col(idCol).as("query_id"),
       toDoubleVec(col(vecCol)).as("vq"))
       .withColumn("projs", transform(planeLit, w => dot(col("vq"), w)))
       .withColumn("bucket", (0 until nPlanes).map(p =>
         when(element_at(col("projs"), p + 1) >= 0, lit(1L << p)).otherwise(lit(0L)))
         .reduce((x, y) => x.bitwiseOR(y)))
-      // least-confident planes first: sort (|proj|, p) pairs, take nProbe
       .withColumn("flips", expr(
         s"""transform(slice(array_sort(transform(sequence(0, ${nPlanes - 1}),
            |  p -> struct(abs(element_at(projs, p + 1)) AS a, p AS p))),
            |  1, $nProbe), s -> s.p)""".stripMargin))
-      .withColumn("bucket", explode(concat(array(col("bucket")),
-        expr("transform(flips, p -> bucket ^ shiftleft(1L, p))"))))
       .withColumn("nq", l2Norm(col("vq")))
-      .select("query_id", "vq", "nq", "bucket")
-    bucketedTopK(base, qs, k)
   }
 
   /** Approximate top-k: exact ranking *within* the query's LSH bucket.

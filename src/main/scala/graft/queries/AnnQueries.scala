@@ -204,6 +204,66 @@ object AnnQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
 
+    // Dynamic probe budget: flips probe in least-confident order but
+    // stop once the already-scheduled buckets hold >= 12 candidates —
+    // dense-cell queries exit after 1-2 probes, sparse-cell queries
+    // probe all 8. The budget rule (bucket occupancy + cumulative sum
+    // over the schedule) is deterministic → full hash-match oracle.
+    "q67_ann_budgeted_probe" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.budgetedLshTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          dim = 64, nPlanes = 8, k = 3, maxProbe = 8, targetCandidates = 12L)
+      },
+      s"""WITH $embCte,
+         |$planesCte,
+         |projected AS (
+         |  SELECT e.vec_id, e.e,
+         |    list(list_aggregate(
+         |      list_transform(list_zip(e.e, pl.w), z -> z[1]*z[2]), 'sum')
+         |      ORDER BY pl.p) AS projs
+         |  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, e.e),
+         |bucketed AS (
+         |  SELECT vec_id, e, projs,
+         |    CAST(list_aggregate(list_transform(range(0, 8),
+         |      p -> CASE WHEN projs[p+1] >= 0 THEN 1 << p ELSE 0 END),
+         |      'sum') AS BIGINT) AS bucket
+         |  FROM projected),
+         |sizes AS (SELECT bucket, count(*) AS bsize FROM bucketed GROUP BY bucket),
+         |queries AS (
+         |  SELECT vec_id AS query_id, e AS eq, bucket,
+         |    list_transform(list_slice(list_sort(
+         |      list_transform(range(0, 8),
+         |        p -> [abs(projs[p+1]), CAST(p AS DOUBLE)])), 1, 8),
+         |      x -> CAST(x[2] AS BIGINT)) AS flips
+         |  FROM bucketed WHERE vec_id < 50),
+         |sched AS (
+         |  SELECT query_id, eq, u.rnk AS rnk, u.b AS pb FROM (
+         |    SELECT query_id, eq,
+         |      unnest(list_transform(range(1, len(pl)+1), i -> {'rnk': i, 'b': pl[i]})) AS u
+         |    FROM (SELECT query_id, eq,
+         |      [bucket] || list_transform(flips, p -> xor(bucket, 1 << p)) AS pl
+         |      FROM queries))),
+         |budgeted AS (
+         |  SELECT query_id, eq, pb FROM (
+         |    SELECT query_id, eq, pb, rnk,
+         |      sum(coalesce(s.bsize, 0)) OVER (PARTITION BY query_id ORDER BY rnk)
+         |        - coalesce(s.bsize, 0) AS cum_before
+         |    FROM sched LEFT JOIN sizes s ON s.bucket = sched.pb)
+         |  WHERE rnk = 1 OR cum_before < 12),
+         |pairs AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id, q.eq AS ea, n.e AS eb
+         |  FROM budgeted q JOIN bucketed n ON n.bucket = q.pb
+         |  WHERE q.query_id <> n.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $cosExpr AS cos FROM pairs),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
+
     // IVF: deterministic k-means cells + probed exact re-rank (the
     // data-adaptive ANN scale path). Approximate but DETERMINISTIC:
     // training is sequential driver k-means over an xxhash64-ordered

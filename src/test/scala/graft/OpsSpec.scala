@@ -128,6 +128,34 @@ class OpsSpec extends AnyFunSuite {
       s"missing strong pairs: ${strong -- lsh.keySet}")
   }
 
+  test("budgeted probe: interpolates between single-probe and full multi-probe") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val qs = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.lshTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, nPlanes = 8, k = 3, multiProbe = false))
+    val full = pairs(Similarity.adaptiveLshTopK(emb, qs, "vec_id", "embedding",
+      dim = 64, nPlanes = 8, k = 3, nProbe = 8))
+    def budgeted(target: Long) =
+      pairs(Similarity.budgetedLshTopK(emb, qs, "vec_id", "embedding",
+        dim = 64, nPlanes = 8, k = 3, maxProbe = 8, targetCandidates = target))
+    // target 0: no flip survives the budget -> exactly the home bucket
+    assert(budgeted(0L) == single)
+    // unbounded target: every flip probes -> exactly full multi-probe
+    assert(budgeted(Long.MaxValue) == full)
+    // recall vs exact truth is monotone in the budget: a result a
+    // bigger candidate set displaces is displaced by a HIGHER-cosine
+    // neighbor, which is itself in the exact top-k — so growing the
+    // probe set can reorder reported pairs but never lose truth pairs
+    val mid = budgeted(12L)
+    val truth = pairs(Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 3))
+    def recall(s: Set[(Long, Long)]) = (s intersect truth).size.toDouble / truth.size
+    assert((truth intersect single).subsetOf(mid))
+    assert((truth intersect mid).subsetOf(full))
+    assert(recall(full) >= recall(mid) && recall(mid) >= recall(single))
+  }
+
   test("IVF search: high recall at nProbe=4/16 cells, perfect at full probe") {
     import graft.ops.Ivf
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
