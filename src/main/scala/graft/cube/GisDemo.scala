@@ -12,18 +12,12 @@ import org.apache.spark.sql.SparkSession
   * Usage: sbt "runMain graft.cube.GisDemo /tmp/gis_demo"
   */
 object GisDemo {
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/gis_demo")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("gis-demo")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
 
+  /** The demo product fixture, exposed so GoldenPipelineSpec can run
+    * the identical pipeline and diff its 9 output tables against the
+    * committed golden rendering.
+    */
+  def demoMeta: CubeMetadata = {
     val meta = CubeMetadata(
       productId = 99100001L,
       titleEn = "Demo cube", titleFr = "Cube démo",
@@ -42,6 +36,15 @@ object GisDemo {
           Member(2, "Youth", "Jeunes", None))),
         Dimension(3, "Estimate", "Estimation", hasUom = true, Seq(
           Member(1, "Count", "Nombre", Some(223))))))
+    meta
+  }
+
+  /** Runs the full E1+E3 pipeline on the demo fixture into a parquet
+    * catalog at `out` and returns the catalog.
+    */
+  def runDemo(spark: SparkSession, out: String): graft.io.ParquetCatalog = {
+    import spark.implicits._
+    val meta = demoMeta
 
     val csv = Seq(
       ("2019", "2021A000011124", "Number", 223.toShort, "v100", "1.1.1", "", "", Some(10.0), "All ages", "Count"),
@@ -71,6 +74,22 @@ object GisDemo {
       uomCodeset = Map(223 -> ("Number", "Nombre")),
       subjectCodeset = Seq(("99", "Demo subject", "Sujet démo"),
         ("9910", "Demo/Nested", "Démo/Imbriqué")))
+    catalog
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/gis_demo")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("gis-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val catalog = runDemo(spark, out)
     ProductRunner.tableNames.foreach { name =>
       println(s"[gis-demo] $name: ${catalog.read(name).count()} rows")
     }
