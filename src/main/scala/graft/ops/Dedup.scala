@@ -90,12 +90,38 @@ object Dedup {
     out
   }
 
-  /** MinHash signature columns `mh_0..mh_{k-1}` per id. One shuffle
-    * (groupBy id); the k permutations are computed map-side from a
-    * single xxhash64 of each shingle.
+  /** MinHash signature columns `mh_0..mh_{k-1}` per id, computed in
+    * ONE pass per row by the codegen'd
+    * [[graft.functions.MinHashSig]] expression — no shingle explode,
+    * no k-aggregate groupBy shuffle (see
+    * [[minHashSignaturesCompositional]] for the pipeline it replaces
+    * bit for bit). Docs with no shingles are filtered, matching the
+    * explode path where they produce no rows.
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame = {
+      n: Int, numHashes: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+      // shingles are non-empty exactly when the doc has >= n tokens;
+      // filtering on the CHEAP token count (not size(__sh) > 0) keeps
+      // the expensive shingle-array construction out of the Filter so
+      // it is built once, in the signature projection only
+      .filter(size(col("__w")) >= n)
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("__w"), n).as("__sh"))
+      .select(col("doc_id"),
+        graft.functions.MinHashFunctions.minhash_sig(col("__sh"), numHashes).as("__mh"))
+      // 32 element_at projections of ONE __mh reference: plain (non-
+      // lambda) expressions, so codegen subexpression elimination
+      // evaluates the signature once per row even after CollapseProject
+      .select(col("doc_id") +: (0 until numHashes).map(i =>
+        element_at(col("__mh"), i + 1).as(s"mh_$i")): _*)
+
+  /** The same signatures built from Spark built-ins only (explode →
+    * xxhash64 → k grouped mins). Kept as the cross-check for the
+    * custom expression.
+    */
+  def minHashSignaturesCompositional(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int): DataFrame = {
     // hash each shingle once; the k permutations are cheap affine maps
     // of the precomputed column, not k string hashes
     val sh = shingleRows(docs, idCol, textCol, n)

@@ -53,4 +53,23 @@ class IdsAndSimHashSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(fast == slow && fast.size == 100)
   }
+
+  test("codegen MinHashSig equals the compositional pipeline bit-for-bit") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val fast = rows(Dedup.minHashSignatures(docs, "doc_id", "text", n = 3, numHashes = 32))
+    val slow = rows(Dedup.minHashSignaturesCompositional(docs, "doc_id", "text", n = 3, numHashes = 32))
+    assert(fast == slow && fast.nonEmpty)
+    // schema parity too: band building addresses mh_i by name
+    assert(fast.size == slow.size)
+    // the signature stage itself must plan with no exchange: the whole
+    // point of the one-pass expression is a shuffle-free map side
+    // (plan-checked on the raw table — the limit() above adds its own
+    // SinglePartition exchange that has nothing to do with signatures)
+    val full = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Dedup.minHashSignatures(full, "doc_id", "text", 3, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"signature stage shuffles:\n$plan")
+  }
 }
