@@ -3,9 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, SimHash64}
+import graft.functions.{DotProduct, MinHashSig, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions with the SQL function registry, so
@@ -23,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.simHashDescriptor)
+    ext.injectFunction(GraftExtensions.minHashSigDescriptor)
   }
 }
 
@@ -41,5 +43,19 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "simhash64 takes exactly 1 array<string> argument")
       SimHash64(children.head)
+    })
+
+  val minHashSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("minhash_sig"),
+    new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "minhash_sig takes (array<string> shingles, int-literal numHashes)")
+      val k = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig numHashes must be an integer literal, got $other")
+      }
+      MinHashSig(children.head, k)
     })
 }

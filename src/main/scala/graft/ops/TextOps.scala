@@ -38,7 +38,13 @@ object TextOps {
     * barrier (cache/exchange/generator) stood between tokenize and
     * shingle — a 10× swing at bench scale.
     */
-  def shinglesFromTokens(w: Column, n: Int): Column = {
+  def shinglesFromTokens(w: Column, n: Int): Column =
+    array_distinct(ngramsFromTokens(w, n))
+
+  /** All word n-grams WITH multiplicity (one per position) — the
+    * repetition-measurement unit, where duplicates are the signal.
+    */
+  def ngramsFromTokens(w: Column, n: Int): Column = {
     val len = size(w)
     // step k: entry i = tokens i..i+k joined; the zip's null-padded
     // tail (slice is shorter than acc) is cut by the final slice
@@ -46,9 +52,8 @@ object TextOps {
       zip_with(acc, slice(w, lit(k + 1), greatest(len - k, lit(0))),
         (a, b) => concat_ws(" ", a, b))
     }
-    array_distinct(
-      when(len >= n, slice(grams, lit(1), len - (n - 1)))
-        .otherwise(array().cast("array<string>")))
+    when(len >= n, slice(grams, lit(1), len - (n - 1)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct word n-gram shingles (the dedup unit). Returns an empty

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, TextOps}
+import graft.ops.{Components, Dedup, TextOps}
 
 /** Deduplication operator coverage over the `documents` table.
   *
@@ -15,22 +15,35 @@ import graft.ops.{Dedup, TextOps}
   */
 object DedupQueries {
 
-  /** DuckDB SQL for exact word-3-gram Jaccard pairs ≥ threshold. */
-  private def jaccardOracle(threshold: String): String =
-    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+  /** CTEs producing one row per (doc_id, distinct word-3-gram) as
+    * `sh(doc_id, sh)` — mirrors [[Dedup.shingleRows]].
+    */
+  private val shingleCtes: String =
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
        |sh AS (SELECT doc_id,
        |  unnest(list_distinct(list_transform(range(1, greatest(array_length(w) - 1, 1)),
        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-       |  FROM toks),
+       |  FROM toks)""".stripMargin
+
+  /** Shared CTE list computing exact word-3-gram Jaccard pairs ≥
+    * threshold as `jpairs(doc_a, doc_b, jaccard)`.
+    */
+  private def jaccardCtes(threshold: String): String =
+    s"""$shingleCtes,
        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
-       |SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
-       |FROM inter
-       |JOIN sizes sa ON sa.doc_id = doc_a
-       |JOIN sizes sb ON sb.doc_id = doc_b
-       |WHERE i * 1.0 / (sa.n + sb.n - i) >= $threshold""".stripMargin
+       |          GROUP BY 1, 2),
+       |jpairs AS (SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE i * 1.0 / (sa.n + sb.n - i) >= $threshold)""".stripMargin
+
+  /** DuckDB SQL for exact word-3-gram Jaccard pairs ≥ threshold. */
+  private def jaccardOracle(threshold: String): String =
+    s"""WITH ${jaccardCtes(threshold)}
+       |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin
 
   val queries: Map[String, Q] = Map(
 
@@ -79,6 +92,55 @@ object DedupQueries {
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")),
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    // Near-dup CLUSTERS: transitive closure of the verified Jaccard
+    // pair graph via alternating large-star/small-star rounds — the
+    // keep-one-per-group stage a dedup pipeline runs after pair
+    // generation. The oracle computes the same closure with a
+    // recursive CTE (fine at oracle scale; the engine side is the
+    // O(log n)-round distributed algorithm).
+    "q68_dedup_clusters" -> Q(
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(
+          Tables(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
+        val out = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        pairs.unpersist() // out is materialized; the pair cache is done
+        out
+      },
+      s"""WITH RECURSIVE ${jaccardCtes("0.5")},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |          UNION SELECT doc_b, doc_a FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u)
+         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |FROM reach GROUP BY u""".stripMargin),
+
+    // Train/test decontamination: flag training documents sharing any
+    // word-3-gram with a held-out test split (here: doc_id % 10 == 0).
+    // The contamination check is an equi-join on the shingle — one
+    // shuffle keyed by n-gram, never doc×doc; the test-side distinct
+    // is a broadcast-sized fraction of the corpus. At real scale the
+    // join key would be xxhash64(shingle) to shrink the exchange; the
+    // oracle-portable string key keeps semantics identical.
+    "q69_decontaminate" -> Q(
+      (s, d) => {
+        val sh = Dedup.shingleRows(Tables(s, d, "documents"), "doc_id", "text", n = 3)
+        val testShingles = sh.filter(col("doc_id") % 10 === 0)
+          .select("shingle").distinct()
+        sh.filter(col("doc_id") % 10 =!= 0)
+          .join(testShingles, "shingle")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_contaminated_shingles"))
+      },
+      s"""WITH $shingleCtes,
+         |test_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 = 0)
+         |SELECT s.doc_id, count(*) AS n_contaminated_shingles
+         |FROM sh s JOIN test_sh t ON s.sh = t.sh
+         |WHERE s.doc_id % 10 <> 0
+         |GROUP BY s.doc_id""".stripMargin)
   )
 }

@@ -253,6 +253,53 @@ object TextQueries {
       """SELECT doc_id,
         | octet_length(encode(text)) AS n_bytes,
         | hex(encode(substring(text, 1, 8))) AS header_hex
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin),
+
+    // Repetition-based quality signals (the Gopher/RefinedWeb family):
+    // distinct-token ratio, most-frequent-token share, duplicate-
+    // bigram share. Token and bigram tallies go through explode →
+    // groupBy(doc, gram) — two map-side-combinable shuffles keyed by
+    // doc id, exact at any corpus size (no row-wise O(len²) lambda
+    // and no driver-side mode computation). Ratios are single
+    // int÷int divisions — bit-identical cross-engine.
+    "q70_repetition" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val w = TextOps.whitespaceTokens(col("text"))
+        val tokStats = docs.select(col("doc_id"), explode(w).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(
+            sum("c").as("n_tokens"),
+            max("c").as("top_c"),
+            count(lit(1)).as("n_distinct"))
+        val biStats = docs
+          .select(col("doc_id"), explode(TextOps.ngramsFromTokens(w, 2)).as("b"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_bi"),
+            countDistinct("b").as("d_bi"))
+        tokStats.join(biStats, "doc_id") // inner: 1-token docs have no bigrams
+          .select(col("doc_id"),
+            col("n_tokens"),
+            (col("n_distinct") / col("n_tokens")).as("distinct_token_ratio"),
+            (col("top_c") / col("n_tokens")).as("top_token_frac"),
+            ((col("n_bi") - col("d_bi")) / col("n_bi")).as("dup_bigram_frac"))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+        |tc AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_c,
+        |       count(*) AS n_distinct FROM tc GROUP BY doc_id),
+        |bi AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, greatest(array_length(w), 1)),
+        |    i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM toks WHERE array_length(w) >= 2),
+        |bs AS (SELECT doc_id, count(*) AS n_bi, count(DISTINCT b) AS d_bi
+        |       FROM bi GROUP BY doc_id)
+        |SELECT ts.doc_id, n_tokens,
+        | n_distinct * 1.0 / n_tokens AS distinct_token_ratio,
+        | top_c * 1.0 / n_tokens AS top_token_frac,
+        | (n_bi - d_bi) * 1.0 / n_bi AS dup_bigram_frac
+        |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin)
   )
 }

@@ -29,4 +29,16 @@ class ExtensionsSpec extends AnyFunSuite {
       .collect().head
     assert(r.getBoolean(0) && r.getBoolean(1))
   }
+
+  test("minhash_sig descriptor resolves; rejects non-literal k") {
+    val (ident, info, builder) = GraftExtensions.minHashSigDescriptor
+    spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    val sig = spark.sql("SELECT minhash_sig(array('a b c', 'b c d'), 8) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sig.length == 8 && sig.forall(v => v >= 0 && v < 4294967311L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('x'), cast(rand() * 4 AS int) + 1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal"))
+  }
 }
