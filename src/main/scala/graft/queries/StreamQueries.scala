@@ -24,6 +24,21 @@ object StreamQueries {
       (s, d) => EventStream.dedupDocuments(s, d),
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         | min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    // Stream-stream join: view→click attribution with watermarked
+    // bounded state. Against a static directory the appended rows
+    // equal the batch time-range self-join — the exact oracle below
+    // (epoch_us replays graft.Tables' nanos→micros truncation).
+    "q71_stream_join" -> Q(
+      (s, d) => EventStream.attributedClicks(s, d),
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |           FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  c.us - v.us AS lag_us
+        |FROM e v JOIN e c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.us >= v.us AND c.us <= v.us + 1800000000""".stripMargin)
   )
 }

@@ -92,9 +92,10 @@ object EventStream {
     * there); None = fresh temp checkpoint, full recompute.
     */
   private def runToTable(spark: SparkSession, agg: DataFrame,
-      name: String, checkpointDir: Option[String] = None): DataFrame = {
+      name: String, checkpointDir: Option[String] = None,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
     val writer = agg.writeStream
-      .outputMode(OutputMode.Complete)
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
@@ -119,9 +120,9 @@ object EventStream {
     * which [[compactLog]]'s latest-per-key read absorbs.
     */
   private def runToParquetLog(agg: DataFrame, sinkPath: String,
-      checkpointDir: String): Unit = {
+      checkpointDir: String, mode: OutputMode = OutputMode.Update): Unit = {
     val q = agg.writeStream
-      .outputMode(OutputMode.Update)
+      .outputMode(mode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("__batch", lit(batchId))
           .write.mode("append").parquet(sinkPath)
@@ -202,6 +203,62 @@ object EventStream {
       checkpointDir: String, glob: String = "documents.parquet"): DataFrame = {
     runToParquetLog(dedupAgg(spark, dir, glob), sinkPath, checkpointDir)
     compactLog(spark, sinkPath, Seq("fp"))
+  }
+
+  /** The view→click attribution stream-stream join plan: each click is
+    * attributed to every view by the same user in the preceding
+    * `attribution` window. Both sides carry watermarks, so the join
+    * state store holds only `watermark + attribution` of history per
+    * side — bounded state however long the stream runs; the join
+    * itself is equi-keyed on user_id with a time-range residual.
+    * Output is Append (a join emits facts, not revisable aggregates):
+    * integer event ids + the µs lag, deterministic for the oracle.
+    */
+  private def attributionJoin(spark: SparkSession, dir: String,
+      attribution: String, watermark: String): DataFrame = {
+    val ev = source(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    views.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $attribution"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
+
+  /** View→click attribution via a watermarked stream-stream join, run
+    * to completion with AvailableNow against an Append memory sink.
+    * Batch-equivalent to the time-range self-join on the static table
+    * (the q71 oracle). Test/exploration harness; the durable path is
+    * [[attributedClicksTo]].
+    */
+  def attributedClicks(spark: SparkSession, dir: String,
+      attribution: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val name = s"graft_stream_join_${runId.incrementAndGet()}"
+    runToTable(spark, attributionJoin(spark, dir, attribution, watermark),
+      name, mode = OutputMode.Append)
+  }
+
+  /** Durable incremental attribution: Append-mode joined rows land in
+    * the parquet log at `sinkPath`, each batch stamped with its id (a
+    * crash-replayed batch rewrites identical rows under the same id —
+    * read with `SELECT DISTINCT` or dedup on (view_id, click_id) to
+    * absorb at-least-once delivery). With a checkpoint, successive
+    * runs process only unseen files with join state restored: O(new).
+    */
+  def attributedClicksTo(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointDir: String, attribution: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    runToParquetLog(attributionJoin(spark, dir, attribution, watermark),
+      sinkPath, checkpointDir, OutputMode.Append)
+    spark.read.parquet(sinkPath).drop("__batch").distinct()
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,

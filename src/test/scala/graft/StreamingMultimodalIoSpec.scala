@@ -23,6 +23,24 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-stream attribution join equals the batch time-range join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = EventStream.attributedClicks(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("vts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val batch = v.join(c, col("user_id") === col("cu") &&
+        col("cts") >= col("vts") && col("cts") <= col("vts") + expr("INTERVAL 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("cts")) - unix_micros(col("vts"))).as("lag_us"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming dedup checkpoint makes re-runs incremental (0 new files)") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
     val dir = "/root/testdata/sf0.001"
