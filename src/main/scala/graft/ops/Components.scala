@@ -91,12 +91,15 @@ object Components {
     // are GC-reclaimed by the ContextCleaner. (On a real cluster with
     // executor churn, set a checkpoint dir and swap in reliable
     // `checkpoint()` — same contract.)
-    var edges = canonical(pairs, aCol, bCol).localCheckpoint(true)
+    // lazy checkpoint: the signature aggregate is the materializing
+    // action, so each round runs ONE job (checkpoint + fixpoint test
+    // together) instead of an eager-checkpoint job plus an agg job
+    var edges = canonical(pairs, aCol, bCol).localCheckpoint(false)
     var sig = signature(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       edges = next
       converged = nextSig == sig

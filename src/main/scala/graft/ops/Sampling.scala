@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic mixture sampling — the "data mixing" stage of a
+  * training-data pipeline: keep each stratum (language, source, bucket)
+  * at its own target rate, reproducibly, with no RNG state. A row is
+  * kept iff a salted md5 of its key falls under the stratum's
+  * threshold, so the decision is a pure row-wise projection: the same
+  * row always gets the same verdict, reruns and retries are stable,
+  * and the filter composes with pushdown like any other predicate.
+  *
+  * md5 rather than xxhash64 so an external system (or the DuckDB
+  * oracle) can replay the exact keep-set byte for byte.
+  */
+object Mixture {
+
+  /** 4-hex-digit keep threshold for a rate in [0, 1]: a row with
+    * uniform hex u (4 chars) is kept iff u < threshold. Rate 1.0 maps
+    * to "zzzz", lexicographically above every hex string.
+    */
+  def hexThreshold(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0,1]")
+    if (rate >= 1.0) "zzzz"
+    else f"${math.round(rate * 65536).min(65535L)}%04x"
+  }
+
+  /** The row's uniform draw: first 4 hex chars of md5(salt ‖ key) —
+    * 16-bit granularity, plenty for mixture weights.
+    */
+  def uniformHex(salt: String, key: Column): Column =
+    substring(md5(concat(lit(salt), key.cast("string"))), 1, 4)
+
+  /** Keep-predicate for a stratified mixture: per-stratum rates with a
+    * default for unlisted strata. Pure column expression (when-chain
+    * over literal thresholds) — broadcast-free, shuffle-free.
+    */
+  def keep(key: Column, salt: String, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double): Column = {
+    val u = uniformHex(salt, key)
+    val thr = rates.foldLeft(lit(hexThreshold(defaultRate))) {
+      case (acc, (value, rate)) =>
+        when(stratum === value, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    u < thr
+  }
+
+  /** The same predicate as ANSI SQL (DuckDB-compatible), rendered from
+    * the same rate table — the single source of truth for oracles.
+    */
+  def keepSql(keySql: String, salt: String, stratumSql: String,
+      rates: Map[String, Double], defaultRate: Double): String = {
+    val cases = rates.toSeq.sortBy(_._1).map { case (v, r) =>
+      s"WHEN $stratumSql = '$v' THEN '${hexThreshold(r)}'"
+    }.mkString(" ")
+    s"substring(md5('$salt' || CAST($keySql AS VARCHAR)), 1, 4) < " +
+      s"(CASE $cases ELSE '${hexThreshold(defaultRate)}' END)"
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.TextOps
+import graft.ops.{Mixture, TextOps}
 
 /** Text-analysis operator coverage over `documents`: token counting,
   * quality scoring, language ID, fingerprinting, and the SQL-visible
@@ -39,6 +39,13 @@ object TextQueries {
     TextOps.langStopwords.map { case (lang, words) =>
       s"${hitsSql(words)} AS ${lang}_hits"
     }.mkString(",\n    ")
+
+  /** q72 mixture weights: upsample EN, keep FR/DE at half, trim the
+    * tail. One table drives both the engine predicate and the oracle.
+    */
+  val mixRates: Map[String, Double] =
+    Map("en" -> 1.0, "fr" -> 0.5, "de" -> 0.5, "es" -> 0.25)
+  val mixDefault: Double = 0.125
 
   val queries: Map[String, Q] = Map(
 
@@ -300,6 +307,54 @@ object TextQueries {
         | n_distinct * 1.0 / n_tokens AS distinct_token_ratio,
         | top_c * 1.0 / n_tokens AS top_token_frac,
         | (n_bi - d_bi) * 1.0 / n_bi AS dup_bigram_frac
-        |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin)
+        |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin),
+
+    // Deterministic data mixing: keep each language stratum at its own
+    // target rate (upsample EN, downsample the tail) via a salted-md5
+    // row draw — a pure pushdown-friendly predicate, no RNG state, and
+    // the exact keep-set replays anywhere md5 exists. The oracle
+    // renders from the SAME rate table (Mixture.keepSql).
+    "q72_data_mix" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .filter(Mixture.keep(col("doc_id"), "mix:", col("lang"),
+            mixRates, mixDefault))
+          .select("doc_id", "source", "lang"),
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE ${Mixture.keepSql("doc_id", "mix:", "lang",
+                    mixRates, mixDefault)}""".stripMargin),
+
+    // Document packing: assign docs to fixed-token-budget packs (the
+    // pretraining sequence-packing shape). Packing is inherently
+    // order-dependent, so it is defined per hash shard: within each of
+    // 32 shards, docs in id order fill packs of 2048 tokens (a doc
+    // straddling the boundary starts in the pack its offset falls in).
+    // One window per shard key — 32-way parallel, no global sort; at
+    // real scale shards = output files.
+    "q73_pack_sequences" -> Q(
+      (s, d) => {
+        val base = Tables(s, d, "documents").select(
+          col("doc_id"),
+          (col("doc_id") % 32).as("shard"),
+          size(TextOps.whitespaceTokens(col("text"))).cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Long.MinValue, 0)
+        base.withColumn("cum", sum("n_tokens").over(w))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+            expr("(cum - n_tokens) DIV 2048").as("pack_id"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+        |FROM c""".stripMargin)
   )
 }

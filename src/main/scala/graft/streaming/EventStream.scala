@@ -65,9 +65,11 @@ object EventStream {
     * [[windowedCountsTo]].
     */
   def windowedCounts(spark: SparkSession, dir: String,
-      window: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+      window: String = "1 hour", watermark: String = "2 hours",
+      statePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_win_${runId.incrementAndGet()}"
-    runToTable(spark, windowAgg(spark, dir, window, watermark), name)
+    runToTable(spark, windowAgg(spark, dir, window, watermark), name,
+      statePartitions = statePartitions)
   }
 
   /** Durable incremental windowed counts: Update-mode changed rows
@@ -93,17 +95,39 @@ object EventStream {
     */
   private def runToTable(spark: SparkSession, agg: DataFrame,
       name: String, checkpointDir: Option[String] = None,
-      mode: OutputMode = OutputMode.Complete): DataFrame = {
+      mode: OutputMode = OutputMode.Complete,
+      statePartitions: Option[Int] = None): DataFrame = {
     val writer = agg.writeStream
       .outputMode(mode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
-    val q = checkpointDir
-      .fold(writer)(c => writer.option("checkpointLocation", c))
-      .start()
+    val q = withStatePartitions(spark, statePartitions) {
+      checkpointDir
+        .fold(writer)(c => writer.option("checkpointLocation", c))
+        .start()
+    }
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** Streaming state partitioning (state-store instances per stateful
+    * operator) is `spark.sql.shuffle.partitions` AT QUERY START and is
+    * then pinned by the checkpoint — a per-query property, not a
+    * session one. Every state partition pays per-batch store
+    * open/commit costs (a stream-stream join keeps four stores per
+    * partition), so it should be sized to key cardinality/throughput,
+    * not to the session's batch-shuffle width. This scopes an override
+    * to the `start()` call and restores the session conf after.
+    */
+  private def withStatePartitions[T](spark: SparkSession,
+      n: Option[Int])(start: => T): T = n match {
+    case None => start
+    case Some(p) =>
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, p)
+      try start finally spark.conf.set(key, prev)
   }
 
   /** The durable incremental execution shape: Update mode emits only
@@ -120,8 +144,9 @@ object EventStream {
     * which [[compactLog]]'s latest-per-key read absorbs.
     */
   private def runToParquetLog(agg: DataFrame, sinkPath: String,
-      checkpointDir: String, mode: OutputMode = OutputMode.Update): Unit = {
-    val q = agg.writeStream
+      checkpointDir: String, mode: OutputMode = OutputMode.Update,
+      statePartitions: Option[Int] = None): Unit = {
+    val writer = agg.writeStream
       .outputMode(mode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.withColumn("__batch", lit(batchId))
@@ -130,7 +155,7 @@ object EventStream {
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .start()
+    val q = withStatePartitions(agg.sparkSession, statePartitions)(writer.start())
     q.awaitTermination()
   }
 
@@ -186,9 +211,11 @@ object EventStream {
     */
   def dedupDocuments(spark: SparkSession, dir: String,
       checkpointDir: Option[String] = None,
-      glob: String = "documents.parquet"): DataFrame = {
+      glob: String = "documents.parquet",
+      statePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    runToTable(spark, dedupAgg(spark, dir, glob), name, checkpointDir)
+    runToTable(spark, dedupAgg(spark, dir, glob), name, checkpointDir,
+      statePartitions = statePartitions)
   }
 
   /** Durable incremental dedup: each run ingests only files the
@@ -240,10 +267,11 @@ object EventStream {
     */
   def attributedClicks(spark: SparkSession, dir: String,
       attribution: String = "30 minutes",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
     val name = s"graft_stream_join_${runId.incrementAndGet()}"
     runToTable(spark, attributionJoin(spark, dir, attribution, watermark),
-      name, mode = OutputMode.Append)
+      name, mode = OutputMode.Append, statePartitions = statePartitions)
   }
 
   /** Durable incremental attribution: Append-mode joined rows land in
@@ -255,9 +283,10 @@ object EventStream {
     */
   def attributedClicksTo(spark: SparkSession, dir: String, sinkPath: String,
       checkpointDir: String, attribution: String = "30 minutes",
-      watermark: String = "2 hours"): DataFrame = {
+      watermark: String = "2 hours",
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
     runToParquetLog(attributionJoin(spark, dir, attribution, watermark),
-      sinkPath, checkpointDir, OutputMode.Append)
+      sinkPath, checkpointDir, OutputMode.Append, statePartitions)
     spark.read.parquet(sinkPath).drop("__batch").distinct()
   }
 
