@@ -34,13 +34,14 @@ object EventStream {
   /** Streaming source over the events parquet with `ts` normalized to
     * a microsecond timestamp.
     */
-  def source(spark: SparkSession, dir: String): DataFrame = {
+  def source(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source requires a directory: scan `dir` with
-    // a glob filter selecting only the events table
+    // a glob filter selecting only the event dumps
     spark.readStream
       .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
@@ -242,8 +243,9 @@ object EventStream {
     * integer event ids + the µs lag, deterministic for the oracle.
     */
   private def attributionJoin(spark: SparkSession, dir: String,
-      attribution: String, watermark: String): DataFrame = {
-    val ev = source(spark, dir)
+      attribution: String, watermark: String,
+      glob: String = "events.parquet"): DataFrame = {
+    val ev = source(spark, dir, glob)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", watermark)
@@ -284,8 +286,9 @@ object EventStream {
   def attributedClicksTo(spark: SparkSession, dir: String, sinkPath: String,
       checkpointDir: String, attribution: String = "30 minutes",
       watermark: String = "2 hours",
-      statePartitions: Option[Int] = Some(8)): DataFrame = {
-    runToParquetLog(attributionJoin(spark, dir, attribution, watermark),
+      statePartitions: Option[Int] = Some(8),
+      glob: String = "events.parquet"): DataFrame = {
+    runToParquetLog(attributionJoin(spark, dir, attribution, watermark, glob),
       sinkPath, checkpointDir, OutputMode.Append, statePartitions)
     spark.read.parquet(sinkPath).drop("__batch").distinct()
   }

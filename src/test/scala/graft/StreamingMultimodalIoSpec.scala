@@ -100,6 +100,40 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
       s"expected 2 changed-key rows, got ${secondRun.count()}")
   }
 
+  test("durable attribution join: second run joins new clicks against restored view state") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_join_src").toString
+    val sink = Files.createTempDirectory("graft_join_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_join_ckpt").toString
+    val t0 = 1704067200L * 1000000000L // 2024-01-01 in nanos
+    def writeEvents(name: String, rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft_ev_dump").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+    }
+    def min(n: Long) = n * 60L * 1000000000L
+    // batch a: one view + one click 10 min later -> one pair
+    writeEvents("a.parquet", Seq(
+      (1L, t0, 7L, "view"), (2L, t0 + min(10), 7L, "click")))
+    val s1 = EventStream.attributedClicksTo(spark, src, sink, ckpt, glob = "*.parquet")
+      .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(s1 == Set((1L, 2L)))
+    // batch b: ONLY a new click, still inside view 1's window — the
+    // pair can only come from join state restored via the checkpoint
+    writeEvents("b.parquet", Seq((3L, t0 + min(20), 7L, "click")))
+    val s2 = EventStream.attributedClicksTo(spark, src, sink, ckpt, glob = "*.parquet")
+      .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+    assert(s2 == Set((1L, 2L), (1L, 3L)))
+    // O(new) writes: the second run appended only the new pair
+    val maxBatch = spark.read.parquet(sink).agg(max("__batch")).as[Long].head()
+    val lastRun = spark.read.parquet(sink).filter($"__batch" === maxBatch)
+    assert(lastRun.count() == 1, "second run must append only the new join row")
+  }
+
   test("durable windowed counts equal the memory-sink result") {
     import java.nio.file.Files
     val dir = "/root/testdata/sf0.001"
