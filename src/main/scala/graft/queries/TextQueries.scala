@@ -355,6 +355,42 @@ object TextQueries {
         |  FROM b)
         |SELECT doc_id, shard, n_tokens,
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+
+    // Distinctive-term extraction: top-3 tokens per document ranked by
+    // term frequency, rarity (ascending document frequency), then the
+    // token itself — the tf-idf ordering expressed over INTEGERS only,
+    // so the oracle is exact (a float idf = ln(N/df) risks cross-engine
+    // libm ulps and buys no ranking power here). Shape at scale: one
+    // explode, two map-side-combinable aggregations, an equi-join on
+    // token (the df side is vocab-sized), and a per-doc top-k window —
+    // partitioned by doc id, never global.
+    "q74_keyword_extract" -> Q(
+      (s, d) => {
+        val tf = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.whitespaceTokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("tf").desc, col("df").asc, col("t").asc)
+        tf.join(dfreq, "t")
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("t").as("token"),
+            col("tf"), col("df"), col("rnk"))
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |r AS (
+        |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.t ASC) AS rnk
+        |  FROM tf JOIN df ON tf.t = df.t)
+        |SELECT doc_id, t AS token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin)
   )
 }
