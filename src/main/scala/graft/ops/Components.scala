@@ -37,7 +37,10 @@ object Components {
 
   /** Large-star: every node u connects its LARGER neighbors to
     * m(u) = min(N(u) ∪ {u}). Output stays canonical (hi > lo) because
-    * the emitted pair is (v, m) with v > u ≥ m.
+    * the emitted pair is (v, m) with v > u ≥ m. NOT deduplicated —
+    * small-star's min-aggregation is insensitive to duplicates and its
+    * final distinct absorbs them, so skipping the dedup here saves an
+    * exchange per round at a bounded (≤ 2|E|) row cost.
     */
   private def largeStar(edges: DataFrame): DataFrame = {
     val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
@@ -47,7 +50,6 @@ object Components {
     sym.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("hi"), col("m").as("lo"))
-      .distinct()
   }
 
   /** Small-star: every node u connects its smaller neighbors and

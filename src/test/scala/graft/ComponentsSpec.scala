@@ -60,4 +60,20 @@ class ComponentsSpec extends AnyFunSuite {
   test("empty pair set yields empty labels") {
     assert(labels(Seq.empty[(Long, Long)]) == Map.empty)
   }
+
+  test("property: matches union-find on random sparse and dense graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val graphGen = for {
+      nodes <- Gen.chooseNum(2, 40)
+      nEdges <- Gen.chooseNum(1, 60)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.chooseNum(0L, nodes.toLong), Gen.chooseNum(0L, nodes.toLong)))
+    } yield edges.filter { case (a, b) => a != b }
+    (0 until 6).foreach { i =>
+      val edges = graphGen.apply(Gen.Parameters.default, Seed(1234L + i)).get
+      if (edges.nonEmpty)
+        assert(labels(edges) == bruteForce(edges), s"seed offset $i")
+    }
+  }
 }
