@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Approximate aggregation for cardinalities and quantiles at corpus
@@ -33,4 +35,53 @@ object Sketches {
         approxDistinct(col(keyCol)).as("approx_distinct"),
         approxQuantiles(col(valueCol), Seq(0.5, 0.9, 0.99))
           .as("quantiles"))
+
+  /** Misra–Gries heavy hitters over a token stream: at most `k`
+    * counters per partial aggregate, merged with the deficit-preserving
+    * rule (sum counters, subtract the (k+1)-th largest, drop ≤ 0).
+    * Guarantees after any partitioning/merge order: every item with
+    * true frequency > N/(k+1) survives, and each reported count
+    * undercounts truth by at most N/(k+1). The counter VALUES depend on
+    * arrival order (inherent to MG) — consumers rely on the guarantees,
+    * not exact counts; the exact heavy-hitter baseline is q64.
+    *
+    * This is the mergeable single-pass shape: one map-side sketch per
+    * partition, one tiny merge — no shuffle proportional to vocabulary,
+    * which is what makes it the 100 TB path over exact explode+groupBy.
+    */
+  class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    require(k > 0)
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      if (b.contains(t)) b.updated(t, b(t) + 1L)
+      else if (b.size < k) b.updated(t, 1L)
+      else b.flatMap { case (key, c) => // classic MG decrement step
+        if (c > 1L) Some(key -> (c - 1L)) else None
+      }
+
+    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val sum = (a.keySet ++ b.keySet).iterator
+        .map(key => key -> (a.getOrElse(key, 0L) + b.getOrElse(key, 0L)))
+        .toMap
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.flatMap { case (key, c) =>
+          if (c > cut) Some(key -> (c - cut)) else None
+        }
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** Approximate corpus heavy hitters (see [[MisraGries]]). */
+  def heavyHitters(tokens: Dataset[String], k: Int): Map[String, Long] =
+    tokens.select(new MisraGries(k).toColumn).head()
 }

@@ -9,21 +9,12 @@ object Scratch {
       val t0 = System.nanoTime(); val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
     }
-    time("warm events scan") { graft.Tables(spark, dir, "events").count() }
-    for (i <- 1 to 2)
-      time(s"stream join default run$i") {
-        graft.streaming.EventStream.attributedClicks(spark, dir).count()
-      }
     val docs = graft.Tables(spark, dir, "documents")
-    time("jaccard pairs") {
-      val p = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
-      val n = p.count(); p.unpersist(); n
-    }
-    for (i <- 1 to 2)
-      time(s"q68 pipeline run$i") {
-        val p = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
-        val out = graft.ops.Components.connectedComponents(p, "doc_a", "doc_b")
-        val n = out.count(); p.unpersist(); out.unpersist(); n
+    time("warm scan") { docs.count() }
+    for (i <- 1 to 3)
+      time(s"minHashDedup run$i") {
+        val p = graft.ops.Dedup.minHashDedup(docs, "doc_id", "text")
+        val n = p.count(); p.unpersist(); n
       }
     spark.stop()
   }

@@ -23,4 +23,25 @@ class SketchesSpec extends AnyFunSuite {
       .select(expr("percentile(o_totalprice, 0.5)")).as[Double].head()
     assert(math.abs(row(0) - exactMedian) / exactMedian < 0.05)
   }
+
+  test("Misra-Gries: guaranteed hitters survive any partitioning; counts within N/(k+1)") {
+    // skewed stream: hot=500, warm=200, 60 singletons -> N=760, k=10
+    val rows = Seq.fill(500)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 60).map(i => s"cold$i")
+    val n = rows.size.toLong
+    val k = 10
+    val bound = n / (k + 1) // max undercount and the survival threshold
+    for (parts <- Seq(1, 4, 7)) {
+      val ds = spark.createDataset(rows).repartition(parts)
+      val got = Sketches.heavyHitters(ds, k)
+      assert(got.size <= k, s"parts=$parts: more than k counters")
+      assert(got.contains("hot") && got.contains("warm"),
+        s"parts=$parts: items above N/(k+1)=$bound must survive")
+      got.foreach { case (t, c) =>
+        val truth = rows.count(_ == t).toLong
+        assert(c <= truth && c >= truth - bound,
+          s"parts=$parts token=$t est=$c truth=$truth bound=$bound")
+      }
+    }
+  }
 }
