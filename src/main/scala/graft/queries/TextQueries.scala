@@ -391,6 +391,37 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY tf.doc_id
         |      ORDER BY tf.tf DESC, df.df ASC, tf.t ASC) AS rnk
         |  FROM tf JOIN df ON tf.t = df.t)
-        |SELECT doc_id, t AS token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin)
+        |SELECT doc_id, t AS token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin),
+
+    // Context-window chunking: split each document into overlapping
+    // 64-token windows with stride 48 (16-token overlap) — the
+    // pretraining/embedding-ingest shape. Pure row-local generate:
+    // sequence → explode → slice/join, no shuffle at all; chunk ids
+    // derive from the start offset so both engines compute them
+    // without window functions.
+    "q75_chunk_documents" -> Q(
+      (s, d) => {
+        val base = Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.whitespaceTokens(col("text")).as("w"))
+          .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("len"))
+          .filter(col("len") >= 1)
+        base
+          .select(col("doc_id"), col("len"), col("w"),
+            explode(sequence(lit(1L), col("len"), lit(48L))).as("start"))
+          .select(col("doc_id"),
+            expr("(start - 1) DIV 48").as("chunk_id"),
+            least(col("len") - col("start") + 1, lit(64L)).as("chunk_tokens"),
+            array_join(slice(col("w"), col("start"), lit(64)), " ").as("chunk_text"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |b AS (SELECT doc_id, w, CAST(array_length(w) AS BIGINT) AS len
+        |      FROM t WHERE array_length(w) >= 1),
+        |c AS (SELECT doc_id, len, w, unnest(range(1, len + 1, 48)) AS start FROM b)
+        |SELECT doc_id,
+        |  (start - 1) // 48 AS chunk_id,
+        |  least(len - start + 1, 64) AS chunk_tokens,
+        |  array_to_string(list_slice(w, start, least(start + 63, len)), ' ') AS chunk_text
+        |FROM c""".stripMargin)
   )
 }
