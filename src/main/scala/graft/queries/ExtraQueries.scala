@@ -64,6 +64,29 @@ object ExtraQueries {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin),
 
+    // Explicit GROUPING SETS (the general form under rollup/cube) with
+    // grouping() flags so the all-rows stratum is distinguishable from
+    // a genuine NULL key. Spark plans one Expand + a single shuffle.
+    "q76_grouping_sets" -> Q(
+      (s, d) => {
+        Tables(s, d, "lineitem").createOrReplaceTempView("q76_lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+            |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+            |  count(*) AS n, sum(l_quantity) AS sum_qty
+            |FROM q76_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+            |  (l_returnflag), ())""".stripMargin)
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())""".stripMargin),
+
     // Correlated scalar subquery: parts within 2% of their brand's
     // top price. Exercises Catalyst's subquery decorrelation
     // (RewriteCorrelatedScalarSubquery → left outer join + agg) — a

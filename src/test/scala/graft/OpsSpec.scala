@@ -181,4 +181,21 @@ class OpsSpec extends AnyFunSuite {
       .select(TextOps.fingerprint($"t")).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("Mixture: hex thresholds are rate-monotone; keep honors strata exactly") {
+    import graft.ops.Mixture
+    assert(Mixture.hexThreshold(0.0) == "0000")
+    assert(Mixture.hexThreshold(0.25) == "4000")
+    assert(Mixture.hexThreshold(0.5) == "8000")
+    assert(Mixture.hexThreshold(1.0) == "zzzz")
+    val rates = Seq(0.0, 0.1, 0.25, 0.5, 0.9, 0.999, 1.0)
+    val thr = rates.map(Mixture.hexThreshold)
+    assert(thr == thr.sorted, "thresholds must be monotone in the rate")
+    // rate-1 stratum keeps every row, rate-0 default keeps none
+    val df = (1L to 200L).toDF("id")
+      .withColumn("s", when($"id" % 2 === 0, "all").otherwise("other"))
+    val kept = df.filter(Mixture.keep($"id", "t:", $"s", Map("all" -> 1.0), 0.0))
+    assert(kept.select("s").distinct().as[String].collect().toSeq == Seq("all"))
+    assert(kept.count() == 100)
+  }
 }
