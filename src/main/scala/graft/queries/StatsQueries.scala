@@ -83,6 +83,26 @@ object StatsQueries {
         | floor(var_samp(l_quantity)*10000 + 0.5)/10000 AS var_qty,
         | min(l_quantity) AS min_qty,
         | max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // Bivariate statistics per group (corr/covariance): merge-formula
+    // aggregates whose low-order bits are accumulation-order-dependent,
+    // so both sides round: 4 decimals for the unit-scale corr, 2 for
+    // the price-scale covariance (absolute ulp error scales with
+    // magnitude; coarser step keeps the boundary-flip risk negligible).
+    "q77_correlation" -> Q(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+            r2(covar_samp(col("l_quantity"), col("l_extendedprice")))
+              .as("covar_qty_price"),
+            count(lit(1)).as("n")),
+      """SELECT l_returnflag,
+        | floor(corr(l_quantity, l_extendedprice)*10000 + 0.5)/10000 AS corr_qty_price,
+        | floor(covar_samp(l_quantity, l_extendedprice)*100 + 0.5)/100 AS covar_qty_price,
+        | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
   )
 }
