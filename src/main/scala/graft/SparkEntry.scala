@@ -20,7 +20,8 @@ object SparkEntry {
     DedupQueries.queries,
     AnnQueries.queries,
     TextQueries.queries,
-    StreamQueries.queries
+    StreamQueries.queries,
+    CdcQueries.queries
   )
 
   private lazy val registry: Map[String, Q] =

@@ -124,4 +124,58 @@ object TextOps {
     }
     chain.get.otherwise(scores.last._1)
   }
+
+  // ---- PII scrubbing ------------------------------------------------
+  //
+  // Patterns restricted to the Java-regex ∩ RE2 common subset (char
+  // classes, bounded repeats — no backrefs, no lookaround) so the same
+  // pattern string drives Spark's codegen'd regexp_replace AND the
+  // DuckDB oracle byte for byte. Applied in order email → phone →
+  // digit-run: each stage's tag contains no digits, so later stages
+  // never re-match inside an earlier redaction.
+
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9][0-9 ()\\-]{5,}[0-9]"
+  val idRunPattern = "[0-9]{6,}"
+
+  /** Redact emails, international-format phone numbers, and long digit
+    * runs (account/id numbers) with typed tags. Pure row-wise codegen
+    * expression — at corpus scale this runs at the scan with zero
+    * shuffle, like every other feature extractor here.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      emailPattern, "<EMAIL>"), phonePattern, "<PHONE>"), idRunPattern, "<ID>")
+
+  /** Per-stage match counts (email on raw, phone after email
+    * redaction, digit-run after both), as longs.
+    */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(c, emailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, phonePattern, "<PHONE>")
+    Seq(
+      "n_emails" -> regexp_count(c, lit(emailPattern)).cast("long"),
+      "n_phones" -> regexp_count(afterEmail, lit(phonePattern)).cast("long"),
+      "n_ids" -> regexp_count(afterPhone, lit(idRunPattern)).cast("long"))
+  }
+
+  /** [[redactPii]] as DuckDB SQL over the given expression — rendered
+    * from the same pattern constants ('g' = replace all, matching
+    * Spark's replace-all default).
+    */
+  def redactPiiSql(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, " +
+      s"'$emailPattern', '<EMAIL>', 'g'), " +
+      s"'$phonePattern', '<PHONE>', 'g'), '$idRunPattern', '<ID>', 'g')"
+
+  /** [[piiCounts]] as DuckDB SQL select-list fragments. */
+  def piiCountsSql(e: String): Seq[(String, String)] = {
+    val afterEmail = s"regexp_replace($e, '$emailPattern', '<EMAIL>', 'g')"
+    val afterPhone =
+      s"regexp_replace($afterEmail, '$phonePattern', '<PHONE>', 'g')"
+    Seq(
+      "n_emails" -> s"len(regexp_extract_all($e, '$emailPattern'))",
+      "n_phones" -> s"len(regexp_extract_all($afterEmail, '$phonePattern'))",
+      "n_ids" -> s"len(regexp_extract_all($afterPhone, '$idRunPattern'))")
+  }
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Cdc
+
+/** Change-data-capture coverage: a full type-2 slowly-changing-dimension
+  * merge driven from deterministic snapshots derived from `customer`.
+  *
+  * The fixture builds, purely from arithmetic on `c_custkey` (so the
+  * DuckDB oracle can replay it byte for byte):
+  *  - a dimension with open current rows for every customer plus closed
+  *    history rows for every 5th key;
+  *  - an incoming snapshot with deletes (every 13th key missing),
+  *    updates (every 7th key's balance shifted), and inserts (new keys
+  *    offset by 1,000,000 for every 11th key).
+  * `Cdc.applyScd2` then merges the snapshot in one full-outer equi-join;
+  * the oracle mirrors the same CTE chain in SQL.
+  */
+object CdcQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    "q78_scd2_merge" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val dim = c.select(
+            col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+            lit("2019-01-01").cast("date").as("valid_from"),
+            lit(null).cast("date").as("valid_to"),
+            lit(true).as("is_current"))
+          .unionByName(c.filter(col("c_custkey") % 5 === 0).select(
+            col("c_custkey"),
+            (col("c_acctbal") - 50.0).as("c_acctbal"), col("c_mktsegment"),
+            lit("2018-01-01").cast("date").as("valid_from"),
+            lit("2019-01-01").cast("date").as("valid_to"),
+            lit(false).as("is_current")))
+        val incoming = c.filter(col("c_custkey") % 13 =!= 0).select(
+            col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.5)
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            col("c_mktsegment"))
+          .unionByName(c.filter(col("c_custkey") % 11 === 0).select(
+            (col("c_custkey") + 1000000L).as("c_custkey"),
+            (col("c_acctbal") * 0.5).as("c_acctbal"),
+            lit("NEWSEG").as("c_mktsegment")))
+        Cdc.applyScd2(dim, incoming,
+          keys = Seq("c_custkey"),
+          tracked = Seq("c_acctbal", "c_mktsegment"),
+          batchDate = "2020-06-15")
+      },
+      """WITH dim AS (
+        |  SELECT c_custkey, c_acctbal, c_mktsegment,
+        |         DATE '2019-01-01' AS valid_from,
+        |         CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal - 50.0, c_mktsegment,
+        |         DATE '2018-01-01', DATE '2019-01-01', FALSE
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |), incoming AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.5
+        |              ELSE c_acctbal END AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_acctbal * 0.5, 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 11 = 0
+        |), cur AS (SELECT * FROM dim WHERE is_current
+        |), j AS (
+        |  SELECT coalesce(c.c_custkey, i.c_custkey) AS c_custkey,
+        |         c.c_acctbal AS old_bal, c.c_mktsegment AS old_seg,
+        |         c.valid_from,
+        |         i.c_acctbal AS new_bal, i.c_mktsegment AS new_seg,
+        |         c.c_custkey IS NOT NULL AS in_cur,
+        |         i.c_custkey IS NOT NULL AS in_inc,
+        |         CASE WHEN c.c_custkey IS NULL THEN 'insert'
+        |              WHEN i.c_custkey IS NULL THEN 'delete'
+        |              WHEN c.c_acctbal IS NOT DISTINCT FROM i.c_acctbal
+        |               AND c.c_mktsegment IS NOT DISTINCT FROM i.c_mktsegment
+        |                THEN 'unchanged'
+        |              ELSE 'update' END AS change_type
+        |  FROM cur c FULL OUTER JOIN incoming i USING (c_custkey)
+        |)
+        |SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
+        |       is_current
+        |FROM dim WHERE NOT is_current
+        |UNION ALL
+        |SELECT c_custkey, old_bal, old_seg, valid_from,
+        |       CASE WHEN change_type IN ('update', 'delete')
+        |            THEN DATE '2020-06-15' ELSE NULL END,
+        |       change_type = 'unchanged'
+        |FROM j WHERE in_cur
+        |UNION ALL
+        |SELECT c_custkey, new_bal, new_seg, DATE '2020-06-15',
+        |       CAST(NULL AS DATE), TRUE
+        |FROM j WHERE change_type IN ('insert', 'update')""".stripMargin)
+  )
+}

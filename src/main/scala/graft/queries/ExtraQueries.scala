@@ -179,6 +179,49 @@ object ExtraQueries {
       },
       """SELECT p_brand, sum(l_quantity) AS total_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand""".stripMargin)
+        |GROUP BY p_brand""".stripMargin),
+
+    // Ordered-sequence funnel over the event stream: per user, earliest
+    // view, earliest click AT OR AFTER that view, earliest purchase at
+    // or after that click — the product-analytics conversion shape.
+    // Three chained min-over-partition windows share ONE hash partition
+    // by user_id (unbounded frames, no sort), so the whole funnel costs
+    // a single shuffle regardless of funnel depth; timestamps emitted
+    // as epoch micros (events.parquet carries nanos — TESTDATA trap).
+    "q80_funnel" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("first_view_us",
+            min(when(col("event_type") === "view", col("us"))).over(w))
+          .withColumn("first_click_us",
+            min(when(col("event_type") === "click" &&
+              col("us") >= col("first_view_us"), col("us"))).over(w))
+          .withColumn("first_purchase_us",
+            min(when(col("event_type") === "purchase" &&
+              col("us") >= col("first_click_us"), col("us"))).over(w))
+          .select(col("user_id"), col("first_view_us"),
+            col("first_click_us"), col("first_purchase_us"))
+          .distinct()
+          .withColumn("converted", col("first_purchase_us").isNotNull)
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT *,
+        |  min(CASE WHEN event_type = 'view' THEN us END)
+        |    OVER (PARTITION BY user_id) AS first_view_us FROM e),
+        |c AS (SELECT *,
+        |  min(CASE WHEN event_type = 'click' AND us >= first_view_us
+        |           THEN us END)
+        |    OVER (PARTITION BY user_id) AS first_click_us FROM v),
+        |p AS (SELECT *,
+        |  min(CASE WHEN event_type = 'purchase' AND us >= first_click_us
+        |           THEN us END)
+        |    OVER (PARTITION BY user_id) AS first_purchase_us FROM c)
+        |SELECT DISTINCT user_id, first_view_us, first_click_us,
+        |  first_purchase_us, first_purchase_us IS NOT NULL AS converted
+        |FROM p""".stripMargin)
   )
 }

@@ -422,6 +422,44 @@ object TextQueries {
         |  (start - 1) // 48 AS chunk_id,
         |  least(len - start + 1, 64) AS chunk_tokens,
         |  array_to_string(list_slice(w, start, least(start + 63, len)), ' ') AS chunk_text
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+
+    // PII scrubbing: redact emails / phone numbers / long digit runs
+    // with typed tags and count each kind. The corpus documents are
+    // synthetic word-salad with no PII, so the fixture synthesizes a
+    // contact line per customer from integer-only columns (doubles
+    // render differently across engines) — and both engines then run
+    // the SAME pattern constants (TextOps.redactPiiSql renders the
+    // oracle from them). Pure row-wise codegen: at 100 TB this runs at
+    // the scan, shuffle-free, like every quality/feature extractor.
+    "q79_pii_scrub" -> {
+      val rawSql = "'Contact ' || c_name || ' <c' || c_custkey || " +
+        "'@example.com> call +1 (555) ' || " +
+        "lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || '-' || " +
+        "lpad(CAST((c_custkey * 7) % 10000 AS VARCHAR), 4, '0') || " +
+        "' acct ' || lpad(CAST(c_custkey * 37 AS VARCHAR), 9, '0')"
+      val countCols = TextOps.piiCountsSql("t")
+        .map { case (n, e) => s"  $e AS $n" }.mkString(",\n")
+      Q(
+        (s, d) => {
+          val raw = Tables(s, d, "customer").select(
+            col("c_custkey"),
+            concat(
+              lit("Contact "), col("c_name"),
+              lit(" <c"), col("c_custkey"), lit("@example.com> call +1 (555) "),
+              lpad((col("c_custkey") % 10000).cast("string"), 4, "0"), lit("-"),
+              lpad((col("c_custkey") * 7 % 10000).cast("string"), 4, "0"),
+              lit(" acct "),
+              lpad((col("c_custkey") * 37).cast("string"), 9, "0")).as("t"))
+          raw.select(
+            Seq(col("c_custkey"), TextOps.redactPii(col("t")).as("redacted")) ++
+              TextOps.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+        },
+        s"""WITH raw AS (SELECT c_custkey, $rawSql AS t FROM customer)
+           |SELECT c_custkey,
+           |  ${TextOps.redactPiiSql("t")} AS redacted,
+           |$countCols
+           |FROM raw""".stripMargin)
+    }
   )
 }
