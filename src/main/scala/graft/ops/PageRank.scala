@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over a directed edge frame — the
+  * link-analysis stage of a corpus pipeline (domain authority for
+  * crawl prioritization, citation weighting for source scoring).
+  *
+  * Scale shape: one `groupBy(src)` for out-degrees up front, then per
+  * iteration exactly one equi-join of the edge frame with the rank
+  * frame (both keyed on `src` — AQE reuses the partitioning) and one
+  * map-side-combinable `groupBy(dst).sum`. No windows, no all-pairs,
+  * no driver collects; cost per iteration is O(|E|) shuffled once.
+  *
+  * Determinism across engines: shuffle summation order is not fixed,
+  * so each iteration's new rank is snapped to 1e-6
+  * (`floor(x*1e6+0.5)/1e6` — the engine-portable rounding used
+  * throughout graft.queries.Fns). The snap is part of the operator's
+  * definition; with ranks scaled to mean 1.0 it preserves 6-7
+  * significant digits while making the fixpoint bit-reproducible for
+  * any summation order, so a SQL oracle can replay it exactly.
+  *
+  * Ranks are scaled by |V| (init 1.0, update `(1-d) + d·Σ contrib`):
+  * the invariant Σrank = |V| means node count never enters the loop
+  * and values stay O(1) where the 1e-6 snap is a relative error of
+  * ~1e-6, independent of graph size.
+  *
+  * Lineage: each iteration references the previous rank frame once and
+  * appends join+agg nodes; over many iterations the Catalyst tree and
+  * its repeated analysis dominate, so every round truncates lineage
+  * with a lazy `localCheckpoint` (the next iteration's job
+  * materializes it) — the Components.scala lesson.
+  */
+object PageRank {
+
+  /** Ranks for every node of `edges` (columns `src`, `dst`; callers
+    * wanting undirected semantics pass both directions). Dangling
+    * nodes (appearing only as `dst`) are dropped from the rank table
+    * rather than silently redistributing their mass — callers that
+    * need them keep them out by construction (undirected graphs have
+    * none). Output: (`node`, `rank`), rank scaled to mean ≈ 1.
+    */
+  def run(edges: DataFrame, iterations: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val snap = (c: org.apache.spark.sql.Column) =>
+      floor(c * 1000000L + lit(0.5)) / 1000000L
+
+    var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
+      val sums = contribs
+        .groupBy(col("dst").as("node")).agg(sum("contrib").as("s"))
+      // left join from the node table: zero-inbound nodes (possible in
+      // directed graphs) still get their (1-d) teleport share, and only
+      // ranked (non-dangling) nodes carry forward, keeping |V| rows
+      ranks = deg.select(col("src").as("node"))
+        .join(sums, Seq("node"), "left")
+        .select(col("node"), snap(lit(1.0 - damping) +
+          lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
+}

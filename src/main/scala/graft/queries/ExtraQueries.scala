@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{AsOfJoin, SkewJoin}
+import graft.ops.{AsOfJoin, PageRank, SkewJoin}
 import graft.queries.Fns._
 
 /** Coverage beyond the reference surface: full window-function battery,
@@ -222,6 +222,48 @@ object ExtraQueries {
         |    OVER (PARTITION BY user_id) AS first_purchase_us FROM c)
         |SELECT DISTINCT user_id, first_view_us, first_click_us,
         |  first_purchase_us, first_purchase_us IS NOT NULL AS converted
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin),
+
+    // Link analysis: 5-iteration PageRank over the undirected
+    // customer↔supplier bipartite graph induced by orders⋈lineitem
+    // (suppliers offset into a disjoint id space). The per-iteration
+    // 1e-6 rank snap is part of the operator definition (see
+    // ops/PageRank.scala), which is what lets a SQL oracle — the same
+    // 5 rounds unrolled as CTEs — replay shuffle-order-dependent
+    // double sums exactly.
+    "q81_pagerank" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (col("l_suppkey").cast("long") + 10000000L).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        PageRank.run(edges, iterations = 5)
+          .select(col("node"), col("rank").as("score"))
+      },
+      {
+        val iter = (k: Int) =>
+          s"""r$k AS (
+             |  SELECT d.src AS node,
+             |    floor((0.15 + 0.85 * coalesce(s.s, 0)) * 1000000 + 0.5)
+             |      / 1000000 AS rank
+             |  FROM deg d LEFT JOIN (
+             |    SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS s
+             |    FROM r${k - 1} p
+             |    JOIN e ON e.src = p.node JOIN deg dg ON dg.src = p.node
+             |    GROUP BY e.dst) s ON s.node = d.src)""".stripMargin
+        s"""WITH pairs AS (
+           |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS (SELECT c AS src, p AS dst FROM pairs
+           |      UNION ALL SELECT p, c FROM pairs),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT node, rank AS score FROM r5""".stripMargin
+      })
   )
 }
