@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Similarity
+import graft.ops.{Pca, Similarity}
 
 /** Embedding similarity-search coverage over the `embeddings` table
   * (64-dim float vectors).
@@ -277,7 +277,55 @@ object AnnQueries {
         graft.ops.Ivf.searchWith(ivfIndex(s, d), emb,
           emb.filter(col("vec_id") < 50), "vec_id", "embedding",
           k = 5, nProbe = 4)
-      })(ivfOracle)
+      })(ivfOracle),
+
+    // First principal component of the corpus embeddings by covariance
+    // + 8 rounds of power iteration, emitted as the per-vector PC1
+    // projection. The gram pass is ONE data scan with a nested
+    // row-local explode collapsed map-side to d² = 4096 groups (no
+    // self-join of the data); iteration runs on the constant-size
+    // matrix frame. Every order-dependent sum is snapped to 1e-6
+    // (ops/Pca.scala), so the oracle — the same rounds unrolled as
+    // CTEs — replays it exactly.
+    "q82_pca_power" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val n = emb.count() // one driver scalar, like the oracle's subquery
+        val cov = Pca.covariance(emb, "embedding", n)
+        val pc = Pca.powerIteration(cov, dim = 64, iterations = 8)
+        Pca.scores(emb, "vec_id", "embedding",
+          Pca.means(emb, "embedding", n), pc)
+      },
+      {
+        // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+        // reference, and each unrolled round references its
+        // predecessor twice (matvec + norm subquery) — inlining makes
+        // the plan tree double per round, the exact blowup
+        // localCheckpoint prevents on the Spark side
+        val s6 = (e: String) => s"floor(($e) * 1000000 + 0.5) / 1000000"
+        val iter = (k: Int) =>
+          s"""w$k AS MATERIALIZED (SELECT cov.i, sum(cov.c * v${k - 1}.v) AS w
+             |  FROM cov JOIN v${k - 1} ON v${k - 1}.j = cov.j GROUP BY cov.i),
+             |v$k AS MATERIALIZED (SELECT i AS j,
+             |  ${s6(s"w / (SELECT sqrt(sum(w*w)) FROM w$k)")} AS v FROM w$k)"""
+            .stripMargin
+        s"""WITH ex AS MATERIALIZED (
+           |  SELECT vec_id, t.i AS i, CAST(embedding[t.i] AS DOUBLE) AS x
+           |  FROM embeddings, range(1, 65) t(i)),
+           |nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+           |mm AS MATERIALIZED (SELECT i, ${s6("sum(x) / (SELECT n FROM nn)")} AS m
+           |       FROM ex GROUP BY i),
+           |raw AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+           |        FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+           |cov AS MATERIALIZED (SELECT raw.i, raw.j,
+           |    ${s6("sxy / (SELECT n FROM nn) - ma.m * mb.m")} AS c
+           |  FROM raw JOIN mm ma ON ma.i = raw.i JOIN mm mb ON mb.i = raw.j),
+           |v0 AS MATERIALIZED (SELECT i AS j, CAST(1.0 AS DOUBLE) AS v FROM mm),
+           |${(1 to 8).map(iter).mkString(",\n")}
+           |SELECT e.vec_id, ${s6("sum((e.x - mm.m) * v8.v)")} AS score
+           |FROM ex e JOIN mm ON mm.i = e.i JOIN v8 ON v8.j = e.i
+           |GROUP BY e.vec_id""".stripMargin
+      })
   )
 
   /** The q38 index: trained once per call, deterministic for a given
