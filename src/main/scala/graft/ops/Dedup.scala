@@ -90,6 +90,73 @@ object Dedup {
     out
   }
 
+  /** Exact n-gram Jaccard ≥ threshold via PREFIX FILTERING (AllPairs /
+    * PPJoin family: Bayardo et al., WWW'07; Xiao et al., WWW'08) — the
+    * candidate-sparse alternative to [[jaccardPairs]]'s full inverted
+    * index. Same output, different scale shape:
+    *
+    * Shingles get a global rarest-first order (document frequency
+    * ascending); each document exposes only its first
+    * |s| − ⌈t·|s|⌉ + 1 shingles in that order. Two sets with
+    * J ≥ t MUST share a prefix shingle (pigeonhole on the ⌈t·|s|⌉
+    * highest-ranked elements), so the self-join runs on prefix rows
+    * only — a (1−t) slice of the index, concentrated on RARE shingles
+    * (low document frequency ⇒ small equi-join fanout; the hot-shingle
+    * quadratic blowup of the full index join sits precisely in the
+    * high-df shingles the prefix order pushes OUT of the prefix).
+    * A size-ratio filter (J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|))
+    * prunes candidates before verification; verification then counts
+    * intersections only for surviving candidate pairs by joining their
+    * shingle lists — candidate-proportional, never all-pairs.
+    *
+    * Every stage is an equi-keyed shuffle (shingle df groupBy, per-doc
+    * sort-and-slice groupBy, prefix equi-join, per-pair count); no
+    * windows, no driver state. Same cache contract as
+    * [[jaccardPairs]].
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, n).persist()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    // rarest-first global order = (df, shingle); the doc's sorted
+    // shingle list is assembled once per doc (equi-keyed groupBy) and
+    // sliced to the prefix
+    val ranked = sh.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("__df"), col("shingle"))))
+        .as("__sorted"))
+      .select(col("doc_id"), col("__sorted.shingle").as("__sorted"),
+        size(col("__sorted")).cast("long").as("n_sh"))
+    val prefixLen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .cast("int")
+    val prefix = ranked
+      .select(col("doc_id"), col("n_sh"),
+        explode(slice(col("__sorted"), lit(1), prefixLen)).as("shingle"))
+    val cands = prefix.select(col("doc_id").as("doc_a"), col("n_sh").as("na"),
+        col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"),
+        col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(threshold) * greatest(col("na"), col("nb")) <=
+        least(col("na"), col("nb")))
+      .select("doc_a", "doc_b", "na", "nb")
+      .distinct()
+    // candidate-proportional exact verify: count shared shingles per
+    // surviving pair only
+    val inter = cands
+      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("inter"))
+    val out = inter
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .persist()
+    out.count()
+    sh.unpersist()
+    out
+  }
+
   /** MinHash signature columns `mh_0..mh_{k-1}` per id, computed in
     * ONE pass per row by the codegen'd
     * [[graft.functions.MinHashSig]] expression — no shingle explode,

@@ -71,6 +71,16 @@ object DedupQueries {
         Tables(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5),
       jaccardOracle("0.5")),
 
+    // Same exact semantics via PREFIX FILTERING (AllPairs/PPJoin):
+    // rarest-first prefix self-join + size-ratio filter + candidate-
+    // proportional verify — the candidate-sparse scale path when the
+    // full inverted-index join is too hot. Identical output ⇒ same
+    // oracle as q32.
+    "q83_prefix_jaccard" -> Q(
+      (s, d) => Dedup.prefixJaccardPairs(
+        Tables(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5),
+      jaccardOracle("0.5")),
+
     // SimHash sketch + blocked Hamming join. DuckDB has no xxhash64,
     // so the oracle IMPLEMENTS XXH64(seed=42) in pure SQL (see
     // XxhSql): HUGEINT limb arithmetic emulates the mod-2^64

@@ -42,6 +42,17 @@ class OpsSpec extends AnyFunSuite {
     assert(j.toSeq == Seq((1L, 4L, 1.0)))
   }
 
+  test("prefixJaccardPairs == jaccardPairs on the sf0.001 corpus (exactness)") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val full = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+    val pp = Dedup.prefixJaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+    val a = full.as[(Long, Long, Double)].collect().toSet
+    val b = pp.as[(Long, Long, Double)].collect().toSet
+    full.unpersist(); pp.unpersist()
+    assert(a == b, s"only-full=${(a -- b).take(3)} only-prefix=${(b -- a).take(3)}")
+    assert(a.nonEmpty) // the corpus actually exercises the path
+  }
+
   test("simHash: identical docs share sketch, hamming 0") {
     val pairs = Dedup.simHashPairs(
       Dedup.simHash(docs, "doc_id", "text"), maxDist = 3)
