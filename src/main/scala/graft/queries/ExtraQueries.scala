@@ -264,6 +264,70 @@ object ExtraQueries {
            |r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
            |${(1 to 5).map(iter).mkString(",\n")}
            |SELECT node, rank AS score FROM r5""".stripMargin
-      })
+      }),
+
+    // Time-series gap filling: per-user daily event counts with
+    // missing days densified to 0 between each user's first and last
+    // active day. The day grid is generated ROW-LOCALLY per user
+    // (sequence + explode from the min/max bounds — no calendar-table
+    // join), then one equi-keyed left join brings the observed counts
+    // in; at corpus scale that's two shuffles on (user) / (user, day)
+    // and the densification itself is free.
+    "q84_gapfill" -> Q(
+      (s, d) => {
+        val e = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val daily = e.groupBy("user_id", "day")
+          .agg(count(lit(1)).as("n"))
+        val grid = daily.groupBy("user_id")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"),
+              expr("interval 1 day"))).as("day"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .select(col("user_id"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"))
+      },
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS d
+        |  FROM daily GROUP BY user_id)
+        |SELECT g.user_id, CAST(g.d AS DATE) AS day, coalesce(daily.n, 0) AS n
+        |FROM grid g LEFT JOIN daily
+        |  ON daily.user_id = g.user_id AND daily.day = CAST(g.d AS DATE)"""
+        .stripMargin),
+
+    // Cohort retention: users cohorted by first-activity day, counted
+    // by distinct active users per (cohort, week offset). Integer
+    // day-difference arithmetic, not week truncation, so no
+    // engine-specific week-start semantics leak in. Shape: distinct →
+    // per-user min (both user-keyed map-side-combinable aggregates) →
+    // one broadcast-or-shuffle equi-join → count-distinct re-keyed by
+    // (cohort, offset).
+    "q85_cohort_retention" -> Q(
+      (s, d) => {
+        val act = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+        act.join(cohort, "user_id")
+          .select(col("cohort_day"),
+            expr("datediff(day, cohort_day) DIV 7").as("week_offset"),
+            col("user_id"))
+          .groupBy("cohort_day", "week_offset")
+          .agg(countDistinct("user_id").as("users"))
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, a.day) // 7 AS week_offset,
+        |  count(DISTINCT a.user_id) AS users
+        |FROM act a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)
   )
 }
