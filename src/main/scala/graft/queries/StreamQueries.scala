@@ -26,6 +26,23 @@ object StreamQueries {
         | min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin),
 
+    // Stream-static enrichment: each micro-batch joins the STATIC
+    // customer dimension (stateless — no join state, no watermark),
+    // then aggregates per market segment (bounded-cardinality state).
+    // Against a static directory the result equals the batch join —
+    // the exact oracle below.
+    "q86_stream_enrich" -> Q(
+      (s, d) => EventStream.enrichedCounts(s, d,
+        graft.Tables(s, d, "customer")
+          .select(org.apache.spark.sql.functions.col("c_custkey"),
+            org.apache.spark.sql.functions.col("c_mktsegment")),
+        keyCol = "c_custkey", segCol = "c_mktsegment",
+        statePartitions = Some(4)),
+      """SELECT c_mktsegment, count(*) AS n,
+        | floor(sum(value)*100 + 0.5)/100 AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin),
+
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows
     // equal the batch time-range self-join — the exact oracle below

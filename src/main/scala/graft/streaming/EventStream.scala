@@ -233,6 +233,47 @@ object EventStream {
     compactLog(spark, sinkPath, Seq("fp"))
   }
 
+  /** The stream-static enrichment plan: every micro-batch of the event
+    * stream inner-joins a STATIC dimension frame. Stream-static joins
+    * are STATELESS — the static side is re-planned into each batch, no
+    * join state store, no watermark — so enrichment costs nothing in
+    * state however long the stream runs. The dimension is broadcast
+    * (segment/user dimensions are broadcast-sized; a genuinely big one
+    * would drop the hint and shuffle the BATCH, never stream history).
+    * The downstream aggregate keys on the enrichment attribute, whose
+    * cardinality is bounded (market segments), so even the aggregate
+    * state is a handful of rows.
+    */
+  private def enrichedAgg(spark: SparkSession, dir: String,
+      dim: DataFrame, keyCol: String, segCol: String): DataFrame =
+    source(spark, dir)
+      .join(broadcast(dim), col("user_id") === col(keyCol))
+      .groupBy(col(segCol))
+      .agg(count(lit(1)).as("n"),
+        (floor(sum("value") * 100 + lit(0.5)) / 100).as("total_value"))
+
+  /** Stream-static enrichment run to completion against a memory sink
+    * (spec/gate harness; durable path is [[enrichedCountsTo]]).
+    */
+  def enrichedCounts(spark: SparkSession, dir: String, dim: DataFrame,
+      keyCol: String, segCol: String,
+      statePartitions: Option[Int] = None): DataFrame = {
+    val name = s"graft_stream_enrich_${runId.incrementAndGet()}"
+    runToTable(spark, enrichedAgg(spark, dir, dim, keyCol, segCol), name,
+      statePartitions = statePartitions)
+  }
+
+  /** Durable incremental enrichment: Update-mode changed segments
+    * appended to the parquet log; returns the compacted current state.
+    */
+  def enrichedCountsTo(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointDir: String, dim: DataFrame, keyCol: String,
+      segCol: String, statePartitions: Option[Int] = None): DataFrame = {
+    runToParquetLog(enrichedAgg(spark, dir, dim, keyCol, segCol),
+      sinkPath, checkpointDir, statePartitions = statePartitions)
+    compactLog(spark, sinkPath, Seq(segCol))
+  }
+
   /** The view→click attribution stream-stream join plan: each click is
     * attributed to every view by the same user in the preceding
     * `attribution` window. Both sides carry watermarks, so the join

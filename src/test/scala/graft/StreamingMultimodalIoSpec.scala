@@ -23,6 +23,27 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stream-static enrichment equals the batch join; durable log matches") {
+    val dir = "/root/testdata/sf0.001"
+    val dim = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val streamed = EventStream
+      .enrichedCounts(spark, dir, dim, "c_custkey", "c_mktsegment",
+        statePartitions = Some(4))
+      .select("c_mktsegment", "n").as[(String, Long)].collect().toSet
+    val batch = Tables(spark, dir, "events")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    val sink = java.nio.file.Files.createTempDirectory("graft_enrich").toString + "/log"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_enrich_ckpt").toString
+    val durable = EventStream
+      .enrichedCountsTo(spark, dir, sink, ckpt, dim, "c_custkey",
+        "c_mktsegment", statePartitions = Some(4))
+      .select("c_mktsegment", "n").as[(String, Long)].collect().toSet
+    assert(durable == batch)
+  }
+
   test("stream-stream attribution join equals the batch time-range join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = EventStream.attributedClicks(spark, dir)
