@@ -116,17 +116,19 @@ object Dedup {
     */
   def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, n).persist()
+    val sh = shingleRows(docs, idCol, textCol, n)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
     // rarest-first global order = (df, shingle); the doc's sorted
     // shingle list is assembled once per doc (equi-keyed groupBy) and
-    // sliced to the prefix
+    // sliced to the prefix. Persisted: it feeds the prefix self-join
+    // (twice) and the verification joins (twice).
     val ranked = sh.join(df, "shingle")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("__df"), col("shingle"))))
         .as("__sorted"))
       .select(col("doc_id"), col("__sorted.shingle").as("__sorted"),
         size(col("__sorted")).cast("long").as("n_sh"))
+      .persist()
     val prefixLen = (col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .cast("int")
     val prefix = ranked
@@ -141,19 +143,24 @@ object Dedup {
         least(col("na"), col("nb")))
       .select("doc_a", "doc_b", "na", "nb")
       .distinct()
-    // candidate-proportional exact verify: count shared shingles per
-    // surviving pair only
+    // candidate-proportional exact verify: bring both docs' (distinct,
+    // already-assembled) shingle arrays to the pair row and intersect
+    // ROW-WISE — two equi-joins sized by the candidate set, no
+    // explode-join-regroup of the full index
     val inter = cands
-      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("inter"))
+      .join(ranked.select(col("doc_id").as("doc_a"), col("__sorted").as("__sa")),
+        Seq("doc_a"))
+      .join(ranked.select(col("doc_id").as("doc_b"), col("__sorted").as("__sb")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
     val out = inter
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .persist()
     out.count()
-    sh.unpersist()
+    ranked.unpersist()
     out
   }
 

@@ -44,20 +44,31 @@ object PageRank {
   def run(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    // The edge frame is consumed once per iteration: persist it (or
+    // every round re-executes whatever plan produced the edges —
+    // measured 4-5× of q81's cost) AND pre-hash-partition it on the
+    // join key, so each iteration's big join reuses the cached
+    // partitioning and only the |V|-sized weights frame is exchanged.
+    // Per-round rank/outdeg division happens on the |V| frame BEFORE
+    // touching the edges — the O(|E|) side is joined exactly once per
+    // round. Everything is unpersisted below once the final ranks
+    // materialize (the Dedup cache contract: one surviving frame,
+    // owned by the caller).
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .repartition(col("src"))
+      .persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).persist()
     val snap = (c: org.apache.spark.sql.Column) =>
       floor(c * 1000000L + lit(0.5)) / 1000000L
 
     var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
       .localCheckpoint(false)
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+      val weights = ranks.withColumnRenamed("node", "src")
         .join(deg, "src")
-        .select(col("dst"), (col("rank") / col("outdeg")).as("contrib"))
-      val sums = contribs
-        .groupBy(col("dst").as("node")).agg(sum("contrib").as("s"))
+        .select(col("src"), (col("rank") / col("outdeg")).as("w"))
+      val sums = e.join(weights, "src")
+        .groupBy(col("dst").as("node")).agg(sum("w").as("s"))
       // left join from the node table: zero-inbound nodes (possible in
       // directed graphs) still get their (1-d) teleport share, and only
       // ranked (non-dangling) nodes carry forward, keeping |V| rows
@@ -67,6 +78,9 @@ object PageRank {
           lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint(false)
     }
+    ranks.count() // materialize the final checkpoint while inputs are cached
+    e.unpersist()
+    deg.unpersist()
     ranks
   }
 }
