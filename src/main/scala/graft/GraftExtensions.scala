@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.simHashDescriptor)
     ext.injectFunction(GraftExtensions.minHashSigDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.OverlapRewrite)
   }
 }
 

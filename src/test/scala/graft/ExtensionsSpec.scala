@@ -41,4 +41,42 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("integer literal"))
   }
+
+  test("OverlapRewrite: emptiness tests on array_intersect become arrays_overlap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.OverlapRewrite
+    try {
+      // RDD-backed (a LocalRelation would be constant-folded away
+      // before the plan assertion); Int elements give the
+      // containsNull=false arrays the rewrite guard requires
+      val df = spark.sparkContext.parallelize(Seq(
+        (Seq(1, 2), Seq(2, 3)),
+        (Seq(1, 2), Seq(8, 9)),
+        (Seq.empty[Int], Seq(1)))).toDF("xs", "ys")
+      val overlap = df.filter(size(array_intersect($"xs", $"ys")) > 0)
+      val optimized = overlap.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("arrays_overlap") &&
+        !optimized.contains("array_intersect"), optimized)
+      assert(overlap.count() == 1)
+      val disjoint = df.filter(size(array_intersect($"xs", $"ys")) === 0)
+      assert(disjoint.queryExecution.optimizedPlan.toString
+        .contains("arrays_overlap"))
+      assert(disjoint.count() == 2)
+      // nullable elements: semantics differ around shared nulls — the
+      // guard must leave the expression alone
+      val nullable = spark.sparkContext.parallelize(
+        Seq((Seq[String]("a", null), Seq[String](null, "b"))))
+        .toDF("xs", "ys")
+        .filter(size(array_intersect($"xs", $"ys")) > 0)
+      assert(nullable.queryExecution.optimizedPlan.toString
+        .contains("array_intersect"))
+      assert(nullable.count() == 1) // shared null IS an intersect match
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.OverlapRewrite)
+    }
+  }
 }
