@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.Cdc
+import graft.ops.{Cdc, FuzzyJoin}
 
 /** Change-data-capture coverage: a full type-2 slowly-changing-dimension
   * merge driven from deterministic snapshots derived from `customer`.
@@ -96,6 +96,59 @@ object CdcQueries {
         |UNION ALL
         |SELECT c_custkey, new_bal, new_seg, DATE '2020-06-15',
         |       CAST(NULL AS DATE), TRUE
-        |FROM j WHERE change_type IN ('insert', 'update')""".stripMargin)
+        |FROM j WHERE change_type IN ('insert', 'update')""".stripMargin),
+
+    // Entity resolution: deterministic "dirty" names (one character
+    // deleted at a key-derived position) matched back to the customer
+    // table via trigram blocking (stop-trigram df cut at 100 — the
+    // shared "Customer#" prefix trigrams would otherwise make the
+    // block join all-pairs) + exact Levenshtein ≤ 2 verify. The oracle
+    // replicates blocking AND verification, so the approximate recall
+    // is still hash-exact.
+    "q87_fuzzy_join" -> Q(
+      (s, d) => {
+        val c = Tables(s, d, "customer")
+        val clean = c.select(col("c_custkey"), col("c_name"))
+        val pos = (col("c_custkey") % length(col("c_name"))) + 1
+        val dirty = c.filter(col("c_custkey") % 3 === 0).select(
+          (col("c_custkey") + 5000000L).as("d_id"),
+          concat(col("c_name").substr(lit(1), pos - 1),
+            col("c_name").substr(pos + 1, lit(100))).as("d_name"))
+        FuzzyJoin.trigramJoin(dirty, "d_id", "d_name",
+          clean, "c_custkey", "c_name", maxDist = 2, dfCap = 100)
+      },
+      """WITH dirty AS (
+        |  SELECT c_custkey + 5000000 AS d_id,
+        |    substring(c_name, 1, pos - 1) ||
+        |      substring(c_name, pos + 1, 100) AS d_name
+        |  FROM (SELECT c_custkey, c_name,
+        |          (c_custkey % len(c_name)) + 1 AS pos
+        |        FROM customer WHERE c_custkey % 3 = 0)),
+        |lt AS (
+        |  SELECT d_id, unnest(list_distinct(list_transform(
+        |    range(1, len(d_name) - 1),
+        |    i -> substring(d_name, CAST(i AS INT), 3)))) AS tg
+        |  FROM dirty WHERE len(d_name) >= 3),
+        |rt AS (
+        |  SELECT c_custkey, unnest(list_distinct(list_transform(
+        |    range(1, len(c_name) - 1),
+        |    i -> substring(c_name, CAST(i AS INT), 3)))) AS tg
+        |  FROM customer WHERE len(c_name) >= 3),
+        |keep AS (
+        |  SELECT tg FROM (
+        |    SELECT tg, count(*) AS df FROM (
+        |      SELECT tg FROM lt UNION ALL SELECT tg FROM rt)
+        |    GROUP BY tg) WHERE df <= 100),
+        |cands AS (
+        |  SELECT DISTINCT l.d_id, r.c_custkey
+        |  FROM (SELECT * FROM lt WHERE tg IN (SELECT tg FROM keep)) l
+        |  JOIN (SELECT * FROM rt WHERE tg IN (SELECT tg FROM keep)) r
+        |  USING (tg))
+        |SELECT c.d_id AS l_id, c.c_custkey AS r_id,
+        |  CAST(levenshtein(d.d_name, cu.c_name) AS BIGINT) AS dist
+        |FROM cands c
+        |JOIN dirty d ON d.d_id = c.d_id
+        |JOIN customer cu ON cu.c_custkey = c.c_custkey
+        |WHERE levenshtein(d.d_name, cu.c_name) <= 2""".stripMargin)
   )
 }

@@ -61,6 +61,22 @@ class CdcSpec extends AnyFunSuite {
     assert(twice.filter(col("valid_to").isNotNull).count() == 0)
   }
 
+  test("trigramJoin blocks by rare trigrams and verifies edit distance") {
+    import graft.ops.FuzzyJoin
+    val clean = Seq((1L, "jonathan smith"), (2L, "jonathon smith"),
+      (3L, "maria garcia")).toDF("id", "name")
+    val dirty = Seq((10L, "jonathan smth"), (11L, "xavier qzuuk"))
+      .toDF("id", "name")
+    val m = FuzzyJoin.trigramJoin(dirty, "id", "name",
+      clean, "id", "name", maxDist = 2, dfCap = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // 10 matches both smiths (dist 1 and 2); 11 matches nothing
+    assert(m == Set((10L, 1L, 1L), (10L, 2L, 2L)))
+    // df cap: with dfCap 0 every trigram is dropped -> no candidates
+    assert(FuzzyJoin.trigramJoin(dirty, "id", "name",
+      clean, "id", "name", 2, 0).isEmpty)
+  }
+
   test("redactPii tags emails, phones, digit runs; counts are staged") {
     val df = Seq(
       "mail a.b+c@ex-ample.org or bob@x.io, call +44 20 7946 0958, id 1234567",
