@@ -16,6 +16,31 @@ object TypedQueries {
   final case class FlagStats(l_returnflag: String, n: Long,
       min_qty: Double, max_qty: Double)
 
+  final case class PriceQty(l_returnflag: String, l_extendedprice: Double,
+      l_quantity: Double)
+  final case class WAvgBuf(swx: Double, sw: Double)
+
+  /** Custom typed `Aggregator`: quantity-weighted mean price. The
+    * buffer is a proper monoid (zero / reduce / merge), so Spark runs
+    * it with map-side partial aggregation like any built-in — the
+    * typed-API equivalent of a declarative `sum(x*w)/sum(w)`, here as
+    * API-surface proof that per-partition custom state composes with
+    * the engine's two-phase aggregation.
+    */
+  object WeightedMeanPrice
+      extends org.apache.spark.sql.expressions.Aggregator[PriceQty, WAvgBuf, Double] {
+    override def zero: WAvgBuf = WAvgBuf(0.0, 0.0)
+    override def reduce(b: WAvgBuf, a: PriceQty): WAvgBuf =
+      WAvgBuf(b.swx + a.l_extendedprice * a.l_quantity, b.sw + a.l_quantity)
+    override def merge(x: WAvgBuf, y: WAvgBuf): WAvgBuf =
+      WAvgBuf(x.swx + y.swx, x.sw + y.sw)
+    override def finish(b: WAvgBuf): Double = b.swx / b.sw
+    override def bufferEncoder: org.apache.spark.sql.Encoder[WAvgBuf] =
+      org.apache.spark.sql.Encoders.product[WAvgBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Unpivot to long form via stack (UNPIVOT equivalent).
@@ -55,6 +80,27 @@ object TypedQueries {
       """SELECT l_returnflag, count(*) AS n,
         | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem WHERE l_quantity < 10 GROUP BY l_returnflag""".stripMargin),
+
+    // Custom typed Aggregator (zero/reduce/merge/finish monoid) via
+    // groupByKey().agg(...toColumn) — partial-agg-capable custom state.
+    // Both sides round the sum-order-dependent ratio to 4 decimals.
+    "q88_typed_aggregator" -> Q(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        Tables(s, d, "lineitem")
+          .select("l_returnflag", "l_extendedprice", "l_quantity")
+          .as[PriceQty]
+          .groupByKey(_.l_returnflag)
+          .agg(WeightedMeanPrice.toColumn.name("wavg_price"))
+          .toDF("l_returnflag", "wavg_price")
+          .select(col("l_returnflag"),
+            Fns.r4(col("wavg_price")).as("wavg_price"))
+      },
+      """SELECT l_returnflag,
+        | floor(sum(l_extendedprice * l_quantity) / sum(l_quantity) * 10000 + 0.5)/10000
+        |   AS wavg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
 
     // Schema'd JSON parsing (from_json with a declared struct schema,
     // vs q22's path extraction).
