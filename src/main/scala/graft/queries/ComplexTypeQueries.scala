@@ -37,6 +37,37 @@ object ComplexTypeQueries {
       """SELECT p_partkey, u.pos AS pos, u.word AS word FROM (
         |  SELECT p_partkey, unnest(list_transform(range(1, array_length(w)+1),
         |    i -> {'pos': i, 'word': w[i]})) AS u
-        |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part))""".stripMargin)
+        |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part))""".stripMargin),
+
+    // Higher-order-function battery over the token array: filter /
+    // transform / aggregate / exists / forall, all row-local codegen
+    // lambdas mirrored by DuckDB list lambdas. The token array is a
+    // plain attribute, so the known HOF re-inlining hazard (no CSE for
+    // expensive subtrees captured by lambdas) costs a constant factor
+    // here, not O(n²).
+    "q90_hof_battery" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            split(trim(col("text")), "\\s+").as("w"))
+          .select(col("doc_id"),
+            size(filter(col("w"), t => length(t) > 4)).cast("long").as("n_long"),
+            aggregate(col("w"), lit(0L), (acc, t) => acc + length(t))
+              .as("total_chars"),
+            exists(col("w"), t => t === "spark").as("has_spark"),
+            forall(col("w"), t => length(t) <= 10).as("all_short"),
+            array_max(transform(col("w"), t => length(t))).cast("long")
+              .as("max_len")),
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(w, t -> len(t) > 4)) AS BIGINT) AS n_long,
+        |  list_aggregate(list_transform(w, t -> len(t)), 'sum') AS total_chars,
+        |  len(list_filter(w, t -> t = 'spark')) > 0 AS has_spark,
+        |  len(list_filter(w, t -> len(t) > 10)) = 0 AS all_short,
+        |  CAST(list_aggregate(list_transform(w, t -> len(t)), 'max') AS BIGINT)
+        |    AS max_len
+        |FROM t""".stripMargin)
   )
 }

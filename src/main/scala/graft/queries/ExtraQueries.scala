@@ -300,6 +300,33 @@ object ExtraQueries {
         |  ON daily.user_id = g.user_id AND daily.day = CAST(g.d AS DATE)"""
         .stripMargin),
 
+    // Built-in session_window (batch form): merges events whose gap to
+    // the previous event is < 30 min; window end = last event + gap.
+    // Complements q24's manual gaps-and-islands sessionizer with the
+    // native operator (a single user-keyed aggregate — Spark merges
+    // windows inside the agg, no window-function pass). Oracle:
+    // gaps-and-islands with the SAME boundary rule (break on gap ≥).
+    "q89_session_window" -> Q(
+      (s, d) =>
+        Tables(s, d, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("start_us"),
+            unix_micros(col("session_window.end")).as("end_us"),
+            col("n")),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, us,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin),
+
     // Cohort retention: users cohorted by first-activity day, counted
     // by distinct active users per (cohort, week offset). Integer
     // day-difference arithmetic, not week truncation, so no
