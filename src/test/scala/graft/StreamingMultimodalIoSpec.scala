@@ -169,6 +169,48 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(durable == mem && durable.nonEmpty)
   }
 
+  test("DimSync: streamed snapshots fold into a versioned SCD2 dimension") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types.StructType
+    import graft.streaming.DimSync
+    val src = Files.createTempDirectory("graft_dim_src").toString
+    val dim = Files.createTempDirectory("graft_dim").toString + "/dim"
+    val ckpt = Files.createTempDirectory("graft_dim_ckpt").toString
+    val schema = StructType.fromDDL("k BIGINT, bal DOUBLE, seg STRING")
+    def writeSnap(name: String, rows: Seq[(Long, Double, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft_snap").toString
+      rows.toDF("k", "bal", "seg").coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+    }
+    def runOnce() = DimSync.run(spark, src, "*.parquet", schema, dim, ckpt,
+      Seq("k"), Seq("bal", "seg"), id => f"2021-01-${id + 1}%02d")
+
+    writeSnap("s1.parquet", Seq((1L, 10.0, "A"), (2L, 20.0, "B")))
+    val d1 = runOnce()
+    assert(d1.count() == 2 && d1.filter(col("is_current")).count() == 2)
+    assert(DimSync.currentVersion(spark, dim).contains(0L))
+
+    // update k=1, delete k=2, insert k=3
+    writeSnap("s2.parquet", Seq((1L, 11.0, "A"), (3L, 30.0, "C")))
+    val d2 = runOnce()
+      .select(col("k"), col("bal"), col("valid_to").cast("string"),
+        col("is_current"))
+      .as[(Long, Double, String, Boolean)].collect().toSet
+    assert(d2 == Set(
+      (1L, 10.0, "2021-01-02", false),
+      (1L, 11.0, null, true),
+      (2L, 20.0, "2021-01-02", false),
+      (3L, 30.0, null, true)))
+    assert(DimSync.currentVersion(spark, dim).contains(1L))
+
+    // caught-up checkpoint: nothing new, version unchanged
+    runOnce()
+    assert(DimSync.currentVersion(spark, dim).contains(1L))
+  }
+
   test("stateful sessionizer closes sessions on gap timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
