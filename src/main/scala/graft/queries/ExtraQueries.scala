@@ -300,6 +300,52 @@ object ExtraQueries {
         |  ON daily.user_id = g.user_id AND daily.day = CAST(g.d AS DATE)"""
         .stripMargin),
 
+    // RANGE frame over event time: per-user trailing-24h event sum —
+    // the moving-window mode q25's ROWS frames don't cover. Ordering
+    // key is epoch micros (integer), so the frame bound is an exact
+    // integer range in BOTH engines; ties (same timestamp) are frame-
+    // inclusive by RANGE semantics, which makes the result
+    // order-insensitive and exactly reproducible.
+    "q91_range_frame" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-86400000000L, 0L)
+        Tables(s, d, "events")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .withColumn("trailing_24h_sum",
+            r2(sum("value").over(w)))
+          .withColumn("trailing_24h_n", count(lit(1)).over(w))
+      },
+      """SELECT event_id, user_id, epoch_us(ts) AS us, value,
+        |  floor(sum(value) OVER w * 100 + 0.5)/100 AS trailing_24h_sum,
+        |  count(*) OVER w AS trailing_24h_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)"""
+        .stripMargin),
+
+    // The rank-family completions q25 leaves out: ntile, percent_rank,
+    // cume_dist. All are exact integer-ratio doubles (identical IEEE
+    // divisions in both engines) — no rounding needed.
+    "q92_rank_battery" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)""".stripMargin),
+
     // Built-in session_window (batch form): merges events whose gap to
     // the previous event is < 30 min; window end = last event + gap.
     // Complements q24's manual gaps-and-islands sessionizer with the
