@@ -39,8 +39,15 @@ object Pca {
   /** (i, j, c) covariance entries, 1-based dims, snapped. `n` must be
     * the exact row count of `emb` (callers usually know it; it is also
     * the one scalar a SQL oracle computes in a subquery).
+    *
+    * `meansDf` (a [[means]] frame) is joined on BOTH axes of the
+    * centering term: pass a lineage-truncated frame you also reuse for
+    * [[scores]], or the default computes and checkpoints one
+    * internally — either way the mean aggregate runs ONCE, not once
+    * per broadcast side.
     */
-  def covariance(emb: DataFrame, vecCol: String, n: Long): DataFrame = {
+  def covariance(emb: DataFrame, vecCol: String, n: Long,
+      meansDf: Option[DataFrame] = None): DataFrame = {
     val asDouble = col(vecCol).cast("array<double>")
     val ex = emb.select(asDouble.as("v"))
       .select(posexplode(col("v")).as(Seq("p", "x")), col("v"))
@@ -48,12 +55,10 @@ object Pca {
       .select(col("p") + 1 as "i", col("x"), posexplode(col("v")).as(Seq("q", "y")))
       .select(col("i"), col("q") + 1 as "j", (col("x") * col("y")).as("xy"))
       .groupBy("i", "j").agg(sum("xy").as("sxy"))
-    val means = emb.select(asDouble.as("v"))
-      .select(posexplode(col("v")).as(Seq("p", "x")))
-      .groupBy(col("p") + 1 as "i").agg(snap(sum("x") / n).as("m"))
+    val m = meansDf.getOrElse(means(emb, vecCol, n).localCheckpoint(false))
     raw
-      .join(broadcast(means.select(col("i"), col("m").as("mi"))), "i")
-      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), "j")
+      .join(broadcast(m.select(col("i"), col("m").as("mi"))), "i")
+      .join(broadcast(m.select(col("i").as("j"), col("m").as("mj"))), "j")
       .select(col("i"), col("j"),
         snap(col("sxy") / n - col("mi") * col("mj")).as("c"))
   }

@@ -291,10 +291,11 @@ object AnnQueries {
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
         val n = emb.count() // one driver scalar, like the oracle's subquery
-        val cov = Pca.covariance(emb, "embedding", n)
+        // one checkpointed means frame shared by centering and scoring
+        val m = Pca.means(emb, "embedding", n).localCheckpoint(false)
+        val cov = Pca.covariance(emb, "embedding", n, Some(m))
         val pc = Pca.powerIteration(cov, dim = 64, iterations = 8)
-        Pca.scores(emb, "vec_id", "embedding",
-          Pca.means(emb, "embedding", n), pc)
+        Pca.scores(emb, "vec_id", "embedding", m, pc)
       },
       {
         // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per

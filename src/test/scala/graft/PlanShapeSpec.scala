@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Dedup, Pca}
+
+/** Physical-plan shape assertions for the newer operators — the scale
+  * claims in their docs, pinned so refactors can't silently regress
+  * them (the BucketedCatalogSpec pattern).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def shuffles(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("funnel: all three stage windows share ONE user_id shuffle") {
+    val w = Window.partitionBy("user_id")
+    val funnel = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("v", min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("c", min(when(col("event_type") === "click" &&
+        col("us") >= col("v"), col("us"))).over(w))
+      .withColumn("p", min(when(col("event_type") === "purchase" &&
+        col("us") >= col("c"), col("us"))).over(w))
+    val plan = funnel.queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 1, s"expected 1 shuffle, got:\n$plan")
+  }
+
+  test("Pca.covariance: no cartesian/NL join; one keyed shuffle (gram)") {
+    val emb = Tables(spark, dir, "embeddings")
+    val cov = Pca.covariance(emb, "embedding", 500L)
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // gram groupBy(i, j) is the only exchange in this plan — the
+    // d²-collapse happens map-side (partial aggregation before it),
+    // and the means frame arrives checkpointed (computed once,
+    // broadcast twice)
+    assert(shuffles(plan) == 1, s"expected 1 shuffle, got:\n$plan")
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("prefixJaccardPairs: plan is window-free (no per-key window argmax)") {
+    val docs = Tables(spark, dir, "documents").limit(50)
+    val pp = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val plan = pp.queryExecution.executedPlan.toString
+    pp.unpersist()
+    assert(!plan.contains("Window"), plan)
+  }
+}
