@@ -46,4 +46,53 @@ object AsOfJoin {
       .filter(col("__src") === 1)
       .drop("__src", "__ts", "__rts")
   }
+
+  /** [[backward]] through the NATIVE whole-operator path
+    * (graft.plans.AsOfJoinNode → AsOfJoinExec): same semantics, but a
+    * per-partition two-pointer merge over the two sorted sides instead
+    * of a union + window pass — no union frame, no window state, left
+    * partitioning preserved. Works without SparkSessionExtensions
+    * wiring: the strategy is registered with the session on first use.
+    *
+    * Key and time columns are encoded to longs for the merge
+    * (timestamps as epoch micros); the emitted `asOfCol` keeps the
+    * ORIGINAL right timestamp type.
+    */
+  def nativeBackward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      asOfCol: String = "asof_ts"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.graft.PlanShim
+    import org.apache.spark.sql.types.TimestampType
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy) &&
+      !spark.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+
+    def enc(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+    val lPrep = left
+      .withColumn("__k", enc(left, key))
+      .withColumn("__t", enc(left, leftTs))
+    val rPrep = right.select(enc(right, key).as("__k"),
+      enc(right, rightTs).as("__t"), col(rightTs).as(asOfCol))
+    val lPlan = lPrep.queryExecution.analyzed
+    // re-alias the right output: both sides may descend from the same
+    // scan, and the analyzer's self-join deduplication does not know
+    // this node — fresh exprIds make the outputs disjoint by
+    // construction
+    val rAnalyzed = rPrep.queryExecution.analyzed
+    val rPlan: LogicalPlan =
+      Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).get
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, "__k"), attr(lPlan, "__t"),
+      attr(rPlan, "__k"), attr(rPlan, "__t"))
+    PlanShim.ofRows(spark, node)
+      .select(left.columns.map(col) :+ col(asOfCol): _*)
+  }
 }

@@ -132,6 +132,27 @@ object ExtraQueries {
         |   WHERE event_type = 'purchase') p
         |ON e.user_id = p.user_id AND e.ts >= p.purchase_ts""".stripMargin),
 
+    // q28's as-of join through the NATIVE whole-operator path
+    // (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec sort-merge):
+    // identical semantics and oracle, no union frame, no window pass.
+    "q93_asof_native" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("purchase_ts")).distinct()
+        AsOfJoin.nativeBackward(
+          ev.select("event_id", "user_id", "ts"), purchases,
+          key = "user_id", leftTs = "ts", rightTs = "purchase_ts",
+          asOfCol = "last_purchase_ts")
+          .select("event_id", "user_id", "last_purchase_ts")
+      },
+      """SELECT e.event_id, e.user_id, p.purchase_ts AS last_purchase_ts
+        |FROM events e
+        |ASOF LEFT JOIN
+        |  (SELECT DISTINCT user_id, ts AS purchase_ts FROM events
+        |   WHERE event_type = 'purchase') p
+        |ON e.user_id = p.user_id AND e.ts >= p.purchase_ts""".stripMargin),
+
     // Exact distinct counts (the reference's DISTINCT probes, A3).
     "q29_count_distinct" -> Q(
       (s, d) =>
