@@ -93,6 +93,6 @@ object AsOfJoin {
       attr(lPlan, "__k"), attr(lPlan, "__t"),
       attr(rPlan, "__k"), attr(rPlan, "__t"))
     PlanShim.ofRows(spark, node)
-      .select(left.columns.map(col) :+ col(asOfCol): _*)
+      .select(left.columns.toSeq.map(col) :+ col(asOfCol): _*)
   }
 }

@@ -63,6 +63,6 @@ object Ids {
       ranged.schema.add(outName, LongType, nullable = false))
     if (outName == idName) out
     else out.drop(idName).withColumnRenamed(outName, idName)
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toSeq.map(col): _*)
   }
 }

@@ -27,7 +27,7 @@ object SkewJoin {
     // original attempt, silently dropping/duplicating rows. Hash the
     // full row content instead.
     val l = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(xxhash64(left.columns.toSeq.map(col): _*), lit(salts)).cast("int"))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -170,7 +170,7 @@ object EventStream {
     val log = spark.read.parquet(sinkPath)
     val valueCols = log.columns.filterNot(c => keyCols.contains(c) || c == "__batch")
     log.groupBy(keyCols.map(col): _*)
-      .agg(max_by(struct(valueCols.map(col): _*), col("__batch")).as("__s"))
+      .agg(max_by(struct(valueCols.toSeq.map(col): _*), col("__batch")).as("__s"))
       .select(keyCols.map(col) ++ valueCols.map(c => col(s"__s.$c").as(c)): _*)
   }
 
