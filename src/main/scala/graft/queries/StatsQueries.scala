@@ -103,6 +103,31 @@ object StatsQueries {
         | floor(corr(l_quantity, l_extendedprice)*10000 + 0.5)/10000 AS corr_qty_price,
         | floor(covar_samp(l_quantity, l_extendedprice)*100 + 0.5)/100 AS covar_qty_price,
         | count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // Arg-max per key (latest-row selection) via max_by — the
+    // "current record per entity" pattern WITHOUT a row_number window:
+    // a single map-side-combinable aggregate, no per-key sort. The
+    // ordering value packs (epoch day, orderkey) into one long, so the
+    // argmax is total and both engines pick the identical row.
+    "q94_argmax_latest" -> Q(
+      (s, d) => {
+        val ord = expr("datediff(o_orderdate, DATE '1970-01-01')")
+          .cast("long") * 100000000000L + col("o_orderkey")
+        Tables(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(max_by(col("o_orderkey"), ord).as("latest_orderkey"),
+            max_by(col("o_totalprice"), ord).as("latest_price"),
+            max(col("o_orderdate")).as("latest_date"))
+      },
+      """SELECT o_custkey,
+        | arg_max(o_orderkey,
+        |   date_diff('day', DATE '1970-01-01', o_orderdate) * 100000000000
+        |     + o_orderkey) AS latest_orderkey,
+        | arg_max(o_totalprice,
+        |   date_diff('day', DATE '1970-01-01', o_orderdate) * 100000000000
+        |     + o_orderkey) AS latest_price,
+        | max(o_orderdate) AS latest_date
+        |FROM orders GROUP BY o_custkey""".stripMargin)
   )
 }

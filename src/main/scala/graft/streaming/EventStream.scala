@@ -186,14 +186,20 @@ object EventStream {
     * and durable-sink execution paths). `glob` selects which files in
     * `dir` are document dumps.
     */
-  private def dedupAgg(spark: SparkSession, dir: String, glob: String): DataFrame =
-    spark.readStream
+  private def dedupAgg(spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", glob)
-      .parquet(dir)
+    // bound per-micro-batch ingest: at scale a backlog of dumps should
+    // stream through N-file batches (bounded state-update and sink
+    // transaction sizes), not arrive as one giant batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .select(col("doc_id"), graft.ops.TextOps.fingerprint(col("text")).as("fp"))
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+  }
 
   /** Streaming exact deduplication over a document directory: group by
     * normalized-content fingerprint, keep the first doc id and the
@@ -228,8 +234,10 @@ object EventStream {
     * the spec/exploration harness.
     */
   def dedupDocumentsTo(spark: SparkSession, dir: String, sinkPath: String,
-      checkpointDir: String, glob: String = "documents.parquet"): DataFrame = {
-    runToParquetLog(dedupAgg(spark, dir, glob), sinkPath, checkpointDir)
+      checkpointDir: String, glob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    runToParquetLog(dedupAgg(spark, dir, glob, maxFilesPerTrigger),
+      sinkPath, checkpointDir)
     compactLog(spark, sinkPath, Seq("fp"))
   }
 

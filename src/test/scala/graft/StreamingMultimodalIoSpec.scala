@@ -169,6 +169,30 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(durable == mem && durable.nonEmpty)
   }
 
+  test("maxFilesPerTrigger bounds micro-batches: one backlog, many batches") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_mft_src").toString
+    val sink = Files.createTempDirectory("graft_mft_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_mft_ckpt").toString
+    (1 to 3).foreach { i =>
+      val stage = Files.createTempDirectory("graft_mft").toString
+      Seq((i.toLong, s"text number $i")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$src/d$i.parquet"))
+    }
+    val state = EventStream.dedupDocumentsTo(spark, src, sink, ckpt,
+      glob = "*.parquet", maxFilesPerTrigger = Some(1))
+    assert(state.count() == 3)
+    // the single backlog drained through 3 one-file micro-batches
+    val batches = spark.read.parquet(sink)
+      .select("__batch").distinct().as[Long].collect().toSet
+    assert(batches == Set(0L, 1L, 2L), s"got $batches")
+  }
+
   test("DimSync: streamed snapshots fold into a versioned SCD2 dimension") {
     import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.types.StructType
