@@ -55,6 +55,31 @@ class NativeAsOfJoinSpec extends AnyFunSuite {
     assert(a == b && b.exists(_._2.nonEmpty) && b.exists(_._2.isEmpty))
   }
 
+  test("bucketed inputs: native as-of join plans with ZERO shuffle exchanges") {
+    import graft.io.ParquetCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_bkt").toString
+    val cat = new ParquetCatalog(spark, dir)
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 50L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 150L), (20L, 40L)).toDF("k", "rt")
+    cat.writeBucketed("asof_l", left, "k", 4)
+    cat.writeBucketed("asof_r", right, "k", 4)
+    val joined = AsOfJoin.nativeBackward(
+      cat.readTable("asof_l"), cat.readTable("asof_r"), "k", "t", "rt", "m")
+    val plan = joined.queryExecution.executedPlan.toString
+    // both scans report HashPartitioning(k) — ClusteredDistribution is
+    // already satisfied, so EnsureRequirements adds sorts only: the
+    // co-located as-of shape a 100 TB fact⋈fact join needs
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed as-of join, got:\n$plan")
+    assert(plan.contains("AsOfJoin"), plan)
+    val rows = joined.select(col("id"), col("m").cast("long"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(rows == Set[Row]((1L, None), (2L, Some(150L)), (3L, Some(40L))))
+    spark.sql("DROP TABLE IF EXISTS asof_l")
+    spark.sql("DROP TABLE IF EXISTS asof_r")
+  }
+
   test("plans through AsOfJoinExec with the declared sort-merge shape") {
     val left = Seq((1L, 1L, 1L)).toDF("id", "k", "t")
     val right = Seq((1L, 1L)).toDF("k", "rt")
