@@ -129,6 +129,43 @@ object DedupQueries {
          |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
          |FROM reach GROUP BY u""".stripMargin),
 
+    // The full dedup pipeline composed end to end: MinHash+LSH
+    // candidates → exact-Jaccard verify (q31's operator) → transitive
+    // clusters (q68's) → ONE canonical document per cluster, chosen by
+    // content length with id tie-break via arg-max (no window). This
+    // is the "what do I actually keep" output of corpus dedup.
+    "q95_dedup_keep_best" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = Dedup.minHashDedup(docs, "doc_id", "text",
+          n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        pairs.unpersist()
+        clusters
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy("cluster_id")
+          .agg(
+            max_by(col("doc_id"),
+              col("n_chars") * 100000000000L - col("doc_id")).as("keep_id"),
+            count(lit(1)).as("n_docs"))
+      },
+      s"""WITH RECURSIVE ${jaccardCtes("0.8")},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |          UNION SELECT doc_b, doc_a FROM jpairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |clusters AS (
+         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |  FROM reach GROUP BY u)
+         |SELECT c.cluster_id,
+         |  arg_max(c.doc_id, d.n_chars * 100000000000 - c.doc_id) AS keep_id,
+         |  count(*) AS n_docs
+         |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+         |GROUP BY c.cluster_id""".stripMargin),
+
     // Train/test decontamination: flag training documents sharing any
     // word-3-gram with a held-out test split (here: doc_id % 10 == 0).
     // The contamination check is an equi-join on the shingle — one
