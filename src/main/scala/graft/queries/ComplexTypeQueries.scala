@@ -39,6 +39,41 @@ object ComplexTypeQueries {
         |    i -> {'pos': i, 'word': w[i]})) AS u
         |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part))""".stripMargin),
 
+    // MapType round-trip: parse the props JSON into map<string,bigint>
+    // and READ it (element_at), then BUILD a per-user map from an
+    // aggregation (map_from_entries over sorted entries) and consume it
+    // via map_keys/element_at. Maps are emitted as scalars/joined
+    // strings (raw map columns are unhashable in the driver's pandas
+    // compare — the q52 convention).
+    "q96_map_type" -> Q(
+      (s, d) => {
+        val per = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("from_json(props, 'map<string,bigint>')['k']").as("k"))
+        per.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sk"))
+          .groupBy("user_id")
+          .agg(
+            map_from_entries(sort_array(
+              collect_list(struct(col("event_type"), col("n"))))).as("m"),
+            sum("sk").as("k_total"))
+          .select(col("user_id"),
+            array_join(map_keys(col("m")), ",").as("types"),
+            coalesce(element_at(col("m"), "click"), lit(0L)).as("clicks"),
+            col("k_total"))
+      },
+      """WITH per AS (
+        |  SELECT user_id, event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, count(*) AS n, sum(k) AS sk
+        |      FROM per GROUP BY 1, 2)
+        |SELECT user_id,
+        |  array_to_string(list_sort(list(event_type)), ',') AS types,
+        |  coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS clicks,
+        |  sum(sk) AS k_total
+        |FROM c GROUP BY user_id""".stripMargin),
+
     // Higher-order-function battery over the token array: filter /
     // transform / aggregate / exists / forall, all row-local codegen
     // lambdas mirrored by DuckDB list lambdas. The token array is a
