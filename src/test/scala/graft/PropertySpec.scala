@@ -96,6 +96,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("prefixJaccardPairs == jaccardPairs on random small corpora") {
+    import org.apache.spark.sql.functions.col
+    // small vocab => plenty of near-dup collisions to exercise both
+    // candidate paths; threshold varied too
+    val docGen: Gen[String] = Gen.chooseNum(3, 10).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6"))
+        .map(_.mkString(" ")))
+    (0 until 4).foreach { round =>
+      val texts = samples(docGen, 15)
+      val thr = Seq(0.3, 0.5, 0.7, 0.9)(round)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val full = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 2, thr)
+      val pp = graft.ops.Dedup.prefixJaccardPairs(docs, "doc_id", "text", 2, thr)
+      val a = full.as[(Long, Long, Double)].collect().toSet
+      val b = pp.as[(Long, Long, Double)].collect().toSet
+      full.unpersist(); pp.unpersist()
+      assert(a == b, s"round=$round thr=$thr diff=${(a -- b) ++ (b -- a)}")
+    }
+  }
+
+  test("PageRank conserves mass on random undirected graphs") {
+    val edgeGen: Gen[(Long, Long)] =
+      Gen.zip(Gen.chooseNum(0L, 9L), Gen.chooseNum(0L, 9L))
+    (0 until 3).foreach { round =>
+      val und = samples(edgeGen, 25).filter { case (a, b) => a != b }.distinct
+      val edges = (und ++ und.map(_.swap)).distinct
+      if (edges.nonEmpty) {
+        val ranks = graft.ops.PageRank.run(edges.toDF("src", "dst"), 5)
+          .as[(Long, Double)].collect()
+        val nodes = edges.map(_._1).distinct.size
+        // Σrank = |V| up to the per-iteration 1e-6 snap drift
+        assert(math.abs(ranks.map(_._2).sum - nodes) < nodes * 1e-4,
+          s"round=$round sum=${ranks.map(_._2).sum} nodes=$nodes")
+        assert(ranks.forall(_._2 > 0))
+      }
+    }
+  }
+
+  test("applyScd2 is idempotent on random snapshots (property form)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snapGen: Gen[List[(Long, Double)]] = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(0, 99)))
+        .map(_.map { case (id, v) => (id, v.toDouble) }.distinctBy(_._1)))
+    (0 until 3).foreach { round =>
+      val snap0 = samples(snapGen, 1).head.toDF("k", "v")
+      val snap1 = samples(snapGen, 2).last.toDF("k", "v")
+      val dim0 = snap0
+        .select(col("k"), col("v"),
+          lit("2019-01-01").cast("date").as("valid_from"),
+          lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      val d1 = graft.ops.Cdc.applyScd2(dim0, snap1, Seq("k"), Seq("v"), "2020-01-01")
+      val d2 = graft.ops.Cdc.applyScd2(d1, snap1, Seq("k"), Seq("v"), "2020-02-01")
+      // folding the SAME snapshot again must change nothing
+      val s1 = d1.orderBy("k", "valid_from").collect().toSeq
+      val s2 = d2.orderBy("k", "valid_from").collect().toSeq
+      assert(s1 == s2, s"round=$round")
+      // and the current slice equals the snapshot
+      val cur = d2.filter(col("is_current")).select("k", "v")
+        .as[(Long, Double)].collect().toSet
+      assert(cur == snap1.as[(Long, Double)].collect().toSet)
+    }
+  }
+
   test("varchar caps hold on generated codes (schema contract)") {
     samples(Gen.alphaNumStr.suchThat(_.nonEmpty), 5).foreach { s =>
       val code = Seq((s * 30, "2018", "13100778")).toDF("a", "b", "p")
