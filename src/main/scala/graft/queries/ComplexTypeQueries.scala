@@ -39,6 +39,36 @@ object ComplexTypeQueries {
         |    i -> {'pos': i, 'word': w[i]})) AS u
         |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part))""".stripMargin),
 
+    // Generator over array<struct>: build (word, chars) records
+    // row-locally with transform, explode them with inline — the
+    // nested-record flattening shape (vs q53's positional explode).
+    "q97_inline_structs" -> Q(
+      (s, d) =>
+        Tables(s, d, "part")
+          .select(col("p_partkey"),
+            inline(transform(split(col("p_name"), " "),
+              w => struct(w.as("word"), length(w).cast("long").as("chars"))))),
+      """SELECT p_partkey, u.word AS word, u.chars AS chars FROM (
+        |  SELECT p_partkey, unnest(list_transform(string_split(p_name, ' '),
+        |    w -> {'word': w, 'chars': CAST(len(w) AS BIGINT)})) AS u
+        |  FROM part)""".stripMargin),
+
+    // Regex group extraction (the parse-structured-ids shape): capture
+    // groups land in both engines' regexp_extract identically for the
+    // Java∩RE2 pattern subset.
+    "q98_regexp_extract" -> Q(
+      (s, d) =>
+        Tables(s, d, "customer")
+          .select(col("c_custkey"),
+            regexp_extract(col("c_name"), "Customer#([0-9]+)", 1).as("num_part"),
+            regexp_extract(col("c_mktsegment"), "^([A-Z]+)", 1).as("seg_word"),
+            (regexp_extract(col("c_name"), "([0-9]{3})$", 1) === "").as("no_tail3")),
+      """SELECT c_custkey,
+        |  coalesce(regexp_extract(c_name, 'Customer#([0-9]+)', 1), '') AS num_part,
+        |  coalesce(regexp_extract(c_mktsegment, '^([A-Z]+)', 1), '') AS seg_word,
+        |  coalesce(regexp_extract(c_name, '([0-9]{3})$', 1), '') = '' AS no_tail3
+        |FROM customer""".stripMargin),
+
     // MapType round-trip: parse the props JSON into map<string,bigint>
     // and READ it (element_at), then BUILD a per-user map from an
     // aggregation (map_from_entries over sorted entries) and consume it

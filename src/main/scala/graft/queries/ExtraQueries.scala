@@ -346,6 +346,31 @@ object ExtraQueries {
         |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin),
 
+    // Value-position window functions: first/last/nth over an explicit
+    // full-partition frame (the default frame stops at CURRENT ROW for
+    // last_value — the classic trap; both engines get the full frame
+    // spelled out).
+    "q99_value_windows" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            first("o_orderkey").over(w).as("first_key"),
+            last("o_orderkey").over(w).as("last_key"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+      },
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  last_value(o_orderkey) OVER w AS last_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"""
+        .stripMargin),
+
     // The rank-family completions q25 leaves out: ntile, percent_rank,
     // cume_dist. All are exact integer-ratio doubles (identical IEEE
     // divisions in both engines) — no rounding needed.
