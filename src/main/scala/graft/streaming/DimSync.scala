@@ -25,12 +25,18 @@ import graft.ops.Cdc
   */
 object DimSync {
 
-  /** Latest committed version directory under `dimPath`, if any. */
+  /** Latest committed version directory under `dimPath`, if any.
+    * Listed through the Hadoop FileSystem API so the dimension can
+    * live on any supported store (HDFS, S3A, local), not just the
+    * driver's local disk.
+    */
   def currentVersion(spark: SparkSession, dimPath: String): Option[Long] = {
-    val dir = new java.io.File(dimPath)
-    Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
-      .flatMap(f => scala.util.Try(f.getName.drop(1).toLong).toOption)
+    val path = new org.apache.hadoop.fs.Path(dimPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v"))
+      .flatMap(st => scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
       .sorted.lastOption
   }
 
