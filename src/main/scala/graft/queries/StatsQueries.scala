@@ -128,6 +128,34 @@ object StatsQueries {
         |   date_diff('day', DATE '1970-01-01', o_orderdate) * 100000000000
         |     + o_orderkey) AS latest_price,
         | max(o_orderdate) AS latest_date
-        |FROM orders GROUP BY o_custkey""".stripMargin)
+        |FROM orders GROUP BY o_custkey""".stripMargin),
+
+    // DECIMAL money arithmetic: quantize the double money columns to
+    // DECIMAL(12,2)/DECIMAL(4,3) and aggregate EXACTLY — decimal sums
+    // are order-independent (no floating drift, no snap needed), which
+    // is the correct treatment for revenue at any cluster size. Both
+    // engines compute identical exact decimals; the result is cast to
+    // double only at the very end (identical conversion of identical
+    // decimals). Product scale DECIMAL(17,5) stays well inside both
+    // engines' 38-digit headroom.
+    "q100_decimal_money" -> Q(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(12,2)").as("price"),
+            col("l_discount").cast("decimal(4,3)").as("disc"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("price")).cast("double").as("gross"),
+            sum(col("price") * (lit(BigDecimal(1).setScale(3)).cast("decimal(4,3)") - col("disc")))
+              .cast("double").as("net"),
+            count(lit(1)).as("n")),
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |   (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))))
+        |   AS DOUBLE) AS net,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
   )
 }
