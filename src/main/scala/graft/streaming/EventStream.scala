@@ -293,7 +293,8 @@ object EventStream {
     */
   private def attributionJoin(spark: SparkSession, dir: String,
       attribution: String, watermark: String,
-      glob: String = "events.parquet"): DataFrame = {
+      glob: String = "events.parquet",
+      joinType: String = "inner"): DataFrame = {
     val ev = source(spark, dir, glob)
     val views = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
@@ -305,7 +306,8 @@ object EventStream {
     views.join(clicks,
       col("user_id") === col("click_user") &&
         col("click_ts") >= col("view_ts") &&
-        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $attribution"))
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $attribution"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
   }
@@ -322,6 +324,26 @@ object EventStream {
       statePartitions: Option[Int] = Some(8)): DataFrame = {
     val name = s"graft_stream_join_${runId.incrementAndGet()}"
     runToTable(spark, attributionJoin(spark, dir, attribution, watermark),
+      name, mode = OutputMode.Append, statePartitions = statePartitions)
+  }
+
+  /** LEFT-OUTER attribution: unmatched views are ALSO emitted (null
+    * click columns) — but only once the watermark proves no future
+    * click can still match them, i.e. `watermark + attribution` past
+    * the view. Views newer than that at stream end remain unemitted
+    * (they might yet match) — correct streaming semantics, and exactly
+    * why this variant has a relational spec rather than a
+    * batch-equality oracle: its output is watermark-dependent by
+    * design. State stays bounded like the inner form.
+    */
+  def attributedViewsOuter(spark: SparkSession, dir: String,
+      attribution: String = "30 minutes",
+      watermark: String = "2 hours",
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val name = s"graft_stream_outer_${runId.incrementAndGet()}"
+    runToTable(spark,
+      attributionJoin(spark, dir, attribution, watermark,
+        joinType = "left_outer"),
       name, mode = OutputMode.Append, statePartitions = statePartitions)
   }
 

@@ -169,6 +169,31 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(durable == mem && durable.nonEmpty)
   }
 
+  test("left-outer stream-stream join: matches = inner; old lonely views emitted") {
+    val dir = "/root/testdata/sf0.001"
+    val inner = EventStream.attributedClicks(spark, dir)
+      .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+    val outer = EventStream.attributedViewsOuter(spark, dir)
+      .select(col("view_id"), col("click_id")).as[(Long, Option[Long])]
+      .collect().toSet
+    val outerMatched = outer.collect { case (v, Some(c)) => (v, c) }
+    val lonely = outer.collect { case (v, None) => v }
+    // matched rows are EXACTLY the inner join's
+    assert(outerMatched == inner, "outer's matched rows must equal inner join")
+    // null rows only for views with no attributed click at all
+    assert(lonely.intersect(inner.map(_._1)).isEmpty)
+    // watermark did release some unmatched views on this fixture
+    assert(lonely.nonEmpty)
+    // and every released lonely view is old enough that no future
+    // click could have matched it (view_ts + attribution < final wm)
+    val ev = Tables(spark, dir, "events")
+    val maxUs = ev.agg(max(unix_micros(col("ts")))).as[Long].head()
+    val lonelyTs = ev.filter(col("event_id").isInCollection(lonely))
+      .select(unix_micros(col("ts"))).as[Long].collect()
+    val wmUs = maxUs - 2L * 3600 * 1000000 // 2h watermark
+    assert(lonelyTs.forall(_ + 30L * 60 * 1000000 < wmUs))
+  }
+
   test("maxFilesPerTrigger bounds micro-batches: one backlog, many batches") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_mft_src").toString
