@@ -31,6 +31,18 @@ class ParquetCatalog(spark: SparkSession, root: String) {
   def read(table: String): DataFrame =
     spark.read.parquet(s"$root/$table").drop(PartCol)
 
+  /** Read with parquet schema merging: per-product writes may evolve
+    * (a later product version adds a column), and the default read
+    * takes one footer's schema — whichever file it samples — silently
+    * dropping the new column for every product. `mergeSchema` unions
+    * all footers (older partitions surface the new column as null).
+    * Costs a footer read per file, so it is the explicit
+    * evolution-aware path, not the default.
+    */
+  def readMerged(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/$table").drop(PartCol)
+
   def readProduct(table: String, productId: Long): DataFrame =
     spark.read.parquet(s"$root/$table")
       .filter(col(PartCol) === productId).drop(PartCol)

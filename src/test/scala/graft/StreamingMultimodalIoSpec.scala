@@ -313,6 +313,25 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(resized.feature(4) == resized.feature(0)) // cycle-pad
   }
 
+  test("catalog: schema evolution across products via readMerged") {
+    import graft.io.ParquetCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo").toString
+    val cat = new ParquetCatalog(spark, dir)
+    cat.writeProduct("evo", Seq((1L, "a")).toDF("id", "v"), 100L)
+    // product 200 ships a NEW column the old partition lacks
+    cat.writeProduct("evo", Seq((2L, "b", 9L)).toDF("id", "v", "extra"), 200L)
+    val merged = cat.readMerged("evo")
+    assert(merged.columns.toSet == Set("id", "v", "extra"))
+    val rows = merged.select("id", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(9L))))
+    // per-product reads still serve the old partition's data intact
+    // (on the common columns — which footer the plain read samples for
+    // its schema is not pinned, so only data is asserted)
+    assert(cat.readProduct("evo", 100L).select("id", "v")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("catalog: per-product dynamic overwrite leaves other products intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
     val cat = new ParquetCatalog(spark, dir)
