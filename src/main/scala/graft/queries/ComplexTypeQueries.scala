@@ -39,6 +39,25 @@ object ComplexTypeQueries {
         |    i -> {'pos': i, 'word': w[i]})) AS u
         |  FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part))""".stripMargin),
 
+    // BinaryType column battery — the storage type multimodal payloads
+    // ride in (ops.Multimodal): encode text bytes, then base64 /
+    // byte-length / hex round-trips that both engines define on blobs.
+    "q101_binary" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            substring(col("text"), 1, 16).cast("binary").as("b"))
+          .select(col("doc_id"),
+            base64(col("b")).as("b64"),
+            length(col("b")).cast("long").as("n_bytes"),
+            lower(hex(col("b"))).as("hex_prefix")),
+      """SELECT doc_id,
+        |  to_base64(CAST(substring(text, 1, 16) AS BLOB)) AS b64,
+        |  CAST(octet_length(CAST(substring(text, 1, 16) AS BLOB)) AS BIGINT)
+        |    AS n_bytes,
+        |  lower(hex(CAST(substring(text, 1, 16) AS BLOB))) AS hex_prefix
+        |FROM documents""".stripMargin),
+
     // Generator over array<struct>: build (word, chars) records
     // row-locally with transform, explode them with inline — the
     // nested-record flattening shape (vs q53's positional explode).
