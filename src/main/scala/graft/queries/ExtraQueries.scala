@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.ops.{AsOfJoin, PageRank, SkewJoin}
+import graft.ops.{AsOfJoin, PageRank, SkewJoin, Skyline}
 import graft.queries.Fns._
 
 /** Coverage beyond the reference surface: full window-function battery,
@@ -345,6 +345,25 @@ object ExtraQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)"""
         .stripMargin),
+
+    // 2-D skyline (Pareto frontier): price-quantity points no other
+    // point dominates. The engine runs the grid-pre-pruned plan (see
+    // ops/Skyline.scala — the global frontier window only ever sees
+    // the pruned survivors); the oracle computes the frontier directly,
+    // which the prune provably never changes.
+    "q102_skyline" -> Q(
+      (s, d) => Skyline.maxima2D(
+        Tables(s, d, "lineitem"), "l_extendedprice", "l_quantity"),
+      """WITH pts AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+        |         CAST(l_quantity AS DOUBLE) AS y
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |m AS (SELECT x, max(y) AS y FROM pts GROUP BY x),
+        |r AS (SELECT x, y, max(y) OVER (ORDER BY x DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |      FROM m)
+        |SELECT x, y FROM r WHERE rm IS NULL OR y > rm""".stripMargin),
 
     // Value-position window functions: first/last/nth over an explicit
     // full-partition frame (the default frame stops at CURRENT ROW for

@@ -135,6 +135,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("skyline equals brute-force dominance filter on random points") {
+    val ptGen: Gen[(Double, Double)] =
+      Gen.zip(Gen.chooseNum(0, 30), Gen.chooseNum(0, 30))
+        .map { case (a, b) => (a.toDouble, b.toDouble) }
+    (0 until 3).foreach { round =>
+      val pts = samples(ptGen, 40).distinct
+      val brute = pts.filter { case (x, y) =>
+        !pts.exists { case (x2, y2) =>
+          x2 >= x && y2 >= y && (x2, y2) != (x, y) }
+      }.toSet
+      val got = graft.ops.Skyline
+        .maxima2D(pts.toDF("x", "y"), "x", "y", buckets = 4)
+        .as[(Double, Double)].collect().toSet
+      assert(got == brute, s"round=$round diff=${(got -- brute) ++ (brute -- got)}")
+    }
+  }
+
   test("applyScd2 is idempotent on random snapshots (property form)") {
     import org.apache.spark.sql.functions.{col, lit}
     val snapGen: Gen[List[(Long, Double)]] = Gen.chooseNum(1, 8).flatMap(k =>
