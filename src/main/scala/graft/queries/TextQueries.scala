@@ -262,6 +262,51 @@ object TextQueries {
         | hex(encode(substring(text, 1, 8))) AS header_hex
         |FROM documents""".stripMargin),
 
+    // Byte-level metadata parsing — the codec-free slice of multimodal
+    // ingest: synthesize an image-style header (4-byte magic + two
+    // dimensions in big-endian 2×7-bit bytes, every byte ASCII-range
+    // so both engines' chr/ascii are exact inverses), ship it as a
+    // BINARY column, and parse the dimensions back from the raw bytes.
+    // At scale this is how width/height/codec tags are read off
+    // billions of stored blobs without decoding payloads.
+    "q103_binary_header" -> Q(
+      (s, d) => {
+        val w16 = col("doc_id") % 10000 + 300
+        val h16 = (col("doc_id") * 7) % 10000 + 300
+        val header = concat(lit("IMG1"),
+          chr(w16.cast("long") / 128), chr(w16 % 128),
+          chr(h16.cast("long") / 128), chr(h16 % 128)).cast("binary")
+        Tables(s, d, "documents")
+          .select(col("doc_id"), header.as("hdr"))
+          .select(col("doc_id"),
+            (substring(col("hdr").cast("string"), 1, 4) === "IMG1").as("magic_ok"),
+            (ascii(substring(col("hdr").cast("string"), 5, 1)) * 128 +
+              ascii(substring(col("hdr").cast("string"), 6, 1)))
+              .cast("long").as("width"),
+            (ascii(substring(col("hdr").cast("string"), 7, 1)) * 128 +
+              ascii(substring(col("hdr").cast("string"), 8, 1)))
+              .cast("long").as("height"),
+            length(col("hdr")).cast("long").as("n_bytes"))
+      },
+      """WITH hdrs AS (
+        |  -- encode()/decode(), not CAST: DuckDB's VARCHAR->BLOB cast
+        |  -- parses \x escape codes, and chr(92) is the backslash
+        |  SELECT doc_id,
+        |    encode('IMG1' ||
+        |      chr(CAST((doc_id % 10000 + 300) // 128 AS INT)) ||
+        |      chr(CAST((doc_id % 10000 + 300) % 128 AS INT)) ||
+        |      chr(CAST(((doc_id * 7) % 10000 + 300) // 128 AS INT)) ||
+        |      chr(CAST(((doc_id * 7) % 10000 + 300) % 128 AS INT))) AS hdr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  substring(decode(hdr), 1, 4) = 'IMG1' AS magic_ok,
+        |  CAST(ascii(substring(decode(hdr), 5, 1)) * 128 +
+        |       ascii(substring(decode(hdr), 6, 1)) AS BIGINT) AS width,
+        |  CAST(ascii(substring(decode(hdr), 7, 1)) * 128 +
+        |       ascii(substring(decode(hdr), 8, 1)) AS BIGINT) AS height,
+        |  CAST(octet_length(hdr) AS BIGINT) AS n_bytes
+        |FROM hdrs""".stripMargin),
+
     // Repetition-based quality signals (the Gopher/RefinedWeb family):
     // distinct-token ratio, most-frequent-token share, duplicate-
     // bigram share. Token and bigram tallies go through explode →
