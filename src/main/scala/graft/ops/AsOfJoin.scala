@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Backward as-of join: for each left row, attach the greatest right
   * timestamp ≤ the left timestamp within the same key (SQL ASOF JOIN
-  * semantics, e.g. DuckDB/QuestDB).
+  * semantics, e.g. DuckDB/QuestDB). Two implementations, same
+  * semantics (spec'd equal):
   *
-  * Spark has no native as-of join; per the preference order this is
-  * *composed from existing operators* (union + running last_value over
-  * a window) rather than a custom SparkPlan: the union is sorted once
-  * per key partition, so the cost is one shuffle on the key — the same
-  * shape a dedicated merge-join implementation would need, with no
-  * cross product and no range explosion.
+  *  - [[backward]] composes existing operators (union + running
+  *    last_value window) — no custom code, one shuffle on the key;
+  *  - [[nativeBackward]] runs the custom whole-operator path
+  *    (graft.plans.AsOfJoinExec): the planner clusters and sorts both
+  *    sides, then a per-partition two-pointer merge joins them with
+  *    no union frame and no window state — ~2× faster at sf0.1 and
+  *    exchange-free over key-bucketed tables.
   */
 object AsOfJoin {
 

@@ -5,8 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Complex-type operator coverage: array aggregation, generators
-  * (posexplode), and struct-carrying outputs — the column shapes a
-  * nested-data pipeline produces.
+  * (posexplode, inline), higher-order functions, MapType and
+  * BinaryType round-trips, and regex group extraction — the column
+  * shapes a nested-data pipeline produces.
   */
 object ComplexTypeQueries {
 

@@ -7,9 +7,11 @@ import graft.Tables
 import graft.ops.{AsOfJoin, PageRank, SkewJoin, Skyline}
 import graft.queries.Fns._
 
-/** Coverage beyond the reference surface: full window-function battery,
-  * set intersection, CUBE, as-of join, exact distinct counts, and the
-  * salted-skew-join utility checked against its unsalted oracle.
+/** Coverage beyond the reference surface: window-function batteries
+  * (frames, rank families, value positions, session windows), set ops,
+  * CUBE/GROUPING SETS, both as-of joins, range/salted joins, event
+  * analytics (funnel, gap filling, cohorts), PageRank, and the 2-D
+  * skyline — each checked against a DuckDB oracle.
   */
 object ExtraQueries {
 

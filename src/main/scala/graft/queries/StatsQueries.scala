@@ -7,7 +7,9 @@ import graft.queries.Fns._
 
 /** Statistical / sampling operator coverage: exact interpolated
   * percentiles, histogram binning, deterministic content-hash
-  * sampling, full-outer set reconciliation, and basic moments.
+  * sampling, full-outer set reconciliation, moments,
+  * correlation/covariance, arg-max latest-row selection, and exact
+  * DECIMAL money aggregation.
   */
 object StatsQueries {
 

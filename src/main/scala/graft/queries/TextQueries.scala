@@ -6,8 +6,10 @@ import graft.Tables
 import graft.ops.{Mixture, TextOps}
 
 /** Text-analysis operator coverage over `documents`: token counting,
-  * quality scoring, language ID, fingerprinting, and the SQL-visible
-  * part of the multimodal binary-column plumbing.
+  * quality scoring, language ID, fingerprinting, PII scrubbing,
+  * keyword extraction, chunking, the composed prep pipeline, and the
+  * SQL-visible part of the multimodal binary-column plumbing
+  * (including codec-free header parsing).
   */
 object TextQueries {
 

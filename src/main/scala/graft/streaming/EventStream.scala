@@ -8,7 +8,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the events table: watermarked
-  * tumbling-window aggregation and stateful gap-based sessionization.
+  * tumbling-window aggregation, stateful gap-based sessionization,
+  * incremental dedup, inner/left-outer stream-stream attribution
+  * joins, and stateless stream-static enrichment — each with a
+  * memory-sink harness and a durable Update/Append parquet-log path.
   *
   * The reference is strictly batch (SURVEY.md §2.10); these provide the
   * incremental path a large-scale pipeline needs. `Trigger.AvailableNow`
