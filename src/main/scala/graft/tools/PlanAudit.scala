@@ -21,7 +21,8 @@ object PlanAudit {
     "q60_range_join", // non-equi band join: broadcast-NL by design
     "q47_histogram", // literal band table joined non-equi (broadcast)
     "q18_sequence", // × a 12-row generated calendar (broadcast)
-    "q19_scalar_agg" // × a broadcast 1-row aggregate (the probe pattern)
+    "q19_scalar_agg", // × a broadcast 1-row aggregate (the probe pattern)
+    "q102_skyline" // × a broadcast 1-row x-range frame (same pattern)
   )
 
   def main(args: Array[String]): Unit = {
