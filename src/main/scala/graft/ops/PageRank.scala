@@ -40,9 +40,17 @@ object PageRank {
     * rather than silently redistributing their mass — callers that
     * need them keep them out by construction (undirected graphs have
     * none). Output: (`node`, `rank`), rank scaled to mean ≈ 1.
+    *
+    * `teleport` personalizes the walk: a (`node`, `t`) frame replaces
+    * the uniform restart — each round computes
+    * `rank = snap((1−d)·t + d·Σ contrib)` and iteration STARTS from
+    * the teleport vector, so ranks concentrate around the seed set
+    * (personalized PageRank). Omitted = uniform `t = 1` everywhere,
+    * the classic global walk. Nodes missing from the frame get t = 0.
     */
   def run(edges: DataFrame, iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      teleport: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     // The edge frame is consumed once per iteration: persist it (or
     // every round re-executes whatever plan produced the edges —
@@ -61,7 +69,16 @@ object PageRank {
     val snap = (c: org.apache.spark.sql.Column) =>
       floor(c * 1000000L + lit(0.5)) / 1000000L
 
-    var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+    // per-node restart weight: |V| rows, checkpointed once and reused
+    // by every round's teleport term
+    val tvec = (teleport match {
+      case Some(t) => deg.select(col("src").as("node"))
+        .join(t.select(col("node"), col("t")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("t"), lit(0.0)).as("t"))
+      case None => deg.select(col("src").as("node"), lit(1.0).as("t"))
+    }).localCheckpoint(false)
+
+    var ranks = tvec.select(col("node"), col("t").as("rank"))
       .localCheckpoint(false)
     for (_ <- 1 to iterations) {
       val weights = ranks.withColumnRenamed("node", "src")
@@ -72,9 +89,9 @@ object PageRank {
       // left join from the node table: zero-inbound nodes (possible in
       // directed graphs) still get their (1-d) teleport share, and only
       // ranked (non-dangling) nodes carry forward, keeping |V| rows
-      ranks = deg.select(col("src").as("node"))
+      ranks = tvec
         .join(sums, Seq("node"), "left")
-        .select(col("node"), snap(lit(1.0 - damping) +
+        .select(col("node"), snap(lit(1.0 - damping) * col("t") +
           lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
         .localCheckpoint(false)
     }

@@ -289,6 +289,65 @@ object ExtraQueries {
            |SELECT node, rank AS score FROM r5""".stripMargin
       }),
 
+    // PERSONALIZED PageRank: the same customer↔supplier graph walked
+    // with restarts confined to one market segment's customers —
+    // "rank suppliers by relevance to BUILDING buyers". Teleport
+    // weights scale to mean 1 over the graph (|V|/|S| on seeds), the
+    // two scalars arriving as driver counts on the engine side and
+    // scalar subqueries in the oracle.
+    "q104_ppr" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").cast("long").as("c"),
+            (col("l_suppkey").cast("long") + 10000000L).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        val members = pairs.select(col("c").as("node")).distinct()
+          .join(Tables(s, d, "customer")
+            .filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey").cast("long").as("node")), "node")
+        val nNodes = edges.select("src").distinct().count()
+        val nSeeds = members.count()
+        val tele = members
+          .select(col("node"), lit(nNodes.toDouble / nSeeds).as("t"))
+        PageRank.run(edges, iterations = 5, teleport = Some(tele))
+          .select(col("node"), col("rank").as("score"))
+      },
+      {
+        val iter = (k: Int) =>
+          s"""r$k AS (
+             |  SELECT tv.node,
+             |    floor((0.15 * tv.t + 0.85 * coalesce(s.s, 0)) * 1000000
+             |      + 0.5) / 1000000 AS rank
+             |  FROM tv LEFT JOIN (
+             |    SELECT e.dst AS node, sum(p.rank / dg.outdeg) AS s
+             |    FROM r${k - 1} p
+             |    JOIN e ON e.src = p.node JOIN deg dg ON dg.src = p.node
+             |    GROUP BY e.dst) s ON s.node = tv.node)""".stripMargin
+        s"""WITH pairs AS MATERIALIZED (
+           |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |e AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+           |      UNION ALL SELECT p, c FROM pairs),
+           |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |mem AS MATERIALIZED (
+           |  SELECT DISTINCT c AS node FROM pairs
+           |  JOIN customer ON c = c_custkey WHERE c_mktsegment = 'BUILDING'),
+           |tv AS MATERIALIZED (
+           |  SELECT d.src AS node,
+           |    CASE WHEN m.node IS NOT NULL THEN
+           |      (SELECT CAST(count(*) AS DOUBLE) FROM deg) /
+           |        (SELECT count(*) FROM mem)
+           |    ELSE 0.0 END AS t
+           |  FROM deg d LEFT JOIN mem m ON m.node = d.src),
+           |r0 AS (SELECT node, t AS rank FROM tv),
+           |${(1 to 5).map(iter).mkString(",\n")}
+           |SELECT node, rank AS score FROM r5""".stripMargin
+      }),
+
     // Time-series gap filling: per-user daily event counts with
     // missing days densified to 0 between each user's first and last
     // active day. The day grid is generated ROW-LOCALLY per user

@@ -56,4 +56,26 @@ class PageRankSpec extends AnyFunSuite {
     val tri = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 2L -> 1L, 3L -> 2L, 1L -> 3L)
     assert(run(tri, 4).values.toSet == Set(1.0))
   }
+
+  test("personalized teleport concentrates rank around the seed") {
+    // path 1-2-3-4-5-6 (undirected): symmetric globally, but with all
+    // restart mass on node 1 the rank must decay monotonically with
+    // distance from the seed
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val tele = Seq((1L, 6.0)).toDF("node", "t") // |V|/|S| = 6
+    val ranks = PageRank.run(edges, iterations = 8, teleport = Some(tele))
+      .as[(Long, Double)].collect().toMap
+    // finite iterations leave parity ripples on a path, so assert the
+    // robust shape, not strict monotonicity: seed on top, far end on
+    // the bottom, near half above the far half
+    assert(ranks(1L) == ranks.values.max, s"seed must rank first: $ranks")
+    assert(ranks(6L) == ranks.values.min, s"far end must rank last: $ranks")
+    assert(ranks(1L) + ranks(2L) + ranks(3L) >
+      2 * (ranks(4L) + ranks(5L) + ranks(6L)), s"no seed concentration: $ranks")
+    // mass is conserved up to snap drift
+    assert(math.abs(ranks.values.sum - 6.0) < 6 * 1e-4)
+    // uniform teleport (default) stays the global walk
+    assert(run(und ++ und.map(_.swap), 8).values.sum > 0)
+  }
 }
