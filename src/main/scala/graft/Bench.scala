@@ -65,21 +65,39 @@ object Bench {
     }
     spark.catalog.clearCache() // release the last query's result cache
     // 3-decimal timings: millisecond precision is all the box's noise
-    // floor supports, and the ~40% shorter line fits the driver's
-    // stdout tail-capture window (full-precision doubles overflowed it)
+    // floor supports
     def r3(v: Double): String =
       if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def mapJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // stdout for the driver's tail-parse (run/outputStrategy passes it
-    // through un-prefixed), plus a file copy as the robust channel
-    println(line)
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${mapJson(results)},"sf":"$sfDir"}"""
+    // The driver keeps only the LAST ~2000 chars of stdout and the sbt
+    // success footer eats ~110 of them, so the FINAL line must be a
+    // complete JSON object in well under that budget. With 100+ queries
+    // the full per-query map (~2.6 KB) cannot fit, so: the full line
+    // goes to the file (robust channel) and to stdout FIRST (for humans
+    // / full-log readers), and the last stdout line is a compact
+    // headline carrying the slowest queries that fit a 1500-char cap —
+    // always parseable from the tail window.
+    val byCost = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else -v }
+    val budget = 1500
+    val fixedOverhead =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":{},"n_queries":${results.size},"full":"bench_out.json","sf":"$sfDir"}""".length
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = fixedOverhead
+    byCost.foreach { case (k, v) =>
+      val cost = k.length + r3(v).length + 4 // quotes, colon, comma
+      if (used + cost <= budget) { kept += (k -> v); used += cost }
+    }
+    val headline =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${mapJson(kept.sortBy(_._1).toSeq)},"n_queries":${results.size},"full":"bench_out.json","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullLine + "\n")
+    println(fullLine)
+    println(headline)
     spark.stop()
   }
 }
