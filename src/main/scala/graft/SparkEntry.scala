@@ -21,7 +21,8 @@ object SparkEntry {
     AnnQueries.queries,
     TextQueries.queries,
     StreamQueries.queries,
-    CdcQueries.queries
+    CdcQueries.queries,
+    ScaleQueries.queries
   )
 
   private lazy val registry: Map[String, Q] =

@@ -57,4 +57,21 @@ object Mixture {
     s"substring(md5('$salt' || CAST($keySql AS VARCHAR)), 1, 4) < " +
       s"(CASE $cases ELSE '${hexThreshold(defaultRate)}' END)"
   }
+
+  /** Per-ROW-weighted Bernoulli (Poisson) sampling: keep each row with
+    * probability `rate` (a column in [0, 1]; values above 1 saturate).
+    * The row's 16-bit uniform draw is compared against the row's own
+    * rate formatted as a 4-hex threshold — still a pure projection, so
+    * quality-weighted downsampling costs zero shuffles at any scale.
+    */
+  def keepWeighted(key: Column, salt: String, rate: Column): Column =
+    uniformHex(salt, key) <
+      format_string("%04x", least(floor(rate * 65536), lit(65535L)).cast("int"))
+
+  /** [[keepWeighted]] as DuckDB SQL over the same md5 draw and the
+    * same hex formatting — bit-identical keep set.
+    */
+  def keepWeightedSql(keySql: String, salt: String, rateSql: String): String =
+    s"substring(md5('$salt' || CAST($keySql AS VARCHAR)), 1, 4) < " +
+      s"printf('%04x', CAST(least(floor(($rateSql) * 65536), 65535) AS INT))"
 }

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{BloomPrune, Mixture, TableProfile, TextOps, ZOrder}
+
+/** Operators whose whole point is 100 TB mechanics, each still exactly
+  * checkable against a DuckDB oracle:
+  *
+  *  - bloom-filter join pruning (kill fact rows before the join
+  *    shuffle — the manual InjectRuntimeFilter, q105)
+  *  - single-pass table profiling (every column's stats off ONE scan,
+  *    q106)
+  *  - Z-order clustering (two-dimensional file skipping from a
+  *    one-dimensional sort key, q107)
+  *  - token co-occurrence mining (explode → map-side-combined count,
+  *    the phrase-statistics pass of a corpus pipeline, q108)
+  *  - weighted Bernoulli sampling (per-row keep probability as a pure
+  *    projection — quality-weighted downsampling with zero shuffles,
+  *    q109)
+  */
+object ScaleQueries {
+
+  private val lineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  val queries: Map[String, Q] = Map(
+
+    // Bloom-prune → exact semi join → aggregate. The bloom is built
+    // with one mergeable aggregation over the filtered dimension and
+    // broadcast as a 1-row frame; fact rows that cannot match die at
+    // the scan filter, so the join exchange moves only matches (+fpp).
+    // Output ≡ the plain semi join — the oracle doesn't know a bloom
+    // was involved, which is the correctness contract.
+    "q105_bloom_prune_join" -> Q(
+      (s, d) => {
+        val dim = Tables(s, d, "part").filter(col("p_size") <= 2)
+        BloomPrune.prunedSemiJoin(
+          Tables(s, d, "lineitem"), dim, "l_partkey", "p_partkey",
+          expectedItems = 100000L)
+          .groupBy("l_returnflag")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      },
+      """SELECT l_returnflag, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 2)
+        |GROUP BY l_returnflag""".stripMargin),
+
+    // ANALYZE-style profile: rows/nulls/exact-NDV/min/max for every
+    // lineitem column from a single scan (one Expand + one combine).
+    "q106_table_profile" -> Q(
+      (s, d) => TableProfile.profile(
+        Tables(s, d, "lineitem").select(lineitemCols.map(col): _*)),
+      TableProfile.oracleSql("lineitem", lineitemCols)),
+
+    // Morton-interleaved clustering key: the first 200 rows in z-order
+    // (the same key clusterByZ range-partitions on for file skipping).
+    "q107_zorder" -> Q(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            ZOrder.zValue2(col("l_partkey").cast("long"),
+              col("l_suppkey").cast("long"), bits = 16).as("z"))
+          .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+          .limit(200),
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${ZOrder.zValueSql("l_partkey", "l_suppkey", bits = 16)} AS z
+         |FROM lineitem
+         |ORDER BY z, l_orderkey, l_linenumber LIMIT 200""".stripMargin),
+
+    // Adjacent-token bigram statistics over the corpus: explode with
+    // multiplicity, map-side-combined count, exact deterministic
+    // top-40 (count desc, bigram tie-break).
+    "q108_cooccur" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(explode(TextOps.ngramsFromTokens(
+            TextOps.whitespaceTokens(lower(col("text"))), 2)).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(40),
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, greatest(array_length(w), 1)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM toks)
+        |SELECT bigram, count(*) AS n FROM bg
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin),
+
+    // Quality-weighted Bernoulli sample: keep probability proportional
+    // to document length (saturating at 4000 chars) — zero-shuffle
+    // projection, md5-replayable keep set.
+    "q109_weighted_sample" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .filter(Mixture.keepWeighted(
+            col("doc_id"), "wsamp", col("n_chars") / lit(4000.0)))
+          .select("doc_id", "lang", "n_chars"),
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${Mixture.keepWeightedSql("doc_id", "wsamp", "n_chars / 4000.0")}"""
+        .stripMargin)
+  )
+}

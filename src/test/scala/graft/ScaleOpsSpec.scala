@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{BloomPrune, Mixture, TableProfile, ZOrder}
+
+/** The q105–q109 scale operators: bloom join pruning, single-pass
+  * profiling, Z-order clustering, weighted sampling — correctness vs
+  * straightforward baselines plus the plan-shape claims their docs
+  * make.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("BloomPrune.prunedSemiJoin ≡ plain left-semi join (FPs removed)") {
+    val fact = Tables(spark, dir, "lineitem")
+    val dim = Tables(spark, dir, "part").filter(col("p_size") <= 2)
+    val pruned = BloomPrune.prunedSemiJoin(
+      fact, dim, "l_partkey", "p_partkey", expectedItems = 1000L)
+    val plain = fact.join(dim,
+      fact("l_partkey") === dim("p_partkey"), "left_semi")
+    assert(pruned.count() == plain.count())
+    assert(pruned.select("l_orderkey", "l_linenumber")
+      .exceptAll(plain.select("l_orderkey", "l_linenumber")).isEmpty)
+    // and the prune is real: strictly fewer rows survive the bloom
+    // than the fact table holds (the dim filter is selective)
+    val afterBloom = fact.filter(BloomPrune.mightContain(
+      org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          dim.agg(BloomPrune.bloomAgg(col("p_partkey"), 1000L).as("bf"))
+            .queryExecution.analyzed)),
+      col("l_partkey"))).count()
+    assert(afterBloom < fact.count() && afterBloom >= plain.count())
+  }
+
+  test("bloom prune sits below the semi join in the physical plan") {
+    val fact = Tables(spark, dir, "lineitem")
+    val dim = Tables(spark, dir, "part").filter(col("p_size") <= 2)
+    val plan = BloomPrune.prunedSemiJoin(
+      fact, dim, "l_partkey", "p_partkey", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    // the filter is a scalar-subquery fold, not a shuffle or NL join
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter should appear BELOW (after, in tree print) the semi join:\n$plan")
+  }
+
+  test("TableProfile.profile matches per-column direct aggregates, one row each") {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val prof = TableProfile.profile(li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 3)
+    val n = li.count()
+    val flag = prof("l_returnflag")
+    assert(flag.getLong(1) == n)
+    assert(flag.getLong(2) == 0) // no nulls in testdata
+    assert(flag.getLong(3) ==
+      li.select(countDistinct("l_returnflag")).head.getLong(0))
+    assert(flag.getString(4) == "A" && flag.getString(5) == "R")
+    val qty = prof("l_quantity")
+    assert(qty.getString(4) == "1.0" && qty.getString(5) == "50.0")
+  }
+
+  test("TableProfile: single scan — exactly one Expand, one final aggregate shuffle") {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val plan = TableProfile.profile(li).queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length == 1, plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1,
+      s"profile must read the table once:\n$plan")
+  }
+
+  test("ZOrder.zValue2 interleaves bits like the reference scalar formula") {
+    def zRef(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      (0 until bits).foreach { b =>
+        z |= ((x >> b) & 1L) << (2 * b)
+        z |= ((y >> b) & 1L) << (2 * b + 1)
+      }
+      z
+    }
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L),
+      (12345L, 54321L), (65536L, 1L)) // 65536: bit 16 must be IGNORED at bits=16
+    import spark.implicits._
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.zValue2(col("x"), col("y"), 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (x, y) =>
+      assert(got((x, y)) == zRef(x & 65535L, y & 65535L, 16),
+        s"z($x,$y) mismatch")
+    }
+  }
+
+  test("clusterByZ: each written file covers a tight box in BOTH dimensions") {
+    val li = Tables(spark, dir, "lineitem")
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    ZOrder.clusterByZ(li, "l_partkey", "l_suppkey", numFiles = 8)
+      .write.mode("overwrite").parquet(out)
+    // read back per-file min/max of both dims; z-clustering must make
+    // every file's 2-D box area ≪ the full domain (naive l_partkey
+    // sort gives full-range l_suppkey boxes in every file)
+    val byFile = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("px"), max("l_partkey").as("qx"),
+        min("l_suppkey").as("py"), max("l_suppkey").as("qy"))
+      .collect()
+    assert(byFile.length >= 4)
+    val domain = li.agg(
+      (max("l_partkey") - min("l_partkey")).cast("double").as("dx"),
+      (max("l_suppkey") - min("l_suppkey")).cast("double").as("dy")).head
+    val (dx, dy) = (domain.getDouble(0), domain.getDouble(1))
+    val avgArea = byFile.map { r =>
+      (r.getLong(2) - r.getLong(1)).toDouble / dx *
+        ((r.getLong(4) - r.getLong(3)).toDouble / dy)
+    }.sum / byFile.length
+    assert(avgArea < 0.6,
+      f"z-clustered files should cover small 2-D boxes, avg fraction $avgArea%.2f")
+  }
+
+  test("Mixture.keepWeighted: deterministic, monotone in weight, saturates at 1") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id")
+    def kept(scale: Double): Long = df.filter(
+      Mixture.keepWeighted(col("id"), "s1", lit(scale))).count()
+    val k25 = kept(0.25); val k50 = kept(0.5); val k100 = kept(1.0)
+    assert(k25 < k50 && k50 < k100)
+    assert(k100 == 2000L) // rate 1 keeps everything
+    assert(math.abs(k50 - 1000L) < 150, s"rate .5 kept $k50 of 2000")
+    // same salt+key ⇒ same verdict on rerun
+    assert(kept(0.5) == k50)
+  }
+}
