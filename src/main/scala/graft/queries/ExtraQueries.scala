@@ -299,10 +299,17 @@ object ExtraQueries {
       (s, d) => {
         val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
         val l = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey")
+        // the dedup'd pair list feeds FOUR actions (nNodes count,
+        // nSeeds count, run()'s edge cache, and the teleport build):
+        // persist it for the query's lifetime or the lineitem⋈orders
+        // join re-executes per action — measured ~2× of q104's cost.
+        // run() materializes its checkpointed result before returning,
+        // so unpersisting afterwards is safe for the returned frame.
         val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").cast("long").as("c"),
             (col("l_suppkey").cast("long") + 10000000L).as("p"))
           .distinct()
+          .persist()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .union(pairs.select(col("p").as("src"), col("c").as("dst")))
         val members = pairs.select(col("c").as("node")).distinct()
@@ -313,8 +320,10 @@ object ExtraQueries {
         val nSeeds = members.count()
         val tele = members
           .select(col("node"), lit(nNodes.toDouble / nSeeds).as("t"))
-        PageRank.run(edges, iterations = 5, teleport = Some(tele))
+        val out = PageRank.run(edges, iterations = 5, teleport = Some(tele))
           .select(col("node"), col("rank").as("score"))
+        pairs.unpersist()
+        out
       },
       {
         val iter = (k: Int) =>

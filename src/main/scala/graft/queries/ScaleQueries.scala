@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{BloomPrune, Mixture, TableProfile, TextOps, ZOrder}
+import graft.ops.{BloomPrune, IntervalJoin, MaterializedAgg, Mixture, TableProfile, TextOps, ZOrder}
 
 /** Operators whose whole point is 100 TB mechanics, each still exactly
   * checkable against a DuckDB oracle:
@@ -19,6 +19,10 @@ import graft.ops.{BloomPrune, Mixture, TableProfile, TextOps, ZOrder}
   *  - weighted Bernoulli sampling (per-row keep probability as a pure
   *    projection — quality-weighted downsampling with zero shuffles,
   *    q109)
+  *  - banded interval-overlap join (equi-join on time band, one
+  *    emission per pair by construction, q110)
+  *  - aggregate materialized-view maintenance from mergeable state
+  *    (O(delta) refresh ≡ full recompute, q111)
   */
 object ScaleQueries {
 
@@ -90,6 +94,58 @@ object ScaleQueries {
         |  FROM toks)
         |SELECT bigram, count(*) AS n FROM bg
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 40""".stripMargin),
+
+    // Banded interval-overlap join: urgent open orders × low-priority
+    // finished orders whose (orderdate .. orderdate + key%30 days)
+    // windows intersect. Equi-join on 30-day band; each pair emitted
+    // once (in the band of the later start) — no distinct, no
+    // quadratic stage, no broadcast range join.
+    "q110_interval_overlap" -> Q(
+      (s, d) => {
+        def side(status: String, prio: String, p: String) =
+          Tables(s, d, "orders")
+            .filter(col("o_orderstatus") === status &&
+              col("o_orderpriority") === prio)
+            .select(col("o_orderkey").as(s"${p}_id"),
+              to_date(col("o_orderdate")).as(s"${p}_start"),
+              date_add(to_date(col("o_orderdate")),
+                (col("o_orderkey") % 30).cast("int")).as(s"${p}_end"))
+        IntervalJoin.overlapPairs(
+          side("O", "1-URGENT", "a"), side("F", "5-LOW", "b"), bandDays = 30)
+          .groupBy("a_id").agg(count(lit(1)).as("n_overlaps"))
+      },
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_id, CAST(o_orderdate AS DATE) AS a_start,
+        |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS a_end
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'),
+        |b AS (
+        |  SELECT o_orderkey AS b_id, CAST(o_orderdate AS DATE) AS b_start,
+        |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 AS INT) AS b_end
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '5-LOW')
+        |SELECT a_id, count(*) AS n_overlaps
+        |FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+        |GROUP BY a_id""".stripMargin),
+
+    // Aggregate materialized-view maintenance from mergeable state:
+    // fold the base (pre-1997) and the delta (1997+) SEPARATELY, then
+    // merge by summing per-group partials — the O(delta) refresh path.
+    // The oracle aggregates the whole table in one pass: merged state
+    // must be indistinguishable from a full recompute.
+    "q111_mv_incremental" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val base = MaterializedAgg.fold(
+          li.filter(col("l_shipdate") < "1997-01-01"), keys, Seq("l_quantity"))
+        val delta = MaterializedAgg.fold(
+          li.filter(col("l_shipdate") >= "1997-01-01"), keys, Seq("l_quantity"))
+        MaterializedAgg.merge(base, delta)
+          .withColumn("avg_qty", col("sum_l_quantity") / col("n"))
+      },
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | sum(l_quantity) AS sum_l_quantity,
+        | sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
 
     // Quality-weighted Bernoulli sample: keep probability proportional
     // to document length (saturating at 4000 chars) — zero-shuffle

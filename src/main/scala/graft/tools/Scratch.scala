@@ -1,21 +1,24 @@
 package graft.tools
 
-/** Ad-hoc micro-bench scratchpad (dev only, like Explain). */
+/** Ad-hoc micro-bench scratchpad (dev only, like Explain): time the
+  * queries named in args(1..) at the sf dir in args(0), Bench-style
+  * (noop write, cold cache, two runs each).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = graft.GraftSession.local(16)
+    val spark = graft.GraftSession.local(32)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.3f s (rows=$n)")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q104_ppr")
+    def once(name: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      println(f"[scratch] $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val docs = graft.Tables(spark, dir, "documents")
-    time("warm scan") { docs.count() }
-    for (i <- 1 to 3)
-      time(s"minHashDedup run$i") {
-        val p = graft.ops.Dedup.minHashDedup(docs, "doc_id", "text")
-        val n = p.count(); p.unpersist(); n
-      }
+    once("q14_multiway_join") // warmup
+    names.foreach { n => once(n); once(n) }
     spark.stop()
   }
 }

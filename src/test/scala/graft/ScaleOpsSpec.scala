@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ops.{BloomPrune, Mixture, TableProfile, ZOrder}
+import graft.ops.{BloomPrune, IntervalJoin, MaterializedAgg, Mixture, TableProfile, ZOrder}
 
 /** The q105–q109 scale operators: bloom join pruning, single-pass
   * profiling, Z-order clustering, weighted sampling — correctness vs
@@ -122,6 +122,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     }.sum / byFile.length
     assert(avgArea < 0.6,
       f"z-clustered files should cover small 2-D boxes, avg fraction $avgArea%.2f")
+  }
+
+  test("IntervalJoin.overlapPairs ≡ brute-force overlap join, exactly once per pair") {
+    import spark.implicits._
+    // adversarial widths: zero-length, band-width, and 3-band spans
+    val a = Seq((1L, "2020-01-05", "2020-01-05"), (2L, "2020-01-20", "2020-02-19"),
+      (3L, "2020-03-01", "2020-05-15"), (4L, "2019-12-25", "2020-01-02"))
+      .toDF("a_id", "s", "e")
+      .select(col("a_id"), to_date(col("s")).as("a_start"), to_date(col("e")).as("a_end"))
+    val b = Seq((10L, "2020-01-01", "2020-01-31"), (11L, "2020-02-10", "2020-02-10"),
+      (12L, "2020-04-01", "2020-04-02"), (13L, "2021-01-01", "2021-01-05"))
+      .toDF("b_id", "s", "e")
+      .select(col("b_id"), to_date(col("s")).as("b_start"), to_date(col("e")).as("b_end"))
+    val banded = IntervalJoin.overlapPairs(a, b, bandDays = 30)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = a.crossJoin(b)
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.length == banded.distinct.length, "pair emitted more than once")
+    assert(banded.sorted.toSeq == brute.sorted.toSeq)
+    // scale shape: the join is equi-keyed on band, never a cross product
+    val plan = IntervalJoin.overlapPairs(a, b, 30)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("MaterializedAgg: merged incremental state ≡ full recompute, any split/order") {
+    val li = Tables(spark, dir, "lineitem")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val full = MaterializedAgg.fold(li, keys, Seq("l_quantity"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val p1 = li.filter(col("l_orderkey") % 3 === 0)
+    val p2 = li.filter(col("l_orderkey") % 3 === 1)
+    val p3 = li.filter(col("l_orderkey") % 3 === 2)
+    val f1 = MaterializedAgg.fold(p1, keys, Seq("l_quantity"))
+    val f2 = MaterializedAgg.fold(p2, keys, Seq("l_quantity"))
+    val f3 = MaterializedAgg.fold(p3, keys, Seq("l_quantity"))
+    assert(canon(MaterializedAgg.merge(f1, f2, f3)) == canon(full))
+    assert(canon(MaterializedAgg.merge(f3, f1, f2)) == canon(full))
+    assert(canon(MaterializedAgg.merge(MaterializedAgg.merge(f1, f2), f3)) ==
+      canon(full))
   }
 
   test("Mixture.keepWeighted: deterministic, monotone in weight, saturates at 1") {
