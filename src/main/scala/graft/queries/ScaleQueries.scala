@@ -23,8 +23,34 @@ import graft.ops.{BloomPrune, IntervalJoin, MaterializedAgg, Mixture, TableProfi
   *    emission per pair by construction, q110)
   *  - aggregate materialized-view maintenance from mergeable state
   *    (O(delta) refresh ≡ full recompute, q111)
+  *  - recursive-CTE graph reachability (Spark 4's WITH RECURSIVE,
+  *    depth-bounded BFS with min-depth dedup, q112)
   */
 object ScaleQueries {
+
+  /** Depth-≤2 BFS from part 1's suppliers over the bipartite
+    * customer↔supplier graph (suppliers offset by 10M like q81/q104).
+    * Pure ANSI recursive SQL — Spark and DuckDB run the same text.
+    */
+  private def reachabilitySql(orders: String, lineitem: String): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p
+       |  FROM $lineitem JOIN $orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT c AS src, p AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT p AS src, c AS dst FROM pairs),
+       |seeds AS (
+       |  SELECT DISTINCT l_suppkey + 10000000 AS node
+       |  FROM $lineitem WHERE l_partkey = 1),
+       |walk(node, depth) AS (
+       |  SELECT node, 0 FROM seeds
+       |  UNION ALL
+       |  SELECT e.dst, w.depth + 1
+       |  FROM walk w JOIN edges e ON e.src = w.node
+       |  WHERE w.depth < 2)
+       |SELECT node, min(depth) AS depth, count(*) AS n_paths
+       |FROM walk GROUP BY node""".stripMargin
 
   private val lineitemCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
@@ -146,6 +172,45 @@ object ScaleQueries {
         | sum(l_quantity) AS sum_l_quantity,
         | sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+
+    // WITH RECURSIVE (Spark 4 front-end surface): depth-bounded BFS
+    // over the customer↔supplier purchase graph from one part's
+    // suppliers. UNION ALL recursion enumerates paths (bounded depth
+    // keeps it linear-ish here); min(depth) collapses to BFS level.
+    // The oracle runs the whole thing as ONE recursive statement; the
+    // engine side materializes the edge list behind a CACHED view
+    // first, because the recursion re-executes its body plan every
+    // step — without the cache the lineitem⋈orders distinct runs once
+    // per depth (measured ~2× of the query's cost at sf0.1).
+    "q112_reachability" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        val l = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_partkey")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 10000000L).as("p"))
+          .distinct()
+          .persist()
+          .createOrReplaceTempView("q112_pairs")
+        l.filter(col("l_partkey") === 1)
+          .select((col("l_suppkey") + 10000000L).as("node"))
+          .distinct()
+          .createOrReplaceTempView("q112_seeds")
+        s.sql(
+          """WITH RECURSIVE edges AS (
+            |  SELECT c AS src, p AS dst FROM q112_pairs
+            |  UNION ALL
+            |  SELECT p AS src, c AS dst FROM q112_pairs),
+            |walk(node, depth) AS (
+            |  SELECT node, 0 FROM q112_seeds
+            |  UNION ALL
+            |  SELECT e.dst, w.depth + 1
+            |  FROM walk w JOIN edges e ON e.src = w.node
+            |  WHERE w.depth < 2)
+            |SELECT node, min(depth) AS depth, count(*) AS n_paths
+            |FROM walk GROUP BY node""".stripMargin)
+      },
+      reachabilitySql("orders", "lineitem")),
 
     // Quality-weighted Bernoulli sample: keep probability proportional
     // to document length (saturating at 4000 chars) — zero-shuffle
