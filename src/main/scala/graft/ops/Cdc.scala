@@ -97,4 +97,16 @@ object Cdc {
 
     history.unionByName(keptOrClosed).unionByName(fresh)
   }
+
+  /** Point-in-time read of an SCD2 dimension ([[applyScd2]]'s output
+    * contract): the rows whose `[valid_from, valid_to)` interval
+    * covers `date` (open rows have null `valid_to`). A pure filter —
+    * partition-prunable, join-free; exactly one row per key that
+    * existed at `date`.
+    */
+  def asOf(dim: DataFrame, date: String): DataFrame = {
+    val d = lit(date).cast("date")
+    dim.filter(col("valid_from") <= d &&
+      (col("valid_to").isNull || col("valid_to") > d))
+  }
 }

@@ -84,4 +84,73 @@ object Sketches {
   /** Approximate corpus heavy hitters (see [[MisraGries]]). */
   def heavyHitters(tokens: Dataset[String], k: Int): Map[String, Long] =
     tokens.select(new MisraGries(k).toColumn).head()
+
+  /** Count-min sketch: point-queryable frequency estimates with a
+    * fixed-size buffer. `depth` rows × `width` counters; each item
+    * increments one counter per row (xxhash64 with the row index as
+    * salt — the same deterministic hash family used everywhere).
+    * Estimates NEVER undercount; overcount ≤ 2N/width with
+    * probability ≥ 1 − 2^(−depth).
+    *
+    * Mergeability is element-wise addition of the flat counter array —
+    * the commutative-monoid shape that makes it a map-side sketch: one
+    * buffer per partition, O(depth·width) merge, no shuffle
+    * proportional to the key universe. Complements [[MisraGries]]
+    * (which keeps only the heavy keys): CM answers frequency queries
+    * for ANY key after the fact.
+    */
+  class CountMin(depth: Int, width: Int)
+      extends Aggregator[String, Array[Long], Array[Long]] {
+    require(depth > 0 && width > 0)
+    override def zero: Array[Long] = new Array[Long](depth * width)
+
+    private def bucket(row: Int, t: String): Int = {
+      // XXH64 over (row-salted) bytes via Spark's own implementation,
+      // so estimates are reproducible across JVMs and sessions
+      val bytes = (row + ":" + t).getBytes("UTF-8")
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
+      val m = (h % width).toInt
+      row * width + (if (m < 0) m + width else m)
+    }
+
+    override def reduce(b: Array[Long], t: String): Array[Long] = {
+      var r = 0
+      while (r < depth) { b(bucket(r, t)) += 1L; r += 1 }
+      b
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+
+    /** Point query against a finished sketch: min over the rows. */
+    def estimate(sketch: Array[Long], t: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        val c = sketch(bucket(r, t))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
+
+  /** Build a count-min sketch over a token column. */
+  def countMin(tokens: Dataset[String], depth: Int = 4,
+      width: Int = 1024): (CountMin, Array[Long]) = {
+    val agg = new CountMin(depth, width)
+    (agg, tokens.select(agg.toColumn).head())
+  }
 }

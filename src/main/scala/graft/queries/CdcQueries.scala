@@ -16,40 +16,76 @@ import graft.ops.{Cdc, FuzzyJoin}
   *    updates (every 7th key's balance shifted), and inserts (new keys
   *    offset by 1,000,000 for every 11th key).
   * `Cdc.applyScd2` then merges the snapshot in one full-outer equi-join;
-  * the oracle mirrors the same CTE chain in SQL.
+  * the oracle mirrors the same CTE chain in SQL. q113 adds the READ
+  * path: point-in-time (`Cdc.asOf`) reconstruction at a date in each
+  * epoch, wrapped around the same merged dimension.
   */
 object CdcQueries {
+
+  /** The q78 SCD2 merge as a reusable builder (q113 reads it as-of). */
+  private def scd2Merged(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val c = Tables(s, d, "customer")
+    val dim = c.select(
+        col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        lit("2019-01-01").cast("date").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+      .unionByName(c.filter(col("c_custkey") % 5 === 0).select(
+        col("c_custkey"),
+        (col("c_acctbal") - 50.0).as("c_acctbal"), col("c_mktsegment"),
+        lit("2018-01-01").cast("date").as("valid_from"),
+        lit("2019-01-01").cast("date").as("valid_to"),
+        lit(false).as("is_current")))
+    val incoming = c.filter(col("c_custkey") % 13 =!= 0).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.5)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        col("c_mktsegment"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0).select(
+        (col("c_custkey") + 1000000L).as("c_custkey"),
+        (col("c_acctbal") * 0.5).as("c_acctbal"),
+        lit("NEWSEG").as("c_mktsegment")))
+    Cdc.applyScd2(dim, incoming,
+      keys = Seq("c_custkey"),
+      tracked = Seq("c_acctbal", "c_mktsegment"),
+      batchDate = "2020-06-15")
+  }
 
   val queries: Map[String, Q] = Map(
 
     "q78_scd2_merge" -> Q(
+      (s, d) => scd2Merged(s, d),
+      scd2MergedSql),
+
+    // Point-in-time (as-of) reconstruction from the merged SCD2
+    // dimension — the read path that makes type-2 history useful:
+    // rows whose validity interval covers the as-of date, at one date
+    // inside the pre-merge epoch and one after the 2020-06-15 batch.
+    // Pure partition-prunable filters on the dimension — no join, no
+    // window; at scale this is a metadata-skipped scan.
+    "q113_scd2_asof" -> Q(
       (s, d) => {
-        val c = Tables(s, d, "customer")
-        val dim = c.select(
-            col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
-            lit("2019-01-01").cast("date").as("valid_from"),
-            lit(null).cast("date").as("valid_to"),
-            lit(true).as("is_current"))
-          .unionByName(c.filter(col("c_custkey") % 5 === 0).select(
-            col("c_custkey"),
-            (col("c_acctbal") - 50.0).as("c_acctbal"), col("c_mktsegment"),
-            lit("2018-01-01").cast("date").as("valid_from"),
-            lit("2019-01-01").cast("date").as("valid_to"),
-            lit(false).as("is_current")))
-        val incoming = c.filter(col("c_custkey") % 13 =!= 0).select(
-            col("c_custkey"),
-            when(col("c_custkey") % 7 === 0, col("c_acctbal") + 100.5)
-              .otherwise(col("c_acctbal")).as("c_acctbal"),
-            col("c_mktsegment"))
-          .unionByName(c.filter(col("c_custkey") % 11 === 0).select(
-            (col("c_custkey") + 1000000L).as("c_custkey"),
-            (col("c_acctbal") * 0.5).as("c_acctbal"),
-            lit("NEWSEG").as("c_mktsegment")))
-        Cdc.applyScd2(dim, incoming,
-          keys = Seq("c_custkey"),
-          tracked = Seq("c_acctbal", "c_mktsegment"),
-          batchDate = "2020-06-15")
+        val merged = scd2Merged(s, d)
+        Seq("2019-06-01", "2020-12-01").map { asOf =>
+          Cdc.asOf(merged, asOf)
+            .withColumn("as_of", lit(asOf).cast("date"))
+        }.reduce(_ unionByName _)
       },
+      s"""WITH merged AS ($scd2MergedSql)
+         |SELECT *, DATE '2019-06-01' AS as_of FROM merged
+         |WHERE valid_from <= DATE '2019-06-01'
+         |  AND (valid_to IS NULL OR valid_to > DATE '2019-06-01')
+         |UNION ALL
+         |SELECT *, DATE '2020-12-01' AS as_of FROM merged
+         |WHERE valid_from <= DATE '2020-12-01'
+         |  AND (valid_to IS NULL OR valid_to > DATE '2020-12-01')"""
+        .stripMargin),
+
+    fuzzyJoinQ
+  )
+
+  private lazy val scd2MergedSql: String =
       """WITH dim AS (
         |  SELECT c_custkey, c_acctbal, c_mktsegment,
         |         DATE '2019-01-01' AS valid_from,
@@ -96,16 +132,16 @@ object CdcQueries {
         |UNION ALL
         |SELECT c_custkey, new_bal, new_seg, DATE '2020-06-15',
         |       CAST(NULL AS DATE), TRUE
-        |FROM j WHERE change_type IN ('insert', 'update')""".stripMargin),
+        |FROM j WHERE change_type IN ('insert', 'update')""".stripMargin
 
-    // Entity resolution: deterministic "dirty" names (one character
-    // deleted at a key-derived position) matched back to the customer
-    // table via trigram blocking (stop-trigram df cut at 100 — the
-    // shared "Customer#" prefix trigrams would otherwise make the
-    // block join all-pairs) + exact Levenshtein ≤ 2 verify. The oracle
-    // replicates blocking AND verification, so the approximate recall
-    // is still hash-exact.
-    "q87_fuzzy_join" -> Q(
+  // Entity resolution: deterministic "dirty" names (one character
+  // deleted at a key-derived position) matched back to the customer
+  // table via trigram blocking (stop-trigram df cut at 100 — the
+  // shared "Customer#" prefix trigrams would otherwise make the
+  // block join all-pairs) + exact Levenshtein ≤ 2 verify. The oracle
+  // replicates blocking AND verification, so the approximate recall
+  // is still hash-exact.
+  private lazy val fuzzyJoinQ: (String, Q) = "q87_fuzzy_join" -> Q(
       (s, d) => {
         val c = Tables(s, d, "customer")
         val clean = c.select(col("c_custkey"), col("c_name"))
@@ -150,5 +186,4 @@ object CdcQueries {
         |JOIN dirty d ON d.d_id = c.d_id
         |JOIN customer cu ON cu.c_custkey = c.c_custkey
         |WHERE levenshtein(d.d_name, cu.c_name) <= 2""".stripMargin)
-  )
 }

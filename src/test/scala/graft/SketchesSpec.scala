@@ -44,4 +44,26 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CountMin: never undercounts, overcount bounded, partition-invariant") {
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(150)("warm") ++
+      (1 to 200).map(i => s"tail${i % 50}") // 50 keys × 4 each
+    val truth = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // width 256 at N=750 → ε = 2N/width ≈ 5.9
+    val slack = 2L * rows.size / 256
+    val sketches = for (parts <- Seq(1, 3, 8)) yield {
+      val ds = spark.createDataset(rows).repartition(parts)
+      val (agg, sk) = Sketches.countMin(ds, depth = 4, width = 256)
+      truth.foreach { case (t, n) =>
+        val est = agg.estimate(sk, t)
+        assert(est >= n, s"parts=$parts $t undercounted: $est < $n")
+        assert(est <= n + slack, s"parts=$parts $t overcounted: $est > $n + $slack")
+      }
+      assert(agg.estimate(sk, "never-seen") <= slack)
+      sk.toSeq
+    }
+    // merge is commutative addition ⇒ the sketch itself is identical
+    // under any partitioning, not just the estimates
+    assert(sketches.distinct.size == 1, "sketch must be partition-invariant")
+  }
 }
