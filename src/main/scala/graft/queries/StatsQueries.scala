@@ -8,12 +8,57 @@ import graft.queries.Fns._
 /** Statistical / sampling operator coverage: exact interpolated
   * percentiles, histogram binning, deterministic content-hash
   * sampling, full-outer set reconciliation, moments,
-  * correlation/covariance, arg-max latest-row selection, and exact
-  * DECIMAL money aggregation.
+  * correlation/covariance, arg-max latest-row selection, exact
+  * DECIMAL money aggregation, and robust (median/MAD) outlier
+  * detection.
   */
 object StatsQueries {
 
   val queries: Map[String, Q] = Map(
+
+    // Robust outlier detection: per-group median + MAD (median
+    // absolute deviation), rows flagged where |x − med| > 3·MAD.
+    // Two aggregation passes with the 3-row group stats broadcast
+    // back between them — the classic robust-statistics shape that
+    // survives skewed money columns where mean/stddev z-scores drown.
+    // med/MAD are snapped at 1e-6 (Fns.r6, part of the operator
+    // definition, like PageRank's per-round snap) so the >3·MAD
+    // threshold compares identical doubles on both engines.
+    "q114_outlier_mad" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val med = o.groupBy("o_orderpriority")
+          .agg(r6(expr("percentile(o_totalprice, 0.5)")).as("med"))
+        val dev = o.join(broadcast(med), Seq("o_orderpriority"))
+        val mad = dev.groupBy("o_orderpriority")
+          .agg(r6(expr("percentile(abs(o_totalprice - med), 0.5)")).as("mad"),
+            first("med").as("med"))
+        o.join(broadcast(mad), Seq("o_orderpriority"))
+          .groupBy("o_orderpriority")
+          .agg(r4(first("med")).as("med"), r4(first("mad")).as("mad"),
+            count(lit(1)).as("n"),
+            sum(when(abs(col("o_totalprice") - col("med")) > col("mad") * 3, 1L)
+              .otherwise(0L)).as("n_outliers"))
+      },
+      """WITH med AS (
+        |  SELECT o_orderpriority,
+        |    floor(quantile_cont(o_totalprice, 0.5)*1000000 + 0.5)/1000000 AS med
+        |  FROM orders GROUP BY o_orderpriority),
+        |mad AS (
+        |  SELECT o.o_orderpriority,
+        |    floor(quantile_cont(abs(o.o_totalprice - m.med), 0.5)*1000000 + 0.5)/1000000 AS mad
+        |  FROM orders o JOIN med m USING (o_orderpriority)
+        |  GROUP BY o.o_orderpriority)
+        |SELECT o.o_orderpriority,
+        |  floor(m.med*10000 + 0.5)/10000 AS med,
+        |  floor(d.mad*10000 + 0.5)/10000 AS mad,
+        |  count(*) AS n,
+        |  sum(CASE WHEN abs(o.o_totalprice - m.med) > d.mad * 3
+        |      THEN 1 ELSE 0 END) AS n_outliers
+        |FROM orders o
+        |JOIN med m USING (o_orderpriority)
+        |JOIN mad d USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority, m.med, d.mad""".stripMargin),
 
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`), rounded at stable decimals.
