@@ -3,20 +3,29 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Single-pass table profiling (ANALYZE-style column statistics):
-  * row count, null count, exact distinct count, and min/max rendered
-  * as strings, one output row per column.
+/** Table profiling (ANALYZE-style column statistics): row count, null
+  * count, exact distinct count, and min/max rendered as strings, one
+  * output row per column.
   *
-  * Scale design: ONE scan of the table produces every column's stats.
-  * The multiple exact `count(distinct …)` aggregates plan as a single
-  * Expand + partial aggregation — rows are replicated once per
-  * distinct-aggregate before the map-side combine, the standard
-  * engine-level trade for exact multi-column NDV (one pass over 100 TB
-  * beats `ncols` passes; the combine collapses each column to its
-  * distinct keys before anything shuffles). For very wide tables where
-  * the ×ncols Expand inflation dominates, the approximate profile is
-  * the mergeable HLL path in [[Sketches]] — this operator is the exact
-  * gate-checkable baseline.
+  * Scale design — TWO aggregations over the same columnar scan bytes,
+  * shaped so BOTH stay in hash aggregation:
+  *
+  *  - NDV pass: all the `count(distinct …)` aggregates in one
+  *    aggregation → a single Expand (rows replicated once per
+  *    distinct-aggregate) + map-side combine. Its buffers are all
+  *    longs, so it plans as HashAggregate.
+  *  - min/max/null pass: a plain Expand-free aggregation. Kept OUT of
+  *    the NDV aggregation deliberately: string-typed min/max buffers
+  *    disqualify HashAggregate, and fused with the Expand that demoted
+  *    the whole 12×-inflated pipeline to SortAggregate — two full
+  *    sorts of the expanded table, ~10× the query's cost (measured at
+  *    sf0.1).
+  *
+  * The two one-row results join on a constant key (broadcast hash
+  * join, no shuffle). For very wide tables where the ×ncols Expand
+  * inflation dominates, the approximate profile is the mergeable HLL
+  * path in [[Sketches]] — this operator is the exact gate-checkable
+  * baseline.
   *
   * min/max are cast to string AFTER aggregating (so the comparison
   * runs on the native type) — one schema fits every column type.
@@ -25,14 +34,16 @@ object TableProfile {
 
   def profile(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val aggs =
-      count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-      }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val ndvAggs = count(lit(1)).as("__n") +:
+      cols.map(c => countDistinct(col(c)).as(s"__ndv_$c"))
+    val ndv = df.agg(ndvAggs.head, ndvAggs.tail: _*).withColumn("__k", lit(1))
+    val mmAggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).withColumn("__k", lit(1))
+    val one = ndv.join(mm, "__k")
     // unpivot the single stats row into one row per column
     val perCol = cols.map { c =>
       struct(

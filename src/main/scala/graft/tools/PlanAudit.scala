@@ -22,7 +22,8 @@ object PlanAudit {
     "q47_histogram", // literal band table joined non-equi (broadcast)
     "q18_sequence", // × a 12-row generated calendar (broadcast)
     "q19_scalar_agg", // × a broadcast 1-row aggregate (the probe pattern)
-    "q102_skyline" // × a broadcast 1-row x-range frame (same pattern)
+    "q102_skyline", // × a broadcast 1-row x-range frame (same pattern)
+    "q106_table_profile" // 1-row NDV agg × 1-row min/max agg (constant-key join folds to NL)
   )
 
   def main(args: Array[String]): Unit = {

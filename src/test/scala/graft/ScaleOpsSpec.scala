@@ -69,12 +69,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(qty.getString(4) == "1.0" && qty.getString(5) == "50.0")
   }
 
-  test("TableProfile: single scan — exactly one Expand, one final aggregate shuffle") {
-    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+  test("TableProfile: one Expand, no SortAggregate, both passes hash-aggregated") {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_returnflag")
     val plan = TableProfile.profile(li).queryExecution.executedPlan.toString
     assert("Expand".r.findAllIn(plan).length == 1, plan)
-    assert("Scan parquet".r.findAllIn(plan).length == 1,
-      s"profile must read the table once:\n$plan")
+    // two columnar scans (same bytes as one row-store pass), and the
+    // string min/max buffers must NOT demote the Expand pipeline to
+    // sort-based aggregation — that regression measured ~10× at sf0.1.
+    // A KEYLESS SortAggregate is fine (the Expand-free min/max branch:
+    // string buffers bar HashAggregate, but with no grouping keys it's
+    // a per-partition fold needing no Sort) — the assertion is that no
+    // actual Sort operator exists and every sort-agg is keyless.
+    assert("FileScan parquet".r.findAllIn(plan).length == 2, plan)
+    assert(!plan.contains("+- Sort "),
+      s"profile must not sort anything:\n$plan")
+    assert("SortAggregate".r.findAllIn(plan).length ==
+      "SortAggregate\\(key=\\[\\]".r.findAllIn(plan).length,
+      s"keyed sort-aggregation crept back into the profile plan:\n$plan")
   }
 
   test("ZOrder.zValue2 interleaves bits like the reference scalar formula") {
@@ -165,6 +177,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(canon(MaterializedAgg.merge(f3, f1, f2)) == canon(full))
     assert(canon(MaterializedAgg.merge(MaterializedAgg.merge(f1, f2), f3)) ==
       canon(full))
+  }
+
+  test("ClusteredIngest: batches land z-clustered; second pass ingests only new files") {
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft_ci_src").toString
+    val outDir = Files.createTempDirectory("graft_ci_out").toString + "/data"
+    val ckDir = Files.createTempDirectory("graft_ci_ck").toString
+    val docs = Tables(spark, dir, "documents").select("doc_id", "n_chars", "lang")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    a.coalesce(1).write.mode("append").parquet(srcDir)
+    def stream = spark.readStream
+      .schema("doc_id LONG, n_chars LONG, lang STRING")
+      .parquet(srcDir)
+    streaming.ClusteredIngest.runOnce(stream, outDir, ckDir,
+      "doc_id", "n_chars", filesPerBatch = 4)
+    val afterA = spark.read.parquet(outDir).count()
+    assert(afterA == a.count())
+    b.coalesce(1).write.mode("append").parquet(srcDir)
+    streaming.ClusteredIngest.runOnce(stream, outDir, ckDir,
+      "doc_id", "n_chars", filesPerBatch = 4)
+    assert(spark.read.parquet(outDir).count() == afterA + b.count())
+    // every written file covers a tight 2-D box (per-batch clustering)
+    val byFile = spark.read.parquet(outDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("doc_id").as("px"), max("doc_id").as("qx"),
+        min("n_chars").as("py"), max("n_chars").as("qy"))
+      .collect()
+    assert(byFile.length >= 6)
+    val dom = docs.agg(
+      (max("doc_id") - min("doc_id")).cast("double").as("dx"),
+      (max("n_chars") - min("n_chars")).cast("double").as("dy")).head
+    val avgArea = byFile.map { r =>
+      (r.getLong(2) - r.getLong(1)).toDouble / dom.getDouble(0) *
+        ((r.getLong(4) - r.getLong(3)).toDouble / dom.getDouble(1))
+    }.sum / byFile.length
+    assert(avgArea < 0.7, f"expected tight per-file boxes, avg $avgArea%.2f")
   }
 
   test("Mixture.keepWeighted: deterministic, monotone in weight, saturates at 1") {
