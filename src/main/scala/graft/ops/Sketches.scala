@@ -153,4 +153,29 @@ object Sketches {
     val agg = new CountMin(depth, width)
     (agg, tokens.select(agg.toColumn).head())
   }
+
+  /** Equi-join cardinality estimate from two count-min sketches built
+    * with the SAME (depth, width) — the planning aid that decides
+    * broadcast vs shuffle vs pre-aggregation from two cheap single-pass
+    * sketches instead of touching either table again. Per sketch row,
+    * the counter dot-product Σ_j a(r,j)·b(r,j) equals
+    * Σ_k f_a(k)·f_b(k) (= the true join size) plus non-negative
+    * hash-collision noise, so every row OVER-estimates and the min
+    * over rows is the tightest; E[noise] ≤ N_a·N_b / width per row.
+    */
+  def estimateJoinSize(a: Array[Long], b: Array[Long],
+      depth: Int, width: Int): Long = {
+    require(a.length == depth * width && b.length == depth * width,
+      s"sketch shape mismatch: ${a.length}/${b.length} vs ${depth}x$width")
+    var best = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var j = 0
+      while (j < width) { s += a(r * width + j) * b(r * width + j); j += 1 }
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.streaming.EventStream
+import graft.streaming.{ClusteredIngest, EventStream}
 
 /** Structured Streaming coverage: the same events windowing as
   * q23_event_window, but executed through readStream → watermark →
@@ -42,6 +42,16 @@ object StreamQueries {
         | floor(sum(value)*100 + 0.5)/100 AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin),
+
+    // Layout-maintaining streaming ingest: documents streamed through
+    // a z-clustered foreachBatch append, then aggregated from the
+    // LANDED files — equality with the batch aggregation proves the
+    // stream→cluster→append→read-back loop is loss- and
+    // duplication-free.
+    "q115_stream_cluster_ingest" -> Q(
+      (s, d) => ClusteredIngest.ingestedLangCounts(s, d),
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |FROM documents GROUP BY lang""".stripMargin),
 
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.ops.ZOrder
@@ -39,5 +40,26 @@ object ClusteredIngest {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The q115 gate path: stream the documents dump through a
+    * z-clustered ingest (cluster key = (doc_id, n_chars)) into a fresh
+    * sink, then aggregate the LANDED files per language — so the gate
+    * checks the full stream→cluster→append→read-back loop, not just
+    * the transform. Equality with the batch aggregation proves the
+    * ingest is loss- and duplication-free.
+    */
+  def ingestedLangCounts(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_zingest")
+    val sink = base.resolve("data").toString
+    val ck = base.resolve("ck").toString
+    val stream = spark.readStream
+      .schema(EventStream.documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    runOnce(stream, sink, ck, "doc_id", "n_chars", filesPerBatch = 8)
+    spark.read.parquet(sink)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
   }
 }

@@ -66,4 +66,19 @@ class SketchesSpec extends AnyFunSuite {
     // under any partitioning, not just the estimates
     assert(sketches.distinct.size == 1, "sketch must be partition-invariant")
   }
+
+  test("estimateJoinSize: never under, within collision slack of truth") {
+    val (depth, width) = (4, 512)
+    // side A: key k appears k times (k=1..40); side B: even keys 3x
+    val aRows = (1 to 40).flatMap(k => Seq.fill(k)(s"k$k"))
+    val bRows = (1 to 40).filter(_ % 2 == 0).flatMap(k => Seq.fill(3)(s"k$k"))
+    val truth = (1 to 40).filter(_ % 2 == 0).map(_ * 3L).sum // Σ f_a·f_b
+    val (_, skA) = Sketches.countMin(spark.createDataset(aRows), depth, width)
+    val (_, skB) = Sketches.countMin(spark.createDataset(bRows), depth, width)
+    val est = Sketches.estimateJoinSize(skA, skB, depth, width)
+    assert(est >= truth, s"join estimate must not undercount: $est < $truth")
+    val slack = aRows.size.toLong * bRows.size / width + 1
+    assert(est <= truth + 4 * slack,
+      s"estimate $est too loose: truth $truth, slack $slack")
+  }
 }
