@@ -72,4 +72,34 @@ object BloomPrune {
     val keys = dim.select(col(dimKey).as("__dim_key")).distinct()
     pruned.join(keys, pruned(factKey) === keys("__dim_key"), "left_semi")
   }
+
+  /** `fact` rows whose `factKey` matches NO `dimKey` in `dim` — the
+    * anti join, bloom-short-circuited: a bloom has no false negatives,
+    * so a row whose key the filter rejects is PROVABLY absent from the
+    * dimension and is emitted directly, never entering the join
+    * exchange. Only the might-contain suspects (true matches + fpp)
+    * shuffle through the exact anti join. Output ≡ the plain anti
+    * join.
+    *
+    * This is the decontamination shape at 100 TB: with a benchmark
+    * set of ~1M fingerprints, ~all corpus rows are definite misses —
+    * the anti join's shuffle shrinks from |corpus| to |suspects| at
+    * the cost of a second columnar scan of the key column (a
+    * scan-vs-shuffle trade that wins by orders of magnitude). Rows
+    * with a NULL key never equi-match, so they route through the
+    * direct-emit branch, preserving anti-join null semantics.
+    */
+  def prunedAntiJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String, expectedItems: Long): DataFrame = {
+    val bloomPlan = dim.agg(bloomAgg(col(dimKey), expectedItems).as("__bf"))
+      .queryExecution.analyzed
+    val bloom = ColumnShim.column(ScalarSubquery(bloomPlan))
+    val maybe = mightContain(bloom, col(factKey))
+    // might_contain(NULL) is NULL: coalesce routes null keys to misses
+    val misses = fact.filter(coalesce(!maybe, lit(true)))
+    val suspects = fact.filter(maybe)
+    val keys = dim.select(col(dimKey).as("__dim_key")).distinct()
+    misses.unionByName(
+      suspects.join(keys, suspects(factKey) === keys("__dim_key"), "left_anti"))
+  }
 }

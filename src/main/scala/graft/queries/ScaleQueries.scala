@@ -173,6 +173,26 @@ object ScaleQueries {
         | sum(l_quantity) / count(*) AS avg_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
 
+    // Bloom-short-circuited ANTI join — decontamination at scale:
+    // corpus docs whose content fingerprint is NOT in the benchmark
+    // set (every 7th doc, standing in for an external eval set).
+    // Definite bloom misses are emitted without touching the join;
+    // only suspects shuffle. Exact duplicates of a contaminated text
+    // are removed too (fingerprint equality), which is the point.
+    "q116_bloom_decontaminate" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .withColumn("fp", md5(col("text")))
+        val bench = docs.filter(col("doc_id") % 7 === 0)
+        BloomPrune.prunedAntiJoin(docs, bench, "fp", "fp",
+          expectedItems = 100000L)
+          .select("doc_id", "lang", "n_chars")
+      },
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)"""
+        .stripMargin),
+
     // WITH RECURSIVE (Spark 4 front-end surface): depth-bounded BFS
     // over the customer↔supplier purchase graph from one part's
     // suppliers. UNION ALL recursion enumerates paths (bounded depth

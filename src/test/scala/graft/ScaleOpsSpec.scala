@@ -52,6 +52,21 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"bloom filter should appear BELOW (after, in tree print) the semi join:\n$plan")
   }
 
+  test("BloomPrune.prunedAntiJoin ≡ plain anti join; misses skip the join branch") {
+    val docs = Tables(spark, dir, "documents").withColumn("fp", md5(col("text")))
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val pruned = BloomPrune.prunedAntiJoin(docs, bench, "fp", "fp", 1000L)
+    val plain = docs.join(bench.select(col("fp").as("bfp")).distinct(),
+      docs("fp") === col("bfp"), "left_anti")
+    assert(pruned.count() == plain.count())
+    assert(pruned.select("doc_id").exceptAll(plain.select("doc_id")).isEmpty)
+    // shape: the exact anti join exists, and a might_contain filter
+    // guards BOTH branches (direct-emit negation + suspect selection)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    assert("might_contain".r.findAllIn(plan).length >= 2, plan)
+  }
+
   test("TableProfile.profile matches per-column direct aggregates, one row each") {
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_returnflag")
