@@ -126,10 +126,11 @@ object Similarity {
     * id tie-break), keep top k. `base` carries (neighbor_id, vn, nn,
     * bucket); `qs` carries (query_id, vq, nq, bucket).
     */
-  private def bucketedTopK(base: DataFrame, qs: DataFrame, k: Int): DataFrame = {
+  private def bucketedTopK(base: DataFrame, qs: DataFrame, k: Int,
+      joinKeys: Seq[String] = Seq("bucket")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    base.join(qs, Seq("bucket"))
+    base.join(qs, joinKeys)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cos"))
@@ -219,6 +220,35 @@ object Similarity {
            |  p -> struct(abs(element_at(projs, p + 1)) AS a, p AS p))),
            |  1, $nProbe), s -> s.p)""".stripMargin))
       .withColumn("nq", l2Norm(col("vq")))
+  }
+
+  /** FILTERED ANN: top-k within the query's metadata partition (same
+    * language, same source, same tenant …) — the retrieval shape
+    * behind per-corpus vector search. The filter column simply joins
+    * the bucket key: candidates are generated per (filter, bucket)
+    * cell, so the predicate costs nothing extra and never post-filters
+    * away recall (contrast with search-then-filter, which returns
+    * fewer than k when the filter is selective). Still equi-keyed —
+    * at 100 TB the (filter, bucket) key also spreads hot buckets of
+    * one tenant across the cluster.
+    */
+  def filteredLshTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, dim: Int, nPlanes: Int, k: Int,
+      multiProbe: Boolean = false): DataFrame = {
+    val base = emb.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("vn"), col(filterCol))
+      .withColumn("bucket", hyperplaneBucket(col("vn"), dim, nPlanes))
+      .withColumn("nn", l2Norm(col("vn")))
+    val qBucket = hyperplaneBucket(col("vq"), dim, nPlanes)
+    val probeExpr =
+      if (!multiProbe) array(qBucket)
+      else array(qBucket +: (0 until nPlanes).map(p =>
+        qBucket.bitwiseXOR(lit(1L << p))): _*)
+    val qs = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("vq"), col(filterCol))
+      .withColumn("bucket", explode(probeExpr))
+      .withColumn("nq", l2Norm(col("vq")))
+    bucketedTopK(base, qs, k, Seq("bucket", filterCol))
   }
 
   /** Approximate top-k: exact ranking *within* the query's LSH bucket.

@@ -127,6 +127,44 @@ object AnnQueries {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
 
+    // FILTERED vector search: q37's bucketed LSH with the query's
+    // language joined into the candidate key — per-corpus retrieval
+    // where the predicate shapes candidate generation instead of
+    // post-filtering recall away. Same deterministic plane lattice →
+    // full hash-match oracle.
+    "q117_ann_filtered" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings").join(
+          Tables(s, d, "documents")
+            .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        Similarity.filteredLshTopK(
+          emb, emb.filter(col("vec_id") < 50), "vec_id", "embedding",
+          "lang", dim = 64, nPlanes = 8, k = 3, multiProbe = true)
+      },
+      s"""WITH $embCte,
+         |$planesCte,
+         |$bucketedCte,
+         |tagged AS (
+         |  SELECT b.vec_id, b.e, b.bucket, d.lang
+         |  FROM bucketed b JOIN documents d ON d.doc_id = b.vec_id),
+         |probes AS (
+         |  SELECT b.vec_id AS query_id, b.e AS eq, b.lang,
+         |    unnest([b.bucket] ||
+         |      list_transform(range(0, 8), p -> xor(b.bucket, 1 << p))) AS pb
+         |  FROM tagged b WHERE b.vec_id < 50),
+         |pairs AS (
+         |  SELECT q.query_id, n.vec_id AS neighbor_id, q.eq AS ea, n.e AS eb
+         |  FROM probes q JOIN tagged n
+         |    ON n.bucket = q.pb AND n.lang = q.lang
+         |  WHERE q.query_id <> n.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $cosExpr AS cos FROM pairs),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
+
     // Embedding near-dup pairs at scale: LSH candidate generation +
     // exact-cosine verify (the linear replacement for q35's quadratic
     // crossJoin). Deterministic sin-lattice hyperplanes → full
