@@ -2,8 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Tables
-import graft.ops.{Pca, Similarity}
+import graft.ops.{Fusion, Pca, Similarity, TextOps}
 
 /** Embedding similarity-search coverage over the `embeddings` table
   * (64-dim float vectors).
@@ -164,6 +166,78 @@ object AnnQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored)
          |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 3""".stripMargin),
+
+    // HYBRID retrieval: lexical top-20 (distinct-token-overlap via an
+    // inverted-index join — the keyed-scale shape of keyword search)
+    // fused with vector top-20 (exact cosine) by Reciprocal Rank
+    // Fusion, final top-10 per query. RRF scores are fixed-order
+    // two-term sums of exact-integer divisions — bit-identical on any
+    // engine, no calibration or tolerance.
+    "q118_hybrid_rrf" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val toks = docs.select(col("doc_id"), explode(array_distinct(
+          TextOps.whitespaceTokens(lower(col("text"))))).as("tok"))
+        val qtoks = toks.filter(col("doc_id") < 5)
+          .withColumnRenamed("doc_id", "query_id")
+        val wLex = Window.partitionBy("query_id")
+          .orderBy(col("overlap").desc, col("doc_id"))
+        val lex = qtoks.join(toks, "tok")
+          .filter(col("query_id") =!= col("doc_id"))
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("rank", row_number().over(wLex).cast("long"))
+          .filter(col("rank") <= 20)
+        val emb = Tables(s, d, "embeddings")
+        val vec = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+          .withColumnRenamed("neighbor_id", "doc_id")
+        val wOut = Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id"))
+        Fusion.rrf(lex.select("query_id", "doc_id", "rank"),
+            vec.select("query_id", "doc_id", "rank"))
+          .withColumn("final_rank", row_number().over(wOut).cast("long"))
+          .filter(col("final_rank") <= 10)
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    string_split_regex(trim(lower(text)), '\\s+'))) AS tok
+         |  FROM documents),
+         |lex AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT q.doc_id AS query_id, t.doc_id,
+         |      row_number() OVER (PARTITION BY q.doc_id
+         |        ORDER BY count(*) DESC, t.doc_id) AS rank
+         |    FROM toks q JOIN toks t ON q.tok = t.tok AND q.doc_id <> t.doc_id
+         |    WHERE q.doc_id < 5
+         |    GROUP BY q.doc_id, t.doc_id)
+         |  WHERE rank <= 20),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS doc_id,
+         |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5),
+         |vec AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $cosExpr DESC, doc_id) AS rank
+         |    FROM p)
+         |  WHERE rank <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+         |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + l.rank), 0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + v.rank), 0) AS score
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, doc_id, score, final_rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS final_rank
+         |  FROM fused)
+         |WHERE final_rank <= 10""".stripMargin),
 
     // Embedding near-dup pairs at scale: LSH candidate generation +
     // exact-cosine verify (the linear replacement for q35's quadratic
