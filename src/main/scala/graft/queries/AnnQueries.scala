@@ -239,6 +239,43 @@ object AnnQueries {
          |  FROM fused)
          |WHERE final_rank <= 10""".stripMargin),
 
+    // Per-class embedding centroids (k-NN prototypes / dataset
+    // cartography): mean vector per language. Element sums are
+    // ORDER-INDEPENDENT by construction — each component is quantized
+    // to an exact integer (floor(x·1e6 + 0.5), the engine-portable
+    // rounding) before the groupBy sum, so any shuffle order and any
+    // engine produce identical sums; the mean divides two exact
+    // integers at the end. The q100 DECIMAL treatment, specialized to
+    // unit-scale vector components.
+    "q119_group_centroid" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings").join(
+          Tables(s, d, "documents")
+            .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        emb.select(col("lang"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("p", "x")))
+          .select(col("lang"), (col("p") + 1).cast("long").as("pos"),
+            floor(col("x") * 1000000 + lit(0.5)).cast("long").as("q"))
+          .groupBy("lang", "pos")
+          .agg(sum("q").as("sum_q6"), count(lit(1)).as("n"))
+          .withColumn("centroid",
+            col("sum_q6").cast("double") / (col("n") * 1000000L))
+      },
+      s"""WITH $embCte,
+         |x AS (
+         |  SELECT vec_id,
+         |    unnest(list_transform(range(1, 65),
+         |      i -> struct_pack(pos := i, v := e[i]))) AS s
+         |  FROM emb),
+         |f AS (
+         |  SELECT vec_id, s.pos AS pos,
+         |    CAST(floor(s.v * 1000000 + 0.5) AS BIGINT) AS q
+         |  FROM x)
+         |SELECT d.lang, f.pos, sum(f.q) AS sum_q6, count(*) AS n,
+         |  CAST(sum(f.q) AS DOUBLE) / (count(*) * 1000000) AS centroid
+         |FROM f JOIN documents d ON d.doc_id = f.vec_id
+         |GROUP BY d.lang, f.pos""".stripMargin),
+
     // Embedding near-dup pairs at scale: LSH candidate generation +
     // exact-cosine verify (the linear replacement for q35's quadratic
     // crossJoin). Deterministic sin-lattice hyperplanes → full
