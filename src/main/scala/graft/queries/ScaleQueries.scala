@@ -52,6 +52,16 @@ object ScaleQueries {
        |SELECT node, min(depth) AS depth, count(*) AS n_paths
        |FROM walk GROUP BY node""".stripMargin
 
+  /** Per-supplier top-3 lineitems by price via a correlated LATERAL
+    * subquery — identical ANSI text for Spark and DuckDB.
+    */
+  private def lateralTopkSql(supplier: String, lineitem: String): String =
+    s"""SELECT s.s_suppkey, l.l_orderkey, l.l_extendedprice
+       |FROM $supplier s, LATERAL (
+       |  SELECT l_orderkey, l_extendedprice FROM $lineitem
+       |  WHERE l_suppkey = s.s_suppkey
+       |  ORDER BY l_extendedprice DESC, l_orderkey LIMIT 3) l""".stripMargin
+
   private val lineitemCols = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
@@ -231,6 +241,17 @@ object ScaleQueries {
             |FROM walk GROUP BY node""".stripMargin)
       },
       reachabilitySql("orders", "lineitem")),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT (Spark 4
+    // front-end surface; planned as a rewritten join + per-key group
+    // limit, not a driver loop). Same SQL text runs on both engines.
+    "q120_lateral_topk" -> Q(
+      (s, d) => {
+        Tables(s, d, "supplier").createOrReplaceTempView("q120_supplier")
+        Tables(s, d, "lineitem").createOrReplaceTempView("q120_lineitem")
+        s.sql(lateralTopkSql("q120_supplier", "q120_lineitem"))
+      },
+      lateralTopkSql("supplier", "lineitem")),
 
     // Quality-weighted Bernoulli sample: keep probability proportional
     // to document length (saturating at 4000 chars) — zero-shuffle
