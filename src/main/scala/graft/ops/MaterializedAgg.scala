@@ -26,7 +26,12 @@ object MaterializedAgg {
       .agg(count(lit(1)).as("n"),
         measures.map(m => sum(col(m)).as(s"sum_$m")): _*)
 
-  /** Merge state frames (same schema) by summing per group. */
+  /** Merge state frames (same schema) by summing per group.
+    *
+    * Column contract (set by [[fold]]): `n` and `sum_*` are RESERVED
+    * state names — every other column is treated as a group key, so
+    * key columns must not be named `n` or start with `sum_`.
+    */
   def merge(states: DataFrame*): DataFrame = {
     val all = states.reduce(_ unionByName _)
     val keys = all.columns.filterNot(c => c == "n" || c.startsWith("sum_")).toSeq

@@ -184,4 +184,30 @@ class PropertySpec extends AnyFunSuite {
       assert(code.length <= 100)
     }
   }
+
+  test("banded interval-overlap join ≡ brute force for random intervals and band widths") {
+    import org.apache.spark.sql.functions.{col, date_add, lit, to_date}
+    // random start offsets (±400 days around 2020-01-01, crossing the
+    // 1970-pre/post boundary is covered by negative-epoch arithmetic
+    // in the op's floor-division) and random lengths incl. zero
+    val ivGen = Gen.zip(Gen.chooseNum(-400, 400), Gen.chooseNum(0, 90))
+    val caseGen = Gen.zip(Gen.listOfN(25, ivGen), Gen.listOfN(25, ivGen),
+      Gen.oneOf(7, 30, 120))
+    samples(caseGen, 4).foreach { case (as, bs, bandDays) =>
+      def frame(rows: Seq[(Int, Int)], p: String) =
+        rows.zipWithIndex.map { case ((off, len), i) => (i.toLong, off, len) }
+          .toDF(s"${p}_id", "off", "len")
+          .select(col(s"${p}_id"),
+            date_add(to_date(lit("2020-01-01")), col("off")).as(s"${p}_start"),
+            date_add(to_date(lit("2020-01-01")), col("off") + col("len")).as(s"${p}_end"))
+      val a = frame(as, "a"); val b = frame(bs, "b")
+      val banded = graft.ops.IntervalJoin.overlapPairs(a, b, bandDays)
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      val brute = a.crossJoin(b)
+        .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+      assert(banded == brute, s"bandDays=$bandDays")
+      assert(banded.distinct == banded, "duplicate pair emitted")
+    }
+  }
 }
