@@ -23,7 +23,8 @@ object PlanAudit {
     "q18_sequence", // × a 12-row generated calendar (broadcast)
     "q19_scalar_agg", // × a broadcast 1-row aggregate (the probe pattern)
     "q102_skyline", // × a broadcast 1-row x-range frame (same pattern)
-    "q106_table_profile" // 1-row NDV agg × 1-row min/max agg (constant-key join folds to NL)
+    "q106_table_profile", // 1-row NDV agg × 1-row min/max agg (constant-key join folds to NL)
+    "q118_hybrid_rrf" // vector side = q36's exact baseline: broadcast 5-query side × one corpus scan
   )
 
   def main(args: Array[String]): Unit = {
