@@ -107,7 +107,7 @@ object Sketches {
     private def bucket(row: Int, t: String): Int = {
       // XXH64 over (row-salted) bytes via Spark's own implementation,
       // so estimates are reproducible across JVMs and sessions
-      val bytes = (row + ":" + t).getBytes("UTF-8")
+      val bytes = s"$row:$t".getBytes("UTF-8")
       val h = org.apache.spark.sql.catalyst.expressions.XXH64
         .hashUnsafeBytes(bytes,
           org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
