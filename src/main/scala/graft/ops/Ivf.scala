@@ -169,6 +169,21 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
+  /** Incremental index maintenance: assign ONLY the new vectors to
+    * the existing trained cells (row-wise argmax — no shuffle, no
+    * retrain) and append to the cell-assigned corpus. O(new) per
+    * batch; the index quality degrades only as the data distribution
+    * drifts from the training sample, at which point [[train]] on a
+    * fresh sample rebuilds it. Searching the union is identical to
+    * having assigned everything at once, because assignment is a pure
+    * per-row function of the frozen centroids — spec'd in IvfSpec.
+    */
+  def upsert(index: Index, assigned: DataFrame, newVecs: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    assigned.unionByName(assignCells(
+      newVecs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")),
+      index))
+
   /** Train + search in one call (the q38 entry point). */
   def search(emb: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCells: Int, nProbe: Int,

@@ -25,6 +25,8 @@ import graft.ops.{BloomPrune, IntervalJoin, MaterializedAgg, Mixture, TableProfi
   *    (O(delta) refresh ≡ full recompute, q111)
   *  - recursive-CTE graph reachability (Spark 4's WITH RECURSIVE,
   *    depth-bounded BFS with min-depth dedup, q112)
+  *  - correlated LATERAL top-k (q120) and the per-source corpus
+  *    governance report (q121)
   */
 object ScaleQueries {
 
@@ -252,6 +254,37 @@ object ScaleQueries {
         s.sql(lateralTopkSql("q120_supplier", "q120_lineitem"))
       },
       lateralTopkSql("supplier", "lineitem")),
+
+    // Per-source corpus governance report — the "data card" pass a
+    // training pipeline runs before mixing: volume, exact-duplicate
+    // incidence (docs sharing a content fingerprint), language
+    // spread, and mean length, composed as ONE plan (fingerprint
+    // groupBy + join back + per-source aggregate). All-integer sums;
+    // the one ratio divides two exact integers.
+    "q121_source_report" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .withColumn("fp", md5(col("text")))
+        val fpCounts = docs.groupBy("fp").agg(count(lit(1)).as("nfp"))
+        docs.join(fpCounts, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+            sum("n_chars").as("total_chars"),
+            countDistinct("lang").as("n_langs"))
+          .withColumn("mean_chars",
+            col("total_chars").cast("double") / col("n_docs"))
+      },
+      """WITH fp AS (
+        |  SELECT source, lang, n_chars, md5(text) AS fp FROM documents),
+        |fpc AS (SELECT fp, count(*) AS nfp FROM fp GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+        |  sum(n_chars) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM fp JOIN fpc USING (fp)
+        |GROUP BY source""".stripMargin),
 
     // Quality-weighted Bernoulli sample: keep probability proportional
     // to document length (saturating at 4000 chars) — zero-shuffle

@@ -81,4 +81,20 @@ class IvfSpec extends AnyFunSuite {
       .filter($"assigned_cell" =!= $"q_cell")
     assert(bad.count() == 0)
   }
+
+  test("upsert: incremental assignment ≡ assigning everything at once") {
+    val index = Ivf.train(emb, "vec_id", "embedding", k = 8)
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id").as("id"),
+        Similarity.toDoubleVec(col("embedding")).as("v"))
+    val allAtOnce = Ivf.assignCells(vecs(emb), index)
+      .select("id", "cell_id")
+    val base = Ivf.assignCells(vecs(emb.filter($"vec_id" % 2 === 0)), index)
+    val incremental = Ivf.upsert(index, base,
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+      .select("id", "cell_id")
+    assert(incremental.count() == allAtOnce.count())
+    assert(incremental.exceptAll(allAtOnce).isEmpty &&
+      allAtOnce.exceptAll(incremental).isEmpty)
+  }
 }
