@@ -286,6 +286,88 @@ object ScaleQueries {
         |FROM fp JOIN fpc USING (fp)
         |GROUP BY source""".stripMargin),
 
+    // Phrase mining by association strength: skip-gram pairs (token
+    // distance ≤ 2) scored by LIFT — p(ab) / (p(a)·p(b)) — computed
+    // log-free as a fixed-order chain of divisions of exact integer
+    // counts, so both engines produce bit-identical scores (PMI's log
+    // would drag in libm divergence). One explode + three aggregates.
+    "q122_skipgram_lift" -> Q(
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(TextOps.whitespaceTokens(lower(col("text"))).as("w"))
+        val pairs = toks.select(explode(concat(
+            zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),
+              (a, b) => concat_ws(" ", a, b)),
+            zip_with(col("w"), slice(col("w"), lit(3), greatest(size(col("w")) - 2, lit(0))),
+              (a, b) => concat_ws(" ", a, b)))).as("pair"))
+          .filter(size(split(col("pair"), " ")) === 2)
+        val tokCounts = toks.select(explode(col("w")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+        val totals = toks.select(
+          sum(size(col("w"))).as("n_total")).withColumn("__k", lit(1))
+        val pairCounts = pairs.groupBy("pair").agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= 5)
+          .withColumn("__k", lit(1))
+        val m = pairs.count()
+        pairCounts.join(totals, "__k")
+          .withColumn("tok_a", split(col("pair"), " ").getItem(0))
+          .withColumn("tok_b", split(col("pair"), " ").getItem(1))
+          .join(tokCounts.toDF("tok_a", "n_a"), "tok_a")
+          .join(tokCounts.toDF("tok_b", "n_b"), "tok_b")
+          .withColumn("lift",
+            (col("n_pair").cast("double") / lit(m)) /
+              ((col("n_a").cast("double") / col("n_total")) *
+                (col("n_b").cast("double") / col("n_total"))))
+          .select("pair", "n_pair", "lift")
+          .orderBy(col("lift").desc, col("pair")).limit(30)
+      },
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+        |pairs AS (
+        |  SELECT unnest(
+        |    list_transform(range(1, greatest(array_length(w), 1)),
+        |      i -> w[i] || ' ' || w[i+1]) ||
+        |    list_transform(range(1, greatest(array_length(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+2])) AS pair
+        |  FROM toks),
+        |pairs2 AS (SELECT pair FROM pairs WHERE len(string_split(pair, ' ')) = 2),
+        |tc AS (SELECT unnest(w) AS tok FROM toks),
+        |tok_counts AS (SELECT tok, count(*) AS n_tok FROM tc GROUP BY tok),
+        |totals AS (SELECT count(*) AS n_total FROM tc),
+        |m AS (SELECT count(*) AS m FROM pairs2),
+        |pc AS (SELECT pair, count(*) AS n_pair FROM pairs2
+        |       GROUP BY pair HAVING count(*) >= 5)
+        |SELECT pc.pair, pc.n_pair,
+        |  (CAST(pc.n_pair AS DOUBLE) / m.m) /
+        |    ((CAST(a.n_tok AS DOUBLE) / t.n_total) *
+        |     (CAST(b.n_tok AS DOUBLE) / t.n_total)) AS lift
+        |FROM pc
+        |JOIN tok_counts a ON a.tok = string_split(pc.pair, ' ')[1]
+        |JOIN tok_counts b ON b.tok = string_split(pc.pair, ' ')[2]
+        |CROSS JOIN totals t CROSS JOIN m
+        |ORDER BY lift DESC, pc.pair LIMIT 30""".stripMargin),
+
+    // Equal-allocation stratified sample: exactly `n` docs per
+    // language, selected by salted-md5 order (id tie-break) — the
+    // deterministic eval-set constructor. One window over the stratum.
+    "q123_stratified_eval" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+          .orderBy(Mixture.uniformHex("eval1", col("doc_id")), col("doc_id"))
+        Tables(s, d, "documents")
+          .withColumn("pick", row_number().over(w).cast("long"))
+          .filter(col("pick") <= 20)
+          .select("lang", "pick", "doc_id", "n_chars")
+      },
+      """SELECT lang, pick, doc_id, n_chars FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substring(md5('eval1' || CAST(doc_id AS VARCHAR)), 1, 4),
+        |               doc_id) AS pick
+        |  FROM documents)
+        |WHERE pick <= 20""".stripMargin),
+
     // Quality-weighted Bernoulli sample: keep probability proportional
     // to document length (saturating at 4000 chars) — zero-shuffle
     // projection, md5-replayable keep set.
