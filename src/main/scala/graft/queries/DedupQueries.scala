@@ -45,6 +45,23 @@ object DedupQueries {
     s"""WITH ${jaccardCtes(threshold)}
        |SELECT doc_a, doc_b, jaccard FROM jpairs""".stripMargin
 
+  /** Jaccard pairs + transitive closure into `clusters(doc_id,
+    * cluster_id)` — the shared tail of the q95/q124 oracles (must run
+    * under WITH RECURSIVE).
+    */
+  private def dupClusterCtes(threshold: String): String =
+    s"""${jaccardCtes(threshold)},
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
+       |          UNION SELECT doc_b, doc_a FROM jpairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |  WHERE e.v <> r.u),
+       |clusters AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |  FROM reach GROUP BY u)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // Exact dedup: hash-groupBy on content hash; keep lowest id.
@@ -149,22 +166,32 @@ object DedupQueries {
               col("n_chars") * 100000000000L - col("doc_id")).as("keep_id"),
             count(lit(1)).as("n_docs"))
       },
-      s"""WITH RECURSIVE ${jaccardCtes("0.8")},
-         |edges AS (SELECT doc_a AS u, doc_b AS v FROM jpairs
-         |          UNION SELECT doc_b, doc_a FROM jpairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-         |  WHERE e.v <> r.u),
-         |clusters AS (
-         |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id
-         |  FROM reach GROUP BY u)
+      s"""WITH RECURSIVE ${dupClusterCtes("0.8")}
          |SELECT c.cluster_id,
          |  arg_max(c.doc_id, d.n_chars * 100000000000 - c.doc_id) AS keep_id,
          |  count(*) AS n_docs
          |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
          |GROUP BY c.cluster_id""".stripMargin),
+
+    // Duplication-structure report: the size distribution of near-dup
+    // clusters ("how much of the corpus clumps, and how big are the
+    // clumps") — the governance companion to q95's keep-list. Same
+    // pipeline: LSH candidates → exact verify → connected components;
+    // then two tiny aggregates.
+    "q124_cluster_sizes" -> Q(
+      (s, d) => {
+        val pairs = Dedup.minHashDedup(Tables(s, d, "documents"),
+          "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.8)
+        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        pairs.unpersist()
+        clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      },
+      s"""WITH RECURSIVE ${dupClusterCtes("0.8")}
+         |SELECT cluster_size, count(*) AS n_clusters FROM (
+         |  SELECT cluster_id, count(*) AS cluster_size
+         |  FROM clusters GROUP BY cluster_id)
+         |GROUP BY cluster_size""".stripMargin),
 
     // Train/test decontamination: flag training documents sharing any
     // word-3-gram with a held-out test split (here: doc_id % 10 == 0).
