@@ -271,7 +271,7 @@ object AnnQueries {
          |  SELECT vec_id, s.pos AS pos,
          |    CAST(floor(s.v * 1000000 + 0.5) AS BIGINT) AS q
          |  FROM x)
-         |SELECT d.lang, f.pos, sum(f.q) AS sum_q6, count(*) AS n,
+         |SELECT d.lang, f.pos, CAST(sum(f.q) AS BIGINT) AS sum_q6, count(*) AS n,
          |  CAST(sum(f.q) AS DOUBLE) / (count(*) * 1000000) AS centroid
          |FROM f JOIN documents d ON d.doc_id = f.vec_id
          |GROUP BY d.lang, f.pos""".stripMargin),

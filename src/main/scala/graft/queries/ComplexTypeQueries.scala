@@ -121,7 +121,7 @@ object ComplexTypeQueries {
         |SELECT user_id,
         |  array_to_string(list_sort(list(event_type)), ',') AS types,
         |  coalesce(max(CASE WHEN event_type = 'click' THEN n END), 0) AS clicks,
-        |  sum(sk) AS k_total
+        |  CAST(sum(sk) AS BIGINT) AS k_total
         |FROM c GROUP BY user_id""".stripMargin),
 
     // Higher-order-function battery over the token array: filter /
@@ -148,7 +148,8 @@ object ComplexTypeQueries {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(list_filter(w, t -> len(t) > 4)) AS BIGINT) AS n_long,
-        |  list_aggregate(list_transform(w, t -> len(t)), 'sum') AS total_chars,
+        |  CAST(list_aggregate(list_transform(w, t -> len(t)), 'sum') AS BIGINT)
+        |    AS total_chars,
         |  len(list_filter(w, t -> t = 'spark')) > 0 AS has_spark,
         |  len(list_filter(w, t -> len(t) > 10)) = 0 AS all_short,
         |  CAST(list_aggregate(list_transform(w, t -> len(t)), 'max') AS BIGINT)

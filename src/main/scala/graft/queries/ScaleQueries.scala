@@ -279,8 +279,8 @@ object ScaleQueries {
         |  SELECT source, lang, n_chars, md5(text) AS fp FROM documents),
         |fpc AS (SELECT fp, count(*) AS nfp FROM fp GROUP BY fp)
         |SELECT source, count(*) AS n_docs,
-        |  sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
-        |  sum(n_chars) AS total_chars,
+        |  CAST(sum(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  count(DISTINCT lang) AS n_langs,
         |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
         |FROM fp JOIN fpc USING (fp)
@@ -308,14 +308,18 @@ object ScaleQueries {
         val pairCounts = pairs.groupBy("pair").agg(count(lit(1)).as("n_pair"))
           .filter(col("n_pair") >= 5)
           .withColumn("__k", lit(1))
-        val m = pairs.count()
-        pairCounts.join(totals, "__k")
+        // total pair count as a 1-row aggregate joined on __k (same
+        // trick as `totals`) — NOT a driver-side count(), which would
+        // force a full extra materialization of the explode pipeline
+        // at plan-build time
+        val mTot = pairs.agg(count(lit(1)).as("m")).withColumn("__k", lit(1))
+        pairCounts.join(totals, "__k").join(mTot, "__k")
           .withColumn("tok_a", split(col("pair"), " ").getItem(0))
           .withColumn("tok_b", split(col("pair"), " ").getItem(1))
           .join(tokCounts.toDF("tok_a", "n_a"), "tok_a")
           .join(tokCounts.toDF("tok_b", "n_b"), "tok_b")
           .withColumn("lift",
-            (col("n_pair").cast("double") / lit(m)) /
+            (col("n_pair").cast("double") / col("m")) /
               ((col("n_a").cast("double") / col("n_total")) *
                 (col("n_b").cast("double") / col("n_total"))))
           .select("pair", "n_pair", "lift")

@@ -53,8 +53,8 @@ object StatsQueries {
         |  floor(m.med*10000 + 0.5)/10000 AS med,
         |  floor(d.mad*10000 + 0.5)/10000 AS mad,
         |  count(*) AS n,
-        |  sum(CASE WHEN abs(o.o_totalprice - m.med) > d.mad * 3
-        |      THEN 1 ELSE 0 END) AS n_outliers
+        |  CAST(sum(CASE WHEN abs(o.o_totalprice - m.med) > d.mad * 3
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM orders o
         |JOIN med m USING (o_orderpriority)
         |JOIN mad d USING (o_orderpriority)

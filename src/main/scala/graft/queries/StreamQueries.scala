@@ -50,7 +50,8 @@ object StreamQueries {
     // duplication-free.
     "q115_stream_cluster_ingest" -> Q(
       (s, d) => ClusteredIngest.ingestedLangCounts(s, d),
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin),
 
     // Stream-stream join: view→click attribution with watermarked

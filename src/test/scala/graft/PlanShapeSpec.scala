@@ -52,4 +52,42 @@ class PlanShapeSpec extends AnyFunSuite {
     pp.unpersist()
     assert(!plan.contains("Window"), plan)
   }
+
+  test("query BUILDERS run zero Spark jobs (no driver-side actions at plan time)") {
+    // A queries() entry must return a lazy plan; any .count()/.collect()
+    // inside the builder forces an extra full materialization per call.
+    // q122 once paid a full explode-pipeline pass this way.
+    // Detector: every Dataset action opens a SQL execution
+    // (SparkListenerSQLExecutionStart); the tiny parquet footer /
+    // file-listing jobs a plain spark.read.parquet runs at read()
+    // time do NOT. So after building all six plans, the ONLY SQL
+    // execution observed must be the sentinel action run here.
+    val execs = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.add(s.description); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (name <- Seq("q122_skipgram_lift", "q121_source_report",
+          "q114_outlier_mad", "q90_hof_battery", "q96_map_type",
+          "q119_group_centroid")) {
+        SparkEntry.queries(name)(spark, dir) // build only — no action
+      }
+      // the listener bus is async but FIFO: once the sentinel action's
+      // execution-start event lands, any execution a builder launched
+      // would have been delivered before it
+      spark.range(1).collect()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (execs.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(execs.size() == 1,
+        s"query builders ran ${execs.size() - 1} Dataset action(s) at plan " +
+          s"time: $execs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
