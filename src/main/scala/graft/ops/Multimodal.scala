@@ -44,6 +44,46 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** PNG signature (RFC 2083 §3.1, first 4 of the 8 magic bytes). */
+  def isPng(payload: Array[Byte]): Boolean =
+    payload.length >= 8 &&
+      payload(0) == 0x89.toByte && payload(1) == 0x50.toByte &&
+      payload(2) == 0x4E.toByte && payload(3) == 0x47.toByte
+
+  /** REAL image decode via `javax.imageio` (JDK-only, so it works on
+    * bare executors): payload → BufferedImage → (width, height,
+    * dim-length luminance feature). The feature samples `dim` pixels
+    * at proportional row-major positions and converts each to
+    * integer-arithmetic BT.601 luma — deterministic across JVMs (no
+    * float color math). Returns None when the payload is not a
+    * decodable image, letting callers fall back to [[stubDecode]];
+    * formats beyond what the JDK's ImageIO registry handles (JPEG,
+    * PNG, GIF, BMP) remain honestly stubbed.
+    */
+  def decodeImage(payload: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] = {
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null } // torn/corrupt payload
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = w.toLong * h
+      val feat = new Array[Float](dim)
+      var i = 0
+      while (i < dim) {
+        val idx = if (dim == 1) 0L else i.toLong * (n - 1) / (dim - 1)
+        val rgb = img.getRGB((idx % w).toInt, (idx / w).toInt)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        feat(i) = luma / 255.0f
+        i += 1
+      }
+      Some((w, h, feat))
+    }
+  }
+
   /** STUB decoder — a real implementation would hand each batch of
     * payloads to an image/audio codec (JNI or subprocess). The fake is
     * deterministic in the payload bytes so tests and oracles can rely
@@ -105,10 +145,15 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // a real decoder would process `batch` as one unit here
+        // a real decoder would process `batch` as one unit here; PNG
+        // payloads take the real javax.imageio path, everything else
+        // the deterministic stub
         batch.iterator.map { r =>
           val hex = r.payload.take(8).map(b => f"${b & 0xff}%02X").mkString
-          MediaFeatures(r.media_id, r.n_bytes, hex, stubDecode(r.payload, dim))
+          val feat =
+            (if (isPng(r.payload)) decodeImage(r.payload, dim).map(_._3)
+             else None).getOrElse(stubDecode(r.payload, dim))
+          MediaFeatures(r.media_id, r.n_bytes, hex, feat)
         }
       }
     }

@@ -32,7 +32,45 @@ import org.apache.spark.sql.functions._
   */
 object TableProfile {
 
-  def profile(df: DataFrame): DataFrame = {
+  /** `exact = true` (default): the gate-checkable two-pass profile
+    * described above. `exact = false`: NDV via HLL++
+    * (`approx_count_distinct`, default rsd 5%) — no DISTINCT
+    * aggregates means NO Expand, so the whole profile fuses into ONE
+    * aggregation over ONE scan of the table. At 100 TB that halves
+    * the scan bytes and removes the ×ncols row inflation entirely;
+    * the keyless aggregate's string min/max buffers demote it to
+    * SortAggregate, but keyless SortAggregate plans no Sort operator
+    * and is a single-row reduce — harmless.
+    */
+  def profile(df: DataFrame, exact: Boolean = true): DataFrame =
+    if (exact) profileExact(df) else profileSketch(df)
+
+  private def profileSketch(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c => Seq(
+      // rsd 0.02 (vs the 0.05 default): ~2.6k registers per column
+      // keeps small-NDV columns in HLL++'s near-exact sparse regime
+      // and large-NDV estimates inside a 5% gate
+      approx_count_distinct(col(c), 0.02).as(s"__ndv_$c"),
+      count(col(c)).as(s"__cnt_$c"),
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map(perColStruct): _*)).as("p"))
+      .select("p.*")
+  }
+
+  private def perColStruct(c: String) =
+    struct(
+      lit(c).as("column"),
+      col("__n").as("n_rows"),
+      (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+      col(s"__ndv_$c").as("n_distinct"),
+      col(s"__min_$c").as("min_value"),
+      col(s"__max_$c").as("max_value"))
+
+  private def profileExact(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
     val ndvAggs = count(lit(1)).as("__n") +:
       cols.map(c => countDistinct(col(c)).as(s"__ndv_$c"))
@@ -45,16 +83,8 @@ object TableProfile {
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).withColumn("__k", lit(1))
     val one = ndv.join(mm, "__k")
     // unpivot the single stats row into one row per column
-    val perCol = cols.map { c =>
-      struct(
-        lit(c).as("column"),
-        col("__n").as("n_rows"),
-        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
-        col(s"__ndv_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_value"),
-        col(s"__max_$c").as("max_value"))
-    }
-    one.select(explode(array(perCol: _*)).as("p")).select("p.*")
+    one.select(explode(array(cols.map(perColStruct): _*)).as("p"))
+      .select("p.*")
   }
 
   /** The matching DuckDB oracle: one UNION ALL branch per column. */

@@ -34,6 +34,47 @@ class JdbcSinkSpec extends AnyFunSuite {
     assert(p200 == Set((3L, 30.0)))
   }
 
+  test("crashed mid-cascade write heals on replay (idempotent delete-then-append)") {
+    // The ProductRunner cascade writes one product into 6 tables in
+    // sequence. A crash can leave: completed tables, one TORN table
+    // (driver delete committed, only some of the append's per-partition
+    // JDBC commits landed — Spark's JDBC writer commits per partition),
+    // and unreached tables. Replaying the whole cascade must converge
+    // to exactly the clean result: each writeProduct's delete removes
+    // the torn remnant before its append, and other products' rows
+    // ride through untouched.
+    val sink = newSink()
+    val tables = Seq("Indicator", "IndicatorMetaData", "IndicatorValues",
+      "Dimensions", "DimensionValues", "RelatedCharts")
+    def data(pid: Long, v: Long) =
+      (1L to 4L).map(i => (i, s"p$pid-v$v-$i")).toDF("Id", "Payload")
+
+    // clean baseline: two products in all 6 tables
+    for (t <- tables) {
+      sink.writeProduct(t, data(100L, 1), 100L)
+      sink.writeProduct(t, data(200L, 1), 200L)
+    }
+
+    // crashed re-run of product 100 with new data (v=2): tables 0-1
+    // completed, table 2 torn (delete + half the append), 3-5 unreached
+    sink.writeProduct(tables(0), data(100L, 2), 100L)
+    sink.writeProduct(tables(1), data(100L, 2), 100L)
+    sink.writeProduct(tables(2), data(100L, 2).limit(2), 100L) // torn
+    // tables(3..5): crash before reach
+
+    // replay the full cascade
+    for (t <- tables) sink.writeProduct(t, data(100L, 2), 100L)
+
+    val want100 = (1L to 4L).map(i => (i, s"p100-v2-$i")).toSet
+    val want200 = (1L to 4L).map(i => (i, s"p200-v1-$i")).toSet
+    for (t <- tables) {
+      assert(sink.readProduct(t, 100L).as[(Long, String)].collect().toSet ==
+        want100, s"$t: product 100 not healed")
+      assert(sink.readProduct(t, 200L).as[(Long, String)].collect().toSet ==
+        want200, s"$t: product 200 disturbed")
+    }
+  }
+
   test("deleteProduct on a missing table is a no-op") {
     val sink = newSink()
     sink.deleteProduct("NoSuchTable", 1L) // must not throw

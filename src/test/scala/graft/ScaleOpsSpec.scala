@@ -104,6 +104,27 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"keyed sort-aggregation crept back into the profile plan:\n$plan")
   }
 
+  test("TableProfile sketch mode: NDV within 5% of exact, ONE scan, no Expand") {
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    val sk = TableProfile.profile(li, exact = false)
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"sketch profile must be Expand-free:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"sketch profile must read the table ONCE:\n$plan")
+    val approx = sk.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = TableProfile.profile(li).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    for ((c, e) <- exact) {
+      val a = approx(c)
+      assert(math.abs(a - e).toDouble <= math.max(1.0, 0.05 * e),
+        s"$c: approx NDV $a vs exact $e drifts beyond 5%")
+    }
+    // non-NDV stats are exact in both modes
+    val skFlag = sk.collect().map(r => r.getString(0) -> r).toMap.apply("l_returnflag")
+    assert(skFlag.getString(4) == "A" && skFlag.getString(5) == "R")
+  }
+
   test("ZOrder.zValue2 interleaves bits like the reference scalar formula") {
     def zRef(x: Long, y: Long, bits: Int): Long = {
       var z = 0L

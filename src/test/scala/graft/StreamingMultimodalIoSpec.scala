@@ -299,6 +299,33 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(feats(0).feature.toSeq == again(0).feature.toSeq) // batch-size independent
   }
 
+  test("multimodal: REAL PNG decode via javax.imageio; non-PNG falls back to stub") {
+    // committed 73-byte fixture: 2x2 RGB PNG — white, black / red, blue
+    val png = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/tiny_2x2.png").toURI))
+    assert(Multimodal.isPng(png))
+    val Some((w, h, feat)) = Multimodal.decodeImage(png, dim = 4)
+    assert(w == 2 && h == 2)
+    // integer BT.601 luma / 255 at the four row-major pixels
+    assert(feat.toSeq == Seq(1.0f, 0.0f, 76 / 255.0f, 29 / 255.0f))
+
+    // through the batched pipeline: the PNG record gets the REAL
+    // decode, the text record the stub — in the same partition
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png, "image/png", png.length),
+      Multimodal.MediaRecord(2L, "plain text".getBytes("UTF-8"),
+        "text/plain", 10)).toDS()
+    val byId = Multimodal.extractFeatures(media, dim = 4, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).feature.toSeq == feat.toSeq)
+    assert(byId(1L).header_hex.startsWith("89504E47")) // PNG magic
+    assert(byId(2L).feature.toSeq ==
+      Multimodal.stubDecode("plain text".getBytes("UTF-8"), 4).toSeq)
+
+    // a torn/corrupt PNG payload must not crash the pipeline
+    assert(Multimodal.decodeImage(png.take(20), dim = 4).isEmpty)
+  }
+
   test("multimodal: frame sampling and resize stubs are deterministic") {
     val docs = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
     val media = Multimodal.packAsMedia(docs, "doc_id", "text")
