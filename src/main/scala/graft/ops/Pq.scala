@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity.{dot, toDoubleVec}
+
+/** Product quantization (PQ): compress a d-dim embedding into M small
+  * codes by training an independent L2 k-means codebook in each of M
+  * subspaces; search computes asymmetric distances (ADC) — exact query
+  * subvector vs quantized corpus code — via per-query lookup tables.
+  *
+  * Scale design (the reason PQ exists): a 64-dim float32 corpus is
+  * 256 B/vector; with M=8, K=16 it stores as 8 codes — 32× smaller —
+  * so the ADC scan over 100 TB of embeddings reads ~3 TB of codes, and
+  * the per-pair cost is M table lookups instead of d multiplies.
+  *  - Training is the [[Ivf]] recipe: sequential driver Lloyd rounds
+  *    over a DETERMINISTIC bounded sample (smallest `xxhash64(id)`),
+  *    bit-reproducible and O(sample) at any corpus size.
+  *  - Encoding is a row-wise argmin over codebook LITERALS — a
+  *    projection, no join/shuffle/window; encode once, store codes.
+  *  - ADC: the per-query M×K distance table is materialized ON THE
+  *    BROADCAST SIDE (computed once per query at exchange time), and
+  *    the scan side only indexes into it — no per-pair subvector math.
+  *  - Composes with [[Ivf]] cells (IVF-PQ): assign + encode are both
+  *    row-wise projections over the same scan.
+  *
+  * Numeric contract: every distance is the sequential left fold
+  * `Σ (x−c)² ` in subvector order via [[graft.functions.DotProduct]]
+  * of the element difference — the same accumulation a DuckDB
+  * `list_aggregate(…, 'sum')` lambda fold performs, so codes, lookup
+  * tables, and ADC sums are bit-identical across engines and the
+  * "approximate" search is fully hash-matchable (the q38 pattern).
+  */
+object Pq {
+
+  /** Trained codebooks: `books(m)(j)` is the j-th centroid (dsub-dim)
+    * of subspace m. Driver-sized by construction (M·K·dsub doubles).
+    */
+  final case class Codebooks(dim: Int, books: IndexedSeq[IndexedSeq[Array[Double]]]) {
+    def numSubspaces: Int = books.size
+    def codesPerSubspace: Int = books.head.size
+    def subDim: Int = dim / books.size
+    /** Centroid literals for SQL oracles (`Double.toString` round-trips
+      * exactly): one (m, j, weights) row per codebook entry.
+      */
+    def bookSqlRows: Seq[String] =
+      for {
+        (book, m) <- books.zipWithIndex
+        (c, j) <- book.zipWithIndex
+      } yield s"SELECT $m AS m, $j AS j, CAST(${c.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")} AS DOUBLE[]) AS cw"
+  }
+
+  private def l2sqSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Train M independent k-means codebooks on the deterministic
+    * xxhash64-ordered sample (init = first k sample subvectors; empty
+    * cells keep their centroid — the [[Ivf.train]] conventions, with
+    * plain L2 instead of spherical distance, as classical PQ uses).
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSubspaces: Int, codesPerSubspace: Int, iters: Int = 3,
+      maxTrainRows: Int = 2048): Codebooks = {
+    require(dim % numSubspaces == 0, s"dim=$dim not divisible by M=$numSubspaces")
+    require(maxTrainRows >= codesPerSubspace, "need maxTrainRows >= K")
+    val dsub = dim / numSubspaces
+    val sample: Array[Array[Double]] = emb
+      .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("__h", xxhash64(col("id")))
+      .orderBy("__h", "id")
+      .limit(maxTrainRows)
+      .select("v")
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    val books = (0 until numSubspaces).map { m =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
+      var cents: IndexedSeq[Array[Double]] =
+        sub.take(codesPerSubspace).map(_.clone()).toIndexedSeq
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(cents.length)(new Array[Double](dsub))
+        val counts = new Array[Long](cents.length)
+        sub.foreach { v =>
+          var best = 0; var bestD = l2sqSeq(v, cents(0)); var c = 1
+          while (c < cents.length) {
+            val d = l2sqSeq(v, cents(c))
+            if (d < bestD) { best = c; bestD = d }
+            c += 1
+          }
+          val s = sums(best); var i = 0
+          while (i < dsub) { s(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }
+      }
+      cents
+    }
+    Codebooks(dim, books)
+  }
+
+  /** Sequential-fold squared L2 between two array columns — the
+    * element-difference vector dotted with itself, so the accumulation
+    * order is [[graft.functions.DotProduct]]'s (bit-deterministic,
+    * oracle-reproducible).
+    */
+  private def l2sq(a: Column, b: Column): Column = {
+    val d = zip_with(a, b, (x, y) => x - y)
+    dot(d, d)
+  }
+
+  private def subVec(v: Column, m: Int, dsub: Int): Column =
+    slice(v, m * dsub + 1, dsub)
+
+  /** Distances from subvector m to every centroid of its codebook, as
+    * an array in code order (the shared kernel of encode and the ADC
+    * lookup tables).
+    */
+  private def subDists(cb: Codebooks, v: Column, m: Int): Column =
+    transform(typedLit(cb.books(m).map(_.toSeq)),
+      c => l2sq(subVec(v, m, cb.subDim), c))
+
+  /** Adds `codes` (array<int>, length M): per subspace, the argmin-L2
+    * code against the codebook literals, FIRST index on ties (the
+    * array_position rule — mirrored by the oracle's `ORDER BY d2, j`).
+    * Pure projection: no join, no shuffle.
+    */
+  def encode(vecs: DataFrame, cb: Codebooks): DataFrame = {
+    val codes = (0 until cb.numSubspaces).map { m =>
+      val d = subDists(cb, col("v"), m)
+      (array_position(d, array_min(d)) - 1).cast("int")
+    }
+    vecs.withColumn("codes", array(codes: _*))
+  }
+
+  /** Top-k by asymmetric distance: encode the corpus row-wise, build
+    * each query's M×K lookup table on the broadcast side, and rank
+    * `Σ_m lut[m][code_m]` (fixed left-to-right add order, matching the
+    * oracle's `+` chain). Output: (query_id, neighbor_id, adc_q6,
+    * rank) with the ADC sum emitted 1e6-quantized as BIGINT.
+    */
+  def adcTopK(cb: Codebooks, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = encode(
+      corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("v")), cb)
+      .select("neighbor_id", "codes")
+    val luts = array((0 until cb.numSubspaces).map(m => subDists(cb, col("vq"), m)): _*)
+    val q = queries
+      .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("vq"))
+      .withColumn("luts", luts)
+      .select("query_id", "luts")
+    val adc = (0 until cb.numSubspaces).map { m =>
+      element_at(element_at(col("luts"), m + 1), element_at(col("codes"), m + 1) + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    enc.crossJoin(broadcast(q))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("adc") * 1000000 + lit(0.5)).cast("long").as("adc_q6"),
+        col("rank"))
+  }
+}

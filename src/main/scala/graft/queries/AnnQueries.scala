@@ -428,6 +428,22 @@ object AnnQueries {
           k = 5, nProbe = 4)
       })(ivfOracle),
 
+    // PQ (product quantization): M=8 × K=16 L2 codebooks trained on
+    // the IVF sampling recipe; corpus encoded ROW-WISE to 8 small
+    // codes (32× compression — the way a 100 TB embedding store
+    // actually ships), search by asymmetric distance against per-query
+    // lookup tables built on the broadcast side. Deterministic
+    // end-to-end (sequential folds, codebook literals, fixed-order
+    // ADC adds), so the oracle re-trains identical books and replays
+    // encode + ADC in SQL → full hash-match despite being an
+    // "approximate" method.
+    "q125_pq_adc" -> Q.dynamic(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        graft.ops.Pq.adcTopK(pqBooks(s, d), emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      })(pqOracle),
+
     // First principal component of the corpus embeddings by covariance
     // + 8 rounds of power iteration, emitted as the per-vector PC1
     // projection. The gram pass is ONE data scan with a nested
@@ -477,6 +493,67 @@ object AnnQueries {
            |GROUP BY e.vec_id""".stripMargin
       })
   )
+
+  /** The q125 codebooks: re-trained identically by the query run and
+    * the oracle render (sequential driver k-means per subspace over
+    * the hash-ordered sample — the q38 determinism contract).
+    */
+  private def pqBooks(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.Pq.train(Tables(s, d, "embeddings"), "vec_id", "embedding",
+      dim = 64, numSubspaces = 8, codesPerSubspace = 16, iters = 3,
+      maxTrainRows = 2048)
+
+  /** DuckDB replay of the PQ search from codebook literals: encode
+    * every vector (argmin L2 per subspace, `ORDER BY d2, j` = the
+    * first-min-index rule), build each query's M×K lookup table, rank
+    * by the fixed-order ADC sum.
+    */
+  private def pqOracle(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val cb = pqBooks(s, d)
+    val rows = cb.bookSqlRows.map("  " + _).mkString("\nUNION ALL\n")
+    val dsub = cb.subDim
+    val numSub = cb.numSubspaces
+    val fold =
+      """list_aggregate(list_transform(list_zip(s.sv, b.cw),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')""".stripMargin
+    val adcSum = (0 until numSub)
+      .map(m => s"l$m.lut[c.codes[${m + 1}] + 1]").mkString(" + ")
+    val lutJoins = (0 until numSub)
+      .map(m => s"  JOIN lut l$m ON l$m.query_id = qq.query_id AND l$m.m = $m")
+      .mkString("\n")
+    s"""WITH $embCte,
+       |books AS (
+       |$rows),
+       |sub AS (
+       |  SELECT vec_id, t.m AS m,
+       |    list_transform(range(1, ${dsub + 1}), i -> e[t.m * $dsub + i]) AS sv
+       |  FROM emb, range(0, $numSub) t(m)),
+       |dist AS (
+       |  SELECT s.vec_id, s.m, b.j,
+       |    $fold AS d2
+       |  FROM sub s JOIN books b ON b.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, list(j ORDER BY m) AS codes FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |    FROM dist) WHERE rn = 1 GROUP BY vec_id),
+       |lut AS (
+       |  SELECT vec_id AS query_id, m, list(d2 ORDER BY j) AS lut
+       |  FROM dist WHERE vec_id < 5 GROUP BY vec_id, m),
+       |adc AS (
+       |  SELECT qq.query_id, c.vec_id AS neighbor_id, $adcSum AS adc
+       |  FROM codes c
+       |  CROSS JOIN (SELECT DISTINCT query_id FROM lut) qq
+       |$lutJoins)
+       |SELECT query_id, neighbor_id,
+       |  CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_q6, rank
+       |FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 10""".stripMargin
+  }
 
   /** The q38 index: trained once per call, deterministic for a given
     * sf dir (sequential driver k-means over the hash-ordered sample),
