@@ -140,24 +140,32 @@ object Ivf {
     * (projection desc, cell id asc), equi-join on cell id, exact-rank
     * by true cosine.
     */
-  def searchWith(index: Index, emb: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Per-query probe schedule, row-wise like the adaptive-LSH flips:
+    * sort (−projection, cell) pairs, slice the first nProbe, explode.
+    * Output: (query_id, vq, cell_id) — one row per probed cell.
+    */
+  def probeSchedule(index: Index, queries: DataFrame, idCol: String,
+      vecCol: String, nProbe: Int): DataFrame = {
     require(nProbe > 0 && nProbe <= index.k, s"nProbe must be in [1, ${index.k}]")
-    val base = assignCells(
-      emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), index)
-      .withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "vn")
-      .withColumn("nn", l2Norm(col("vn")))
     val centLit = typedLit(index.centroids.map(_.toSeq))
-    // per-query probe schedule, row-wise like the adaptive-LSH flips:
-    // sort (−projection, cell) pairs, slice the first nProbe
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("vq"))
       .withColumn("__projs", transform(centLit, c => dot(col("vq"), c)))
       .withColumn("cell_id", explode(expr(
         s"""transform(slice(array_sort(transform(sequence(0, ${index.k - 1}),
            |  p -> struct(-element_at(__projs, p + 1) AS a, p AS p))),
            |  1, $nProbe), s -> CAST(s.p AS INT))""".stripMargin)))
+      .select("query_id", "vq", "cell_id")
+  }
+
+  def searchWith(index: Index, emb: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = assignCells(
+      emb.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), index)
+      .withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "vn")
+      .withColumn("nn", l2Norm(col("vn")))
+    val probes = probeSchedule(index, queries, idCol, vecCol, nProbe)
       .withColumn("nq", l2Norm(col("vq")))
       .select("query_id", "vq", "nq", "cell_id")
     val rankW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

@@ -138,6 +138,42 @@ object Pq {
     vecs.withColumn("codes", array(codes: _*))
   }
 
+  /** IVF-PQ: the billion-scale composition. The corpus gets cell
+    * assignment ([[Ivf.assignCells]]) AND PQ codes in ONE row-wise
+    * projection over one scan; a query probes its `nProbe` best cells
+    * (row-wise schedule), candidates come from the cell equi-join —
+    * sub-linear, never the full corpus — and rank by ADC over codes.
+    * At 100 TB: the store is cells + 8-byte codes (no raw vectors on
+    * the search path), candidate volume is corpus/K·nProbe, and the
+    * per-candidate cost is M lookups. Non-residual variant (codes
+    * quantize raw vectors, not cell residuals), which keeps encode
+    * independent of assignment — one codebook serves every cell.
+    */
+  def ivfPqTopK(ivf: Ivf.Index, cb: Codebooks, corpus: DataFrame,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = encode(Ivf.assignCells(
+        corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), ivf), cb)
+      .select(col("id").as("neighbor_id"), col("cell_id"), col("codes"))
+    val luts = array((0 until cb.numSubspaces).map(m => subDists(cb, col("vq"), m)): _*)
+    val probes = Ivf.probeSchedule(ivf, queries, idCol, vecCol, nProbe)
+      .withColumn("luts", luts)
+      .select("query_id", "cell_id", "luts")
+    val adc = (0 until cb.numSubspaces).map { m =>
+      element_at(element_at(col("luts"), m + 1), element_at(col("codes"), m + 1) + 1)
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    probes.join(base, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adc)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        floor(col("adc") * 1000000 + lit(0.5)).cast("long").as("adc_q6"),
+        col("rank"))
+  }
+
   /** Top-k by asymmetric distance: encode the corpus row-wise, build
     * each query's M×K lookup table on the broadcast side, and rank
     * `Σ_m lut[m][code_m]` (fixed left-to-right add order, matching the

@@ -444,6 +444,20 @@ object AnnQueries {
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
       })(pqOracle),
 
+    // IVF-PQ: the billion-scale ANN composition — one row-wise
+    // projection gives every corpus vector its k-means cell AND its 8
+    // PQ codes; a query probes its 4 best cells (sub-linear candidate
+    // generation) and ranks candidates by ADC over the codes alone.
+    // Both trained artifacts render as literals, so the full composed
+    // search replays in SQL → hash-exact.
+    "q126_ivfpq" -> Q.dynamic(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        graft.ops.Pq.ivfPqTopK(ivfIndex(s, d), pqBooks(s, d), emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+      })(ivfPqOracle),
+
     // First principal component of the corpus embeddings by covariance
     // + 8 rounds of power iteration, emitted as the per-vector PC1
     // projection. The gram pass is ONE data scan with a nested
@@ -544,6 +558,83 @@ object AnnQueries {
        |  SELECT qq.query_id, c.vec_id AS neighbor_id, $adcSum AS adc
        |  FROM codes c
        |  CROSS JOIN (SELECT DISTINCT query_id FROM lut) qq
+       |$lutJoins)
+       |SELECT query_id, neighbor_id,
+       |  CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_q6, rank
+       |FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** DuckDB replay of IVF-PQ from BOTH literal sets: IVF projection →
+    * per-vector argmax cell; PQ distances → per-vector codes + the
+    * query lookup tables; probe top-4 cells per query (projection
+    * desc, cell asc — the probeSchedule rule); candidates from the
+    * cell equi-join (each vector lives in exactly one cell, so no
+    * dedup is needed); fixed-order ADC sum; rank.
+    */
+  private def ivfPqOracle(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val cents = ivfIndex(s, d).centroidSql.zipWithIndex.map { case (w, c) =>
+      s"  SELECT $c AS cell_id, CAST($w AS DOUBLE[]) AS cw"
+    }.mkString("\nUNION ALL\n")
+    val cb = pqBooks(s, d)
+    val rows = cb.bookSqlRows.map("  " + _).mkString("\nUNION ALL\n")
+    val dsub = cb.subDim
+    val numSub = cb.numSubspaces
+    val fold =
+      """list_aggregate(list_transform(list_zip(s.sv, b.cw),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')""".stripMargin
+    val adcSum = (0 until numSub)
+      .map(m => s"l$m.lut[cd.codes[${m + 1}] + 1]").mkString(" + ")
+    val lutJoins = (0 until numSub)
+      .map(m => s"  JOIN lut l$m ON l$m.query_id = c.query_id AND l$m.m = $m")
+      .mkString("\n")
+    s"""WITH $embCte,
+       |cents AS (
+       |$cents),
+       |books AS (
+       |$rows),
+       |proj AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    list_aggregate(list_transform(list_zip(e.e, c.cw), z -> z[1]*z[2]), 'sum') AS p
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, cell_id) AS rk
+       |    FROM proj) WHERE rk = 1),
+       |sub AS (
+       |  SELECT vec_id, t.m AS m,
+       |    list_transform(range(1, ${dsub + 1}), i -> e[t.m * $dsub + i]) AS sv
+       |  FROM emb, range(0, $numSub) t(m)),
+       |dist AS (
+       |  SELECT s.vec_id, s.m, b.j,
+       |    $fold AS d2
+       |  FROM sub s JOIN books b ON b.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, list(j ORDER BY m) AS codes FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |    FROM dist) WHERE rn = 1 GROUP BY vec_id),
+       |lut AS (
+       |  SELECT vec_id AS query_id, m, list(d2 ORDER BY j) AS lut
+       |  FROM dist WHERE vec_id < 5 GROUP BY vec_id, m),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, cell_id) AS rk
+       |    FROM proj WHERE vec_id < 5) WHERE rk <= 4),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id, $adcSum AS adc
+       |  FROM cand c
+       |  JOIN codes cd ON cd.vec_id = c.neighbor_id
        |$lutJoins)
        |SELECT query_id, neighbor_id,
        |  CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_q6, rank

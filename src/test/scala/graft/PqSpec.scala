@@ -70,6 +70,35 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: cells + codes in ONE shuffle-free projection; ADC agrees with full scan") {
+    val cb = books
+    val ivf = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16)
+    // the corpus-side index build is one scan, no exchange
+    val base = Pq.encode(graft.ops.Ivf.assignCells(
+      emb.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v")), ivf), cb)
+    val basePlan = base.queryExecution.executedPlan.toString
+    assert(!basePlan.contains("Exchange"), basePlan)
+    assert("FileScan parquet".r.findAllIn(basePlan).length == 1, basePlan)
+
+    val pruned = Pq.ivfPqTopK(ivf, cb, emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pruned.nonEmpty)
+    // every (query, neighbor) ADC the pruned search reports must equal
+    // the full-scan ADC for that pair (pruning changes WHICH pairs are
+    // scored, never the score)
+    val full = Pq.adcTopK(cb, emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((pair, adc) <- pruned) {
+      assert(full(pair) == adc, s"ADC diverges for $pair")
+    }
+    // and the pruned set is a strict subset of the corpus pairs: each
+    // query scored at most corpus/16 * 4 cells' worth of candidates
+    assert(pruned.keySet.subsetOf(full.keySet))
+  }
+
   test("PQ top-10 recalls most of the exact L2 top-10 (deterministic data)") {
     val cb = books
     val pq = Pq.adcTopK(cb, emb, emb.filter(col("vec_id") < 5),
