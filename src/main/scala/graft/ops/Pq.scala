@@ -57,17 +57,11 @@ object Pq {
     s
   }
 
-  /** Train M independent k-means codebooks on the deterministic
-    * xxhash64-ordered sample (init = first k sample subvectors; empty
-    * cells keep their centroid — the [[Ivf.train]] conventions, with
-    * plain L2 instead of spherical distance, as classical PQ uses).
+  /** The deterministic training sample: the `maxTrainRows` vectors
+    * with the smallest `xxhash64(id)` (id tie-break).
     */
-  def train(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-      numSubspaces: Int, codesPerSubspace: Int, iters: Int = 3,
-      maxTrainRows: Int = 2048): Codebooks = {
-    require(dim % numSubspaces == 0, s"dim=$dim not divisible by M=$numSubspaces")
-    require(maxTrainRows >= codesPerSubspace, "need maxTrainRows >= K")
-    val dsub = dim / numSubspaces
+  private def trainSample(emb: DataFrame, idCol: String, vecCol: String,
+      maxTrainRows: Int): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = emb
       .select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("__h", xxhash64(col("id")))
@@ -77,8 +71,19 @@ object Pq {
       .collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "cannot train PQ on an empty corpus")
+    sample
+  }
+
+  /** M independent per-subspace L2 Lloyd runs over the given training
+    * vectors (init = first K subvectors; empty cells keep their
+    * centroid — the [[Ivf.train]] conventions). Sequential driver
+    * arithmetic: bit-reproducible, O(sample) regardless of corpus.
+    */
+  private def lloydBooks(vectors: Array[Array[Double]], dim: Int,
+      numSubspaces: Int, codesPerSubspace: Int, iters: Int): Codebooks = {
+    val dsub = dim / numSubspaces
     val books = (0 until numSubspaces).map { m =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
+      val sub = vectors.map(v => java.util.Arrays.copyOfRange(v, m * dsub, (m + 1) * dsub))
       var cents: IndexedSeq[Array[Double]] =
         sub.take(codesPerSubspace).map(_.clone()).toIndexedSeq
       (0 until iters).foreach { _ =>
@@ -102,6 +107,20 @@ object Pq {
       cents
     }
     Codebooks(dim, books)
+  }
+
+  /** Train M independent k-means codebooks on the deterministic
+    * xxhash64-ordered sample (init = first k sample subvectors; empty
+    * cells keep their centroid — the [[Ivf.train]] conventions, with
+    * plain L2 instead of spherical distance, as classical PQ uses).
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      numSubspaces: Int, codesPerSubspace: Int, iters: Int = 3,
+      maxTrainRows: Int = 2048): Codebooks = {
+    require(dim % numSubspaces == 0, s"dim=$dim not divisible by M=$numSubspaces")
+    require(maxTrainRows >= codesPerSubspace, "need maxTrainRows >= K")
+    lloydBooks(trainSample(emb, idCol, vecCol, maxTrainRows), dim,
+      numSubspaces, codesPerSubspace, iters)
   }
 
   /** Sequential-fold squared L2 between two array columns — the
@@ -128,14 +147,70 @@ object Pq {
   /** Adds `codes` (array<int>, length M): per subspace, the argmin-L2
     * code against the codebook literals, FIRST index on ties (the
     * array_position rule — mirrored by the oracle's `ORDER BY d2, j`).
-    * Pure projection: no join, no shuffle.
+    * Pure projection: no join, no shuffle. `vecCol` selects the input
+    * array column (raw vector, or a residual).
     */
-  def encode(vecs: DataFrame, cb: Codebooks): DataFrame = {
+  def encode(vecs: DataFrame, cb: Codebooks, vecCol: String = "v"): DataFrame = {
     val codes = (0 until cb.numSubspaces).map { m =>
-      val d = subDists(cb, col("v"), m)
+      val d = subDists(cb, col(vecCol), m)
       (array_position(d, array_min(d)) - 1).cast("int")
     }
     vecs.withColumn("codes", array(codes: _*))
+  }
+
+  /** Residual codebooks + the per-cell MEAN vectors the residuals are
+    * taken against. The IVF index's unit-norm centroids define cell
+    * MEMBERSHIP (cosine argmax), but they are directions, not
+    * positions — subtracting them from unnormalized vectors shrinks
+    * nothing. The reference point that recenters each cell at the
+    * origin is the cell's mean, so that is what [[trainResidual]]
+    * estimates (over the training sample) and what both encode and
+    * search subtract. Driver-sized: k means + M·K·dsub codebook
+    * doubles.
+    */
+  final case class ResidualCodebooks(cb: Codebooks, means: IndexedSeq[Array[Double]]) {
+    /** Mean-vector literals for SQL oracles, one (cell_id, mw) row per cell. */
+    def meanSqlRows: Seq[String] =
+      means.zipWithIndex.map { case (w, c) =>
+        s"SELECT $c AS cell_id, CAST(${w.map(x => java.lang.Double.toString(x)).mkString("[", ", ", "]")} AS DOUBLE[]) AS mw"
+      }
+  }
+
+  /** Train codebooks on RESIDUALS `v − mean(cell(v))` — classical
+    * IVF-PQ: the cell mean absorbs the coarse position (law of total
+    * variance: per-cell centering removes the between-cell variance
+    * component), so the same M×K budget only has to cover the smaller
+    * within-cell remainder. Same deterministic sample; cell
+    * assignment during training is the driver-side
+    * [[Ivf.nearestCell]] — the exact arithmetic of the row-wise
+    * assignment expression. Cells the sample never hits keep the
+    * zero vector as mean (their residual is the raw vector).
+    */
+  def trainResidual(emb: DataFrame, idCol: String, vecCol: String,
+      ivf: Ivf.Index, numSubspaces: Int, codesPerSubspace: Int,
+      iters: Int = 3, maxTrainRows: Int = 2048): ResidualCodebooks = {
+    val dim = ivf.centroids.head.length
+    require(dim % numSubspaces == 0, s"dim=$dim not divisible by M=$numSubspaces")
+    require(maxTrainRows >= codesPerSubspace, "need maxTrainRows >= K")
+    val sample = trainSample(emb, idCol, vecCol, maxTrainRows)
+    val cells = sample.map(v => Ivf.nearestCell(v, ivf.centroids))
+    val sums = Array.fill(ivf.k)(new Array[Double](dim))
+    val counts = new Array[Long](ivf.k)
+    sample.zip(cells).foreach { case (v, c) =>
+      val s = sums(c); var i = 0
+      while (i < dim) { s(i) += v(i); i += 1 }
+      counts(c) += 1
+    }
+    val means: IndexedSeq[Array[Double]] = (0 until ivf.k).map { c =>
+      if (counts(c) == 0) new Array[Double](dim)
+      else sums(c).map(_ / counts(c))
+    }
+    val residuals = sample.zip(cells).map { case (v, c) =>
+      val m = means(c)
+      Array.tabulate(dim)(i => v(i) - m(i))
+    }
+    ResidualCodebooks(
+      lloydBooks(residuals, dim, numSubspaces, codesPerSubspace, iters), means)
   }
 
   /** IVF-PQ: the billion-scale composition. The corpus gets cell
@@ -152,26 +227,42 @@ object Pq {
   def ivfPqTopK(ivf: Ivf.Index, cb: Codebooks, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = encode(Ivf.assignCells(
         corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), ivf), cb)
       .select(col("id").as("neighbor_id"), col("cell_id"), col("codes"))
-    val luts = array((0 until cb.numSubspaces).map(m => subDists(cb, col("vq"), m)): _*)
     val probes = Ivf.probeSchedule(ivf, queries, idCol, vecCol, nProbe)
-      .withColumn("luts", luts)
+      .withColumn("luts", lutArray(cb, col("vq")))
       .select("query_id", "cell_id", "luts")
-    val adc = (0 until cb.numSubspaces).map { m =>
-      element_at(element_at(col("luts"), m + 1), element_at(col("codes"), m + 1) + 1)
-    }.reduceLeft(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
-    probes.join(base, Seq("cell_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adc)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        floor(col("adc") * 1000000 + lit(0.5)).cast("long").as("adc_q6"),
-        col("rank"))
+    adcRank(probes.join(base, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id")), cb, k)
+  }
+
+  /** RESIDUAL IVF-PQ — the classical (FAISS) formulation: corpus codes
+    * quantize `v − mean(cell)`, and the query side builds its lookup
+    * table from the PER-PROBED-CELL residual `q − mean(cell)`, so both
+    * sides measure within the same cell-local frame. Same plan shape
+    * as [[ivfPqTopK]] (the residual subtraction is one more row-wise
+    * zip against the mean literal); the accuracy win comes from the
+    * codebook only covering the within-cell remainder. Use with
+    * [[trainResidual]].
+    */
+  def ivfPqResidualTopK(ivf: Ivf.Index, rcb: ResidualCodebooks,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val cb = rcb.cb
+    val meanLit = typedLit(rcb.means.map(_.toSeq))
+    def residual(v: Column) =
+      zip_with(v, element_at(meanLit, col("cell_id") + 1), (x, c) => x - c)
+    val base = encode(Ivf.assignCells(
+        corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), ivf)
+        .withColumn("r", residual(col("v"))), cb, vecCol = "r")
+      .select(col("id").as("neighbor_id"), col("cell_id"), col("codes"))
+    val probes = Ivf.probeSchedule(ivf, queries, idCol, vecCol, nProbe)
+      .withColumn("rq", residual(col("vq")))
+      .withColumn("luts", lutArray(cb, col("rq")))
+      .select("query_id", "cell_id", "luts")
+    adcRank(probes.join(base, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id")), cb, k)
   }
 
   /** Top-k by asymmetric distance: encode the corpus row-wise, build
@@ -182,20 +273,33 @@ object Pq {
     */
   def adcTopK(cb: Codebooks, corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val enc = encode(
       corpus.select(col(idCol).as("neighbor_id"), toDoubleVec(col(vecCol)).as("v")), cb)
       .select("neighbor_id", "codes")
-    val luts = array((0 until cb.numSubspaces).map(m => subDists(cb, col("vq"), m)): _*)
     val q = queries
       .select(col(idCol).as("query_id"), toDoubleVec(col(vecCol)).as("vq"))
-      .withColumn("luts", luts)
+      .withColumn("luts", lutArray(cb, col("vq")))
       .select("query_id", "luts")
+    adcRank(enc.crossJoin(broadcast(q)), cb, k)
+  }
+
+  /** The per-query M×K lookup-table column: distances from each
+    * subvector of `v` to its codebook, in (subspace, code) order.
+    */
+  private def lutArray(cb: Codebooks, v: Column): Column =
+    array((0 until cb.numSubspaces).map(m => subDists(cb, v, m)): _*)
+
+  /** Shared ADC tail: the fixed-order `Σ_m lut[m][code_m]` sum over a
+    * frame holding (query_id, neighbor_id, luts, codes), ranked per
+    * query (ADC asc, id asc), top-k, ADC emitted 1e6-quantized BIGINT.
+    */
+  private def adcRank(joined: DataFrame, cb: Codebooks, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val adc = (0 until cb.numSubspaces).map { m =>
       element_at(element_at(col("luts"), m + 1), element_at(col("codes"), m + 1) + 1)
     }.reduceLeft(_ + _)
     val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
-    enc.crossJoin(broadcast(q))
+    joined
       .withColumn("adc", adc)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

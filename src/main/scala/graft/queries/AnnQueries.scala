@@ -458,6 +458,21 @@ object AnnQueries {
           k = 10, nProbe = 4)
       })(ivfPqOracle),
 
+    // Residual IVF-PQ (the classical FAISS formulation): codes
+    // quantize v − centroid(cell), and each query's lookup table is
+    // built from its per-probed-cell residual, so codebooks only
+    // cover the within-cell remainder — better accuracy at the same
+    // M×K budget, same plan shape. Trained artifacts render as
+    // literals; hash-exact like q126.
+    "q127_ivfpq_residual" -> Q.dynamic(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val ivf = ivfIndex(s, d)
+        graft.ops.Pq.ivfPqResidualTopK(ivf, pqResidualBooks(s, d), emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nProbe = 4)
+      })(ivfPqResidualOracle),
+
     // First principal component of the corpus embeddings by covariance
     // + 8 rounds of power iteration, emitted as the per-vector PC1
     // projection. The gram pass is ONE data scan with a nested
@@ -629,6 +644,112 @@ object AnnQueries {
        |    FROM proj WHERE vec_id < 5) WHERE rk <= 4),
        |cand AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a USING (cell_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT c.query_id, c.neighbor_id, $adcSum AS adc
+       |  FROM cand c
+       |  JOIN codes cd ON cd.vec_id = c.neighbor_id
+       |$lutJoins)
+       |SELECT query_id, neighbor_id,
+       |  CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_q6, rank
+       |FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS rank
+       |  FROM adc)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** The q127 residual codebooks: trained on v − centroid(cell) over
+    * the same deterministic sample, against the q38 IVF index.
+    */
+  private def pqResidualBooks(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.ops.Pq.trainResidual(Tables(s, d, "embeddings"), "vec_id",
+      "embedding", ivfIndex(s, d), numSubspaces = 8, codesPerSubspace = 16,
+      iters = 3, maxTrainRows = 2048)
+
+  /** DuckDB replay of residual IVF-PQ: like the q126 oracle, but codes
+    * come from per-cell residual subvectors (against the rendered
+    * cell-MEAN literals, not the unit assignment centroids) and each
+    * query's lookup table is keyed by (query, probed cell) — the
+    * residual changes with the cell being probed.
+    */
+  private def ivfPqResidualOracle(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val cents = ivfIndex(s, d).centroidSql.zipWithIndex.map { case (w, c) =>
+      s"  SELECT $c AS cell_id, CAST($w AS DOUBLE[]) AS cw"
+    }.mkString("\nUNION ALL\n")
+    val rcb = pqResidualBooks(s, d)
+    val means = rcb.meanSqlRows.map("  " + _).mkString("\nUNION ALL\n")
+    val cb = rcb.cb
+    val rows = cb.bookSqlRows.map("  " + _).mkString("\nUNION ALL\n")
+    val dsub = cb.subDim
+    val numSub = cb.numSubspaces
+    val fold =
+      """list_aggregate(list_transform(list_zip(s.sv, b.cw),
+        |      z -> (z[1]-z[2])*(z[1]-z[2])), 'sum')""".stripMargin
+    val adcSum = (0 until numSub)
+      .map(m => s"l$m.lut[cd.codes[${m + 1}] + 1]").mkString(" + ")
+    val lutJoins = (0 until numSub)
+      .map(m => s"  JOIN lut l$m ON l$m.query_id = c.query_id" +
+        s" AND l$m.cell_id = c.cell_id AND l$m.m = $m")
+      .mkString("\n")
+    s"""WITH $embCte,
+       |cents AS (
+       |$cents),
+       |books AS (
+       |$rows),
+       |means AS (
+       |$means),
+       |proj AS (
+       |  SELECT e.vec_id, c.cell_id,
+       |    list_aggregate(list_transform(list_zip(e.e, c.cw), z -> z[1]*z[2]), 'sum') AS p
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, cell_id) AS rk
+       |    FROM proj) WHERE rk = 1),
+       |res AS (
+       |  SELECT a.vec_id, a.cell_id,
+       |    list_transform(list_zip(e.e, mm.mw), z -> z[1] - z[2]) AS r
+       |  FROM assigned a JOIN emb e USING (vec_id) JOIN means mm USING (cell_id)),
+       |rsub AS (
+       |  SELECT vec_id, t.m AS m,
+       |    list_transform(range(1, ${dsub + 1}), i -> r[t.m * $dsub + i]) AS sv
+       |  FROM res, range(0, $numSub) t(m)),
+       |rdist AS (
+       |  SELECT s.vec_id, s.m, b.j,
+       |    $fold AS d2
+       |  FROM rsub s JOIN books b ON b.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, list(j ORDER BY m) AS codes FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |    FROM rdist) WHERE rn = 1 GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT vec_id, cell_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, cell_id) AS rk
+       |    FROM proj WHERE vec_id < 5) WHERE rk <= 4),
+       |qres AS (
+       |  SELECT p.query_id, p.cell_id,
+       |    list_transform(list_zip(e.e, mm.mw), z -> z[1] - z[2]) AS r
+       |  FROM probes p JOIN emb e ON e.vec_id = p.query_id
+       |  JOIN means mm USING (cell_id)),
+       |qsub AS (
+       |  SELECT query_id, cell_id, t.m AS m,
+       |    list_transform(range(1, ${dsub + 1}), i -> r[t.m * $dsub + i]) AS sv
+       |  FROM qres, range(0, $numSub) t(m)),
+       |qdist AS (
+       |  SELECT s.query_id, s.cell_id, s.m, b.j,
+       |    $fold AS d2
+       |  FROM qsub s JOIN books b ON b.m = s.m),
+       |lut AS (
+       |  SELECT query_id, cell_id, m, list(d2 ORDER BY j) AS lut
+       |  FROM qdist GROUP BY query_id, cell_id, m),
+       |cand AS (
+       |  SELECT p.query_id, p.cell_id, a.vec_id AS neighbor_id
        |  FROM probes p JOIN assigned a USING (cell_id)
        |  WHERE a.vec_id <> p.query_id),
        |adc AS (

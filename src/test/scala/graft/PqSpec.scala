@@ -99,6 +99,51 @@ class PqSpec extends AnyFunSuite {
     assert(pruned.keySet.subsetOf(full.keySet))
   }
 
+  test("residual IVF-PQ: deterministic training; reconstruction beats raw PQ") {
+    val ivf = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16)
+    val raw = books
+    val res = Pq.trainResidual(emb, "vec_id", "embedding", ivf, 8, 16)
+    val res2 = Pq.trainResidual(emb, "vec_id", "embedding", ivf, 8, 16)
+    assert(res.cb.books.flatten.map(_.toSeq) == res2.cb.books.flatten.map(_.toSeq))
+    assert(res.means.map(_.toSeq) == res2.means.map(_.toSeq))
+
+    // On the corpus: mean squared reconstruction error of
+    // cent(cell) + decode(residual codes) must beat decode(raw codes) —
+    // the entire point of the residual formulation
+    val vecs = emb.select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect().map(_.toArray)
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def sub(v: Array[Double], m: Int) =
+      java.util.Arrays.copyOfRange(v, m * 8, (m + 1) * 8)
+    def reconstruct(v: Array[Double], cb: Pq.Codebooks): Array[Double] =
+      (0 until 8).flatMap { m =>
+        val ds = cb.books(m).map(c => l2sq(sub(v, m), c))
+        cb.books(m)(ds.indexOf(ds.min)).toSeq
+      }.toArray
+    def dotp(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val errs = vecs.map { v =>
+      // assignment rule: argmax projection, first max on ties
+      val cell = ivf.centroids.indices.maxBy(c => dotp(v, ivf.centroids(c)))
+      val mean = res.means(cell)
+      val r = Array.tabulate(64)(i => v(i) - mean(i))
+      val recRes = reconstruct(r, res.cb).zip(mean).map { case (a, b) => a + b }
+      val rawRec = reconstruct(v, raw)
+      (l2sq(v, recRes), l2sq(v, rawRec))
+    }
+    val (resMse, rawMse) = (errs.map(_._1).sum / errs.length,
+      errs.map(_._2).sum / errs.length)
+    assert(resMse < rawMse,
+      s"residual MSE $resMse should beat raw-PQ MSE $rawMse")
+  }
+
   test("PQ top-10 recalls most of the exact L2 top-10 (deterministic data)") {
     val cb = books
     val pq = Pq.adcTopK(cb, emb, emb.filter(col("vec_id") < 5),
