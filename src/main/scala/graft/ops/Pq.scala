@@ -265,6 +265,38 @@ object Pq {
       .filter(col("query_id") =!= col("neighbor_id")), cb, k)
   }
 
+  /** ADC shortlist → EXACT re-rank: the production quality knob. The
+    * residual IVF-PQ scan (codes only, never raw vectors) produces a
+    * `shortlist`-deep candidate list per query; only those few rows
+    * then fetch their raw vectors (equi-join on id) for an exact
+    * cosine re-rank to `k`. At 100 TB the expensive exact math runs on
+    * `queries × shortlist` rows instead of the corpus, and the raw-
+    * vector fetch is a selective join a clustered store turns into a
+    * few reads. Output cosines are the bit-deterministic sequential
+    * fold (oracle-exact, like q36/q38).
+    */
+  def adcRerankTopK(ivf: Ivf.Index, rcb: ResidualCodebooks,
+      corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, shortlist: Int, k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, "shortlist must be at least k")
+    val short = ivfPqResidualTopK(ivf, rcb, corpus, queries, idCol, vecCol,
+        shortlist, nProbe)
+      .select("query_id", "neighbor_id")
+    val corp = corpus.select(col(idCol).as("neighbor_id"),
+      toDoubleVec(col(vecCol)).as("vn"))
+    val qs = queries.select(col(idCol).as("query_id"),
+      toDoubleVec(col(vecCol)).as("vq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short.join(corp, Seq("neighbor_id")).join(broadcast(qs), Seq("query_id"))
+      .withColumn("cos", dot(col("vq"), col("vn")) /
+        (Similarity.l2Norm(col("vq")) * Similarity.l2Norm(col("vn"))))
+      .withColumn("final_rank", row_number().over(w).cast("long"))
+      .filter(col("final_rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "final_rank")
+  }
+
   /** Top-k by asymmetric distance: encode the corpus row-wise, build
     * each query's M×K lookup table on the broadcast side, and rank
     * `Σ_m lut[m][code_m]` (fixed left-to-right add order, matching the

@@ -473,6 +473,20 @@ object AnnQueries {
           k = 10, nProbe = 4)
       })(ivfPqResidualOracle),
 
+    // ADC shortlist → exact re-rank (the production quality knob):
+    // the residual IVF-PQ scan — codes only — shortlists 50 per
+    // query, and ONLY those rows fetch raw vectors for the exact
+    // cosine top-10. The expensive exact math runs on queries×50
+    // rows, never the corpus. Hash-exact end to end (shortlist from
+    // the q127 chain, cosines the q36 sequential fold).
+    "q128_pq_rerank" -> Q.dynamic(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        graft.ops.Pq.adcRerankTopK(ivfIndex(s, d), pqResidualBooks(s, d),
+          emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          shortlist = 50, k = 10, nProbe = 4)
+      })(adcRerankOracle),
+
     // First principal component of the corpus embeddings by covariance
     // + 8 rounds of power iteration, emitted as the per-vector PC1
     // projection. The gram pass is ONE data scan with a nested
@@ -675,7 +689,10 @@ object AnnQueries {
     * query's lookup table is keyed by (query, probed cell) — the
     * residual changes with the cell being probed.
     */
-  private def ivfPqResidualOracle(s: org.apache.spark.sql.SparkSession, d: String): String = {
+  /** Shared CTE chain of the q127/q128 oracles: everything through the
+    * per-candidate residual ADC sums (`adc` CTE).
+    */
+  private def ivfPqResidualCtes(s: org.apache.spark.sql.SparkSession, d: String): String = {
     val cents = ivfIndex(s, d).centroidSql.zipWithIndex.map { case (w, c) =>
       s"  SELECT $c AS cell_id, CAST($w AS DOUBLE[]) AS cw"
     }.mkString("\nUNION ALL\n")
@@ -756,7 +773,11 @@ object AnnQueries {
        |  SELECT c.query_id, c.neighbor_id, $adcSum AS adc
        |  FROM cand c
        |  JOIN codes cd ON cd.vec_id = c.neighbor_id
-       |$lutJoins)
+       |$lutJoins)""".stripMargin
+  }
+
+  private def ivfPqResidualOracle(s: org.apache.spark.sql.SparkSession, d: String): String =
+    s"""${ivfPqResidualCtes(s, d)}
        |SELECT query_id, neighbor_id,
        |  CAST(floor(adc * 1000000 + 0.5) AS BIGINT) AS adc_q6, rank
        |FROM (
@@ -765,7 +786,33 @@ object AnnQueries {
        |      ORDER BY adc, neighbor_id) AS rank
        |  FROM adc)
        |WHERE rank <= 10""".stripMargin
-  }
+
+  /** DuckDB replay of shortlist-then-rerank: the q127 chain cut at a
+    * 50-deep ADC shortlist, then the exact sequential-fold cosine
+    * (cosExpr) over the shortlist pairs only, ranked to 10.
+    */
+  private def adcRerankOracle(s: org.apache.spark.sql.SparkSession, d: String): String =
+    s"""${ivfPqResidualCtes(s, d)},
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc, neighbor_id) AS rank
+       |    FROM adc)
+       |  WHERE rank <= 50),
+       |pairs AS (
+       |  SELECT sh.query_id, sh.neighbor_id, qe.e AS ea, ne.e AS eb
+       |  FROM short sh
+       |  JOIN emb qe ON qe.vec_id = sh.query_id
+       |  JOIN emb ne ON ne.vec_id = sh.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $cosExpr AS cos FROM pairs)
+       |SELECT query_id, neighbor_id, cos, final_rank FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS final_rank
+       |  FROM scored)
+       |WHERE final_rank <= 10""".stripMargin
 
   /** The q38 index: trained once per call, deterministic for a given
     * sf dir (sequential driver k-means over the hash-ordered sample),
