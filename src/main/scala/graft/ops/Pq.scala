@@ -246,19 +246,31 @@ object Pq {
     * codebook only covering the within-cell remainder. Use with
     * [[trainResidual]].
     */
+  private def residualAgainstMean(rcb: ResidualCodebooks, v: Column): Column =
+    zip_with(v, element_at(typedLit(rcb.means.map(_.toSeq)), col("cell_id") + 1),
+      (x, c) => x - c)
+
+  /** The corpus-side index build: cell assignment + residual PQ codes
+    * in ONE row-wise projection. Input (idCol, vecCol); output (id,
+    * cell_id, codes). This is the whole per-batch work of an
+    * incremental index ingest — new vectors are a pure map over the
+    * frozen trained artifacts, O(new) per batch.
+    */
+  def encodeResidualWithCells(vecs: DataFrame, ivf: Ivf.Index,
+      rcb: ResidualCodebooks, idCol: String, vecCol: String): DataFrame =
+    encode(Ivf.assignCells(
+        vecs.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), ivf)
+        .withColumn("r", residualAgainstMean(rcb, col("v"))), rcb.cb, vecCol = "r")
+      .select(col("id"), col("cell_id"), col("codes"))
+
   def ivfPqResidualTopK(ivf: Ivf.Index, rcb: ResidualCodebooks,
       corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val cb = rcb.cb
-    val meanLit = typedLit(rcb.means.map(_.toSeq))
-    def residual(v: Column) =
-      zip_with(v, element_at(meanLit, col("cell_id") + 1), (x, c) => x - c)
-    val base = encode(Ivf.assignCells(
-        corpus.select(col(idCol).as("id"), toDoubleVec(col(vecCol)).as("v")), ivf)
-        .withColumn("r", residual(col("v"))), cb, vecCol = "r")
+    val base = encodeResidualWithCells(corpus, ivf, rcb, idCol, vecCol)
       .select(col("id").as("neighbor_id"), col("cell_id"), col("codes"))
     val probes = Ivf.probeSchedule(ivf, queries, idCol, vecCol, nProbe)
-      .withColumn("rq", residual(col("vq")))
+      .withColumn("rq", residualAgainstMean(rcb, col("vq")))
       .withColumn("luts", lutArray(cb, col("rq")))
       .select("query_id", "cell_id", "luts")
     adcRank(probes.join(base, Seq("cell_id"))

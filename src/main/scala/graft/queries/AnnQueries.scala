@@ -487,6 +487,22 @@ object AnnQueries {
           shortlist = 50, k = 10, nProbe = 4)
       })(adcRerankOracle),
 
+    // Streaming ANN-index maintenance: the embeddings dump streamed
+    // through a foreachBatch assign+encode append (frozen trained
+    // artifacts, O(batch) row-wise work), then the LANDED index read
+    // back. Equality with the batch encode — the oracle replays the
+    // q127 assignment+codes chain — proves incremental index build ≡
+    // build-at-once, loss- and duplication-free.
+    "q129_stream_index_ingest" -> Q.dynamic(
+      (s, d) => graft.streaming.ClusteredIngest.ingestedIndexCodes(
+        s, d, ivfIndex(s, d), pqResidualBooks(s, d)))(
+      (s, d) =>
+        s"""${ivfPqResidualCtes(s, d)}
+           |SELECT a.vec_id, a.cell_id,
+           |  array_to_string(list_transform(c.codes, x -> CAST(x AS VARCHAR)),
+           |    ',') AS codes
+           |FROM assigned a JOIN codes c USING (vec_id)""".stripMargin),
+
     // First principal component of the corpus embeddings by covariance
     // + 8 rounds of power iteration, emitted as the per-vector PC1
     // projection. The gram pass is ONE data scan with a nested

@@ -49,6 +49,42 @@ object ClusteredIngest {
     * the transform. Equality with the batch aggregation proves the
     * ingest is loss- and duplication-free.
     */
+  /** Streaming ANN-index maintenance (the q129 gate path): stream the
+    * embeddings dump through a foreachBatch that runs the frozen
+    * trained artifacts' assign+encode projection
+    * ([[graft.ops.Pq.encodeResidualWithCells]] — cell id + residual
+    * PQ codes in one map, O(batch) work) and appends the CODES to the
+    * index store; then read the landed index back. Equality with the
+    * batch encode proves incremental index build ≡ build-at-once —
+    * the property that lets a 100 TB embedding corpus index accrete
+    * per-arrival instead of re-encoding the world. Codes are emitted
+    * as a joined string (the q52 array-hashing convention).
+    */
+  def ingestedIndexCodes(spark: SparkSession, dir: String,
+      ivf: graft.ops.Ivf.Index, rcb: graft.ops.Pq.ResidualCodebooks): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_idxingest")
+    val sink = base.resolve("data").toString
+    val ck = base.resolve("ck").toString
+    val stream = spark.readStream
+      .schema(EventStream.embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Pq.encodeResidualWithCells(batch, ivf, rcb, "vec_id", "embedding")
+          .write.mode("append").parquet(sink)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(sink)
+      .select(col("id").as("vec_id"), col("cell_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")
+          .as("codes"))
+  }
+
   def ingestedLangCounts(spark: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_zingest")
     val sink = base.resolve("data").toString

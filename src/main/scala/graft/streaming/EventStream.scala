@@ -185,6 +185,12 @@ object EventStream {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** embeddings.parquet schema (TESTDATA.md). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
   /** The fingerprint-dedup aggregation plan (shared by the memory-sink
     * and durable-sink execution paths). `glob` selects which files in
     * `dir` are document dumps.

@@ -144,6 +144,19 @@ class PqSpec extends AnyFunSuite {
       s"residual MSE $resMse should beat raw-PQ MSE $rawMse")
   }
 
+  test("streaming index ingest: landed codes equal the batch assign+encode") {
+    val ivf = graft.ops.Ivf.train(emb, "vec_id", "embedding", k = 16)
+    val rcb = Pq.trainResidual(emb, "vec_id", "embedding", ivf, 8, 16)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val streamed = norm(graft.streaming.ClusteredIngest
+      .ingestedIndexCodes(spark, dir, ivf, rcb))
+    val batch = norm(Pq.encodeResidualWithCells(emb, ivf, rcb, "vec_id", "embedding")
+      .select(col("id"), col("cell_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), ",")))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("PQ top-10 recalls most of the exact L2 top-10 (deterministic data)") {
     val cb = books
     val pq = Pq.adcTopK(cb, emb, emb.filter(col("vec_id") < 5),
