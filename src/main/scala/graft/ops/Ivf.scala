@@ -58,7 +58,7 @@ object Ivf {
     * [[graft.functions.DotProduct]] and the oracle's list_aggregate
     * fold, so driver- and executor-side projections agree bit-for-bit.
     */
-  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+  private[ops] def dotSeq(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { s += a(i) * b(i); i += 1 }
     s
@@ -67,7 +67,7 @@ object Ivf {
   /** argmax cell by projection, smallest cell id on ties — the same
     * rule the row-wise [[assignCells]] expression applies.
     */
-  private def nearestCell(v: Array[Double], cents: IndexedSeq[Array[Double]]): Int = {
+  private[ops] def nearestCell(v: Array[Double], cents: IndexedSeq[Array[Double]]): Int = {
     var best = 0; var bestP = dotSeq(v, cents(0)); var c = 1
     while (c < cents.length) {
       val p = dotSeq(v, cents(c))
