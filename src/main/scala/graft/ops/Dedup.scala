@@ -319,6 +319,53 @@ object Dedup {
     agg.select(col("doc_id"), sketch.as("simhash"))
   }
 
+  /** Exact-substring dedup at token-span granularity (the RefinedWeb
+    * "exact substring deduplication" step, with fixed n-token windows
+    * standing in for suffix-array spans): every n-gram occurring in
+    * ≥ 2 DISTINCT documents is a shared span, and every token covered
+    * by a shared span is scrubbed from its document. Returns one row
+    * per input document: (doc_id, clean_text, n_tokens, n_removed) —
+    * fully-scrubbed documents come back with empty clean_text, not
+    * dropped.
+    *
+    * Scale shape: positional n-grams are a row-local generate; the
+    * shared-span vocabulary is two map-side-combinable groupBys
+    * ((gram, doc) dedup, then df count — no Expand, no window); the
+    * cover is one equi-join back + an n-wide explode; the rebuild is
+    * one groupBy collecting (pos, tok) structs. Every shuffle is
+    * equi-keyed; nothing is quadratic in documents or corpus size.
+    */
+  def scrubSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.whitespaceTokens(col(textCol)).as("w"))
+    val pgrams = toks.select(col("doc_id"),
+      posexplode(TextOps.ngramsFromTokens(col("w"), n)).as(Seq("pos", "gram")))
+    val shared = pgrams.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("gram")
+    val covered = pgrams.join(shared, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val tokRows = toks.select(col("doc_id"),
+      posexplode(col("w")).as(Seq("pos", "tok")))
+    val rebuilt = tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Pairs with SimHash Hamming distance ≤ maxDist (must be ≤ 3 for
     * the 4-block pigeonhole join to be exhaustive).
     */

@@ -200,6 +200,52 @@ object DedupQueries {
     // is a broadcast-sized fraction of the corpus. At real scale the
     // join key would be xxhash64(shingle) to shrink the exchange; the
     // oracle-portable string key keeps semantics identical.
+    // Exact-substring scrub (RefinedWeb-style span dedup at 8-token
+    // windows): tokens covered by any 8-gram shared across ≥2 docs are
+    // removed; the document comes back rebuilt. Integers + rebuilt
+    // strings only — hash-exact.
+    "q130_span_scrub" -> Q(
+      (s, d) => Dedup.scrubSharedSpans(
+        Tables(s, d, "documents"), "doc_id", "text", n = 8),
+      {
+        val n = 8
+        val gram = (0 until n).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           |  FROM documents),
+           |pg AS (
+           |  SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, greatest(array_length(w) - ${n - 2}, 1)),
+           |        i -> struct_pack(pos := i - 1, gram := $gram))) AS s
+           |    FROM toks)),
+           |shared AS (
+           |  SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM pg)
+           |  GROUP BY gram HAVING count(*) >= 2),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, pos + o AS pos
+           |  FROM (SELECT p.doc_id, p.pos FROM pg p JOIN shared USING (gram)),
+           |    range(0, $n) t(o)),
+           |tokrows AS (
+           |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, array_length(w) + 1),
+           |        i -> struct_pack(pos := i - 1, tok := w[i]))) AS s
+           |    FROM toks)),
+           |reb AS (
+           |  SELECT k.doc_id,
+           |    array_to_string(list(k.tok ORDER BY k.pos), ' ') AS clean_text,
+           |    count(*) AS n_kept
+           |  FROM tokrows k LEFT JOIN covered c
+           |    ON c.doc_id = k.doc_id AND c.pos = k.pos
+           |  WHERE c.doc_id IS NULL
+           |  GROUP BY k.doc_id)
+           |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           |  CAST(array_length(t.w) AS BIGINT) AS n_tokens,
+           |  CAST(array_length(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM toks t LEFT JOIN reb r USING (doc_id)""".stripMargin
+      }),
+
     "q69_decontaminate" -> Q(
       (s, d) => {
         val sh = Dedup.shingleRows(Tables(s, d, "documents"), "doc_id", "text", n = 3)

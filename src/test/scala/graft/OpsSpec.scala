@@ -209,4 +209,41 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.select("s").distinct().as[String].collect().toSeq == Seq("all"))
     assert(kept.count() == 100)
   }
+
+  test("scrubSharedSpans removes exactly the tokens under shared n-grams") {
+    // docs 1 and 2 share the 4-gram "alpha beta gamma delta"; the rest of
+    // each doc is unique. doc 3 shares nothing. doc 4 is entirely one
+    // shared span with doc 5 -> scrubbed to empty, still present.
+    val d = Seq(
+      (1L, "alpha beta gamma delta unique one text here"),
+      (2L, "prefix words alpha beta gamma delta suffix tail"),
+      (3L, "totally unrelated content nothing shared at all"),
+      (4L, "same same same same"),
+      (5L, "same same same same"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique one text here", 8L, 4L)))
+    assert(out(2L) == (("prefix words suffix tail", 8L, 4L)))
+    assert(out(3L) == (("totally unrelated content nothing shared at all", 7L, 0L)))
+    assert(out(4L) == (("", 4L, 4L)))
+    assert(out(5L) == (("", 4L, 4L)))
+  }
+
+  test("scrubSharedSpans: overlapping shared spans cover the union of positions") {
+    // "a b c d e" vs "a b c d" and "b c d e": with n=3 the shared grams
+    // in doc 1 cover every position -> fully scrubbed; partial docs keep
+    // their uncovered tokens.
+    val d = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d x"),
+      (3L, "y b c d e"))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSpans(d, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(out(1L) == (("", 5L)))
+    assert(out(2L) == (("x", 4L)))
+    assert(out(3L) == (("y", 4L)))
+  }
 }
