@@ -503,6 +503,19 @@ object AnnQueries {
            |    ',') AS codes
            |FROM assigned a JOIN codes c USING (vec_id)""".stripMargin),
 
+    // SemDeDup (Abbas et al. 2023): k-means cells via the q38 IVF
+    // index, then within each cell drop every vector that has a
+    // cosine>=0.4 neighbor of higher priority (closer to the cell
+    // centroid, ties to the smaller id — keep the prototypical member
+    // of each tight semantic group). Row-wise broadcast assignment +
+    // one cell-equi-keyed dominance join: never corpus-quadratic; at
+    // 100 TB you raise k so cells stay bounded. Output is one row per
+    // vector with an integer keep flag — hash-exact.
+    "q131_semantic_dedup" -> Q.dynamic(
+      (s, d) => graft.ops.SemDedup.semDedup(ivfIndex(s, d),
+        Tables(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4))(
+      semDedupOracle),
+
     // First principal component of the corpus embeddings by covariance
     // + 8 rounds of power iteration, emitted as the per-vector PC1
     // projection. The gram pass is ONE data scan with a nested
@@ -875,5 +888,42 @@ object AnnQueries {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB replay of SemDeDup: centroid literals → argmax cell +
+    * centroid-cosine priority per vector → same-cell dominance pairs
+    * (higher priority, ties to smaller id) within cosine 0.4 →
+    * anti-joined keep flag. Cosines use the same sequential double
+    * fold as the engine, so the tau and priority comparisons are
+    * bit-identical across engines.
+    */
+  private def semDedupOracle(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val cents = ivfIndex(s, d).centroidSql.zipWithIndex.map { case (w, c) =>
+      s"  SELECT $c AS cell_id, CAST($w AS DOUBLE[]) AS cw"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $embCte,
+       |cents AS (
+       |$cents),
+       |proj AS (
+       |  SELECT e.vec_id, e.e, c.cell_id,
+       |    list_aggregate(list_transform(list_zip(e.e, c.cw), z -> z[1]*z[2]), 'sum') AS p
+       |  FROM emb e CROSS JOIN cents c),
+       |assigned AS (
+       |  SELECT vec_id, e, cell_id,
+       |    p / sqrt(list_aggregate(list_transform(e, x -> x*x), 'sum')) AS prio
+       |  FROM (
+       |    SELECT vec_id, e, cell_id, p,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY p DESC, cell_id) AS rk
+       |    FROM proj) WHERE rk = 1),
+       |pairs AS (
+       |  SELECT b.vec_id AS id_b, a.e AS ea, b.e AS eb
+       |  FROM assigned a JOIN assigned b ON a.cell_id = b.cell_id
+       |    AND a.vec_id <> b.vec_id
+       |    AND (a.prio > b.prio OR (a.prio = b.prio AND a.vec_id < b.vec_id))),
+       |dominated AS (
+       |  SELECT DISTINCT id_b FROM pairs WHERE $cosExpr >= 0.4)
+       |SELECT a.vec_id AS id, a.cell_id,
+       |  CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM assigned a LEFT JOIN dominated d ON d.id_b = a.vec_id""".stripMargin
   }
 }

@@ -97,4 +97,28 @@ class IvfSpec extends AnyFunSuite {
     assert(incremental.exceptAll(allAtOnce).isEmpty &&
       allAtOnce.exceptAll(incremental).isEmpty)
   }
+
+  test("SemDedup keeps the centroid-closest member of each tight group") {
+    import graft.ops.SemDedup
+    // hand-built 2-d index: unit centroids on the axes
+    val index = Ivf.Index(IndexedSeq(Array(1.0, 0.0), Array(0.0, 1.0)))
+    val vecs = Seq(
+      (1L, Seq(10.0, 0.0)),  // cell 0, prio 1.0 — keeper of {1,2}
+      (2L, Seq(9.9, 0.1)),   // cell 0, cos(1,2)≈0.99995 -> dropped by 1
+      (3L, Seq(0.2, 1.0)),   // cell 1, cos(3,4)≈0.98 -> dropped by 4
+      (4L, Seq(0.0, 5.0)),   // cell 1, prio 1.0 — keeper of {3,4}
+      (5L, Seq(0.8, 0.6)))   // cell 0, cos to 1 and 2 ≈ 0.8 < tau -> kept
+      .toDF("vec_id", "embedding")
+    val out = SemDedup.semDedup(index, vecs, "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0, 1L)) && out(2L) == ((0, 0L)))
+    assert(out(3L) == ((1, 0L)) && out(4L) == ((1, 1L)))
+    assert(out(5L) == ((0, 1L)))
+    // tie-break: identical vectors — only the smallest id survives
+    val dup = Seq((6L, Seq(1.0, 0.0)), (7L, Seq(1.0, 0.0)), (8L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val kept = SemDedup.semDedup(index, dup, "vec_id", "embedding", tau = 0.9)
+      .filter($"kept" === 1L).select("id").as[Long].collect().toSeq
+    assert(kept == Seq(6L))
+  }
 }
