@@ -516,6 +516,42 @@ object AnnQueries {
         Tables(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4))(
       semDedupOracle),
 
+    // Scalar quantization (SQ8): per-dim min/max grid -> int8 codes
+    // (4x smaller than float32), compressed brute scan scored by the
+    // raw query against dequantized codes. Every score term is
+    // quantized to integer millionths BEFORE the sum, so scores are
+    // order-free longs and the oracle is fully static SQL — the grid
+    // is an exact aggregate, not a trained artifact.
+    "q132_sq8_ann" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val grid = graft.ops.Sq8.train(emb, "embedding")
+        graft.ops.Sq8.searchTopK(grid, emb,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      },
+      s"""WITH $embCte,
+         |dims AS (
+         |  SELECT t.j AS j, min(e[t.j + 1]) AS mn, max(e[t.j + 1]) AS mx
+         |  FROM emb, range(0, 64) t(j) GROUP BY t.j),
+         |deq AS (
+         |  SELECT vec_id, j,
+         |    CASE WHEN mx - mn = 0 THEN mn
+         |      ELSE mn + CAST(floor((e[j + 1] - mn) / (mx - mn) * 255 + 0.5)
+         |        AS INT) * (mx - mn) / 255 END AS dv
+         |  FROM emb CROSS JOIN dims),
+         |terms AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         |    CAST(floor(q.e[d.j + 1] * d.dv * 1000000 + 0.5) AS BIGINT) AS t
+         |  FROM deq d JOIN emb q ON q.vec_id < 5 AND q.vec_id <> d.vec_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, CAST(sum(t) AS BIGINT) AS score_q6
+         |  FROM terms GROUP BY query_id, neighbor_id)
+         |SELECT query_id, neighbor_id, score_q6, rank FROM (
+         |  SELECT query_id, neighbor_id, score_q6,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_q6 DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10""".stripMargin),
+
     // First principal component of the corpus embeddings by covariance
     // + 8 rounds of power iteration, emitted as the per-vector PC1
     // projection. The gram pass is ONE data scan with a nested
