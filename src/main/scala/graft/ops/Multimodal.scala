@@ -84,6 +84,62 @@ object Multimodal {
     }
   }
 
+  /** RIFF/WAVE signature (RIFF container magic + WAVE form type). */
+  def isWav(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+      payload(3) == 'F' && payload(8) == 'W' && payload(9) == 'A' &&
+      payload(10) == 'V' && payload(11) == 'E'
+
+  final case class WavInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int, nFrames: Long)
+
+  /** REAL audio decode for PCM16 WAV — the one mainstream audio format
+    * that needs no codec library, just the RIFF chunk walk (fmt +
+    * data). The feature samples `dim` frames at proportional positions
+    * (first channel, little-endian int16, scaled to [-1, 1) by integer
+    * arithmetic — deterministic across JVMs). Returns None for
+    * non-WAV, truncated, or non-PCM16 payloads, letting callers fall
+    * back to [[stubDecode]]; compressed audio (MP3/AAC/…) remains
+    * honestly stubbed.
+    */
+  def decodeWav(payload: Array[Byte], dim: Int): Option[(WavInfo, Array[Float])] = {
+    if (!isWav(payload)) return None
+    def leInt(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def leShort(o: Int) = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var data: Option[(Int, Int)] = None          // offset, length
+    while (off + 8 <= payload.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val len = leInt(off + 4)
+      if (len < 0 || off + 8 + len > payload.length) return None // torn chunk
+      if (id == "fmt " && len >= 16)
+        fmt = Some((leShort(off + 8), leShort(off + 10),
+          leInt(off + 12), leShort(off + 22)))
+      else if (id == "data") data = Some((off + 8, len))
+      off += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, 16)), Some((dataOff, dataLen))) if ch > 0 =>
+        val frameBytes = ch * 2
+        val nFrames = dataLen.toLong / frameBytes
+        val feat = new Array[Float](dim)
+        if (nFrames > 0) {
+          var i = 0
+          while (i < dim) {
+            val f = if (dim == 1) 0L else i.toLong * (nFrames - 1) / (dim - 1)
+            val o = dataOff + (f * frameBytes).toInt
+            feat(i) = leShort(o).toShort / 32768.0f
+            i += 1
+          }
+        }
+        Some((WavInfo(rate, ch, 16, nFrames), feat))
+      case _ => None // non-PCM16: honestly undecoded
+    }
+  }
+
   /** STUB decoder — a real implementation would hand each batch of
     * payloads to an image/audio codec (JNI or subprocess). The fake is
     * deterministic in the payload bytes so tests and oracles can rely
@@ -152,6 +208,7 @@ object Multimodal {
           val hex = r.payload.take(8).map(b => f"${b & 0xff}%02X").mkString
           val feat =
             (if (isPng(r.payload)) decodeImage(r.payload, dim).map(_._3)
+             else if (isWav(r.payload)) decodeWav(r.payload, dim).map(_._2)
              else None).getOrElse(stubDecode(r.payload, dim))
           MediaFeatures(r.media_id, r.n_bytes, hex, feat)
         }

@@ -326,6 +326,54 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(png.take(20), dim = 4).isEmpty)
   }
 
+  test("multimodal: REAL PCM16 WAV decode; non-PCM and torn chunks rejected") {
+    // canonical little-endian PCM16 WAV built byte-wise in the test:
+    // 8000 Hz mono, 5 frames [0, 8192, -8192, 16384, -32768]
+    def wav(samples: Seq[Short], ch: Int = 1, rate: Int = 8000,
+        audioFormat: Int = 1): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(audioFormat.toShort).putShort(ch.toShort)
+        .putInt(rate).putInt(rate * ch * 2).putShort((ch * 2).toShort)
+        .putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+    val mono = wav(Seq[Short](0, 8192, -8192, 16384, -32768))
+    assert(Multimodal.isWav(mono))
+    val Some((info, feat)) = Multimodal.decodeWav(mono, dim = 5)
+    assert(info == Multimodal.WavInfo(8000, 1, 16, 5L))
+    assert(feat.toSeq == Seq(0.0f, 0.25f, -0.25f, 0.5f, -1.0f))
+    // proportional sampling: dim=3 takes frames 0, 2, 4
+    assert(Multimodal.decodeWav(mono, dim = 3).get._2.toSeq ==
+      Seq(0.0f, -0.25f, -1.0f))
+    // stereo: first channel only, frame-addressed
+    val stereo = wav(Seq[Short](100, -100, 200, -200), ch = 2)
+    val Some((si, sf)) = Multimodal.decodeWav(stereo, dim = 2)
+    assert(si.channels == 2 && si.nFrames == 2L)
+    assert(sf.toSeq == Seq(100 / 32768.0f, 200 / 32768.0f))
+    // non-PCM (compressed) and torn payloads are honestly undecoded
+    assert(Multimodal.decodeWav(wav(Seq[Short](1, 2), audioFormat = 3), 2).isEmpty)
+    assert(Multimodal.decodeWav(mono.take(30), 2).isEmpty)
+
+    // through the batched pipeline: WAV takes the real path
+    val media = Seq(
+      Multimodal.MediaRecord(1L, mono, "audio/wav", mono.length),
+      Multimodal.MediaRecord(2L, "plain text".getBytes("UTF-8"),
+        "text/plain", 10)).toDS()
+    val byId = Multimodal.extractFeatures(media, dim = 5, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(byId(1L).feature.toSeq == feat.toSeq)
+    assert(byId(1L).header_hex.startsWith("52494646")) // "RIFF"
+    assert(byId(2L).feature.toSeq ==
+      Multimodal.stubDecode("plain text".getBytes("UTF-8"), 5).toSeq)
+  }
+
   test("multimodal: frame sampling and resize stubs are deterministic") {
     val docs = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
     val media = Multimodal.packAsMedia(docs, "doc_id", "text")
