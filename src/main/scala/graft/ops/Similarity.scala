@@ -73,6 +73,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Contrastive-pair mining for embedding training: per anchor, the k
+    * most-similar DIFFERENT-label vectors (hard negatives — the ones a
+    * contrastive loss learns most from) and the k least-similar
+    * SAME-label vectors (hard positives). Exact brute scan with the
+    * label predicate fused into the join — the baseline shape; at
+    * corpus scale the candidate stage swaps for the per-label-bucketed
+    * [[filteredLshTopK]] / [[Ivf]] search with the same rank rule.
+    * Output: (query_id, neighbor_id, kind 'neg'|'pos', cos, rank).
+    */
+  def contrastiveMine(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nl"), toDoubleVec(col(vecCol)).as("vn"))
+      .withColumn("nn", l2Norm(col("vn")))
+    val qs = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("ql"), toDoubleVec(col(vecCol)).as("vq"))
+      .withColumn("nq", l2Norm(col("vq")))
+    val scored = base.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("ql"), col("nl"),
+        (dot(col("vq"), col("vn")) / (col("nq") * col("nn"))).as("cos"))
+    val negW = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val posW = Window.partitionBy("query_id").orderBy(col("cos").asc, col("neighbor_id"))
+    val negs = scored.filter(col("nl") =!= col("ql"))
+      .withColumn("rank", row_number().over(negW).cast("long"))
+      .filter(col("rank") <= k).withColumn("kind", lit("neg"))
+    val poss = scored.filter(col("nl") === col("ql"))
+      .withColumn("rank", row_number().over(posW).cast("long"))
+      .filter(col("rank") <= k).withColumn("kind", lit("pos"))
+    negs.unionByName(poss)
+      .select("query_id", "neighbor_id", "kind", "cos", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component (plane p, dim j).
     * sin() of a fixed integer lattice — reproducible, no RNG state.
     */

@@ -516,6 +516,41 @@ object AnnQueries {
         Tables(s, d, "embeddings"), "vec_id", "embedding", tau = 0.4))(
       semDedupOracle),
 
+    // Contrastive-pair mining: per anchor the 5 most-similar
+    // different-label vectors (hard negatives) and 5 least-similar
+    // same-label vectors (hard positives) — the training-pair feed of
+    // a contrastive embedding run. Exact brute baseline with the label
+    // predicate fused into the join; the scale path swaps the
+    // candidate stage for the label-bucketed LSH / IVF search.
+    "q133_hard_mining" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        Similarity.contrastiveMine(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 5)
+      },
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    q.label AS ql, n.label AS nl,
+         |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ql, nl, $cosExpr AS cos FROM p),
+         |negs AS (
+         |  SELECT query_id, neighbor_id, 'neg' AS kind, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored WHERE nl <> ql),
+         |poss AS (
+         |  SELECT query_id, neighbor_id, 'pos' AS kind, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos ASC, neighbor_id) AS rank
+         |  FROM scored WHERE nl = ql)
+         |SELECT query_id, neighbor_id, kind, cos, CAST(rank AS BIGINT) AS rank
+         |FROM (SELECT * FROM negs UNION ALL SELECT * FROM poss)
+         |WHERE rank <= 5""".stripMargin),
+
     // Scalar quantization (SQ8): per-dim min/max grid -> int8 codes
     // (4x smaller than float32), compressed brute scan scored by the
     // raw query against dequantized codes. Every score term is

@@ -210,6 +210,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 100)
   }
 
+  test("contrastiveMine: hard negatives are cross-label nearest, positives same-label farthest") {
+    // label 0 along +x, label 1 along +y, one label-1 outlier near +x
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 0),   // anchor
+      (1L, Seq(0.9, 0.1), 0),   // same label, near
+      (2L, Seq(-1.0, 0.2), 0),  // same label, far -> hard positive
+      (3L, Seq(0.0, 1.0), 1),   // diff label, far
+      (4L, Seq(0.95, 0.05), 1)) // diff label, near -> hard negative
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastiveMine(
+      emb, emb.filter($"vec_id" === 0), "vec_id", "embedding", "label", k = 1)
+      .select("kind", "neighbor_id").as[(String, Long)].collect().toMap
+    assert(out("neg") == 4L)
+    assert(out("pos") == 2L)
+  }
+
   test("scrubSharedSpans removes exactly the tokens under shared n-grams") {
     // docs 1 and 2 share the 4-gram "alpha beta gamma delta"; the rest of
     // each doc is unique. doc 3 shares nothing. doc 4 is entirely one
