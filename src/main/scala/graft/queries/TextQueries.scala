@@ -65,6 +65,43 @@ object TextQueries {
          | length(text) AS n_chars
          |FROM documents""".stripMargin),
 
+    // REAL learned BPE (Sennrich-style, char variant): 24 merges
+    // trained on the corpus word vocabulary driver-side (bounded
+    // artifact, like the IVF sample), applied as a pure column
+    // expression — marker-wrapped symbols + ranked nested replaces,
+    // no UDF. The oracle replays the identical merge table as
+    // literals, so counts are exact cross-engine.
+    "q134_bpe_tokens" -> Q.dynamic(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 24)
+        docs.select(col("doc_id"),
+          size(filter(split(trim(col("text")), "\\s+"), _ =!= ""))
+            .cast("long").as("n_words"),
+          graft.ops.Bpe.tokenCount(merges, col("text")).as("n_bpe"))
+      })(
+      (s, d) => {
+        val merges = graft.ops.Bpe.train(Tables(s, d, "documents"),
+          "text", numMerges = 24)
+        def m(syms: String*) =
+          syms.map(t => s"chr(1) || '$t' || chr(2)").mkString(" || ")
+        val chained = merges.foldLeft(
+          "regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g')") {
+          case (acc, (a, b)) =>
+            s"replace($acc, ${m(a, b)}, ${m(a + b)})"
+        }
+        s"""WITH toks AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '') AS w
+           |  FROM documents)
+           |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           |  coalesce(CAST(list_aggregate(list_transform(w,
+           |    x -> length($chained) - length(replace($chained, chr(1), ''))),
+           |    'sum') AS BIGINT), 0) AS n_bpe
+           |FROM toks""".stripMargin
+      }),
+
     // Vocabulary heavy hitters: corpus-wide token frequencies, top 100
     // with deterministic tie-break. The explode → groupBy shape gets
     // map-side partial aggregation (one row per distinct token crosses

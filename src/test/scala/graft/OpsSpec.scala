@@ -210,6 +210,25 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 100)
   }
 
+  test("Bpe: learned merges follow pair frequency; apply equals iterated merge") {
+    import graft.ops.Bpe
+    val corpus = Seq("abc abc abd").toDF("text")
+    // pair counts: (a,b)=3, (b,c)=2, (b,d)=1 -> merges (a,b) then (ab,c)
+    val merges = Bpe.train(corpus, "text", numMerges = 2)
+    assert(merges == Seq(("a", "b"), ("ab", "c")))
+    val enc = Seq("abcd", "abd", "xyz").toDF("w")
+      .select(Bpe.encodeWord(merges, $"w").as("t")).as[Seq[String]].collect()
+    assert(enc(0) == Seq("abc", "d")) // merges cascade: a+b then ab+c
+    assert(enc(1) == Seq("ab", "d"))
+    assert(enc(2) == Seq("x", "y", "z")) // untouched symbols
+    val n = Seq("abcd abd xyz").toDF("text")
+      .select(Bpe.tokenCount(merges, $"text")).as[Long].head()
+    assert(n == 7L)
+    // training is idempotent-deterministic and stops when no pairs remain
+    assert(Bpe.train(corpus, "text", numMerges = 2) == merges)
+    assert(Bpe.train(Seq("a b").toDF("text"), "text", 5) == Seq.empty)
+  }
+
   test("contrastiveMine: hard negatives are cross-label nearest, positives same-label farthest") {
     // label 0 along +x, label 1 along +y, one label-1 outlier near +x
     val emb = Seq(
