@@ -246,6 +246,20 @@ object DedupQueries {
            |FROM toks t LEFT JOIN reb r USING (doc_id)""".stripMargin
       }),
 
+    // Online near-dup admission: documents streamed through a
+    // foreachBatch gate that suppresses each doc iff some LOWER-id doc
+    // (arrival = id order) is 3-gram-Jaccard-similar at 0.5 — content-
+    // only, verdict-free, so decisions are identical under any trigger
+    // slicing (spec'd on a split corpus) and the whole history replays
+    // as one batch statement: suppressed = DISTINCT doc_b of jpairs.
+    "q135_stream_neardup" -> Q(
+      (s, d) => graft.streaming.NearDupIngest.ingestedKeepDecisions(s, d),
+      s"""WITH ${jaccardCtes("0.5")},
+         |sup AS (SELECT DISTINCT doc_b FROM jpairs)
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN s.doc_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents d LEFT JOIN sup s ON s.doc_b = d.doc_id""".stripMargin),
+
     "q69_decontaminate" -> Q(
       (s, d) => {
         val sh = Dedup.shingleRows(Tables(s, d, "documents"), "doc_id", "text", n = 3)

@@ -285,6 +285,31 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(out == Seq((7L, 2))) // the first 2-event session closed
   }
 
+  test("near-dup ingest: sliced admission equals whole-corpus admission") {
+    import graft.streaming.NearDupIngest
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def run(slices: Seq[org.apache.spark.sql.DataFrame]): Map[Long, Long] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_ndspec")
+      val sh = base.resolve("sh").toString
+      val dec = base.resolve("dec").toString
+      slices.foreach(b => NearDupIngest.processBatch(spark, b, sh, dec, 3, 0.5))
+      spark.read.parquet(dec).as[(Long, Long)].collect().toMap
+    }
+    val whole = run(Seq(docs))
+    val sliced = run(Seq(
+      docs.filter($"doc_id" < 170),
+      docs.filter($"doc_id" >= 170 && $"doc_id" < 340),
+      docs.filter($"doc_id" >= 340)))
+    assert(whole.size == 500 && sliced == whole)
+    // decisions match the batch rule: suppressed = doc_b side of the
+    // exact Jaccard pairs at the same threshold
+    val supp = graft.ops.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_b").as[Long].collect().toSet
+    spark.catalog.clearCache() // jaccardPairs returns a persisted frame
+    assert(whole.filter(_._2 == 0L).keySet == supp)
+  }
+
   test("multimodal: pack -> batched stub decode roundtrip, deterministic") {
     val docs = Seq((1L, "hello world of bytes"), (2L, "x")).toDF("doc_id", "text")
     val feats = Multimodal.extractFeatures(
