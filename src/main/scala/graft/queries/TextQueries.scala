@@ -102,6 +102,31 @@ object TextQueries {
            |FROM toks""".stripMargin
       }),
 
+    // DSIR-style importance resampling (linearized): score docs by the
+    // integer cross-multiplied token-distribution lean toward the
+    // English slice, keep score>0. No libm log, no float folds —
+    // exact integers at any summation order.
+    "q136_importance_resample" -> Q(
+      (s, d) => graft.ops.Dsir.linearizedScores(
+        Tables(s, d, "documents"), "doc_id", "text", col("lang") === "en"),
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang = 'en' AS is_t, unnest($wsTokensSql) AS t
+         |  FROM documents),
+         |stats AS (
+         |  SELECT t,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |  FROM toks GROUP BY t),
+         |tot AS (
+         |  SELECT CAST(sum(ct) AS BIGINT) AS nt,
+         |    CAST(sum(cr) AS BIGINT) AS nr FROM stats)
+         |SELECT k.doc_id,
+         |  CAST(sum(s.ct * tot.nr - s.cr * tot.nt) AS BIGINT) AS score,
+         |  CAST(CASE WHEN sum(s.ct * tot.nr - s.cr * tot.nt) > 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM toks k JOIN stats s USING (t) CROSS JOIN tot
+         |GROUP BY k.doc_id""".stripMargin),
+
     // Vocabulary heavy hitters: corpus-wide token frequencies, top 100
     // with deterministic tie-break. The explode → groupBy shape gets
     // map-side partial aggregation (one row per distinct token crosses

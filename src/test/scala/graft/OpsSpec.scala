@@ -210,6 +210,32 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 100)
   }
 
+  test("Dsir: linearized scores lean toward the target token distribution") {
+    import graft.ops.Dsir
+    val d = Seq(
+      (1L, "aa aa aa", true),   // pure target vocabulary
+      (2L, "bb bb bb", false),  // pure raw vocabulary
+      (3L, "aa aa bb", false),  // raw doc that looks like target
+      (4L, "cc cc cc", true))   // target-only token
+      .toDF("doc_id", "text", "is_t")
+    val out = Dsir.linearizedScores(d, "doc_id", "text", $"is_t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // counts: aa ct=3 cr=2, bb ct=0 cr=4, cc ct=3 cr=0; nt=6 nr=6
+    // w(aa) = 3*6-2*6 = 6; w(bb) = -24; w(cc) = 18
+    assert(out(1L) == ((18L, 1L)))
+    assert(out(2L) == ((-72L, 0L)))
+    assert(out(3L) == ((-12L, 0L)))  // 6+6-24
+    assert(out(4L) == ((54L, 1L)))
+    // on the real corpus: scoring must separate the slices — the mean
+    // en score is positive, the mean non-en score negative
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val scored = Dsir.linearizedScores(docs, "doc_id", "text", $"lang" === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val means = scored.groupBy($"lang" === "en")
+      .agg(avg("score")).as[(Boolean, Double)].collect().toMap
+    assert(means(true) > 0 && means(false) < 0)
+  }
+
   test("Bpe: learned merges follow pair frequency; apply equals iterated merge") {
     import graft.ops.Bpe
     val corpus = Seq("abc abc abd").toDF("text")
