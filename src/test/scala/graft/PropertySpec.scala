@@ -210,4 +210,88 @@ class PropertySpec extends AnyFunSuite {
       assert(banded.distinct == banded, "duplicate pair emitted")
     }
   }
+
+  test("scrubSharedSpans equals the brute-force span cover on random corpora") {
+    import org.apache.spark.sql.functions.col
+    val wordGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    val corpusGen = Gen.chooseNum(2, 8).flatMap(k => Gen.listOfN(k, docGen))
+    samples(corpusGen, 6).zipWithIndex.foreach { case (corpus, trial) =>
+      val n = 3
+      val docs = corpus.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .filter(_._2.nonEmpty) // whitespaceTokens("") is degenerate by contract
+      if (docs.nonEmpty) {
+        val got = graft.ops.Dedup
+          .scrubSharedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+          .toMap
+        // reference: per doc, positions covered by any n-gram that
+        // occurs in >= 2 distinct docs
+        val grams = docs.flatMap { case (id, t) =>
+          t.split("\\s+").toSeq.sliding(n).filter(_.size == n)
+            .map(g => (g.mkString(" "), id))
+        }
+        val shared = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+        docs.foreach { case (id, t) =>
+          val toks = t.split("\\s+").toSeq
+          val covered = toks.sliding(n).zipWithIndex
+            .filter { case (g, _) => g.size == n && shared(g.mkString(" ")) }
+            .flatMap { case (_, p) => p until p + n }.toSet
+          val kept = toks.zipWithIndex.collect {
+            case (w, p) if !covered(p) => w }
+          val exp = (kept.mkString(" "), toks.size.toLong, covered.size.toLong)
+          assert(got(id) == exp, s"trial=$trial doc=$id text='$t'")
+        }
+      }
+    }
+  }
+
+  test("Bpe column apply equals the reference greedy merge on random words") {
+    val wordGen = Gen.chooseNum(1, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val corpusGen = Gen.listOfN(12, wordGen)
+    def refApply(merges: Seq[(String, String)], w: String): Seq[String] = {
+      var toks: Seq[String] = w.map(_.toString)
+      merges.foreach { case (a, b) =>
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    samples(corpusGen, 5).foreach { words =>
+      val corpus = Seq(words.mkString(" ")).toDF("text")
+      val merges = graft.ops.Bpe.train(corpus, "text", numMerges = 6)
+      val enc = words.toDF("w")
+        .select(graft.ops.Bpe.encodeWord(merges, org.apache.spark.sql.functions.col("w")))
+        .as[Seq[String]].collect()
+      words.zip(enc).foreach { case (w, got) =>
+        assert(got == refApply(merges, w), s"word=$w merges=$merges")
+      }
+    }
+  }
+
+  test("Sq8 codes are always in [0,255] and encode is scan-order independent") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-1000, 1000).map(_ / 250.0))
+    val corpusGen = Gen.chooseNum(2, 20).flatMap(n => Gen.listOfN(n, vecGen))
+    samples(corpusGen, 5).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "v")
+      val grid = graft.ops.Sq8.train(df, "v")
+      val codes = graft.ops.Sq8.encode(grid, df, "id", "v")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+      val codesShuffled = graft.ops.Sq8
+        .encode(grid, df.repartition(5), "id", "v")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      assert(codesShuffled == codes)
+    }
+  }
 }
