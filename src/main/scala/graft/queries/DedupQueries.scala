@@ -146,6 +146,37 @@ object DedupQueries {
          |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
          |FROM reach GROUP BY u""".stripMargin),
 
+    // Leakage-safe train/val split: the unit of assignment is the
+    // near-dup CLUSTER (connected components of the exact-Jaccard
+    // graph; singletons group as themselves), and the side is a salted
+    // md5 of the group id — so two near-duplicate documents can never
+    // straddle the eval boundary, the failure mode that silently
+    // inflates eval scores. ~1/8 of groups go to 'val' (hex threshold,
+    // the q72 mixing rule).
+    "q137_leakage_safe_split" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+          threshold = 0.5)
+        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        pairs.unpersist()
+        docs.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+          .withColumn("split",
+            when(substring(md5(concat(lit("evalsplit:"),
+              col("group_id").cast("string"))), 1, 4) < "2000", "val")
+              .otherwise("train"))
+      },
+      s"""WITH RECURSIVE ${dupClusterCtes("0.5")},
+         |grouped AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN substring(md5('evalsplit:' || CAST(group_id AS VARCHAR)),
+         |    1, 4) < '2000' THEN 'val' ELSE 'train' END AS split
+         |FROM grouped""".stripMargin),
+
     // The full dedup pipeline composed end to end: MinHash+LSH
     // candidates → exact-Jaccard verify (q31's operator) → transitive
     // clusters (q68's) → ONE canonical document per cluster, chosen by

@@ -210,6 +210,22 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 100)
   }
 
+  test("leakage-safe split: near-dup pairs never straddle the eval boundary") {
+    val sf = "/root/testdata/sf0.001"
+    val split = SparkEntry.queries("q137_leakage_safe_split")(spark, sf)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    spark.catalog.clearCache()
+    assert(split.values.toSet == Set("train", "val")) // both sides populated
+    val pairs = graft.ops.Dedup.jaccardPairs(
+      Tables(spark, sf, "documents"), "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) straddles the split")
+    }
+  }
+
   test("Dsir: linearized scores lean toward the target token distribution") {
     import graft.ops.Dsir
     val d = Seq(
