@@ -89,7 +89,9 @@ object Sq8 {
     val score = aggregate(terms, lit(0L), (acc, x) => acc + x)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_q6").desc, col("neighbor_id"))
-    qs.join(base, col("query_id") =!= col("neighbor_id"))
+    // queries broadcast, corpus streams — the big side must never be
+    // the build side of this non-equi join
+    base.join(broadcast(qs), col("query_id") =!= col("neighbor_id"))
       .withColumn("score_q6", score)
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

@@ -53,6 +53,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("Bpe.tokenCount plan is one codegen'd scan: zero exchanges, zero joins") {
+    val merges = Seq(("a", "b"), ("ab", "c")) // fixed table — no training jobs
+    val counted = Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.ops.Bpe.tokenCount(merges, col("text")))
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(shuffles(plan) == 0 && !plan.contains("Join"), plan)
+    assert(plan.contains("*(1)"), plan) // the whole query is one codegen span
+  }
+
+  test("SemDedup dominance join is cell-equi-keyed, never cartesian") {
+    val index = graft.ops.Ivf.Index(
+      IndexedSeq(Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0),
+        Array.tabulate(64)(i => if (i == 1) 1.0 else 0.0)))
+    val out = graft.ops.SemDedup.semDedup(index,
+      Tables(spark, dir, "embeddings"), "vec_id", "embedding", tau = 0.4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("cell_id"), plan)
+  }
+
+  test("Sq8 scan broadcasts the QUERIES; the corpus is never the build side") {
+    val emb = Tables(spark, dir, "embeddings")
+    val grid = graft.ops.Sq8.train(emb, "embedding")
+    val out = graft.ops.Sq8.searchTopK(grid, emb,
+      emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // non-equi self-pairing: must be a BNLJ whose build (broadcast)
+    // side carries the vec_id < 5 query filter
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan)
+    val buildSide = plan.substring(plan.indexOf("BroadcastExchange"))
+    assert(buildSide.contains("vec_id") && buildSide.contains("< 5"), plan)
+    // one hash exchange total: the per-query rank window
+    assert(shuffles(plan) == 1, s"expected 1 shuffle, got:\n$plan")
+  }
+
   test("query BUILDERS run zero Spark jobs (no driver-side actions at plan time)") {
     // A queries() entry must return a lazy plan; any .count()/.collect()
     // inside the builder forces an extra full materialization per call.
