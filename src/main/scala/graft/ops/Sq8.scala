@@ -40,6 +40,7 @@ object Sq8 {
       .groupBy("j").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("j")
       .collect()
+    require(rows.nonEmpty, "cannot train an SQ8 grid on an empty corpus")
     Grid(rows.map(_.getDouble(1)).toIndexedSeq,
       rows.map(_.getDouble(2)).toIndexedSeq)
   }

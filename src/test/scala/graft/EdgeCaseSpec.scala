@@ -57,4 +57,48 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(FuzzyJoin.trigramJoin(dirty, "id", "name",
       dirty.limit(0), "id", "name", 2, 10).isEmpty)
   }
+
+  test("scrubSharedSpans: window longer than every doc keeps everything") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.scrubSharedSpans(docs, "doc_id", "text", n = 7)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(out.forall { case (t, rm) => t == "a b c" && rm == 0L })
+  }
+
+  test("Sq8: empty corpus refuses to train; tiny single-vector grid encodes to 0") {
+    import graft.ops.Sq8
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val e = intercept[IllegalArgumentException](Sq8.train(empty, "v"))
+    assert(e.getMessage.contains("empty corpus"))
+    // one vector: every dim constant -> scale 0 -> code 0 everywhere
+    val one = Seq((1L, Seq(3.0, -4.0))).toDF("id", "v")
+    val codes = Sq8.encode(Sq8.train(one, "v"), one, "id", "v")
+      .select("codes").as[Seq[Int]].head()
+    assert(codes == Seq(0, 0))
+  }
+
+  test("Bpe: zero merges counts characters; SemDedup tau>1 keeps everything") {
+    val n = Seq("ab cde").toDF("text")
+      .select(graft.ops.Bpe.tokenCount(Seq.empty, $"text")).as[Long].head()
+    assert(n == 5L) // every char its own symbol
+    val index = graft.ops.Ivf.Index(IndexedSeq(Array(1.0, 0.0)))
+    val dup = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val kept = graft.ops.SemDedup
+      .semDedup(index, dup, "vec_id", "embedding", tau = 1.5)
+      .filter($"kept" === 1L).count()
+    assert(kept == 2L) // cos <= 1 < tau: nothing dominates
+  }
+
+  test("near-dup ingest: docs below the shingle width are always admitted") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ndedge")
+    val sh = base.resolve("sh").toString
+    val dec = base.resolve("dec").toString
+    val docs = Seq((1L, "one two"), (2L, "one two"), (3L, "x")).toDF("doc_id", "text")
+    graft.streaming.NearDupIngest.processBatch(spark, docs, sh, dec, 3, 0.5)
+    val out = spark.read.parquet(dec).as[(Long, Long)].collect().toMap
+    // 2-token docs produce no 3-gram shingles: identical content is
+    // invisible to THIS gate (the exact-dedup gate q63 owns it)
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
