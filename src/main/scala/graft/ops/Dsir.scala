@@ -26,6 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
+  /** Vocabulary drift / domain signature: the k tokens most associated
+    * with the target slice by the 2×2 chi-square statistic
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)) with a,b the token's
+    * occurrence counts in target/rest and c,d the complements. Every
+    * operand is an exact integer cast to double inside ONE row-wise
+    * expression — no aggregation of floats, so χ² is bit-identical
+    * across engines and the ranking is exact. Output: (t, ct, cr,
+    * chi2, rank), rank ≤ k by χ² desc then token.
+    */
+  def chiSquareDrift(docs: DataFrame, textCol: String, isTarget: Column,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(isTarget.as("is_t"),
+      explode(TextOps.whitespaceTokens(col(textCol))).as("t"))
+    val stats = toks.groupBy("t").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val totals = stats.agg(sum("ct").as("na"), sum("cr").as("nb"))
+      .withColumn("__k", lit(1))
+    val a = col("ct").cast("double")
+    val b = col("cr").cast("double")
+    val c = col("na").cast("double") - a
+    val d = col("nb").cast("double") - b
+    val t1 = a * d - b * c
+    val n = col("na").cast("double") + col("nb").cast("double")
+    // top-k via sort-limit (TakeOrderedAndProject — a distributed
+    // top-k, not a single-partition global window); the rank window
+    // then runs over k rows only
+    val w = Window.orderBy(col("chi2").desc, col("t"))
+    stats.withColumn("__k", lit(1)).join(broadcast(totals), Seq("__k"))
+      .withColumn("chi2",
+        n * t1 * t1 / ((a + b) * (c + d) * (a + c) * (b + d)))
+      .orderBy(col("chi2").desc, col("t")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select("t", "ct", "cr", "chi2", "rank")
+  }
+
   /** One row per document: (doc_id, score, kept) with kept = 1 iff
     * score > 0 (the document leans toward the target distribution).
     */

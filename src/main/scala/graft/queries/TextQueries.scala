@@ -127,6 +127,44 @@ object TextQueries {
          |FROM toks k JOIN stats s USING (t) CROSS JOIN tot
          |GROUP BY k.doc_id""".stripMargin),
 
+    // Vocabulary drift / domain signature: top-30 tokens most
+    // associated with the English slice by 2x2 chi-square. All inputs
+    // are exact integers entering ONE row-wise double expression (no
+    // float aggregation), so the statistic and the ranking are
+    // bit-identical cross-engine.
+    "q138_vocab_drift" -> Q(
+      (s, d) => graft.ops.Dsir.chiSquareDrift(
+        Tables(s, d, "documents"), "text", col("lang") === "en", k = 30),
+      s"""WITH toks AS (
+         |  SELECT lang = 'en' AS is_t, unnest($wsTokensSql) AS t
+         |  FROM documents),
+         |stats AS (
+         |  SELECT t,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |  FROM toks GROUP BY t),
+         |tot AS (
+         |  SELECT CAST(sum(ct) AS BIGINT) AS na,
+         |    CAST(sum(cr) AS BIGINT) AS nb FROM stats),
+         |scored AS (
+         |  SELECT t, ct, cr,
+         |    (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+         |      * (CAST(ct AS DOUBLE) * (CAST(nb AS DOUBLE) - CAST(cr AS DOUBLE))
+         |         - CAST(cr AS DOUBLE) * (CAST(na AS DOUBLE) - CAST(ct AS DOUBLE)))
+         |      * (CAST(ct AS DOUBLE) * (CAST(nb AS DOUBLE) - CAST(cr AS DOUBLE))
+         |         - CAST(cr AS DOUBLE) * (CAST(na AS DOUBLE) - CAST(ct AS DOUBLE)))
+         |      / ((CAST(ct AS DOUBLE) + CAST(cr AS DOUBLE))
+         |         * ((CAST(na AS DOUBLE) - CAST(ct AS DOUBLE))
+         |            + (CAST(nb AS DOUBLE) - CAST(cr AS DOUBLE)))
+         |         * (CAST(ct AS DOUBLE) + (CAST(na AS DOUBLE) - CAST(ct AS DOUBLE)))
+         |         * (CAST(cr AS DOUBLE) + (CAST(nb AS DOUBLE) - CAST(cr AS DOUBLE))))
+         |    AS chi2
+         |  FROM stats CROSS JOIN tot)
+         |SELECT t, ct, cr, chi2, CAST(rank AS BIGINT) AS rank FROM (
+         |  SELECT t, ct, cr, chi2,
+         |    row_number() OVER (ORDER BY chi2 DESC, t) AS rank
+         |  FROM scored) WHERE rank <= 30""".stripMargin),
+
     // Vocabulary heavy hitters: corpus-wide token frequencies, top 100
     // with deterministic tie-break. The explode → groupBy shape gets
     // map-side partial aggregation (one row per distinct token crosses

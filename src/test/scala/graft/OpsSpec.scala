@@ -226,6 +226,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("chiSquareDrift: hand-checked 2x2 statistic; top-k is sort-limit not global window") {
+    import graft.ops.Dsir
+    val d = Seq(
+      (1L, "aa aa aa aa", true), (2L, "bb aa", true),
+      (3L, "bb bb bb", false), (4L, "aa bb bb", false))
+      .toDF("doc_id", "text", "is_t")
+    val out = Dsir.chiSquareDrift(d, "text", $"is_t", k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val rows = out.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // contingency for aa: a=5 b=1 c=1 d=5, N=12
+    // chi2 = 12*(25-1)^2 / (6*6*6*6) = 12*576/1296 = 5.3333...
+    val (ct, cr, chi) = rows("aa")
+    assert(ct == 5L && cr == 1L)
+    assert(math.abs(chi - 12.0 * 576 / 1296) < 1e-12)
+    // symmetric table: bb has the same statistic
+    assert(math.abs(rows("bb")._3 - chi) < 1e-12)
+  }
+
   test("Dsir: linearized scores lean toward the target token distribution") {
     import graft.ops.Dsir
     val d = Seq(
