@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic mixture sampling — the "data mixing" stage of a
@@ -74,4 +74,35 @@ object Mixture {
   def keepWeightedSql(keySql: String, salt: String, rateSql: String): String =
     s"substring(md5('$salt' || CAST($keySql AS VARCHAR)), 1, 4) < " +
       s"printf('%04x', CAST(least(floor(($rateSql) * 65536), 65535) AS INT))"
+
+  /** Token-budget mix planning (DoReMi-lite): size each group's
+    * sampling rate so the kept corpus hits `budgetNum/budgetDen` of
+    * the total weight, split EQUALLY across groups; over-small groups
+    * saturate at rate 1 (their shortfall is a report column, not
+    * silently redistributed). ENTIRELY integer arithmetic — floor
+    * divisions only, no doubles anywhere — so the plan is bit-exact on
+    * any engine. (Headroom: share·10⁶ must fit a long — rescale the
+    * weight unit past ~10¹² total.) One groupBy + a broadcast 1-row
+    * totals join; the emitted rate_q6 feeds [[keepWeighted]] as
+    * `rate_q6 / 1e6`.
+    *
+    * Output per group: (group, n_docs, weight, rate_q6,
+    * planned_weight).
+    */
+  def tokenBudgetPlan(docs: DataFrame, groupCol: String, weightCol: String,
+      budgetNum: Long, budgetDen: Long): DataFrame = {
+    val stats = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("weight"))
+    val totals = stats.agg(sum("weight").as("total"),
+      count(lit(1)).as("ng")).withColumn("__k", lit(1))
+    stats.withColumn("__k", lit(1))
+      .join(broadcast(totals), Seq("__k"))
+      .withColumn("share",
+        expr(s"((total * $budgetNum) div $budgetDen) div ng"))
+      .withColumn("rate_q6",
+        least(lit(1000000L), expr("(share * 1000000) div weight")))
+      .withColumn("planned_weight", expr("(weight * rate_q6) div 1000000"))
+      .select(col("grp").as(groupCol), col("n_docs"), col("weight"),
+        col("rate_q6"), col("planned_weight"))
+  }
 }

@@ -456,6 +456,50 @@ object TextQueries {
         | (n_bi - d_bi) * 1.0 / n_bi AS dup_bigram_frac
         |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin),
 
+    // Novelty / OOD scoring: the fraction of a doc's DISTINCT bigrams
+    // that occur in no other document — high novelty flags content the
+    // corpus has never seen (OOD or garbage), low novelty flags
+    // boilerplate. Two bigram-keyed map-side-combinable aggregates +
+    // one equi-join; the ratio is a single int/int division.
+    "q140_novelty" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bg = docs.select(col("doc_id"),
+          explode(TextOps.ngramsFromTokens(
+            TextOps.whitespaceTokens(col("text")), 2)).as("b"))
+          .distinct()
+        val df = bg.groupBy("b").agg(count(lit(1)).as("bdf"))
+        val per = bg.join(df, Seq("b"))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(when(col("bdf") === 1, 1L).otherwise(0L)).as("n_novel"))
+        docs.select("doc_id").join(per, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+          .withColumn("novelty",
+            when(col("n_bigrams") === 0, lit(0.0))
+              .otherwise(col("n_novel") / col("n_bigrams")))
+      },
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |bg AS (SELECT DISTINCT doc_id, b FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(array_length(w), 1)),
+        |      i -> w[i] || ' ' || w[i+1])) AS b
+        |  FROM toks WHERE array_length(w) >= 2)),
+        |bdf AS (SELECT b, count(*) AS bdf FROM bg GROUP BY b),
+        |per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(CASE WHEN bdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |  FROM bg JOIN bdf USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(n_novel, 0) AS n_novel,
+        |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |    ELSE n_novel * 1.0 / n_bigrams END AS novelty
+        |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id""".stripMargin),
+
     // Deterministic data mixing: keep each language stratum at its own
     // target rate (upsample EN, downsample the tail) via a salted-md5
     // row draw — a pure pushdown-friendly predicate, no RNG state, and
@@ -470,6 +514,30 @@ object TextQueries {
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE ${Mixture.keepSql("doc_id", "mix:", "lang",
                     mixRates, mixDefault)}""".stripMargin),
+
+    // Token-budget mix plan (DoReMi-lite): per-source sampling rates
+    // sized so the kept corpus hits half the total chars, split
+    // equally across sources; small sources saturate at rate 1.
+    // Entirely integer floor-division arithmetic — bit-exact on any
+    // engine, no doubles.
+    "q139_mix_plan" -> Q(
+      (s, d) => Mixture.tokenBudgetPlan(
+        Tables(s, d, "documents"), "source", "n_chars",
+        budgetNum = 1L, budgetDen = 2L),
+      """WITH stats AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS weight
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(weight) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS ng FROM stats)
+        |SELECT source, n_docs, weight,
+        |  least(1000000, ((((total * 1) // 2) // ng) * 1000000) // weight)
+        |    AS rate_q6,
+        |  (weight * least(1000000,
+        |     ((((total * 1) // 2) // ng) * 1000000) // weight)) // 1000000
+        |    AS planned_weight
+        |FROM stats CROSS JOIN tot""".stripMargin),
 
     // Document packing: assign docs to fixed-token-budget packs (the
     // pretraining sequence-packing shape). Packing is inherently

@@ -226,6 +226,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetPlan: equal shares, saturation, integer-exact planned weights") {
+    import graft.ops.Mixture
+    val docs = Seq(
+      ("A", 100L), ("B", 100L), ("B", 100L), ("B", 100L))
+      .toDF("source", "n_chars")
+    // total 400, half-budget 200, 2 groups -> share 100 each
+    val plan = Mixture.tokenBudgetPlan(docs, "source", "n_chars", 1L, 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(plan("A") == ((1L, 100L, 1000000L, 100L))) // saturates at 1
+    assert(plan("B") == ((3L, 300L, 333333L, 99L)))   // floor(100e6/300)
+  }
+
+  test("novelty: bigrams shared across docs are not novel") {
+    val docs = Seq(
+      (1L, "x y z"),      // bigrams: "x y" (shared), "y z" (unique)
+      (2L, "x y q"),      // "x y" (shared), "y q" (unique)
+      (3L, "solo"))       // no bigrams
+      .toDF("doc_id", "text")
+    import graft.ops.TextOps
+    val bg = docs.select($"doc_id",
+      explode(TextOps.ngramsFromTokens(
+        TextOps.whitespaceTokens($"text"), 2)).as("b")).distinct()
+    val df = bg.groupBy("b").agg(count(lit(1)).as("bdf"))
+    val per = bg.join(df, Seq("b")).groupBy("doc_id").agg(
+      count(lit(1)).as("n"), sum(when($"bdf" === 1, 1L).otherwise(0L)).as("nv"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(per(1L) == ((2L, 1L)) && per(2L) == ((2L, 1L)))
+    assert(!per.contains(3L)) // the query's left join reports (0, 0)
+  }
+
   test("chiSquareDrift: hand-checked 2x2 statistic; top-k is sort-limit not global window") {
     import graft.ops.Dsir
     val d = Seq(
