@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * "⟨a⟩⟨b⟩"→"⟨ab⟩" equals the iterated leftmost BPE merge: scanning
   * resumes after the replacement, and the start marker makes a symbol
   * boundary unmistakable, so no cross-token substring can match.
+  *
+  * Bound: the nested-replace chain grows with the merge count, so this
+  * single-projection form suits merge tables up to the low thousands
+  * (codegen method-size limits). A production 32k-merge vocabulary
+  * applies the ranked list in ROUNDS - chained projections of, say,
+  * 512 merges each - the same plan shape repeated; token counts are
+  * unchanged because merge application is associative over rank order.
   */
 object Bpe {
 

@@ -27,7 +27,12 @@ import graft.ops.Dedup
   * batch-vs-history candidate join is equi-keyed on the shingle (the
   * inverted-index shape of [[Dedup.jaccardPairs]]); history accretes
   * append-only as (doc, shingle, set-size) rows — O(batch) new state
-  * per trigger, never a rescan of the corpus text.
+  * per trigger, never a rescan of the corpus text. At corpus scale the
+  * plain-parquet history scan per batch becomes the bottleneck; the
+  * store then writes BUCKETED by shingle hash (the
+  * [[graft.io.Catalog]] bucketing path) so each batch's join reads
+  * only the buckets its own shingles map to, and the join is
+  * shuffle-free on the history side.
   */
 object NearDupIngest {
 
