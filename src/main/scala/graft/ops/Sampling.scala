@@ -75,6 +75,29 @@ object Mixture {
     s"substring(md5('$salt' || CAST($keySql AS VARCHAR)), 1, 4) < " +
       s"printf('%04x', CAST(least(floor(($rateSql) * 65536), 65535) AS INT))"
 
+  /** Deterministic epoch shuffle + shard assignment — the data-ORDER
+    * step of a pretraining run: every epoch permutes the corpus by a
+    * salted md5 draw, rows land in 16^shardHexChars shards keyed by
+    * the draw's hex prefix, and the within-shard position comes from
+    * one window per (epoch, shard) — embarrassingly parallel across
+    * shards (at scale, shards = output files, so the "global shuffle"
+    * is S independent sorts). Same seed ⇒ same order on any engine or
+    * rerun; different epochs ⇒ independent permutations.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int,
+      shardHexChars: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("epoch", "shard")
+      .orderBy(col("draw"), col("doc_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit((epochs - 1).toLong))))
+      .withColumn("draw", md5(concat(lit("epoch"), col("epoch").cast("string"),
+        lit(":"), col("doc_id").cast("string"))))
+      .withColumn("shard", substring(col("draw"), 1, shardHexChars))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "epoch", "shard", "pos")
+  }
+
   /** Token-budget mix planning (DoReMi-lite): size each group's
     * sampling rate so the kept corpus hits `budgetNum/budgetDen` of
     * the total weight, split EQUALLY across groups; over-small groups

@@ -18,6 +18,28 @@ object TextOps {
   /** Whitespace tokenization. */
   def whitespaceTokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** HTML → text extraction (the boilerplate step before any quality
+    * or dedup pass): drop head/script/style subtrees (lazy-quantifier
+    * regexes — identical semantics in Java regex and RE2), strip the
+    * remaining tags to spaces, unescape the core entities (amp LAST,
+    * per the standard order), collapse whitespace. Pure codegen'd
+    * column expression; the real-corpus caveat (malformed nesting,
+    * CDATA) belongs to an upstream sanitizer, as in production
+    * extractors.
+    */
+  def htmlToText(c: Column): Column = {
+    val noHead = regexp_replace(c, "<head>.*?</head>", " ")
+    val noScript = regexp_replace(noHead, "<script>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&nbsp;" -> " ",
+      "&quot;" -> "\"", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(from), lit(to))
+      }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** BPE-ish pre-tokenization: letter runs, digit runs, single
     * punctuation — the usual pre-split before byte-pair merging.
     */

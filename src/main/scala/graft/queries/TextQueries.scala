@@ -456,6 +456,53 @@ object TextQueries {
         | (n_bi - d_bi) * 1.0 / n_bi AS dup_bigram_frac
         |FROM ts JOIN bs ON ts.doc_id = bs.doc_id""".stripMargin),
 
+    // HTML -> text extraction (the step before any quality/dedup
+    // pass): synthesize a deterministic HTML wrapper per doc (title,
+    // script, entity-bearing footer), then extract — head/script
+    // subtrees dropped, tags stripped, entities unescaped (amp last),
+    // whitespace collapsed. The ok flag pins the roundtrip against
+    // the analytically expected text on BOTH engines.
+    "q141_html_extract" -> Q(
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>doc "), col("doc_id").cast("string"),
+          lit("</title></head><body><p>"), col("text"),
+          lit("</p><script>var x=1;</script><div class=\"f\">&amp; &lt;"),
+          col("lang"), lit("&gt;</div></body></html>"))
+        val expected = concat(col("text"), lit(" & <"), col("lang"), lit(">"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), TextOps.htmlToText(html).as("clean"),
+            expected.as("expected"))
+          .select(col("doc_id"), col("clean"),
+            when(col("clean") === col("expected"), 1L).otherwise(0L).as("ok"))
+      },
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body><p>' || text ||
+        |    '</p><script>var x=1;</script><div class="f">&amp; &lt;' ||
+        |    lang || '&gt;</div></body></html>' AS html,
+        |    text || ' & <' || lang || '>' AS expected
+        |  FROM documents),
+        |clean AS (
+        |  SELECT doc_id, expected,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(html, '<head>.*?</head>', ' ', 'g'),
+        |            '<script>.*?</script>', ' ', 'g'),
+        |          '<style>.*?</style>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&nbsp;', ' '),
+        |      '&quot;', '"'), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |  FROM raw)
+        |SELECT doc_id, clean,
+        |  CAST(CASE WHEN clean = expected THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM clean""".stripMargin),
+
     // Novelty / OOD scoring: the fraction of a doc's DISTINCT bigrams
     // that occur in no other document — high novelty flags content the
     // corpus has never seen (OOD or garbage), low novelty flags
@@ -538,6 +585,24 @@ object TextQueries {
         |     ((((total * 1) // 2) // ng) * 1000000) // weight)) // 1000000
         |    AS planned_weight
         |FROM stats CROSS JOIN tot""".stripMargin),
+
+    // Epoch shuffle + shard assignment: two independent deterministic
+    // permutations of the corpus (salted md5 per epoch), 16 hex-prefix
+    // shards, one window per (epoch, shard) — S independent sorts, no
+    // global sort; at scale shards = output files.
+    "q142_epoch_shuffle" -> Q(
+      (s, d) => Mixture.epochShuffle(
+        Tables(s, d, "documents"), "doc_id", epochs = 2),
+      """WITH assigned AS (
+        |  SELECT doc_id, e.epoch AS epoch,
+        |    md5('epoch' || CAST(e.epoch AS VARCHAR) || ':' ||
+        |        CAST(doc_id AS VARCHAR)) AS draw
+        |  FROM documents CROSS JOIN (SELECT unnest(range(0, 2)) AS epoch) e)
+        |SELECT doc_id, epoch, substring(draw, 1, 1) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY epoch, substring(draw, 1, 1)
+        |    ORDER BY draw, doc_id) AS BIGINT) AS pos
+        |FROM assigned""".stripMargin),
 
     // Document packing: assign docs to fixed-token-budget packs (the
     // pretraining sequence-packing shape). Packing is inherently

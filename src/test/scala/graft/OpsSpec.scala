@@ -226,6 +226,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("htmlToText: drops head/script/style subtrees, unescapes entities in order") {
+    val html = """<html><head><title>T</title><style>b{}</style></head>""" +
+      """<body><p>hello &amp;&nbsp;world</p><script>var a="<b>";</script>""" +
+      """<div>x &lt;tag&gt; &quot;q&quot;</div></body></html>"""
+    val out = Seq(html).toDF("h")
+      .select(graft.ops.TextOps.htmlToText($"h")).as[String].head()
+    assert(out == """hello & world x <tag> "q"""")
+    // amp unescaped LAST: &amp;lt; must yield the literal string "&lt;"
+    val tricky = Seq("<p>&amp;lt;</p>").toDF("h")
+      .select(graft.ops.TextOps.htmlToText($"h")).as[String].head()
+    assert(tricky == "&lt;")
+  }
+
+  test("epochShuffle: dense per-shard positions, epoch-independent permutations") {
+    import graft.ops.Mixture
+    val docs = (0L until 64L).toDF("doc_id")
+    val out = Mixture.epochShuffle(docs, "doc_id", epochs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 128)
+    // every (epoch, shard) position run is dense 1..k
+    out.groupBy(t => (t._2, t._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length))
+    }
+    // the two epochs order the corpus differently
+    def order(e: Long) = out.filter(_._2 == e).sortBy(t => (t._3, t._4)).map(_._1).toSeq
+    assert(order(0L) != order(1L))
+    // determinism: a rerun is bit-identical
+    val again = Mixture.epochShuffle(docs, "doc_id", epochs = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(again.sorted.toSeq == out.sorted.toSeq)
+  }
+
   test("tokenBudgetPlan: equal shares, saturation, integer-exact planned weights") {
     import graft.ops.Mixture
     val docs = Seq(
