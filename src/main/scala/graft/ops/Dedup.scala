@@ -349,6 +349,37 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
+    rebuildScrubbed(toks, covered)
+  }
+
+  /** Intra-document repetition scrub (the CCNet/RefinedWeb self-repeat
+    * cleaner, complement of [[scrubSharedSpans]]): an n-gram occurring
+    * ≥ 2 times WITHIN one document keeps its first occurrence; every
+    * token covered by a later occurrence is scrubbed. Same shapes as
+    * the cross-doc scrub — the occurrence tally just groups by
+    * (doc, gram) instead of distinct-doc counts.
+    */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.whitespaceTokens(col(textCol)).as("w"))
+    val pgrams = toks.select(col("doc_id"),
+      posexplode(TextOps.ngramsFromTokens(col("w"), n)).as(Seq("pos", "gram")))
+    val repeated = pgrams.groupBy("doc_id", "gram")
+      .agg(min("pos").as("first"), count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val covered = pgrams.join(repeated, Seq("doc_id", "gram"))
+      .filter(col("pos") > col("first"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    rebuildScrubbed(toks, covered)
+  }
+
+  /** Shared scrub tail: drop `covered` (doc_id, pos) tokens and rebuild
+    * each document, keeping fully-scrubbed docs with empty text.
+    */
+  private def rebuildScrubbed(toks: DataFrame, covered: DataFrame): DataFrame = {
     val tokRows = toks.select(col("doc_id"),
       posexplode(col("w")).as(Seq("pos", "tok")))
     val rebuilt = tokRows.join(covered, Seq("doc_id", "pos"), "left_anti")

@@ -291,6 +291,54 @@ object DedupQueries {
          |  CAST(CASE WHEN s.doc_b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM documents d LEFT JOIN sup s ON s.doc_b = d.doc_id""".stripMargin),
 
+    // Intra-doc repetition scrub (CCNet/RefinedWeb self-repeat
+    // cleaner): a 4-gram occurring twice WITHIN a doc keeps its first
+    // occurrence; tokens under later occurrences are scrubbed.
+    // Complement of q130's cross-doc rule; same rebuild machinery.
+    "q143_self_repeat_scrub" -> Q(
+      (s, d) => Dedup.scrubRepeatedSpans(
+        Tables(s, d, "documents"), "doc_id", "text", n = 4),
+      {
+        val n = 4
+        val gram = (0 until n).map(o => s"w[i+$o]").mkString(" || ' ' || ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+           |  FROM documents),
+           |pg AS (
+           |  SELECT doc_id, s.pos AS pos, s.gram AS gram FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, greatest(array_length(w) - ${n - 2}, 1)),
+           |        i -> struct_pack(pos := i - 1, gram := $gram))) AS s
+           |    FROM toks)),
+           |rep AS (
+           |  SELECT doc_id, gram, min(pos) AS first FROM pg
+           |  GROUP BY doc_id, gram HAVING count(*) >= 2),
+           |covered AS (
+           |  SELECT DISTINCT doc_id, pos + o AS pos
+           |  FROM (SELECT p.doc_id, p.pos FROM pg p
+           |        JOIN rep r ON r.doc_id = p.doc_id AND r.gram = p.gram
+           |        WHERE p.pos > r.first),
+           |    range(0, $n) t(o)),
+           |tokrows AS (
+           |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, array_length(w) + 1),
+           |        i -> struct_pack(pos := i - 1, tok := w[i]))) AS s
+           |    FROM toks)),
+           |reb AS (
+           |  SELECT k.doc_id,
+           |    array_to_string(list(k.tok ORDER BY k.pos), ' ') AS clean_text,
+           |    count(*) AS n_kept
+           |  FROM tokrows k LEFT JOIN covered c
+           |    ON c.doc_id = k.doc_id AND c.pos = k.pos
+           |  WHERE c.doc_id IS NULL
+           |  GROUP BY k.doc_id)
+           |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+           |  CAST(array_length(t.w) AS BIGINT) AS n_tokens,
+           |  CAST(array_length(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+           |FROM toks t LEFT JOIN reb r USING (doc_id)""".stripMargin
+      }),
+
     "q69_decontaminate" -> Q(
       (s, d) => {
         val sh = Dedup.shingleRows(Tables(s, d, "documents"), "doc_id", "text", n = 3)

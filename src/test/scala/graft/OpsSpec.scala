@@ -391,6 +391,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == (("", 4L, 4L)))
   }
 
+  test("scrubRepeatedSpans: first occurrence survives, later repeats are scrubbed") {
+    val d = Seq(
+      (1L, "p q r s x p q r s y"),  // "p q r s" twice: 2nd occurrence scrubbed
+      (2L, "a b c d e f g h"))      // no repeats
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubRepeatedSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("p q r s x y", 10L, 4L)))
+    assert(out(2L) == (("a b c d e f g h", 8L, 0L)))
+  }
+
   test("scrubSharedSpans: overlapping shared spans cover the union of positions") {
     // "a b c d e" vs "a b c d" and "b c d e": with n=3 the shared grams
     // in doc 1 cover every position -> fully scrubbed; partial docs keep
