@@ -467,7 +467,7 @@ object TextQueries {
         val html = concat(
           lit("<html><head><title>doc "), col("doc_id").cast("string"),
           lit("</title></head><body><p>"), col("text"),
-          lit("</p><script>var x=1;</script><div class=\"f\">&amp; &lt;"),
+          lit("</p><script>var x=1</script><div class=\"f\">&amp; &lt;"),
           col("lang"), lit("&gt;</div></body></html>"))
         val expected = concat(col("text"), lit(" & <"), col("lang"), lit(">"))
         Tables(s, d, "documents")
@@ -480,7 +480,7 @@ object TextQueries {
         |  SELECT doc_id,
         |    '<html><head><title>doc ' || CAST(doc_id AS VARCHAR) ||
         |    '</title></head><body><p>' || text ||
-        |    '</p><script>var x=1;</script><div class="f">&amp; &lt;' ||
+        |    '</p><script>var x=1</script><div class="f">&amp; &lt;' ||
         |    lang || '&gt;</div></body></html>' AS html,
         |    text || ' & <' || lang || '>' AS expected
         |  FROM documents),

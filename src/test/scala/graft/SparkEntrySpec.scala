@@ -38,7 +38,10 @@ class SparkEntrySpec extends AnyFunSuite {
   test("oracle SQL is single-statement and non-empty") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, name)
-      assert(!sql.contains(";"), s"$name: multi-statement oracle")
+      // statement separators only — a ';' INSIDE a quoted literal
+      // (e.g. an HTML entity in q141's synthesized markup) is data
+      val noLiterals = sql.replaceAll("'[^']*'", "''")
+      assert(!noLiterals.contains(";"), s"$name: multi-statement oracle")
     }
   }
 }
