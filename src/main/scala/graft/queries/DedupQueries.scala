@@ -354,6 +354,42 @@ object DedupQueries {
          |SELECT s.doc_id, count(*) AS n_contaminated_shingles
          |FROM sh s JOIN test_sh t ON s.sh = t.sh
          |WHERE s.doc_id % 10 <> 0
-         |GROUP BY s.doc_id""".stripMargin)
+         |GROUP BY s.doc_id""".stripMargin),
+
+    // Corpus-level source similarity: one-permutation MinHash (Li et
+    // al. 2012) over distinct (source, bigram-shingle) items — slot =
+    // low 4 bits of the shingle hash, signature = per-slot min hash.
+    // Two sources' estimated Jaccard = fraction of agreeing slots. The
+    // whole sketch is two map-side-combinable aggregates (distinct +
+    // grouped min) over an equi-keyed shuffle; signatures are
+    // n_sources × 16 rows, so the pairwise comparison is a trivially
+    // broadcast self-join no matter the corpus size — the shape that
+    // answers "which of my 10k crawl sources duplicate each other" at
+    // 100 TB without any doc-level pairing. Exact cross-engine oracle
+    // via the XXH64 SQL chain (XxhSql.sourceMinhashOracle).
+    "q146_source_minhash" -> Q(
+      (s, d) => {
+        val buckets = 16
+        val docs = Tables(s, d, "documents")
+        val sh = docs.select(col("source"),
+            explode(TextOps.shinglesFromTokens(
+              TextOps.whitespaceTokens(col("text")), 2)).as("tok"))
+          .distinct()
+        val sig = sh.select(col("source"), xxhash64(col("tok")).as("h"))
+          .groupBy(col("source"), pmod(col("h"), lit(buckets)).cast("long").as("bucket"))
+          .agg(min("h").as("mh"))
+        val agree = sig.as("a").join(broadcast(sig.as("b")),
+            col("a.bucket") === col("b.bucket") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+          .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)).as("agree"))
+        val srcs = docs.select("source").distinct()
+        srcs.as("x").join(srcs.as("y"), col("x.source") < col("y.source"))
+          .select(col("x.source").as("source_a"), col("y.source").as("source_b"))
+          .join(agree, Seq("source_a", "source_b"), "left")
+          .select(col("source_a"), col("source_b"),
+            coalesce(col("agree"), lit(0L)).as("agree"))
+          .withColumn("est_jaccard", col("agree").cast("double") / buckets)
+      },
+      XxhSql.sourceMinhashOracle(buckets = 16))
   )
 }

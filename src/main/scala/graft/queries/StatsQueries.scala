@@ -60,6 +60,35 @@ object StatsQueries {
         |JOIN mad d USING (o_orderpriority)
         |GROUP BY o.o_orderpriority, m.med, d.mad""".stripMargin),
 
+    // Per-source length-decile composition — the "is this source all
+    // snippets or all books?" profile a mixing pass reads before
+    // weighting. Global decile boundaries come from ONE exact
+    // percentile aggregate (9 doubles, snapped at 1e-6 so both
+    // engines compare identical values), broadcast back; each doc's
+    // decile = #boundaries strictly below its length (a row-local
+    // array filter); then one integer-count groupBy. Two shuffles
+    // total at any corpus size, boundary row always broadcast.
+    "q144_length_deciles" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bnd = docs.agg(array((1 to 9).map(i =>
+          r6(expr(s"percentile(n_chars, 0.$i)"))): _*).as("bnd"))
+        docs.crossJoin(broadcast(bnd))
+          .select(col("source"),
+            size(filter(col("bnd"), b => col("n_chars") > b)).cast("long").as("decile"))
+          .groupBy("source", "decile")
+          .agg(count(lit(1)).as("n_docs"))
+      }, {
+      val qs = (1 to 9).map(i =>
+        s"floor(quantile_cont(n_chars, 0.$i)*1000000 + 0.5)/1000000").mkString(", ")
+      s"""WITH b AS (SELECT [$qs] AS bnd FROM documents)
+         |SELECT source,
+         |  CAST(len(list_filter(b.bnd, x -> n_chars > x)) AS BIGINT) AS decile,
+         |  count(*) AS n_docs
+         |FROM documents, b
+         |GROUP BY 1, 2""".stripMargin
+      }),
+
     // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     // `quantile_cont`), rounded at stable decimals.
     "q46_percentiles" -> Q(

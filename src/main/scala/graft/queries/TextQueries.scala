@@ -508,6 +508,47 @@ object TextQueries {
     // corpus has never seen (OOD or garbage), low novelty flags
     // boilerplate. Two bigram-keyed map-side-combinable aggregates +
     // one equi-join; the ratio is a single int/int division.
+    // OOV rate per source against a corpus-derived reference vocab
+    // (lowercased EN tokens seen ≥ 5 times) — the tokenizer-coverage
+    // check run before committing a vocab to a training mix. Skew-safe
+    // by construction: raw tokens are first collapsed to per-(source,
+    // token) counts (map-side combinable, no hot-token key), so the
+    // vocab join moves one row per distinct token per source, not one
+    // per occurrence — "the" joins once, not a billion times. All
+    // integer counts; the one ratio divides two exact integers.
+    "q145_oov_rate" -> Q(
+      (s, d) => {
+        val toks = Tables(s, d, "documents")
+          .select(col("source"), col("lang"),
+            explode(TextOps.whitespaceTokens(lower(col("text")))).as("tok"))
+        val vocab = toks.filter(col("lang") === "en")
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5)
+          .select(col("tok"), lit(1).as("__v"))
+        val tc = toks.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        tc.join(vocab, Seq("tok"), "left")
+          .groupBy("source")
+          .agg(sum("n").as("n_tokens"),
+            sum(when(col("__v").isNull, col("n")).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate",
+            col("n_oov").cast("double") / col("n_tokens"))
+      },
+      s"""WITH toks AS (
+         |  SELECT source, lang,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |vocab AS (SELECT tok FROM toks WHERE lang = 'en'
+         |          GROUP BY tok HAVING count(*) >= 5),
+         |tc AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2)
+         |SELECT tc.source,
+         |  CAST(sum(tc.n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN tc.n ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN tc.n ELSE 0 END) AS DOUBLE)
+         |    / sum(tc.n) AS oov_rate
+         |FROM tc LEFT JOIN vocab v ON v.tok = tc.tok
+         |GROUP BY tc.source""".stripMargin),
+
     "q140_novelty" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")

@@ -78,42 +78,52 @@ object XxhSql {
     * whitespace token of every document: toks → bytes → 8-byte words
     * fold → optional 4-byte step → tail-byte fold → avalanche.
     */
-  private val hashedCtes =
-    s"""toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |  FROM documents),
+  /** Generic form of the hash chain: `itemsCte` must define a CTE
+    * named `items(<key>, tok)`; the chain carries `key` (one column
+    * name) through and ends in `hashed(<key>, h)` with h =
+    * XXH64(tok, seed 42) as a HUGEINT in [0, 2^64). Same scope caveat
+    * as above: single-lane (tok < 32 ASCII bytes).
+    */
+  def hashCtes(itemsCte: String, key: String): String =
+    s"""$itemsCte,
        |tb AS (
-       |  SELECT doc_id, CAST(strlen(tok) AS HUGEINT) AS n,
+       |  SELECT $key, CAST(strlen(tok) AS HUGEINT) AS n,
        |    list_transform(range(1, strlen(tok) + 1),
        |      i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT)) AS bs
-       |  FROM toks),
+       |  FROM items),
        |tw AS (
-       |  SELECT doc_id, n, bs,
+       |  SELECT $key, n, bs,
        |    list_transform(range(0, CAST(n AS BIGINT) // 8),
        |      k -> ${loadLe("bs", "8*k", 8)}) AS words,
        |    CAST((CAST(n AS BIGINT) // 8) * 8 AS BIGINT) AS w_end
        |  FROM tb),
        |h0 AS (
-       |  SELECT doc_id, n, bs, w_end,
+       |  SELECT $key, n, bs, w_end,
        |    list_reduce([(42 + ${u(P5)} + n) % $Two64] || words,
        |      (acc, x) -> $step8) AS h
        |  FROM tw),
        |h4 AS (
-       |  SELECT doc_id, n, bs,
+       |  SELECT $key, n, bs,
        |    CASE WHEN n - w_end >= 4 THEN w_end + 4 ELSE w_end END AS t_start,
        |    CASE WHEN n - w_end >= 4 THEN
        |      (SELECT $step4 FROM (SELECT h AS acc, ${loadLe("bs", "w_end", 4)} AS x))
        |    ELSE h END AS h
        |  FROM h0),
        |h1 AS (
-       |  SELECT doc_id, list_reduce([h] || bs[t_start+1:], (acc, x) -> $step1) AS h
+       |  SELECT $key, list_reduce([h] || bs[t_start+1:], (acc, x) -> $step1) AS h
        |  FROM h4),
        |hashed AS (
-       |  SELECT doc_id,
+       |  SELECT $key,
        |    (SELECT $aval3 FROM (SELECT
        |      (SELECT $aval2 FROM (SELECT
        |        (SELECT $aval1 FROM (SELECT h AS acc)) AS acc)) AS acc)) AS h
        |  FROM h1)""".stripMargin
+
+  private val hashedCtes = hashCtes(
+    s"""items AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents)""".stripMargin,
+    "doc_id")
 
   /** The 64-bit vote-sum sketch: bit j set iff the (multiplicity-
     * counted) ±1 votes from bit j of each token hash sum >= 0 —
@@ -134,6 +144,45 @@ object XxhSql {
        |    SELECT doc_id,
        |      $bits AS s
        |    FROM hashed GROUP BY doc_id))""".stripMargin
+  }
+
+  /** q146 oracle: corpus-level source-similarity via one-permutation
+    * MinHash. Distinct (source, bigram-shingle) items hashed with the
+    * exact XXH64 chain above; signature = per-(source, h mod buckets)
+    * min hash (signed-reinterpreted, matching Spark's LongType min);
+    * estimated Jaccard between two sources = fraction of agreeing
+    * signature slots. Bigram shingles are ≤ 17 ASCII bytes on this
+    * corpus — inside the single-lane scope.
+    */
+  def sourceMinhashOracle(buckets: Int): String = {
+    val items =
+      s"""items AS (
+         |  SELECT DISTINCT source, tok FROM (
+         |    SELECT source,
+         |      unnest(list_transform(range(1, greatest(array_length(w), 1)),
+         |        i -> w[i] || ' ' || w[i+1])) AS tok
+         |    FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS w
+         |          FROM documents)
+         |    WHERE array_length(w) >= 2))""".stripMargin
+    s"""WITH ${hashCtes(items, "source")},
+       |sig AS (
+       |  SELECT source, CAST(h % $buckets AS BIGINT) AS bucket,
+       |    min(CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+       |      THEN h - $Two64 ELSE h END AS BIGINT)) AS mh
+       |  FROM hashed GROUP BY 1, 2),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |ap AS (SELECT x.source AS source_a, y.source AS source_b
+       |       FROM srcs x JOIN srcs y ON x.source < y.source),
+       |ag AS (
+       |  SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS agree
+       |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT ap.source_a, ap.source_b,
+       |  CAST(coalesce(ag.agree, 0) AS BIGINT) AS agree,
+       |  CAST(coalesce(ag.agree, 0) AS DOUBLE) / $buckets AS est_jaccard
+       |FROM ap LEFT JOIN ag
+       |  ON ag.source_a = ap.source_a AND ag.source_b = ap.source_b""".stripMargin
   }
 
   /** Full q33 oracle: sketches + exact all-pairs Hamming filter (the
