@@ -503,11 +503,6 @@ object TextQueries {
         |  CAST(CASE WHEN clean = expected THEN 1 ELSE 0 END AS BIGINT) AS ok
         |FROM clean""".stripMargin),
 
-    // Novelty / OOD scoring: the fraction of a doc's DISTINCT bigrams
-    // that occur in no other document — high novelty flags content the
-    // corpus has never seen (OOD or garbage), low novelty flags
-    // boilerplate. Two bigram-keyed map-side-combinable aggregates +
-    // one equi-join; the ratio is a single int/int division.
     // OOV rate per source against a corpus-derived reference vocab
     // (lowercased EN tokens seen ≥ 5 times) — the tokenizer-coverage
     // check run before committing a vocab to a training mix. Skew-safe
@@ -549,6 +544,76 @@ object TextQueries {
          |FROM tc LEFT JOIN vocab v ON v.tok = tc.tok
          |GROUP BY tc.source""".stripMargin),
 
+    // Bigram-LM fluency scoring — the perplexity-style quality filter,
+    // made engine-exact. The corpus trains a bigram model (pair counts
+    // c12, left-token counts c1 = Σ c12 over w1); each doc is scored
+    // by its mean INVERSE transition probability c1/c12 — high = the
+    // doc keeps making transitions the corpus finds improbable (same
+    // ordering signal as perplexity without log()'s libm divergence).
+    // Every per-bigram score is quantized to an exact integer IN
+    // INTEGER MATH — floor(100·c1/c12 + ½) ≡ (200·c1 + c12) div
+    // (2·c12), no doubles anywhere — so the per-doc sums are
+    // order-independent longs; the one double division happens at the
+    // end. Skew-safe like q145: docs collapse to (doc_id, pair, k)
+    // before joining the LM table, so a boilerplate bigram joins once
+    // per doc, not once per occurrence. Scoring the training corpus
+    // itself means every doc bigram is in the LM (c12 ≥ 1) — no
+    // backoff path needed.
+    "q147_lm_score" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val bg = docs.select(col("doc_id"),
+          explode(TextOps.ngramsFromTokens(
+            TextOps.whitespaceTokens(lower(col("text"))), 2)).as("pair"))
+        val c12 = bg.groupBy("pair").agg(count(lit(1)).as("c12"))
+        val lm = c12.withColumn("w1", split(col("pair"), " ").getItem(0))
+        val c1 = lm.groupBy("w1").agg(sum("c12").as("c1"))
+        val lmq = lm.join(c1, "w1")
+          .select(col("pair"), expr("(200*c1 + c12) div (2*c12)").as("qinv"))
+        val per = bg.groupBy("doc_id", "pair").agg(count(lit(1)).as("k"))
+        val scored = per.join(lmq, "pair")
+          .groupBy("doc_id")
+          .agg(sum(col("k") * col("qinv")).as("inv_sum"),
+            sum("k").as("n_bigrams"))
+        docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("inv_sum"), lit(0L)).as("inv_sum"))
+          .withColumn("mean_inv_p",
+            when(col("n_bigrams") === 0, lit(0.0))
+              .otherwise(col("inv_sum").cast("double") / col("n_bigrams")))
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(array_length(w), 1)),
+         |      i -> w[i] || ' ' || w[i+1])) AS pair
+         |  FROM toks WHERE array_length(w) >= 2),
+         |c12 AS (SELECT pair, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY pair),
+         |lm AS (SELECT pair, c12, string_split(pair, ' ')[1] AS w1 FROM c12),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM lm GROUP BY w1),
+         |lmq AS (SELECT pair, (200*c1.c1 + lm.c12) // (2*lm.c12) AS qinv
+         |        FROM lm JOIN c1 USING (w1)),
+         |per AS (SELECT doc_id, pair, CAST(count(*) AS BIGINT) AS k
+         |        FROM bg GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(k*qinv) AS BIGINT) AS inv_sum,
+         |    CAST(sum(k) AS BIGINT) AS n_bigrams
+         |  FROM per JOIN lmq USING (pair) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(inv_sum, 0) AS inv_sum,
+         |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(inv_sum AS DOUBLE) / n_bigrams END AS mean_inv_p
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
+
+    // Novelty / OOD scoring: the fraction of a doc's DISTINCT bigrams
+    // that occur in no other document — high novelty flags content the
+    // corpus has never seen (OOD or garbage), low novelty flags
+    // boilerplate. Two bigram-keyed map-side-combinable aggregates +
+    // one equi-join; the ratio is a single int/int division.
     "q140_novelty" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")
