@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Mixture, TextOps}
+import graft.ops.{LogReg, Mixture, TextOps}
 
 /** Text-analysis operator coverage over `documents`: token counting,
   * quality scoring, language ID, fingerprinting, PII scrubbing,
@@ -608,6 +608,77 @@ object TextQueries {
          |  CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
          |       ELSE CAST(inv_sum AS DOUBLE) / n_bigrams END AS mean_inv_p
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""".stripMargin),
+
+    // In-engine trained quality classifier: 5 full-batch logistic-
+    // regression steps fit ON the corpus (label = "looks like the EN
+    // slice", features = pure int-ratio length/diversity stats), then
+    // every doc scored by the trained model — the fastText-style
+    // curation filter, with TRAINING itself replayed cross-engine.
+    // Determinism is the q81/q119 treatment applied to GD: per-row
+    // gradient contributions quantize to exact integer longs before
+    // the sum (order-free), weights snap to 1e-6 per step, and the
+    // oracle unrolls all 5 iterations as chained one-row CTEs — DuckDB
+    // retrains the model and must land on bit-identical weights.
+    // Per-iteration cost at scale: ONE aggregate job shipping k+1
+    // longs to the driver; data never moves.
+    "q148_quality_classifier" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val w = TextOps.whitespaceTokens(col("text"))
+        val features = Seq(
+          lit(1.0),
+          least(size(w), lit(1000)).cast("double") / lit(1000.0),
+          least(col("n_chars"), lit(5000)).cast("double") / lit(5000.0),
+          size(array_distinct(w)).cast("double") / greatest(size(w), lit(1)))
+        val label = when(col("lang") === "en", 1.0).otherwise(0.0)
+        val wFinal = LogReg.train(docs, features, label,
+          iterations = 5, lr = 0.5).last
+        val sig = LogReg.sigmoid(LogReg.margin(features, wFinal.toSeq))
+        docs.select(col("doc_id"), label.cast("long").as("label"),
+            floor(sig * 10000 + lit(0.5)).cast("long").as("qscore"))
+          .withColumn("pred",
+            when(col("qscore") >= 5000, 1L).otherwise(0L))
+      }, {
+      val toksSql = """string_split_regex(trim(text), '\s+')"""
+      val marginSql = (w: String) =>
+        s"((($w.w0*x0 + $w.w1*x1) + $w.w2*x2) + $w.w3*x3)"
+      val iterCtes = (1 to 5).map { k =>
+        val wp = if (k == 1) "w0" else s"w${k - 1}_"
+        val gsums = (0 to 3).map(j =>
+          s"CAST(sum(CAST(floor(x$j*e*1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g$j")
+          .mkString(",\n    ")
+        val wnew = (0 to 3).map(j =>
+          s"floor((w.w$j - 0.5*((CAST(g.g$j AS DOUBLE)/1000000.0)/CAST(g.n AS DOUBLE)))*1000000 + 0.5)/1000000 AS w$j")
+          .mkString(",\n    ")
+        s"""g$k AS (
+           |  SELECT count(*) AS n,
+           |    $gsums
+           |  FROM (SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+           |          1.0/(1.0 + exp(-${marginSql("w")})) - f.y AS e
+           |        FROM f, $wp w)),
+           |w${k}_ AS (SELECT
+           |    $wnew
+           |  FROM $wp w, g$k g)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    1.0 AS x0,
+         |    CAST(least(len($toksSql), 1000) AS DOUBLE)/1000.0 AS x1,
+         |    CAST(least(n_chars, 5000) AS DOUBLE)/5000.0 AS x2,
+         |    CAST(len(list_distinct($toksSql)) AS DOUBLE)
+         |      / greatest(len($toksSql), 1) AS x3
+         |  FROM documents),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |$iterCtes
+         |SELECT doc_id, label, qscore,
+         |  CAST(CASE WHEN qscore >= 5000 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM (
+         |  SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+         |    CAST(floor((1.0/(1.0 + exp(-${marginSql("w")})))*10000 + 0.5)
+         |      AS BIGINT) AS qscore
+         |  FROM f, w5_ w)""".stripMargin
+      }),
 
     // Novelty / OOD scoring: the fraction of a doc's DISTINCT bigrams
     // that occur in no other document — high novelty flags content the
