@@ -84,6 +84,12 @@ object Multimodal {
     }
   }
 
+  /** JPEG/JFIF signature (SOI marker + first marker byte). */
+  def isJpeg(payload: Array[Byte]): Boolean =
+    payload.length >= 3 &&
+      payload(0) == 0xFF.toByte && payload(1) == 0xD8.toByte &&
+      payload(2) == 0xFF.toByte
+
   /** RIFF/WAVE signature (RIFF container magic + WAVE form type). */
   def isWav(payload: Array[Byte]): Boolean =
     payload.length >= 12 &&
@@ -202,12 +208,14 @@ object Multimodal {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // a real decoder would process `batch` as one unit here; PNG
-        // payloads take the real javax.imageio path, everything else
-        // the deterministic stub
+        // and JPEG payloads take the real javax.imageio path, PCM16
+        // WAV the pure-JDK RIFF walk, everything else the
+        // deterministic stub
         batch.iterator.map { r =>
           val hex = r.payload.take(8).map(b => f"${b & 0xff}%02X").mkString
           val feat =
-            (if (isPng(r.payload)) decodeImage(r.payload, dim).map(_._3)
+            (if (isPng(r.payload) || isJpeg(r.payload))
+               decodeImage(r.payload, dim).map(_._3)
              else if (isWav(r.payload)) decodeWav(r.payload, dim).map(_._2)
              else None).getOrElse(stubDecode(r.payload, dim))
           MediaFeatures(r.media_id, r.n_bytes, hex, feat)

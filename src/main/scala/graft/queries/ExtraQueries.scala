@@ -536,6 +536,94 @@ object ExtraQueries {
         |  date_diff('day', c.cohort_day, a.day) // 7 AS week_offset,
         |  count(DISTINCT a.user_id) AS users
         |FROM act a JOIN cohort c USING (user_id)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin),
+
+    // PIVOT (wide conditional aggregation): per-priority order-status
+    // columns. The pivot VALUES are passed explicitly — an implicit
+    // pivot first runs a distinct job over the pivot column at
+    // plan-build time, a hidden extra pass a 100 TB plan can't afford;
+    // with explicit values the whole pivot folds into ONE
+    // partial-aggregable groupBy (each cell a count/sum over a
+    // when()-guard). Money cells are floor-snapped AFTER the pivot so
+    // the pivot agg itself stays a plain aggregate expression.
+    "q149_pivot" -> Q(
+      (s, d) => {
+        val p = Tables(s, d, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("n"), sum("o_totalprice").as("rev"))
+        p.select(col("o_orderpriority") +:
+          Seq("F", "O", "P").flatMap(v => Seq(
+            col(s"${v}_n"),
+            r2(col(s"${v}_rev")).as(s"${v}_rev"))): _*)
+      },
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+        | floor(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)*100 + 0.5)/100 AS F_rev,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+        | floor(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)*100 + 0.5)/100 AS O_rev,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+        | floor(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)*100 + 0.5)/100 AS P_rev
+        |FROM orders GROUP BY o_orderpriority""".stripMargin),
+
+    // OHLC bars (time-series downsampling): per (day, event_type)
+    // open/high/low/close via min_by/max_by on a total-order key — one
+    // map-side-combinable aggregate, no per-key sort, no window. The
+    // key packs microsecond-of-day with event_id so the argmin/argmax
+    // is total and both engines select the identical row; open/close
+    // surface that row's double UNTOUCHED (pure selection, no float
+    // arithmetic to drift).
+    "q150_ohlc" -> Q(
+      (s, d) => {
+        val key = (unix_micros(col("ts")) % 86400000000L) * 100000L +
+          col("event_id")
+        Tables(s, d, "events")
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(min_by(col("value"), key).as("open"),
+            max("value").as("high"),
+            min("value").as("low"),
+            max_by(col("value"), key).as("close"),
+            count(lit(1)).as("n"))
+      },
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, value,
+        |    (epoch_us(ts) % 86400000000) * 100000 + event_id AS k
+        |  FROM events)
+        |SELECT day, event_type,
+        |  arg_min(value, k) AS open, max(value) AS high,
+        |  min(value) AS low, arg_max(value, k) AS close,
+        |  count(*) AS n
+        |FROM e GROUP BY day, event_type""".stripMargin),
+
+    // Distinct-count over a running window, rewritten scale-safe:
+    // cumulative distinct users per event_type by day. Naive
+    // count(DISTINCT) OVER is unsupported by both engines and would
+    // carry a per-row distinct set at 100 TB. The portable rewrite: a
+    // user's FIRST active day per type (min aggregate — no window, no
+    // ordering sensitivity), daily new-user counts, then a running sum
+    // over the tiny (type × day) frame. Shuffles scale with distinct
+    // users; the window only ever sees #days rows per type.
+    "q151_running_distinct" -> Q(
+      (s, d) => {
+        val firstDay = Tables(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(min(to_date(col("ts"))).as("day"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        firstDay.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("new_users"))
+          .withColumn("cum_users", sum("new_users").over(w))
+      },
+      """WITH fd AS (
+        |  SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (
+        |  SELECT event_type, day, count(*) AS new_users
+        |  FROM fd GROUP BY 1, 2)
+        |SELECT event_type, day, new_users,
+        |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily""".stripMargin)
   )
 }

@@ -351,6 +351,35 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage(png.take(20), dim = 4).isEmpty)
   }
 
+  test("multimodal: REAL JPEG decode via javax.imageio (encode-decode roundtrip)") {
+    // JPEG is lossy, so the fixture is synthesized in-test: encode a
+    // uniform mid-gray 4x4 via ImageIO (flat blocks survive the DCT
+    // near-exactly), then decode through the same pipeline path.
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val jpg = bos.toByteArray
+    assert(Multimodal.isJpeg(jpg) && !Multimodal.isPng(jpg))
+
+    val Some((w, h, feat)) = Multimodal.decodeImage(jpg, dim = 4)
+    assert(w == 4 && h == 4)
+    // uniform gray decodes within 2/255 of the encoded level everywhere
+    assert(feat.forall(v => math.abs(v - 128 / 255.0f) < 2 / 255.0f))
+
+    // the batched pipeline routes JPEG through the REAL decode path
+    val media = Seq(
+      Multimodal.MediaRecord(7L, jpg, "image/jpeg", jpg.length)).toDS()
+    val out = Multimodal.extractFeatures(media, dim = 4, batchSize = 2)
+      .collect().head
+    assert(out.header_hex.startsWith("FFD8FF")) // JPEG SOI marker
+    assert(out.feature.toSeq == feat.toSeq)
+
+    // torn JPEG: no crash, honest stub fallback via None
+    assert(Multimodal.decodeImage(jpg.take(10), dim = 4).isEmpty)
+  }
+
   test("multimodal: REAL PCM16 WAV decode; non-PCM and torn chunks rejected") {
     // canonical little-endian PCM16 WAV built byte-wise in the test:
     // 8000 Hz mono, 5 frames [0, 8192, -8192, 16384, -32768]
