@@ -40,4 +40,26 @@ object MaterializedAgg {
       .agg(sum(col(sums.head)).as(sums.head),
         sums.tail.map(c => sum(col(c)).as(c)): _*)
   }
+
+  /** Negate a state frame: counts and sums flip sign, keys unchanged.
+    * A DELETE batch folds to state and enters the merge negated, so a
+    * view maintains under updates as
+    * `retract(state, fold(inserts), negate(fold(deletes)))` — still
+    * one O(delta) pass over only the changed rows.
+    */
+  def negate(state: DataFrame): DataFrame = {
+    val flip = state.columns.map(c =>
+      if (c == "n" || c.startsWith("sum_")) (-col(c)).as(c) else col(c))
+    state.select(flip.toSeq: _*)
+  }
+
+  /** [[merge]] with retraction semantics: groups whose count reaches
+    * zero are REMOVED — the tombstone cleanup a retractable view must
+    * do, or fully-deleted groups linger as all-zero rows that a
+    * recompute would never produce. (A negative count means deletes
+    * were applied for rows never folded in — a caller bug — and is
+    * also dropped rather than surfaced as nonsense state.)
+    */
+  def retract(states: DataFrame*): DataFrame =
+    merge(states: _*).filter(col("n") > 0)
 }

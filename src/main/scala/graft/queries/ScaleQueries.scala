@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.ops.{BloomPrune, IntervalJoin, MaterializedAgg, Mixture, TableProfile, TextOps, ZOrder}
+import graft.queries.Fns.r4
 
 /** Operators whose whole point is 100 TB mechanics, each still exactly
   * checkable against a DuckDB oracle:
@@ -383,6 +384,154 @@ object ScaleQueries {
           .select("doc_id", "lang", "n_chars"),
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${Mixture.keepWeightedSql("doc_id", "wsamp", "n_chars / 4000.0")}"""
-        .stripMargin)
+        .stripMargin),
+
+    // Retractable MV maintenance (q111's operator under UPDATES):
+    // a restatement deletes every shipment from 1998-06 on and
+    // re-inserts only June/July with a +100 quantity correction.
+    // Deletes fold to NEGATED state, so the refresh is still one
+    // O(delta) pass — merge(base_state, fold(ins), negate(fold(del)))
+    // — and groups whose count hits zero (Aug+ months, purged
+    // outright) are REMOVED, not left as zero-rows. The oracle
+    // recomputes over the post-change base: retraction must be
+    // indistinguishable from recompute, including the vanished
+    // groups.
+    "q152_mv_retract" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            (expr("year(l_shipdate)") * 100 + expr("month(l_shipdate)"))
+              .cast("long").as("ym"),
+            col("l_shipdate"), col("l_quantity"))
+        val keys = Seq("l_returnflag", "ym")
+        val del = li.filter(col("l_shipdate") >= "1998-06-01")
+        val ins = del.filter(col("l_shipdate") < "1998-08-01")
+          .withColumn("l_quantity", col("l_quantity") + 100)
+        MaterializedAgg.retract(
+          MaterializedAgg.fold(li, keys, Seq("l_quantity")),
+          MaterializedAgg.fold(ins, keys, Seq("l_quantity")),
+          MaterializedAgg.negate(
+            MaterializedAgg.fold(del, keys, Seq("l_quantity"))))
+          .withColumn("avg_qty", col("sum_l_quantity") / col("n"))
+      },
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    l_quantity
+        |  FROM lineitem WHERE l_shipdate < DATE '1998-06-01'
+        |  UNION ALL
+        |  SELECT l_returnflag,
+        |    CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |    l_quantity + 100
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1998-06-01'
+        |    AND l_shipdate < DATE '1998-08-01')
+        |SELECT l_returnflag, ym, count(*) AS n,
+        |  sum(l_quantity) AS sum_l_quantity,
+        |  sum(l_quantity) / count(*) AS avg_qty
+        |FROM base GROUP BY l_returnflag, ym""".stripMargin),
+
+    // Join-key skew profiling — the pre-flight a 100 TB join runs
+    // BEFORE choosing broadcast/shuffle/salt: per-key frequencies in
+    // one map-side-combinable pass, then one tiny aggregate over the
+    // (much smaller) key-count set. `salt_factor` = ceil(max/mean) in
+    // pure integer arithmetic is the replication factor a salted join
+    // (q45's operator) would need to level the hottest key; p50/p99
+    // quantiles are interpolated on exact integer counts and
+    // floor-snapped on both engines.
+    "q153_skew_profile" -> Q(
+      (s, d) => {
+        val counts = Tables(s, d, "lineitem")
+          .groupBy("l_suppkey").agg(count(lit(1)).as("c"))
+        counts.agg(
+          count(lit(1)).as("n_keys"),
+          sum("c").as("n_rows"),
+          max("c").as("max_per_key"),
+          r4(expr("percentile(c, 0.5)")).as("p50_per_key"),
+          r4(expr("percentile(c, 0.99)")).as("p99_per_key"))
+          .withColumn("salt_factor",
+            expr("(max_per_key * n_keys + n_rows - 1) div n_rows"))
+      },
+      """WITH kc AS (
+        |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey)
+        |SELECT count(*) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_per_key,
+        |  floor(quantile_cont(c, 0.5)*10000 + 0.5)/10000 AS p50_per_key,
+        |  floor(quantile_cont(c, 0.99)*10000 + 0.5)/10000 AS p99_per_key,
+        |  (max(c) * count(*) + CAST(sum(c) AS BIGINT) - 1)
+        |    // CAST(sum(c) AS BIGINT) AS salt_factor
+        |FROM kc""".stripMargin),
+
+    // Referential-integrity audit — the FK health check a warehouse
+    // load gate runs: orphan rows per declared FK edge, each edge one
+    // LEFT ANTI join + count, unioned into a constraint report. Anti
+    // joins are bloom-prunable (q116's operator) and each edge's
+    // shuffle carries only the FK column — at 100 TB the audit costs
+    // one column scan per edge, not a table copy. Parent keys here
+    // are dense, so orphan counts are zero — the gate pins the
+    // SHAPE's exactness; ScaleOpsSpec covers the nonzero path.
+    "q154_fk_audit" -> Q(
+      (s, d) => {
+        def orphans(child: String, fk: String, parent: String, pk: String) =
+          Tables(s, d, child).select(col(fk))
+            .join(Tables(s, d, parent).select(col(pk)),
+              col(fk) === col(pk), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(s"$child.$fk -> $parent.$pk").as("constraint_name"),
+              col("n_orphans"))
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey")
+          .unionByName(orphans("orders", "o_custkey", "customer", "c_custkey"))
+          .unionByName(orphans("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+          .unionByName(orphans("customer", "c_nationkey", "nation", "n_nationkey"))
+      },
+      """SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS constraint_name,
+        |  count(*) FILTER (WHERE o_orderkey IS NULL) AS n_orphans
+        |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        |UNION ALL
+        |SELECT 'orders.o_custkey -> customer.c_custkey',
+        |  count(*) FILTER (WHERE c_custkey IS NULL)
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+        |  count(*) FILTER (WHERE s_suppkey IS NULL)
+        |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+        |UNION ALL
+        |SELECT 'customer.c_nationkey -> nation.n_nationkey',
+        |  count(*) FILTER (WHERE n_nationkey IS NULL)
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey"""
+        .stripMargin),
+
+    // Rule-based data-quality scan — N validation rules evaluated as
+    // ONE conditional aggregation over ONE scan (violation counts +
+    // total), never a pass per rule. At 100 TB adding a rule is free;
+    // the alternative (one count job per rule) re-reads the table N
+    // times.
+    "q155_dq_rules" -> Q(
+      (s, d) =>
+        Tables(s, d, "orders").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+            .as("bad_price"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("null_date"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+            .otherwise(0L)).as("bad_status"),
+          sum(when(length(col("o_orderpriority")) < 5, 1L).otherwise(0L))
+            .as("short_priority"),
+          sum(when(col("o_orderdate") > lit("1999-01-01").cast("date"), 1L)
+            .otherwise(0L)).as("future_date")),
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS bad_price,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_date,
+        |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS bad_status,
+        |  CAST(sum(CASE WHEN length(o_orderpriority) < 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS short_priority,
+        |  CAST(sum(CASE WHEN o_orderdate > DATE '1999-01-01' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS future_date
+        |FROM orders""".stripMargin)
   )
 }

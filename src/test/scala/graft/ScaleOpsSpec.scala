@@ -215,6 +215,51 @@ class ScaleOpsSpec extends AnyFunSuite {
       canon(full))
   }
 
+  test("MaterializedAgg: retraction ≡ recompute; fully-deleted groups vanish") {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_orderkey"), col("l_quantity"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    // delete a slice, re-insert half of it with a correction
+    val del = li.filter(col("l_orderkey") % 5 === 0)
+    val ins = del.filter(col("l_orderkey") % 10 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 1)
+    val viaRetract = MaterializedAgg.retract(
+      MaterializedAgg.fold(li, keys, Seq("l_quantity")),
+      MaterializedAgg.fold(ins, keys, Seq("l_quantity")),
+      MaterializedAgg.negate(MaterializedAgg.fold(del, keys, Seq("l_quantity"))))
+    val postBase = li.filter(col("l_orderkey") % 5 =!= 0).unionByName(ins)
+    assert(canon(viaRetract) ==
+      canon(MaterializedAgg.fold(postBase, keys, Seq("l_quantity"))))
+
+    // a group deleted outright must DISAPPEAR (n=0 tombstone cleanup),
+    // exactly matching a recompute over the surviving rows
+    val allOfR = li.filter(col("l_returnflag") === "R")
+    val afterPurge = MaterializedAgg.retract(
+      MaterializedAgg.fold(li, keys, Seq("l_quantity")),
+      MaterializedAgg.negate(MaterializedAgg.fold(allOfR, keys, Seq("l_quantity"))))
+    assert(afterPurge.filter(col("l_returnflag") === "R").count() == 0)
+    assert(canon(afterPurge) == canon(MaterializedAgg.fold(
+      li.filter(col("l_returnflag") =!= "R"), keys, Seq("l_quantity"))))
+  }
+
+  test("FK audit: orphan counts surface when parent rows go missing") {
+    // drop every even customer from the parent side: each order whose
+    // o_custkey is even becomes an orphan, counted by the same
+    // anti-join shape q154 unions into its report
+    val orders = Tables(spark, dir, "orders")
+    val parent = Tables(spark, dir, "customer")
+      .filter(col("c_custkey") % 2 === 1)
+    val orphans = orders.select(col("o_custkey"))
+      .join(parent.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .count()
+    val expected = orders.filter(col("o_custkey") % 2 === 0).count()
+    assert(orphans == expected && orphans > 0)
+  }
+
   test("ClusteredIngest: batches land z-clustered; second pass ingests only new files") {
     import java.nio.file.Files
     val srcDir = Files.createTempDirectory("graft_ci_src").toString
