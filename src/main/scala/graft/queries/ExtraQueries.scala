@@ -624,6 +624,82 @@ object ExtraQueries {
         |  CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
-        |FROM daily""".stripMargin)
+        |FROM daily""".stripMargin),
+
+    // Rolling z-score anomaly flagging on daily event-count series:
+    // 7-day trailing mean/stddev EXCLUDING the current row (ROWS 7
+    // PRECEDING .. 1 PRECEDING — the self-exclusion that stops an
+    // anomaly masking itself), flag where n > mean + 2σ. The series
+    // is integer counts (exact), the rolling stats are snapped at
+    // 1e-4 BEFORE the threshold compare so both engines test
+    // identical doubles. The raw table collapses to (type × day)
+    // rows in one map-side-combinable pass first — the window never
+    // sees raw events, so its cost is independent of corpus size.
+    "q156_rolling_anomaly" -> Q(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-7, -1)
+        daily
+          .withColumn("ma7", r4(avg("n").over(w)))
+          .withColumn("sd7", r4(stddev_samp("n").over(w)))
+          .withColumn("anomaly",
+            when(col("sd7").isNotNull &&
+              col("n") > col("ma7") + lit(2) * col("sd7"), 1L).otherwise(0L))
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |roll AS (
+        |  SELECT event_type, day, n,
+        |    floor(avg(n) OVER w * 10000 + 0.5)/10000 AS ma7,
+        |    floor(stddev_samp(n) OVER w * 10000 + 0.5)/10000 AS sd7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, n, ma7, sd7,
+        |  CAST(CASE WHEN sd7 IS NOT NULL AND n > ma7 + 2*sd7
+        |       THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM roll""".stripMargin),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: lead() pairs within one user partition (ties broken
+    // by event_id so the successor is total-ordered), transition
+    // counts, and P(to|from) quantized in PURE INTEGER math
+    // (n·1e6 div total — the q147 convention, no float division to
+    // drift). One window over the user partition + two tiny
+    // aggregates; the transition matrix is |event_types|² rows at
+    // any corpus size.
+    "q157_event_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val seq = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+        val trans = seq
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_trans"))
+        val totals = trans.groupBy("from_type")
+          .agg(sum("n_trans").as("n_from"))
+        trans.join(totals, "from_type")
+          .withColumn("p_q6", expr("(n_trans * 1000000) div n_from"))
+      },
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n_trans
+        |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (
+        |  SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |  FROM t GROUP BY 1)
+        |SELECT t.from_type, t.to_type, t.n_trans, ft.n_from,
+        |  (t.n_trans * 1000000) // ft.n_from AS p_q6
+        |FROM t JOIN ft USING (from_type)""".stripMargin)
   )
 }
