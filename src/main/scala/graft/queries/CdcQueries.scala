@@ -82,7 +82,59 @@ object CdcQueries {
          |  AND (valid_to IS NULL OR valid_to > DATE '2020-12-01')"""
         .stripMargin),
 
-    fuzzyJoinQ
+    fuzzyJoinQ,
+
+    // Snapshot diff: classify every key across two table versions as
+    // inserted / updated / deleted in ONE full-outer equi-join on the
+    // key, comparing payloads only where both sides exist (unchanged
+    // rows drop out). The "next" snapshot is derived from `orders` by
+    // arithmetic on the key so the oracle replays it exactly: every
+    // 13th key deleted, every 7th surviving key repriced (+100.0, a
+    // deterministic double add), every 11th key re-inserted at an
+    // offset id. Output is the per-op summary (count + key checksum) —
+    // the shape of a warehouse snapshot-reconciliation audit, where
+    // the diff itself would feed a CDC sink. At 100 TB both sides
+    // shuffle once on the key; no window, no skew surface.
+    "q161_snapshot_diff" -> Q(
+      (s, d) => {
+        val cur = Tables(s, d, "orders")
+          .select(col("o_orderkey").cast("long").as("k"),
+            col("o_totalprice").as("v"))
+        val nxt = cur.filter(col("k") % 11 === 0)
+          .select((col("k") + 100000000L).as("k"), col("v"))
+          .unionByName(cur.filter(col("k") % 13 =!= 0)
+            .select(col("k"),
+              when(col("k") % 7 === 0, col("v") + 100.0)
+                .otherwise(col("v")).as("v")))
+        val diff = cur.select(col("k").as("ak"), col("v").as("av"))
+          .join(nxt.select(col("k").as("bk"), col("v").as("bv")),
+            col("ak") === col("bk"), "full_outer")
+          .withColumn("op",
+            when(col("ak").isNull, "I")
+              .when(col("bk").isNull, "D")
+              .when(col("av") =!= col("bv"), "U"))
+          .filter(col("op").isNotNull)
+        diff.groupBy("op")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("ak"), col("bk"))).as("key_sum"))
+      },
+      """WITH cur AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k, o_totalprice AS v
+        |  FROM orders),
+        |nxt AS (
+        |  SELECT k + 100000000 AS k, v FROM cur WHERE k % 11 = 0
+        |  UNION ALL
+        |  SELECT k, CASE WHEN k % 7 = 0 THEN v + 100.0 ELSE v END AS v
+        |  FROM cur WHERE k % 13 <> 0),
+        |diff AS (
+        |  SELECT a.k AS ak, a.v AS av, b.k AS bk, b.v AS bv,
+        |    CASE WHEN a.k IS NULL THEN 'I'
+        |         WHEN b.k IS NULL THEN 'D'
+        |         WHEN a.v <> b.v THEN 'U' END AS op
+        |  FROM cur a FULL OUTER JOIN nxt b ON a.k = b.k)
+        |SELECT op, count(*) AS n,
+        |  CAST(sum(coalesce(ak, bk)) AS BIGINT) AS key_sum
+        |FROM diff WHERE op IS NOT NULL GROUP BY op""".stripMargin)
   )
 
   private lazy val scd2MergedSql: String =

@@ -700,6 +700,132 @@ object ExtraQueries {
         |  FROM t GROUP BY 1)
         |SELECT t.from_type, t.to_type, t.n_trans, ft.n_from,
         |  (t.n_trans * 1000000) // ft.n_from AS p_q6
-        |FROM t JOIN ft USING (from_type)""".stripMargin)
+        |FROM t JOIN ft USING (from_type)""".stripMargin),
+
+    // Triangle counting over the part co-occurrence graph (parts that
+    // ship in the same order, heavy lines only). Degree-ordered
+    // orientation — every edge points from its lower-(degree, id)
+    // endpoint — turns the graph into a DAG where each triangle has
+    // exactly one node with both out-edges, so the wedge join
+    // enumerates every triangle once and the fan-out per node is
+    // bounded by O(sqrt(m)) (arboricity bound), not by the max raw
+    // degree. All stages are equi-keyed shuffles; per-node support
+    // counts come from unpivoting the three corners.
+    "q158_triangles" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))
+        val fwd = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val orient = e
+          .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+          .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+            when(fwd, col("b")).otherwise(col("a")).as("v"))
+        val tri = orient.select(col("u"), col("v").as("v1"))
+          .join(orient.select(col("u"), col("v").as("v2")), "u")
+          .filter(col("v1") < col("v2"))
+          .join(e, col("v1") === col("a") && col("v2") === col("b"))
+          .select("u", "v1", "v2")
+        tri.select(col("u").as("node"))
+          .union(tri.select(col("v1").as("node")))
+          .union(tri.select(col("v2").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("node")).limit(20)
+      },
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT n, count(*) AS deg
+        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |orient AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+        |              THEN a ELSE b END AS u,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+        |              THEN b ELSE a END AS v
+        |  FROM e JOIN deg d1 ON d1.n = e.a JOIN deg d2 ON d2.n = e.b),
+        |tri AS (
+        |  SELECT w1.u, w1.v AS v1, w2.v AS v2
+        |  FROM orient w1 JOIN orient w2 ON w1.u = w2.u AND w1.v < w2.v
+        |  JOIN e ON w1.v = e.a AND w2.v = e.b)
+        |SELECT node, count(*) AS n_tri
+        |FROM (SELECT u AS node FROM tri UNION ALL
+        |      SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
+        |GROUP BY node ORDER BY n_tri DESC, node LIMIT 20""".stripMargin),
+
+    // Community detection by synchronous label propagation: 3 fixed
+    // rounds over the same co-occurrence graph, each node adopting its
+    // neighbors' most frequent label (ties -> smallest label id).
+    // Fixed rounds + deterministic tie-break make the operator exactly
+    // replayable; per round the work is one equi-join (labels to
+    // edges, both directions) plus one map-side-combinable count and
+    // one per-node arg-max window partitioned by node — never global.
+    // Output is the community size histogram.
+    "q159_label_prop" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        var labels = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node")))
+          .distinct().withColumn("label", col("node"))
+        val byCount = Window.partitionBy("node")
+          .orderBy(col("c").desc, col("label").asc)
+        for (_ <- 1 to 3) {
+          val nb = e.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(col("a").as("node"), col("label"))
+            .union(e.join(labels.withColumnRenamed("node", "a"), "a")
+              .select(col("b").as("node"), col("label")))
+          labels = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(byCount))
+            .filter(col("rn") === 1).select("node", "label")
+        }
+        labels.groupBy("label").agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("label")).limit(30)
+      },
+      {
+        val round = (k: Int) =>
+          s"""nb$k AS (
+             |  SELECT e.a AS node, l.label FROM e
+             |  JOIN l${k - 1} l ON l.node = e.b
+             |  UNION ALL
+             |  SELECT e.b AS node, l.label FROM e
+             |  JOIN l${k - 1} l ON l.node = e.a),
+             |l$k AS (
+             |  SELECT node, label FROM (
+             |    SELECT node, label, row_number() OVER (PARTITION BY node
+             |      ORDER BY count(*) DESC, label ASC) AS rn
+             |    FROM nb$k GROUP BY node, label)
+             |  WHERE rn = 1)""".stripMargin
+        s"""WITH li AS (
+           |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+           |  FROM lineitem WHERE l_quantity >= 25),
+           |e AS (
+           |  SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+           |l0 AS (
+           |  SELECT node, node AS label
+           |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e)),
+           |${(1 to 3).map(round).mkString(",\n")}
+           |SELECT label, count(*) AS size FROM l3
+           |GROUP BY label ORDER BY size DESC, label LIMIT 30""".stripMargin
+      })
   )
 }

@@ -232,6 +232,63 @@ object StatsQueries {
         |   (CAST(1 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(4,3))))
         |   AS DOUBLE) AS net,
         | count(*) AS n
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+
+    // Exponentially-weighted moving average of the daily order count
+    // per priority, computed entirely in integer arithmetic: an 8-tap
+    // truncated kernel with half-life one step (weights 128,64,..,1
+    // over the last 8 observations), renormalized over the taps that
+    // exist near the series head. ewma_micro = (weighted_sum * 1e6)
+    // DIV weight_sum is exact on both engines — no float recurrence,
+    // no order-dependent summation. The recursive-EWMA state form
+    // would serialize the whole series through one accumulator;
+    // the fixed-horizon kernel is 8 lags inside ONE window pass,
+    // partitioned by priority — embarrassingly parallel at 100 TB.
+    "q162_ewma" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("prio").orderBy("day")
+        val daily = Tables(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val lagged = (1 to 7).foldLeft(daily) { (df, k) =>
+          df.withColumn(s"l$k", lag(col("n"), k).over(w))
+        }
+        val num = (1 to 7).foldLeft(col("n") * 128L) { (acc, k) =>
+          acc + coalesce(col(s"l$k"), lit(0L)) * (1L << (7 - k))
+        }
+        val den = (1 to 7).foldLeft(lit(128L)) { (acc, k) =>
+          acc + when(col(s"l$k").isNull, 0L).otherwise(1L << (7 - k))
+        }
+        lagged
+          .withColumn("num", num).withColumn("den", den)
+          .withColumn("ewma_micro", expr("(num * 1000000) div den"))
+          .select("prio", "day", "n", "ewma_micro")
+      },
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT prio, day, n,
+        |    lag(n, 1) OVER w AS l1, lag(n, 2) OVER w AS l2,
+        |    lag(n, 3) OVER w AS l3, lag(n, 4) OVER w AS l4,
+        |    lag(n, 5) OVER w AS l5, lag(n, 6) OVER w AS l6,
+        |    lag(n, 7) OVER w AS l7
+        |  FROM daily WINDOW w AS (PARTITION BY prio ORDER BY day))
+        |SELECT prio, day, n,
+        |  ((n * 128 + coalesce(l1, 0) * 64 + coalesce(l2, 0) * 32 +
+        |    coalesce(l3, 0) * 16 + coalesce(l4, 0) * 8 +
+        |    coalesce(l5, 0) * 4 + coalesce(l6, 0) * 2 +
+        |    coalesce(l7, 0)) * 1000000) //
+        |  (128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END +
+        |   CASE WHEN l2 IS NULL THEN 0 ELSE 32 END +
+        |   CASE WHEN l3 IS NULL THEN 0 ELSE 16 END +
+        |   CASE WHEN l4 IS NULL THEN 0 ELSE 8 END +
+        |   CASE WHEN l5 IS NULL THEN 0 ELSE 4 END +
+        |   CASE WHEN l6 IS NULL THEN 0 ELSE 2 END +
+        |   CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS ewma_micro
+        |FROM lagged""".stripMargin)
   )
 }

@@ -917,6 +917,89 @@ object TextQueries {
            |  ${TextOps.redactPiiSql("t")} AS redacted,
            |$countCols
            |FROM raw""".stripMargin)
-    }
+    },
+
+    // BM25 retrieval: top-10 documents per query over an inverted
+    // index built in-plan. The classical k1=1.2 / b=0.75 saturation
+    // term is kept verbatim; the idf keeps the Robertson odds ratio
+    // (N - df + 0.5)/(df + 0.5) WITHOUT the log — ln() is libm
+    // (engine-divergent in the last ulp) and buys nothing checkable
+    // here, while the rational form is pure IEEE arithmetic both
+    // engines compute bit-identically from the same integers. Each
+    // term's contribution is quantized to integer micros BEFORE the
+    // per-document sum so the aggregate is order-free exact. Shape at
+    // scale: tokenize -> broadcast semi-join on the query vocabulary
+    // (kills every non-query token before any shuffle) -> one partial
+    // agg for tf, vocab-sized df + 1-row corpus stats joined back on
+    // constant keys -> per-query top-k window, never a global sort.
+    // Terms must be unique per query (df derives from the tf table).
+    "q160_bm25" -> Q(
+      (s, d) => {
+        val qterms = s.createDataFrame(Seq(
+          (1L, "spark"), (1L, "join"), (2L, "vector"), (2L, "scan"),
+          (3L, "table"), (3L, "batch"))).toDF("query_id", "term")
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"),
+            TextOps.whitespaceTokens(lower(col("text"))).as("w"))
+          .select(col("doc_id"), col("w"),
+            size(col("w")).cast("long").as("dl"))
+        val totals = docs
+          .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+          .withColumn("__k", lit(1))
+        val tf = docs
+          .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+          .join(broadcast(qterms), "term")
+          .groupBy("query_id", "term", "doc_id", "dl")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val contrib = tf.join(broadcast(dfreq), "term")
+          .withColumn("__k", lit(1)).join(broadcast(totals), "__k")
+          .withColumn("c", expr(
+            """CAST(floor((((n_docs - df) + 0.5) / (df + 0.5)) *
+              |  ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl /
+              |    (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+              |  1000000 + 0.5) AS BIGINT)""".stripMargin))
+        val byScore = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("score_micro").desc, col("doc_id"))
+        contrib.groupBy("query_id", "doc_id")
+          .agg(sum("c").as("score_micro"))
+          .withColumn("rnk", row_number().over(byScore).cast("long"))
+          .filter(col("rnk") <= 10)
+      },
+      """WITH qterms(query_id, term) AS (
+        |  VALUES (1, 'spark'), (1, 'join'), (2, 'vector'), (2, 'scan'),
+        |         (3, 'table'), (3, 'batch')),
+        |docs AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |dls AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl FROM docs),
+        |totals AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+        |tok AS (SELECT doc_id, dl, unnest(w) AS term FROM dls),
+        |tf AS (
+        |  SELECT q.query_id, t.term, t.doc_id, t.dl,
+        |         CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok t JOIN qterms q ON q.term = t.term
+        |  GROUP BY 1, 2, 3, 4),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |contrib AS (
+        |  SELECT tf.query_id, tf.doc_id,
+        |    CAST(floor((((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl /
+        |        (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) *
+        |      1000000 + 0.5) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (term), totals),
+        |sc AS (
+        |  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+        |  FROM contrib GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 10""".stripMargin)
   )
 }
