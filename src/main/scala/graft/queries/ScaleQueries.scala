@@ -532,6 +532,99 @@ object ScaleQueries {
         |    AS BIGINT) AS short_priority,
         |  CAST(sum(CASE WHEN o_orderdate > DATE '1999-01-01' THEN 1 ELSE 0 END)
         |    AS BIGINT) AS future_date
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin),
+
+    // Grid-bucketed spatial radius join: suppliers matched to every
+    // customer within R = 8e6 micro-degrees, planar integer geometry.
+    // Coordinates are synthesized from the keys with Knuth-style
+    // multiplicative hashes so both engines derive identical points.
+    // Cell size == R makes the 3x3 neighborhood join EXACT (any point
+    // within R of a cell lies in an adjacent cell): the oracle is the
+    // brute-force cross join, the engine plan is the scale path — each
+    // supplier explodes 9 cell keys and equi-joins the bucketed
+    // customers, so candidates are O(density x 9), never |S| x |C|.
+    // All distances are exact bigint squares; no libm, no doubles.
+    "q163_spatial_join" -> Q(
+      (s, d) => {
+        val R = 8000000L
+        def pts(t: String, key: String, m1: Long, m2: Long, p: String) =
+          Tables(s, d, t).select(
+            col(key).cast("long").as(s"${p}_id"),
+            (col(key).cast("long") * m1 % 180000000L).as(s"${p}_lat"),
+            (col(key).cast("long") * m2 % 360000000L).as(s"${p}_lon"))
+        val cust = pts("customer", "c_custkey", 2654435761L, 2246822519L, "c")
+          .withColumn("cx", expr(s"c_lat div $R"))
+          .withColumn("cy", expr(s"c_lon div $R"))
+        val cand = pts("supplier", "s_suppkey", 3266489917L, 668265263L, "s")
+          .withColumn("dx", explode(expr("sequence(-1, 1)")))
+          .withColumn("dy", explode(expr("sequence(-1, 1)")))
+          .withColumn("cx", expr(s"s_lat div $R") + col("dx"))
+          .withColumn("cy", expr(s"s_lon div $R") + col("dy"))
+          .join(cust, Seq("cx", "cy"))
+          .withColumn("d2",
+            (col("s_lat") - col("c_lat")) * (col("s_lat") - col("c_lat")) +
+              (col("s_lon") - col("c_lon")) * (col("s_lon") - col("c_lon")))
+          .filter(col("d2") <= lit(R * R))
+        cand.groupBy("s_id")
+          .agg(count(lit(1)).as("n_within"), min("d2").as("min_d2"))
+      },
+      """WITH c AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_id,
+        |    (CAST(c_custkey AS BIGINT) * 2654435761) % 180000000 AS c_lat,
+        |    (CAST(c_custkey AS BIGINT) * 2246822519) % 360000000 AS c_lon
+        |  FROM customer),
+        |s AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS s_id,
+        |    (CAST(s_suppkey AS BIGINT) * 3266489917) % 180000000 AS s_lat,
+        |    (CAST(s_suppkey AS BIGINT) * 668265263) % 360000000 AS s_lon
+        |  FROM supplier),
+        |p AS (
+        |  SELECT s_id,
+        |    (s_lat - c_lat) * (s_lat - c_lat) +
+        |    (s_lon - c_lon) * (s_lon - c_lon) AS d2
+        |  FROM s CROSS JOIN c)
+        |SELECT s_id, CAST(count(*) AS BIGINT) AS n_within, min(d2) AS min_d2
+        |FROM p WHERE d2 <= 64000000000000 GROUP BY s_id""".stripMargin),
+
+    // Item-item collaborative-filtering similarity: cosine over the
+    // order-basket incidence, cos(a,b) = n_ab / sqrt(n_a * n_b) — the
+    // one transcendental is sqrt, which IEEE 754 REQUIRES correctly
+    // rounded (unlike ln/exp), so both engines compute identical
+    // doubles from identical integers. Top-30 pairs; candidate
+    // generation is the same self-join-per-basket as q158 (never
+    // item x item), counts are map-side-combinable.
+    "q165_item_cosine" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val pairs = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        val freq = li.groupBy("p").agg(count(lit(1)).as("n"))
+        pairs
+          .join(freq.select(col("p").as("a"), col("n").as("n_a")), "a")
+          .join(freq.select(col("p").as("b"), col("n").as("n_b")), "b")
+          .withColumn("cos_micro", expr(
+            """CAST(floor((n_ab * 1000000) /
+              |  sqrt(CAST(n_a * n_b AS DOUBLE)) + 0.5) AS BIGINT)""".stripMargin))
+          .select("a", "b", "n_ab", "cos_micro")
+          .orderBy(col("cos_micro").desc, col("a"), col("b")).limit(30)
+      },
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |pairs AS (
+        |  SELECT x.p AS a, y.p AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p
+        |  GROUP BY 1, 2),
+        |freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM li GROUP BY 1)
+        |SELECT a, b, n_ab,
+        |  CAST(floor((n_ab * 1000000) /
+        |    sqrt(CAST(fa.n * fb.n AS DOUBLE)) + 0.5) AS BIGINT) AS cos_micro
+        |FROM pairs JOIN freq fa ON fa.p = a JOIN freq fb ON fb.p = b
+        |ORDER BY cos_micro DESC, a, b LIMIT 30""".stripMargin)
   )
 }

@@ -289,6 +289,71 @@ object StatsQueries {
         |   CASE WHEN l5 IS NULL THEN 0 ELSE 4 END +
         |   CASE WHEN l6 IS NULL THEN 0 ELSE 2 END +
         |   CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS ewma_micro
-        |FROM lagged""".stripMargin)
+        |FROM lagged""".stripMargin),
+
+    // Winsorized mean per market segment: clamp account balances at
+    // the rank-based 10th/90th order statistics, then average — the
+    // robust-mean companion to q114's MAD outliers. Percentiles are
+    // ORDER STATISTICS (row_number over a total order, k = n div 10),
+    // not interpolated quantiles, because quantile interpolation is
+    // engine-variant (the r4 lesson); balances quantize to exact
+    // cents before any sum so the aggregate is order-free, and the
+    // single double division happens once per GROUP on exact
+    // integers. One window pass + two tiny rank-probe frames joined
+    // back on segment — at scale the per-group sort is the only
+    // O(n log n) stage and it partitions by segment.
+    "q164_winsorize" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("seg").orderBy(col("cents"), col("c_custkey"))
+        val base = Tables(s, d, "customer").select(
+          col("c_mktsegment").as("seg"), col("c_custkey"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+        val ranked = base
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("nn", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("seg")))
+        val lo = ranked.filter(col("rn") === expr("greatest(1, nn div 10)"))
+          .select(col("seg"), col("cents").as("lo_cents"))
+        val hi = ranked.filter(col("rn") === expr("nn - nn div 10"))
+          .select(col("seg"), col("cents").as("hi_cents"))
+        ranked.join(lo, "seg").join(hi, "seg")
+          .withColumn("wc",
+            greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))))
+          .groupBy("seg").agg(
+            count(lit(1)).as("n"),
+            max("lo_cents").as("lo_cents"),
+            max("hi_cents").as("hi_cents"),
+            sum("wc").as("wsum_cents"))
+          .withColumn("wmean_micro",
+            expr("CAST(floor((wsum_cents * 10000.0) / n) AS BIGINT)"))
+      },
+      """WITH base AS (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |ranked AS (
+        |  SELECT seg, cents,
+        |    CAST(row_number() OVER (PARTITION BY seg
+        |      ORDER BY cents, c_custkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS nn
+        |  FROM base),
+        |lo AS (SELECT seg, cents AS lo_cents FROM ranked
+        |       WHERE rn = greatest(1, nn // 10)),
+        |hi AS (SELECT seg, cents AS hi_cents FROM ranked
+        |       WHERE rn = nn - nn // 10),
+        |cl AS (
+        |  SELECT r.seg,
+        |    greatest(lo_cents, least(hi_cents, cents)) AS wc,
+        |    lo_cents, hi_cents
+        |  FROM ranked r JOIN lo ON lo.seg = r.seg JOIN hi ON hi.seg = r.seg),
+        |ag AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    max(lo_cents) AS lo_cents, max(hi_cents) AS hi_cents,
+        |    CAST(sum(wc) AS BIGINT) AS wsum_cents
+        |  FROM cl GROUP BY seg)
+        |SELECT seg, n, lo_cents, hi_cents, wsum_cents,
+        |  CAST(floor((wsum_cents * 10000.0) / n) AS BIGINT) AS wmean_micro
+        |FROM ag""".stripMargin)
   )
 }

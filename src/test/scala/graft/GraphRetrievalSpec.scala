@@ -79,4 +79,42 @@ class GraphRetrievalSpec extends AnyFunSuite {
     val (lo, hi) = (ns.min * 1000000L, ns.max * 1000000L)
     assert(rows.forall { r => r.getLong(3) >= lo && r.getLong(3) <= hi })
   }
+
+  test("q163: grid join ≡ brute force radius join") {
+    val R = 8000000L
+    def coords(keys: Array[Long], m1: Long, m2: Long) =
+      keys.map(k => (k, k * m1 % 180000000L, k * m2 % 360000000L))
+    val ck = Tables(spark, dir, "customer")
+      .select(col("c_custkey").cast("long")).collect().map(_.getLong(0))
+    val sk = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").cast("long")).collect().map(_.getLong(0))
+    val cs = coords(ck, 2654435761L, 2246822519L)
+    val brute = coords(sk, 3266489917L, 668265263L).flatMap { case (sid, sla, slo) =>
+      val d2s = cs.map { case (_, cla, clo) =>
+        (sla - cla) * (sla - cla) + (slo - clo) * (slo - clo)
+      }.filter(_ <= R * R)
+      if (d2s.isEmpty) None else Some(sid -> (d2s.length.toLong, d2s.min))
+    }.toMap
+    val got = q("q163_spatial_join").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == brute)
+  }
+
+  test("q164: clamp bounds ordered and mean inside them") {
+    val rows = q("q164_winsorize").collect()
+    assert(rows.length == 5) // one per market segment
+    rows.foreach { r =>
+      val (lo, hi, mean) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(lo <= hi)
+      assert(mean >= lo * 10000L && mean <= hi * 10000L)
+    }
+  }
+
+  test("q165: cosine similarities lie in (0, 1e6] and are sorted") {
+    val rows = q("q165_item_cosine").collect()
+    assert(rows.nonEmpty)
+    val cs = rows.map(_.getLong(3))
+    assert(cs.forall(c => c > 0 && c <= 1000000L))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
 }
