@@ -786,16 +786,19 @@ object ExtraQueries {
         var labels = e.select(col("a").as("node"))
           .union(e.select(col("b").as("node")))
           .distinct().withColumn("label", col("node"))
-        val byCount = Window.partitionBy("node")
-          .orderBy(col("c").desc, col("label").asc)
         for (_ <- 1 to 3) {
           val nb = e.join(labels.withColumnRenamed("node", "b"), "b")
             .select(col("a").as("node"), col("label"))
             .union(e.join(labels.withColumnRenamed("node", "a"), "a")
               .select(col("b").as("node"), col("label")))
+          // arg-max as max(struct(count, -label)): most frequent label,
+          // ties -> smallest id — same semantics as the oracle's
+          // row_number argmax, but two partial-aggregable groupBys
+          // instead of a per-node sort window
           labels = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
-            .withColumn("rn", row_number().over(byCount))
-            .filter(col("rn") === 1).select("node", "label")
+            .groupBy("node")
+            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("label"))
         }
         labels.groupBy("label").agg(count(lit(1)).as("size"))
           .orderBy(col("size").desc, col("label")).limit(30)
@@ -826,6 +829,62 @@ object ExtraQueries {
            |${(1 to 3).map(round).mkString(",\n")}
            |SELECT label, count(*) AS size FROM l3
            |GROUP BY label ORDER BY size DESC, label LIMIT 30""".stripMargin
+      }),
+
+    // k-core peeling (k = 4, 3 fixed rounds): iteratively drop nodes
+    // of degree < k and the edges they carry — the standard dense-
+    // subgraph primitive (community cores, spam clusters). Fixed
+    // rounds rather than run-to-fixpoint keep the operator exactly
+    // replayable as unrolled SQL; each round is one
+    // map-side-combinable degree count plus two semi-join-shaped
+    // filters on the surviving node set. Output is the survivor
+    // degree histogram.
+    "q168_kcore" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        var edges = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        def degrees(e: org.apache.spark.sql.DataFrame) =
+          e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("deg"))
+        for (_ <- 1 to 3) {
+          val keep = degrees(edges).filter(col("deg") >= 4).select("n")
+          edges = edges
+            .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+            .select("a", "b")
+        }
+        degrees(edges).groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("deg")
+      },
+      {
+        val round = (k: Int) =>
+          s"""deg$k AS (
+             |  SELECT n, count(*) AS deg FROM (
+             |    SELECT a AS n FROM e${k - 1}
+             |    UNION ALL SELECT b FROM e${k - 1}) GROUP BY 1),
+             |keep$k AS (SELECT n FROM deg$k WHERE deg >= 4),
+             |e$k AS (
+             |  SELECT a, b FROM e${k - 1}
+             |  WHERE a IN (SELECT n FROM keep$k)
+             |    AND b IN (SELECT n FROM keep$k))""".stripMargin
+        s"""WITH li AS (
+           |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+           |  FROM lineitem WHERE l_quantity >= 25),
+           |e0 AS (
+           |  SELECT DISTINCT x.p AS a, y.p AS b
+           |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |sdeg AS (
+           |  SELECT n, count(*) AS deg FROM (
+           |    SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1)
+           |SELECT deg, count(*) AS n_nodes FROM sdeg
+           |GROUP BY deg ORDER BY deg""".stripMargin
       })
   )
 }

@@ -625,6 +625,42 @@ object ScaleQueries {
         |  CAST(floor((n_ab * 1000000) /
         |    sqrt(CAST(fa.n * fb.n AS DOUBLE)) + 0.5) AS BIGINT) AS cos_micro
         |FROM pairs JOIN freq fa ON fa.p = a JOIN freq fb ON fb.p = b
-        |ORDER BY cos_micro DESC, a, b LIMIT 30""".stripMargin)
+        |ORDER BY cos_micro DESC, a, b LIMIT 30""".stripMargin),
+
+    // Incremental maintenance of a JOIN view: with base/delta splits
+    // of both inputs (A+dA) ⋈ (B+dB) distributes into four joins, and
+    // because the downstream aggregate state is mergeable
+    // (MaterializedAgg), the refresh folds ONLY the three
+    // delta-touching joins and merges against yesterday's state —
+    // O(delta ⋈ …), never O(base ⋈ base) again. q111 is the
+    // aggregate-only version of this; the join distribution is what a
+    // 100 TB view over two growing fact tables actually needs. The
+    // oracle recomputes the whole join from scratch: merged state
+    // must be indistinguishable.
+    "q166_mv_join_delta" -> Q(
+      (s, d) => {
+        val cut = "1997-01-01"
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+        val l = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+        val (oB, oD) = (o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut))
+        val (lB, lD) = (l.filter(col("l_shipdate") < cut),
+          l.filter(col("l_shipdate") >= cut))
+        def fold(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) =
+          MaterializedAgg.fold(
+            a.join(b, col("o_orderkey") === col("l_orderkey")),
+            Seq("o_orderstatus"), Seq("l_quantity"))
+        MaterializedAgg.merge(
+          fold(oB, lB), fold(oD, lB), fold(oB, lD), fold(oD, lD))
+          .withColumn("avg_qty", col("sum_l_quantity") / col("n"))
+      },
+      """SELECT o_orderstatus, count(*) AS n,
+        | sum(l_quantity) AS sum_l_quantity,
+        | sum(l_quantity) / count(*) AS avg_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)
   )
 }

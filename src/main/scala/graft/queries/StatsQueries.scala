@@ -354,6 +354,39 @@ object StatsQueries {
         |  FROM cl GROUP BY seg)
         |SELECT seg, n, lo_cents, hi_cents, wsum_cents,
         |  CAST(floor((wsum_cents * 10000.0) / n) AS BIGINT) AS wmean_micro
-        |FROM ag""".stripMargin)
+        |FROM ag""".stripMargin),
+
+    // Equi-depth (equal-frequency) histogram of order value, 8 buckets
+    // per priority class: ntile over a per-group total order, then
+    // bucket stats. ntile's bucket-size rule (first count%n buckets
+    // take the extra row) is standard SQL and identical on both
+    // engines once the order is total. The window partitions by
+    // priority — per-group equi-depth parallelizes; a GLOBAL
+    // equi-depth at 100 TB would instead sample boundaries or use the
+    // Ids.distributedDenseIds range-partition machinery, because an
+    // unpartitioned ntile window collapses to one task. Bucket
+    // min/max surface the raw doubles untouched (selected, not
+    // computed), so the oracle hashes them bit-identically.
+    "q167_equidepth" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("prio")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables(s, d, "orders")
+          .select(col("o_orderpriority").as("prio"),
+            col("o_orderkey"), col("o_totalprice"))
+          .withColumn("bucket", ntile(8).over(w).cast("long"))
+          .groupBy("prio", "bucket")
+          .agg(count(lit(1)).as("n"),
+            min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      },
+      """SELECT prio, bucket, count(*) AS n,
+        |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM (
+        |  SELECT o_orderpriority AS prio, o_totalprice,
+        |    CAST(ntile(8) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+        |  FROM orders)
+        |GROUP BY prio, bucket""".stripMargin)
   )
 }
