@@ -387,6 +387,50 @@ object StatsQueries {
         |    CAST(ntile(8) OVER (PARTITION BY o_orderpriority
         |      ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
         |  FROM orders)
-        |GROUP BY prio, bucket""".stripMargin)
+        |GROUP BY prio, bucket""".stripMargin),
+
+    // Calendar gap-fill + forward fill: resample the per-priority
+    // daily order count onto a dense date grid (sequence/
+    // generate_series between each series' own min and max day) and
+    // carry the last observation forward across missing days — the
+    // standard time-series regularization step before any rolling
+    // kernel (q162's EWMA assumes a dense grid). The fill is
+    // last(ignoreNulls) over a rows-frame window PARTITIONED BY
+    // SERIES, so a 100 TB corpus of many series parallelizes per key
+    // and never global-sorts; the grid explode is bounded by
+    // days-per-series, not corpus size. All-integer outputs (counts +
+    // a 0/1 fill flag), so the hash compare is drift-free.
+    "q169_gapfill" -> Q(
+      (s, d) => {
+        val daily = Tables(s, d, "orders")
+          .groupBy(col("o_orderpriority").as("prio"),
+            to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val grid = daily.groupBy("prio")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("prio"), explode(sequence(col("lo"), col("hi"))).as("day"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("prio").orderBy("day")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        grid.join(daily, Seq("prio", "day"), "left")
+          .withColumn("filled", col("n").isNull.cast("long"))
+          .withColumn("n_filled", last(col("n"), ignoreNulls = true).over(w))
+          .select("prio", "day", "n_filled", "filled")
+      },
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |spans AS (SELECT prio, min(day) AS lo, max(day) AS hi
+        |          FROM daily GROUP BY prio),
+        |grid AS (
+        |  SELECT prio,
+        |    CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM spans)
+        |SELECT g.prio, g.day,
+        |  last_value(d.n IGNORE NULLS) OVER (PARTITION BY g.prio ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+        |  CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |FROM grid g LEFT JOIN daily d USING (prio, day)""".stripMargin)
   )
 }

@@ -1000,6 +1000,54 @@ object TextQueries {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk
         |  FROM sc)
-        |WHERE rnk <= 10""".stripMargin)
+        |WHERE rnk <= 10""".stripMargin),
+
+    // Vocabulary coverage curve: the smallest top-k vocabulary (by
+    // frequency, token tiebreak) whose cumulative token mass reaches
+    // 50/90/99% of the corpus — the sizing question every tokenizer /
+    // OOV budget decision starts from. The cumulative window is
+    // GLOBAL but runs over the aggregated VOCAB (one row per distinct
+    // token, already shrunk by a map-side-combinable count), not the
+    // corpus — at 100 TB the vocab is millions of rows, fine for one
+    // sort; the corpus never sorts. Coverage thresholds compare exact
+    // integers (cum·100 ≥ total·pct), so no float crosses the hash.
+    "q171_vocab_coverage" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val vocab = Tables(s, d, "documents")
+          .select(explode(TextOps.whitespaceTokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        val ord = W.orderBy(col("n").desc, col("token"))
+        val ranked = vocab
+          .withColumn("k", row_number().over(ord).cast("long"))
+          .withColumn("cum",
+            sum("n").over(ord.rowsBetween(W.unboundedPreceding, 0)))
+          .withColumn("__k", lit(1))
+        val total = vocab.agg(sum("n").as("total")).withColumn("__k", lit(1))
+        ranked.join(total, "__k")
+          .select(col("k"), col("cum"), col("total"),
+            explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+          .filter(col("cum") * 100 >= col("total") * col("pct"))
+          .groupBy("pct")
+          .agg(min("k").as("k_min"), max("total").as("total_tokens"))
+      },
+      s"""WITH vocab AS (
+         |  SELECT token, count(*) AS n
+         |  FROM (SELECT unnest($wsTokensSql) AS token FROM documents)
+         |  GROUP BY token),
+         |ranked AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         |      AS k,
+         |    CAST(sum(n) OVER (ORDER BY n DESC, token
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM vocab),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vocab),
+         |th AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct)
+         |SELECT pct, CAST(min(k) AS BIGINT) AS k_min,
+         |  CAST(max(total) AS BIGINT) AS total_tokens
+         |FROM ranked, tot, th
+         |WHERE cum * 100 >= total * pct
+         |GROUP BY pct""".stripMargin)
   )
 }
