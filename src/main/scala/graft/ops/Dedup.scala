@@ -416,4 +416,72 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Exact pairwise source-contamination matrix: for every source pair
+    * (a < b), the count of distinct word-n-grams both contain, plus
+    * each side's distinct-gram total and the integer overlap ratio
+    * `shared * 1e6 div min(|a|, |b|)` (ppm of the smaller side —
+    * containment, so a source fully embedded in a bigger one scores
+    * 1e6 regardless of size mismatch). The exact complement of the
+    * MinHash estimate in q146: that sketch ranks candidate source
+    * pairs at 16 numbers per source; this one prices the overlap
+    * exactly for the pairs you act on.
+    *
+    * Scale shape: distinct (source, gram) is one map-side-combinable
+    * shuffle; the self-join key is the gram, so a gram present in k
+    * sources yields k(k-1)/2 rows — bounded by (#sources)², never by
+    * corpus size; per-source totals broadcast. All-integer output.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = docs.select(col(srcCol).as("source"),
+        explode(TextOps.shinglesFromTokens(
+          TextOps.whitespaceTokens(col(textCol)), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val pairs = sh.toDF("src_a", "sh")
+      .join(sh.toDF("src_b", "sh"), "sh")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a").as("source_a"), col("src_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    pairs
+      .join(broadcast(sizes.toDF("source_a", "grams_a")), "source_a")
+      .join(broadcast(sizes.toDF("source_b", "grams_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        col("grams_a"), col("grams_b"),
+        expr("shared_grams * 1000000 DIV least(grams_a, grams_b)")
+          .as("overlap_ppm"))
+  }
+
+  /** Truncation-duplicate detection: crawl snapshots commonly hold the
+    * same document cut at different lengths, which whole-content
+    * hashing (q30) misses and near-dup thresholds may under-score.
+    * Groups documents by their first-k-token prefix; within a group
+    * the longest document wins (ties → smallest id). Emits one row per
+    * document: its group id (smallest doc_id in the group), the group
+    * size, and whether it is the kept representative.
+    *
+    * Scale shape: the prefix is a row-local projection, grouping is
+    * one equi-keyed shuffle on it, and the winner is a second
+    * aggregate over max-length rows — no window over the corpus, no
+    * pairwise stage. All shuffles key on the prefix.
+    */
+  def prefixDupGroups(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextOps.whitespaceTokens(col(textCol)).as("w"))
+    val p = toks.select(col("doc_id"),
+      array_join(slice(col("w"), 1, k), " ").as("prefix"),
+      size(col("w")).cast("long").as("n"))
+    val g = p.groupBy("prefix").agg(
+      min("doc_id").as("grp_id"),
+      count(lit(1)).as("group_size"),
+      max("n").as("mx"))
+    val win = p.join(g, "prefix")
+      .filter(col("n") === col("mx"))
+      .groupBy("prefix").agg(min("doc_id").as("win_id"))
+    p.join(g, "prefix").join(win, "prefix")
+      .select(col("doc_id"), col("grp_id"), col("group_size"),
+        when(col("doc_id") === col("win_id"), 1L).otherwise(0L).as("is_kept"))
+  }
 }

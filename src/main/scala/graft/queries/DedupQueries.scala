@@ -390,6 +390,59 @@ object DedupQueries {
             coalesce(col("agree"), lit(0L)).as("agree"))
           .withColumn("est_jaccard", col("agree").cast("double") / buckets)
       },
-      XxhSql.sourceMinhashOracle(buckets = 16))
+      XxhSql.sourceMinhashOracle(buckets = 16)),
+
+    // Exact source-pair contamination matrix — the priced complement
+    // of q146's MinHash ranking. All-integer output (DIV, not /).
+    "q172_source_overlap" -> Q(
+      (s, d) => Dedup.sourceOverlap(
+        Tables(s, d, "documents"), "source", "text", n = 3),
+      s"""WITH stoks AS (
+         |  SELECT source, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |ssh AS (
+         |  SELECT DISTINCT source,
+         |    unnest(list_distinct(list_transform(
+         |      range(1, greatest(array_length(w) - 1, 1)),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+         |  FROM stoks),
+         |sizes AS (SELECT source, count(*) AS n_grams FROM ssh GROUP BY source),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS shared_grams
+         |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, shared_grams,
+         |  sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+         |  shared_grams * 1000000 // least(sa.n_grams, sb.n_grams) AS overlap_ppm
+         |FROM pairs
+         |JOIN sizes sa ON sa.source = pairs.source_a
+         |JOIN sizes sb ON sb.source = pairs.source_b""".stripMargin),
+
+    // Truncation duplicates: same first-3-token prefix, keep-longest
+    // (tie -> smallest id). Complements whole-content exact dedup.
+    "q173_prefix_dup" -> Q(
+      (s, d) => Dedup.prefixDupGroups(
+        Tables(s, d, "documents"), "doc_id", "text", k = 3),
+      s"""WITH ptoks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, array_to_string(w[1:3], ' ') AS prefix,
+         |    CAST(array_length(w) AS BIGINT) AS n
+         |  FROM ptoks),
+         |g AS (
+         |  SELECT prefix, min(doc_id) AS grp_id, count(*) AS group_size,
+         |    max(n) AS mx
+         |  FROM p GROUP BY prefix),
+         |win AS (
+         |  SELECT p.prefix, min(p.doc_id) AS win_id
+         |  FROM p JOIN g ON g.prefix = p.prefix AND p.n = g.mx
+         |  GROUP BY p.prefix)
+         |SELECT p.doc_id, g.grp_id, g.group_size,
+         |  CAST(p.doc_id = win.win_id AS BIGINT) AS is_kept
+         |FROM p
+         |JOIN g ON g.prefix = p.prefix
+         |JOIN win ON win.prefix = p.prefix""".stripMargin)
   )
 }

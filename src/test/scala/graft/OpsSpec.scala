@@ -418,4 +418,51 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == (("x", 4L)))
     assert(out(3L) == (("y", 4L)))
   }
+
+  test("sourceOverlap: exact shared distinct 3-grams and integer ppm") {
+    // srcA and srcB share exactly the 3-grams of "alpha beta gamma delta"
+    // ("alpha beta gamma", "beta gamma delta"); srcC shares nothing.
+    val d = Seq(
+      (1L, "srcA", "alpha beta gamma delta one two three"),
+      (2L, "srcB", "zero alpha beta gamma delta nine"),
+      (3L, "srcC", "totally different words in here"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(d, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // srcA: 5 distinct 3-grams (7 tokens), srcB: 4 (6 tokens)
+    assert(out(("srcA", "srcB")) == ((2L, 5L, 4L, 2L * 1000000L / 4L)))
+    assert(!out.contains(("srcA", "srcC")))
+    assert(!out.contains(("srcB", "srcC")))
+  }
+
+  test("sourceOverlap: containment scores 1e6 on the smaller side") {
+    val d = Seq(
+      (1L, "big", "a b c d e f"),
+      (2L, "small", "a b c d"))
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(d, "source", "text", n = 3).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // small's 2 grams are both inside big's 4 -> ppm = 1e6
+    assert((r.getString(0), r.getString(1)) == (("big", "small")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((2L, 4L, 2L, 1000000L)))
+  }
+
+  test("prefixDupGroups: longest wins, ties break to smallest id") {
+    val d = Seq(
+      (10L, "the quick fox ran far away"),   // group "the quick fox", n=6
+      (11L, "the quick fox ran"),            // same prefix, shorter
+      (12L, "the quick fox ran far off"),    // same prefix, n=6 tie with 10
+      (20L, "a lone document here"))         // singleton
+      .toDF("doc_id", "text")
+    val out = Dedup.prefixDupGroups(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(10L) == ((10L, 3L, 1L)))  // tie at n=6 -> min id 10 kept
+    assert(out(11L) == ((10L, 3L, 0L)))
+    assert(out(12L) == ((10L, 3L, 0L)))
+    assert(out(20L) == ((20L, 1L, 1L)))
+  }
 }
