@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
+import graft.Tables
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation, stateful gap-based sessionization,
   * incremental dedup, inner/left-outer stream-stream attribution
@@ -21,32 +23,39 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as read under nanosAsLong (the file stores
-    * TIMESTAMP(NANOS); see graft.Tables.events).
+  /** events schema with `ts` read as `tsType` — which must match how
+    * the files physically store it; see [[source]]'s footer probe.
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
-    StructField("value", DoubleType)) :+
-    StructField("props", StringType))
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   private val runId = new AtomicInteger(0)
 
   /** Streaming source over the events parquet with `ts` normalized to
-    * a microsecond timestamp.
+    * a session-TZ microsecond timestamp. A streaming file source needs
+    * an explicit schema, and the right one depends on how the files
+    * store `ts` (raw INT64 nanos, TIMESTAMP(NANOS), or a micros
+    * timestamp — the driver has shipped all three), so the schema is
+    * derived from the same parquet-footer probe the batch loader uses
+    * rather than hardcoded. One driver-side metadata read per source.
     */
   def source(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val storage = Tables.probeTs(spark, Tables.firstDataFile(spark, dir, glob))
+    if (storage == Tables.TsStorage.TimestampNanos)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source requires a directory: scan `dir` with
     // a glob filter selecting only the event dumps
     spark.readStream
-      .schema(rawSchema)
+      .schema(rawSchema(Tables.tsReadType(storage)))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", Tables.normalizeTs(storage))
   }
 
   /** The windowed-count aggregation plan (shared by the memory-sink
