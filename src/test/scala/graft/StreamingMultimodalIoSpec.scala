@@ -393,6 +393,19 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
 
     // a torn/corrupt PNG payload must not crash the pipeline
     assert(Multimodal.decodeImage(png.take(20), dim = 4).isEmpty)
+
+    // and a corrupt row flowing through the BATCHED pipeline next to a
+    // healthy one falls back to the deterministic stub instead of
+    // failing the partition
+    val torn = png.take(20)
+    val mixed = Seq(
+      Multimodal.MediaRecord(3L, png, "image/png", png.length),
+      Multimodal.MediaRecord(4L, torn, "image/png", torn.length)).toDS()
+    val mixedById = Multimodal.extractFeatures(mixed, dim = 4, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(mixedById(3L).feature.toSeq == feat.toSeq) // healthy row unaffected
+    assert(mixedById(4L).feature.toSeq ==
+      Multimodal.stubDecode(torn, 4).toSeq) // corrupt row stubbed, not crashed
   }
 
   test("multimodal: REAL JPEG decode via javax.imageio (encode-decode roundtrip)") {
