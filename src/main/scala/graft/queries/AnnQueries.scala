@@ -634,7 +634,75 @@ object AnnQueries {
            |SELECT e.vec_id, ${s6("sum((e.x - mm.m) * v8.v)")} AS score
            |FROM ex e JOIN mm ON mm.i = e.i JOIN v8 ON v8.j = e.i
            |GROUP BY e.vec_id""".stripMargin
-      })
+      }),
+
+    // Per-dimension corpus standardization (whitening without
+    // rotation): values quantized to integer micro-units up front, so
+    // per-dim mean and variance are EXACT integer aggregates immune to
+    // float summation order; z-scores come out in integer milli-sigma
+    // (trunc-toward-zero division, replicated in the oracle with an
+    // explicit CASE because DuckDB's // floors negatives). Output: the
+    // standardized squared L2 norm per vector — the input a whitened
+    // ANN or outlier stage consumes. Scale shape: two map-side-
+    // combinable aggregations over the exploded (row × dim) frame
+    // keyed on dim (64 groups), stats joined back by BROADCAST; no
+    // window, no all-pairs, one shuffle each pass.
+    "q175_embed_whiten" -> Q(
+      (s, d) => {
+        val dims = Tables(s, d, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            floor(col("x").cast("double") * 1000000L + lit(0.5))
+              .cast("long").as("q"))
+        val mu = dims.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+          .select(col("dim"), col("n"), expr(
+            "CASE WHEN sq >= 0 THEN sq div n ELSE -((-sq) div n) END").as("mu"))
+        val cent = dims.join(broadcast(mu), "dim")
+          .select(col("vec_id"), col("dim"), (col("q") - col("mu")).as("c"), col("n"))
+        val sd = cent.groupBy("dim")
+          .agg(sum(col("c") * col("c")).as("ssc"), max("n").as("n"))
+          .select(col("dim"),
+            floor(sqrt(expr("CAST(ssc div (n - 1) AS DOUBLE)")))
+              .cast("long").as("sd"))
+        cent.join(broadcast(sd), "dim")
+          .select(col("vec_id"), expr(
+            """CASE WHEN sd = 0 THEN 0L
+              | WHEN c >= 0 THEN (c * 1000L) div sd
+              | ELSE -(((-c) * 1000L) div sd) END""".stripMargin).as("z"))
+          .groupBy("vec_id")
+          .agg(sum(col("z") * col("z")).as("znorm2"))
+      },
+      """WITH dims AS (
+        |  SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+        |      AS BIGINT) AS q
+        |  FROM embeddings),
+        |st AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS BIGINT) AS sq
+        |  FROM dims GROUP BY 1),
+        |mu AS (
+        |  SELECT dim, n,
+        |    CASE WHEN sq >= 0 THEN sq // n ELSE -((-sq) // n) END AS mu
+        |  FROM st),
+        |cent AS (
+        |  SELECT d.vec_id, d.dim, d.q - m.mu AS c, m.n
+        |  FROM dims d JOIN mu m USING (dim)),
+        |sd AS (
+        |  SELECT dim,
+        |    CAST(floor(sqrt(CAST(CAST(sum(c * c) AS BIGINT) // (max(n) - 1)
+        |      AS DOUBLE))) AS BIGINT) AS sd
+        |  FROM cent GROUP BY dim),
+        |z AS (
+        |  SELECT vec_id,
+        |    CASE WHEN sd = 0 THEN 0
+        |      WHEN c >= 0 THEN (c * 1000) // sd
+        |      ELSE -(((-c) * 1000) // sd) END AS z
+        |  FROM cent JOIN sd USING (dim))
+        |SELECT vec_id, CAST(sum(z * z) AS BIGINT) AS znorm2
+        |FROM z GROUP BY vec_id""".stripMargin)
   )
 
   /** The q125 codebooks: re-trained identically by the query run and

@@ -965,6 +965,47 @@ object ExtraQueries {
         |    ELSE 200000 // (nv - 2) +
         |      CASE WHEN pos = 2 THEN 200000 % (nv - 2) ELSE 0 END END)
         |    AS BIGINT) AS credit_micro
-        |FROM r GROUP BY user_id""".stripMargin)
+        |FROM r GROUP BY user_id""".stripMargin),
+
+    // Link prediction by resource-allocation index over the q158
+    // part-co-occurrence bipartite graph: candidate part pairs scored
+    // Σ 1e9 div |order| across shared orders — RA weighting (each
+    // shared neighbor's credit splits across its degree) in EXACT
+    // integer math, so the score survives any summation order (the
+    // Adamic-Adar 1/log weight would be float-drift territory). The
+    // wedge join fans out |order|² pairs per shared order — bounded
+    // here by the ≥2-filter on tiny TPC-H orders and in general by the
+    // same degree-cap that keeps q158's orientation bounded; every
+    // stage is an equi-keyed shuffle and the top-30 is a
+    // TakeOrdered driver merge under a total (score, a, b) order.
+    "q178_link_predict" -> Q(
+      (s, d) => {
+        val e = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val k = e.groupBy("o").agg(count(lit(1)).as("k")).filter(col("k") >= 2)
+        val w = e.join(k, "o")
+          .select(col("o"), col("p"), expr("1000000000L div k").as("w"))
+        w.as("a").join(w.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+          .agg(sum(col("a.w")).as("ra_score"), count(lit(1)).as("n_common"))
+          .orderBy(col("ra_score").desc, col("part_a"), col("part_b"))
+          .limit(30)
+      },
+      """WITH e AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |k AS (SELECT o, count(*) AS k FROM e GROUP BY 1 HAVING count(*) >= 2),
+        |w AS (SELECT e.o, e.p, 1000000000 // k.k AS w FROM e JOIN k USING (o)),
+        |pr AS (
+        |  SELECT a.p AS part_a, b.p AS part_b,
+        |    CAST(sum(a.w) AS BIGINT) AS ra_score,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM w a JOIN w b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT part_a, part_b, ra_score, n_common
+        |FROM pr ORDER BY ra_score DESC, part_a, part_b LIMIT 30""".stripMargin)
   )
 }

@@ -431,6 +431,68 @@ object StatsQueries {
         |  last_value(d.n IGNORE NULLS) OVER (PARTITION BY g.prio ORDER BY g.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
         |  CAST(CASE WHEN d.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
-        |FROM grid g LEFT JOIN daily d USING (prio, day)""".stripMargin)
+        |FROM grid g LEFT JOIN daily d USING (prio, day)""".stripMargin),
+
+    // Holt's linear trend (double exponential smoothing) on the daily
+    // event-count series per event type, plus a 7-day-ahead forecast —
+    // the level-AND-trend upgrade of q162's EWMA. The recursion is
+    // inherently sequential per series, so it runs where sequential is
+    // cheap: the corpus collapses to (type × day) counts in one
+    // map-side-combinable pass, each bounded series is assembled with
+    // sort_array(collect_list) inside its group, and ONE codegen'd
+    // `aggregate` fold replays the recursion driver-free — cost scales
+    // with #days, never corpus size. All state is integer micro-units
+    // with trunc-toward-zero division (α=3/10, β=2/10), replayed in
+    // the oracle by a recursive CTE whose CASE division matches
+    // Spark's `div` on negative trends (DuckDB's // floors).
+    "q177_holt_trend" -> Q(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("s"))
+          .withColumn("ys", expr("transform(s, e -> e.n * 1000000L)"))
+          .filter(size(col("ys")) >= 2)
+          .withColumn("lb", expr(
+            """aggregate(slice(ys, 3, size(ys) - 2),
+              |  named_struct('l', ys[0], 'b', ys[1] - ys[0]),
+              |  (acc, y) -> named_struct(
+              |    'l', (3L*y + 7L*(acc.l + acc.b)) div 10L,
+              |    'b', (2L*(((3L*y + 7L*(acc.l + acc.b)) div 10L) - acc.l)
+              |          + 8L*acc.b) div 10L))""".stripMargin))
+          .select(col("event_type"),
+            col("lb.l").as("l_micro"), col("lb.b").as("b_micro"),
+            (col("lb.l") + lit(7L) * col("lb.b")).as("f7_micro"))
+      }, {
+        def tdiv(a: String, b: Int) =
+          s"CASE WHEN ($a) >= 0 THEN ($a) // $b ELSE -((-($a)) // $b) END"
+        val lNext = tdiv("3*e.y + 7*(r.l + r.b)", 10)
+        val bNext = tdiv(s"2*(($lNext) - r.l) + 8*r.b", 10)
+        s"""WITH RECURSIVE daily AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    CAST(count(*) AS BIGINT) * 1000000 AS y
+           |  FROM events GROUP BY 1, 2),
+           |idx AS (
+           |  SELECT event_type, y,
+           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+           |      AS BIGINT) AS t,
+           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+           |  FROM daily),
+           |rec AS (
+           |  SELECT a.event_type, a.y AS l, b.y - a.y AS b,
+           |    CAST(3 AS BIGINT) AS t, a.m
+           |  FROM idx a JOIN idx b
+           |    ON a.event_type = b.event_type AND a.t = 1 AND b.t = 2
+           |  WHERE a.m >= 2
+           |  UNION ALL
+           |  SELECT r.event_type, $lNext, $bNext, r.t + 1, r.m
+           |  FROM rec r JOIN idx e
+           |    ON e.event_type = r.event_type AND e.t = r.t
+           |  WHERE r.t <= r.m)
+           |SELECT event_type, l AS l_micro, b AS b_micro,
+           |  l + 7*b AS f7_micro
+           |FROM rec WHERE t = m + 1""".stripMargin
+      })
   )
 }

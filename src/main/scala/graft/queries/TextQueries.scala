@@ -1048,6 +1048,108 @@ object TextQueries {
          |  CAST(max(total) AS BIGINT) AS total_tokens
          |FROM ranked, tot, th
          |WHERE cum * 100 >= total * pct
-         |GROUP BY pct""".stripMargin)
+         |GROUP BY pct""".stripMargin),
+
+    // Cross-document repeated-span detection — the word-level proxy
+    // for suffix-array substring dedup (memorization hot-spots,
+    // boilerplate, licence headers): every 5-gram span appearing in
+    // ≥ 2 distinct documents, ranked by reach then total occurrences.
+    // One explode → one map-side-combinable groupBy on the span (the
+    // span IS the shuffle key — never all-pairs), then a global top-k
+    // that Spark executes as per-partition TakeOrdered + driver merge
+    // of 40 rows. The (n_docs, n_occ, span) sort key is a total order,
+    // so the limit is deterministic across engines.
+    "q174_repeated_spans" -> Q(
+      (s, d) => {
+        val grams = Tables(s, d, "documents")
+          .select(col("doc_id"), explode(TextOps.ngramsFromTokens(
+            TextOps.whitespaceTokens(col("text")), 5)).as("span"))
+        grams.groupBy("span")
+          .agg(countDistinct("doc_id").as("n_docs"),
+            count(lit(1)).as("n_occ"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+          .limit(40)
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, $wsTokensSql AS w FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, greatest(array_length(w) - 3, 1)),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+         |           w[i+3] || ' ' || w[i+4])) AS span
+         |  FROM toks)
+         |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occ
+         |FROM g GROUP BY span
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, span
+         |LIMIT 40""".stripMargin),
+
+    // Count-min-sketch heavy hitters: d=4 rows × w=512 counters,
+    // bucket_i = bits [13i, 13i+9) of XXH64(token) — four independent
+    // views carved from ONE hash evaluation, so the sketch is a pure
+    // integer fold (bucket sums of occurrence counts) that any engine
+    // replays bit-exactly. Reported: every token whose CMS estimate
+    // (min over the 4 row counters) reaches 0.1% of the corpus — a
+    // superset of the true heavy hitters by the CMS overestimate
+    // guarantee, with the exact count alongside to expose the error.
+    // Scale shape: the sketch is 2 KB; each row-counter table is a
+    // map-side-combinable groupBy of the VOCAB frame, joined back by
+    // BROADCAST (512 rows). The corpus shuffles once, on the token.
+    // Oracle: the same bucket math over XxhSql's pure-SQL XXH64.
+    "q176_cms_heavy_hitters" -> Q(
+      (s, d) => {
+        val cnts = Tables(s, d, "documents")
+          .select(explode(TextOps.whitespaceTokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("exact_n"))
+          .withColumn("h", xxhash64(col("token")))
+        def bucket(i: Int) =
+          (if (i == 0) col("h") else shiftrightunsigned(col("h"), 13 * i))
+            .bitwiseAND(lit(511L))
+        val tb = cnts.select(col("token"), col("exact_n"),
+          bucket(0).as("b0"), bucket(1).as("b1"),
+          bucket(2).as("b2"), bucket(3).as("b3")).persist()
+        val est = (0 to 3).foldLeft(tb) { (acc, i) =>
+          val sums = tb.groupBy(col(s"b$i")).agg(sum("exact_n").as(s"s$i"))
+          acc.join(broadcast(sums), s"b$i")
+        }
+        val total = tb.agg(sum("exact_n").as("total")).withColumn("__k", lit(1))
+        est.withColumn("cms_est", least(col("s0"), col("s1"), col("s2"), col("s3")))
+          .withColumn("__k", lit(1))
+          .join(broadcast(total), "__k")
+          .filter(col("cms_est") * 1000 >= col("total"))
+          .select(col("token"), col("exact_n"), col("cms_est"))
+      }, {
+        val items =
+          s"""items AS (
+             |  SELECT tok AS k, tok FROM (
+             |    SELECT DISTINCT unnest($wsTokensSql) AS tok FROM documents))"""
+            .stripMargin
+        s"""WITH ${XxhSql.hashCtes(items, "k")},
+           |cnts AS (
+           |  SELECT tok AS k, CAST(count(*) AS BIGINT) AS exact_n
+           |  FROM (SELECT unnest($wsTokensSql) AS tok FROM documents)
+           |  GROUP BY 1),
+           |cm AS (
+           |  SELECT c.k AS token, c.exact_n,
+           |    CAST(h % 512 AS BIGINT) AS b0,
+           |    CAST((h // 8192) % 512 AS BIGINT) AS b1,
+           |    CAST((h // 67108864) % 512 AS BIGINT) AS b2,
+           |    CAST((h // 549755813888) % 512 AS BIGINT) AS b3
+           |  FROM cnts c JOIN hashed x ON x.k = c.k),
+           |s0 AS (SELECT b0 AS b, CAST(sum(exact_n) AS BIGINT) AS s FROM cm GROUP BY 1),
+           |s1 AS (SELECT b1 AS b, CAST(sum(exact_n) AS BIGINT) AS s FROM cm GROUP BY 1),
+           |s2 AS (SELECT b2 AS b, CAST(sum(exact_n) AS BIGINT) AS s FROM cm GROUP BY 1),
+           |s3 AS (SELECT b3 AS b, CAST(sum(exact_n) AS BIGINT) AS s FROM cm GROUP BY 1),
+           |tot AS (SELECT CAST(sum(exact_n) AS BIGINT) AS total FROM cm)
+           |SELECT token, exact_n,
+           |  least(s0.s, s1.s, s2.s, s3.s) AS cms_est
+           |FROM cm
+           |JOIN s0 ON cm.b0 = s0.b JOIN s1 ON cm.b1 = s1.b
+           |JOIN s2 ON cm.b2 = s2.b JOIN s3 ON cm.b3 = s3.b, tot
+           |WHERE least(s0.s, s1.s, s2.s, s3.s) * 1000 >= tot.total"""
+          .stripMargin
+      })
   )
 }
