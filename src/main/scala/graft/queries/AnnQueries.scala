@@ -702,7 +702,58 @@ object AnnQueries {
         |      ELSE -(((-c) * 1000) // sd) END AS z
         |  FROM cent JOIN sd USING (dim))
         |SELECT vec_id, CAST(sum(z * z) AS BIGINT) AS znorm2
-        |FROM z GROUP BY vec_id""".stripMargin)
+        |FROM z GROUP BY vec_id""".stripMargin),
+
+    // Matryoshka truncation evaluation: top-10 retrieval under the
+    // first-16-dim prefix vs the full 64-dim cosine, reported as
+    // per-query overlap — the offline gate before deploying truncated
+    // embeddings (4× less storage/bandwidth) to an ANN tier. Both
+    // rankings are the exact brute baseline with broadcast query
+    // vectors and total-order tiebreaks; cosines are sequential double
+    // folds on BOTH engines, so the overlap counts are deterministic.
+    // At corpus scale the same evaluation runs over a sampled query
+    // set with the candidate stage swapped for IVF/LSH — the rank-
+    // compare shape is unchanged.
+    "q179_matryoshka_recall" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 5)
+        val full = Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        val emb16 = emb.withColumn("emb16", slice(col("embedding"), 1, 16))
+        val trunc = Similarity.bruteForceTopK(
+            emb16, emb16.filter(col("vec_id") < 5), "vec_id", "emb16", k = 10)
+          .select(col("query_id"), col("neighbor_id"))
+        full.join(trunc, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_overlap"))
+          .withColumn("recall_pct", col("n_overlap") * 10)
+      },
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id < 5),
+         |full_rank AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ($cosExpr) DESC, neighbor_id) AS rank
+         |  FROM p),
+         |p16 AS (
+         |  SELECT query_id, neighbor_id,
+         |    ea[1:16] AS ea, eb[1:16] AS eb FROM p),
+         |trunc_rank AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ($cosExpr) DESC, neighbor_id) AS rank
+         |  FROM p16)
+         |SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+         |  CAST(count(*) AS BIGINT) * 10 AS recall_pct
+         |FROM full_rank f JOIN trunc_rank t
+         |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+         |  AND f.rank <= 10 AND t.rank <= 10
+         |GROUP BY f.query_id""".stripMargin)
   )
 
   /** The q125 codebooks: re-trained identically by the query run and

@@ -1006,6 +1006,43 @@ object ExtraQueries {
         |  FROM w a JOIN w b ON a.o = b.o AND a.p < b.p
         |  GROUP BY 1, 2)
         |SELECT part_a, part_b, ra_score, n_common
-        |FROM pr ORDER BY ra_score DESC, part_a, part_b LIMIT 30""".stripMargin)
+        |FROM pr ORDER BY ra_score DESC, part_a, part_b LIMIT 30""".stripMargin),
+
+    // Path mining: each user's first-4-event journey as an ordered
+    // type string, ranked by population — the onboarding-funnel /
+    // behavioral-cohort shape. One window over the user partition
+    // (rank ties broken by event_id → total order), per-user paths
+    // assembled with sort_array(collect_list) INSIDE the group (a
+    // bare collect_list after a shuffle has no order guarantee), then
+    // a map-side-combinable count and a 20-row TakeOrdered driver
+    // merge. Path cardinality is |types|^4 at worst — tiny at any
+    // corpus size.
+    "q181_top_paths" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .groupBy("user_id")
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            e => e.getField("event_type")), ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 4 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)
   )
 }

@@ -493,6 +493,49 @@ object StatsQueries {
            |SELECT event_type, l AS l_micro, b AS b_micro,
            |  l + 7*b AS f7_micro
            |FROM rec WHERE t = m + 1""".stripMargin
+      }),
+
+    // HyperLogLog register construction for distinct users per event
+    // type: bucket = low 8 hash bits, register = max leading-zero run
+    // (+1) of the remaining 56 bits. The register table IS the
+    // mergeable sketch — union + max-combine across partitions, days,
+    // or clusters gives incremental COUNT DISTINCT at any scale, and
+    // building it is one map-side-combinable max-aggregation keyed on
+    // (type, bucket). Deterministic cross-engine: the hash is XXH64 of
+    // the DECIMAL-STRING user id (one canonical byte form for both
+    // engines), and the zero-run length comes from the minimal binary
+    // string (bin()) both engines render identically — no float log2.
+    "q180_hll_registers" -> Q(
+      (s, d) => {
+        val h = xxhash64(col("user_id").cast("string"))
+        val v = shiftrightunsigned(h, 8)
+        Tables(s, d, "events")
+          .select(col("event_type"),
+            h.bitwiseAND(lit(255L)).as("bucket"),
+            when(v === 0, lit(57L))
+              .otherwise(lit(57L) - length(bin(v))).as("rho"))
+          .groupBy("event_type", "bucket")
+          .agg(max("rho").as("max_rho"))
+      }, {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+            .stripMargin
+        s"""WITH ${XxhSql.hashCtes(items, "k")},
+           |hb AS (
+           |  SELECT k,
+           |    CAST(h % 256 AS BIGINT) AS bucket,
+           |    CAST(h // 256 AS BIGINT) AS v
+           |  FROM hashed),
+           |hr AS (
+           |  SELECT k, bucket,
+           |    CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS rho
+           |  FROM hb)
+           |SELECT e.event_type, hr.bucket,
+           |  CAST(max(hr.rho) AS BIGINT) AS max_rho
+           |FROM events e JOIN hr ON hr.k = CAST(e.user_id AS VARCHAR)
+           |GROUP BY 1, 2""".stripMargin
       })
   )
 }
