@@ -47,10 +47,33 @@ object PageRank {
     * the teleport vector, so ranks concentrate around the seed set
     * (personalized PageRank). Omitted = uniform `t = 1` everywhere,
     * the classic global walk. Nodes missing from the frame get t = 0.
+    *
+    * `partitions` pins the shuffle width for the run. Each round pays
+    * per-partition task/exchange overhead on the |V|-sized rank frame
+    * regardless of rows, so the width should track key cardinality:
+    * a caller whose graph is thousands of nodes passes a small width;
+    * at cluster scale callers leave it None and inherit the session's
+    * width (sized to the big frames). A per-operator property, like
+    * streaming state partitions — scoped to this run and restored.
     */
   def run(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85,
-      teleport: Option[DataFrame] = None): DataFrame = {
+      teleport: Option[DataFrame] = None,
+      partitions: Option[Int] = None): DataFrame = partitions match {
+    case Some(p) =>
+      val spark = edges.sparkSession
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, p)
+      // every job of the run — persists, per-round checkpoints, the
+      // final count — executes inside run0, so the scope is tight
+      try run0(edges, iterations, damping, teleport)
+      finally spark.conf.set(key, prev)
+    case None => run0(edges, iterations, damping, teleport)
+  }
+
+  private def run0(edges: DataFrame, iterations: Int,
+      damping: Double, teleport: Option[DataFrame]): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
     // The edge frame is consumed once per iteration: persist it (or
     // every round re-executes whatever plan produced the edges —

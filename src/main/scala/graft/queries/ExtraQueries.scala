@@ -264,7 +264,7 @@ object ExtraQueries {
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .union(pairs.select(col("p").as("src"), col("c").as("dst")))
-        PageRank.run(edges, iterations = 5)
+        PageRank.run(edges, iterations = 5, partitions = Some(8))
           .select(col("node"), col("rank").as("score"))
       },
       {
@@ -320,7 +320,8 @@ object ExtraQueries {
         val nSeeds = members.count()
         val tele = members
           .select(col("node"), lit(nNodes.toDouble / nSeeds).as("t"))
-        val out = PageRank.run(edges, iterations = 5, teleport = Some(tele))
+        val out = PageRank.run(edges, iterations = 5, teleport = Some(tele),
+          partitions = Some(8))
           .select(col("node"), col("rank").as("score"))
         pairs.unpersist()
         out
