@@ -88,6 +88,41 @@ object DedupQueries {
         Tables(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5),
       jaccardOracle("0.5")),
 
+    // Asymmetric shingle CONTAINMENT — resemblance's companion metric
+    // (Broder): |Sh(src) ∩ Sh(dst)| / |Sh(src)| catches a small doc
+    // quoted/embedded inside a much larger one, which symmetric
+    // Jaccard dilutes below any usable threshold. Directional pairs at
+    // ≥ 0.9, containment emitted as an exact integer micro-ratio (no
+    // float crosses the hash). Same inverted-index equi-join shape as
+    // q32 (the documented exact baseline); at corpus scale the
+    // candidate stage swaps for MinHash-LSH with this as the verify.
+    "q182_containment" -> Q(
+      (s, d) => {
+        val sh = Dedup.shingleRows(Tables(s, d, "documents"),
+          "doc_id", "text", 3)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") =!= col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("src"), col("n").as("n_src")), "src")
+          .withColumn("containment_q6", expr("(inter * 1000000L) div n_src"))
+          .filter(col("containment_q6") >= 900000L)
+      },
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+         |  FROM sh a JOIN sh b
+         |    ON a.sh = b.sh AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT src, dst, CAST(i AS BIGINT) AS inter,
+         |  CAST(sz.n AS BIGINT) AS n_src,
+         |  (i * 1000000) // sz.n AS containment_q6
+         |FROM inter JOIN sizes sz ON sz.doc_id = src
+         |WHERE (i * 1000000) // sz.n >= 900000""".stripMargin),
+
     // Same exact semantics via PREFIX FILTERING (AllPairs/PPJoin):
     // rarest-first prefix self-join + size-ratio filter + candidate-
     // proportional verify — the candidate-sparse scale path when the

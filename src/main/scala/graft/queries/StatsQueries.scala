@@ -516,26 +516,7 @@ object StatsQueries {
               .otherwise(lit(57L) - length(bin(v))).as("rho"))
           .groupBy("event_type", "bucket")
           .agg(max("rho").as("max_rho"))
-      }, {
-        val items =
-          """items AS (
-            |  SELECT k, k AS tok FROM (
-            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
-            .stripMargin
-        s"""WITH ${XxhSql.hashCtes(items, "k")},
-           |hb AS (
-           |  SELECT k,
-           |    CAST(h % 256 AS BIGINT) AS bucket,
-           |    CAST(h // 256 AS BIGINT) AS v
-           |  FROM hashed),
-           |hr AS (
-           |  SELECT k, bucket,
-           |    CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS rho
-           |  FROM hb)
-           |SELECT e.event_type, hr.bucket,
-           |  CAST(max(hr.rho) AS BIGINT) AS max_rho
-           |FROM events e JOIN hr ON hr.k = CAST(e.user_id AS VARCHAR)
-           |GROUP BY 1, 2""".stripMargin
-      })
+      },
+      XxhSql.hllRegistersOracle)
   )
 }

@@ -54,6 +54,15 @@ object StreamQueries {
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY lang""".stripMargin),
 
+    // Streaming distinct-user sketch: q180's HyperLogLog registers
+    // maintained incrementally by a streaming max-aggregation —
+    // bounded (type × 256) state forever, max-combine idempotent
+    // under replay. Complete-mode over the static directory equals
+    // the batch register build, so the two share one oracle.
+    "q183_stream_hll" -> Q(
+      (s, d) => EventStream.hllRegisters(s, d),
+      XxhSql.hllRegistersOracle),
+
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows
     // equal the batch time-range self-join — the exact oracle below

@@ -185,6 +185,36 @@ object XxhSql {
        |  ON ag.source_a = ap.source_a AND ag.source_b = ap.source_b""".stripMargin
   }
 
+  /** q180/q183 oracle: HyperLogLog registers for distinct users per
+    * event type — bucket = low 8 bits of XXH64 of the DECIMAL-STRING
+    * user id, register = leading-zero run (+1) of the remaining 56
+    * bits via the minimal binary string (both engines' bin() — no
+    * float log2). Shared by the batch builder and the streaming
+    * maintainer, whose complete-mode result over a static directory
+    * is the identical table.
+    */
+  def hllRegistersOracle: String = {
+    val items =
+      """items AS (
+        |  SELECT k, k AS tok FROM (
+        |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+        .stripMargin
+    s"""WITH ${hashCtes(items, "k")},
+       |hb AS (
+       |  SELECT k,
+       |    CAST(h % 256 AS BIGINT) AS bucket,
+       |    CAST(h // 256 AS BIGINT) AS v
+       |  FROM hashed),
+       |hr AS (
+       |  SELECT k, bucket,
+       |    CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END AS rho
+       |  FROM hb)
+       |SELECT e.event_type, hr.bucket,
+       |  CAST(max(hr.rho) AS BIGINT) AS max_rho
+       |FROM events e JOIN hr ON hr.k = CAST(e.user_id AS VARCHAR)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Full q33 oracle: sketches + exact all-pairs Hamming filter (the
     * engine's blocked join is exhaustive at maxDist <= 3 by
     * pigeonhole, so all-pairs is the equivalent ground truth).

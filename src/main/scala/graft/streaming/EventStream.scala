@@ -300,6 +300,31 @@ object EventStream {
     compactLog(spark, sinkPath, Seq(segCol))
   }
 
+  /** Streaming HyperLogLog register maintenance: the q180 sketch kept
+    * current by a streaming max-aggregation. State is the register
+    * table itself — (type × 256) rows however long the stream runs,
+    * and max-combine makes every update idempotent and replay-safe
+    * (the at-least-once sink contract costs nothing here). This is
+    * the scale path for "distinct users so far" dashboards: O(batch)
+    * per trigger, never a re-scan of history. Against a static
+    * directory the complete-mode result equals the batch builder —
+    * the q183 oracle.
+    */
+  def hllRegisters(spark: SparkSession, dir: String,
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val h = xxhash64(col("user_id").cast("string"))
+    val v = shiftrightunsigned(h, 8)
+    val agg = source(spark, dir)
+      .select(col("event_type"),
+        h.bitwiseAND(lit(255L)).as("bucket"),
+        when(v === 0, lit(57L))
+          .otherwise(lit(57L) - length(bin(v))).as("rho"))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").as("max_rho"))
+    val name = s"graft_stream_hll_${runId.incrementAndGet()}"
+    runToTable(spark, agg, name, statePartitions = statePartitions)
+  }
+
   /** The view→click attribution stream-stream join plan: each click is
     * attributed to every view by the same user in the preceding
     * `attribution` window. Both sides carry watermarks, so the join
