@@ -661,6 +661,67 @@ object ScaleQueries {
         | sum(l_quantity) AS sum_l_quantity,
         | sum(l_quantity) / count(*) AS avg_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus""".stripMargin),
+
+    // Compaction planning — the small-files answer: assign each file
+    // (documents standing in for a file inventory: one row per file,
+    // n_chars as bytes, source as the directory prefix) to a merge
+    // group by exclusive-cumulative-sum div target, so groups pack the
+    // sorted run to ~64 KB boundaries deterministically. The plan runs
+    // over file METADATA (one row per file — millions of rows at
+    // 100 TB, never the data), one window per source prefix; the
+    // groups then drive parallel concat-rewrites. Pure integer math:
+    // identical group ids on any engine.
+    "q184_compaction_plan" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(W.unboundedPreceding, -1)
+        Tables(s, d, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("before", coalesce(sum("n_chars").over(w), lit(0L)))
+          .withColumn("grp", expr("before div 65536L"))
+          .groupBy("source", "grp")
+          .agg(count(lit(1)).as("n_files"),
+            sum("n_chars").as("bytes"),
+            min("doc_id").as("first_file"),
+            max("doc_id").as("last_file"))
+      },
+      """WITH inv AS (
+        |  SELECT source, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM documents)
+        |SELECT source, CAST(before // 65536 AS BIGINT) AS grp,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_file, max(doc_id) AS last_file
+        |FROM inv GROUP BY 1, 2""".stripMargin),
+
+    // Zone-map pruning — the file-skipping half of the layout story
+    // (q184 plans the rewrite; this measures what the reader gains).
+    // One map-side-combinable agg builds per-block (= per-file at
+    // scale: 64 consecutive doc_ids) min/max zone maps on n_chars,
+    // then each predicate's skip decision is a pure comparison on the
+    // block row: `n_chars > T` skips a block iff max_n <= T. At 100 TB
+    // the zone-map table is one row per file — the scan it replaces is
+    // the whole corpus. Pure integer min/max: identical on any engine.
+    "q185_zone_map_prune" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(expr("doc_id div 64").as("block"), col("n_chars"))
+          .groupBy("block")
+          .agg(count(lit(1)).as("n_rows"),
+            min("n_chars").as("min_n"), max("n_chars").as("max_n"))
+          .withColumn("skip_gt_2000", (col("max_n") <= 2000).cast("boolean"))
+          .withColumn("skip_gt_6000", (col("max_n") <= 6000).cast("boolean"))
+          .withColumn("skip_lt_500", (col("min_n") >= 500).cast("boolean")),
+      """SELECT CAST(doc_id // 64 AS BIGINT) AS block,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(n_chars) AS min_n, max(n_chars) AS max_n,
+        |  max(n_chars) <= 2000 AS skip_gt_2000,
+        |  max(n_chars) <= 6000 AS skip_gt_6000,
+        |  min(n_chars) >= 500 AS skip_lt_500
+        |FROM documents GROUP BY 1""".stripMargin)
   )
 }

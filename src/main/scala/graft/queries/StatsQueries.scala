@@ -517,6 +517,237 @@ object StatsQueries {
           .groupBy("event_type", "bucket")
           .agg(max("rho").as("max_rho"))
       },
-      XxhSql.hllRegistersOracle)
+      XxhSql.hllRegistersOracle),
+
+    // Mergeable log2 histogram — the sketch behind "what does this
+    // column look like" at 100 TB: bucket = floor(log2(n_chars)) via
+    // the minimal binary string (bin(), identical on both engines —
+    // no float log2), so the whole profile is one map-side-combinable
+    // count keyed on (source, bucket); histograms from different
+    // partitions/days/clusters merge by adding counts. The cumulative
+    // pass and the median-bucket flag run on the ~60-row bucket table,
+    // never the corpus. Pure integer math.
+    "q186_log_histogram" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val b = Tables(s, d, "documents")
+          .filter(col("n_chars") >= 1)
+          .select(col("source"),
+            (length(bin(col("n_chars"))) - 1).cast("long").as("bucket"))
+          .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+        b.withColumn("cum",
+            sum("n").over(W.partitionBy("source").orderBy("bucket")
+              .rowsBetween(W.unboundedPreceding, 0)))
+          .withColumn("total", sum("n").over(W.partitionBy("source")))
+          .withColumn("lo", expr("shiftleft(1L, cast(bucket AS int))"))
+          .withColumn("is_median_bucket",
+            col("cum") - col("n") < expr("(total + 1) div 2") &&
+              expr("(total + 1) div 2") <= col("cum"))
+          .select("source", "bucket", "lo", "n", "cum", "is_median_bucket")
+      },
+      """WITH b AS (
+        |  SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars >= 1 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, bucket, n,
+        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM b)
+        |SELECT source, bucket, CAST(1 AS BIGINT) << bucket AS lo, n, cum,
+        |  cum - n < (total + 1) // 2 AND (total + 1) // 2 <= cum
+        |    AS is_median_bucket
+        |FROM c""".stripMargin),
+
+    // Weekly seasonality profile: per (event_type, ISO day-of-week)
+    // volume and its seasonal index in parts-per-million of a flat
+    // week (n·7·1e6 / type total). One map-side-combinable count to a
+    // ≤ 7·|types| frame; the window normalization runs on that tiny
+    // aggregate. Integer division on positive values — identical
+    // everywhere. The index table drives downsampling/alerting
+    // schedules without ever rescanning the corpus.
+    "q187_weekly_seasonality" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        Tables(s, d, "events")
+          .select(col("event_type"),
+            (expr("weekday(ts)") + 1).cast("long").as("dow"))
+          .groupBy("event_type", "dow").agg(count(lit(1)).as("n"))
+          .withColumn("idx_pm",
+            expr("(n * 7 * 1000000) div sum(n) OVER (PARTITION BY event_type)"))
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, dow, n,
+        |  CAST((n * 7 * 1000000) // CAST(sum(n) OVER (PARTITION BY event_type)
+        |    AS BIGINT) AS BIGINT) AS idx_pm
+        |FROM daily""".stripMargin),
+
+    // CUSUM change-point detection: per event_type, cumulative sum of
+    // (daily count − series mean) in integer micro-units; the day
+    // where |CUSUM| peaks is the level-shift candidate. The corpus
+    // collapses to (type × day) counts in one map-side-combinable
+    // pass; every window after that runs on the bounded daily series.
+    // Mean uses trunc division on a positive total; the argmax row is
+    // tie-broken by day for determinism.
+    "q189_cusum_changepoint" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val g = W.partitionBy("event_type")
+        val run = g.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily
+          .withColumn("n_days", count(lit(1)).over(g))
+          .withColumn("mean_micro", expr(
+            "(sum(n) OVER (PARTITION BY event_type) * 1000000) div n_days"))
+          .withColumn("cusum_micro",
+            sum(expr("n * 1000000 - mean_micro")).over(run))
+          .withColumn("rn", row_number().over(
+            g.orderBy(abs(col("cusum_micro")).desc, col("day"))))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("day").as("cp_day"),
+            col("cusum_micro"), col("n_days"))
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, day, n,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+        |    CAST((CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |      * 1000000) // CAST(count(*) OVER (PARTITION BY event_type)
+        |      AS BIGINT) AS BIGINT) AS mean_micro
+        |  FROM daily),
+        |cs AS (
+        |  SELECT event_type, day, n_days,
+        |    CAST(sum(n * 1000000 - mean_micro) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cusum_micro
+        |  FROM st)
+        |SELECT event_type, day AS cp_day, cusum_micro, n_days
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(cusum_micro) DESC, day) AS rn FROM cs)
+        |WHERE rn = 1""".stripMargin),
+
+    // Theil–Sen robust trend: per event_type, the (lower-)median of
+    // all pairwise day-to-day slopes of the daily-count series, in
+    // micro-counts/day. The corpus reduces to (type × day) counts
+    // first — the quadratic pair stage runs on that bounded aggregate
+    // (D days → D·(D−1)/2 tiny rows per type), never on events. A
+    // single outlier day moves the median slope not at all — the
+    // robust answer to "is this stream growing". Trunc-toward-zero
+    // division replayed in the oracle with the q177 CASE (DuckDB's
+    // // floors, Spark's div truncates; slopes go negative).
+    "q190_theil_sen" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val idx = daily
+          .withColumn("i",
+            row_number().over(W.partitionBy("event_type").orderBy("day"))
+              .cast("long"))
+          .select("event_type", "i", "n")
+        val pairs = idx.as("a").join(idx.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("a.i") < col("b.i"))
+          .select(col("a.event_type").as("event_type"),
+            expr("((b.n - a.n) * 1000000L) div (b.i - a.i)").as("slope_pm"))
+        pairs
+          .withColumn("rn", row_number().over(
+            W.partitionBy("event_type").orderBy("slope_pm")))
+          .withColumn("n_pairs",
+            count(lit(1)).over(W.partitionBy("event_type")))
+          .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+          .select(col("event_type"), col("n_pairs"),
+            col("slope_pm").as("med_slope_pm"))
+      },
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily),
+        |pr AS (
+        |  SELECT a.event_type,
+        |    CAST(CASE WHEN b.n - a.n >= 0
+        |      THEN ((b.n - a.n) * 1000000) // (b.i - a.i)
+        |      ELSE -((-((b.n - a.n) * 1000000)) // (b.i - a.i)) END
+        |      AS BIGINT) AS slope_pm
+        |  FROM idx a JOIN idx b
+        |    ON a.event_type = b.event_type AND a.i < b.i),
+        |rk AS (
+        |  SELECT event_type, slope_pm,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope_pm)
+        |      AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+        |  FROM pr)
+        |SELECT event_type, n_pairs, slope_pm AS med_slope_pm
+        |FROM rk WHERE rn = (n_pairs + 1) // 2""".stripMargin),
+
+    // KMV (bottom-k) distinct sketch: per event_type keep the k = 64
+    // smallest XXH64 values of the distinct user ids; the k-th value
+    // v_k estimates distinct count as (k−1)·(2^62 div v_k) — the
+    // classic KMV estimator in pure integer math (hashes pre-shifted
+    // into [0, 2^62) so every engine agrees on sign and division).
+    // Unlike HLL (q180) the bottom-k SET also supports intersection /
+    // union estimates across sketches. Candidate pruning is a rank
+    // filter per type; at scale the distinct-hash frame, not the
+    // event stream, feeds the sort. Deterministic cross-engine via
+    // the XxhSql XXH64 replay on decimal-string user ids.
+    "q192_kmv_distinct" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val v = shiftrightunsigned(
+          xxhash64(col("user_id").cast("string")), 2)
+        Tables(s, d, "events")
+          .select(col("event_type"), v.as("v"))
+          .filter(col("v") > 0)
+          .distinct()
+          .withColumn("rn",
+            row_number().over(W.partitionBy("event_type").orderBy("v"))
+              .cast("long"))
+          .withColumn("nv", count(lit(1)).over(W.partitionBy("event_type")))
+          .withColumn("k_used", least(lit(64L), col("nv")))
+          .filter(col("rn") === col("k_used"))
+          .select(col("event_type"), col("k_used"), col("v").as("vk"),
+            expr("(k_used - 1) * (4611686018427387904L div v)")
+              .as("est_distinct"),
+            col("nv").as("n_distinct_hashes"))
+      }, {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+            .stripMargin
+        s"""WITH ${XxhSql.hashCtes(items, "k")},
+           |hv AS (
+           |  SELECT DISTINCT e.event_type, CAST(h.h // 4 AS BIGINT) AS v
+           |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
+           |  WHERE h.h // 4 > 0),
+           |rk AS (
+           |  SELECT event_type, v,
+           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+           |      AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nv
+           |  FROM hv)
+           |SELECT event_type,
+           |  CAST(least(64, nv) AS BIGINT) AS k_used, v AS vk,
+           |  CAST((least(64, nv) - 1) * (4611686018427387904 // v)
+           |    AS BIGINT) AS est_distinct,
+           |  nv AS n_distinct_hashes
+           |FROM rk WHERE rn = least(64, nv)""".stripMargin
+      })
   )
 }

@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral guarantees of the round-7 operators, beyond the oracle
+  * equality the driver gate already proves:
+  *  - the CMS estimate NEVER undercounts (the sketch's one-sided
+  *    error contract q176's consumers rely on),
+  *  - HLL registers are MERGEABLE: registers(A ∪ B) = max-combine of
+  *    registers(A), registers(B) — the property that makes the sketch
+  *    an incremental/partitioned distinct count,
+  *  - containment catches a small doc quoted inside a big one where
+  *    symmetric Jaccard stays far below threshold (the metric's
+  *    reason to exist),
+  *  - the Holt fold equals a reference sequential recursion,
+  *  - the compaction planner's groups respect the byte target.
+  */
+class NewOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  val dir = "/root/testdata/sf0.001"
+
+  test("CMS heavy-hitter estimates never undercount the exact frequency") {
+    val out = SparkEntry.queries("q176_cms_heavy_hitters")(spark, dir)
+      .select("token", "exact_n", "cms_est")
+      .as[(String, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, exact, est) => est >= exact },
+      "CMS must be a one-sided overestimate")
+  }
+
+  test("HLL registers merge: registers(union) == max-combine of halves") {
+    def regs(df: org.apache.spark.sql.DataFrame) = {
+      val h = xxhash64(col("user_id").cast("string"))
+      val v = shiftrightunsigned(h, 8)
+      df.select(col("event_type"), h.bitwiseAND(lit(255L)).as("bucket"),
+          when(v === 0, lit(57L)).otherwise(lit(57L) - length(bin(v))).as("rho"))
+        .groupBy("event_type", "bucket").agg(max("rho").as("max_rho"))
+        .as[(String, Long, Long)].collect()
+        .map { case (t, bkt, r) => (t, bkt) -> r }.toMap
+    }
+    val ev = Tables(spark, dir, "events").select("event_type", "user_id")
+    val a = ev.filter(col("user_id") % 2 === 0)
+    val b = ev.filter(col("user_id") % 2 =!= 0)
+    val whole = regs(ev)
+    val merged = (regs(a).toSeq ++ regs(b).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(whole == merged, "register tables must max-combine exactly")
+  }
+
+  test("containment flags a quoted small doc that Jaccard misses") {
+    val small = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val big = (1 to 200).map(i => s"w$i").mkString(" ") + " " + small
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingleRows(docs, "doc_id", "text", 3)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    // directional containment of the small doc is ~1; Jaccard is tiny
+    val containment = inter.toDouble / sizes(1L)
+    val jaccard = inter.toDouble / (sizes(1L) + sizes(2L) - inter)
+    assert(containment >= 0.9, s"containment $containment")
+    assert(jaccard < 0.5, s"jaccard $jaccard should stay below any dedup threshold")
+  }
+
+  test("Holt fold equals the reference sequential recursion") {
+    def tdiv(a: Long, b: Long) = a / b // JVM Long division truncates toward zero
+    val out = SparkEntry.queries("q177_holt_trend")(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.sortBy(_._2.toString).map(_._3 * 1000000L)
+      }
+    daily.foreach { case (t, ys) =>
+      var l = ys(0); var b = ys(1) - ys(0)
+      ys.drop(2).foreach { y =>
+        val l2 = tdiv(3 * y + 7 * (l + b), 10)
+        b = tdiv(2 * (l2 - l) + 8 * b, 10)
+        l = l2
+      }
+      assert(out(t) == (l, b), s"$t: got ${out(t)}, want ($l, $b)")
+    }
+  }
+
+  test("log histogram: buckets partition each source; exactly one median bucket") {
+    val out = SparkEntry.queries("q186_log_histogram")(spark, dir)
+      .select("source", "bucket", "lo", "n", "is_median_bucket")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val perSource = out.groupBy(_._1)
+    val totals = Tables(spark, dir, "documents").filter(col("n_chars") >= 1)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    perSource.foreach { case (src, rows) =>
+      assert(rows.map(_._4).sum == totals(src), s"$src counts must partition")
+      assert(rows.count(_._5) == 1, s"$src must have exactly one median bucket")
+      rows.foreach { case (_, b, lo, _, _) => assert(lo == (1L << b)) }
+    }
+  }
+
+  test("KMV estimate lands within 3x of the true distinct count") {
+    val out = SparkEntry.queries("q192_kmv_distinct")(spark, dir)
+      .select("event_type", "k_used", "est_distinct")
+      .as[(String, Long, Long)].collect()
+    val exact = Tables(spark, dir, "events")
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (t, k, est) =>
+      val n = exact(t)
+      if (k >= 64) // below k the sketch holds the whole set; est is trivial
+        assert(est > n / 3 && est < n * 3, s"$t: est $est vs exact $n")
+    }
+  }
+
+  test("CUSUM series telescopes: deviations sum to ~0 over the full window") {
+    // sum over all days of (n*1e6 - mean_micro) = total*1e6 - days*mean_micro
+    // = total*1e6 mod days — bounded by n_days, so the cusum END point is
+    // tiny even though the interior peak (what q189 reports) is large
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect().groupBy(_._1)
+    val out = SparkEntry.queries("q189_cusum_changepoint")(spark, dir)
+      .select("event_type", "cusum_micro", "n_days")
+      .as[(String, Long, Long)].collect()
+    out.foreach { case (t, peak, nDays) =>
+      val ns = daily(t).map(_._3)
+      assert(nDays == ns.length)
+      val mean = ns.sum * 1000000L / ns.length
+      val end = ns.map(_ * 1000000L - mean).sum
+      assert(math.abs(end) < nDays, s"$t: telescoped end $end")
+      assert(math.abs(peak) >= math.abs(end), "peak |cusum| >= endpoint")
+    }
+  }
+
+  test("Theil-Sen median slope is bracketed by the extreme pairwise slopes") {
+    val out = SparkEntry.queries("q190_theil_sen")(spark, dir)
+      .select("event_type", "n_pairs", "med_slope_pm")
+      .as[(String, Long, Long)].collect()
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect().groupBy(_._1)
+    out.foreach { case (t, nPairs, med) =>
+      val ns = daily(t).sortBy(_._2.toString).map(_._3).zipWithIndex
+      val slopes = for {
+        (ni, i) <- ns; (nj, j) <- ns if i < j
+      } yield (nj - ni) * 1000000L / (j - i)
+      assert(nPairs == slopes.length.toLong)
+      assert(med >= slopes.min && med <= slopes.max)
+    }
+  }
+
+  test("zone maps: skip flags are sound (no block hides a matching row)") {
+    val docs = Tables(spark, dir, "documents")
+      .select(expr("doc_id div 64").as("block"), col("n_chars"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val out = SparkEntry.queries("q185_zone_map_prune")(spark, dir)
+      .select("block", "skip_gt_2000", "skip_lt_500")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (b, skipGt, skipLt) =>
+      val vals = docs(b).map(_._2)
+      if (skipGt) assert(!vals.exists(_ > 2000), s"block $b: false skip (gt)")
+      if (skipLt) assert(!vals.exists(_ < 500), s"block $b: false skip (lt)")
+    }
+  }
+
+  test("compaction groups respect the byte target once they hold 2+ files") {
+    val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
+      .select("source", "grp", "n_files", "bytes")
+      .as[(String, Long, Long, Long)].collect()
+    assert(plan.nonEmpty)
+    // a group only ever exceeds the target by its LAST file's size
+    // (first-fit on a sorted run); equivalently, any group with 2+
+    // files started strictly below the target boundary
+    val maxFile = Tables(spark, dir, "documents")
+      .agg(max("n_chars")).as[Long].head()
+    assert(plan.forall { case (_, _, n, bytes) =>
+      n == 1 || bytes < 65536L + maxFile })
+    // and groups partition the inventory: totals match the table
+    val total = Tables(spark, dir, "documents").agg(sum("n_chars"))
+      .as[Long].head()
+    assert(plan.map(_._4).sum == total)
+  }
+}
