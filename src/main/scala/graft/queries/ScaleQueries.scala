@@ -722,6 +722,69 @@ object ScaleQueries {
         |  max(n_chars) <= 2000 AS skip_gt_2000,
         |  max(n_chars) <= 6000 AS skip_gt_6000,
         |  min(n_chars) >= 500 AS skip_lt_500
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    // Layout quality audit — WHY one z-orders (q107) before building
+    // zone maps (q185): per-block (p, s) key spans under the natural
+    // orderkey layout vs the Morton-value layout, summed per layout.
+    // Small z spans are what turn q185's min/max maps into real file
+    // skipping on BOTH join keys at once. Both blockings are pure
+    // projections (value-range blocks, no global rank, no window) +
+    // one map-side-combinable agg each — the audit itself costs two
+    // cheap passes at any scale. Integer min/max/sum throughout.
+    "q188_layout_quality" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            col("l_partkey").cast("long").as("p"),
+            col("l_suppkey").cast("long").as("sk"),
+            ZOrder.zValue2(col("l_partkey").cast("long"),
+              col("l_suppkey").cast("long"), bits = 16).as("z"))
+        // one adaptive block count for both layouts (~64 rows/block,
+        // capped at 2^16 blocks so key*nb stays far from Long range):
+        // value-range blocks, no global rank, no window
+        val st = li.agg(max("z").as("zmax"), max("l_orderkey").as("okmax"),
+          expr("CAST(least(greatest(1L, count(*) div 64), 65536L) AS LONG)")
+            .as("nb"))
+        val lj = li.crossJoin(broadcast(st))
+        def spans(layout: String, blockExpr: String) =
+          lj.groupBy(expr(blockExpr).as("block"))
+            .agg(count(lit(1)).as("nr"),
+              (max("p") - min("p")).as("sp"),
+              (max("sk") - min("sk")).as("ss"))
+            .agg(count(lit(1)).as("n_blocks"), sum("nr").as("n_rows"),
+              sum("sp").as("sum_span_p"), sum("ss").as("sum_span_s"))
+            .select(lit(layout).as("layout"), col("n_blocks"),
+              col("n_rows"), col("sum_span_p"), col("sum_span_s"))
+        spans("natural", "(l_orderkey * nb) div (okmax + 1)")
+          .unionByName(spans("zorder", "(z * nb) div (zmax + 1)"))
+      },
+      s"""WITH li AS (
+         |  SELECT l_orderkey, CAST(l_partkey AS BIGINT) AS p,
+         |    CAST(l_suppkey AS BIGINT) AS sk,
+         |    ${ZOrder.zValueSql("l_partkey", "l_suppkey", bits = 16)} AS z
+         |  FROM lineitem),
+         |st AS (
+         |  SELECT max(z) AS zmax, max(l_orderkey) AS okmax,
+         |    CAST(least(greatest(1, count(*) // 64), 65536) AS BIGINT) AS nb
+         |  FROM li),
+         |nat AS (
+         |  SELECT (l_orderkey * nb) // (okmax + 1) AS block, count(*) AS nr,
+         |    max(p) - min(p) AS sp, max(sk) - min(sk) AS ss
+         |  FROM li, st GROUP BY 1),
+         |zb AS (
+         |  SELECT (z * nb) // (zmax + 1) AS block, count(*) AS nr,
+         |    max(p) - min(p) AS sp, max(sk) - min(sk) AS ss
+         |  FROM li, st GROUP BY 1)
+         |SELECT 'natural' AS layout, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(sum(nr) AS BIGINT) AS n_rows,
+         |  CAST(sum(sp) AS BIGINT) AS sum_span_p,
+         |  CAST(sum(ss) AS BIGINT) AS sum_span_s
+         |FROM nat
+         |UNION ALL
+         |SELECT 'zorder', CAST(count(*) AS BIGINT),
+         |  CAST(sum(nr) AS BIGINT), CAST(sum(sp) AS BIGINT),
+         |  CAST(sum(ss) AS BIGINT)
+         |FROM zb""".stripMargin)
   )
 }

@@ -725,29 +725,7 @@ object StatsQueries {
             expr("(k_used - 1) * (4611686018427387904L div v)")
               .as("est_distinct"),
             col("nv").as("n_distinct_hashes"))
-      }, {
-        val items =
-          """items AS (
-            |  SELECT k, k AS tok FROM (
-            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
-            .stripMargin
-        s"""WITH ${XxhSql.hashCtes(items, "k")},
-           |hv AS (
-           |  SELECT DISTINCT e.event_type, CAST(h.h // 4 AS BIGINT) AS v
-           |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
-           |  WHERE h.h // 4 > 0),
-           |rk AS (
-           |  SELECT event_type, v,
-           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
-           |      AS BIGINT) AS rn,
-           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nv
-           |  FROM hv)
-           |SELECT event_type,
-           |  CAST(least(64, nv) AS BIGINT) AS k_used, v AS vk,
-           |  CAST((least(64, nv) - 1) * (4611686018427387904 // v)
-           |    AS BIGINT) AS est_distinct,
-           |  nv AS n_distinct_hashes
-           |FROM rk WHERE rn = least(64, nv)""".stripMargin
-      })
+      },
+      XxhSql.kmvOracle(withExact = true))
   )
 }

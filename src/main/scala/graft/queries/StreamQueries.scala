@@ -63,6 +63,16 @@ object StreamQueries {
       (s, d) => EventStream.hllRegisters(s, d),
       XxhSql.hllRegistersOracle),
 
+    // Streaming KMV bottom-k distinct sketch: q192 maintained with
+    // O(k) state per event type via flatMapGroupsWithState — each
+    // batch min-combines its candidate hashes into the bottom-64 set
+    // and re-emits the estimator row for touched types only. The
+    // batch sketch (minus the exact-hash count a bounded sketch can't
+    // carry) is the oracle.
+    "q191_stream_kmv" -> Q(
+      (s, d) => EventStream.kmvDistinct(s, d),
+      XxhSql.kmvOracle(withExact = false)),
+
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows
     // equal the batch time-range self-join — the exact oracle below

@@ -215,6 +215,37 @@ object XxhSql {
        |GROUP BY 1, 2""".stripMargin
   }
 
+  /** q192/q191 oracle: KMV bottom-k distinct sketch per event type —
+    * k-th smallest XXH64 (pre-shifted into [0, 2^62)) of the distinct
+    * decimal-string user ids, with the integer estimator
+    * (k−1)·(2^62 // v_k). `withExact` adds the distinct-hash count the
+    * batch builder reports (the bounded streaming sketch cannot).
+    */
+  def kmvOracle(withExact: Boolean): String = {
+    val items =
+      """items AS (
+        |  SELECT k, k AS tok FROM (
+        |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+        .stripMargin
+    val exactCol = if (withExact) ",\n  nv AS n_distinct_hashes" else ""
+    s"""WITH ${hashCtes(items, "k")},
+       |hv AS (
+       |  SELECT DISTINCT e.event_type, CAST(h.h // 4 AS BIGINT) AS v
+       |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
+       |  WHERE h.h // 4 > 0),
+       |rk AS (
+       |  SELECT event_type, v,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+       |      AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nv
+       |  FROM hv)
+       |SELECT event_type,
+       |  CAST(least(64, nv) AS BIGINT) AS k_used, v AS vk,
+       |  CAST((least(64, nv) - 1) * (4611686018427387904 // v)
+       |    AS BIGINT) AS est_distinct$exactCol
+       |FROM rk WHERE rn = least(64, nv)""".stripMargin
+  }
+
   /** Full q33 oracle: sketches + exact all-pairs Hamming filter (the
     * engine's blocked join is exhaustive at maxDist <= 3 by
     * pigeonhole, so all-pairs is the equivalent ground truth).

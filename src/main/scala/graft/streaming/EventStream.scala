@@ -325,6 +325,43 @@ object EventStream {
     runToTable(spark, agg, name, statePartitions = statePartitions)
   }
 
+  /** Streaming KMV (bottom-k) distinct-sketch maintenance: the q192
+    * sketch kept current with O(k) state per event type — each
+    * micro-batch's candidate hashes merge into the bottom-64 set
+    * (flatMapGroupsWithState) and the refreshed estimator row is
+    * emitted for just the types that batch touched (Update mode).
+    * Bottom-k sets min-combine, so replayed batches are absorbed
+    * idempotently (at-least-once safe), and unlike HLL (q183) the
+    * retained SET supports cross-sketch intersection/union estimates.
+    * Against a static directory the AvailableNow run equals the batch
+    * q192 rows, minus the exact distinct-hash count a bounded sketch
+    * by definition cannot carry — the q191 oracle.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64,
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
+    import spark.implicits._
+    val v = shiftrightunsigned(xxhash64(col("user_id").cast("string")), 2)
+    val cand = source(spark, dir)
+      .select(col("event_type"), v.as("v"))
+      .filter(col("v") > 0)
+      .as[(String, Long)]
+    val updated = cand.groupByKey(_._1)
+      .flatMapGroupsWithState[KmvState, KmvRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (t, rows, state: GroupState[KmvState]) =>
+          val merged = (state.getOption.map(_.vs).getOrElse(Nil) ++
+            rows.map(_._2)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val kUsed = merged.length.toLong
+          val vk = merged.last
+          Iterator.single(KmvRow(t, kUsed, vk,
+            (kUsed - 1) * (4611686018427387904L / vk)))
+      }
+    runToTable(spark, updated.toDF(),
+      s"graft_stream_kmv_${runId.incrementAndGet()}",
+      mode = OutputMode.Update, statePartitions = statePartitions)
+  }
+
   /** The view→click attribution stream-stream join plan: each click is
     * attributed to every view by the same user in the preceding
     * `attribution` window. Both sides carry watermarks, so the join
@@ -409,6 +446,9 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
+  final case class KmvState(vs: List[Long])
+  final case class KmvRow(event_type: String, k_used: Long, vk: Long,
+      est_distinct: Long)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)

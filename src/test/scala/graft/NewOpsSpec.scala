@@ -173,6 +173,29 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("z-order layout shrinks summed per-block key spans vs natural order") {
+    val out = SparkEntry.queries("q188_layout_quality")(spark, dir)
+      .select("layout", "n_blocks", "sum_span_p", "sum_span_s")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val nat = out("natural"); val zo = out("zorder")
+    // the whole point of the Morton key: per-block spans collapse on
+    // BOTH dimensions at once, normalized per block to be layout-fair
+    assert(zo._3 / zo._2 < nat._3 / nat._2,
+      s"partkey span/block: z=${zo._3 / zo._2} nat=${nat._3 / nat._2}")
+    assert(zo._4 / zo._2 < nat._4 / nat._2,
+      s"suppkey span/block: z=${zo._4 / zo._2} nat=${nat._4 / nat._2}")
+  }
+
+  test("streaming KMV equals the batch sketch on the same directory") {
+    val stream = SparkEntry.queries("q191_stream_kmv")(spark, dir)
+      .select("event_type", "k_used", "vk", "est_distinct")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = SparkEntry.queries("q192_kmv_distinct")(spark, dir)
+      .select("event_type", "k_used", "vk", "est_distinct")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
