@@ -727,5 +727,106 @@ object StatsQueries {
             col("nv").as("n_distinct_hashes"))
       },
       XxhSql.kmvOracle(withExact = true))
+  ) ++ HoltWinters.queries
+}
+
+/** q193: additive Holt–Winters with weekly seasonality — q177's Holt
+  * smoothing plus a 7-slot seasonal state array, all in integer
+  * micro-units with trunc-toward-zero division (α=3/10, β=2/10,
+  * γ=1/10). Init: level = week-1 mean, trend = (week-2 mean − week-1
+  * mean)/7, seasonals = week-1 deviations; the fold then consumes
+  * every day from t=7 on. Like q177 the corpus collapses to
+  * (type × day) counts in one map-side-combinable pass and ONE
+  * codegen'd `aggregate` fold replays the recursion per type —
+  * cost scales with #days, never corpus size. The oracle replays the
+  * identical recursion in a recursive CTE carrying the seasonal LIST,
+  * slot-updating it with list_slice concatenation.
+  */
+private object HoltWinters {
+
+  private val lNew =
+    "(3L*(y - acc.s[cast(acc.t % 7 as int)]) + 7L*(acc.l + acc.b)) div 10L"
+  private val hwFold =
+    s"""aggregate(
+       |  slice(ys, 8, size(ys) - 7),
+       |  named_struct('l', l0, 'b', b0, 's', s0, 't', 7L),
+       |  (acc, y) -> named_struct(
+       |    'l', $lNew,
+       |    'b', (2L*(($lNew) - acc.l) + 8L*acc.b) div 10L,
+       |    's', transform(acc.s, (v, i) -> IF(i = cast(acc.t % 7 as int),
+       |      ((y - ($lNew)) + 9L*acc.s[cast(acc.t % 7 as int)]) div 10L,
+       |      v)),
+       |    't', acc.t + 1L))""".stripMargin
+
+  private def tdiv(a: String, b: Int) =
+    s"CASE WHEN ($a) >= 0 THEN ($a) // $b ELSE -((-($a)) // $b) END"
+
+  private val oracle = {
+    val st = "r.s[CAST(r.t % 7 AS BIGINT) + 1]"
+    val lNext = tdiv(s"3*(e.y - $st) + 7*(r.l + r.b)", 10)
+    val bNext = tdiv(s"2*(($lNext) - r.l) + 8*r.b", 10)
+    val sNext = tdiv(s"(e.y - ($lNext)) + 9*$st", 10)
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) * 1000000 AS y
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, y,
+       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) - 1 AS t,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+       |  FROM daily),
+       |wk AS (
+       |  SELECT event_type,
+       |    CAST(sum(CASE WHEN t < 7 THEN y END) // 7 AS BIGINT) AS l0,
+       |    CAST(sum(CASE WHEN t >= 7 AND t < 14 THEN y END) // 7
+       |      AS BIGINT) AS m2,
+       |    max(m) AS m
+       |  FROM idx WHERE t < 14 GROUP BY 1 HAVING max(m) >= 15),
+       |s0 AS (
+       |  SELECT i.event_type, list(i.y - w.l0 ORDER BY i.t) AS s
+       |  FROM idx i JOIN wk w USING (event_type) WHERE i.t < 7 GROUP BY 1),
+       |rec AS (
+       |  SELECT w.event_type, w.l0 AS l,
+       |    CAST(${tdiv("w.m2 - w.l0", 7)} AS BIGINT) AS b,
+       |    s0.s AS s, CAST(7 AS BIGINT) AS t, w.m
+       |  FROM wk w JOIN s0 USING (event_type)
+       |  UNION ALL
+       |  SELECT r.event_type, CAST($lNext AS BIGINT), CAST($bNext AS BIGINT),
+       |    list_slice(r.s, 1, CAST(r.t % 7 AS BIGINT))
+       |      || [CAST($sNext AS BIGINT)]
+       |      || list_slice(r.s, CAST(r.t % 7 AS BIGINT) + 2, 7),
+       |    r.t + 1, r.m
+       |  FROM rec r JOIN idx e ON e.event_type = r.event_type AND e.t = r.t
+       |  WHERE r.t < r.m)
+       |SELECT event_type, l AS l_micro, b AS b_micro,
+       |  l + b + s[CAST(m % 7 AS BIGINT) + 1] AS f1_micro
+       |FROM rec WHERE t = m""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q193_holt_winters" -> Q(
+      (s, d) => {
+        val daily = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        daily.groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+            .as("sd"))
+          .withColumn("ys", expr("transform(sd, e -> e.n * 1000000L)"))
+          .filter(size(col("ys")) >= 15)
+          .withColumn("l0",
+            expr("aggregate(slice(ys, 1, 7), 0L, (a, x) -> a + x) div 7L"))
+          .withColumn("m2",
+            expr("aggregate(slice(ys, 8, 7), 0L, (a, x) -> a + x) div 7L"))
+          .withColumn("b0", expr("(m2 - l0) div 7L"))
+          .withColumn("s0", expr("transform(slice(ys, 1, 7), y -> y - l0)"))
+          .withColumn("hw", expr(hwFold))
+          .select(col("event_type"),
+            col("hw.l").as("l_micro"), col("hw.b").as("b_micro"),
+            expr("hw.l + hw.b + hw.s[cast(size(ys) % 7 as int)]")
+              .as("f1_micro"))
+      },
+      oracle)
   )
 }

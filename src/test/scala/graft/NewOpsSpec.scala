@@ -173,6 +173,35 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Holt-Winters fold equals the reference sequential recursion") {
+    def tdiv(a: Long, b: Long) = a / b
+    val out = SparkEntry.queries("q193_holt_winters")(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val daily = Tables(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, java.sql.Date, Long)].collect()
+      .groupBy(_._1).map { case (t, rows) =>
+        t -> rows.sortBy(_._2.toString).map(_._3 * 1000000L)
+      }
+    daily.foreach { case (t, ys) =>
+      assert(ys.length >= 15)
+      var l = ys.take(7).sum / 7
+      var b = tdiv(ys.slice(7, 14).sum / 7 - l, 7)
+      val s = ys.take(7).map(_ - l).toArray
+      (7 until ys.length).foreach { i =>
+        val y = ys(i); val k = i % 7
+        val l2 = tdiv(3 * (y - s(k)) + 7 * (l + b), 10)
+        b = tdiv(2 * (l2 - l) + 8 * b, 10)
+        s(k) = tdiv((y - l2) + 9 * s(k), 10)
+        l = l2
+      }
+      val f1 = l + b + s(ys.length % 7)
+      assert(out(t) == (l, b, f1), s"$t: got ${out(t)}, want ($l, $b, $f1)")
+    }
+  }
+
   test("z-order layout shrinks summed per-block key spans vs natural order") {
     val out = SparkEntry.queries("q188_layout_quality")(spark, dir)
       .select("layout", "n_blocks", "sum_span_p", "sum_span_s")
