@@ -753,7 +753,53 @@ object AnnQueries {
          |FROM full_rank f JOIN trunc_rank t
          |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
          |  AND f.rank <= 10 AND t.rank <= 10
-         |GROUP BY f.query_id""".stripMargin)
+         |GROUP BY f.query_id""".stripMargin),
+
+    // Label-noise detection via k-NN label agreement (the Cleanlab /
+    // confident-learning signal): a labeled example whose 10 nearest
+    // neighbors mostly DISAGREE with its label is a mislabel
+    // candidate. Scored here exactly on a deterministic 1-in-50
+    // sample against the full corpus (the documented exact-baseline
+    // pattern, like q36); the production path swaps in the IVF/PQ
+    // candidate stages (q38/q126) unchanged, since only the top-k
+    // source differs. Counts and the majority flag are pure integers.
+    "q195_knn_label_agreement" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val topk = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 10)
+        val lab = emb.select(col("vec_id"), col("label"))
+        topk
+          .join(lab.select(col("vec_id").as("query_id"),
+            col("label").as("q_label")), "query_id")
+          .join(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("n_label")), "neighbor_id")
+          .groupBy("query_id", "q_label")
+          .agg(count(lit(1)).as("k"),
+            sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+              .as("n_same"))
+          .withColumn("suspect", col("n_same") * 2 < col("k"))
+      },
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    q.label AS q_label, n.label AS n_label,
+         |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT query_id, q_label, n_label,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ($cosExpr) DESC, neighbor_id) AS rank
+         |  FROM p)
+         |SELECT query_id, q_label, CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_same,
+         |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 2 < CAST(count(*) AS BIGINT) AS suspect
+         |FROM ranked WHERE rank <= 10
+         |GROUP BY 1, 2""".stripMargin)
   )
 
   /** The q125 codebooks: re-trained identically by the query run and

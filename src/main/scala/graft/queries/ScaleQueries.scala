@@ -785,6 +785,50 @@ object ScaleQueries {
          |SELECT 'zorder', CAST(count(*) AS BIGINT),
          |  CAST(sum(nr) AS BIGINT), CAST(sum(sp) AS BIGINT),
          |  CAST(sum(ss) AS BIGINT)
-         |FROM zb""".stripMargin)
+         |FROM zb""".stripMargin),
+
+    // Block-level Bloom index for CATEGORICAL predicates — what
+    // min/max zone maps (q185) cannot skip on. Per source partition
+    // (the clustered layout q115's ingest writes) a 32-slot bloom
+    // mask of the langs present: bit_or of 1 << (XXH64(lang) & 31),
+    // one map-side-combinable agg over one row per FILE at scale.
+    // A reader probing `lang = X` skips every block whose mask lacks
+    // X's bit — exact skips for fr@src6 / zh@src18 / absent langs on
+    // this corpus, zero false skips ever (bloom one-sidedness). The
+    // probe bits are constant-folded engine-side and replayed in the
+    // oracle through the XXH64 SQL chain.
+    "q194_block_bloom_skip" -> Q(
+      (s, d) => {
+        def may(lang: String) = expr(
+          s"(mask & shiftleft(1L, cast(xxhash64('$lang') & 31L AS int))) != 0")
+        Tables(s, d, "documents")
+          .select(col("source"),
+            xxhash64(col("lang")).bitwiseAND(lit(31L)).as("bit"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_or(shiftleft(1L, cast(bit AS int)))").as("mask"))
+          .withColumn("may_fr", may("fr"))
+          .withColumn("may_zh", may("zh"))
+          .withColumn("may_xx", may("xx"))
+      }, {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT lang AS k FROM documents
+            |    UNION SELECT 'xx' AS k))""".stripMargin
+        def bit(lang: String) =
+          s"(SELECT CAST(h % 32 AS INT) FROM hashed WHERE k = '$lang')"
+        s"""WITH ${graft.queries.XxhSql.hashCtes(items, "k")},
+           |zone AS (
+           |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_rows,
+           |    bit_or(CAST(1 AS BIGINT) << CAST(h.h % 32 AS INT)) AS mask
+           |  FROM documents d JOIN hashed h ON h.k = d.lang
+           |  GROUP BY 1)
+           |SELECT source, n_rows, mask,
+           |  (mask & (CAST(1 AS BIGINT) << ${bit("fr")})) <> 0 AS may_fr,
+           |  (mask & (CAST(1 AS BIGINT) << ${bit("zh")})) <> 0 AS may_zh,
+           |  (mask & (CAST(1 AS BIGINT) << ${bit("xx")})) <> 0 AS may_xx
+           |FROM zone""".stripMargin
+      })
   )
 }

@@ -225,6 +225,41 @@ class NewOpsSpec extends AnyFunSuite {
     assert(stream.nonEmpty && stream.sameElements(batch))
   }
 
+  test("block bloom: never a false skip; collisions are the only false keeps") {
+    val out = SparkEntry.queries("q194_block_bloom_skip")(spark, dir)
+      .select("source", "may_fr", "may_zh", "may_xx")
+      .as[(String, Boolean, Boolean, Boolean)].collect()
+    val present = Tables(spark, dir, "documents")
+      .select("source", "lang").distinct()
+      .as[(String, String)].collect().groupBy(_._1)
+      .map { case (s, rows) => s -> rows.map(_._2).toSet }
+    val bitOf = Seq("de", "en", "es", "fr", "zh", "xx").map { l =>
+      l -> spark.sql(s"SELECT xxhash64('$l') & 31L").as[Long].head()
+    }.toMap
+    assert(out.nonEmpty)
+    out.foreach { case (src, mayFr, mayZh, mayXx) =>
+      val langs = present(src)
+      val bits = langs.map(bitOf)
+      def check(l: String, may: Boolean): Unit = {
+        if (langs(l)) assert(may, s"$src must keep $l (soundness)")
+        else if (!bits(bitOf(l))) assert(!may, s"$src should skip $l")
+      }
+      check("fr", mayFr); check("zh", mayZh); check("xx", mayXx)
+    }
+  }
+
+  test("kNN label agreement: full neighborhoods and a consistent flag") {
+    val out = SparkEntry.queries("q195_knn_label_agreement")(spark, dir)
+      .select("query_id", "k", "n_same", "suspect")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (q, k, same, suspect) =>
+      assert(k == 10, s"query $q must have a full 10-NN neighborhood")
+      assert(same >= 0 && same <= k)
+      assert(suspect == (2 * same < k))
+    }
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
