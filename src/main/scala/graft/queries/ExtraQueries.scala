@@ -1044,6 +1044,55 @@ object ExtraQueries {
         |  FROM r WHERE rn <= 4 GROUP BY user_id)
         |SELECT path, CAST(count(*) AS BIGINT) AS n_users
         |FROM p GROUP BY path
-        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin),
+
+    // Right-to-erasure audit: given a deny list of user keys (here a
+    // deterministic 1-in-97 sample of event users), report per linked
+    // table how many rows the cascade would remove vs survive — the
+    // dry-run a governed pipeline runs before executing K2-style
+    // cascading deletes. Each table costs one broadcast semi-split
+    // (deny lists are tiny next to the data; a huge one would drop
+    // the hint and shuffle, same plan shape) aggregated map-side to
+    // a single row; the union is three 1-row frames.
+    "q198_erasure_audit" -> Q(
+      (s, d) => {
+        val deny = Tables(s, d, "events")
+          .select(col("user_id")).distinct()
+          .filter(col("user_id") % 97 === 0)
+        def audit(tbl: String, key: String) = {
+          val t = Tables(s, d, tbl).select(col(key).as("k"))
+          t.join(broadcast(deny), t("k") === deny("user_id"), "left")
+            .agg(count(lit(1)).as("n_total"),
+              sum(when(col("user_id").isNotNull, 1L).otherwise(0L))
+                .as("n_erased"))
+            .select(lit(tbl).as("tbl"), col("n_total"), col("n_erased"),
+              (col("n_total") - col("n_erased")).as("n_surviving"))
+        }
+        audit("events", "user_id")
+          .unionByName(audit("customer", "c_custkey"))
+          .unionByName(audit("orders", "o_custkey"))
+      },
+      """WITH deny AS (
+        |  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0)
+        |SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN user_id IN (SELECT user_id FROM deny)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_erased,
+        |  CAST(count(*) - sum(CASE WHEN user_id IN (SELECT user_id FROM deny)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving
+        |FROM events
+        |UNION ALL
+        |SELECT 'customer', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c_custkey IN (SELECT user_id FROM deny)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) - sum(CASE WHEN c_custkey IN (SELECT user_id FROM deny)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'orders', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN o_custkey IN (SELECT user_id FROM deny)
+        |    THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(count(*) - sum(CASE WHEN o_custkey IN (SELECT user_id FROM deny)
+        |    THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders""".stripMargin)
   )
 }

@@ -727,7 +727,80 @@ object StatsQueries {
             col("nv").as("n_distinct_hashes"))
       },
       XxhSql.kmvOracle(withExact = true))
-  ) ++ HoltWinters.queries
+  ) ++ HoltWinters.queries ++ RollingHll.queries
+}
+
+/** q197: trailing-7-day distinct-user sketches per event type — the
+  * sliding-window payoff of HLL mergeability (q180): daily register
+  * tables max-combine into every window they cover, so a "distinct
+  * users, last 7 days" dashboard never rescans events. Shape: one
+  * map-side-combinable (type, day, bucket) max-agg over the corpus,
+  * then each register row EXPLODES to the ≤ 7 window-end days it
+  * covers (a bounded ×7 on the tiny register table, never the data)
+  * and re-maxes per (type, day, bucket). Output collapses each day's
+  * sketch to its register count and rho sum — pure integers; the
+  * oracle replays the identical expansion over the XXH64 SQL chain.
+  */
+private object RollingHll {
+
+  private val oracle = {
+    val items =
+      """items AS (
+        |  SELECT k, k AS tok FROM (
+        |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+        .stripMargin
+    s"""WITH ${XxhSql.hashCtes(items, "k")},
+       |reg AS (
+       |  SELECT e.event_type, CAST(e.ts AS DATE) AS day,
+       |    CAST(h.h % 256 AS BIGINT) AS bucket,
+       |    max(CASE WHEN h.h // 256 = 0 THEN 57
+       |      ELSE 57 - length(bin(CAST(h.h // 256 AS BIGINT))) END) AS rho
+       |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
+       |  GROUP BY 1, 2, 3),
+       |bounds AS (
+       |  SELECT event_type, max(day) AS max_day FROM reg GROUP BY 1),
+       |cover AS (
+       |  SELECT r.event_type, r.day + CAST(o.off AS INTEGER) AS day,
+       |    r.bucket, r.rho
+       |  FROM reg r
+       |  JOIN (SELECT unnest(range(0, 7)) AS off) o ON true
+       |  JOIN bounds b ON b.event_type = r.event_type
+       |  WHERE r.day + CAST(o.off AS INTEGER) <= b.max_day),
+       |win AS (
+       |  SELECT event_type, day, bucket, max(rho) AS rho
+       |  FROM cover GROUP BY 1, 2, 3)
+       |SELECT event_type, day,
+       |  CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(rho) AS BIGINT) AS sum_rho
+       |FROM win GROUP BY 1, 2""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q197_rolling_hll" -> Q(
+      (s, d) => {
+        val h = xxhash64(col("user_id").cast("string"))
+        val v = shiftrightunsigned(h, 8)
+        val reg = Tables(s, d, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"),
+            h.bitwiseAND(lit(255L)).as("bucket"),
+            when(v === 0, lit(57L))
+              .otherwise(lit(57L) - length(bin(v))).as("rho"))
+          .groupBy("event_type", "day", "bucket")
+          .agg(max("rho").as("rho"))
+        val bounds = reg.groupBy("event_type").agg(max("day").as("max_day"))
+        reg
+          .select(col("event_type"), col("day"), col("bucket"), col("rho"),
+            explode(expr("sequence(0, 6)")).as("off"))
+          .withColumn("day", expr("date_add(day, off)"))
+          .join(broadcast(bounds), "event_type")
+          .filter(col("day") <= col("max_day"))
+          .groupBy("event_type", "day", "bucket")
+          .agg(max("rho").as("rho"))
+          .groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n_buckets"), sum("rho").as("sum_rho"))
+      },
+      oracle)
+  )
 }
 
 /** q193: additive Holt–Winters with weekly seasonality — q177's Holt

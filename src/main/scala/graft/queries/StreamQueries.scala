@@ -73,6 +73,21 @@ object StreamQueries {
       (s, d) => EventStream.kmvDistinct(s, d),
       XxhSql.kmvOracle(withExact = false)),
 
+    // Streaming zone-map maintenance: q185's block min/max layout
+    // index kept current at O(batch) per trigger — min/max merges are
+    // replay-idempotent, state is one row per file at scale. Shares
+    // q185's oracle (complete mode over a static directory equals the
+    // batch build; skip flags are stateless projections).
+    "q196_stream_zone_maps" -> Q(
+      (s, d) => EventStream.zoneMaps(s, d),
+      """SELECT CAST(doc_id // 64 AS BIGINT) AS block,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(n_chars) AS min_n, max(n_chars) AS max_n,
+        |  max(n_chars) <= 2000 AS skip_gt_2000,
+        |  max(n_chars) <= 6000 AS skip_gt_6000,
+        |  min(n_chars) >= 500 AS skip_lt_500
+        |FROM documents GROUP BY 1""".stripMargin),
+
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows
     // equal the batch time-range self-join — the exact oracle below

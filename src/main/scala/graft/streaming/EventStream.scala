@@ -259,6 +259,34 @@ object EventStream {
     compactLog(spark, sinkPath, Seq("fp"))
   }
 
+  /** Streaming zone-map maintenance: q185's per-block min/max/count
+    * layout statistics kept current by a streaming aggregation, so
+    * the index that powers reader file skipping refreshes at O(batch)
+    * per trigger instead of by rescanning the corpus. min/max state
+    * is replay-idempotent (at-least-once safe) and sized to the block
+    * table — one row per file at scale, never the data. Complete mode
+    * over a static directory equals the batch zone-map build; the
+    * skip flags are stateless projections on the final table, so the
+    * pair shares q185's oracle.
+    */
+  def zoneMaps(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val agg = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .select(expr("doc_id div 64").as("block"), col("n_chars"))
+      .groupBy("block")
+      .agg(count(lit(1)).as("n_rows"),
+        min("n_chars").as("min_n"), max("n_chars").as("max_n"))
+    val name = s"graft_stream_zonemap_${runId.incrementAndGet()}"
+    runToTable(spark, agg, name, statePartitions = statePartitions)
+      .withColumn("skip_gt_2000", (col("max_n") <= 2000).cast("boolean"))
+      .withColumn("skip_gt_6000", (col("max_n") <= 6000).cast("boolean"))
+      .withColumn("skip_lt_500", (col("min_n") >= 500).cast("boolean"))
+  }
+
   /** The stream-static enrichment plan: every micro-batch of the event
     * stream inner-joins a STATIC dimension frame. Stream-static joins
     * are STATELESS — the static side is re-planned into each batch, no

@@ -260,6 +260,53 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming zone maps equal the batch zone maps") {
+    val stream = SparkEntry.queries("q196_stream_zone_maps")(spark, dir)
+      .select("block", "n_rows", "min_n", "max_n")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val batch = SparkEntry.queries("q185_zone_map_prune")(spark, dir)
+      .select("block", "n_rows", "min_n", "max_n")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stream.nonEmpty && stream.sameElements(batch))
+  }
+
+  test("rolling HLL: the last-day window equals a direct 7-day register build") {
+    val out = SparkEntry.queries("q197_rolling_hll")(spark, dir)
+      .select("event_type", "day", "n_buckets", "sum_rho")
+      .as[(String, java.sql.Date, Long, Long)].collect()
+    val lastDay = out.map(_._2.toString).max
+    val direct = Tables(spark, dir, "events")
+      .filter(to_date(col("ts")) > date_sub(lit(lastDay), 7) &&
+        to_date(col("ts")) <= lit(lastDay))
+      .select(col("event_type"),
+        xxhash64(col("user_id").cast("string")).bitwiseAND(lit(255L))
+          .as("bucket"),
+        when(shiftrightunsigned(xxhash64(col("user_id").cast("string")), 8) === 0,
+          lit(57L)).otherwise(lit(57L) -
+            length(bin(shiftrightunsigned(
+              xxhash64(col("user_id").cast("string")), 8)))).as("rho"))
+      .groupBy("event_type", "bucket").agg(max("rho").as("rho"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("nb"), sum("rho").as("sr"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.filter(_._2.toString == lastDay).foreach { case (t, _, nb, sr) =>
+      assert((nb, sr) == direct(t), s"$t: window sketch must equal direct build")
+    }
+  }
+
+  test("erasure audit: counts partition and events erasure matches a direct count") {
+    val out = SparkEntry.queries("q198_erasure_audit")(spark, dir)
+      .select("tbl", "n_total", "n_erased", "n_surviving")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSet == Set("events", "customer", "orders"))
+    out.foreach { case (t, total, erased, surviving) =>
+      assert(erased + surviving == total, s"$t counts must partition")
+    }
+    val directErased = Tables(spark, dir, "events")
+      .filter(col("user_id") % 97 === 0).count()
+    assert(out.find(_._1 == "events").get._3 == directErased)
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
