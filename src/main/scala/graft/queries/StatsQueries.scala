@@ -711,14 +711,27 @@ object StatsQueries {
         val W = org.apache.spark.sql.expressions.Window
         val v = shiftrightunsigned(
           xxhash64(col("user_id").cast("string")), 2)
-        Tables(s, d, "events")
+        val hv = Tables(s, d, "events")
           .select(col("event_type"), v.as("v"))
           .filter(col("v") > 0)
           .distinct()
+        // two-stage bottom-k: 64 salt classes each keep their local
+        // bottom-64 in parallel (the global bottom-64 is a subset of
+        // their union by pigeonhole), so the final per-type sort sees
+        // ≤ 64·64 survivors instead of every distinct hash — the
+        // few-hot-groups global sort this replaces is what dies at
+        // 100 TB. The exact distinct count rides along as a separate
+        // map-side-combinable aggregate, broadcast back.
+        val nv = hv.groupBy("event_type").agg(count(lit(1)).as("nv"))
+        hv
+          .withColumn("rs", row_number().over(
+            W.partitionBy(col("event_type"), pmod(col("v"), lit(64L)))
+              .orderBy("v")))
+          .filter(col("rs") <= 64)
           .withColumn("rn",
             row_number().over(W.partitionBy("event_type").orderBy("v"))
               .cast("long"))
-          .withColumn("nv", count(lit(1)).over(W.partitionBy("event_type")))
+          .join(broadcast(nv), "event_type")
           .withColumn("k_used", least(lit(64L), col("nv")))
           .filter(col("rn") === col("k_used"))
           .select(col("event_type"), col("k_used"), col("v").as("vk"),
