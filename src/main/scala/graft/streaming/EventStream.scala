@@ -269,22 +269,44 @@ object EventStream {
     * skip flags are stateless projections on the final table, so the
     * pair shares q185's oracle.
     */
-  def zoneMaps(spark: SparkSession, dir: String,
-      glob: String = "documents.parquet",
-      statePartitions: Option[Int] = Some(8)): DataFrame = {
-    val agg = spark.readStream
+  private def zoneMapAgg(spark: SparkSession, dir: String, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", glob)
-      .parquet(dir)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .select(expr("doc_id div 64").as("block"), col("n_chars"))
       .groupBy("block")
       .agg(count(lit(1)).as("n_rows"),
         min("n_chars").as("min_n"), max("n_chars").as("max_n"))
-    val name = s"graft_stream_zonemap_${runId.incrementAndGet()}"
-    runToTable(spark, agg, name, statePartitions = statePartitions)
-      .withColumn("skip_gt_2000", (col("max_n") <= 2000).cast("boolean"))
+  }
+
+  private def withSkipFlags(df: DataFrame): DataFrame =
+    df.withColumn("skip_gt_2000", (col("max_n") <= 2000).cast("boolean"))
       .withColumn("skip_gt_6000", (col("max_n") <= 6000).cast("boolean"))
       .withColumn("skip_lt_500", (col("min_n") >= 500).cast("boolean"))
+
+  def zoneMaps(spark: SparkSession, dir: String,
+      glob: String = "documents.parquet",
+      statePartitions: Option[Int] = Some(8)): DataFrame = {
+    val name = s"graft_stream_zonemap_${runId.incrementAndGet()}"
+    withSkipFlags(runToTable(spark, zoneMapAgg(spark, dir, glob), name,
+      statePartitions = statePartitions))
+  }
+
+  /** Durable incremental zone maps: each run ingests only unseen files
+    * and appends only the CHANGED block rows to the parquet log
+    * (Update mode — O(new files) input, O(touched blocks) output per
+    * run); returns the compacted current index. The library-scale
+    * execution path; [[zoneMaps]]'s memory sink is the spec harness.
+    */
+  def zoneMapsTo(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointDir: String, glob: String = "documents.parquet",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    runToParquetLog(zoneMapAgg(spark, dir, glob, maxFilesPerTrigger),
+      sinkPath, checkpointDir)
+    withSkipFlags(compactLog(spark, sinkPath, Seq("block")))
   }
 
   /** The stream-static enrichment plan: every micro-batch of the event
@@ -365,15 +387,15 @@ object EventStream {
     * q192 rows, minus the exact distinct-hash count a bounded sketch
     * by definition cannot carry — the q191 oracle.
     */
-  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64,
-      statePartitions: Option[Int] = Some(8)): DataFrame = {
+  private def kmvAgg(spark: SparkSession, dir: String, k: Int,
+      glob: String = "events.parquet"): DataFrame = {
     import spark.implicits._
     val v = shiftrightunsigned(xxhash64(col("user_id").cast("string")), 2)
-    val cand = source(spark, dir)
+    val cand = source(spark, dir, glob)
       .select(col("event_type"), v.as("v"))
       .filter(col("v") > 0)
       .as[(String, Long)]
-    val updated = cand.groupByKey(_._1)
+    cand.groupByKey(_._1)
       .flatMapGroupsWithState[KmvState, KmvRow](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         case (t, rows, state: GroupState[KmvState]) =>
@@ -384,10 +406,26 @@ object EventStream {
           val vk = merged.last
           Iterator.single(KmvRow(t, kUsed, vk,
             (kUsed - 1) * (4611686018427387904L / vk)))
-      }
-    runToTable(spark, updated.toDF(),
+      }.toDF()
+  }
+
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64,
+      statePartitions: Option[Int] = Some(8)): DataFrame =
+    runToTable(spark, kmvAgg(spark, dir, k),
       s"graft_stream_kmv_${runId.incrementAndGet()}",
       mode = OutputMode.Update, statePartitions = statePartitions)
+
+  /** Durable incremental KMV: each run merges only unseen files into
+    * the O(k)-per-type state and appends one refreshed estimator row
+    * per TOUCHED type to the parquet log; returns the compacted
+    * current sketch table. The library-scale execution path;
+    * [[kmvDistinct]]'s memory sink is the spec harness.
+    */
+  def kmvDistinctTo(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointDir: String, k: Int = 64,
+      glob: String = "events.parquet"): DataFrame = {
+    runToParquetLog(kmvAgg(spark, dir, k, glob), sinkPath, checkpointDir)
+    compactLog(spark, sinkPath, Seq("event_type"))
   }
 
   /** The view→click attribution stream-stream join plan: each click is

@@ -155,6 +155,82 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(lastRun.count() == 1, "second run must append only the new join row")
   }
 
+  test("durable zone maps: incremental block updates, O(touched) writes") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_zm_src").toString
+    val sink = Files.createTempDirectory("graft_zm_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_zm_ckpt").toString
+    def writeDocs(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val stage = Files.createTempDirectory("graft_zm_dump").toString
+      rows.toDF("doc_id", "n_chars")
+        .withColumn("text", lit("t")).withColumn("lang", lit("en"))
+        .withColumn("source", lit("s"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+    }
+    // dump a: blocks 0 (ids 0-63) and 1 (id 64)
+    writeDocs("a.parquet", Seq(1L -> 100L, 10L -> 9000L, 64L -> 300L))
+    val s1 = EventStream.zoneMapsTo(spark, src, sink, ckpt, glob = "*.parquet")
+      .select("block", "n_rows", "min_n", "max_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(s1 == Set((0L, 2L, 100L, 9000L), (1L, 1L, 300L, 300L)))
+    val b1 = spark.read.parquet(sink).agg(max("__batch")).as[Long].head()
+    // dump b touches ONLY block 1 — block 0's zone map rides the state
+    writeDocs("b.parquet", Seq(70L -> 50L))
+    val s2 = EventStream.zoneMapsTo(spark, src, sink, ckpt, glob = "*.parquet")
+      .select("block", "n_rows", "min_n", "max_n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(s2 == Set((0L, 2L, 100L, 9000L), (1L, 2L, 50L, 300L)))
+    val secondRun = spark.read.parquet(sink).filter($"__batch" > b1)
+    assert(secondRun.count() == 1, "only the touched block may be appended")
+  }
+
+  test("durable KMV: state merges across runs and only touched types append") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_kmv_src").toString
+    val sink = Files.createTempDirectory("graft_kmv_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_kmv_ckpt").toString
+    val t0 = 1704067200L * 1000000000L
+    def writeEvents(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val stage = Files.createTempDirectory("graft_kmv_dump").toString
+      rows.zipWithIndex.map { case ((uid, ts, tpe), i) => (i.toLong, ts, uid, tpe) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+    }
+    writeEvents("a.parquet",
+      (1L to 40L).map(u => (u, t0, "view")) ++ Seq((1L, t0, "click")))
+    val s1 = EventStream.kmvDistinctTo(spark, src, sink, ckpt, glob = "*.parquet")
+      .select("event_type", "k_used").as[(String, Long)].collect().toMap
+    assert(s1("view") == 40L && s1("click") == 1L)
+    val b1 = spark.read.parquet(sink).agg(max("__batch")).as[Long].head()
+    // second dump: new view users only — click's sketch must ride the
+    // state untouched and NOT re-append
+    writeEvents("b.parquet", (41L to 80L).map(u => (u, t0, "view")))
+    val s2 = EventStream.kmvDistinctTo(spark, src, sink, ckpt, glob = "*.parquet")
+      .select("event_type", "k_used").as[(String, Long)].collect().toMap
+    assert(s2("view") == 64L && s2("click") == 1L)
+    val secondRun = spark.read.parquet(sink).filter($"__batch" > b1)
+    assert(secondRun.count() == 1, "only the view sketch may be appended")
+    // the merged bottom-64 equals a from-scratch batch over both dumps
+    val direct = spark.read.parquet(src)
+      .filter($"event_type" === "view")
+      .select(shiftrightunsigned(xxhash64($"user_id".cast("string")), 2).as("v"))
+      .filter($"v" > 0).distinct().orderBy("v").limit(64)
+      .agg(max("v"), count(lit(1))).as[(Long, Long)].head()
+    val viewRow = EventStream.kmvDistinctTo(spark, src, sink, ckpt,
+      glob = "*.parquet")
+      .filter($"event_type" === "view")
+      .select("vk", "k_used").as[(Long, Long)].head()
+    assert(viewRow == direct, "durable sketch must equal the batch bottom-64")
+  }
+
   test("durable windowed counts equal the memory-sink result") {
     import java.nio.file.Files
     val dir = "/root/testdata/sf0.001"
