@@ -294,4 +294,25 @@ class PropertySpec extends AnyFunSuite {
       assert(codesShuffled == codes)
     }
   }
+
+  test("KMV salt-prune pigeonhole: union of per-class bottom-k ⊇ global bottom-k") {
+    // the exactness argument behind q192's two-stage plan: every
+    // member of the global bottom-k survives its own salt class's
+    // local bottom-k (fewer than k class members can precede it), so
+    // ranking the pruned union reproduces the global result for ANY
+    // value set, class count, and k
+    val setGen = for {
+      n <- Gen.chooseNum(1, 400)
+      vs <- Gen.listOfN(n, Gen.chooseNum(1L, 1000000L))
+      classes <- Gen.oneOf(1, 2, 7, 64)
+      k <- Gen.oneOf(1, 3, 64)
+    } yield (vs.distinct, classes, k)
+    samples(setGen, 40).foreach { case (vs, classes, k) =>
+      val global = vs.sorted.take(k)
+      val pruned = vs.groupBy(v => v % classes).values
+        .flatMap(_.sorted.take(k)).toSeq
+      assert(pruned.sorted.take(k) == global,
+        s"classes=$classes k=$k n=${vs.size}")
+    }
+  }
 }
