@@ -739,7 +739,91 @@ object StatsQueries {
               .as("est_distinct"),
             col("nv").as("n_distinct_hashes"))
       },
-      XxhSql.kmvOracle(withExact = true))
+      XxhSql.kmvOracle(withExact = true)),
+
+    // KMV set-intersection estimation — the capability that separates
+    // the bottom-k sketch from HLL (q180): the retained hash SETS of
+    // two sketches compose. For each type pair, rank the union of the
+    // two bottom-64 sets, keep the union's bottom-64, and count the
+    // members present in BOTH — n_both/k_union is the classic KMV
+    // Jaccard estimator, here in integer ppm. Everything after the
+    // salt-pruned sketch build (q192's plan) runs on ≤ 64·|types|
+    // rows; the pair frame is broadcast. Exact overlap has its own
+    // query (q172) — this is the O(sketch) path that replaces it at
+    // 100 TB.
+    "q199_kmv_overlap" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val v = shiftrightunsigned(
+          xxhash64(col("user_id").cast("string")), 2)
+        val hv = Tables(s, d, "events")
+          .select(col("event_type"), v.as("v"))
+          .filter(col("v") > 0)
+          .distinct()
+        val sk = hv
+          .withColumn("rs", row_number().over(
+            W.partitionBy(col("event_type"), pmod(col("v"), lit(64L)))
+              .orderBy("v")))
+          .filter(col("rs") <= 64)
+          .withColumn("rn",
+            row_number().over(W.partitionBy("event_type").orderBy("v")))
+          .filter(col("rn") <= 64)
+          .select("event_type", "v")
+        val types = sk.select("event_type").distinct()
+        val pairs = types.as("a").join(types.as("b"),
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        sk.join(broadcast(pairs),
+            col("event_type") === col("ta") || col("event_type") === col("tb"))
+          .groupBy("ta", "tb", "v")
+          .agg(max(when(col("event_type") === col("ta"), 1L).otherwise(0L))
+            .as("in_a"),
+            max(when(col("event_type") === col("tb"), 1L).otherwise(0L))
+              .as("in_b"))
+          .withColumn("rn", row_number().over(
+            W.partitionBy("ta", "tb").orderBy("v")))
+          .filter(col("rn") <= 64)
+          .groupBy("ta", "tb")
+          .agg(count(lit(1)).as("k_union"),
+            sum(expr("in_a * in_b")).as("n_both"))
+          .withColumn("est_jaccard_ppm",
+            expr("(n_both * 1000000) div k_union"))
+      }, {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+            .stripMargin
+        s"""WITH ${XxhSql.hashCtes(items, "k")},
+           |hv AS (
+           |  SELECT DISTINCT e.event_type, CAST(h.h // 4 AS BIGINT) AS v
+           |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
+           |  WHERE h.h // 4 > 0),
+           |sk AS (
+           |  SELECT event_type, v FROM (
+           |    SELECT event_type, v,
+           |      row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+           |    FROM hv) WHERE rn <= 64),
+           |tps AS (SELECT DISTINCT event_type FROM sk),
+           |pairs AS (
+           |  SELECT a.event_type AS ta, b.event_type AS tb
+           |  FROM tps a JOIN tps b ON a.event_type < b.event_type),
+           |u AS (
+           |  SELECT p.ta, p.tb, s.v,
+           |    max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+           |    max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+           |  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+           |  GROUP BY 1, 2, 3),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY v)
+           |    AS rn
+           |  FROM u)
+           |SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_union,
+           |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+           |  CAST((CAST(sum(in_a * in_b) AS BIGINT) * 1000000) // count(*)
+           |    AS BIGINT) AS est_jaccard_ppm
+           |FROM r WHERE rn <= 64 GROUP BY 1, 2""".stripMargin
+      })
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 

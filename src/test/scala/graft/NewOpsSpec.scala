@@ -307,6 +307,23 @@ class NewOpsSpec extends AnyFunSuite {
     assert(out.find(_._1 == "events").get._3 == directErased)
   }
 
+  test("KMV overlap estimate tracks the exact user-set Jaccard") {
+    val out = SparkEntry.queries("q199_kmv_overlap")(spark, dir)
+      .select("ta", "tb", "est_jaccard_ppm")
+      .as[(String, String, Long)].collect()
+    val sets = Tables(spark, dir, "events")
+      .select("event_type", "user_id").distinct()
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(_._2).toSet }
+    assert(out.length == sets.size * (sets.size - 1) / 2)
+    out.foreach { case (ta, tb, est) =>
+      val (a, b) = (sets(ta), sets(tb))
+      val exact = (a & b).size.toLong * 1000000L / (a | b).size
+      assert(math.abs(est - exact) <= 350000L,
+        s"$ta/$tb: est $est vs exact $exact ppm")
+    }
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
