@@ -1046,6 +1046,159 @@ object ExtraQueries {
         |FROM p GROUP BY path
         |ORDER BY n_users DESC, path LIMIT 20""".stripMargin),
 
+    // Journey-similarity mining (the trajectory-similarity idea on
+    // event sequences): the distinct first-4-event journeys collapse
+    // the corpus to a BOUNDED frame (≤ |types|^4 paths regardless of
+    // row count), so exact pairwise edit distance on that aggregate —
+    // the stage that would be quadratic-fatal on users — costs the
+    // same at any scale. Emits near-identical journey pairs (dist ≤ 6
+    // chars, ~one event-name substitution) ranked by combined
+    // population: the "these two funnels are the same funnel" signal
+    // consolidation reads. levenshtein is unit-cost identical in both
+    // engines (q54 precedent).
+    "q200_journey_similarity" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val paths = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4)
+          .groupBy("user_id")
+          .agg(array_join(transform(
+            sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            e => e.getField("event_type")), ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"))
+        paths.as("a").join(paths.as("b"), col("a.path") < col("b.path"))
+          .withColumn("dist",
+            levenshtein(col("a.path"), col("b.path")).cast("long"))
+          .filter(col("dist") <= 6)
+          .select(col("a.path").as("path_a"), col("b.path").as("path_b"),
+            col("dist"),
+            (col("a.n_users") + col("b.n_users")).as("combined_users"))
+          .orderBy(col("combined_users").desc, col("path_a"), col("path_b"))
+          .limit(20)
+      },
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 4 GROUP BY user_id),
+        |paths AS (
+        |  SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM p GROUP BY path)
+        |SELECT a.path AS path_a, b.path AS path_b,
+        |  CAST(levenshtein(a.path, b.path) AS BIGINT) AS dist,
+        |  a.n_users + b.n_users AS combined_users
+        |FROM paths a JOIN paths b ON a.path < b.path
+        |WHERE levenshtein(a.path, b.path) <= 6
+        |ORDER BY combined_users DESC, path_a, path_b LIMIT 20""".stripMargin),
+
+    // Functional-dependency audit — the metadata-discovery profiling
+    // pass: for each candidate FD, one count-distinct-RHS-per-LHS
+    // aggregation reports how many LHS keys violate determinism and
+    // how badly. Each audit is a single map-side-combinable groupBy
+    // on the candidate LHS; candidates over the same table share the
+    // scan. Confirmed FDs (violations = 0) become join-safety and
+    // normalization facts a catalog can act on.
+    "q201_fd_audit" -> Q(
+      (s, d) => {
+        def fd(df: org.apache.spark.sql.DataFrame, name: String,
+            lhs: String, rhs: String) =
+          df.groupBy(col(lhs))
+            .agg(countDistinct(col(rhs)).as("n_rhs"))
+            .agg(lit(name).as("fd"), count(lit(1)).as("n_lhs"),
+              sum(when(col("n_rhs") > 1, 1L).otherwise(0L))
+                .as("n_violating"),
+              max("n_rhs").as("max_rhs"))
+        val o = Tables(s, d, "orders")
+        val c = Tables(s, d, "customer")
+        fd(c, "custkey->nationkey", "c_custkey", "c_nationkey")
+          .unionByName(fd(c, "nationkey->mktsegment",
+            "c_nationkey", "c_mktsegment"))
+          .unionByName(fd(o, "custkey->orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .unionByName(fd(o, "orderdate->orderstatus",
+            "o_orderdate", "o_orderstatus"))
+      },
+      """SELECT 'custkey->nationkey' AS fd, CAST(count(*) AS BIGINT) AS n_lhs,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violating,
+        |  CAST(max(n) AS BIGINT) AS max_rhs
+        |FROM (SELECT c_custkey, count(DISTINCT c_nationkey) AS n
+        |      FROM customer GROUP BY 1)
+        |UNION ALL
+        |SELECT 'nationkey->mktsegment', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(n) AS BIGINT)
+        |FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n
+        |      FROM customer GROUP BY 1)
+        |UNION ALL
+        |SELECT 'custkey->orderpriority', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(n) AS BIGINT)
+        |FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n
+        |      FROM orders GROUP BY 1)
+        |UNION ALL
+        |SELECT 'orderdate->orderstatus', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(n) AS BIGINT)
+        |FROM (SELECT o_orderdate, count(DISTINCT o_orderstatus) AS n
+        |      FROM orders GROUP BY 1)""".stripMargin),
+
+    // Class rebalancing — the uniform-label downsample before
+    // training on skewed labels: every label keeps exactly
+    // min-class-count examples, selected by deterministic hash rank
+    // (reproducible anywhere, like q48). The tiny per-label count
+    // frame broadcasts back; the rank is one window per label.
+    // Output proves the sample: per label the kept count (== n_min
+    // everywhere) and an order-independent id checksum.
+    "q202_class_balance" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val emb = Tables(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"))
+        val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+        val nMin = counts.agg(min("n").as("n_min"))
+        emb
+          .withColumn("rk", row_number().over(
+            W.partitionBy("label").orderBy(
+              xxhash64(col("vec_id").cast("string")), col("vec_id"))))
+          .crossJoin(broadcast(nMin))
+          .filter(col("rk") <= col("n_min"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("vec_id").as("id_checksum"))
+      }, {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT CAST(vec_id AS VARCHAR) AS k
+            |    FROM embeddings))""".stripMargin
+        s"""WITH ${graft.queries.XxhSql.hashCtes(items, "k")},
+           |hv AS (
+           |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+           |    CAST(CASE WHEN h.h >= CAST('9223372036854775808' AS HUGEINT)
+           |      THEN h.h - 18446744073709551616 ELSE h.h END AS BIGINT) AS hh
+           |  FROM embeddings e
+           |  JOIN hashed h ON h.k = CAST(e.vec_id AS VARCHAR)),
+           |nmin AS (
+           |  SELECT min(n) AS n_min FROM (
+           |    SELECT label, count(*) AS n FROM embeddings GROUP BY 1)),
+           |rk AS (
+           |  SELECT label, vec_id,
+           |    row_number() OVER (PARTITION BY label ORDER BY hh, vec_id)
+           |      AS rk
+           |  FROM hv)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+           |  CAST(sum(vec_id) AS BIGINT) AS id_checksum
+           |FROM rk, nmin WHERE rk <= n_min
+           |GROUP BY label""".stripMargin
+      }),
+
     // Right-to-erasure audit: given a deny list of user keys (here a
     // deterministic 1-in-97 sample of event users), report per linked
     // table how many rows the cascade would remove vs survive — the

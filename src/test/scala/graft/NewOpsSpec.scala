@@ -324,6 +324,36 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("FD audit: key-determined FDs hold, date->status genuinely violates") {
+    val out = SparkEntry.queries("q201_fd_audit")(spark, dir)
+      .select("fd", "n_violating", "max_rhs")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // c_custkey is the table key: any RHS is functionally determined
+    assert(out("custkey->nationkey") == (0L, 1L))
+    // a date genuinely does not determine order status on TPC-H-ish data
+    assert(out("orderdate->orderstatus")._1 > 0)
+  }
+
+  test("class balance keeps exactly the min class count from every label") {
+    val out = SparkEntry.queries("q202_class_balance")(spark, dir)
+      .select("label", "n_kept").as[(Long, Long)].collect()
+    val counts = Tables(spark, dir, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n")).as[(Int, Long)].collect()
+    val nMin = counts.map(_._2).min
+    assert(out.length == counts.length)
+    assert(out.forall(_._2 == nMin), s"every label must keep $nMin")
+  }
+
+  test("journey similarity only pairs distinct near-identical paths") {
+    val out = SparkEntry.queries("q200_journey_similarity")(spark, dir)
+      .select("path_a", "path_b", "dist")
+      .as[(String, String, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, dd) =>
+      assert(a != b && dd >= 1 && dd <= 6)
+    }
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
