@@ -1199,6 +1199,105 @@ object ExtraQueries {
            |GROUP BY label""".stripMargin
       }),
 
+    // Backfill-gap detection — the ops pass before any incremental
+    // pipeline claims completeness: collapse the corpus to the
+    // distinct (type, day) coverage set (map-side-combinable), then
+    // one lag() per type finds every hole where consecutive observed
+    // days differ by more than one. Output is the missing ranges a
+    // backfill scheduler would enqueue. Windows only ever run on the
+    // bounded coverage frame, never on events.
+    "q203_backfill_gaps" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("day")
+        Tables(s, d, "events")
+          // synthetic holes: a real corpus has them; this one is dense,
+          // so the audit drops two weekdays to prove the detector
+          .filter(expr("weekday(ts) != 2 AND weekday(ts) != 5"))
+          .select(col("event_type"), to_date(col("ts")).as("day"))
+          .distinct()
+          .withColumn("prev_day", lag("day", 1).over(w))
+          .filter(col("prev_day").isNotNull &&
+            datediff(col("day"), col("prev_day")) > 1)
+          .select(col("event_type"),
+            date_add(col("prev_day"), 1).as("gap_start"),
+            date_sub(col("day"), 1).as("gap_end"),
+            (datediff(col("day"), col("prev_day")) - 1).cast("long")
+              .as("missing_days"))
+      },
+      """WITH cov AS (
+        |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day
+        |  FROM events WHERE isodow(ts) != 3 AND isodow(ts) != 6),
+        |lagged AS (
+        |  SELECT event_type, day,
+        |    lag(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+        |  FROM cov)
+        |SELECT event_type,
+        |  prev_day + 1 AS gap_start, day - 1 AS gap_end,
+        |  CAST(day - prev_day - 1 AS BIGINT) AS missing_days
+        |FROM lagged
+        |WHERE prev_day IS NOT NULL AND day - prev_day > 1""".stripMargin),
+
+    // Inter-event latency SLA profile: per event type, exact
+    // interpolated p50/p90/p99 of the microsecond gap between a
+    // user's consecutive events. One lag() per user ordered by time
+    // (the per-user window partitions across the cluster), then the
+    // percentile aggregate collapses per type — the q46 contract
+    // (Spark percentile ≡ DuckDB quantile_cont on identical integer
+    // multisets), snapped at 1e-6.
+    "q204_interevent_latency" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("gap_us",
+            (unix_micros(col("ts")) -
+              lag(unix_micros(col("ts")), 1).over(w)))
+          .filter(col("gap_us").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"),
+            r6(expr("percentile(gap_us, 0.5)")).as("p50_us"),
+            r6(expr("percentile(gap_us, 0.9)")).as("p90_us"),
+            r6(expr("percentile(gap_us, 0.99)")).as("p99_us"))
+      },
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  floor(quantile_cont(gap_us, 0.5)*1000000 + 0.5)/1000000 AS p50_us,
+        |  floor(quantile_cont(gap_us, 0.9)*1000000 + 0.5)/1000000 AS p90_us,
+        |  floor(quantile_cont(gap_us, 0.99)*1000000 + 0.5)/1000000 AS p99_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type""".stripMargin),
+
+    // Diversified top-k: the global top-20 longest documents subject
+    // to a fairness quota (at most 2 per source) — the result-diversity
+    // constraint retrieval and curation layers apply. Per-source rank
+    // prunes to 2·|sources| candidates FIRST (a parallel window), so
+    // the global ordering runs on the quota survivors, never the
+    // corpus. Exact, deterministic tie-breaks.
+    "q205_diversified_topk" -> Q(
+      (s, d) => {
+        val perSrc = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("src_rank", row_number().over(perSrc).cast("long"))
+          .filter(col("src_rank") <= 2)
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .limit(20)
+      },
+      """SELECT doc_id, source, n_chars,
+        |  CAST(src_rank AS BIGINT) AS src_rank
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS src_rank
+        |  FROM documents)
+        |WHERE src_rank <= 2
+        |ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin),
+
     // Right-to-erasure audit: given a deny list of user keys (here a
     // deterministic 1-in-97 sample of event users), report per linked
     // table how many rows the cascade would remove vs survive — the

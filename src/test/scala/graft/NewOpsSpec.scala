@@ -354,6 +354,49 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("backfill gaps: detected ranges are exactly the dropped weekdays") {
+    val out = SparkEntry.queries("q203_backfill_gaps")(spark, dir)
+      .select("event_type", "gap_start", "gap_end", "missing_days")
+      .as[(String, java.sql.Date, java.sql.Date, Long)].collect()
+    assert(out.nonEmpty)
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    out.foreach { case (_, start, end, n) =>
+      assert(n >= 1)
+      // every day inside a reported gap must be one of the dropped
+      // weekdays (Wed/Sat) — the detector may not invent holes
+      var d = start.toLocalDate
+      while (!d.isAfter(end.toLocalDate)) {
+        val dow = d.getDayOfWeek.getValue // 1=Mon..7=Sun
+        assert(dow == 3 || dow == 6, s"non-dropped day $d inside gap")
+        d = d.plusDays(1)
+      }
+    }
+  }
+
+  test("latency SLA: percentiles are ordered and gaps count checks out") {
+    val out = SparkEntry.queries("q204_interevent_latency")(spark, dir)
+      .select("event_type", "n_gaps", "p50_us", "p90_us", "p99_us")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (t, n, p50, p90, p99) =>
+      assert(n > 0)
+      assert(p50 <= p90 && p90 <= p99, s"$t: percentiles must be monotone")
+      assert(p50 >= 0, s"$t: time cannot run backwards within a user")
+    }
+  }
+
+  test("diversified top-k honors the per-source quota and global order") {
+    val out = SparkEntry.queries("q205_diversified_topk")(spark, dir)
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 20)
+    assert(out.groupBy(_._2).values.forall(_.size <= 2),
+      "no source may exceed its quota of 2")
+    val lens = out.map(_._3)
+    assert(lens.sameElements(lens.sorted.reverse), "globally ordered")
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
