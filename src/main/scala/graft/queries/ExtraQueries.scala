@@ -15,6 +15,37 @@ import graft.queries.Fns._
   */
 object ExtraQueries {
 
+  /** Shared oracle CTE chain of q159/q206: the part co-purchase graph,
+    * identity labels, and three unrolled label-propagation rounds
+    * (frequency argmax, ties to the smallest label) ending in `l3`.
+    * One definition so the two oracles cannot drift apart.
+    */
+  private val labelPropCtes: String = {
+    val round = (k: Int) =>
+      s"""nb$k AS (
+         |  SELECT e.a AS node, l.label FROM e
+         |  JOIN l${k - 1} l ON l.node = e.b
+         |  UNION ALL
+         |  SELECT e.b AS node, l.label FROM e
+         |  JOIN l${k - 1} l ON l.node = e.a),
+         |l$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY count(*) DESC, label ASC) AS rn
+         |    FROM nb$k GROUP BY node, label)
+         |  WHERE rn = 1)""".stripMargin
+    s"""li AS (
+       |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |  FROM lineitem WHERE l_quantity >= 25),
+       |e AS (
+       |  SELECT DISTINCT x.p AS a, y.p AS b
+       |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+       |l0 AS (
+       |  SELECT node, node AS label
+       |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e)),
+       |${(1 to 3).map(round).mkString(",\n")}""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
 
     // lag/lead/rank/dense_rank/running-sum battery over a per-customer
@@ -811,33 +842,90 @@ object ExtraQueries {
         labels.groupBy("label").agg(count(lit(1)).as("size"))
           .orderBy(col("size").desc, col("label")).limit(30)
       },
-      {
-        val round = (k: Int) =>
-          s"""nb$k AS (
-             |  SELECT e.a AS node, l.label FROM e
-             |  JOIN l${k - 1} l ON l.node = e.b
-             |  UNION ALL
-             |  SELECT e.b AS node, l.label FROM e
-             |  JOIN l${k - 1} l ON l.node = e.a),
-             |l$k AS (
-             |  SELECT node, label FROM (
-             |    SELECT node, label, row_number() OVER (PARTITION BY node
-             |      ORDER BY count(*) DESC, label ASC) AS rn
-             |    FROM nb$k GROUP BY node, label)
-             |  WHERE rn = 1)""".stripMargin
-        s"""WITH li AS (
-           |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
-           |  FROM lineitem WHERE l_quantity >= 25),
-           |e AS (
-           |  SELECT DISTINCT x.p AS a, y.p AS b
-           |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
-           |l0 AS (
-           |  SELECT node, node AS label
-           |  FROM (SELECT a AS node FROM e UNION SELECT b FROM e)),
-           |${(1 to 3).map(round).mkString(",\n")}
-           |SELECT label, count(*) AS size FROM l3
-           |GROUP BY label ORDER BY size DESC, label LIMIT 30""".stripMargin
-      }),
+      s"""WITH $labelPropCtes
+         |SELECT label, count(*) AS size FROM l3
+         |GROUP BY label ORDER BY size DESC, label LIMIT 30""".stripMargin),
+
+    // Community quality audit: conductance of each label-propagation
+    // community — cut edges over the smaller side's volume, in ppm.
+    // Unlike modularity (whose 4m² denominator leaves 64-bit range on
+    // big graphs) every term here is bounded by 2m, so the integer
+    // math survives any scale. One labeled-edge join classifies every
+    // edge as internal or cut; volumes come from one degree count —
+    // all map-side-combinable aggregates over the persisted edge set.
+    "q206_community_conductance" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct().persist()
+        var labels = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node")))
+          .distinct().withColumn("label", col("node"))
+        for (_ <- 1 to 3) {
+          val nb = e.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(col("a").as("node"), col("label"))
+            .union(e.join(labels.withColumnRenamed("node", "a"), "a")
+              .select(col("b").as("node"), col("label")))
+          labels = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
+            .groupBy("node")
+            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+            .select(col("node"), (-col("m.nl")).as("label"))
+            .persist()
+        }
+        val le = e
+          .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
+          .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+        val twoM = le.agg((count(lit(1)) * 2).as("two_m"))
+        // volume per community = sum of member degrees; cut = edges
+        // with exactly one endpoint inside
+        val vol = le.select(col("la").as("label"))
+          .union(le.select(col("lb").as("label")))
+          .groupBy("label").agg(count(lit(1)).as("vol"))
+        val cut = le.filter(col("la") =!= col("lb"))
+          .select(explode(array(col("la"), col("lb"))).as("label"))
+          .groupBy("label").agg(count(lit(1)).as("cut"))
+        val size = labels.groupBy("label").agg(count(lit(1)).as("size"))
+        size.join(vol, Seq("label"), "left")
+          .join(cut, Seq("label"), "left")
+          .na.fill(0L, Seq("vol", "cut"))
+          .crossJoin(broadcast(twoM))
+          .filter(col("vol") > 0 && col("vol") < col("two_m"))
+          .withColumn("conductance_ppm", expr(
+            "(cut * 1000000) div least(vol, two_m - vol)"))
+          .select("label", "size", "vol", "cut", "conductance_ppm")
+          .orderBy(col("size").desc, col("label")).limit(30)
+      },
+      s"""WITH $labelPropCtes,
+         |le AS (
+         |  SELECT e.a, e.b, la.label AS la, lb.label AS lb
+         |  FROM e JOIN l3 la ON la.node = e.a JOIN l3 lb ON lb.node = e.b),
+         |tm AS (SELECT CAST(count(*) * 2 AS BIGINT) AS two_m FROM le),
+         |vol AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS vol FROM (
+         |    SELECT la AS label FROM le UNION ALL SELECT lb FROM le)
+         |  GROUP BY 1),
+         |cut AS (
+         |  SELECT label, CAST(count(*) AS BIGINT) AS cut FROM (
+         |    SELECT la AS label FROM le WHERE la <> lb
+         |    UNION ALL SELECT lb FROM le WHERE la <> lb)
+         |  GROUP BY 1),
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS size
+         |       FROM l3 GROUP BY 1)
+         |SELECT s.label, s.size, v.vol,
+         |  CAST(coalesce(c.cut, 0) AS BIGINT) AS cut,
+         |  CAST((coalesce(c.cut, 0) * 1000000) //
+         |    least(v.vol, t.two_m - v.vol) AS BIGINT) AS conductance_ppm
+         |FROM sz s
+         |JOIN vol v USING (label)
+         |LEFT JOIN cut c USING (label)
+         |CROSS JOIN tm t
+         |WHERE v.vol > 0 AND v.vol < t.two_m
+         |ORDER BY s.size DESC, s.label LIMIT 30""".stripMargin),
 
     // k-core peeling (k = 4, 3 fixed rounds): iteratively drop nodes
     // of degree < k and the edges they carry — the standard dense-

@@ -397,6 +397,21 @@ class NewOpsSpec extends AnyFunSuite {
     assert(lens.sameElements(lens.sorted.reverse), "globally ordered")
   }
 
+  test("conductance: bounded in [0, 1e6]; volume decomposes into internal+cut") {
+    val out = SparkEntry.queries("q206_community_conductance")(spark, dir)
+      .select("size", "vol", "cut", "conductance_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    out.foreach { case (size, vol, cut, cond) =>
+      assert(size >= 1 && vol >= cut)
+      assert(cond >= 0 && cond <= 1000000,
+        "cut <= min-side volume forces conductance into [0, 1e6]")
+      // vol = 2*internal + cut  =>  parity of (vol - cut) must be even
+      assert((vol - cut) % 2 == 0, "volume must decompose as 2*e_in + cut")
+    }
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
