@@ -823,7 +823,137 @@ object StatsQueries {
            |  CAST((CAST(sum(in_a * in_b) AS BIGINT) * 1000000) // count(*)
            |    AS BIGINT) AS est_jaccard_ppm
            |FROM r WHERE rn <= 64 GROUP BY 1, 2""".stripMargin
-      })
+      }),
+
+    // Count-min join-cardinality estimation — the broadcast-vs-shuffle
+    // planning aid as a verifiable query: |events ⋈ customer on
+    // user_id| estimated as min over 4 depths of the CM inner product
+    // Σ_b sA[b]·sB[b] (d=4 × w=512 counters carved from bit-slices of
+    // ONE XXH64, the q176 layout), reported next to the exact size
+    // and the relative error in ppm. Sketches are 512-row frames —
+    // broadcast-joined at any corpus scale; the CM inner product
+    // NEVER undercounts, which is what makes it safe to gate a
+    // broadcast decision on.
+    "q207_join_size_estimate" -> Q(
+      (s, d) => {
+        def bucket(h: org.apache.spark.sql.Column, i: Int) =
+          (if (i == 0) h else shiftrightunsigned(h, 13 * i))
+            .bitwiseAND(lit(511L))
+        def sketch(df: org.apache.spark.sql.DataFrame, key: String) = {
+          val g = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("n"))
+            .select(col("n") +: (0 to 3).map(i =>
+              bucket(xxhash64(col("k").cast("string")), i).as(s"b$i")): _*)
+          (0 to 3).map(i =>
+            g.groupBy(col(s"b$i").as("b")).agg(sum("n").as(s"s$i")))
+        }
+        val ev = Tables(s, d, "events").select(col("user_id"))
+        val cu = Tables(s, d, "customer").select(col("c_custkey"))
+        val (sa, sb) = (sketch(ev, "user_id"), sketch(cu, "c_custkey"))
+        val est = (0 to 3).map { i =>
+          sa(i).as("a").join(sb(i).as("b"), "b")
+            .agg(sum(expr(s"a.s$i * b.s$i")).as(s"p$i"))
+            .withColumn("__k", lit(1))
+        }.reduce((x, y) => x.join(y, "__k"))
+        val exact = ev.join(cu, col("user_id") === col("c_custkey"))
+          .agg(count(lit(1)).as("exact_n")).withColumn("__k", lit(1))
+        est.join(exact, "__k")
+          .withColumn("cm_est", least(col("p0"), col("p1"), col("p2"), col("p3")))
+          .select(col("cm_est"), col("exact_n"),
+            expr("((cm_est - exact_n) * 1000000) div exact_n")
+              .as("overcount_ppm"))
+      }, {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events
+            |    UNION
+            |    SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k
+            |    FROM customer))""".stripMargin
+        val bSql = (i: Int) =>
+          if (i == 0) "CAST(h % 512 AS BIGINT)"
+          else s"CAST((h // ${1L << (13 * i)}) % 512 AS BIGINT)"
+        s"""WITH ${XxhSql.hashCtes(items, "k")},
+           |ga AS (
+           |  SELECT CAST(user_id AS VARCHAR) AS k,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1),
+           |gb AS (
+           |  SELECT CAST(c_custkey AS VARCHAR) AS k,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM customer GROUP BY 1),
+           |${(0 to 3).map(i =>
+            s"""sa$i AS (
+               |  SELECT ${bSql(i)} AS b, CAST(sum(g.n) AS BIGINT) AS s
+               |  FROM ga g JOIN hashed h ON h.k = g.k GROUP BY 1),
+               |sb$i AS (
+               |  SELECT ${bSql(i)} AS b, CAST(sum(g.n) AS BIGINT) AS s
+               |  FROM gb g JOIN hashed h ON h.k = g.k GROUP BY 1),
+               |p$i AS (
+               |  SELECT CAST(sum(a.s * b.s) AS BIGINT) AS p
+               |  FROM sa$i a JOIN sb$i b ON a.b = b.b)""".stripMargin)
+            .mkString(",\n")},
+           |ex AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS exact_n
+           |  FROM events e JOIN customer c ON e.user_id = c.c_custkey)
+           |SELECT least(p0.p, p1.p, p2.p, p3.p) AS cm_est, ex.exact_n,
+           |  CAST(((least(p0.p, p1.p, p2.p, p3.p) - ex.exact_n) * 1000000)
+           |    // ex.exact_n AS BIGINT) AS overcount_ppm
+           |FROM p0, p1, p2, p3, ex""".stripMargin
+      }),
+
+    // Distribution-drift monitor: per event type, the L1 distance (in
+    // ppm of probability mass) between the value-bucket shares of the
+    // first and second halves of the month — the alert a pipeline
+    // raises before a shifted upstream silently poisons training
+    // data. Shares are integer ppm (n·1e6 div period total), so every
+    // term is bounded by 2e6·buckets regardless of corpus size;
+    // the corpus collapses to (type, bucket, period) counts in one
+    // map-side-combinable pass and all arithmetic runs on that frame.
+    "q208_share_drift" -> Q(
+      (s, d) => {
+        val g = Tables(s, d, "events")
+          .select(col("event_type"),
+            when(dayofmonth(col("ts")) <= 15, lit("h1")).otherwise(lit("h2"))
+              .as("period"),
+            floor(col("value")).cast("long").as("bucket"))
+          .groupBy("event_type", "period", "bucket")
+          .agg(count(lit(1)).as("n"))
+        val tot = g.groupBy("event_type", "period").agg(sum("n").as("tot"))
+        val shares = g.join(tot, Seq("event_type", "period"))
+          .withColumn("s_ppm", expr("(n * 1000000) div tot"))
+        val a = shares.filter(col("period") === "h1")
+          .select(col("event_type"), col("bucket"), col("s_ppm").as("s1"))
+        val b = shares.filter(col("period") === "h2")
+          .select(col("event_type"), col("bucket"), col("s_ppm").as("s2"))
+        a.join(b, Seq("event_type", "bucket"), "full_outer")
+          .na.fill(0L, Seq("s1", "s2"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(abs(col("s1") - col("s2"))).as("l1_ppm"))
+      },
+      """WITH g AS (
+        |  SELECT event_type,
+        |    CASE WHEN day(ts) <= 15 THEN 'h1' ELSE 'h2' END AS period,
+        |    CAST(floor(value) AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (
+        |  SELECT event_type, period, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM g GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT g.event_type, g.period, g.bucket,
+        |    CAST((g.n * 1000000) // t.tot AS BIGINT) AS s_ppm
+        |  FROM g JOIN t USING (event_type, period)),
+        |ab AS (
+        |  SELECT coalesce(a.event_type, b.event_type) AS event_type,
+        |    coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(a.s_ppm, 0) AS s1, coalesce(b.s_ppm, 0) AS s2
+        |  FROM (SELECT * FROM sh WHERE period = 'h1') a
+        |  FULL OUTER JOIN (SELECT * FROM sh WHERE period = 'h2') b
+        |    ON a.event_type = b.event_type AND a.bucket = b.bucket)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(abs(s1 - s2)) AS BIGINT) AS l1_ppm
+        |FROM ab GROUP BY 1""".stripMargin)
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 

@@ -412,6 +412,27 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("CM join-size estimate never undercounts the exact join size") {
+    val (est, exact, over) =
+      SparkEntry.queries("q207_join_size_estimate")(spark, dir)
+        .select("cm_est", "exact_n", "overcount_ppm")
+        .as[(Long, Long, Long)].head()
+    assert(exact > 0)
+    assert(est >= exact, "the CM inner product is a one-sided overestimate")
+    assert(over >= 0 && over == (est - exact) * 1000000L / exact)
+  }
+
+  test("share drift: L1 ppm bounded by 2e6 and zero iff identical shares") {
+    val out = SparkEntry.queries("q208_share_drift")(spark, dir)
+      .select("event_type", "n_buckets", "l1_ppm")
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (t, nb, l1) =>
+      assert(nb >= 1)
+      assert(l1 >= 0 && l1 <= 2000000L, s"$t: L1 over probability masses")
+    }
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
