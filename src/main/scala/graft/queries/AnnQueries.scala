@@ -799,7 +799,75 @@ object AnnQueries {
          |  CAST(sum(CASE WHEN n_label = q_label THEN 1 ELSE 0 END)
          |    AS BIGINT) * 2 < CAST(count(*) AS BIGINT) AS suspect
          |FROM ranked WHERE rank <= 10
-         |GROUP BY 1, 2""".stripMargin)
+         |GROUP BY 1, 2""".stripMargin),
+
+    // Embedding-column health profile — the feature-distribution audit
+    // a pipeline runs before training on a new embedding batch: per
+    // dimension, count / NaN count / min / max / exact interpolated
+    // median (q46 contract, snapped at 1e-6). posexplode keeps the
+    // dimension index authoritative; the whole profile is one
+    // map-side-combinable aggregation keyed on the 64 dims. A
+    // all-zero or NaN-poisoned dimension surfaces here before it
+    // silently zeroes similarity scores downstream.
+    "q209_embedding_profile" -> Q(
+      (s, d) =>
+        Tables(s, d, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("dim").cast("long").as("dim"),
+            col("x").cast("double").as("x"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"),
+            sum(when(isnan(col("x")), 1L).otherwise(0L)).as("n_nan"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            Fns.r6(expr("percentile(x, 0.5)")).as("p50_x")),
+      """WITH ex AS (
+        |  SELECT unnest(list_transform(range(1, len(embedding) + 1),
+        |    i -> {'ord': i, 'x': CAST(embedding[i] AS DOUBLE)})) AS s
+        |  FROM embeddings)
+        |SELECT CAST(s.ord - 1 AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN isnan(s.x) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nan,
+        |  min(s.x) AS min_x, max(s.x) AS max_x,
+        |  floor(quantile_cont(s.x, 0.5)*1000000 + 0.5)/1000000 AS p50_x
+        |FROM ex GROUP BY 1""".stripMargin),
+
+    // Mutual nearest neighbors — the reciprocal-best-match filter
+    // behind bitext alignment and high-precision near-dup pairing: a
+    // pair survives only if each vector is the OTHER's single nearest
+    // neighbor, which kills the hub-dominated false matches plain
+    // 1-NN keeps. Exact 1-NN per vector here (the documented exact
+    // baseline, like q36 — at scale the IVF/PQ candidate stages slot
+    // into the same argmax); the mutual filter is a self-join of the
+    // tiny 1-NN frame on the reversed pair.
+    "q210_mutual_nn" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val nn = Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("neighbor_id"), col("cos"))
+        nn.as("x").join(nn.as("y"),
+            col("x.query_id") === col("y.neighbor_id") &&
+              col("x.neighbor_id") === col("y.query_id") &&
+              col("x.query_id") < col("x.neighbor_id"))
+          .select(col("x.query_id").as("id_a"),
+            col("x.neighbor_id").as("id_b"), col("x.cos").as("cos"))
+      },
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id),
+         |nn AS (
+         |  SELECT query_id, neighbor_id, cos FROM (
+         |    SELECT query_id, neighbor_id, ($cosExpr) AS cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY ($cosExpr) DESC, neighbor_id) AS rank
+         |    FROM p) WHERE rank = 1)
+         |SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos
+         |FROM nn x JOIN nn y
+         |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
+         |WHERE x.query_id < x.neighbor_id""".stripMargin)
   )
 
   /** The q125 codebooks: re-trained identically by the query run and

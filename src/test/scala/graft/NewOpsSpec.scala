@@ -433,6 +433,30 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding profile: every dim fully populated, median inside [min,max]") {
+    val out = SparkEntry.queries("q209_embedding_profile")(spark, dir)
+      .select("dim", "n", "n_nan", "min_x", "max_x", "p50_x")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.length == 64, "one row per embedding dimension")
+    val total = Tables(spark, dir, "embeddings").count()
+    out.foreach { case (dim, n, nNan, mn, mx, p50) =>
+      assert(n == total, s"dim $dim must appear in every vector")
+      assert(nNan == 0)
+      assert(mn <= p50 && p50 <= mx)
+    }
+  }
+
+  test("mutual NN: symmetric by construction and a strict subset of 1-NN") {
+    val out = SparkEntry.queries("q210_mutual_nn")(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    spark.catalog.clearCache()
+    assert(out.nonEmpty)
+    assert(out.forall { case (a, b) => a < b }, "canonical pair order")
+    assert(out.distinct.length == out.length)
+    val nVecs = Tables(spark, dir, "embeddings").count()
+    assert(out.length * 2 <= nVecs, "each vector joins at most one mutual pair")
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
