@@ -829,6 +829,118 @@ object ScaleQueries {
            |  (mask & (CAST(1 AS BIGINT) << ${bit("zh")})) <> 0 AS may_zh,
            |  (mask & (CAST(1 AS BIGINT) << ${bit("xx")})) <> 0 AS may_xx
            |FROM zone""".stripMargin
+      }),
+
+    // Largest-remainder proration — exact integer allocation of a
+    // fixed budget (1M sampling slots) across sources proportional to
+    // their document counts: floor shares first, then the leftover
+    // slots go to the largest remainders (source tie-break). The ONLY
+    // allocation scheme where the parts provably sum to the whole —
+    // the mix-planning primitive naive rounding gets wrong. The
+    // corpus collapses to per-source counts; every window below runs
+    // on that |sources|-row frame.
+    "q211_largest_remainder" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val g = W.partitionBy(lit(1))
+        Tables(s, d, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .withColumn("total_n", sum("n").over(g))
+          .withColumn("base", expr("(n * 1000000L) div total_n"))
+          .withColumn("rem", expr("(n * 1000000L) % total_n"))
+          .withColumn("leftover", expr("1000000L - sum(base) OVER ()"))
+          .withColumn("rk", row_number().over(
+            g.orderBy(col("rem").desc, col("source"))).cast("long"))
+          .withColumn("alloc",
+            col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .select("source", "n", "base", "rem", "alloc")
+      },
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |st AS (
+        |  SELECT source, n,
+        |    CAST((n * 1000000) // CAST(sum(n) OVER () AS BIGINT) AS BIGINT)
+        |      AS base,
+        |    CAST((n * 1000000) % CAST(sum(n) OVER () AS BIGINT) AS BIGINT)
+        |      AS rem
+        |  FROM c),
+        |rk AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT)
+        |      AS rk,
+        |    CAST(1000000 - sum(base) OVER () AS BIGINT) AS leftover
+        |  FROM st)
+        |SELECT source, n, base, rem,
+        |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc
+        |FROM rk""".stripMargin),
+
+    // LPT task balancing — the "assign this source's files to 4
+    // parallel writer slots" planner that complements q184's
+    // byte-target grouping: longest-processing-time greedy, each file
+    // (cost = n_chars, descending, doc_id tie) lands on the currently
+    // least-loaded slot. Inherently sequential PER SOURCE, so the
+    // corpus collapses to one sorted cost list per source (bounded
+    // inventory metadata) and ONE codegen'd fold replays the greedy
+    // per source in parallel — the same shape as q177/q193. Output:
+    // final slot loads + the makespan bound the scheduler quotes.
+    "q212_lpt_balance" -> Q(
+      (s, d) => {
+        val fold =
+          """aggregate(costs, array(0L, 0L, 0L, 0L),
+            |  (acc, c) -> transform(acc, (v, i) ->
+            |    IF(i = array_position(acc, array_min(acc)) - 1, v + c, v)))"""
+            .stripMargin
+        Tables(s, d, "documents")
+          .groupBy("source")
+          .agg(sort_array(collect_list(
+            struct((-col("n_chars")).as("nc"), col("doc_id")))).as("sorted"),
+            count(lit(1)).as("n_files"), sum("n_chars").as("total_cost"))
+          .withColumn("costs", expr("transform(sorted, e -> -e.nc)"))
+          .withColumn("loads", expr(fold))
+          .select(col("source"), col("n_files"), col("total_cost"),
+            posexplode(col("loads")).as(Seq("slot", "load")))
+          .select(col("source"), col("n_files"), col("total_cost"),
+            col("slot").cast("long").as("slot"), col("load"))
+      }, {
+        val assign =
+          "list_concat(list_concat(" +
+            "list_slice(r.loads, 1, list_position(r.loads, list_min(r.loads)) - 1), " +
+            "[r.loads[list_position(r.loads, list_min(r.loads))] + f.c]), " +
+            "list_slice(r.loads, list_position(r.loads, list_min(r.loads)) + 1, 4))"
+        s"""WITH RECURSIVE inv AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+           |    CAST(sum(n_chars) AS BIGINT) AS total_cost,
+           |    list(n_chars ORDER BY n_chars DESC, doc_id) AS costs
+           |  FROM documents GROUP BY 1),
+           |f AS (
+           |  SELECT source,
+           |    unnest(list_transform(range(1, len(costs) + 1),
+           |      i -> {'t': i, 'c': costs[i]})) AS s
+           |  FROM inv),
+           |fi AS (SELECT source, s.t AS t, CAST(s.c AS BIGINT) AS c FROM f),
+           |rec AS (
+           |  SELECT source, CAST([0, 0, 0, 0] AS BIGINT[]) AS loads,
+           |    CAST(1 AS BIGINT) AS t
+           |  FROM inv
+           |  UNION ALL
+           |  SELECT r.source,
+           |    $assign,
+           |    r.t + 1
+           |  FROM rec r JOIN fi f ON f.source = r.source AND f.t = r.t),
+           |fin AS (
+           |  SELECT r.source, r.loads FROM rec r
+           |  JOIN inv i ON i.source = r.source
+           |  WHERE r.t = i.n_files + 1)
+           |SELECT i.source, i.n_files, i.total_cost,
+           |  CAST(u.s.slot - 1 AS BIGINT) AS slot,
+           |  CAST(u.s.load AS BIGINT) AS load
+           |FROM (
+           |  SELECT source,
+           |    unnest(list_transform(range(1, 5),
+           |      k -> {'slot': k, 'load': loads[k]})) AS s
+           |  FROM fin) u
+           |JOIN inv i ON i.source = u.source""".stripMargin
       })
   )
 }

@@ -457,6 +457,41 @@ class NewOpsSpec extends AnyFunSuite {
     assert(out.length * 2 <= nVecs, "each vector joins at most one mutual pair")
   }
 
+  test("largest remainder: allocations sum exactly to the budget") {
+    val out = SparkEntry.queries("q211_largest_remainder")(spark, dir)
+      .select("source", "n", "base", "alloc")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._4).sum == 1000000L, "parts must sum to the whole")
+    out.foreach { case (_, _, base, alloc) =>
+      assert(alloc == base || alloc == base + 1)
+    }
+    // proportionality: alloc within 1 slot of the real-valued share
+    val total = out.map(_._2).sum
+    out.foreach { case (src, n, _, alloc) =>
+      val exact = n.toDouble * 1000000.0 / total
+      assert(math.abs(alloc - exact) < 1.0, s"$src: $alloc vs $exact")
+    }
+  }
+
+  test("LPT balance: loads partition the cost and respect the 4/3 bound") {
+    val out = SparkEntry.queries("q212_lpt_balance")(spark, dir)
+      .select("source", "total_cost", "slot", "load")
+      .as[(String, Long, Long, Long)].collect().groupBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (src, rows) =>
+      assert(rows.map(_._3).sorted.sameElements(Seq(0L, 1L, 2L, 3L)))
+      val total = rows.head._2
+      assert(rows.map(_._4).sum == total, s"$src: loads must partition cost")
+      // Graham's bound: LPT makespan <= (4/3 - 1/(3m)) * OPT, and
+      // OPT >= total/m — so makespan <= (4/3)*(total/4) + slack; use
+      // the loose certified bound makespan <= total/4 + max file
+      val maxFile = Tables(spark, dir, "documents")
+        .filter(col("source") === src).agg(max("n_chars")).as[Long].head()
+      assert(rows.map(_._4).max <= total / 4 + maxFile, s"$src makespan")
+    }
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
