@@ -235,6 +235,42 @@ object TextQueries {
          | $predLangCaseSql AS pred_lang
          |FROM f""".stripMargin),
 
+    // Language-confusion matrix — the QA view that decides whether
+    // the heuristic LID (q42) can gate a corpus: declared lang vs
+    // predicted lang counts plus the per-declared-language agreement
+    // rate in ppm. One row-wise codegen'd prediction pass, one
+    // map-side-combinable count over the ≤ |langs|² cells, one window
+    // over that tiny frame. Off-diagonal hot spots name exactly the
+    // language pairs the stopword tables confuse.
+    "q213_lang_confusion" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        Tables(s, d, "documents")
+          .select(col("lang"),
+            graft.ops.TextOps.predictedLang(col("text")).as("pred_lang"))
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("agree_ppm", expr(
+            "(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)" +
+              " OVER (PARTITION BY lang) * 1000000)" +
+              " div sum(n) OVER (PARTITION BY lang)"))
+      },
+      s"""WITH f AS (
+         |  SELECT lang,
+         |    $langHitsSelectSql
+         |  FROM documents),
+         |p AS (
+         |  SELECT lang, $predLangCaseSql AS pred_lang FROM f),
+         |c AS (
+         |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |  CAST((CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+         |      OVER (PARTITION BY lang) AS BIGINT) * 1000000)
+         |    // CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         |    AS BIGINT) AS agree_ppm
+         |FROM c""".stripMargin),
+
     // End-to-end training-data prep: quality gate (token count, punct
     // ratio) → language filter (n-gram heuristic) → exact dedup by
     // normalized fingerprint (keep first) — the composed pipeline a

@@ -492,6 +492,21 @@ class NewOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("lang confusion: cells partition the corpus; agreement is a rate") {
+    val out = SparkEntry.queries("q213_lang_confusion")(spark, dir)
+      .select("lang", "pred_lang", "n", "agree_ppm")
+      .as[(String, String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val total = Tables(spark, dir, "documents").count()
+    assert(out.map(_._3).sum == total, "confusion cells must partition")
+    out.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = rows.map(_._3).sum
+      val diag = rows.filter(r => r._2 == lang).map(_._3).sum
+      assert(rows.map(_._4).distinct.length == 1)
+      assert(rows.head._4 == diag * 1000000L / n, s"$lang agreement rate")
+    }
+  }
+
   test("compaction groups respect the byte target once they hold 2+ files") {
     val plan = SparkEntry.queries("q184_compaction_plan")(spark, dir)
       .select("source", "grp", "n_files", "bytes")
