@@ -843,9 +843,13 @@ object AnnQueries {
     "q210_mutual_nn" -> Q(
       (s, d) => {
         val emb = Tables(s, d, "embeddings")
+        // the 1-NN frame is consumed twice (both sides of the mutual
+        // join) — persist the tiny result or the all-pairs scoring
+        // pass runs twice (lazy; Verify/Bench clearCache afterwards)
         val nn = Similarity.bruteForceTopK(
           emb, emb, "vec_id", "embedding", k = 1)
           .select(col("query_id"), col("neighbor_id"), col("cos"))
+          .persist()
         nn.as("x").join(nn.as("y"),
             col("x.query_id") === col("y.neighbor_id") &&
               col("x.neighbor_id") === col("y.query_id") &&

@@ -877,9 +877,14 @@ object ExtraQueries {
             .select(col("node"), (-col("m.nl")).as("label"))
             .persist()
         }
+        // the labeled edge set feeds FOUR consumers (two_m, both vol
+        // directions, cut) — persist it or each one replays the double
+        // label join (same lazy cache-boundary discipline as the
+        // rounds; Verify/Bench clearCache afterwards)
         val le = e
           .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
           .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+          .persist()
         val twoM = le.agg((count(lit(1)) * 2).as("two_m"))
         // volume per community = sum of member degrees; cut = edges
         // with exactly one endpoint inside
