@@ -22,7 +22,9 @@ object SparkEntry {
     TextQueries.queries,
     StreamQueries.queries,
     CdcQueries.queries,
-    ScaleQueries.queries
+    ScaleQueries.queries,
+    BehaviorQueries.queries,
+    ExperimentQueries.queries
   )
 
   private lazy val registry: Map[String, Q] =

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Behavioral / lifecycle analytics over the events and orders tables:
+  * growth accounting (new / retained / resurrected / churned), signup→
+  * purchase conversion curves, and RFM segmentation — the account-level
+  * reporting layer a training-data pipeline's sibling product teams run
+  * on the same corpus. All arithmetic is integer-exact (ppm ratios via
+  * integral division), every query carries a DuckDB oracle.
+  */
+object BehaviorQueries {
+
+  val queries: Map[String, Q] = Map(
+
+    // Growth accounting: per calendar day, how many active users are
+    // new (first-ever day), retained (also active yesterday),
+    // resurrected (active before, but not yesterday), and how many of
+    // yesterday's actives churned (no activity today — attributed to
+    // the first inactive day, including the day after the dataset's
+    // last for users active at the end). Shape: the corpus collapses
+    // to DISTINCT (user, day) in one map-side-combinable pass; both
+    // lag and lead ride ONE user-partitioned window sort; the final
+    // groupBy(day) is a bounded-cardinality agg. No global window —
+    // holds at any user count.
+    "q214_growth_accounting" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val act = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("prev", lag(col("day"), 1).over(w))
+          .withColumn("next", lead(col("day"), 1).over(w))
+        val status = act.select(col("day"),
+          when(col("prev").isNull, "new")
+            .when(datediff(col("day"), col("prev")) === 1, "retained")
+            .otherwise("resurrected").as("metric"))
+        val churn = act
+          .filter(col("next").isNull || datediff(col("next"), col("day")) > 1)
+          .select(date_add(col("day"), 1).as("day"),
+            lit("churned").as("metric"))
+        status.unionByName(churn)
+          .groupBy("day")
+          .agg(
+            sum(when(col("metric") === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("metric") === "retained", 1L).otherwise(0L))
+              .as("n_retained"),
+            sum(when(col("metric") === "resurrected", 1L).otherwise(0L))
+              .as("n_resurrected"),
+            sum(when(col("metric") === "churned", 1L).otherwise(0L))
+              .as("n_churned"))
+          .withColumn("n_active",
+            col("n_new") + col("n_retained") + col("n_resurrected"))
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (
+        |  SELECT user_id, day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next
+        |  FROM act),
+        |r AS (
+        |  SELECT day,
+        |    CASE WHEN prev IS NULL THEN 'new'
+        |         WHEN day - prev = 1 THEN 'retained'
+        |         ELSE 'resurrected' END AS metric
+        |  FROM c
+        |  UNION ALL
+        |  SELECT day + 1, 'churned' FROM c
+        |  WHERE next IS NULL OR next - day > 1)
+        |SELECT day,
+        |  CAST(sum(CASE WHEN metric = 'new' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN metric = 'retained' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_retained,
+        |  CAST(sum(CASE WHEN metric = 'resurrected' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_resurrected,
+        |  CAST(sum(CASE WHEN metric = 'churned' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_churned,
+        |  CAST(sum(CASE WHEN metric <> 'churned' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_active
+        |FROM r GROUP BY day""".stripMargin),
+
+    // Signup→purchase conversion curve: for the cohort of users with a
+    // signup event, the count converting k whole days after their
+    // FIRST signup (first purchase at/after it), cumulatively, and the
+    // cumulative conversion rate in exact ppm. Per-user firsts are one
+    // map-side-combinable min-agg each; the curve frame is ≤ the day
+    // span, so its global cumulative window is driver-trivial; the
+    // 1-row cohort count arrives via broadcast, never a collect.
+    "q215_time_to_conversion" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+        val signup = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("ts"))).as("s_us"))
+        val purchase = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val conv = signup.join(purchase, Seq("user_id"), "left")
+          .groupBy("user_id", "s_us")
+          .agg(min(when(col("p_us") >= col("s_us"), col("p_us"))).as("c_us"))
+        val cohort = conv.agg(count(lit(1)).as("cohort_n"))
+        val wk = Window.orderBy("k")
+        conv.filter(col("c_us").isNotNull)
+          .select(expr("(c_us - s_us) div 86400000000").as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_converted"))
+          .withColumn("cum_converted", sum("n_converted").over(wk))
+          .crossJoin(broadcast(cohort))
+          .select(col("k"), col("n_converted"), col("cum_converted"),
+            expr("cum_converted * 1000000 div cohort_n").as("cum_rate_ppm"))
+      },
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |c AS (
+        |  SELECT s.user_id, s.s_us,
+        |    min(CASE WHEN p.p_us >= s.s_us THEN p.p_us END) AS c_us
+        |  FROM s LEFT JOIN (
+        |    SELECT user_id, epoch_us(ts) AS p_us FROM events
+        |    WHERE event_type = 'purchase') p
+        |    ON p.user_id = s.user_id
+        |  GROUP BY 1, 2),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS cohort_n FROM c),
+        |k AS (
+        |  SELECT CAST((c_us - s_us) // 86400000000 AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_converted
+        |  FROM c WHERE c_us IS NOT NULL GROUP BY 1)
+        |SELECT k.k, k.n_converted,
+        |  CAST(sum(k.n_converted) OVER (ORDER BY k.k) AS BIGINT)
+        |    AS cum_converted,
+        |  CAST((sum(k.n_converted) OVER (ORDER BY k.k) * 1000000)
+        |    // n.cohort_n AS BIGINT) AS cum_rate_ppm
+        |FROM k, n""".stripMargin),
+
+    // RFM segmentation: customers scored into recency / frequency /
+    // monetary quintiles (deterministic ntile — every ORDER BY is a
+    // total order via the custkey tie-break), reported per (r,f,m)
+    // cell with exact integer cent totals (money enters as
+    // floor(x*100+0.5) cents, so sums are associative longs — no
+    // float summation-order drift). The quintile windows are global
+    // sorts of the per-CUSTOMER aggregate (3 orders of magnitude
+    // smaller than orders); past ~1e9 customers swap them for
+    // Ids.distributedDenseIds over the same orderings and replicate
+    // ntile's ceil/floor bucket split from the dense index.
+    "q216_rfm_segments" -> Q(
+      (s, d) => {
+        val per = Tables(s, d, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+            count(lit(1)).as("freq"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("cents"))
+        val anchor = per.agg(max(col("last_day")).as("anchor"))
+        per.crossJoin(broadcast(anchor))
+          .withColumn("rec_days", datediff(col("anchor"), col("last_day")))
+          .withColumn("r_q", ntile(5).over(
+            Window.orderBy(col("rec_days"), col("o_custkey"))).cast("long"))
+          .withColumn("f_q", ntile(5).over(
+            Window.orderBy(col("freq").desc, col("o_custkey"))).cast("long"))
+          .withColumn("m_q", ntile(5).over(
+            Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long"))
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("cents")).as("total_cents"))
+      },
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_day,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor FROM per),
+        |q AS (
+        |  SELECT cents,
+        |    ntile(5) OVER (ORDER BY a.anchor - p.last_day, o_custkey) AS r_q,
+        |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+        |    ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+        |  FROM per p, a)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM q GROUP BY 1, 2, 3""".stripMargin)
+  )
+}

@@ -1438,6 +1438,215 @@ object ExtraQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT),
         |  CAST(count(*) - sum(CASE WHEN o_custkey IN (SELECT user_id FROM deny)
         |    THEN 1 ELSE 0 END) AS BIGINT)
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin),
+
+    // Degree assortativity of the co-purchase part graph (q158's edge
+    // set): does a high-degree part co-occur with other high-degree
+    // parts? Because the directed edge list contains both orientations,
+    // the x/y marginals coincide and Pearson's r collapses to
+    // cov/var — a ratio of two INTEGER sums, reported in exact ppm
+    // (the cross products run in DECIMAL so n·Σxy can't wrap a long;
+    // sign is applied after a nonnegative integral division, which
+    // truncates identically on both engines). Plan: the q158 edge
+    // build, one union-groupBy for degrees, two node-keyed equi-joins
+    // to attach endpoint degrees, one global agg row. No windows, no
+    // cartesian — flat in graph size.
+    "q221_degree_assortativity" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"),
+            col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        val deg = e.select(col("a").as("n_"))
+          .union(e.select(col("b").as("n_")))
+          .groupBy("n_").agg(count(lit(1)).as("deg"))
+        val withDeg = e
+          .join(deg.select(col("n_").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("n_").as("b"), col("deg").as("db")), "b")
+        val de = withDeg.select(col("da").as("x"), col("db").as("y"))
+          .unionByName(withDeg.select(col("db").as("x"), col("da").as("y")))
+        de.agg(count(lit(1)).as("n_edges_directed"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sx2"))
+          .withColumn("assort_ppm", expr(
+            """CAST(CASE WHEN CAST(n_edges_directed AS DECIMAL(12,0)) * sxy
+              |  - CAST(sx AS DECIMAL(16,0)) * CAST(sx AS DECIMAL(16,0)) < 0
+              |  THEN -1 ELSE 1 END *
+              |  ((abs(CAST(n_edges_directed AS DECIMAL(12,0)) * sxy
+              |     - CAST(sx AS DECIMAL(16,0)) * CAST(sx AS DECIMAL(16,0)))
+              |    * 1000000) div
+              |   (CAST(n_edges_directed AS DECIMAL(12,0)) * sx2
+              |     - CAST(sx AS DECIMAL(16,0)) * CAST(sx AS DECIMAL(16,0))))
+              |  AS BIGINT)""".stripMargin))
+      },
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT a.p AS a, b.p AS b
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+        |  GROUP BY 1),
+        |wd AS (
+        |  SELECT da.deg AS x, db.deg AS y FROM e
+        |  JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |de AS (
+        |  SELECT x, y FROM wd UNION ALL SELECT y AS x, x AS y FROM wd),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2
+        |  FROM de)
+        |SELECT n AS n_edges_directed, sxy, sx, sx2,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sx < 0 THEN -1 ELSE 1 END
+        |    * ((abs(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx)
+        |        * 1000000)
+        |      // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx))
+        |    AS BIGINT) AS assort_ppm
+        |FROM s""".stripMargin),
+
+    // Audience overlap: exact Jaccard (ppm) between the distinct-user
+    // sets of every event-type pair — the segment-overlap matrix a
+    // targeting/curation layer consults before unioning sources. The
+    // corpus collapses to DISTINCT (type, user) once; the pair counts
+    // come from a user-keyed self-equi-join whose fan-out is bounded
+    // by the (fixed) type count per user, never the corpus; set sizes
+    // attach via two broadcast-sized joins on the |types| frame.
+    "q222_audience_overlap" -> Q(
+      (s, d) => {
+        val u = Tables(s, d, "events")
+          .select(col("event_type"), col("user_id")).distinct()
+        val sizes = u.groupBy("event_type").agg(count(lit(1)).as("n"))
+        u.as("x").join(u.as("y"), Seq("user_id"))
+          .filter(col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("ta"),
+            col("y.event_type").as("tb"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(sizes.select(col("event_type").as("ta"),
+            col("n").as("n_a"))), "ta")
+          .join(broadcast(sizes.select(col("event_type").as("tb"),
+            col("n").as("n_b"))), "tb")
+          .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+            col("n_both"),
+            expr("n_both * 1000000 div (n_a + n_b - n_both)")
+              .as("jaccard_ppm"))
+      },
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1),
+        |b AS (
+        |  SELECT x.event_type AS ta, y.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM u x JOIN u y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type
+        |  GROUP BY 1, 2)
+        |SELECT b.ta, b.tb, a.n AS n_a, c.n AS n_b, b.n_both,
+        |  CAST((b.n_both * 1000000) // (a.n + c.n - b.n_both)
+        |    AS BIGINT) AS jaccard_ppm
+        |FROM b JOIN sz a ON a.event_type = b.ta
+        |JOIN sz c ON c.event_type = b.tb""".stripMargin),
+
+    // Local clustering profile: per-node triangle counts (q158's
+    // degree-oriented enumeration, kept whole instead of top-20)
+    // rolled up by degree magnitude (decimal-digit buckets — an
+    // integer-exact stand-in for log binning), with the closed-wedge
+    // ratio in exact ppm. The orientation guarantees each triangle is
+    // counted once from its lowest-degree vertex, so candidate
+    // generation is bounded by Σ deg_out² — the standard
+    // skew-resistant shape — and the rollup is a bounded groupBy.
+    // The doubly-consumed edge frame rides one lazy persist
+    // (Verify/Bench clearCache afterwards), like q159's rounds.
+    "q225_local_clustering" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") >= 25)
+          .select(col("l_orderkey").as("o"),
+            col("l_partkey").cast("long").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("a"))
+          .join(li.select(col("o"), col("p").as("b")), "o")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct().persist()
+        val deg = e.select(col("a").as("n_"))
+          .union(e.select(col("b").as("n_")))
+          .groupBy("n_").agg(count(lit(1)).as("deg"))
+        val fwd = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val orient = e
+          .join(deg.select(col("n_").as("a"), col("deg").as("da")), "a")
+          .join(deg.select(col("n_").as("b"), col("deg").as("db")), "b")
+          .select(when(fwd, col("a")).otherwise(col("b")).as("u"),
+            when(fwd, col("b")).otherwise(col("a")).as("v"))
+          .persist()
+        val tri = orient.select(col("u"), col("v").as("v1"))
+          .join(orient.select(col("u"), col("v").as("v2")), "u")
+          .filter(col("v1") < col("v2"))
+          .join(e, col("v1") === col("a") && col("v2") === col("b"))
+          .select("u", "v1", "v2")
+        val triPerNode = tri.select(col("u").as("node"))
+          .union(tri.select(col("v1").as("node")))
+          .union(tri.select(col("v2").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        deg.filter(col("deg") >= 2)
+          .join(triPerNode, col("n_") === col("node"), "left")
+          .select(col("deg"),
+            coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+          .withColumn("deg_digits", length(col("deg").cast("string"))
+            .cast("long"))
+          .groupBy("deg_digits")
+          .agg(count(lit(1)).as("n_nodes"),
+            sum("n_tri").as("sum_tri"),
+            sum(expr("deg * (deg - 1) div 2")).as("sum_wedges"))
+          .withColumn("closed_ppm",
+            expr("sum_tri * 1000000 div sum_wedges"))
+      },
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |  FROM lineitem WHERE l_quantity >= 25),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |orient AS (
+        |  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+        |              THEN a ELSE b END AS u,
+        |         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND a < b)
+        |              THEN b ELSE a END AS v
+        |  FROM e JOIN deg d1 ON d1.n = e.a JOIN deg d2 ON d2.n = e.b),
+        |tri AS (
+        |  SELECT w1.u, w1.v AS v1, w2.v AS v2
+        |  FROM orient w1 JOIN orient w2 ON w1.u = w2.u AND w1.v < w2.v
+        |  JOIN e ON w1.v = e.a AND w2.v = e.b),
+        |tpn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+        |  FROM (SELECT u AS node FROM tri UNION ALL
+        |        SELECT v1 FROM tri UNION ALL SELECT v2 FROM tri)
+        |  GROUP BY node),
+        |per AS (
+        |  SELECT d.deg, coalesce(t.n_tri, 0) AS n_tri,
+        |    CAST(length(CAST(d.deg AS VARCHAR)) AS BIGINT) AS deg_digits
+        |  FROM deg d LEFT JOIN tpn t ON t.node = d.n
+        |  WHERE d.deg >= 2)
+        |SELECT deg_digits, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  CAST(sum(n_tri) AS BIGINT) AS sum_tri,
+        |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS sum_wedges,
+        |  CAST((CAST(sum(n_tri) AS BIGINT) * 1000000)
+        |    // CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS BIGINT)
+        |    AS closed_ppm
+        |FROM per GROUP BY 1""".stripMargin)
   )
 }

@@ -953,7 +953,214 @@ object StatsQueries {
         |    ON a.event_type = b.event_type AND a.bucket = b.bucket)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
         |  CAST(sum(abs(s1 - s2)) AS BIGINT) AS l1_ppm
-        |FROM ab GROUP BY 1""".stripMargin)
+        |FROM ab GROUP BY 1""".stripMargin),
+
+    // Revenue-concentration audit: the exact Gini coefficient and
+    // top-decile revenue share over per-customer spend, both in ppm.
+    // Money enters as floor(dollars) so the rank-weighted Gini sum
+    // Σ(2i−n−1)·x runs on associative integers; the final ratio runs
+    // in DECIMAL so the ·1e6 numerator can't wrap a long. The only
+    // global ordering is the rank window over the per-CUSTOMER
+    // aggregate (orders-magnitude smaller than the fact table; past
+    // ~1e9 customers assign i via Ids.distributedDenseIds on the same
+    // ordering instead).
+    "q217_gini_concentration" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val per = Tables(s, d, "orders")
+          .groupBy("o_custkey")
+          .agg(sum(expr("CAST(floor(o_totalprice) AS BIGINT)")).as("x"))
+        val stats = per.agg(count(lit(1)).as("n"), sum("x").as("total"))
+        per
+          .withColumn("i",
+            row_number().over(W.orderBy(col("x"), col("o_custkey")))
+              .cast("long"))
+          .crossJoin(broadcast(stats))
+          .agg(
+            max("n").as("n_customers"),
+            max("total").as("total_dollars"),
+            sum((lit(2L) * col("i") - col("n") - 1L) * col("x"))
+              .as("gnum"),
+            sum(when(col("i") > col("n") - expr("n div 10"), col("x"))
+              .otherwise(0L)).as("top_x"))
+          .select(col("n_customers"), col("total_dollars"),
+            expr("""CAST(CAST(gnum AS DECIMAL(24,0)) * 1000000 div
+                   |  (CAST(n_customers AS DECIMAL(12,0)) *
+                   |   CAST(total_dollars AS DECIMAL(18,0))) AS BIGINT)"""
+              .stripMargin).as("gini_ppm"),
+            expr("top_x * 1000000 div total_dollars")
+              .as("top_decile_share_ppm"))
+      },
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS total FROM per),
+        |r AS (
+        |  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey)
+        |    AS BIGINT) AS i
+        |  FROM per)
+        |SELECT st.n AS n_customers, st.total AS total_dollars,
+        |  CAST((CAST(sum((2 * r.i - st.n - 1) * r.x) AS HUGEINT) * 1000000)
+        |    // (CAST(st.n AS HUGEINT) * st.total) AS BIGINT) AS gini_ppm,
+        |  CAST((sum(CASE WHEN r.i > st.n - st.n // 10 THEN r.x ELSE 0 END)
+        |    * 1000000) // st.total AS BIGINT) AS top_decile_share_ppm
+        |FROM r, st GROUP BY st.n, st.total""".stripMargin),
+
+    // Probe-score calibration bins: a deterministic per-vector score
+    // (the first embedding component) cut into deciles by exact
+    // interpolated percentile BOUNDARIES (snapped at 1e-6 on both
+    // engines), then per bin the observed positive-label rate in ppm —
+    // the monitoring table that catches a drifting scorer before it
+    // skews curation. No global sort: the 9 boundaries arrive as one
+    // broadcast row and binning is a codegen'd comparison chain, so
+    // the plan is a scan + one bounded groupBy at any corpus size.
+    "q218_calibration_bins" -> Q(
+      (s, d) => {
+        val e = Tables(s, d, "embeddings")
+          .select(col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("score"),
+            col("label"))
+        val qCols = (1 to 9).map(i =>
+          r6(expr(s"percentile(score, 0.$i)")).as(s"q$i"))
+        val qs = e.agg(qCols.head, qCols.tail: _*)
+        e.crossJoin(broadcast(qs))
+          .withColumn("bin", lit(1L) + (1 to 9)
+            .map(i => when(col("score") > col(s"q$i"), 1L).otherwise(0L))
+            .reduce(_ + _))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("label") % 2 === 1, 1L).otherwise(0L))
+              .as("n_pos"))
+          .withColumn("pos_rate_ppm", expr("n_pos * 1000000 div n"))
+      }, {
+        val bounds = (1 to 9).map(i =>
+          s"floor(quantile_cont(score, 0.$i)*1000000 + 0.5)/1000000 AS q$i")
+          .mkString(", ")
+        val binExpr = (1 to 9).map(i =>
+          s"CASE WHEN e.score > b.q$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score, label
+           |  FROM embeddings),
+           |b AS (SELECT $bounds FROM e),
+           |binned AS (
+           |  SELECT CAST(1 + $binExpr AS BIGINT) AS bin,
+           |    CASE WHEN e.label % 2 = 1 THEN 1 ELSE 0 END AS pos
+           |  FROM e, b)
+           |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(pos) AS BIGINT) AS n_pos,
+           |  CAST((CAST(sum(pos) AS BIGINT) * 1000000) // count(*)
+           |    AS BIGINT) AS pos_rate_ppm
+           |FROM binned GROUP BY 1""".stripMargin
+      }),
+
+    // k-anonymity / l-diversity audit: group customers by the
+    // quasi-identifier (nation, market segment), measure the smallest
+    // group (k), the rows sitting in groups below k=10, and the
+    // sensitive-attribute diversity l (distinct account-balance
+    // kilodollar bands per group) — the re-identification dry run a
+    // governed release pipeline requires next to PII scrubbing (q79)
+    // and erasure audits (q198). One map-side-combinable groupBy over
+    // the QI key, one global single-row rollup. Exact integers only.
+    "q226_k_anonymity" -> Q(
+      (s, d) =>
+        Tables(s, d, "customer")
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").as("band"))
+          .groupBy("c_nationkey", "c_mktsegment")
+          .agg(count(lit(1)).as("k"),
+            countDistinct(col("band")).as("l"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum("k").as("n_rows"),
+            min("k").as("min_k"),
+            sum(when(col("k") < 10, col("k")).otherwise(0L))
+              .as("rows_below_k10"),
+            min("l").as("min_l"),
+            sum(when(col("l") < 3, 1L).otherwise(0L))
+              .as("groups_below_l3"))
+          .withColumn("risk_ppm",
+            expr("rows_below_k10 * 1000000 div n_rows")),
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |      AS BIGINT) AS l
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(k) AS BIGINT) AS n_rows,
+        |  min(k) AS min_k,
+        |  CAST(sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+        |    AS rows_below_k10,
+        |  min(l) AS min_l,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_below_l3,
+        |  CAST((CAST(sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(sum(k) AS BIGINT) AS BIGINT) AS risk_ppm
+        |FROM g""".stripMargin),
+
+    // Sample autocorrelation of the daily revenue series per event
+    // type, lags 1–7 — the seasonality probe behind the q187/q193
+    // forecasting family, exact to the ppm: mean-centering is cleared
+    // of rationals by scaling each deviation to n·x−S (an integer),
+    // products run in DECIMAL so a squared deviation can't wrap a
+    // long, and the final ratio is one integral division (both
+    // engines truncate toward zero, so negative lags agree too).
+    // Shape: the corpus collapses to (type, day) cents once; lag
+    // pairs come from a 7-way explode of the TINY daily frame joined
+    // equi on (type, lag_day); stats attach by broadcast.
+    "q227_acf" -> Q(
+      (s, d) => {
+        val sr = Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+            .as("x"))
+        val stats = sr.groupBy("event_type")
+          .agg(count(lit(1)).as("n_days"), sum("x").as("sx"))
+        val c = sr.join(broadcast(stats), "event_type")
+          .withColumn("dev", expr("CAST(n_days * x - sx AS DECIMAL(20,0))"))
+        val den = c.groupBy("event_type")
+          .agg(sum(expr("dev * dev")).as("den"))
+        val pairs = c.select(col("event_type"), col("day"), col("dev"))
+          .withColumn("k", explode(sequence(lit(1), lit(7))))
+          .withColumn("lag_day", date_sub(col("day"), col("k")))
+          .join(c.select(col("event_type"), col("day").as("lag_day"),
+            col("dev").as("lag_dev")), Seq("event_type", "lag_day"))
+        pairs.groupBy(col("event_type"), col("k").cast("long").as("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(expr("dev * lag_dev")).as("num"))
+          .join(broadcast(den), "event_type")
+          .select(col("event_type"), col("lag"), col("n_pairs"),
+            expr("CAST(num * 1000000 div den AS BIGINT)").as("acf_ppm"))
+      },
+      """WITH sr AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx
+        |  FROM sr GROUP BY 1),
+        |c AS (
+        |  SELECT sr.event_type, sr.day,
+        |    CAST(st.n_days * sr.x - st.sx AS HUGEINT) AS dev
+        |  FROM sr JOIN st USING (event_type)),
+        |dn AS (
+        |  SELECT event_type, sum(dev * dev) AS den FROM c GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type, k.k AS lag, a.dev, b.dev AS lag_dev
+        |  FROM c a
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS k) k
+        |  JOIN c b ON b.event_type = a.event_type
+        |    AND b.day = a.day - CAST(k.k AS INTEGER))
+        |SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST((sum(p.dev * p.lag_dev) * 1000000) // dn.den AS BIGINT)
+        |    AS acf_ppm
+        |FROM p JOIN dn ON dn.event_type = p.event_type
+        |GROUP BY p.event_type, p.lag, dn.den""".stripMargin)
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 

@@ -1186,6 +1186,94 @@ object TextQueries {
            |JOIN s2 ON cm.b2 = s2.b JOIN s3 ON cm.b3 = s3.b, tot
            |WHERE least(s0.s, s1.s, s2.s, s3.s) * 1000 >= tot.total"""
           .stripMargin
-      })
+      }),
+
+    // Per-document top-3 salient terms by TF·IDF with an integer IDF
+    // surrogate (idf_ppm = N·1e6 div df — monotone in 1/df, so the
+    // ranking matches log-IDF's and stays transcendental-free / exactly
+    // replayable). Shape: one explode → (doc, term) count, a term-keyed
+    // equi-join against the document-frequency table (vocab-sized —
+    // shuffles, never broadcast-assumed), and a doc-partitioned top-3
+    // window. No global ordering anywhere, so the plan is flat in the
+    // corpus size.
+    "q219_tfidf_topk" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(TextOps.whitespaceTokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("t"))
+        tf.join(dfreq, "t").crossJoin(broadcast(n))
+          .withColumn("score",
+            col("tf") * expr("n_docs * 1000000 div df"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("doc_id"), col("t"), col("tf"), col("df"),
+            col("score"))
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($wsTokensSql) AS t FROM documents),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.t, tf.tf, df.df,
+         |    tf.tf * CAST((n.n_docs * 1000000) // df.df AS BIGINT) AS score
+         |  FROM tf JOIN df USING (t), n),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, t) AS rn
+         |  FROM sc)
+         |SELECT doc_id, t, tf, df, score FROM r WHERE rn <= 3""".stripMargin),
+
+    // Readability audit per source: the LIX index (avg sentence length
+    // + long-word percentage) from corpus-level sums, in exact
+    // centi-units (integral division — no float ratio drift). Word,
+    // sentence, and long-word counts are row-wise codegen'd
+    // projections; the whole query is one scan + one
+    // map-side-combinable groupBy at any corpus size. Sentence counts
+    // floor at 1 per document so fragments without terminal
+    // punctuation can't zero a divisor.
+    "q220_readability" -> Q(
+      (s, d) => {
+        val toks = TextOps.whitespaceTokens(col("text"))
+        Tables(s, d, "documents")
+          .select(col("source"),
+            size(toks).cast("long").as("w"),
+            greatest(lit(1L),
+              size(expr("regexp_extract_all(text, '[.!?]', 0)"))
+                .cast("long")).as("s"),
+            size(filter(toks, t => length(t) > 6)).cast("long").as("lw"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("w").as("words"),
+            sum("s").as("sentences"),
+            sum("lw").as("long_words"))
+          .withColumn("lix_centi",
+            expr("words * 100 div sentences") +
+              expr("long_words * 10000 div words"))
+      },
+      s"""WITH f AS (
+         |  SELECT source,
+         |    $wsTokenLenSql AS w,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS s,
+         |    len(list_filter($wsTokensSql, t -> length(t) > 6)) AS lw
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS words,
+         |    CAST(sum(s) AS BIGINT) AS sentences,
+         |    CAST(sum(lw) AS BIGINT) AS long_words
+         |  FROM f GROUP BY 1)
+         |SELECT source, n_docs, words, sentences, long_words,
+         |  CAST((words * 100) // sentences + (long_words * 10000) // words
+         |    AS BIGINT) AS lix_centi
+         |FROM g""".stripMargin)
   )
 }
