@@ -871,7 +871,65 @@ object AnnQueries {
          |SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.cos
          |FROM nn x JOIN nn y
          |  ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id
-         |WHERE x.query_id < x.neighbor_id""".stripMargin)
+         |WHERE x.query_id < x.neighbor_id""".stripMargin),
+
+    // Embedding-drift monitor: per label, the L1 distance between the
+    // per-dimension mean vectors of two deterministic halves of the
+    // corpus (vec_id parity — in production, yesterday's batch vs
+    // today's). Components quantize to exact milli-integers BEFORE
+    // any aggregation, so the means (integral division) and the
+    // distance are bit-identical on both engines — no float summation
+    // order anywhere. Shape: one posexplode, one map-side-combinable
+    // (label, half, dim) sum, two bounded reshapes; nothing retains
+    // the corpus.
+    "q229_embedding_drift" -> Q(
+      (s, d) => {
+        val q = Tables(s, d, "embeddings")
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("half"), col("dim"),
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+              .as("q"))
+          .groupBy("label", "half", "dim")
+          .agg(sum("q").as("s"), count(lit(1)).as("n"))
+          .withColumn("mean_milli", expr("s div n"))
+        val a = q.filter(col("half") === 0)
+          .select(col("label"), col("dim"), col("mean_milli").as("m0"),
+            col("n").as("n0"))
+        val b = q.filter(col("half") === 1)
+          .select(col("label"), col("dim"), col("mean_milli").as("m1"),
+            col("n").as("n1"))
+        a.join(b, Seq("label", "dim"))
+          .groupBy("label")
+          .agg(max("n0").as("n0"), max("n1").as("n1"),
+            count(lit(1)).as("n_dims"),
+            sum(abs(col("m0") - col("m1"))).as("l1_milli"),
+            max(abs(col("m0") - col("m1"))).as("max_dim_milli"))
+      },
+      """WITH ex AS (
+        |  SELECT label, vec_id % 2 AS half,
+        |    unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {'ord': i,
+        |            'q': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000
+        |                  + 0.5) AS BIGINT)})) AS s
+        |  FROM embeddings),
+        |g AS (
+        |  SELECT label, half, s.ord - 1 AS dim,
+        |    CAST(sum(s.q) AS BIGINT) // CAST(count(*) AS BIGINT)
+        |      AS mean_milli,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM ex GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label, a.dim, a.mean_milli AS m0, b.mean_milli AS m1,
+        |    a.n AS n0, b.n AS n1
+        |  FROM (SELECT * FROM g WHERE half = 0) a
+        |  JOIN (SELECT * FROM g WHERE half = 1) b
+        |    ON a.label = b.label AND a.dim = b.dim)
+        |SELECT label, max(n0) AS n0, max(n1) AS n1,
+        |  CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum(abs(m0 - m1)) AS BIGINT) AS l1_milli,
+        |  CAST(max(abs(m0 - m1)) AS BIGINT) AS max_dim_milli
+        |FROM j GROUP BY 1""".stripMargin)
   )
 
   /** The q125 codebooks: re-trained identically by the query run and

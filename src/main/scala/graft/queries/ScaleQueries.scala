@@ -941,6 +941,63 @@ object ScaleQueries {
            |      k -> {'slot': k, 'load': loads[k]})) AS s
            |  FROM fin) u
            |JOIN inv i ON i.source = u.source""".stripMargin
-      })
+      }),
+
+    // Merge-on-read maintenance planner: given a deny list of deleted
+    // keys (a deterministic block-skewed rule here — erasure queues
+    // hit hot blocks hard and most blocks not at all), classify each
+    // 64-row storage block — untouched blocks stay as-is, lightly-hit
+    // blocks take a deletion vector, blocks past 20% deleted get
+    // rewritten — and report the read-amplification the plan leaves
+    // behind (live rows still riding dv blocks, in ppm of all live
+    // rows). This is the q184/q185 layout family extended to deletes:
+    // one row-wise projection, one map-side-combinable
+    // groupBy(block), one bounded rollup per action class.
+    "q230_delete_vector_plan" -> Q(
+      (s, d) => {
+        val blocks = Tables(s, d, "documents")
+          .select(expr("doc_id div 64").as("block"),
+            when(expr("doc_id div 64") % 5 === 0 && col("doc_id") % 2 === 0,
+              1L)
+              .when(expr("doc_id div 64") % 5 === 1 &&
+                col("doc_id") % 37 === 0, 1L)
+              .otherwise(0L).as("del"))
+          .groupBy("block")
+          .agg(count(lit(1)).as("n_rows"), sum("del").as("n_del"))
+          .withColumn("del_ppm", expr("n_del * 1000000 div n_rows"))
+          .withColumn("action",
+            when(col("n_del") === 0, "keep")
+              .when(col("del_ppm") < 200000, "dv_only")
+              .otherwise("rewrite"))
+        blocks.groupBy("action")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum("n_rows").as("n_rows"),
+            sum("n_del").as("n_deleted"),
+            sum(col("n_rows") - col("n_del")).as("n_live"),
+            sum(when(col("action") === "dv_only",
+              col("n_rows") - col("n_del")).otherwise(0L))
+              .as("live_behind_dv"))
+      },
+      """WITH b AS (
+        |  SELECT doc_id // 64 AS block,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE
+        |      WHEN (doc_id // 64) % 5 = 0 AND doc_id % 2 = 0 THEN 1
+        |      WHEN (doc_id // 64) % 5 = 1 AND doc_id % 37 = 0 THEN 1
+        |      ELSE 0 END) AS BIGINT) AS n_del
+        |  FROM documents GROUP BY 1),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN n_del = 0 THEN 'keep'
+        |         WHEN (n_del * 1000000) // n_rows < 200000 THEN 'dv_only'
+        |         ELSE 'rewrite' END AS action
+        |  FROM b)
+        |SELECT action, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_del) AS BIGINT) AS n_deleted,
+        |  CAST(sum(n_rows - n_del) AS BIGINT) AS n_live,
+        |  CAST(sum(CASE WHEN action = 'dv_only' THEN n_rows - n_del
+        |    ELSE 0 END) AS BIGINT) AS live_behind_dv
+        |FROM c GROUP BY 1""".stripMargin)
   )
 }

@@ -1160,7 +1160,56 @@ object StatsQueries {
         |  CAST((sum(p.dev * p.lag_dev) * 1000000) // dn.den AS BIGINT)
         |    AS acf_ppm
         |FROM p JOIN dn ON dn.event_type = p.event_type
-        |GROUP BY p.event_type, p.lag, dn.den""".stripMargin)
+        |GROUP BY p.event_type, p.lag, dn.den""".stripMargin),
+
+    // Benford first-digit audit over order totals — the fabricated-
+    // data screen: observed leading-digit shares vs Benford's
+    // log10(1+1/d) expectation, both in exact ppm (the expectation is
+    // a fixed integer literal table — transcendentals never computed
+    // at query time — and the leading digit comes from the DECIMAL
+    // STRING of the floored amount, so both engines extract the same
+    // character). One row-wise projection, one 9-row groupBy, shares
+    // via a window over the 9-row frame.
+    "q231_benford_audit" -> Q(
+      (s, d) => {
+        val expected = (1 to 9).map {
+          case 1 => 301030L; case 2 => 176091L; case 3 => 124939L
+          case 4 => 96910L; case 5 => 79181L; case 6 => 66947L
+          case 7 => 57992L; case 8 => 51153L; case _ => 45757L
+        }
+        val benford = (1 to 9).foldLeft(lit(0L)) { (acc, dd) =>
+          when(col("digit") === dd, lit(expected(dd - 1))).otherwise(acc)
+        }
+        Tables(s, d, "orders")
+          .select(expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)" +
+              " AS STRING), 1, 1) AS BIGINT)").as("digit"))
+          .filter(col("digit") >= 1)
+          .groupBy("digit").agg(count(lit(1)).as("n"))
+          .withColumn("obs_ppm", expr(
+            "(n * 1000000) div (sum(n) OVER ())"))
+          .withColumn("benford_ppm", benford)
+          .withColumn("dev_ppm", abs(col("obs_ppm") - col("benford_ppm")))
+      }, {
+        val caseSql = (1 to 9).zip(Seq(301030, 176091, 124939, 96910,
+          79181, 66947, 57992, 51153, 45757))
+          .map { case (dd, p) => s"WHEN $dd THEN $p" }.mkString(" ")
+        s"""WITH f AS (
+           |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+           |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           |  FROM orders),
+           |g AS (
+           |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM f
+           |  WHERE digit >= 1 GROUP BY 1)
+           |SELECT digit, n,
+           |  CAST((n * 1000000) // CAST(sum(n) OVER () AS BIGINT)
+           |    AS BIGINT) AS obs_ppm,
+           |  CAST(CASE digit $caseSql END AS BIGINT) AS benford_ppm,
+           |  abs(CAST((n * 1000000) // CAST(sum(n) OVER () AS BIGINT)
+           |    AS BIGINT) - CAST(CASE digit $caseSql END AS BIGINT))
+           |    AS dev_ppm
+           |FROM g""".stripMargin
+      })
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 

@@ -1274,6 +1274,51 @@ object TextQueries {
          |SELECT source, n_docs, words, sentences, long_words,
          |  CAST((words * 100) // sentences + (long_words * 10000) // words
          |    AS BIGINT) AS lix_centi
-         |FROM g""".stripMargin)
+         |FROM g""".stripMargin),
+
+    // Encoding-quality audit per source: replacement characters
+    // (U+FFFD — the mojibake fingerprint), stray C0 control bytes
+    // (tab/newline/CR excepted), and the non-ASCII share of the
+    // corpus in exact ppm — the pre-ingest triage that routes a
+    // mis-decoded crawl shard to re-extraction instead of the
+    // tokenizer. Row-wise codegen'd regexp counts, one bounded
+    // groupBy; a clean corpus legitimately reports zeros.
+    "q228_encoding_audit" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("source"),
+            length(col("text")).cast("long").as("n_chars"),
+            size(expr("regexp_extract_all(text, '�', 0)"))
+              .cast("long").as("n_replacement"),
+            size(expr(
+              "regexp_extract_all(text, '[\\\\x00-\\\\x08\\\\x0B\\\\x0C\\\\x0E-\\\\x1F]', 0)"))
+              .cast("long").as("n_control"),
+            size(expr("regexp_extract_all(text, '[^\\\\x00-\\\\x7F]', 0)"))
+              .cast("long").as("n_non_ascii"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum("n_replacement").as("n_replacement"),
+            sum("n_control").as("n_control"),
+            sum("n_non_ascii").as("n_non_ascii"))
+          .withColumn("non_ascii_ppm",
+            expr("n_non_ascii * 1000000 div total_chars")),
+      """WITH f AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS BIGINT) AS n_control,
+        |    CAST(len(regexp_extract_all(text, '[^\x00-\x7F]')) AS BIGINT)
+        |      AS n_non_ascii
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_replacement) AS BIGINT) AS n_replacement,
+        |  CAST(sum(n_control) AS BIGINT) AS n_control,
+        |  CAST(sum(n_non_ascii) AS BIGINT) AS n_non_ascii,
+        |  CAST((CAST(sum(n_non_ascii) AS BIGINT) * 1000000)
+        |    // CAST(sum(n_chars) AS BIGINT) AS BIGINT) AS non_ascii_ppm
+        |FROM f GROUP BY 1""".stripMargin)
   )
 }
