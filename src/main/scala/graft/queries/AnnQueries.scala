@@ -929,7 +929,65 @@ object AnnQueries {
         |  CAST(count(*) AS BIGINT) AS n_dims,
         |  CAST(sum(abs(m0 - m1)) AS BIGINT) AS l1_milli,
         |  CAST(max(abs(m0 - m1)) AS BIGINT) AS max_dim_milli
-        |FROM j GROUP BY 1""".stripMargin)
+        |FROM j GROUP BY 1""".stripMargin),
+
+    // Retrieval-quality eval: MRR@10 and hit@10 where a neighbor is
+    // relevant iff it shares the query's label — the standing scorecard
+    // for every ANN variant in this library (swap the q36 brute scan
+    // for q38/q126/q128's candidate stage and rerun unchanged).
+    // Reciprocal ranks are exact ppm integers (1e6 div rank); the
+    // scan itself is the documented exact baseline over a 1-in-50
+    // query sample, queries broadcast, corpus streamed — same cost
+    // envelope as q36.
+    "q233_mrr_at10" -> Q(
+      (s, d) => {
+        val emb = Tables(s, d, "embeddings")
+        val lab = emb.select(col("vec_id"), col("label"))
+        val topk = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 10)
+        topk
+          .join(broadcast(lab.select(col("vec_id").as("query_id"),
+            col("label").as("ql"))), "query_id")
+          .join(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("nl")), "neighbor_id")
+          .groupBy("query_id")
+          .agg(min(when(col("ql") === col("nl"), col("rank")))
+            .as("first_rel"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("first_rel").isNotNull, 1L).otherwise(0L))
+              .as("n_hit10"),
+            sum(when(col("first_rel").isNotNull,
+              expr("1000000 div first_rel")).otherwise(0L))
+              .as("sum_rr_ppm"))
+          .withColumn("mrr_ppm", expr("sum_rr_ppm div n_queries"))
+      },
+      s"""WITH p AS (
+         |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         |    q.label AS ql, n.label AS nl,
+         |    list_transform(q.embedding, x -> CAST(x AS DOUBLE)) AS ea,
+         |    list_transform(n.embedding, x -> CAST(x AS DOUBLE)) AS eb
+         |  FROM embeddings q JOIN embeddings n ON q.vec_id <> n.vec_id
+         |  WHERE q.vec_id % 50 = 0),
+         |ranked AS (
+         |  SELECT query_id, ql, nl,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ($cosExpr) DESC, neighbor_id) AS rank
+         |  FROM p),
+         |fr AS (
+         |  SELECT query_id,
+         |    min(CASE WHEN ql = nl THEN rank END) AS first_rel
+         |  FROM ranked WHERE rank <= 10 GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit10,
+         |  CAST(sum(CASE WHEN first_rel IS NOT NULL
+         |    THEN 1000000 // first_rel ELSE 0 END) AS BIGINT)
+         |    AS sum_rr_ppm,
+         |  CAST(CAST(sum(CASE WHEN first_rel IS NOT NULL
+         |    THEN 1000000 // first_rel ELSE 0 END) AS BIGINT)
+         |    // count(*) AS BIGINT) AS mrr_ppm
+         |FROM fr""".stripMargin)
   )
 
   /** The q125 codebooks: re-trained identically by the query run and

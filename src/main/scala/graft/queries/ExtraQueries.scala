@@ -1647,6 +1647,47 @@ object ExtraQueries {
         |  CAST((CAST(sum(n_tri) AS BIGINT) * 1000000)
         |    // CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS BIGINT)
         |    AS closed_ppm
-        |FROM per GROUP BY 1""".stripMargin)
+        |FROM per GROUP BY 1""".stripMargin),
+
+    // Behavioral predictability: Gini impurity of the next-event
+    // distribution per source state (q157's Markov transitions, asking
+    // "how deterministic is what users do next?" instead of "what do
+    // they do next?"). Impurity 1 − Σp² clears its rationals by
+    // scaling to ppm over the squared row total — pure integers, no
+    // transcendental entropy needed. One lagged user window (the q204
+    // sort), one bounded (prev,next) count, one ≤|types| rollup.
+    "q232_transition_gini" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val tr = Tables(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("nij"))
+        tr.groupBy("prev_type")
+          .agg(sum("nij").as("n_i"),
+            count(lit(1)).as("n_distinct_next"),
+            sum(col("nij") * col("nij")).as("ss"))
+          .select(col("prev_type"), col("n_i"), col("n_distinct_next"),
+            (lit(1000000L) - expr("ss * 1000000 div (n_i * n_i)"))
+              .as("impurity_ppm"))
+      },
+      """WITH tr AS (
+        |  SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS nij
+        |  FROM (
+        |    SELECT user_id, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, CAST(sum(nij) AS BIGINT) AS n_i,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_next,
+        |  1000000 - CAST((CAST(sum(nij * nij) AS BIGINT) * 1000000)
+        |    // (CAST(sum(nij) AS BIGINT) * CAST(sum(nij) AS BIGINT))
+        |    AS BIGINT) AS impurity_ppm
+        |FROM tr GROUP BY 1""".stripMargin)
   )
 }
