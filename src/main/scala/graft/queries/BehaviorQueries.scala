@@ -29,19 +29,26 @@ object BehaviorQueries {
     "q214_growth_accounting" -> Q(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("day")
-        val act = Tables(s, d, "events")
+        // one windowed pass emits BOTH the day's status row and (when
+        // the user goes quiet) the next-day churn row, via a null-
+        // filtered explode — a union of lag-only and lead-only
+        // branches would prune the window spec apart and pay the
+        // user-shuffle + sort twice (plan-pinned in PlanShapeSpec)
+        Tables(s, d, "events")
           .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
           .withColumn("prev", lag(col("day"), 1).over(w))
           .withColumn("next", lead(col("day"), 1).over(w))
-        val status = act.select(col("day"),
-          when(col("prev").isNull, "new")
-            .when(datediff(col("day"), col("prev")) === 1, "retained")
-            .otherwise("resurrected").as("metric"))
-        val churn = act
-          .filter(col("next").isNull || datediff(col("next"), col("day")) > 1)
-          .select(date_add(col("day"), 1).as("day"),
-            lit("churned").as("metric"))
-        status.unionByName(churn)
+          .select(explode(expr(
+            """filter(array(
+              |  named_struct('day', day, 'metric',
+              |    CASE WHEN prev IS NULL THEN 'new'
+              |         WHEN datediff(day, prev) = 1 THEN 'retained'
+              |         ELSE 'resurrected' END),
+              |  CASE WHEN next IS NULL OR datediff(next, day) > 1
+              |    THEN named_struct('day', date_add(day, 1),
+              |      'metric', 'churned') END),
+              |x -> x IS NOT NULL)""".stripMargin)).as("r"))
+          .select(col("r.day").as("day"), col("r.metric").as("metric"))
           .groupBy("day")
           .agg(
             sum(when(col("metric") === "new", 1L).otherwise(0L)).as("n_new"),

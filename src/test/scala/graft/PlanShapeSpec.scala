@@ -89,6 +89,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(plan) == 1, s"expected 1 shuffle, got:\n$plan")
   }
 
+  test("q218 calibration binning is window-free (bins via broadcast bounds)") {
+    val plan = SparkEntry.queries("q218_calibration_bins")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q229 embedding drift: no windows, no cartesian — pure keyed aggs") {
+    val plan = SparkEntry.queries("q229_embedding_drift")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("q227 ACF lag pairs join equi-keyed, stats arrive broadcast") {
+    val plan = SparkEntry.queries("q227_acf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("q214 growth accounting: lag+lead fused into ONE user window pass") {
+    // the explode-based emit keeps status + churn rows in one
+    // windowed subtree; a union of lag-only/lead-only branches would
+    // pay the user shuffle + sort twice
+    val plan = SparkEntry.queries("q214_growth_accounting")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val nWindows = "Window \\[".r.findAllIn(plan).length
+    assert(nWindows == 1, s"expected exactly 1 Window op:\n$plan")
+    val head = plan.split("Window \\[")(1).takeWhile(_ != '\n')
+    assert(head.contains("lag(") && head.contains("lead("),
+      s"window spec not fused: $head")
+  }
+
   test("query BUILDERS run zero Spark jobs (no driver-side actions at plan time)") {
     // A queries() entry must return a lazy plan; any .count()/.collect()
     // inside the builder forces an extra full materialization per call.
