@@ -190,6 +190,40 @@ object BehaviorQueries {
         |  CAST(m_q AS BIGINT) AS m_q,
         |  CAST(count(*) AS BIGINT) AS n_customers,
         |  CAST(sum(cents) AS BIGINT) AS total_cents
-        |FROM q GROUP BY 1, 2, 3""".stripMargin)
+        |FROM q GROUP BY 1, 2, 3""".stripMargin),
+
+    // Engagement-streak distribution (gaps-and-islands): each user's
+    // longest run of consecutive active days, histogrammed — the
+    // classic island key day − row_number() collapses a run to one
+    // constant, so islands fall out of ONE user-partitioned window
+    // plus two map-side-combinable groupBys. Nothing global; the
+    // histogram is at most the day span.
+    "q235_streaks" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("day")
+        Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+          .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(max("len").as("max_streak"))
+          .groupBy("max_streak")
+          .agg(count(lit(1)).as("n_users"))
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY day) AS INTEGER) AS grp
+        |  FROM act),
+        |st AS (
+        |  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |  FROM isl GROUP BY 1, 2),
+        |mx AS (
+        |  SELECT user_id, max(len) AS max_streak FROM st GROUP BY 1)
+        |SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
+        |FROM mx GROUP BY 1""".stripMargin)
   )
 }

@@ -1209,7 +1209,53 @@ object StatsQueries {
            |    AS BIGINT) - CAST(CASE digit $caseSql END AS BIGINT))
            |    AS dev_ppm
            |FROM g""".stripMargin
-      })
+      }),
+
+    // Weighted median order value per priority class, weighted by
+    // line count — "the order value at which half the shipped LINES
+    // sit below" — the weighted-quantile operator plain percentile
+    // can't express. Exact: money in integer cents, the lower
+    // weighted median is the first value whose doubled running weight
+    // reaches the group total (cumulative window per PRIORITY — a
+    // partitioned sort, never global), totals broadcast back.
+    "q234_weighted_median" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val wts = Tables(s, d, "lineitem")
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("w"))
+        val o = Tables(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+          .join(wts, col("o_orderkey") === col("l_orderkey"))
+        val win = W.partitionBy("o_orderpriority")
+          .orderBy(col("cents"), col("o_orderkey"))
+        val tot = o.groupBy("o_orderpriority").agg(sum("w").as("totw"))
+        o.withColumn("cumw", sum("w").over(win))
+          .join(broadcast(tot), "o_orderpriority")
+          .filter(col("cumw") * 2 >= col("totw"))
+          .groupBy("o_orderpriority")
+          .agg(max("totw").as("total_weight"),
+            min("cents").as("wmedian_cents"))
+      },
+      """WITH wts AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1),
+        |o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, w
+        |  FROM orders JOIN wts ON o_orderkey = l_orderkey),
+        |c AS (
+        |  SELECT o_orderpriority, cents, w,
+        |    CAST(sum(w) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |      AS totw
+        |  FROM o)
+        |SELECT o_orderpriority, max(totw) AS total_weight,
+        |  min(cents) AS wmedian_cents
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY 1""".stripMargin)
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 
