@@ -88,6 +88,37 @@ object StreamQueries {
         |  min(n_chars) >= 500 AS skip_lt_500
         |FROM documents GROUP BY 1""".stripMargin),
 
+    // Native streaming session windows: per-user 30-minute-gap
+    // sessions via session_window + watermark (the declarative
+    // stateful-sessionization path; the imperative
+    // mapGroupsWithState variant is spec-covered separately).
+    // Append mode emits a session once the watermark (here: max event
+    // time) passes its end; the tail sessions still open at
+    // end-of-input are withheld in state — live-pipeline semantics
+    // the oracle replays with the HAVING flush rule. Session ends are
+    // end-EXCLUSIVE (last event + gap; an event exactly at the
+    // boundary opens a new session), hence the >= break.
+    "q236_stream_sessions" -> Q(
+      (s, d) => EventStream.sessionWindows(s, d),
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)"""
+        .stripMargin),
+
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows
     // equal the batch time-range self-join — the exact oracle below

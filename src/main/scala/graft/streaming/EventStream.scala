@@ -85,6 +85,32 @@ object EventStream {
       statePartitions = statePartitions)
   }
 
+  /** Event-time sessionization through Spark's native streaming
+    * `session_window`: gap-merged per-user sessions with watermarked
+    * state eviction — the declarative counterpart of the
+    * mapGroupsWithState sessionizer ([[sessionize]]). Session windows
+    * support only Append mode, which emits a session once the
+    * watermark passes its end; sessions still open at end-of-input
+    * stay in state, exactly as a live pipeline would hold them. The
+    * batch oracle therefore replays BOTH rules: gap-islands grouping
+    * (end-exclusive — an event exactly at a session's end opens a new
+    * session, so the break is `>= gap`) AND the flush rule (emit only
+    * sessions whose end ≤ the final watermark = max event time).
+    */
+  def sessionWindows(spark: SparkSession, dir: String,
+      gap: String = "30 minutes",
+      statePartitions: Option[Int] = None): DataFrame = {
+    val name = s"graft_stream_sess_${runId.incrementAndGet()}"
+    val agg = source(spark, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+    runToTable(spark, agg, name, mode = OutputMode.Append(),
+      statePartitions = statePartitions)
+  }
+
   /** Durable incremental windowed counts: Update-mode changed rows
     * appended to the parquet log at `sinkPath`; returns the compacted
     * current state. See [[runToParquetLog]] for the scale contract.
