@@ -478,6 +478,54 @@ object DedupQueries {
          |  CAST(p.doc_id = win.win_id AS BIGINT) AS is_kept
          |FROM p
          |JOIN g ON g.prefix = p.prefix
-         |JOIN win ON win.prefix = p.prefix""".stripMargin)
+         |JOIN win ON win.prefix = p.prefix""".stripMargin),
+
+    // Threshold-sensitivity sweep: how many near-dup pairs survive at
+    // Jaccard ≥ 0.5/0.6/0.7/0.8/0.9, from ONE exact candidate
+    // generation — the report a curator reads before committing to a
+    // dedup threshold, instead of re-running the pipeline per guess.
+    // Jaccard is an exact integer milli-ratio, the sweep is five
+    // conditional sums over the pair frame (no re-scan, no per-
+    // threshold jobs), and the candidate stage is q32's inverted-
+    // index equi-join baseline (at corpus scale: MinHash-LSH
+    // candidates, identical verify+sweep tail).
+    "q237_jaccard_sweep" -> Q(
+      (s, d) => {
+        val sh = Dedup.shingleRows(Tables(s, d, "documents"),
+          "doc_id", "text", 3)
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val sums = count(lit(1)).as("n_candidates") +: (5 to 9).map(t =>
+          sum(when(col("jac_milli") >= t * 100, 1L).otherwise(0L))
+            .as(s"n_ge_${t}00"))
+        sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("i"))
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+            "doc_b")
+          .withColumn("jac_milli", expr("i * 1000 div (na + nb - i)"))
+          .agg(sums.head, sums.tail: _*)
+      },
+      s"""WITH $shingleCtes,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |          FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT (i * 1000) // (sa.n + sb.n - i) AS jm
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |${(5 to 9).map(t =>
+        s"  CAST(sum(CASE WHEN jm >= ${t}00 THEN 1 ELSE 0 END) AS BIGINT)" +
+          s" AS n_ge_${t}00").mkString(",\n")}
+         |FROM j""".stripMargin)
   )
 }

