@@ -55,6 +55,62 @@ class PropertySpec extends AnyFunSuite {
       }
   }
 
+  test("q217's rank-weighted Gini sum equals the pairwise |xi−xj| definition") {
+    // Σ_i (2i−n−1)·x_(i) over the sorted values is the textbook
+    // telescoping of Σ_{i,j} |x_i − x_j| — the identity the one-window
+    // implementation rests on
+    val gen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 1000L)))
+    samples(gen, 20).foreach { xs =>
+      val s = xs.sorted
+      val n = s.size.toLong
+      val rankSum = s.zipWithIndex.map { case (x, i0) =>
+        (2L * (i0 + 1) - n - 1) * x
+      }.sum
+      val pairAbsSum = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      assert(rankSum * 2 == pairAbsSum, s"xs=$xs")
+    }
+  }
+
+  test("q235's day−row_number island key equals a linear-scan segmentation") {
+    val gen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 25)))
+    samples(gen, 20).foreach { raw =>
+      val days = raw.distinct.sorted
+      // formula: constant (day − index) within each consecutive run
+      val byFormula = days.zipWithIndex.groupBy { case (d, i) => d - i }
+        .values.map(_.size).toSeq.sorted
+      // reference: linear scan breaking where the gap exceeds 1
+      val byScan = days.foldLeft(List.empty[(Int, Int)]) {
+        case (Nil, d) => List((1, d))
+        case ((len, last) :: t, d) =>
+          if (d - last == 1) (len + 1, d) :: t else (1, d) :: (len, last) :: t
+      }.map(_._1).sorted
+      assert(byFormula == byScan, s"days=$days")
+    }
+  }
+
+  test("q234's doubled-cum-weight rule picks the definitional weighted median") {
+    val gen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 100L), Gen.chooseNum(1L, 9L))))
+    samples(gen, 20).foreach { vw =>
+      val sorted = vw.zipWithIndex
+        .sortBy { case ((v, _), i) => (v, i) }
+      val tot = vw.map(_._2).sum
+      // operator rule: first value whose running weight doubles past tot
+      val cum = sorted.scanLeft(0L) { case (c, ((_, w), _)) => c + w }.tail
+      val picked = sorted.zip(cum)
+        .collectFirst { case (((v, _), _), c) if c * 2 >= tot => v }.get
+      // definition: the smallest v with W(<v) ≤ tot/2 and W(≤v) ≥ tot/2
+      val defMedian = sorted.map(_._1._1).distinct.find { v =>
+        val below = vw.collect { case (x, w) if x < v => w }.sum
+        val upTo = vw.collect { case (x, w) if x <= v => w }.sum
+        below * 2 <= tot && upTo * 2 >= tot
+      }.get
+      assert(picked == defMedian, s"vw=$vw")
+    }
+  }
+
   test("fixRefYear maps fiscal forms to the later 4-digit year (X16)") {
     samples(Gen.chooseNum(1900, 2099), 8).foreach { y =>
       val got = Seq(y.toString, s"$y/${y + 1}").toDF("y")
