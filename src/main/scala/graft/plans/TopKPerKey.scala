@@ -1,0 +1,95 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Native per-key top-k — the custom whole-operator tier applied to
+  * the single most common analytics shape this library serves
+  * (`row_number().over(partitionBy(key).orderBy(...)) <= k`).
+  *
+  * The window formulation must fully SORT every key group after the
+  * shuffle — O(n log n) per partition with the whole input resident —
+  * and ships every row across the wire. This operator keeps a bounded
+  * heap per key (O(n log k), memory O(keys·k)) and runs TWICE: a
+  * partial pass before the exchange prunes each map partition to at
+  * most k rows per key, so the shuffle moves ≤ k·partitions rows per
+  * key instead of the whole input — the same partial/final contract
+  * aggregation uses, applied to order statistics. At 100 TB the
+  * difference is the shuffle: top-3-per-source over a corpus moves
+  * ~3·P·|sources| rows, not the corpus.
+  *
+  * Ties: callers must pass a TOTAL order (tie-break columns), same as
+  * any deterministic window top-k.
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "top-k needs k > 0")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
+    copy(child = c)
+}
+
+/** Plans [[TopKPerKeyNode]] onto a partial/final [[TopKPerKeyExec]]
+  * pair. Registered through `GraftExtensions` (injectPlannerStrategy).
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+  override def nodeName: String =
+    if (partial) "TopKPerKey(partial)" else "TopKPerKey(final)"
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // BaseOrdering over the child schema: compare(a,b) < 0 ⇔ a ranks
+      // earlier. A max-queue under this ordering keeps the WORST
+      // retained row at the head, so admission is one head compare.
+      val rowOrd = RowOrdering.create(sortOrder, childOutput)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        // both the key projection and the source iterator reuse row
+        // buffers — copy on retention, never before
+        val keyRow = keyProj(row)
+        heaps.get(keyRow) match {
+          case Some(h) =>
+            if (h.size < kk) h.enqueue(row.copy())
+            else if (rowOrd.compare(row, h.head) < 0) {
+              h.dequeue(); h.enqueue(row.copy())
+            }
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            h.enqueue(row.copy())
+            heaps.update(keyRow.copy(), h)
+        }
+      }
+      // emit each key's survivors best-first (dequeueAll is worst-first)
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }, preservesPartitioning = true)
+  }
+}

@@ -1364,6 +1364,25 @@ object TextQueries {
         |SELECT u.source, u.n_docs, u.chars,
         |  CAST((u.chars * 1000000) // t.total_chars AS BIGINT)
         |    AS share_ppm
-        |FROM u, t""".stripMargin)
+        |FROM u, t""".stripMargin),
+
+    // The native per-key top-k operator (plans.TopKPerKeyNode — heap
+    // partial/final pair, see NativeTopKSpec for the plan pins) as a
+    // gate query: top-3 documents by length per source. Semantically
+    // identical to the window row_number formulation (the oracle),
+    // but the plan carries NO sort and NO window, and the partial
+    // stage prunes the shuffle to ≤ 3·partitions rows per source —
+    // at corpus scale the exchange moves key-bounded survivors, not
+    // the table.
+    "q240_native_topk" -> Q(
+      (s, d) => graft.ops.TopK.perKey(
+        Tables(s, d, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), Seq(col("n_chars").desc, col("doc_id")), k = 3),
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin)
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TopK
+
+/** The native per-key top-k operator vs the window formulation it
+  * replaces: row-identical on real data, deterministic under ties,
+  * sane on degenerate inputs, and plan-shaped as claimed (partial
+  * heap before the exchange, no sort, no window).
+  */
+class NativeTopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("equals the window row_number top-k on documents (total order)") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val native = TopK.perKey(docs, Seq("source"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 3)
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(native.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(native).isEmpty)
+    assert(native.count() > 0)
+  }
+
+  test("k larger than every group returns the whole input") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val all = TopK.perKey(docs, Seq("source"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 1000000)
+    assert(all.count() == docs.count())
+  }
+
+  test("empty input yields an empty result") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars").limit(0)
+    assert(TopK.perKey(docs, Seq("source"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 3).isEmpty)
+  }
+
+  test("multi-column keys and ascending order work") {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_quantity")
+    val native = TopK.perKey(li, Seq("l_returnflag", "l_linestatus"),
+      Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")), k = 5)
+    val w = Window.partitionBy("l_returnflag", "l_linestatus")
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = li
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    assert(native.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(native).isEmpty)
+  }
+
+  test("plan: partial heap below ONE exchange, no Sort, no Window") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val plan = TopK.perKey(docs, Seq("source"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey(partial)") &&
+      plan.contains("TopKPerKey(final)"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!" Sort ".r.findAllIn(plan).hasNext, plan)
+    // partial must sit BELOW the exchange (prunes the shuffle input)
+    assert(plan.indexOf("TopKPerKey(partial)") >
+      plan.indexOf("Exchange hashpartitioning"), plan)
+  }
+}
