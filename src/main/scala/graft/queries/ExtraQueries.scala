@@ -1376,12 +1376,17 @@ object ExtraQueries {
     // corpus. Exact, deterministic tie-breaks.
     "q205_diversified_topk" -> Q(
       (s, d) => {
+        // quota prune via the native heap top-k (q240): the corpus is
+        // never window-sorted; src_rank is reconstructed by a window
+        // over the ≤ 2·|sources| survivor frame only
+        val pruned = graft.ops.TopK.perKey(
+          Tables(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"), Seq(col("n_chars").desc, col("doc_id")), k = 2)
         val perSrc = Window.partitionBy("source")
           .orderBy(col("n_chars").desc, col("doc_id"))
-        Tables(s, d, "documents")
-          .select(col("doc_id"), col("source"), col("n_chars"))
+        pruned
           .withColumn("src_rank", row_number().over(perSrc).cast("long"))
-          .filter(col("src_rank") <= 2)
           .orderBy(col("n_chars").desc, col("doc_id"))
           .limit(20)
       },

@@ -1205,15 +1205,15 @@ object TextQueries {
           .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
         val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy(col("score").desc, col("t"))
-        tf.join(dfreq, "t").crossJoin(broadcast(n))
+        val scored = tf.join(dfreq, "t").crossJoin(broadcast(n))
           .withColumn("score",
             col("tf") * expr("n_docs * 1000000 div df"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("doc_id"), col("t"), col("tf"), col("df"),
-            col("score"))
+          .select("doc_id", "t", "tf", "df", "score")
+        // per-doc top-3 via the native heap operator (q240): no sort
+        // or window over the (doc, term) frame; the exchange moves at
+        // most 3 survivors per doc per partition
+        graft.ops.TopK.perKey(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("t")), k = 3)
       },
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($wsTokensSql) AS t FROM documents),
