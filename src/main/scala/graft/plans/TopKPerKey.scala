@@ -26,6 +26,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *
   * Ties: callers must pass a TOTAL order (tie-break columns), same as
   * any deterministic window top-k.
+  *
+  * Relationship to Spark's own InferWindowGroupLimit (3.5+): that
+  * rule inserts WindowGroupLimit below the Window, pruning each
+  * partition's input to k rows per key — but it still SORTS both the
+  * map side and the reduce side and still runs the Window operator to
+  * produce the rank column. This operator applies when the caller
+  * doesn't need the rank: heaps replace both sorts, the Window
+  * disappears, and survivors (not sorted partitions) cross the wire.
+  * Callers who need the rank reconstruct it with a window over the
+  * k·|keys|-bounded RESULT (see q205) — bounded, not corpus-sized.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {

@@ -1304,7 +1304,100 @@ object StatsQueries {
         |        * 1000000)
         |      // (CAST(n AS HUGEINT) * sx2 - CAST(sx AS HUGEINT) * sx))
         |    AS BIGINT) AS slope_ppm
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    // Sampling-fairness audit: does q48's deterministic md5-prefix
+    // sample preserve the corpus' language mix? Per language: full
+    // and sampled shares in exact ppm plus their absolute deviation —
+    // the acceptance check before trusting any hash-sampled
+    // profiling job. Two map-side-combinable counts over the bounded
+    // language frame; share totals ride a window over that ~|langs|
+    // frame, never the corpus.
+    "q241_sample_bias" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val full = docs.groupBy("lang").agg(count(lit(1)).as("n_full"))
+        val samp = docs
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "a")
+          .groupBy("lang").agg(count(lit(1)).as("n_samp"))
+        full.join(samp, Seq("lang"), "left")
+          .na.fill(0L, Seq("n_samp"))
+          .withColumn("full_ppm",
+            expr("n_full * 1000000 div (sum(n_full) OVER ())"))
+          .withColumn("samp_ppm",
+            expr("n_samp * 1000000 div greatest(sum(n_samp) OVER (), 1)"))
+          .withColumn("dev_ppm", abs(col("full_ppm") - col("samp_ppm")))
+      },
+      """WITH f AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_full
+        |  FROM documents GROUP BY 1),
+        |sm AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_samp
+        |  FROM documents
+        |  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'a'
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT f.lang, f.n_full, coalesce(sm.n_samp, 0) AS n_samp
+        |  FROM f LEFT JOIN sm ON sm.lang = f.lang)
+        |SELECT lang, n_full, n_samp,
+        |  CAST((n_full * 1000000) // CAST(sum(n_full) OVER () AS BIGINT)
+        |    AS BIGINT) AS full_ppm,
+        |  CAST((n_samp * 1000000) // greatest(
+        |    CAST(sum(n_samp) OVER () AS BIGINT), 1) AS BIGINT) AS samp_ppm,
+        |  abs(CAST((n_full * 1000000) // CAST(sum(n_full) OVER ()
+        |      AS BIGINT) AS BIGINT)
+        |    - CAST((n_samp * 1000000) // greatest(
+        |      CAST(sum(n_samp) OVER () AS BIGINT), 1) AS BIGINT))
+        |    AS dev_ppm
+        |FROM j""".stripMargin),
+
+    // One-scan corpus data card: the headline numbers a dataset's
+    // consumers read first, as (metric, value) rows off a SINGLE
+    // aggregate row unpivoted by stack() — adding a metric never
+    // re-reads the table. Exact integers (the char median floors the
+    // exact interpolated percentile).
+    "q242_data_card" -> Q(
+      (s, d) =>
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"),
+            graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+            when(length(trim(col("text"))) === 0, 1L).otherwise(0L)
+              .as("is_empty"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            countDistinct(col("source")).as("n_sources"),
+            countDistinct(col("lang")).as("n_langs"),
+            (count(lit(1)) - countDistinct(col("fp")))
+              .as("exact_dup_docs"),
+            sum("is_empty").as("empty_docs"),
+            expr("CAST(floor(percentile(n_chars, 0.5)) AS BIGINT)")
+              .as("p50_chars"))
+          .select(expr(
+            """stack(7,
+              |  'n_docs', n_docs,
+              |  'total_chars', total_chars,
+              |  'n_sources', n_sources,
+              |  'n_langs', n_langs,
+              |  'exact_dup_docs', exact_dup_docs,
+              |  'empty_docs', empty_docs,
+              |  'p50_chars', p50_chars) AS (metric, value)"""
+              .stripMargin)),
+      """WITH fp AS (
+        |  SELECT doc_id, source, lang, n_chars,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+        |    CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END AS e
+        |  FROM documents)
+        |SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM fp
+        |UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS BIGINT) FROM fp
+        |UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS BIGINT) FROM fp
+        |UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS BIGINT) FROM fp
+        |UNION ALL SELECT 'exact_dup_docs',
+        |  CAST(count(*) - count(DISTINCT f) AS BIGINT) FROM fp
+        |UNION ALL SELECT 'empty_docs', CAST(sum(e) AS BIGINT) FROM fp
+        |UNION ALL SELECT 'p50_chars',
+        |  CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) FROM fp"""
+        .stripMargin)
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 

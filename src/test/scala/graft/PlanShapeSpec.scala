@@ -125,6 +125,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window spec not fused: $head")
   }
 
+  test("q219 TF-IDF ranks through the native heap top-k: no Window op") {
+    val plan = SparkEntry.queries("q219_tfidf_topk")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey(partial)") &&
+      plan.contains("TopKPerKey(final)"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("query BUILDERS run zero Spark jobs (no driver-side actions at plan time)") {
     // A queries() entry must return a lazy plan; any .count()/.collect()
     // inside the builder forces an extra full materialization per call.
