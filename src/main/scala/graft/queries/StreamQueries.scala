@@ -119,6 +119,20 @@ object StreamQueries {
         |HAVING max(ts) + INTERVAL 30 MINUTE <= (SELECT max(ts) FROM events)"""
         .stripMargin),
 
+    // Streaming leaderboard: the native top-k operator's semantics
+    // (q240) maintained incrementally — O(k) state per event type,
+    // each batch merging its candidates and re-emitting touched
+    // boards. Against the static directory the final Update emission
+    // equals the batch window top-k, the oracle below.
+    "q243_stream_topk" -> Q(
+      (s, d) => EventStream.topEventsByType(s, d),
+      """SELECT event_type, event_id, value, rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+        |  FROM events)
+        |WHERE rank <= 3""".stripMargin),
+
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows
     // equal the batch time-range self-join — the exact oracle below

@@ -113,6 +113,56 @@ object TypedQueries {
               .getField("k").cast("long").as("k_val"))
           .filter(col("k_val").isNotNull),
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
-        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin)
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL""".stripMargin),
+
+    // Typed COGROUP: per-order reconciliation of the header total
+    // against the line-derived charge Σ extprice·(1−disc)·(1+tax),
+    // the two sides met by key with BOTH groups in hand (the Dataset
+    // API surface a join + groupBy can't express when per-key logic
+    // is imperative). Money quantizes to cents with ONE shared
+    // expression text, so both engines floor identical IEEE doubles;
+    // the per-order diffs collapse to a 3-class audit row set.
+    "q244_typed_cogroup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables(s, d, "orders")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("c")).as[(Long, Long)]
+        val lines = Tables(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(floor(l_extendedprice * (1 - l_discount) * " +
+              "(1 + l_tax) * 100 + 0.5) AS BIGINT)").as("c"))
+          .as[(Long, Long)]
+        orders.groupByKey(_._1).cogroup(lines.groupByKey(_._1)) {
+          (k, os, ls) =>
+            val header = os.map(_._2).toList
+            if (header.isEmpty) Iterator.empty
+            else Iterator.single((k, header.head - ls.map(_._2).sum))
+        }.toDF("o_orderkey", "diff_cents")
+          .groupBy(when(col("diff_cents") === 0, "exact")
+            .when(col("diff_cents") > 0, "header_higher")
+            .otherwise("lines_higher").as("verdict"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(abs(col("diff_cents"))).as("abs_diff_cents"))
+      },
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS hc
+        |  FROM orders),
+        |l AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(floor(l_extendedprice *
+        |    (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS lc
+        |  FROM lineitem GROUP BY 1),
+        |dd AS (
+        |  SELECT o.o_orderkey, o.hc - coalesce(l.lc, 0) AS diff_cents
+        |  FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey)
+        |SELECT CASE WHEN diff_cents = 0 THEN 'exact'
+        |            WHEN diff_cents > 0 THEN 'header_higher'
+        |            ELSE 'lines_higher' END AS verdict,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(abs(diff_cents)) AS BIGINT) AS abs_diff_cents
+        |FROM dd GROUP BY 1""".stripMargin)
   )
 }

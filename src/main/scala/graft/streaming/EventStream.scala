@@ -441,6 +441,40 @@ object EventStream {
       s"graft_stream_kmv_${runId.incrementAndGet()}",
       mode = OutputMode.Update, statePartitions = statePartitions)
 
+  /** Streaming per-key top-k leaderboard: the native batch operator's
+    * semantics (plans.TopKPerKeyNode — value desc, id tie-break) kept
+    * current with O(k) state per key via flatMapGroupsWithState —
+    * each batch merges its candidates into the retained k and
+    * re-emits the refreshed board for touched keys only. Update mode;
+    * with AvailableNow over the static directory the final emission
+    * equals the batch window top-k, which is the q243 oracle.
+    */
+  private def topKAgg(spark: SparkSession, dir: String, k: Int,
+      glob: String = "events.parquet"): DataFrame = {
+    import spark.implicits._
+    val cand = source(spark, dir, glob)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+    cand.groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, TopEventRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (t, rows, state: GroupState[TopKState]) =>
+          val merged = (state.getOption.map(_.rows).getOrElse(Nil) ++
+            rows.map(r => (r._3, r._2)).toList)
+            .sortBy { case (v, id) => (-v, id) }.take(k)
+          state.update(TopKState(merged))
+          merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+            TopEventRow(t, id, v, i + 1L)
+          }
+      }.toDF()
+  }
+
+  def topEventsByType(spark: SparkSession, dir: String, k: Int = 3,
+      statePartitions: Option[Int] = Some(8)): DataFrame =
+    runToTable(spark, topKAgg(spark, dir, k),
+      s"graft_stream_topk_${runId.incrementAndGet()}",
+      mode = OutputMode.Update, statePartitions = statePartitions)
+
   /** Durable incremental KMV: each run merges only unseen files into
     * the O(k)-per-type state and appends one refreshed estimator row
     * per TOUCHED type to the parquet log; returns the compacted
@@ -541,6 +575,9 @@ object EventStream {
   final case class KmvState(vs: List[Long])
   final case class KmvRow(event_type: String, k_used: Long, vk: Long,
       est_distinct: Long)
+  final case class TopKState(rows: List[(Double, Long)])
+  final case class TopEventRow(event_type: String, event_id: Long,
+      value: Double, rank: Long)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Int)
