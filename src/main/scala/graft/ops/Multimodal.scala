@@ -223,4 +223,85 @@ object Multimodal {
       }
     }
   }
+
+  /** Perceptual difference hash (dHash) of a decodable image: the
+    * luma plane box-averages onto a 9×8 grid with pure INTEGER
+    * arithmetic (long pixel sums / box size — deterministic across
+    * JVMs), then each of the 64 horizontal neighbor pairs contributes
+    * one bit (left > right), row-major MSB-first. Resizes and mild
+    * global brightness shifts preserve the gradient signs, so
+    * near-duplicate images land within a few Hamming bits — group
+    * equal hashes for exact-collision dedup, or feed the q33-style
+    * 4-block banded Hamming join for distance ≤ r candidates. None
+    * for payloads ImageIO cannot decode (torn bytes, non-images).
+    */
+  def dHash(payload: Array[Byte]): Option[Long] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val grid = Array.ofDim[Long](8, 9)
+      var gy = 0
+      while (gy < 8) {
+        val y0 = gy * h / 8
+        val y1 = math.max((gy + 1) * h / 8, y0 + 1) min h
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9
+          val x1 = math.max((gx + 1) * w / 9, x0 + 1) min w
+          var sum = 0L
+          var n = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          grid(gy)(gx) = if (n == 0) 0L else sum / n
+          gx += 1
+        }
+        gy += 1
+      }
+      var hash = 0L
+      gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          hash = (hash << 1) | (if (grid(gy)(gx) > grid(gy)(gx + 1)) 1L else 0L)
+          gx += 1
+        }
+        gy += 1
+      }
+      Some(hash)
+    }
+  }
+
+  final case class MediaHash(media_id: Long, dhash: Option[Long])
+
+  /** Per-record perceptual hashes at the same batched codec boundary
+    * as [[extractFeatures]] — the candidate key for image-level
+    * near-dup grouping. Undecodable payloads carry None (kept, so the
+    * caller can route them to byte-level fingerprinting instead).
+    */
+  def imageHashes(media: Dataset[MediaRecord],
+      batchSize: Int = 64): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map(r =>
+        MediaHash(r.media_id, dHash(r.payload))))
+    }
+  }
+
+  /** Hamming distance between two 64-bit perceptual hashes. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 }
