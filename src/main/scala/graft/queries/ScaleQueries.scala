@@ -998,6 +998,53 @@ object ScaleQueries {
         |  CAST(sum(n_rows - n_del) AS BIGINT) AS n_live,
         |  CAST(sum(CASE WHEN action = 'dv_only' THEN n_rows - n_del
         |    ELSE 0 END) AS BIGINT) AS live_behind_dv
-        |FROM c GROUP BY 1""".stripMargin)
+        |FROM c GROUP BY 1""".stripMargin),
+
+    // ORC round-trip: the corpus written to ORC and aggregated from
+    // the READ-BACK files — row-count, integer-sum, and character
+    // fidelity proven against the parquet original (the oracle reads
+    // parquet; equality means the second columnar format is
+    // lossless). Same eager write-then-read shape as q115's ingest
+    // gate; the write is a one-shot overwrite into a temp dir.
+    "q245_orc_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_orc").toString
+        Tables(s, d, "documents").write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(length(col("text"))).as("text_chars"))
+      },
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_chars
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    // JSON-lines round-trip: the corpus written as JSONL and read
+    // back under an EXPLICIT schema (inference is a second scan and
+    // a type lottery), aggregated identically — proving the
+    // interchange format preserves multi-byte text (zh docs), quotes,
+    // and newlines through JSON escaping. Oracle reads the parquet
+    // original.
+    "q246_jsonl_roundtrip" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_jsonl").toString
+        Tables(s, d, "documents").write.mode("overwrite").json(tmp)
+        s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING, lang STRING, source STRING, " +
+              "n_chars LONG"))
+          .json(tmp)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(length(col("text"))).as("text_chars"))
+      },
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS text_chars
+        |FROM documents GROUP BY 1""".stripMargin)
   )
 }
