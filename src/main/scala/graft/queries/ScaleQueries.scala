@@ -1045,6 +1045,30 @@ object ScaleQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS text_chars
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin),
+
+    // Hive-layout partitioned write + pruned read-back: the corpus
+    // lands partitioned BY LANGUAGE and the reader's language
+    // predicate becomes a PartitionFilter — directories outside the
+    // two requested languages are never opened (plan-pinned in
+    // PlanShapeSpec). The write is the K-side layout contract a
+    // lake-organized corpus uses so per-language training jobs read
+    // 1/|langs| of the data.
+    "q247_partitioned_write" -> Q(
+      (s, d) => {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_part").toString
+        Tables(s, d, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("lang").isin("en", "zh"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"))
+      },
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang IN ('en', 'zh')
+        |GROUP BY 1, 2""".stripMargin)
   )
 }

@@ -133,6 +133,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q247's language predicate prunes PARTITIONS, not just rows") {
+    val plan = SparkEntry.queries("q247_partitioned_write")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), plan)
+  }
+
   test("query BUILDERS run zero Spark jobs (no driver-side actions at plan time)") {
     // A queries() entry must return a lazy plan; any .count()/.collect()
     // inside the builder forces an extra full materialization per call.
