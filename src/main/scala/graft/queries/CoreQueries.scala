@@ -385,6 +385,66 @@ object CoreQueries {
         |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM e)
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
-        |FROM s GROUP BY user_id""".stripMargin)
+        |FROM s GROUP BY user_id""".stripMargin),
+
+    // The SQL-first usage path: the whole query authored as ANSI text
+    // and executed via spark.sql over registered views — the surface
+    // the reference's generated-query consumers (J12/J13) live on.
+    // Catalyst treats it identically to the DataFrame plans (same
+    // pushdown, same broadcast), which is the point being gated.
+    "q248_sql_surface" -> Q(
+      (s, d) => {
+        Tables(s, d, "orders").createOrReplaceTempView("v_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("v_customer")
+        s.sql("""SELECT c_mktsegment, count(*) AS n_orders,
+                |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                |    AS total_dollars
+                |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+                |WHERE o_orderstatus = 'F'
+                |GROUP BY c_mktsegment""".stripMargin)
+      },
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+        |    AS total_dollars
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment""".stripMargin),
+
+    // Three-valued-logic battery: nulls manufactured with nullif, then
+    // every classic null trap in one bounded groupBy — count(col)
+    // skipping nulls, DISTINCT excluding them, SUM of an empty set
+    // being NULL (not 0), MAX ignoring nulls, a NULL group key, and
+    // null-safe equality (<=> / IS NOT DISTINCT FROM). Engines
+    // disagree on these more often than on joins; parity here is
+    // load-bearing for every oracle in the contract.
+    "q249_null_battery" -> Q(
+      (s, d) =>
+        Tables(s, d, "orders")
+          .select(
+            nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("p"),
+            expr("CAST(floor(o_totalprice) AS BIGINT)").as("dollars"),
+            nullif(col("o_orderstatus"), lit("O")).as("st"))
+          .groupBy("p")
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("st")).as("n_nonnull_status"),
+            countDistinct(col("st")).as("n_distinct_status"),
+            sum(when(col("st").isNull, col("dollars"))).as("open_dollars"),
+            max(col("st")).as("max_status"),
+            sum(when(expr("p <=> CAST(NULL AS STRING)"), 1L).otherwise(0L))
+              .as("n_nullsafe_eq_null")),
+      """SELECT nullif(o_orderpriority, '3-MEDIUM') AS p,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT)
+        |    AS n_nonnull_status,
+        |  CAST(count(DISTINCT nullif(o_orderstatus, 'O')) AS BIGINT)
+        |    AS n_distinct_status,
+        |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+        |    THEN CAST(floor(o_totalprice) AS BIGINT) END) AS BIGINT)
+        |    AS open_dollars,
+        |  max(nullif(o_orderstatus, 'O')) AS max_status,
+        |  CAST(sum(CASE WHEN nullif(o_orderpriority, '3-MEDIUM')
+        |    IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nullsafe_eq_null
+        |FROM orders GROUP BY 1""".stripMargin)
   )
 }
