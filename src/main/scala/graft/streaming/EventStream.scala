@@ -475,6 +475,19 @@ object EventStream {
       s"graft_stream_topk_${runId.incrementAndGet()}",
       mode = OutputMode.Update, statePartitions = statePartitions)
 
+  /** Durable incremental leaderboard: each run folds only UNSEEN
+    * files into the O(k)-per-type state and appends the refreshed
+    * boards of touched types to the parquet log; the compacted read
+    * keeps each (type, rank) slot's latest emission. Restarting over
+    * an unchanged directory appends nothing.
+    */
+  def topEventsByTypeTo(spark: SparkSession, dir: String,
+      sinkPath: String, checkpointDir: String, k: Int = 3,
+      glob: String = "events.parquet"): DataFrame = {
+    runToParquetLog(topKAgg(spark, dir, k, glob), sinkPath, checkpointDir)
+    compactLog(spark, sinkPath, Seq("event_type", "rank"))
+  }
+
   /** Durable incremental KMV: each run merges only unseen files into
     * the O(k)-per-type state and appends one refreshed estimator row
     * per TOUCHED type to the parquet log; returns the compacted

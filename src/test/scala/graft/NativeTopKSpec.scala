@@ -61,6 +61,23 @@ class NativeTopKSpec extends AnyFunSuite {
       viaWindow.exceptAll(native).isEmpty)
   }
 
+  test("null order values rank exactly as the window's default null ordering") {
+    // nulls manufactured with nullif; desc default is NULLS LAST in
+    // both the window spec and the harvested SortOrder — parity must
+    // hold without the caller spelling it
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        nullif(col("n_chars") % 7, lit(0)).as("v"))
+    val native = TopK.perKey(docs, Seq("source"),
+      Seq(col("v").desc, col("doc_id")), k = 4)
+    val w = Window.partitionBy("source")
+      .orderBy(col("v").desc, col("doc_id"))
+    val viaWindow = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).drop("rn")
+    assert(native.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(native).isEmpty)
+  }
+
   test("plan: partial heap below ONE exchange, no Sort, no Window") {
     val docs = Tables(spark, dir, "documents")
       .select("doc_id", "source", "n_chars")

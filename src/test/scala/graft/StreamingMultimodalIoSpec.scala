@@ -188,6 +188,47 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(secondRun.count() == 1, "only the touched block may be appended")
   }
 
+  test("durable leaderboard: merged top-k equals batch; untouched types idle") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("graft_topk_src").toString
+    val sink = Files.createTempDirectory("graft_topk_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_topk_ckpt").toString
+    val t0 = 1704067200L * 1000000000L
+    def writeEvents(name: String, rows: Seq[(Long, String, Double)]): Unit = {
+      val stage = Files.createTempDirectory("graft_topk_dump").toString
+      rows.map { case (id, tpe, v) => (id, t0, id, tpe, v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, Paths.get(s"$src/$name"))
+    }
+    writeEvents("a.parquet",
+      (1L to 10L).map(i => (i, "view", i.toDouble)) :+ (99L, "click", 5.0))
+    val s1 = EventStream.topEventsByTypeTo(spark, src, sink, ckpt,
+        glob = "*.parquet")
+      .filter($"event_type" === "view")
+      .select("event_id").as[Long].collect().toSet
+    assert(s1 == Set(10L, 9L, 8L))
+    val b1 = spark.read.parquet(sink).agg(max("__batch")).as[Long].head()
+    // second dump: a new view leader — click's board must ride the
+    // state untouched and NOT re-append
+    writeEvents("b.parquet", Seq((200L, "view", 11.0)))
+    val s2 = EventStream.topEventsByTypeTo(spark, src, sink, ckpt,
+        glob = "*.parquet")
+      .filter($"event_type" === "view")
+      .orderBy($"rank")
+      .select("event_id").as[Long].collect().toSeq
+    assert(s2 == Seq(200L, 10L, 9L), s2.toString)
+    val secondRun = spark.read.parquet(sink).filter($"__batch" > b1)
+    assert(secondRun.filter($"event_type" === "click").isEmpty,
+      "an untouched type must not re-append")
+    // restart over an unchanged directory appends nothing
+    val b2 = spark.read.parquet(sink).agg(max("__batch")).as[Long].head()
+    EventStream.topEventsByTypeTo(spark, src, sink, ckpt, glob = "*.parquet")
+    assert(spark.read.parquet(sink).filter($"__batch" > b2).isEmpty)
+  }
+
   test("durable KMV: state merges across runs and only touched types append") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_kmv_src").toString
