@@ -43,4 +43,18 @@ object TopK {
     PlanShim.ofRows(spark,
       TopKPerKeyNode(keyCols.map(attr), sortOrder, k, base))
   }
+
+  /** [[perKey]] plus the rank column a window top-k would carry —
+    * reconstructed by a row_number over the k·|keys|-bounded RESULT,
+    * so the corpus is still never window-sorted (the q205 pattern,
+    * packaged).
+    */
+  def perKeyWithRank(df: DataFrame, keyCols: Seq[String],
+      order: Seq[Column], k: Int, rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    perKey(df, keyCols, order, k).withColumn(rankCol,
+      row_number().over(Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(order: _*)).cast("long"))
+  }
 }

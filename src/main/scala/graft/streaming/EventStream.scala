@@ -111,6 +111,29 @@ object EventStream {
       statePartitions = statePartitions)
   }
 
+  /** Durable sessionization: Append-mode session_window rows land in
+    * the parquet log exactly once, when the advancing watermark
+    * closes them — the log IS the session table (no compaction
+    * needed; dedup on (user, start) only guards replayed batches
+    * after a crash between sink write and checkpoint commit).
+    * Sessions still open at the current watermark stay in state and
+    * emit on a later run once newer events push the watermark past
+    * them.
+    */
+  def sessionWindowsTo(spark: SparkSession, dir: String, sinkPath: String,
+      checkpointDir: String, gap: String = "30 minutes",
+      glob: String = "events.parquet"): DataFrame = {
+    val agg = source(spark, dir, glob)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+    runToParquetLog(agg, sinkPath, checkpointDir,
+      mode = OutputMode.Append())
+    compactLog(spark, sinkPath, Seq("user_id", "session_start"))
+  }
+
   /** Durable incremental windowed counts: Update-mode changed rows
     * appended to the parquet log at `sinkPath`; returns the compacted
     * current state. See [[runToParquetLog]] for the scale contract.

@@ -78,6 +78,20 @@ class NativeTopKSpec extends AnyFunSuite {
       viaWindow.exceptAll(native).isEmpty)
   }
 
+  test("perKeyWithRank matches the ranked window top-k rows exactly") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val native = TopK.perKeyWithRank(docs, Seq("source"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 3)
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = docs
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+    assert(native.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(native).isEmpty)
+  }
+
   test("plan: partial heap below ONE exchange, no Sort, no Window") {
     val docs = Tables(spark, dir, "documents")
       .select("doc_id", "source", "n_chars")

@@ -229,6 +229,21 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).filter($"__batch" > b2).isEmpty)
   }
 
+  test("durable sessions: append log equals the memory-sink result; reruns idle") {
+    import java.nio.file.Files
+    val sink = Files.createTempDirectory("graft_sess_sink").toString + "/log"
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt").toString
+    val dir = "/root/testdata/sf0.001"
+    val durable = EventStream.sessionWindowsTo(spark, dir, sink, ckpt)
+    val memory = EventStream.sessionWindows(spark, dir)
+    assert(durable.exceptAll(memory).isEmpty &&
+      memory.exceptAll(durable).isEmpty)
+    val b1 = spark.read.parquet(sink).agg(max("__batch")).as[Long].head()
+    EventStream.sessionWindowsTo(spark, dir, sink, ckpt)
+    assert(spark.read.parquet(sink).filter($"__batch" > b1).isEmpty,
+      "an unchanged directory must append nothing")
+  }
+
   test("durable KMV: state merges across runs and only touched types append") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("graft_kmv_src").toString
