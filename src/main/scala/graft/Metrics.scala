@@ -1,0 +1,78 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Lightweight run observability: one record per completed Dataset
+  * action — the callback name (count/save/collect…), wall duration,
+  * the root operator, and its `numOutputRows` metric when the
+  * operator carries one — queryable back as a DataFrame. This is the
+  * "what ran, how long, how big" feed a production deployment scrapes
+  * into its dashboard, kept engine-side so every entry point (SQL,
+  * DataFrame, streaming foreachBatch bodies) is covered uniformly.
+  *
+  * Register per session via [[Metrics.install]]; the buffer is
+  * bounded (oldest dropped) so a long-lived session can't leak.
+  * Listener delivery rides the async listener bus — tests must wait,
+  * not assert immediately (see MetricsSpec).
+  */
+final case class QueryRecord(action: String, rootOp: String,
+    durationMs: Long, outputRows: Long, failed: Boolean)
+
+class GraftMetricsListener(maxRecords: Int = 10000)
+    extends QueryExecutionListener {
+
+  private val buf = new ConcurrentLinkedQueue[QueryRecord]()
+  private val n = new AtomicInteger(0)
+
+  private def add(r: QueryRecord): Unit = {
+    buf.add(r)
+    if (n.incrementAndGet() > maxRecords) { buf.poll(); n.decrementAndGet() }
+    ()
+  }
+
+  private def record(funcName: String, qe: QueryExecution,
+      durationNs: Long, failed: Boolean): Unit = {
+    val root = qe.executedPlan
+    add(QueryRecord(funcName, root.nodeName, durationNs / 1000000L,
+      root.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
+      failed))
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution,
+      durationNs: Long): Unit = record(funcName, qe, durationNs, failed = false)
+
+  override def onFailure(funcName: String, qe: QueryExecution,
+      exception: Exception): Unit = record(funcName, qe, 0L, failed = true)
+
+  def records: Seq[QueryRecord] = buf.iterator().asScala.toSeq
+}
+
+object Metrics {
+
+  /** Install a listener on `spark` and return it (caller keeps the
+    * handle to read or uninstall).
+    */
+  def install(spark: SparkSession,
+      maxRecords: Int = 10000): GraftMetricsListener = {
+    val l = new GraftMetricsListener(maxRecords)
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def uninstall(spark: SparkSession, l: GraftMetricsListener): Unit =
+    spark.listenerManager.unregister(l)
+
+  /** The captured records as a queryable frame. */
+  def asDataFrame(spark: SparkSession,
+      l: GraftMetricsListener): DataFrame = {
+    import spark.implicits._
+    l.records.toDF()
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The observability listener: actions are captured with sane
+  * durations and row counts, failures are flagged, uninstall stops
+  * the feed. Listener delivery is async — poll, don't assert
+  * immediately.
+  */
+class MetricsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def await(cond: => Boolean, ms: Long = 15000): Boolean = {
+    val deadline = System.nanoTime() + ms * 1000000L
+    while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  test("actions land as records; rows and duration are sane") {
+    val l = Metrics.install(spark)
+    try {
+      val n = Tables(spark, "/root/testdata/sf0.001", "nation").count()
+      assert(await(l.records.exists(r =>
+        r.action == "count" && !r.failed)), l.records.toString)
+      val rec = l.records.filter(r => r.action == "count").last
+      assert(rec.durationMs >= 0)
+      assert(n == 25L)
+      // the frame view round-trips the records
+      val df = Metrics.asDataFrame(spark, l)
+      assert(df.columns.toSeq ==
+        Seq("action", "rootOp", "durationMs", "outputRows", "failed"))
+      assert(df.count() >= 1)
+    } finally Metrics.uninstall(spark, l)
+  }
+
+  test("uninstall stops the feed") {
+    val l = Metrics.install(spark)
+    Metrics.uninstall(spark, l)
+    val before = l.records.size
+    Tables(spark, "/root/testdata/sf0.001", "region").count()
+    Thread.sleep(500)
+    assert(l.records.size == before)
+  }
+}
