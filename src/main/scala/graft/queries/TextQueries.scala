@@ -1383,6 +1383,57 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
-        |WHERE rn <= 3""".stripMargin)
+        |WHERE rn <= 3""".stripMargin),
+
+    // Tokenizer-equity audit: BPE fertility (characters per token, in
+    // exact centi-units) per language under ONE shared merge table —
+    // the fairness number that shows which languages pay more tokens
+    // for the same text, read before fixing a per-language token
+    // budget. Same trained-merge machinery as q134 (bounded
+    // driver-side artifact, pure column-expression apply, dynamic
+    // oracle replaying the merges as literals), collapsed to a
+    // |langs|-row report.
+    "q250_token_fertility" -> Q.dynamic(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val merges = graft.ops.Bpe.train(docs, "text", numMerges = 24)
+        docs.select(col("lang"),
+            length(col("text")).cast("long").as("ch"),
+            graft.ops.Bpe.tokenCount(merges, col("text")).as("nb"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ch").as("chars"),
+            sum("nb").as("bpe_tokens"))
+          .withColumn("fertility_centi",
+            expr("chars * 100 div bpe_tokens"))
+      })(
+      (s, d) => {
+        val merges = graft.ops.Bpe.train(Tables(s, d, "documents"),
+          "text", numMerges = 24)
+        def m(syms: String*) =
+          syms.map(t => s"chr(1) || '$t' || chr(2)").mkString(" || ")
+        val chained = merges.foldLeft(
+          "regexp_replace(x, '(.)', chr(1) || '\\1' || chr(2), 'g')") {
+          case (acc, (a, b)) =>
+            s"replace($acc, ${m(a, b)}, ${m(a + b)})"
+        }
+        s"""WITH toks AS (
+           |  SELECT lang, CAST(length(text) AS BIGINT) AS ch,
+           |    list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '') AS w
+           |  FROM documents),
+           |per AS (
+           |  SELECT lang, ch,
+           |    coalesce(CAST(list_aggregate(list_transform(w,
+           |      x -> length($chained) - length(replace($chained, chr(1), ''))),
+           |      'sum') AS BIGINT), 0) AS nb
+           |  FROM toks)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(ch) AS BIGINT) AS chars,
+           |  CAST(sum(nb) AS BIGINT) AS bpe_tokens,
+           |  CAST((CAST(sum(ch) AS BIGINT) * 100)
+           |    // CAST(sum(nb) AS BIGINT) AS BIGINT) AS fertility_centi
+           |FROM per GROUP BY 1""".stripMargin
+      })
   )
 }
