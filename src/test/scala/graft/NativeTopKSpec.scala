@@ -92,6 +92,23 @@ class NativeTopKSpec extends AnyFunSuite {
       viaWindow.exceptAll(native).isEmpty)
   }
 
+  test("extreme single-key skew: every row lands on one heap, result exact") {
+    // the worst case for any per-key operator — the whole input under
+    // one key. The partial pass still bounds the shuffle to
+    // k·partitions rows; the final heap must agree with a global sort
+    val li = Tables(spark, dir, "lineitem")
+      .select(lit("all").as("k"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+    val native = TopK.perKey(li, Seq("k"),
+      Seq(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber")),
+      k = 7)
+    val expected = li.orderBy(col("l_quantity").desc, col("l_orderkey"),
+      col("l_linenumber")).limit(7)
+    assert(native.count() == 7)
+    assert(native.exceptAll(expected).isEmpty &&
+      expected.exceptAll(native).isEmpty)
+  }
+
   test("plan: partial heap below ONE exchange, no Sort, no Window") {
     val docs = Tables(spark, dir, "documents")
       .select("doc_id", "source", "n_chars")
