@@ -23,7 +23,8 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * not assert immediately (see MetricsSpec).
   */
 final case class QueryRecord(action: String, rootOp: String,
-    durationMs: Long, outputRows: Long, failed: Boolean)
+    durationMs: Long, outputRows: Long, shuffleBytes: Long,
+    failed: Boolean)
 
 class GraftMetricsListener(maxRecords: Int = 10000)
     extends QueryExecutionListener {
@@ -40,9 +41,23 @@ class GraftMetricsListener(maxRecords: Int = 10000)
   private def record(funcName: String, qe: QueryExecution,
       durationNs: Long, failed: Boolean): Unit = {
     val root = qe.executedPlan
+    // under AQE the plan nests behind AdaptiveSparkPlanExec and each
+    // materialized stage behind a leaf QueryStageExec — walk through
+    // both so the exchange metrics that actually ran are summed
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    val shuffleBytes = walk(root)
+      .flatMap(_.metrics.get("shuffleBytesWritten").map(_.value))
+      .sum
     add(QueryRecord(funcName, root.nodeName, durationNs / 1000000L,
       root.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
-      failed))
+      shuffleBytes, failed))
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

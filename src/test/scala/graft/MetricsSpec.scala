@@ -27,9 +27,21 @@ class MetricsSpec extends AnyFunSuite {
       assert(n == 25L)
       // the frame view round-trips the records
       val df = Metrics.asDataFrame(spark, l)
-      assert(df.columns.toSeq ==
-        Seq("action", "rootOp", "durationMs", "outputRows", "failed"))
+      assert(df.columns.toSeq == Seq("action", "rootOp", "durationMs",
+        "outputRows", "shuffleBytes", "failed"))
       assert(df.count() >= 1)
+    } finally Metrics.uninstall(spark, l)
+  }
+
+  test("a shuffling action reports nonzero shuffle bytes") {
+    import org.apache.spark.sql.functions._
+    val l = Metrics.install(spark)
+    try {
+      Tables(spark, "/root/testdata/sf0.001", "lineitem")
+        .groupBy("l_partkey").agg(sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+      assert(await(l.records.exists(r => !r.failed && r.shuffleBytes > 0)),
+        l.records.toString)
     } finally Metrics.uninstall(spark, l)
   }
 
