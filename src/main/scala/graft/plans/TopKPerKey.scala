@@ -27,6 +27,14 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Ties: callers must pass a TOTAL order (tie-break columns), same as
   * any deterministic window top-k.
   *
+  * Memory boundary, stated honestly: the heaps live in an in-memory
+  * hash map and do NOT spill — per task the footprint is
+  * O(distinct keys in the partition × k). That is the right trade in
+  * the operator's target regime (k ≪ group size, key cardinality ≪
+  * row count); when keys-per-partition × k approaches executor
+  * memory, raise the partition count or fall back to the window
+  * formulation, whose sort spills.
+  *
   * Relationship to Spark's own InferWindowGroupLimit (3.5+): that
   * rule inserts WindowGroupLimit below the Window, pruning each
   * partition's input to k rows per key — but it still SORTS both the
