@@ -154,6 +154,41 @@ object ComplexTypeQueries {
         |  len(list_filter(w, t -> len(t) > 10)) = 0 AS all_short,
         |  CAST(list_aggregate(list_transform(w, t -> len(t)), 'max') AS BIGINT)
         |    AS max_len
+        |FROM t""".stripMargin),
+
+    // Array SET-operation battery: per document, the distinct token
+    // vocabulary intersected / subtracted / unioned against a literal
+    // stopword list — array_intersect, array_except, array_union as
+    // row-wise codegen'd expressions (the OverlapRewrite rule's raw
+    // material). Sizes only cross the hash, so element ORDER inside
+    // the set results (engine-specific) never matters.
+    "q252_array_setops" -> Q(
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "to", "in", "is")
+          .map(lit): _*)
+        Tables(s, d, "documents")
+          .select(col("doc_id"),
+            array_distinct(split(trim(col("text")), "\\s+")).as("v"))
+          .select(col("doc_id"),
+            size(col("v")).cast("long").as("n_vocab"),
+            size(array_intersect(col("v"), stop)).cast("long")
+              .as("n_stop"),
+            size(array_except(col("v"), stop)).cast("long")
+              .as("n_content"),
+            size(array_union(col("v"), stop)).cast("long")
+              .as("n_union"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split_regex(trim(text), '\s+')) AS v,
+        |    ['the', 'a', 'of', 'and', 'to', 'in', 'is'] AS stop
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(v) AS BIGINT) AS n_vocab,
+        |  CAST(len(list_intersect(v, stop)) AS BIGINT) AS n_stop,
+        |  CAST(len(list_filter(v, x -> NOT list_contains(stop, x)))
+        |    AS BIGINT) AS n_content,
+        |  CAST(len(list_distinct(list_concat(v, stop))) AS BIGINT)
+        |    AS n_union
         |FROM t""".stripMargin)
   )
 }

@@ -1351,6 +1351,50 @@ object StatsQueries {
         |    AS dev_ppm
         |FROM j""".stripMargin),
 
+    // The standard boxplot profile per event type: exact interpolated
+    // quartiles over integer cents (snapped at 1e-6 so both engines
+    // compare identical doubles), the IQR, Tukey whisker bounds, and
+    // the count outside them — the q114 two-pass shape (tiny stats
+    // frame broadcast back over one more scan).
+    "q251_boxplot" -> Q(
+      (s, d) => {
+        val ev = Tables(s, d, "events")
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+        val st = ev.groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          r6(expr("percentile(c, 0.25)")).as("q1"),
+          r6(expr("percentile(c, 0.5)")).as("q2"),
+          r6(expr("percentile(c, 0.75)")).as("q3"))
+          .withColumn("iqr", col("q3") - col("q1"))
+          .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+          .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+        ev.join(broadcast(st), "event_type")
+          .groupBy("event_type")
+          .agg(max("n").as("n"), max("q1").as("q1"), max("q2").as("q2"),
+            max("q3").as("q3"), max("iqr").as("iqr"),
+            sum(when(col("c") < col("lo") || col("c") > col("hi"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+      },
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    floor(quantile_cont(c, 0.25)*1000000 + 0.5)/1000000 AS q1,
+        |    floor(quantile_cont(c, 0.5)*1000000 + 0.5)/1000000 AS q2,
+        |    floor(quantile_cont(c, 0.75)*1000000 + 0.5)/1000000 AS q3
+        |  FROM ev GROUP BY 1)
+        |SELECT ev.event_type, max(st.n) AS n, max(st.q1) AS q1,
+        |  max(st.q2) AS q2, max(st.q3) AS q3,
+        |  max(st.q3 - st.q1) AS iqr,
+        |  CAST(sum(CASE WHEN ev.c < st.q1 - 1.5 * (st.q3 - st.q1)
+        |    OR ev.c > st.q3 + 1.5 * (st.q3 - st.q1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN st USING (event_type)
+        |GROUP BY 1""".stripMargin),
+
     // One-scan corpus data card: the headline numbers a dataset's
     // consumers read first, as (metric, value) rows off a SINGLE
     // aggregate row unpivoted by stack() — adding a metric never
