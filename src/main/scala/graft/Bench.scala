@@ -42,7 +42,13 @@ object Bench {
       try { exec(name); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional comma-separated substring filter for targeted local perf
+    // work (the driver never sets it — it always times the full set)
+    val filters = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filters.isEmpty || filters.exists(n.contains))
+    val results = selected.map { name =>
       val (a, b) = (timeOnce(name), timeOnce(name))
       if (a < 0 || b < 0) name -> -1.0
       else {

@@ -81,9 +81,26 @@ object Components {
     * frame is persisted and eagerly materialized, all intermediates
     * are unpersisted; the caller owns the single surviving cache
     * entry.
+    *
+    * `partitions` pins the shuffle width for the run (the PageRank.run
+    * contract): the per-round frames are pair-set-sized, usually a
+    * tiny fraction of the corpus that produced the pairs, and each
+    * round's exchanges pay per-partition overhead regardless of rows.
+    * Every job of the run — round signatures, the final label count —
+    * executes inside the pinned scope; the session width is restored
+    * on exit, also on failure.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30, partitions: Option[Int] = None): DataFrame =
+    partitions match {
+      case Some(p) => ShuffleWidth.pinned(pairs.sparkSession, p) {
+        cc0(pairs, aCol, bCol, maxIter)
+      }
+      case None => cc0(pairs, aCol, bCol, maxIter)
+    }
+
+  private def cc0(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): DataFrame = {
     // Iterative plans MUST truncate lineage every round: each star step
     // references its input twice, so the Catalyst tree (printed and
     // analyzed as a tree, not a DAG) grows ~8× per round — without

@@ -61,14 +61,11 @@ object PageRank {
       teleport: Option[DataFrame] = None,
       partitions: Option[Int] = None): DataFrame = partitions match {
     case Some(p) =>
-      val spark = edges.sparkSession
-      val key = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.get(key)
-      spark.conf.set(key, p)
       // every job of the run — persists, per-round checkpoints, the
       // final count — executes inside run0, so the scope is tight
-      try run0(edges, iterations, damping, teleport)
-      finally spark.conf.set(key, prev)
+      ShuffleWidth.pinned(edges.sparkSession, p) {
+        run0(edges, iterations, damping, teleport)
+      }
     case None => run0(edges, iterations, damping, teleport)
   }
 

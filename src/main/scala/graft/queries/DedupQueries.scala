@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Dedup, TextOps}
+import graft.ops.{Components, Dedup, ShuffleWidth, TextOps}
 
 /** Deduplication operator coverage over the `documents` table.
   *
@@ -166,7 +166,8 @@ object DedupQueries {
       (s, d) => {
         val pairs = Dedup.jaccardPairs(
           Tables(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.5)
-        val out = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        val out = Components.connectedComponents(pairs, "doc_a", "doc_b",
+          partitions = Some(8))
         pairs.unpersist() // out is materialized; the pair cache is done
         out
       },
@@ -193,7 +194,8 @@ object DedupQueries {
         val docs = Tables(s, d, "documents")
         val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
           threshold = 0.5)
-        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b",
+          partitions = Some(8))
         pairs.unpersist()
         docs.select(col("doc_id")).join(clusters, Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -222,7 +224,8 @@ object DedupQueries {
         val docs = Tables(s, d, "documents")
         val pairs = Dedup.minHashDedup(docs, "doc_id", "text",
           n = 3, numHashes = 32, bands = 16, threshold = 0.8)
-        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b",
+          partitions = Some(8))
         pairs.unpersist()
         clusters
           .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
@@ -248,7 +251,8 @@ object DedupQueries {
       (s, d) => {
         val pairs = Dedup.minHashDedup(Tables(s, d, "documents"),
           "doc_id", "text", n = 3, numHashes = 32, bands = 16, threshold = 0.8)
-        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b")
+        val clusters = Components.connectedComponents(pairs, "doc_a", "doc_b",
+          partitions = Some(8))
         pairs.unpersist()
         clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
           .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))

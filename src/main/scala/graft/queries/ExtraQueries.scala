@@ -3,8 +3,10 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 import graft.Tables
-import graft.ops.{AsOfJoin, PageRank, SkewJoin, Skyline}
+import graft.ops.{AsOfJoin, PageRank, ShuffleWidth, SkewJoin, Skyline}
 import graft.queries.Fns._
 
 /** Coverage beyond the reference surface: window-function batteries
@@ -14,6 +16,70 @@ import graft.queries.Fns._
   * skyline — each checked against a DuckDB oracle.
   */
 object ExtraQueries {
+
+  /** The graph iteratives (q159/q168/q206/q225) run their rounds at
+    * this pinned shuffle width: the iterate frames are thousands of
+    * keys, and per-round exchange overhead at the session's width
+    * dominates the actual work (the q104 lesson — 8.8 s → 4.6 s).
+    * Callers at cluster scale would size this to their graph.
+    */
+  private val GraphWidth = 8
+
+  /** Shared engine-side edge builder of q159/q206 (the SQL twin is
+    * [[labelPropCtes]]): the part co-purchase graph from same-order
+    * lineitem pairs. Returns a lazily persisted frame — each caller's
+    * rounds consume it repeatedly; Verify/Bench clearCache reclaims.
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables(s, d, "lineitem")
+      .filter(col("l_quantity") >= 25)
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    li.select(col("o"), col("p").as("a"))
+      .join(li.select(col("o"), col("p").as("b")), "o")
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct().persist()
+  }
+
+  /** Shared synchronous label-propagation rounds of q159/q206 over a
+    * persisted edge frame: each node adopts its neighbors' most
+    * frequent label, ties to the smallest id. Per round: one
+    * equi-join per edge direction + two partial-aggregable groupBys
+    * (the arg-max as max(struct(count, -label))) — never a per-node
+    * sort window. Each round's labels persist lazily: e and labels
+    * are referenced twice per round, so without the cache boundary
+    * round r re-executes round r-1 twice (2^rounds replay).
+    */
+  private def labelPropagate(e: DataFrame, rounds: Int): DataFrame = {
+    var labels = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .distinct().withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val nb = e.join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("label"))
+        .union(e.join(labels.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node"), col("label")))
+      labels = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .persist()
+    }
+    labels
+  }
+
+  /** Persist + materialize `df` NOW — the tail call of every pinned
+    * graph iterative: all upstream rounds execute inside the
+    * [[ShuffleWidth.pinned]] scope (a lazily-built result would run
+    * its jobs at collect time, after the width is restored), and the
+    * caller hands Verify/Bench a cached, query-sized frame
+    * (clearCache reclaims it, the Dedup ownership contract).
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val out = df.persist()
+    out.count()
+    out
+  }
 
   /** Shared oracle CTE chain of q159/q206: the part co-purchase graph,
     * identity labels, and three unrolled label-propagation rounds
@@ -806,41 +872,11 @@ object ExtraQueries {
     // one per-node arg-max window partitioned by node — never global.
     // Output is the community size histogram.
     "q159_label_prop" -> Q(
-      (s, d) => {
-        val li = Tables(s, d, "lineitem")
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-          .distinct()
-        // e and each round's labels are referenced TWICE per round
-        // (both edge directions), so without a cache boundary round r
-        // re-executes round r-1 twice — 2^rounds replay. Lazy persist
-        // (no plan-build job; Verify/Bench clearCache afterwards)
-        // truncates that: each round computes once, like PageRank's
-        // per-round checkpoint.
-        val e = li.select(col("o"), col("p").as("a"))
-          .join(li.select(col("o"), col("p").as("b")), "o")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct().persist()
-        var labels = e.select(col("a").as("node"))
-          .union(e.select(col("b").as("node")))
-          .distinct().withColumn("label", col("node"))
-        for (_ <- 1 to 3) {
-          val nb = e.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(col("a").as("node"), col("label"))
-            .union(e.join(labels.withColumnRenamed("node", "a"), "a")
-              .select(col("b").as("node"), col("label")))
-          // arg-max as max(struct(count, -label)): most frequent label,
-          // ties -> smallest id — same semantics as the oracle's
-          // row_number argmax, but two partial-aggregable groupBys
-          // instead of a per-node sort window
-          labels = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
-            .groupBy("node")
-            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-            .select(col("node"), (-col("m.nl")).as("label"))
-            .persist()
-        }
-        labels.groupBy("label").agg(count(lit(1)).as("size"))
-          .orderBy(col("size").desc, col("label")).limit(30)
+      (s, d) => ShuffleWidth.pinned(s, GraphWidth) {
+        val labels = labelPropagate(coPurchaseEdges(s, d), 3)
+        materialized(
+          labels.groupBy("label").agg(count(lit(1)).as("size"))
+            .orderBy(col("size").desc, col("label")).limit(30))
       },
       s"""WITH $labelPropCtes
          |SELECT label, count(*) AS size FROM l3
@@ -855,27 +891,15 @@ object ExtraQueries {
     // all map-side-combinable aggregates over the persisted edge set.
     "q206_community_conductance" -> Q(
       (s, d) => {
-        val li = Tables(s, d, "lineitem")
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-          .distinct()
-        val e = li.select(col("o"), col("p").as("a"))
-          .join(li.select(col("o"), col("p").as("b")), "o")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct().persist()
-        var labels = e.select(col("a").as("node"))
-          .union(e.select(col("b").as("node")))
-          .distinct().withColumn("label", col("node"))
-        for (_ <- 1 to 3) {
-          val nb = e.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(col("a").as("node"), col("label"))
-            .union(e.join(labels.withColumnRenamed("node", "a"), "a")
-              .select(col("b").as("node"), col("label")))
-          labels = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
-            .groupBy("node")
-            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-            .select(col("node"), (-col("m.nl")).as("label"))
-            .persist()
+        // only the label-prop rounds run at the graph width: the stats
+        // pass below joins the FULL edge frame twice and explodes it
+        // 2× — that one wants the session's width, unlike the
+        // |V|-sized round frames (measured: pinning it too is a wash)
+        val (e, labels) = ShuffleWidth.pinned(s, GraphWidth) {
+          val e = coPurchaseEdges(s, d)
+          val l = labelPropagate(e, 3)
+          l.count() // materialize the rounds inside the pinned scope
+          (e, l)
         }
         // volume (member-degree sum), cut count, and 2m all fold out
         // of ONE pass over the labeled edges: each edge explodes to
@@ -900,14 +924,15 @@ object ExtraQueries {
           .persist()
         val twoM = stats.agg(sum("vol").as("two_m"))
         val size = labels.groupBy("label").agg(count(lit(1)).as("size"))
-        size.join(stats, Seq("label"), "left")
-          .na.fill(0L, Seq("vol", "cut"))
-          .crossJoin(broadcast(twoM))
-          .filter(col("vol") > 0 && col("vol") < col("two_m"))
-          .withColumn("conductance_ppm", expr(
-            "(cut * 1000000) div least(vol, two_m - vol)"))
-          .select("label", "size", "vol", "cut", "conductance_ppm")
-          .orderBy(col("size").desc, col("label")).limit(30)
+        materialized(
+          size.join(stats, Seq("label"), "left")
+            .na.fill(0L, Seq("vol", "cut"))
+            .crossJoin(broadcast(twoM))
+            .filter(col("vol") > 0 && col("vol") < col("two_m"))
+            .withColumn("conductance_ppm", expr(
+              "(cut * 1000000) div least(vol, two_m - vol)"))
+            .select("label", "size", "vol", "cut", "conductance_ppm")
+            .orderBy(col("size").desc, col("label")).limit(30))
       },
       s"""WITH $labelPropCtes,
          |le AS (
@@ -945,21 +970,14 @@ object ExtraQueries {
     // filters on the surviving node set. Output is the survivor
     // degree histogram.
     "q168_kcore" -> Q(
-      (s, d) => {
-        val li = Tables(s, d, "lineitem")
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-          .distinct()
+      (s, d) => ShuffleWidth.pinned(s, GraphWidth) {
         // each round reads the previous round's edges THREE times
         // (degree count + two semi-joins) — persist per round or the
         // final plan replays every earlier round 3^r times (same
         // cache-boundary discipline as q159/PageRank; lazy, so
         // plan-build stays job-free and clearCache reclaims it)
-        var edges = li.select(col("o"), col("p").as("a"))
-          .join(li.select(col("o"), col("p").as("b")), "o")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct().persist()
-        def degrees(e: org.apache.spark.sql.DataFrame) =
+        var edges = coPurchaseEdges(s, d)
+        def degrees(e: DataFrame) =
           e.select(col("a").as("n")).union(e.select(col("b").as("n")))
             .groupBy("n").agg(count(lit(1)).as("deg"))
         for (_ <- 1 to 3) {
@@ -969,8 +987,9 @@ object ExtraQueries {
             .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
             .select("a", "b").persist()
         }
-        degrees(edges).groupBy("deg").agg(count(lit(1)).as("n_nodes"))
-          .orderBy("deg")
+        materialized(
+          degrees(edges).groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+            .orderBy("deg"))
       },
       {
         val round = (k: Int) =>
@@ -1578,16 +1597,8 @@ object ExtraQueries {
     // The doubly-consumed edge frame rides one lazy persist
     // (Verify/Bench clearCache afterwards), like q159's rounds.
     "q225_local_clustering" -> Q(
-      (s, d) => {
-        val li = Tables(s, d, "lineitem")
-          .filter(col("l_quantity") >= 25)
-          .select(col("l_orderkey").as("o"),
-            col("l_partkey").cast("long").as("p"))
-          .distinct()
-        val e = li.select(col("o"), col("p").as("a"))
-          .join(li.select(col("o"), col("p").as("b")), "o")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct().persist()
+      (s, d) => ShuffleWidth.pinned(s, GraphWidth) {
+        val e = coPurchaseEdges(s, d)
         val deg = e.select(col("a").as("n_"))
           .union(e.select(col("b").as("n_")))
           .groupBy("n_").agg(count(lit(1)).as("deg"))
@@ -1608,18 +1619,19 @@ object ExtraQueries {
           .union(tri.select(col("v1").as("node")))
           .union(tri.select(col("v2").as("node")))
           .groupBy("node").agg(count(lit(1)).as("n_tri"))
-        deg.filter(col("deg") >= 2)
-          .join(triPerNode, col("n_") === col("node"), "left")
-          .select(col("deg"),
-            coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-          .withColumn("deg_digits", length(col("deg").cast("string"))
-            .cast("long"))
-          .groupBy("deg_digits")
-          .agg(count(lit(1)).as("n_nodes"),
-            sum("n_tri").as("sum_tri"),
-            sum(expr("deg * (deg - 1) div 2")).as("sum_wedges"))
-          .withColumn("closed_ppm",
-            expr("sum_tri * 1000000 div sum_wedges"))
+        materialized(
+          deg.filter(col("deg") >= 2)
+            .join(triPerNode, col("n_") === col("node"), "left")
+            .select(col("deg"),
+              coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+            .withColumn("deg_digits", length(col("deg").cast("string"))
+              .cast("long"))
+            .groupBy("deg_digits")
+            .agg(count(lit(1)).as("n_nodes"),
+              sum("n_tri").as("sum_tri"),
+              sum(expr("deg * (deg - 1) div 2")).as("sum_wedges"))
+            .withColumn("closed_ppm",
+              expr("sum_tri * 1000000 div sum_wedges")))
       },
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
