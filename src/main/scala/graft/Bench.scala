@@ -20,6 +20,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions) // native-operator strategies
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

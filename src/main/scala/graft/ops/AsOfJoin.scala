@@ -53,8 +53,9 @@ object AsOfJoin {
     * (graft.plans.AsOfJoinNode → AsOfJoinExec): same semantics, but a
     * per-partition two-pointer merge over the two sorted sides instead
     * of a union + window pass — no union frame, no window state, left
-    * partitioning preserved. Works without SparkSessionExtensions
-    * wiring: the strategy is registered with the session on first use.
+    * partitioning preserved. Requires [[graft.GraftExtensions]] on the
+    * session (GraftSession builds it in) — an operator call never
+    * mutates shared session state.
     *
     * Key and time columns are encoded to longs for the merge
     * (timestamps as epoch micros); the emitted `asOfCol` keeps the
@@ -68,10 +69,14 @@ object AsOfJoin {
     import org.apache.spark.sql.graft.PlanShim
     import org.apache.spark.sql.types.TimestampType
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy) &&
-      !spark.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // planner.strategies folds in experimental.extraStrategies AND
+    // extension-injected ones, so this sees every registration route
+    if (!spark.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy))
+      throw new IllegalStateException(
+        "AsOfJoinStrategy is not registered with this session. Build " +
+          "the session with graft.GraftSession, or add " +
+          ".withExtensions(new graft.GraftExtensions) / " +
+          ".config(\"spark.sql.extensions\", \"graft.GraftExtensions\")")
 
     def enc(df: DataFrame, c: String): Column = df.schema(c).dataType match {
       case TimestampType => unix_micros(col(c))

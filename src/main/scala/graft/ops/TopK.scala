@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.plans.logical.Sort
-import org.apache.spark.sql.graft.PlanShim
+import org.apache.spark.sql.graft.{NormalizeShim, PlanShim}
 
 import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
 
@@ -11,6 +11,10 @@ import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
   * pass BEFORE the shuffle, replacing the sort-everything window
   * formulation. Pass a total order (include a tie-break column) for
   * deterministic results — same contract as a window top-k.
+  *
+  * Requires [[graft.GraftExtensions]] on the session (GraftSession
+  * builds it in); the operator never registers its own strategy — an
+  * operator call must not mutate shared session state.
   *
   * {{{
   * TopK.perKey(docs, Seq("source"),
@@ -22,10 +26,18 @@ object TopK {
   def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy) &&
-      !spark.sessionState.planner.strategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    require(keyCols.nonEmpty,
+      "TopK.perKey needs at least one key column; for a global top-k " +
+        "use df.sort(order: _*).limit(k), whose TakeOrdered plan is " +
+        "already heap-based")
+    // planner.strategies folds in experimental.extraStrategies AND
+    // extension-injected ones, so this sees every registration route
+    if (!spark.sessionState.planner.strategies.contains(TopKPerKeyStrategy))
+      throw new IllegalStateException(
+        "TopKPerKeyStrategy is not registered with this session. Build " +
+          "the session with graft.GraftSession, or add " +
+          ".withExtensions(new graft.GraftExtensions) / " +
+          ".config(\"spark.sql.extensions\", \"graft.GraftExtensions\")")
 
     // run the ordering through the ANALYZER (Spark 4 Columns carry
     // ColumnNodes, not catalyst expressions): sort() yields an
@@ -37,11 +49,22 @@ object TopK {
         case other => throw new IllegalStateException(
           s"expected an analyzed Sort, got ${other.nodeName}")
       }
-    def attr(n: String) = base.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"no column $n in ${df.columns.mkString(",")}"))
-    PlanShim.ofRows(spark,
-      TopKPerKeyNode(keyCols.map(attr), sortOrder, k, base))
+    // name resolution honors the session's case-sensitivity setting
+    // and fails on ambiguity — same contract as df.col
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String) = base.output.filter(a => resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"no column $n in ${df.columns.mkString(",")}")
+      case many => throw new IllegalArgumentException(
+        s"ambiguous column $n: matches ${many.map(_.name).mkString(",")}")
+    }
+    // float/double keys are canonicalized (-0.0 = 0.0, one NaN): the
+    // heap map groups by raw binary key equality and the final-stage
+    // exchange hashes the same expressions, so without this the
+    // operator would diverge from window partitionBy semantics
+    val keys = keyCols.map(n => NormalizeShim.normalizeFloats(attr(n)))
+    PlanShim.ofRows(spark, TopKPerKeyNode(keys, sortOrder, k, base))
   }
 
   /** [[perKey]] plus the rank column a window top-k would carry —

@@ -27,13 +27,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Ties: callers must pass a TOTAL order (tie-break columns), same as
   * any deterministic window top-k.
   *
-  * Memory boundary, stated honestly: the heaps live in an in-memory
-  * hash map and do NOT spill — per task the footprint is
-  * O(distinct keys in the partition × k). That is the right trade in
-  * the operator's target regime (k ≪ group size, key cardinality ≪
-  * row count); when keys-per-partition × k approaches executor
-  * memory, raise the partition count or fall back to the window
-  * formulation, whose sort spills.
+  * Memory boundary: the heaps live in an in-memory hash map and do
+  * NOT spill — per task the footprint is O(distinct keys in the
+  * partition × k). In the operator's target regime (k ≪ group size,
+  * key cardinality ≪ row count) that is the right trade, and a
+  * key-explosion run DEGRADES instead of OOMing: when a partial
+  * pass's map exceeds `spark.graft.topk.maxPartialKeys` (default 4M)
+  * the partition flushes its heaps and streams the remainder through
+  * unpruned. Correct by contract — a partial pass may emit any
+  * superset of its per-key top-k (rows it already discarded were
+  * beaten by k retained rows of the same key), and the final stage
+  * still bounds the output. The FINAL stage has no such fallback: it
+  * must hold every post-shuffle key of its partition anyway, and its
+  * input is already pruned to ≤ k·partitions rows per key; if final
+  * keys-per-partition × k approaches executor memory, raise the
+  * shuffle width or use the window formulation, whose sort spills.
   *
   * Relationship to Spark's own InferWindowGroupLimit (3.5+): that
   * rule inserts WindowGroupLimit below the Window, pruning each
@@ -83,6 +91,13 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val kk = k
+    // the degradation guard applies only to the partial pass (see the
+    // operator scaladoc); Int.MaxValue disables it for the final stage
+    val maxKeys =
+      if (partial) conf.getConfString(TopKPerKeyExec.MaxPartialKeysKey,
+        "4000000").toInt
+      else Int.MaxValue
+    val stageName = nodeName
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // BaseOrdering over the child schema: compare(a,b) < 0 ⇔ a ranks
@@ -90,7 +105,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // retained row at the head, so admission is one head compare.
       val rowOrd = RowOrdering.create(sortOrder, childOutput)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      var overflowed = false
+      while (iter.hasNext && !overflowed) {
+        val row = iter.next()
         // both the key projection and the source iterator reuse row
         // buffers — copy on retention, never before
         val keyRow = keyProj(row)
@@ -104,10 +121,33 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
             h.enqueue(row.copy())
             heaps.update(keyRow.copy(), h)
+            overflowed = heaps.size > maxKeys
         }
       }
-      // emit each key's survivors best-first (dequeueAll is worst-first)
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      // emit each key's survivors best-first (dequeueAll is worst-first);
+      // on overflow the rest of the partition streams through unpruned —
+      // rows already discarded were beaten within their own key, so the
+      // emitted set is still a superset of every per-key top-k
+      val buffered = heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      if (overflowed) {
+        TopKPerKeyExec.logOverflow(stageName, maxKeys)
+        buffered ++ iter
+      } else buffered
     }, preservesPartitioning = true)
   }
+}
+
+object TopKPerKeyExec {
+  /** Heap-map key cap for the PARTIAL pass; past it the partition
+    * degrades to pass-through (see the operator scaladoc).
+    */
+  val MaxPartialKeysKey = "spark.graft.topk.maxPartialKeys"
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[TopKPerKeyExec])
+
+  /** Executor-side: called once per overflowing partition. */
+  private[plans] def logOverflow(stage: String, maxKeys: Int): Unit =
+    log.warn(s"$stage partition exceeded $MaxPartialKeysKey=$maxKeys " +
+      "distinct keys; flushing heaps and streaming the remainder " +
+      "unpruned (final stage still bounds the output)")
 }

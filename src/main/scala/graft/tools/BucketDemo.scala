@@ -18,6 +18,7 @@ object BucketDemo {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.ui.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cat = new ParquetCatalog(spark, out)

@@ -15,6 +15,21 @@ object ColumnShim {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge to Catalyst's floating-point canonicalization
+  * (`NormalizeFloatingNumbers.normalize` is `private[sql]`). The rule
+  * itself only rewrites Aggregate/Window/Join keys — a custom
+  * grouping operator (TopKPerKey) must normalize its own keys, or
+  * -0.0 vs 0.0 and differing NaN bit patterns land in different
+  * groups under raw binary comparison.
+  */
+object NormalizeShim {
+  /** Canonicalize float/double (incl. nested in array/struct) in `e`;
+    * returns `e` unchanged for types that need no normalization.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+}
+
 /** Bridge to construct a DataFrame from a hand-built LogicalPlan
   * (custom operator nodes). `Dataset.ofRows` moved to the
   * `private[sql]` classic package in Spark 4.

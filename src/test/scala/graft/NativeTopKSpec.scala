@@ -109,6 +109,73 @@ class NativeTopKSpec extends AnyFunSuite {
       expected.exceptAll(native).isEmpty)
   }
 
+  test("registration comes from GraftExtensions — perKey never mutates the session") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val before = spark.experimental.extraStrategies
+    TopK.perKey(docs, Seq("source"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 2).count()
+    TopK.perKey(docs, Seq("source"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 2).count()
+    assert(spark.experimental.extraStrategies == before)
+    assert(!spark.experimental.extraStrategies
+      .contains(graft.plans.TopKPerKeyStrategy))
+  }
+
+  test("empty key list is rejected with a clear message") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val e = intercept[IllegalArgumentException](
+      TopK.perKey(docs, Nil, Seq(col("n_chars").desc), k = 3))
+    assert(e.getMessage.contains("at least one key column"))
+  }
+
+  test("key resolution is case-insensitive under the default resolver") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val native = TopK.perKey(docs, Seq("SOURCE"),
+      Seq(col("n_chars").desc, col("doc_id")), k = 3)
+    assert(native.count() ==
+      TopK.perKey(docs, Seq("source"),
+        Seq(col("n_chars").desc, col("doc_id")), k = 3).count())
+  }
+
+  test("floating-point keys group -0.0 with 0.0, matching the window") {
+    import spark.implicits._
+    val df = Seq((-0.0, 1L), (0.0, 2L), (0.0, 3L), (1.5, 4L), (1.5, 5L),
+      (Double.NaN, 6L), (Double.NaN, 7L))
+      .toDF("key", "id")
+    val native = TopK.perKey(df, Seq("key"), Seq(col("id")), k = 2)
+    val w = Window.partitionBy("key").orderBy(col("id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    // -0.0/0.0 are ONE group (ids 1,2 survive, 3 pruned) — raw binary
+    // key equality would keep all three
+    assert(native.count() == viaWindow.count())
+    assert(native.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(native).isEmpty)
+  }
+
+  test("partial-pass key overflow degrades to pass-through, result exact") {
+    val key = graft.plans.TopKPerKeyExec.MaxPartialKeysKey
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    // doc_id keys: one key per row — guaranteed to blow a 5-key cap in
+    // every partition, so the fallback path actually runs
+    spark.conf.set(key, "5")
+    try {
+      val native = TopK.perKey(docs, Seq("doc_id"),
+        Seq(col("n_chars").desc, col("source")), k = 1)
+      assert(native.count() == docs.count())
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("n_chars").desc, col("source"))
+      val viaWindow = docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 1).drop("rn")
+      assert(native.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(native).isEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("plan: partial heap below ONE exchange, no Sort, no Window") {
     val docs = Tables(spark, dir, "documents")
       .select("doc_id", "source", "n_chars")
