@@ -304,4 +304,59 @@ object Multimodal {
 
   /** Hamming distance between two 64-bit perceptual hashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Deterministic synthetic PNGs for the image near-dup gate query
+    * (the environment ships no real image corpus). The codec path the
+    * gate exercises — PNG encode → ImageIO decode → integer luma grid
+    * → dHash — is the real one; only the pixel source is synthetic.
+    * Determinism: pixels are pure integer functions of (seed, x, y)
+    * and PNG is lossless, so decode returns the exact pixels and the
+    * hash is reproducible across JVMs and runs.
+    */
+  object SyntheticImages {
+
+    private def png(w: Int, h: Int)(rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.setUseCache(false)
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Diagonal gradient keyed by `seed` (rich horizontal structure, so
+      * dHash bits are meaningful). `scale` doubles/triples resolution
+      * without changing the pattern — a resize twin; `brighten` shifts
+      * luma uniformly (values stay below the 255 clamp by
+      * construction, so gradient SIGNS — and usually the hash — are
+      * preserved exactly).
+      */
+    def gradientPng(seed: Long, scale: Int, brighten: Int): Array[Byte] = {
+      // mix the seed first: callers often pass ids sharing a stride
+      // (every 7th doc), which raw mod-arithmetic would collapse into
+      // a handful of identical patterns
+      val h = seed * 0x9E3779B97F4A7C15L
+      val a = 1 + java.lang.Long.remainderUnsigned(h, 9).toInt
+      val b = 1 + java.lang.Long.remainderUnsigned(h >>> 8, 11).toInt
+      png(36 * scale, 32 * scale) { (x, y) =>
+        val v = ((x / scale * a + y / scale * b) % 200 + brighten)
+          .max(0).min(255)
+        (v << 16) | (v << 8) | v
+      }
+    }
+
+    /** Structureless hash-noise image — far from every gradient. */
+    def noisePng(seed: Long): Array[Byte] =
+      png(36, 32) { (x, y) =>
+        val v = ((x * 2654435761L + y * 40503L + seed * 0x9E3779B9L) >>> 7)
+          .toInt & 0xff
+        (v << 16) | (v << 8) | v
+      }
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Components, Dedup, ShuffleWidth, TextOps}
+import graft.ops.{Components, Dedup, Multimodal, ShuffleWidth, TextOps}
 
 /** Deduplication operator coverage over the `documents` table.
   *
@@ -530,6 +530,65 @@ object DedupQueries {
          |${(5 to 9).map(t =>
         s"  CAST(sum(CASE WHEN jm >= ${t}00 THEN 1 ELSE 0 END) AS BIGINT)" +
           s" AS n_ge_${t}00").mkString(",\n")}
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin),
+
+    // Perceptual image near-dup: synthetic PNGs (2 per selected doc —
+    // a base gradient plus a twin that is brightness-shifted, resized,
+    // or unrelated noise by doc_id mod 3) run the REAL codec path —
+    // PNG encode → ImageIO decode → integer-luma dHash — distributed
+    // via the batched mapPartitions boundary, then the q33 4-block
+    // banded Hamming join yields pairs at distance ≤ 3. The oracle
+    // replays the engine-computed hashes as literals through an
+    // ALL-PAIRS DuckDB join, so a hash-match also PROVES the banding
+    // is exhaustive at this radius (nothing pruned that all-pairs
+    // finds). Scale shape: hashing is embarrassingly parallel; the
+    // candidate stage is the equi-keyed band join, never all-pairs.
+    "q253_image_neardup" -> Q.dynamic(
+      (s, d) => {
+        val hashes = Multimodal.imageHashes(imageMedia(s, d)).toDF()
+          .filter(col("dhash").isNotNull)
+        Dedup.simHashPairs(
+          hashes.select(col("media_id").as("doc_id"),
+            col("dhash").as("simhash")), maxDist = 3)
+          .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+            col("hamming"))
+      }) { (s, d) =>
+        val rows = Multimodal.imageHashes(imageMedia(s, d))
+          .collect() // bounded: 2 rows per selected doc (~2/7 of docs)
+          .collect { case Multimodal.MediaHash(id, Some(h)) => s"($id, $h)" }
+          .sorted.mkString(", ")
+        s"""WITH h(media_id, dhash) AS (VALUES $rows)
+           |SELECT a.media_id AS media_a, b.media_id AS media_b,
+           |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+           |FROM h a JOIN h b ON a.media_id < b.media_id
+           |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
+      }
   )
+
+  /** Synthetic media frame of the image near-dup gate: for every 7th
+    * document, a base gradient PNG (media_id = 2·doc_id) and a twin
+    * (2·doc_id + 1) — brightness-shifted (near, usually Hamming 0-2),
+    * 2× resized (near), or unrelated noise (far) by doc_id mod 3.
+    * Generation runs INSIDE mapPartitions — the corpus never collects,
+    * matching how a real pipeline would read payload bytes.
+    */
+  private def imageMedia(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    Tables(s, d, "documents")
+      .select(col("doc_id").cast("long"))
+      .filter(col("doc_id") % 7 === 0)
+      .as[Long]
+      .mapPartitions(_.flatMap { docId =>
+        val base = Multimodal.SyntheticImages.gradientPng(docId, 1, 0)
+        val twin = (docId % 3) match {
+          case 0 => Multimodal.SyntheticImages.gradientPng(docId, 1, 10)
+          case 1 => Multimodal.SyntheticImages.gradientPng(docId, 2, 0)
+          case _ => Multimodal.SyntheticImages.noisePng(docId)
+        }
+        Iterator(
+          Multimodal.MediaRecord(docId * 2, base, "image/png", base.length),
+          Multimodal.MediaRecord(docId * 2 + 1, twin, "image/png", twin.length))
+      })
+  }
 }

@@ -56,6 +56,24 @@ class MultimodalHashSpec extends AnyFunSuite {
       s"only ${Multimodal.hamming(base, other)} bits apart")
   }
 
+  test("SyntheticImages: deterministic, twins near, noise far (the q253 contract)") {
+    import Multimodal.SyntheticImages._
+    val seed = 42L
+    assert(java.util.Arrays.equals(gradientPng(seed, 1, 0), gradientPng(seed, 1, 0)))
+    val base = Multimodal.dHash(gradientPng(seed, 1, 0)).get
+    val bright = Multimodal.dHash(gradientPng(seed, 1, 10)).get
+    val resized = Multimodal.dHash(gradientPng(seed, 2, 0)).get
+    val noise = Multimodal.dHash(noisePng(seed)).get
+    assert(Multimodal.hamming(base, bright) <= 3)
+    assert(Multimodal.hamming(base, resized) <= 6)
+    assert(Multimodal.hamming(base, noise) >= 10)
+    // strided seeds (the q253 selection is every 7th doc) must not
+    // collapse into one pattern class
+    val classes = (0 until 70 by 7)
+      .map(i => Multimodal.dHash(gradientPng(i.toLong, 1, 0)).get).distinct
+    assert(classes.size >= 8, s"only ${classes.size} distinct patterns")
+  }
+
   test("torn payloads hash to None; imageHashes keeps them as null rows") {
     import spark.implicits._
     assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isEmpty)
