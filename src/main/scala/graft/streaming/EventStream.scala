@@ -47,8 +47,14 @@ object EventStream {
   def source(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
     val storage = Tables.probeTs(spark, Tables.firstDataFile(spark, dir, glob))
+    // TIMESTAMP(NANOS) files are unreadable without this legacy conf
+    // and it has no per-read option, so it must be ON when the query
+    // STARTS (stream execution clones the session conf at start). The
+    // run helpers evaluate their plan inside [[withNanosRestored]],
+    // which puts the session value back once the query is running —
+    // the set never outlives the call that needed it.
     if (storage == Tables.TsStorage.TimestampNanos)
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set(NanosKey, "true")
     // the streaming file source requires a directory: scan `dir` with
     // a glob filter selecting only the event dumps
     spark.readStream
@@ -101,7 +107,7 @@ object EventStream {
       gap: String = "30 minutes",
       statePartitions: Option[Int] = None): DataFrame = {
     val name = s"graft_stream_sess_${runId.incrementAndGet()}"
-    val agg = source(spark, dir)
+    def agg = source(spark, dir)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -123,7 +129,7 @@ object EventStream {
   def sessionWindowsTo(spark: SparkSession, dir: String, sinkPath: String,
       checkpointDir: String, gap: String = "30 minutes",
       glob: String = "events.parquet"): DataFrame = {
-    val agg = source(spark, dir, glob)
+    def agg = source(spark, dir, glob)
       .withWatermark("ts", "0 seconds")
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -155,22 +161,46 @@ object EventStream {
     * runs incremental (file-source progress + aggregate state persist
     * there); None = fresh temp checkpoint, full recompute.
     */
-  private def runToTable(spark: SparkSession, agg: DataFrame,
+  private def runToTable(spark: SparkSession, agg: => DataFrame,
       name: String, checkpointDir: Option[String] = None,
       mode: OutputMode = OutputMode.Complete,
       statePartitions: Option[Int] = None): DataFrame = {
-    val writer = agg.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-    val q = withStatePartitions(spark, statePartitions) {
-      checkpointDir
-        .fold(writer)(c => writer.option("checkpointLocation", c))
-        .start()
+    // `agg` is by-name: the plan (and any conf [[source]] needs at
+    // query start) materializes inside the restore scope
+    withNanosRestored(spark) {
+      val writer = agg.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+      val q = withStatePartitions(spark, statePartitions) {
+        checkpointDir
+          .fold(writer)(c => writer.option("checkpointLocation", c))
+          .start()
+      }
+      q.awaitTermination()
     }
-    q.awaitTermination()
     spark.table(name)
+  }
+
+  private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Restore scope for the legacy nanos conf [[source]] may set: the
+    * prior session value (usually: unset) comes back once the body —
+    * plan construction, query start, AvailableNow termination — is
+    * done. Restoring is safe mid-query too: stream execution captures
+    * a CLONE of the session conf at start, so the running query keeps
+    * reading nanos files; only the user-visible session state is
+    * cleaned up.
+    */
+  private[graft] def withNanosRestored[T](spark: SparkSession)(
+      body: => T): T = {
+    val prev = spark.conf.getOption(NanosKey)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(NanosKey, v)
+      case None => spark.conf.unset(NanosKey)
+    }
   }
 
   /** Streaming state partitioning (state-store instances per stateful
@@ -205,21 +235,24 @@ object EventStream {
     * its rows again under the SAME batch id with identical contents,
     * which [[compactLog]]'s latest-per-key read absorbs.
     */
-  private def runToParquetLog(agg: DataFrame, sinkPath: String,
+  private def runToParquetLog(agg: => DataFrame, sinkPath: String,
       checkpointDir: String, mode: OutputMode = OutputMode.Update,
-      statePartitions: Option[Int] = None): Unit = {
-    val writer = agg.writeStream
-      .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("__batch", lit(batchId))
-          .write.mode("append").parquet(sinkPath)
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-    val q = withStatePartitions(agg.sparkSession, statePartitions)(writer.start())
-    q.awaitTermination()
-  }
+      statePartitions: Option[Int] = None): Unit =
+    withNanosRestored(SparkSession.active) {
+      // by-name `agg`: see runToTable
+      val plan = agg
+      val writer = plan.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("__batch", lit(batchId))
+            .write.mode("append").parquet(sinkPath)
+          ()
+        }
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+      val q = withStatePartitions(plan.sparkSession, statePartitions)(writer.start())
+      q.awaitTermination()
+    }
 
   /** Current state of an update log written by [[runToParquetLog]]:
     * the row with the highest batch id per key. One map-side-combinable
@@ -413,7 +446,7 @@ object EventStream {
       statePartitions: Option[Int] = Some(8)): DataFrame = {
     val h = xxhash64(col("user_id").cast("string"))
     val v = shiftrightunsigned(h, 8)
-    val agg = source(spark, dir)
+    def agg = source(spark, dir)
       .select(col("event_type"),
         h.bitwiseAND(lit(255L)).as("bucket"),
         when(v === 0, lit(57L))

@@ -23,6 +23,34 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("RocksDB state store: same results as the default provider, conf restored") {
+    import graft.streaming.StreamState
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val baseline = spark.conf.get(key)
+    // a windowed agg (state-store aggregation) AND a
+    // flatMapGroupsWithState sketch — the two stateful machinery
+    // families — both run on the spillable provider
+    val (win, kmv) = StreamState.withProvider(spark, StreamState.RocksDb) {
+      assert(spark.conf.get(key) == StreamState.RocksDb)
+      (EventStream.windowedCounts(spark, dir, statePartitions = Some(2))
+         .select("window_start", "event_type", "n")
+         .as[(java.sql.Timestamp, String, Long)].collect().toSet,
+       EventStream.kmvDistinct(spark, dir, statePartitions = Some(2))
+         .as[(String, Long, Long, Long)].collect().toSet)
+    }
+    assert(spark.conf.get(key) == baseline, "provider conf not restored")
+    val winDefault = EventStream.windowedCounts(spark, dir,
+      statePartitions = Some(2))
+      .select("window_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val kmvDefault = EventStream.kmvDistinct(spark, dir,
+      statePartitions = Some(2))
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(win == winDefault && win.nonEmpty)
+    assert(kmv == kmvDefault && kmv.nonEmpty)
+  }
+
   test("stream-static enrichment equals the batch join; durable log matches") {
     val dir = "/root/testdata/sf0.001"
     val dim = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")

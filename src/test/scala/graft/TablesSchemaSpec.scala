@@ -67,4 +67,34 @@ class TablesSchemaSpec extends AnyFunSuite {
     val f = Tables.firstDataFile(spark, tmp, "*.parquet")
     assert(Tables.probeTs(spark, f) == TsStorage.PlainLongNanos)
   }
+
+  test("a streaming run leaves the legacy nanos conf untouched") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // getOption reports the registered default ("false") when unset —
+    // the invariant is that a run never leaves the value changed
+    val baseline = spark.conf.get(key)
+    assert(baseline == "false")
+    val out = graft.streaming.EventStream.windowedCounts(
+      spark, "/root/testdata/sf0.001", statePartitions = Some(2))
+    assert(out.count() > 0)
+    assert(spark.conf.get(key) == baseline,
+      "session conf mutated by a streaming run")
+  }
+
+  test("withNanosRestored puts back the prior value even when the body sets it") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val baseline = spark.conf.get(key)
+    graft.streaming.EventStream.withNanosRestored(spark) {
+      spark.conf.set(key, "true")
+    }
+    assert(spark.conf.get(key) == baseline)
+    // rolled back to the prior value also when the body throws
+    intercept[RuntimeException] {
+      graft.streaming.EventStream.withNanosRestored(spark) {
+        spark.conf.set(key, "true")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) == baseline)
+  }
 }
