@@ -25,20 +25,32 @@ object ExtraQueries {
     */
   private val GraphWidth = 8
 
+  /** Per-order fan-out cap of the q159/q206 co-purchase edge build —
+    * the hot-basket skew guard (ops/CoOccurrence.scala). TPC-H orders
+    * hold ≤ 7 lines, so at gate scale the cap binds nothing (hashes
+    * unchanged — exactly the point); on a real basket corpus it bounds
+    * the quadratic-per-key expansion to cap²/2 rows per order.
+    */
+  private val OrderFanoutCap = 64
+
   /** Shared engine-side edge builder of q159/q206 (the SQL twin is
     * [[labelPropCtes]]): the part co-purchase graph from same-order
-    * lineitem pairs. Returns a lazily persisted frame — each caller's
-    * rounds consume it repeatedly; Verify/Bench clearCache reclaims.
+    * lineitem pairs, fan-out-capped per order. Returned as a lazy
+    * localCheckpoint, not a bare persist: the unrolled iterative
+    * consumers reference this frame up to 3^rounds times through
+    * their round lineage, and a LogicalRDD boundary keeps each
+    * reference one node instead of re-analyzing the whole build
+    * subtree per reference (measured ~2.5 s of driver time on q168
+    * when the capped build made the subtree bigger). Reclaimed by the
+    * ContextCleaner once the query's frames are dropped — the
+    * PageRank/Components contract.
     */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables(s, d, "lineitem")
       .filter(col("l_quantity") >= 25)
       .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-      .distinct()
-    li.select(col("o"), col("p").as("a"))
-      .join(li.select(col("o"), col("p").as("b")), "o")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct().persist()
+    graft.ops.CoOccurrence.edges(li, "o", "p",
+      capPerGroup = Some(OrderFanoutCap)).localCheckpoint(false)
   }
 
   /** Shared synchronous label-propagation rounds of q159/q206 over a
@@ -59,11 +71,15 @@ object ExtraQueries {
         .select(col("a").as("node"), col("label"))
         .union(e.join(labels.withColumnRenamed("node", "a"), "a")
           .select(col("b").as("node"), col("label")))
+      // lazy localCheckpoint, not persist: each round references the
+      // previous twice, so a bare persist leaves 2^rounds copies of
+      // the round subtree in the final analyzed tree (driver time),
+      // while the LogicalRDD boundary keeps every round O(1) nodes
       labels = nb.groupBy("node", "label").agg(count(lit(1)).as("c"))
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-        .persist()
+        .localCheckpoint(false)
     }
     labels
   }
@@ -101,8 +117,10 @@ object ExtraQueries {
          |    FROM nb$k GROUP BY node, label)
          |  WHERE rn = 1)""".stripMargin
     s"""li AS (
-       |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
-       |  FROM lineitem WHERE l_quantity >= 25),
+       |  SELECT o, p FROM (
+       |    SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+       |    FROM lineitem WHERE l_quantity >= 25)
+       |  QUALIFY row_number() OVER (PARTITION BY o ORDER BY p) <= 64),
        |e AS (
        |  SELECT DISTINCT x.p AS a, y.p AS b
        |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -982,10 +1000,12 @@ object ExtraQueries {
             .groupBy("n").agg(count(lit(1)).as("deg"))
         for (_ <- 1 to 3) {
           val keep = degrees(edges).filter(col("deg") >= 4).select("n")
+          // lazy localCheckpoint per round (3 references each — see
+          // labelPropagate's note on analysis amplification)
           edges = edges
             .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
             .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-            .select("a", "b").persist()
+            .select("a", "b").localCheckpoint(false)
         }
         materialized(
           degrees(edges).groupBy("deg").agg(count(lit(1)).as("n_nodes"))
@@ -1003,8 +1023,10 @@ object ExtraQueries {
              |  WHERE a IN (SELECT n FROM keep$k)
              |    AND b IN (SELECT n FROM keep$k))""".stripMargin
         s"""WITH li AS (
-           |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
-           |  FROM lineitem WHERE l_quantity >= 25),
+           |  SELECT o, p FROM (
+           |    SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+           |    FROM lineitem WHERE l_quantity >= 25)
+           |  QUALIFY row_number() OVER (PARTITION BY o ORDER BY p) <= 64),
            |e0 AS (
            |  SELECT DISTINCT x.p AS a, y.p AS b
            |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
@@ -1634,8 +1656,10 @@ object ExtraQueries {
               expr("sum_tri * 1000000 div sum_wedges")))
       },
       """WITH li AS (
-        |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
-        |  FROM lineitem WHERE l_quantity >= 25),
+        |  SELECT o, p FROM (
+        |    SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+        |    FROM lineitem WHERE l_quantity >= 25)
+        |  QUALIFY row_number() OVER (PARTITION BY o ORDER BY p) <= 64),
         |e AS (
         |  SELECT DISTINCT x.p AS a, y.p AS b
         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
