@@ -256,6 +256,27 @@ object ScaleQueries {
       },
       lateralTopkSql("supplier", "lineitem")),
 
+    // q120's semantics on the native per-key top-k operator: the
+    // lateral plan runs two sorts plus a Window around its group
+    // limits (see PLANS); the heap pair needs neither — the partial
+    // pass prunes each map partition to ≤3 rows per supplier before
+    // the exchange, and the rank column never existed to begin with
+    // (the output doesn't carry it). The supplier side collapses to a
+    // broadcast semi join (FK hygiene only — every l_suppkey exists).
+    // Same oracle SQL as q120: identical rows, different physics.
+    "q254_native_lateral_topk" -> Q(
+      (s, d) => {
+        val li = Tables(s, d, "lineitem")
+          .select("l_suppkey", "l_orderkey", "l_extendedprice")
+        graft.ops.TopK.perKey(li, Seq("l_suppkey"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey")), k = 3)
+          .join(broadcast(Tables(s, d, "supplier").select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_suppkey").as("s_suppkey"), col("l_orderkey"),
+            col("l_extendedprice"))
+      },
+      lateralTopkSql("supplier", "lineitem")),
+
     // Per-source corpus governance report — the "data card" pass a
     // training pipeline runs before mixing: volume, exact-duplicate
     // incidence (docs sharing a content fingerprint), language
