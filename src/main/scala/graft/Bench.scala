@@ -32,16 +32,29 @@ object Bench {
     try { exec("q14_multiway_join"); exec("q15_strings") }
     catch { case _: Throwable => () }
 
+    // observability feed: per-query shuffle bytes ride the same
+    // listener a production deployment would scrape; the bus is
+    // drained around each run so attribution is exact, not racy
+    val metrics = Metrics.install(spark, maxRecords = 500000)
+    def drained[T](body: => T): (T, Long) = {
+      org.apache.spark.graft.BusShim.drain(spark.sparkContext)
+      val before = metrics.records.size
+      val r = body
+      org.apache.spark.graft.BusShim.drain(spark.sparkContext)
+      (r, metrics.records.drop(before).map(_.shuffleBytes).sum)
+    }
+
     // min of two measured runs per query: filters scheduler/GC noise.
     // spark.catalog.clearCache() before each run evicts any frames the
     // query persisted internally (LSH signatures etc.), so both runs
     // compute from cold data — only JIT/codegen warmth carries over.
     // Failures are reported as -1, never as a (fast) fake timing.
-    def timeOnce(name: String): Double = {
+    // Each timing also carries the run's summed shuffle bytes.
+    def timeOnce(name: String): (Double, Long) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { exec(name); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      try drained { exec(name); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => (-1.0, 0L) }
     }
     // optional comma-separated substring filter for targeted local perf
     // work (the driver never sets it — it always times the full set)
@@ -49,27 +62,31 @@ object Bench {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filters.isEmpty || filters.exists(n.contains))
-    val results = selected.map { name =>
-      val (a, b) = (timeOnce(name), timeOnce(name))
-      if (a < 0 || b < 0) name -> -1.0
+    val timed = selected.map { name =>
+      val (a, ab) = timeOnce(name)
+      val (b, bb) = timeOnce(name)
+      if (a < 0 || b < 0) (name, -1.0, 0L)
       else {
-        val best = math.min(a, b)
+        val (best, bestBytes) = if (a <= b) (a, ab) else (b, bb)
         // the box has bursty co-tenancy noise: when the two runs
         // disagree badly, take one more sample so a single contended
         // run can't masquerade as the query's cost
-        val settled = if (math.max(a, b) > best * 1.5) {
-          val c = timeOnce(name)
-          if (c < 0) {
-            // two clean runs already exist, so keep the timing — but an
-            // intermittent failure must not vanish from the record
-            System.err.println(s"[bench] $name: tie-break run FAILED " +
-              "(intermittent); reporting min of the two clean runs")
-            best
-          } else math.min(best, c)
-        } else best
-        name -> settled
+        val (settled, settledBytes) =
+          if (math.max(a, b) > best * 1.5) {
+            val (c, cb) = timeOnce(name)
+            if (c < 0) {
+              // two clean runs already exist, so keep the timing — but an
+              // intermittent failure must not vanish from the record
+              System.err.println(s"[bench] $name: tie-break run FAILED " +
+                "(intermittent); reporting min of the two clean runs")
+              (best, bestBytes)
+            } else if (c < best) (c, cb) else (best, bestBytes)
+          } else (best, bestBytes)
+        (name, settled, settledBytes)
       }
     }
+    val results = timed.map { case (n, t, _) => n -> t }
+    val shuffleBytes = timed.map { case (n, _, b) => n -> b }
     spark.catalog.clearCache() // release the last query's result cache
     // 3-decimal timings: millisecond precision is all the box's noise
     // floor supports
@@ -78,8 +95,13 @@ object Bench {
     def mapJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-query shuffle bytes (of the min-time run) go to the FULL
+    // line only — the regression signal PlanReport's differ can't see
+    // (runtime volume, not plan shape); the headline stays timing-only
+    val bytesJson = shuffleBytes
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"queries":${mapJson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"queries":${mapJson(results)},"shuffle_bytes":$bytesJson,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and the sbt
     // success footer eats ~110 of them, so the FINAL line must be a
     // complete JSON object in well under that budget. With 100+ queries

@@ -40,24 +40,33 @@ class GraftMetricsListener(maxRecords: Int = 10000)
 
   private def record(funcName: String, qe: QueryExecution,
       durationNs: Long, failed: Boolean): Unit = {
-    val root = qe.executedPlan
-    // under AQE the plan nests behind AdaptiveSparkPlanExec and each
-    // materialized stage behind a leaf QueryStageExec — walk through
-    // both so the exchange metrics that actually ran are summed
-    def walk(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        walk(q.plan)
-      case other => other.children.flatMap(walk)
-    })
-    val shuffleBytes = walk(root)
-      .flatMap(_.metrics.get("shuffleBytesWritten").map(_.value))
-      .sum
-    add(QueryRecord(funcName, root.nodeName, durationNs / 1000000L,
-      root.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
-      shuffleBytes, failed))
+    // a query that died during analysis/planning has no executedPlan —
+    // the lazy val rethrows. Those are exactly the failed=true records
+    // the feature exists for, so fall back to a placeholder instead of
+    // letting the listener bus swallow the rethrow (and the record)
+    scala.util.Try(qe.executedPlan).toOption match {
+      case None =>
+        add(QueryRecord(funcName, "unplanned", durationNs / 1000000L,
+          -1L, 0L, failed))
+      case Some(root) =>
+        // under AQE the plan nests behind AdaptiveSparkPlanExec and each
+        // materialized stage behind a leaf QueryStageExec — walk through
+        // both so the exchange metrics that actually ran are summed
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            walk(q.plan)
+          case other => other.children.flatMap(walk)
+        })
+        val shuffleBytes = walk(root)
+          .flatMap(_.metrics.get("shuffleBytesWritten").map(_.value))
+          .sum
+        add(QueryRecord(funcName, root.nodeName, durationNs / 1000000L,
+          root.metrics.get("numOutputRows").map(_.value).getOrElse(-1L),
+          shuffleBytes, failed))
+    }
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

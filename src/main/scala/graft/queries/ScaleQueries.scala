@@ -58,6 +58,23 @@ object ScaleQueries {
   /** Per-supplier top-3 lineitems by price via a correlated LATERAL
     * subquery — identical ANSI text for Spark and DuckDB.
     */
+  /** Fixed per-JVM scratch directory for the format round-trip gates
+    * (q245-q247): one path per purpose, wiped before reuse, so
+    * repeated Verify/Bench/PlanAudit sweeps hold at most ONE corpus
+    * copy each instead of leaking a fresh temp dir per invocation
+    * (bench runs every query at least twice).
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_scratch_$name")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+    }
+    p.toString
+  }
+
   private def lateralTopkSql(supplier: String, lineitem: String): String =
     s"""SELECT s.s_suppkey, l.l_orderkey, l.l_extendedprice
        |FROM $supplier s, LATERAL (
@@ -1029,8 +1046,7 @@ object ScaleQueries {
     // gate; the write is a one-shot overwrite into a temp dir.
     "q245_orc_roundtrip" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_orc").toString
+        val tmp = scratchDir("orc")
         Tables(s, d, "documents").write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
           .groupBy("lang")
@@ -1051,8 +1067,7 @@ object ScaleQueries {
     // original.
     "q246_jsonl_roundtrip" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_jsonl").toString
+        val tmp = scratchDir("jsonl")
         Tables(s, d, "documents").write.mode("overwrite").json(tmp)
         s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
             "doc_id LONG, text STRING, lang STRING, source STRING, " +
@@ -1077,8 +1092,7 @@ object ScaleQueries {
     // 1/|langs| of the data.
     "q247_partitioned_write" -> Q(
       (s, d) => {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_part").toString
+        val tmp = scratchDir("part")
         Tables(s, d, "documents").write.mode("overwrite")
           .partitionBy("lang").parquet(tmp)
         s.read.parquet(tmp)

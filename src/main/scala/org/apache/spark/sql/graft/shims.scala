@@ -40,4 +40,14 @@ object PlanShim {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A QueryExecution over a hand-built (possibly unresolvable)
+    * logical plan — lets tests exercise listener paths for queries
+    * that die before planning.
+    */
+  def queryExecution(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.execution.QueryExecution =
+    new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

@@ -45,6 +45,35 @@ class MetricsSpec extends AnyFunSuite {
     } finally Metrics.uninstall(spark, l)
   }
 
+  test("a runtime action failure lands as a failed record") {
+    import org.apache.spark.sql.functions._
+    val l = Metrics.install(spark)
+    try {
+      intercept[Exception] {
+        Tables(spark, "/root/testdata/sf0.001", "region")
+          .select(assert_true(lit(false)).as("boom"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(await(l.records.exists(_.failed)), l.records.toString)
+    } finally Metrics.uninstall(spark, l)
+  }
+
+  test("a query that dies before planning still records (rootOp=unplanned)") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+    import org.apache.spark.sql.graft.PlanShim
+    val l = new GraftMetricsListener()
+    // unresolvable plan: executedPlan rethrows the analysis error —
+    // the record must survive with the placeholder root, not vanish
+    val qe = PlanShim.queryExecution(spark,
+      Project(Seq(UnresolvedAttribute("no_such_column")), OneRowRelation()))
+    intercept[Throwable](qe.executedPlan) // sanity: it really rethrows
+    l.onFailure("collect", qe, new Exception("analysis"))
+    val rec = l.records
+    assert(rec.size == 1 && rec.head.failed &&
+      rec.head.rootOp == "unplanned" && rec.head.action == "collect")
+  }
+
   test("uninstall stops the feed") {
     val l = Metrics.install(spark)
     Metrics.uninstall(spark, l)
