@@ -987,7 +987,55 @@ object AnnQueries {
          |  CAST(CAST(sum(CASE WHEN first_rel IS NOT NULL
          |    THEN 1000000 // first_rel ELSE 0 END) AS BIGINT)
          |    // count(*) AS BIGINT) AS mrr_ppm
-         |FROM fr""".stripMargin)
+         |FROM fr""".stripMargin),
+
+    // Binary embedding quantization + Hamming search: each 64-dim
+    // float vector collapses to ONE 64-bit sign sketch (bit i =
+    // dim i > 0, MSB-first) — a 32× memory cut that turns distance
+    // into xor+popcount, which is how billion-scale stores actually
+    // hold their coarse index (the float vectors page in only for
+    // re-rank). Top-5 per query by Hamming through the native heap
+    // top-k (no per-query sort); the scan over corpus × query-sample
+    // is the documented exact baseline — at scale the candidate stage
+    // is 16-bit multi-index banding (the q33 pigeonhole machinery)
+    // with this sketch as its key. Bit packing is pure integer ops,
+    // so the oracle rebuilds identical codes and the check is
+    // hash-exact despite the float input.
+    "q255_binary_hamming_ann" -> Q(
+      (s, d) => {
+        val code = expr(
+          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+            "acc | IF(embedding[i] > 0, shiftleft(CAST(1 AS BIGINT), 63 - i), " +
+            "CAST(0 AS BIGINT)))")
+        val b = Tables(s, d, "embeddings")
+          .select(col("vec_id"), code.as("bcode"))
+        val pairs = b
+          .join(broadcast(b.filter(col("vec_id") < 50)
+            .select(col("vec_id").as("query_id"), col("bcode").as("qcode"))),
+            col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            bit_count(col("qcode").bitwiseXOR(col("bcode"))).cast("long")
+              .as("hamming"))
+        graft.ops.TopK.perKeyWithRank(pairs, Seq("query_id"),
+          Seq(col("hamming"), col("neighbor_id")), k = 5)
+      },
+      s"""WITH b AS (
+         |  SELECT vec_id, list_aggregate(list_transform(range(1, 65), i ->
+         |    CASE WHEN embedding[i] <= 0 THEN 0
+         |         WHEN i = 1 THEN (-9223372036854775807 - 1)::BIGINT
+         |         ELSE (1::BIGINT << (64 - i)) END), 'bit_or') AS bcode
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(q.bcode, c.bcode)) AS BIGINT) AS hamming
+         |  FROM b q JOIN b c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 50)
+         |SELECT query_id, neighbor_id, hamming, rank FROM (
+         |  SELECT query_id, neighbor_id, hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY hamming, neighbor_id) AS rank
+         |  FROM p)
+         |WHERE rank <= 5""".stripMargin)
   )
 
   /** The q125 codebooks: re-trained identically by the query run and

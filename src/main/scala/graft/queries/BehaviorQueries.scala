@@ -224,6 +224,58 @@ object BehaviorQueries {
         |mx AS (
         |  SELECT user_id, max(len) AS max_streak FROM st GROUP BY 1)
         |SELECT max_streak, CAST(count(*) AS BIGINT) AS n_users
-        |FROM mx GROUP BY 1""".stripMargin)
+        |FROM mx GROUP BY 1""".stripMargin),
+
+    // Activity BITMAPS — the bitmap-index representation of per-user
+    // presence: each user's active days collapse to one BIGINT per
+    // 32-day segment (bit = day offset from the corpus start, bit_or
+    // merge), so presence questions become popcount/AND/shift on
+    // longs instead of count-distinct over event rows. The weekly
+    // return metric reads mask & (mask >> 7) — "active on d and d+7"
+    // for the whole month in one instruction per user, the trick
+    // engagement stores use to hold billions of user-days. 32-bit
+    // segments keep every shift < 63, portable to the oracle's BIGINT
+    // ops (segment-local: day pairs straddling a segment boundary
+    // belong to the next segment's bitmap; offsets are corpus-anchored
+    // so both engines bucket identically). Output is the active-days
+    // histogram with summed weekly-return pairs.
+    "q257_activity_bitmap" -> Q(
+      (s, d) => {
+        val act = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val anchor = act.agg(min("day").as("day0"))
+        val masks = act.crossJoin(broadcast(anchor))
+          .select(col("user_id"),
+            (datediff(col("day"), col("day0")) / 32).cast("long").as("seg"),
+            (datediff(col("day"), col("day0")) % 32).as("b"))
+          .groupBy("user_id", "seg")
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("mask"))
+        masks
+          .groupBy("user_id")
+          .agg(sum(bit_count(col("mask"))).cast("long").as("active_days"),
+            sum(bit_count(col("mask")
+              .bitwiseAND(expr("shiftright(mask, 7)")))).cast("long")
+              .as("weekly_pairs"))
+          .groupBy("active_days")
+          .agg(count(lit(1)).as("n_users"),
+            sum("weekly_pairs").as("sum_weekly_pairs"))
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |anchor AS (SELECT min(day) AS day0 FROM act),
+        |masks AS (
+        |  SELECT user_id, (day - day0) // 32 AS seg,
+        |    bit_or(1::BIGINT << ((day - day0) % 32)) AS mask
+        |  FROM act CROSS JOIN anchor GROUP BY 1, 2),
+        |per_user AS (
+        |  SELECT user_id,
+        |    CAST(sum(bit_count(mask)) AS BIGINT) AS active_days,
+        |    CAST(sum(bit_count(mask & (mask >> 7))) AS BIGINT)
+        |      AS weekly_pairs
+        |  FROM masks GROUP BY 1)
+        |SELECT active_days, count(*) AS n_users,
+        |  CAST(sum(weekly_pairs) AS BIGINT) AS sum_weekly_pairs
+        |FROM per_user GROUP BY 1""".stripMargin)
   )
 }

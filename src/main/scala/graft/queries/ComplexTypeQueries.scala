@@ -189,6 +189,39 @@ object ComplexTypeQueries {
         |    AS BIGINT) AS n_content,
         |  CAST(len(list_distinct(list_concat(v, stop))) AS BIGINT)
         |    AS n_union
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin),
+
+    // Spark 4 VARIANT surface: semi-structured props ingested ONCE
+    // through parse_json into the binary variant encoding, then
+    // shredded with typed variant_get paths — the open-table-format
+    // answer to "a JSON column you filter often": the cast happens at
+    // shred time, not per string re-parse, and unresolvable paths are
+    // NULL (counted here), not errors. The oracle shreds the same
+    // paths with DuckDB's JSON extraction — value parity proves the
+    // variant round-trip is lossless for the paths a reader uses.
+    "q256_variant_shred" -> Q(
+      (s, d) => {
+        val v = parse_json(col("props"))
+        Tables(s, d, "events")
+          .select(col("event_type"),
+            variant_get(v, "$.k", "bigint").as("k"),
+            variant_get(v, "$.missing", "bigint").as("m"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            min("k").as("min_k"),
+            max("k").as("max_k"),
+            sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_no_path"))
+      },
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS min_k,
+        |  CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS max_k,
+        |  CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_no_path
+        |FROM events GROUP BY 1""".stripMargin)
   )
 }
