@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHashDescriptor)
     ext.injectFunction(GraftExtensions.minHashSigDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.OverlapRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
