@@ -63,14 +63,20 @@ object ExtraQueries {
     * round r re-executes round r-1 twice (2^rounds replay).
     */
   private def labelPropagate(e: DataFrame, rounds: Int): DataFrame = {
-    var labels = e.select(col("a").as("node"))
-      .union(e.select(col("b").as("node")))
-      .distinct().withColumn("label", col("node"))
+    // the PageRank shape: ONE symmetric (nb, node) incidence frame,
+    // pre-partitioned on the join key and checkpointed once — each
+    // round is then a single join that reuses the 2|E| frame's
+    // partitioning and moves only the |V|-sized labels, instead of
+    // two separately-keyed joins re-exchanging the edges every round
+    val sym = e.select(col("a").as("nb"), col("b").as("node"))
+      .union(e.select(col("b").as("nb"), col("a").as("node")))
+      .repartition(col("nb"))
+      .localCheckpoint(false)
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("label", col("node"))
     for (_ <- 1 to rounds) {
-      val nb = e.join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("label"))
-        .union(e.join(labels.withColumnRenamed("node", "a"), "a")
-          .select(col("b").as("node"), col("label")))
+      val nb = sym.join(labels.withColumnRenamed("node", "nb"), "nb")
+        .select(col("node"), col("label"))
       // lazy localCheckpoint, not persist: each round references the
       // previous twice, so a bare persist leaves 2^rounds copies of
       // the round subtree in the final analyzed tree (driver time),
