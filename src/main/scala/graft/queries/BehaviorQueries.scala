@@ -276,6 +276,49 @@ object BehaviorQueries {
         |  FROM masks GROUP BY 1)
         |SELECT active_days, count(*) AS n_users,
         |  CAST(sum(weekly_pairs) AS BIGINT) AS sum_weekly_pairs
-        |FROM per_user GROUP BY 1""".stripMargin)
+        |FROM per_user GROUP BY 1""".stripMargin),
+
+    // Survival/at-risk table (the Kaplan-Meier ingredients, kept as
+    // exact integers): per user the observed lifetime in days (first
+    // to last activity), then per day-offset the churned count and
+    // the at-risk count (users surviving ≥ that offset) via a reverse
+    // running sum, and the per-step survival factor in ppm. The
+    // at-risk window runs over the OFFSETS frame — ≤ observation-span
+    // rows, not users — so the single-partition window is bounded by
+    // construction at any corpus size; everything user-sized is
+    // map-side-combinable groupBys.
+    "q258_survival_table" -> Q(
+      (s, d) => {
+        val act = Tables(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val lt = act.groupBy("user_id")
+          .agg(datediff(max("day"), min("day")).cast("long").as("offset"))
+        val churn = lt.groupBy("offset").agg(count(lit(1)).as("n_churned"))
+        val w = Window.orderBy(col("offset").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        churn
+          .withColumn("n_at_risk", sum("n_churned").over(w))
+          .withColumn("survival_step_ppm", expr(
+            "(n_at_risk - n_churned) * 1000000 div n_at_risk"))
+          .orderBy("offset")
+      },
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |lt AS (
+        |  SELECT user_id, CAST(max(day) - min(day) AS BIGINT) AS "offset"
+        |  FROM act GROUP BY 1),
+        |churn AS (
+        |  SELECT "offset", count(*) AS n_churned FROM lt GROUP BY 1),
+        |t AS (
+        |  SELECT "offset", n_churned,
+        |    CAST(sum(n_churned) OVER (ORDER BY "offset" DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_at_risk
+        |  FROM churn)
+        |SELECT "offset", n_churned, n_at_risk,
+        |  (n_at_risk - n_churned) * 1000000 // n_at_risk
+        |    AS survival_step_ppm
+        |FROM t ORDER BY "offset"""".stripMargin)
   )
 }

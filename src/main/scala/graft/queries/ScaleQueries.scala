@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -272,6 +273,30 @@ object ScaleQueries {
         s.sql(lateralTopkSql("q120_supplier", "q120_lineitem"))
       },
       lateralTopkSql("supplier", "lineitem")),
+
+    // Deterministic stratified sampling: a fixed-size per-language
+    // eval slice drawn by content-hash order (md5 — portable across
+    // engines, unlike a seeded RNG whose stream is engine-private).
+    // Hash-ordering IS the sample's randomness: any content-uniform
+    // hash makes "first 25 by hash" an unbiased draw that every
+    // engine, rerun, and the oracle reproduce bit-identically. The
+    // engine side deliberately writes the row_number WINDOW idiom —
+    // the TopKRewrite optimizer rule turns it into the native heap
+    // top-k automatically (no sort, pruned shuffle), which is the
+    // whole point of having the rule: sampling code stays declarative.
+    "q259_hash_stratified_sample" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("text")), col("doc_id"))
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"), col("text"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 25)
+          .select("doc_id", "lang")
+      },
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(text), doc_id) <= 25""".stripMargin),
 
     // q120's semantics on the native per-key top-k operator: the
     // lateral plan runs two sorts plus a Window around its group

@@ -1441,7 +1441,38 @@ object StatsQueries {
         |UNION ALL SELECT 'empty_docs', CAST(sum(e) AS BIGINT) FROM fp
         |UNION ALL SELECT 'p50_chars',
         |  CAST(floor(quantile_cont(n_chars, 0.5)) AS BIGINT) FROM fp"""
-        .stripMargin)
+        .stripMargin),
+
+    // Robust dispersion per group: median absolute deviation — the
+    // outlier-resistant spread a data-quality monitor uses where
+    // stddev is blown up by the very anomalies it should detect. Two
+    // exact-median aggregations (both engines interpolate the even
+    // case as (a+b)/2 on identical doubles, so the values are
+    // bit-portable) with one group-keyed join between them; the floor
+    // snap makes the emitted cents integers. All group-keyed
+    // map-side-combinable shapes — no corpus sort.
+    "q260_group_mad" -> Q(
+      (s, d) => {
+        val o = Tables(s, d, "orders")
+        val med = o.groupBy("o_orderpriority")
+          .agg(median(col("o_totalprice")).as("med"))
+        o.select(col("o_orderpriority"), col("o_totalprice"))
+          .join(med, "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            (floor(max("med") * 100 + lit(0.5)) / 100).as("median_price"),
+            (floor(median(abs(col("o_totalprice") - col("med"))) * 100 +
+              lit(0.5)) / 100).as("mad_price"))
+      },
+      """WITH med AS (
+        |  SELECT o_orderpriority, median(o_totalprice) AS med
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority, count(*) AS n,
+        |  floor(max(m.med) * 100 + 0.5) / 100 AS median_price,
+        |  floor(median(abs(o.o_totalprice - m.med)) * 100 + 0.5) / 100
+        |    AS mad_price
+        |FROM orders o JOIN med m USING (o_orderpriority)
+        |GROUP BY 1""".stripMargin)
   ) ++ HoltWinters.queries ++ RollingHll.queries
 }
 
