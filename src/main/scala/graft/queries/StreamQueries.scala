@@ -133,6 +133,21 @@ object StreamQueries {
         |  FROM events)
         |WHERE rank <= 3""".stripMargin),
 
+    // q243's leaderboard on Spark 4's transformWithState (typed
+    // ValueState on the RocksDB provider — the arbitrary-state API
+    // that supersedes flatMapGroupsWithState, and the one that scales
+    // to data-sized keyed state because the store is disk-backed and
+    // state rows are individually addressable). Same semantics, same
+    // batch oracle.
+    "q261_stream_topk_tws" -> Q(
+      (s, d) => EventStream.topEventsByTypeTws(s, d),
+      """SELECT event_type, event_id, value, rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rank
+        |  FROM events)
+        |WHERE rank <= 3""".stripMargin),
+
     // Stream-stream join: view→click attribution with watermarked
     // bounded state. Against a static directory the appended rows
     // equal the batch time-range self-join — the exact oracle below

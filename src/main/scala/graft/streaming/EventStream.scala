@@ -531,6 +531,35 @@ object EventStream {
       s"graft_stream_topk_${runId.incrementAndGet()}",
       mode = OutputMode.Update, statePartitions = statePartitions)
 
+  /** The leaderboard on Spark 4's `transformWithState` — the arbitrary
+    *-state API that supersedes flatMapGroupsWithState: typed state
+    * handles (ValueState here) with per-state TTL, timers, and
+    * evolvable schemas, running ONLY on the RocksDB provider (the
+    * engine requirement — typed state is stored row-wise in the
+    * store, not as one opaque blob per key). Same O(k)-per-key merge
+    * and Update-mode touched-key emission as [[topEventsByType]];
+    * against a static directory both paths produce identical boards
+    * (the spec's parity check). The provider conf is scoped to this
+    * run — the session keeps its default.
+    */
+  def topEventsByTypeTws(spark: SparkSession, dir: String, k: Int = 3,
+      statePartitions: Option[Int] = Some(8),
+      glob: String = "events.parquet"): DataFrame =
+    StreamState.withProvider(spark, StreamState.RocksDb) {
+      import spark.implicits._
+      def agg = source(spark, dir, glob)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .transformWithState(new TopKProcessor(k),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Update())
+        .toDF()
+      runToTable(spark, agg,
+        s"graft_stream_topk_tws_${runId.incrementAndGet()}",
+        mode = OutputMode.Update, statePartitions = statePartitions)
+    }
+
   /** Durable incremental leaderboard: each run folds only UNSEEN
     * files into the O(k)-per-type state and appends the refreshed
     * boards of touched types to the parquet log; the compacted read
@@ -641,6 +670,39 @@ object EventStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
+  /** The [[topEventsByTypeTws]] merge, as a transformWithState
+    * processor: one typed ValueState slot per event type holding the
+    * retained k (value desc, id tie-break). `handleInputRows` sees
+    * each batch's rows for one key and re-emits that key's refreshed
+    * board — Update-mode touched-keys-only semantics, identical to
+    * the flatMapGroupsWithState twin.
+    */
+  final class TopKProcessor(k: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Double), TopEventRow] {
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[TopKState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[TopKState]("board",
+        org.apache.spark.sql.Encoders.product[TopKState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TopEventRow] = {
+      val merged = (Option(state.get()).map(_.rows).getOrElse(Nil) ++
+        rows.map(r => (r._3, r._2)).toList)
+        .sortBy { case (v, id) => (-v, id) }.take(k)
+      state.update(TopKState(merged))
+      merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+        TopEventRow(key, id, v, i + 1L)
+      }
+    }
+  }
+
   final case class KmvState(vs: List[Long])
   final case class KmvRow(event_type: String, k_used: Long, vk: Long,
       est_distinct: Long)

@@ -51,6 +51,20 @@ class StreamingMultimodalIoSpec extends AnyFunSuite {
     assert(kmv == kmvDefault && kmv.nonEmpty)
   }
 
+  test("transformWithState leaderboard equals the flatMapGroupsWithState one") {
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val baseline = spark.conf.get(key)
+    val tws = EventStream.topEventsByTypeTws(spark, dir, k = 3,
+      statePartitions = Some(2))
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(spark.conf.get(key) == baseline, "provider conf not restored")
+    val fmgws = EventStream.topEventsByType(spark, dir, k = 3,
+      statePartitions = Some(2))
+      .as[(String, Long, Double, Long)].collect().toSet
+    assert(tws == fmgws && tws.nonEmpty)
+  }
+
   test("stream-static enrichment equals the batch join; durable log matches") {
     val dir = "/root/testdata/sf0.001"
     val dim = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
