@@ -1003,12 +1003,8 @@ object AnnQueries {
     // hash-exact despite the float input.
     "q255_binary_hamming_ann" -> Q(
       (s, d) => {
-        val code = expr(
-          "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
-            "acc | IF(embedding[i] > 0, shiftleft(CAST(1 AS BIGINT), 63 - i), " +
-            "CAST(0 AS BIGINT)))")
         val b = Tables(s, d, "embeddings")
-          .select(col("vec_id"), code.as("bcode"))
+          .select(col("vec_id"), binCode.as("bcode"))
         val pairs = b
           .join(broadcast(b.filter(col("vec_id") < 50)
             .select(col("vec_id").as("query_id"), col("bcode").as("qcode"))),
@@ -1019,12 +1015,7 @@ object AnnQueries {
         graft.ops.TopK.perKeyWithRank(pairs, Seq("query_id"),
           Seq(col("hamming"), col("neighbor_id")), k = 5)
       },
-      s"""WITH b AS (
-         |  SELECT vec_id, list_aggregate(list_transform(range(1, 65), i ->
-         |    CASE WHEN embedding[i] <= 0 THEN 0
-         |         WHEN i = 1 THEN (-9223372036854775807 - 1)::BIGINT
-         |         ELSE (1::BIGINT << (64 - i)) END), 'bit_or') AS bcode
-         |  FROM embeddings),
+      s"""WITH $binCodeCte,
          |p AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    CAST(bit_count(xor(q.bcode, c.bcode)) AS BIGINT) AS hamming
@@ -1035,8 +1026,50 @@ object AnnQueries {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY hamming, neighbor_id) AS rank
          |  FROM p)
-         |WHERE rank <= 5""".stripMargin)
+         |WHERE rank <= 5""".stripMargin),
+
+    // The SCALE path q255's doc promises, gated: 16-bit multi-index
+    // banding over the same binary codes — a code within Hamming ≤ 3
+    // of another must agree EXACTLY on one of its four 16-bit blocks
+    // (pigeonhole), so candidate generation is a band-keyed EQUI-join
+    // (the q33 machinery, reused) and only candidates pay the
+    // xor+popcount verify. The oracle is the ALL-PAIRS scan at the
+    // same radius: a hash match proves the banding misses nothing —
+    // the exhaustiveness certificate for the sub-linear formulation.
+    "q263_binary_band_neardup" -> Q(
+      (s, d) => {
+        val b = Tables(s, d, "embeddings")
+          .select(col("vec_id").as("doc_id"), binCode.as("simhash"))
+        graft.ops.Dedup.simHashPairs(b, maxDist = 3)
+          .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+            col("hamming"))
+      },
+      s"""WITH $binCodeCte
+         |SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |  CAST(bit_count(xor(a.bcode, c.bcode)) AS BIGINT) AS hamming
+         |FROM b a JOIN b c ON a.vec_id < c.vec_id
+         |WHERE bit_count(xor(a.bcode, c.bcode)) <= 3""".stripMargin)
   )
+
+  /** Sign-bit binarization of the 64-dim embedding into one BIGINT
+    * (bit i = dim i > 0, MSB-first) — shared by q255/q263; the SQL
+    * twin is [[binCodeCte]].
+    */
+  private def binCode =
+    expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
+      "acc | IF(embedding[i] > 0, shiftleft(CAST(1 AS BIGINT), 63 - i), " +
+      "CAST(0 AS BIGINT)))")
+
+  /** DuckDB CTE `b(vec_id, bcode)` building the identical code (the
+    * sign bit needs the min-long literal — DuckDB's 1<<63 overflows).
+    */
+  private def binCodeCte: String =
+    """b AS (
+      |  SELECT vec_id, list_aggregate(list_transform(range(1, 65), i ->
+      |    CASE WHEN embedding[i] <= 0 THEN 0
+      |         WHEN i = 1 THEN (-9223372036854775807 - 1)::BIGINT
+      |         ELSE (1::BIGINT << (64 - i)) END), 'bit_or') AS bcode
+      |  FROM embeddings)""".stripMargin
 
   /** The q125 codebooks: re-trained identically by the query run and
     * the oracle render (sequential driver k-means per subspace over

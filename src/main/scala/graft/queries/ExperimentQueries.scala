@@ -134,6 +134,59 @@ object ExperimentQueries {
         |    AS adj_sum_micro,
         |  CAST(CAST(sum(y * 1000000 - t.theta_ppm * x) AS BIGINT)
         |    // count(*) AS BIGINT) AS adj_mean_micro
-        |FROM per, t GROUP BY 1""".stripMargin)
+        |FROM per, t GROUP BY 1""".stripMargin),
+
+    // Chi-squared independence test on the lang × source contingency
+    // table — "is language distribution independent of source?", the
+    // stratification check run before mixing corpora. The FULL grid
+    // (marginals cross-joined, zeros included — absent cells still
+    // carry expected mass) is |langs|·|sources| rows, so every frame
+    // after the one corpus groupBy is bounded. Per-cell statistic
+    // (o·T − r·c)²/(r·c·T): all factors are exact integers ≤ 2^53, so
+    // the double division is bit-portable; the micro-snap makes each
+    // contribution a long and the total an order-free integer sum.
+    "q262_chi2_independence" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        val cells = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("o"))
+        val r = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+        val c = docs.groupBy("source").agg(count(lit(1)).as("c"))
+        val t = docs.agg(count(lit(1)).as("t"))
+        r.crossJoin(c).crossJoin(broadcast(t))
+          .join(cells, Seq("lang", "source"), "left")
+          .na.fill(0L, Seq("o"))
+          .withColumn("contrib_micro", expr(
+            "CAST(floor((o * t - r * c) * (o * t - r * c) * 1e6 " +
+              "/ (r * c * t) + 0.5) AS BIGINT)"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum("contrib_micro").as("chi2_micro"))
+          .crossJoin(broadcast(
+            r.agg(count(lit(1)).as("n_langs"))))
+          .crossJoin(broadcast(
+            c.agg(count(lit(1)).as("n_sources"))))
+          .select(col("n_cells"), col("chi2_micro"),
+            ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
+      },
+      """WITH cells AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS t FROM documents),
+        |grid AS (
+        |  SELECT r.lang, c.source, r.r, c.c, t.t,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM r CROSS JOIN c CROSS JOIN t
+        |  LEFT JOIN cells USING (lang, source)),
+        |contrib AS (
+        |  SELECT CAST(floor((o * t - r * c) * (o * t - r * c) * 1e6
+        |    / (r * c * t) + 0.5) AS BIGINT) AS cm
+        |  FROM grid)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(cm) AS BIGINT) AS chi2_micro,
+        |  (SELECT CAST((count(DISTINCT lang) - 1) *
+        |     (count(DISTINCT source) - 1) AS BIGINT) FROM documents)
+        |    AS dof
+        |FROM contrib""".stripMargin)
   )
 }
