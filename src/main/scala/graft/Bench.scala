@@ -33,15 +33,35 @@ object Bench {
     catch { case _: Throwable => () }
 
     // observability feed: per-query shuffle bytes ride the same
-    // listener a production deployment would scrape; the bus is
-    // drained around each run so attribution is exact, not racy
+    // listener a production deployment would scrape. Delivery is
+    // async; a full bus drain (waitUntilEmpty) can block indefinitely
+    // while heartbeat/streaming events keep arriving, so attribution
+    // instead waits — bounded — for OUR record count to go quiet:
+    // the timed action has completed, so its listener events are
+    // already enqueued and only need the bus to cycle once.
     val metrics = Metrics.install(spark, maxRecords = 500000)
+    def settle(): Int = {
+      val deadline = System.nanoTime() + 2000000000L // 2 s cap
+      var last = metrics.records.size
+      var quietSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+        System.nanoTime() - quietSince < 50000000L) {
+        Thread.sleep(5)
+        val now = metrics.records.size
+        if (now != last) { last = now; quietSince = System.nanoTime() }
+      }
+      last
+    }
+    // one settle per run: the previous run's post-settle index doubles
+    // as this run's start, so the wait cost is paid once, not twice
+    var cursor = 0
     def drained[T](body: => T): (T, Long) = {
-      org.apache.spark.graft.BusShim.drain(spark.sparkContext)
-      val before = metrics.records.size
       val r = body
-      org.apache.spark.graft.BusShim.drain(spark.sparkContext)
-      (r, metrics.records.drop(before).map(_.shuffleBytes).sum)
+      val after = settle()
+      val bytes = metrics.records.slice(cursor, after)
+        .map(_.shuffleBytes).sum
+      cursor = after
+      (r, bytes)
     }
 
     // min of two measured runs per query: filters scheduler/GC noise.

@@ -562,8 +562,53 @@ object DedupQueries {
            |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
            |FROM h a JOIN h b ON a.media_id < b.media_id
            |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
-      }
+      },
+
+    "q264_incremental_coverage" -> q264
   )
+
+  /** Incremental coverage — the data-acquisition question "how much
+    * NEW content does each source add, in order": fingerprints are
+    * attributed to their first owning source (min source name — a
+    * deterministic stand-in for acquisition order) and the running
+    * union size comes from a window over the SOURCES frame, which is
+    * |sources| rows regardless of corpus size. Everything corpus-
+    * sized is two fingerprint-keyed map-side-combinable groupBys.
+    */
+  private def q264 = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val fp = Tables(s, d, "documents")
+        .select(TextOps.fingerprint(col("text")).as("fp"), col("source"))
+      val contrib = fp.groupBy("fp").agg(min("source").as("source"))
+        .groupBy("source").agg(count(lit(1)).as("new_fps"))
+      val totals = fp.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("fp").as("distinct_fps"))
+      totals.join(contrib, Seq("source"), "left")
+        .na.fill(0L, Seq("new_fps"))
+        .withColumn("cum_union", sum("new_fps").over(
+          Window.orderBy("source")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+    """WITH fp AS (
+      |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      |    AS fp, source
+      |  FROM documents),
+      |contrib AS (
+      |  SELECT source, count(*) AS new_fps FROM (
+      |    SELECT fp, min(source) AS source FROM fp GROUP BY fp)
+      |  GROUP BY source),
+      |totals AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps
+      |  FROM fp GROUP BY source)
+      |SELECT t.source, t.n_docs, t.distinct_fps,
+      |  CAST(coalesce(c.new_fps, 0) AS BIGINT) AS new_fps,
+      |  CAST(sum(coalesce(c.new_fps, 0)) OVER (ORDER BY t.source
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_union
+      |FROM totals t LEFT JOIN contrib c USING (source)""".stripMargin)
 
   /** Synthetic media frame of the image near-dup gate: for every 7th
     * document, a base gradient PNG (media_id = 2·doc_id) and a twin
