@@ -222,6 +222,56 @@ object ComplexTypeQueries {
         |    AS max_k,
         |  CAST(sum(CASE WHEN json_extract(props, '$.missing') IS NULL
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_no_path
-        |FROM events GROUP BY 1""".stripMargin)
+        |FROM events GROUP BY 1""".stripMargin),
+
+    // Map higher-order functions end to end — transform_values /
+    // map_filter / transform_keys (the q96 battery stops at
+    // map_from_entries/element_at): per-user event-type counts become
+    // per-mille shares (integer division), minor types are filtered
+    // out IN the map, keys are rewritten, and the result leaves as a
+    // sorted k=v string (raw maps are unhashable in the driver's
+    // compare — the q52/q96 convention). The oracle computes the same
+    // pipeline relationally; key-sorted assembly makes both orders
+    // identical.
+    "q265_map_hof" -> Q(
+      (s, d) => {
+        Tables(s, d, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(map_from_entries(sort_array(
+            collect_list(struct(col("event_type"), col("n"))))).as("m"))
+          .withColumn("total",
+            expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("shares",
+            expr("transform_values(m, (k, v) -> v * 1000 div total)"))
+          .withColumn("major",
+            expr("transform_keys(map_filter(shares, (k, v) -> v >= 200), " +
+              "(k, v) -> upper(k))"))
+          .select(col("user_id"),
+            expr("cardinality(m)").cast("long").as("n_types"),
+            col("total").as("n_events"),
+            array_join(expr(
+              "transform(sort_array(map_entries(major)), " +
+                "e -> concat(e.key, '=', e.value))"), ",").as("major_share"))
+      },
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(n) AS BIGINT) AS n_events
+        |  FROM c GROUP BY 1),
+        |major AS (
+        |  SELECT c.user_id,
+        |    string_agg(upper(c.event_type) || '=' ||
+        |      CAST(n * 1000 // t.n_events AS VARCHAR), ','
+        |      ORDER BY upper(c.event_type)) AS major_share
+        |  FROM c JOIN t USING (user_id)
+        |  WHERE n * 1000 // t.n_events >= 200
+        |  GROUP BY 1)
+        |SELECT t.user_id, t.n_types, t.n_events,
+        |  coalesce(m.major_share, '') AS major_share
+        |FROM t LEFT JOIN major m USING (user_id)""".stripMargin)
   )
 }
