@@ -274,6 +274,27 @@ object ScaleQueries {
       },
       lateralTopkSql("supplier", "lineitem")),
 
+    // DataSource V2 read path end to end: the custom connector
+    // (sources/SeqSource.scala) absorbs the id-range predicate into
+    // partition planning (rows outside [1000, 90000) are never
+    // GENERATED — pushdown as non-production, not produce-then-drop)
+    // and materializes only requested columns. The oracle replays the
+    // ground truth from DuckDB's range() — the point of a
+    // deterministic source: any engine can check the connector.
+    "q266_dsv2_pushdown_scan" -> Q(
+      (s, d) => {
+        s.read.format("graft.sources.SeqSourceProvider")
+          .option("rows", "100000").option("slices", "8").load()
+          .filter(col("id") >= 1000 && col("id") < 90000)
+          .groupBy(col("m7"))
+          .agg(count(lit(1)).as("n"), sum("sq").as("sum_sq"),
+            min("id").as("min_id"), max("id").as("max_id"))
+      },
+      """SELECT range % 7 AS m7, count(*) AS n,
+        |  CAST(sum(range * range) AS BIGINT) AS sum_sq,
+        |  min(range) AS min_id, max(range) AS max_id
+        |FROM range(1000, 90000) GROUP BY 1""".stripMargin),
+
     // Deterministic stratified sampling: a fixed-size per-language
     // eval slice drawn by content-hash order (md5 — portable across
     // engines, unlike a seeded RNG whose stream is engine-private).
