@@ -274,6 +274,35 @@ object ScaleQueries {
       },
       lateralTopkSql("supplier", "lineitem")),
 
+    // Dynamic partition pruning: the fact side is the lang-partitioned
+    // parquet layout (q247's write), the dim side is a DATA-DEPENDENT
+    // lang selection (volume threshold — not a static predicate the
+    // optimizer could fold into the scan), so Spark must insert a
+    // runtime subquery filter that prunes fact PARTITIONS from the
+    // dim's build result. At 100 TB this is the difference between
+    // scanning the two joined languages and scanning the lake;
+    // PlanShapeSpec pins the dynamicpruning expression in the scan.
+    "q267_dynamic_partition_pruning" -> Q(
+      (s, d) => {
+        val tmp = scratchDir("dpp")
+        Tables(s, d, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(tmp)
+        val fact = s.read.parquet(tmp)
+        val bigLangs = Tables(s, d, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 50)
+          .select("lang")
+        fact.join(bigLangs, "lang")
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      },
+      """WITH sel AS (
+        |  SELECT lang FROM documents GROUP BY lang HAVING count(*) >= 50)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents JOIN sel USING (lang)
+        |GROUP BY 1, 2""".stripMargin),
+
     // DataSource V2 read path end to end: the custom connector
     // (sources/SeqSource.scala) absorbs the id-range predicate into
     // partition planning (rows outside [1000, 90000) are never

@@ -141,6 +141,12 @@ class PlanShapeSpec extends AnyFunSuite {
         .contains("lang"), plan)
   }
 
+  test("q267's fact scan carries a DYNAMIC pruning filter from the dim side") {
+    val plan = SparkEntry.queries("q267_dynamic_partition_pruning")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("query BUILDERS run zero Spark jobs (no driver-side actions at plan time)") {
     // A queries() entry must return a lazy plan; any .count()/.collect()
     // inside the builder forces an extra full materialization per call.
