@@ -58,16 +58,47 @@ class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
 }
 
 /** Pushdown state: `lo`/`hi` tighten as id-range filters arrive; the
-  * required schema shrinks under column pruning. Both feed straight
-  * into partition planning — the narrowed range is what gets sliced.
+  * required schema shrinks under column pruning; and COUNT/MIN/MAX/
+  * SUM over `id` with no grouping push COMPLETELY into the source —
+  * answered in O(1) from the narrowed bounds without generating a
+  * single row (the warehouse-connector trick: metadata answers
+  * aggregate questions; think parquet footer min/max or an indexed
+  * store's count).
   */
 class SeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required: StructType = SeqSource.schema
+  private var aggs: Option[Seq[AggregateFunc]] = None
+
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+    e match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq("id")
+      case _ => false
+    }
+
+  private def pushable(a: Aggregation): Boolean =
+    a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isId(m.column)
+        case m: Max => isId(m.column)
+        case s: Sum => isId(s.column) && !s.isDistinct
+        case _ => false
+      }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = pushable(a)
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (pushable(a)) { aggs = Some(a.aggregateExpressions.toSeq); true }
+    else false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -92,7 +123,52 @@ class SeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(lo, hi, slices, required)
+  override def build(): Scan = aggs match {
+    case Some(fns) => new SeqAggScan(lo, hi, fns)
+    case None => new SeqScan(lo, hi, slices, required)
+  }
+}
+
+/** Completely-pushed aggregate scan: ONE row computed from the bounds
+  * (count = hi−lo; min/max = the bounds themselves; sum by Gauss),
+  * empty ranges yield count 0 and NULL extremes — exactly what the
+  * row-scan aggregation would produce.
+  */
+class SeqAggScan(lo: Long, hi: Long,
+    fns: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private val n = math.max(hi - lo, 0L)
+
+  override def readSchema(): StructType = StructType(fns.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_seq range=[$lo,$hi) agg=pushed(${fns.map(_.toString).mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqPartition(0, 1)) // one row regardless of range
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: Array[Any] = fns.map {
+      case _: CountStar => n: Any
+      case _: Min => if (n == 0) null else (lo: Any)
+      case _: Max => if (n == 0) null else (hi - 1: Any)
+      case _: Sum => if (n == 0) null else ((lo + hi - 1) * n / 2: Any)
+      case other => throw new IllegalStateException(s"unpushable $other")
+    }.toArray
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = { val r = !emitted; emitted = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)

@@ -55,4 +55,31 @@ class SeqSourceSpec extends AnyFunSuite {
     val df = seq(100).filter(col("id") >= 200)
     assert(df.count() == 0)
   }
+
+  test("ungrouped COUNT/MIN/MAX/SUM push completely — answered from bounds") {
+    val df = seq(100000, 8).filter(col("id") >= 1000 && col("id") < 90000)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"),
+        sum("id").as("s"))
+    assert(scanDesc(df).contains("agg=pushed"), scanDesc(df))
+    val r = df.head()
+    assert(r.getLong(0) == 89000L)
+    assert(r.getLong(1) == 1000L && r.getLong(2) == 89999L)
+    assert(r.getLong(3) == (1000L + 89999L) * 89000L / 2)
+  }
+
+  test("aggregate pushdown on an empty range: count 0, NULL extremes") {
+    val df = seq(100).filter(col("id") >= 500)
+      .agg(count(lit(1)), min("id"), max("id"))
+    val r = df.head()
+    assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("grouped or non-id aggregates do NOT push — computed from rows") {
+    val df = seq(700).groupBy("m7").agg(count(lit(1)).as("n"))
+    assert(!scanDesc(df).contains("agg=pushed"), scanDesc(df))
+    assert(df.count() == 7)
+    val sq = seq(10).agg(sum("sq"))
+    assert(!scanDesc(sq).contains("agg=pushed"), scanDesc(sq))
+    assert(sq.head().getLong(0) == (0 until 10).map(i => i.toLong * i).sum)
+  }
 }
