@@ -564,7 +564,47 @@ object DedupQueries {
            |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin
       },
 
-    "q264_incremental_coverage" -> q264
+    "q264_incremental_coverage" -> q264,
+
+    // What exact dedup is WORTH, priced per source: every document
+    // whose normalized fingerprint already has a lower-id twin is
+    // redundant; its characters are the storage/compute the dedup
+    // pass saves. One fingerprint-keyed min + one self-attribution
+    // join + a source rollup — the report a pipeline owner reads
+    // before paying for the dedup run at 100 TB.
+    "q269_dedup_savings" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            TextOps.fingerprint(col("text")).as("fp"))
+        val keeper = docs.groupBy("fp").agg(min("doc_id").as("keep_id"))
+        docs.join(keeper, "fp")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+              .as("n_redundant"),
+            sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+              .otherwise(0L)).as("redundant_chars"))
+          .withColumn("savings_ppm",
+            expr("redundant_chars * 1000000 div total_chars"))
+      },
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_redundant,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS redundant_chars,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN n_chars ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // CAST(sum(n_chars) AS BIGINT) AS savings_ppm
+        |FROM f JOIN k USING (fp)
+        |GROUP BY source""".stripMargin)
   )
 
   /** Incremental coverage — the data-acquisition question "how much

@@ -171,6 +171,50 @@ object TextQueries {
     // the shuffle) and TakeOrderedAndProject for the top-k — the exact
     // heavy-hitter baseline a vocab/stats pass over a 100 TB corpus
     // needs (the approximate path is ops.Sketches).
+    // Vocabulary coverage curve — "how big must the vocab be": the
+    // share of all token OCCURRENCES covered by the N most frequent
+    // types, at N ∈ {100, 1000, 10000}. The corpus collapses to one
+    // map-side-combinable type count; the top-10k slice rides the
+    // heap-based TakeOrdered (never a global sort), and the running
+    // sum windows over that bounded slice. Ties break on the token,
+    // so the curve is engine-exact in ppm.
+    "q268_vocab_coverage" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables(s, d, "documents")
+          .select(explode(TextOps.whitespaceTokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        val total = counts.agg(sum("n").as("total"))
+        val top = counts.orderBy(col("n").desc, col("token")).limit(10000)
+        val w = Window.orderBy(col("n").desc, col("token"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = top
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("n").desc, col("token"))).cast("long"))
+          .withColumn("cum", sum("n").over(w))
+        ranked.filter(col("rank").isin(100L, 1000L, 10000L))
+          .crossJoin(broadcast(total))
+          .select(col("rank").as("n_vocab"),
+            col("cum").as("covered_occurrences"),
+            expr("cum * 1000000 div total").as("covered_ppm"))
+      },
+      s"""WITH c AS (
+         |  SELECT token, count(*) AS n FROM (
+         |    SELECT unnest($wsTokensSql) AS token FROM documents)
+         |  GROUP BY token),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+         |r AS (
+         |  SELECT n,
+         |    CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT)
+         |      AS rank,
+         |    CAST(sum(n) OVER (ORDER BY n DESC, token
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM c)
+         |SELECT rank AS n_vocab, cum AS covered_occurrences,
+         |  cum * 1000000 // t.total AS covered_ppm
+         |FROM r, t WHERE rank IN (100, 1000, 10000)""".stripMargin),
+
     "q64_token_topk" -> Q(
       (s, d) =>
         Tables(s, d, "documents")
