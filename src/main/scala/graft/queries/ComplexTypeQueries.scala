@@ -224,6 +224,40 @@ object ComplexTypeQueries {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_no_path
         |FROM events GROUP BY 1""".stripMargin),
 
+    // The ANSI error-safety surface — Spark 4 runs with ANSI ON, so
+    // every arithmetic edge is a potential job-killer and the try_*
+    // family is how a pipeline survives dirty data: try_divide
+    // (÷0 → NULL, never an exception), try_cast (malformed strings →
+    // NULL), try_add (overflow → NULL). Aggregated to exact integers:
+    // null tallies plus a floor-snapped sum of the surviving
+    // divisions. DuckDB's native semantics already return NULL for
+    // ÷0 and failed casts; the overflow case is emulated with an
+    // explicit guard — same rows, different spelling.
+    "q270_try_functions" -> Q(
+      (s, d) => {
+        Tables(s, d, "events")
+          .select(col("event_id"),
+            expr("try_divide(event_id, event_id % 2)").as("dv"),
+            expr("try_cast(props AS BIGINT)").as("tc"),
+            expr("try_add(event_id, 9223372036854775807L)").as("ta"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("dv").isNull, 1L).otherwise(0L)).as("n_div_null"),
+            sum(when(col("tc").isNull, 1L).otherwise(0L)).as("n_cast_null"),
+            sum(when(col("ta").isNull, 1L).otherwise(0L)).as("n_add_null"),
+            sum(floor(col("dv")).cast("long")).as("sum_odd_ids"))
+      },
+      """SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_div_null,
+        |  CAST(sum(CASE WHEN try_cast(props AS BIGINT) IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_null,
+        |  CAST(sum(CASE WHEN event_id >= 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_add_null,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1
+        |    THEN CAST(floor(event_id / (event_id % 2)) AS BIGINT)
+        |    END) AS BIGINT) AS sum_odd_ids
+        |FROM events""".stripMargin),
+
     // Map higher-order functions end to end — transform_values /
     // map_filter / transform_keys (the q96 battery stops at
     // map_from_entries/element_at): per-user event-type counts become
