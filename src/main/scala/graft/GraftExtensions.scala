@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, MinHashSig, SimHash64}
+import graft.functions.{DotProduct, KmvBottomK, MinHashSig, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions with the SQL function registry, so
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
     ext.injectFunction(GraftExtensions.simHashDescriptor)
     ext.injectFunction(GraftExtensions.minHashSigDescriptor)
+    ext.injectFunction(GraftExtensions.kmvBottomKDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.OverlapRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -61,5 +62,19 @@ object GraftExtensions {
           s"minhash_sig numHashes must be an integer literal, got $other")
       }
       MinHashSig(children.head, k)
+    })
+
+  val kmvBottomKDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_bottomk"),
+    new ExpressionInfo(classOf[KmvBottomK].getName, "kmv_bottomk"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "kmv_bottomk takes (bigint values, int-literal k)")
+      val k = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"kmv_bottomk k must be an integer literal, got $other")
+      }
+      KmvBottomK(children.head, k)
     })
 }

@@ -741,6 +741,36 @@ object StatsQueries {
       },
       XxhSql.kmvOracle(withExact = true)),
 
+    // q192's sketch on the NATIVE aggregate tier: `kmv_bottomk` is a
+    // TypedImperativeAggregate (functions/KmvAggregate.scala) — an
+    // O(k) imperative buffer per group with true partial/final merge,
+    // so the two-stage salt-class window q192 needs to tame the
+    // per-type sort disappears entirely: each map partition keeps its
+    // own bottom-64 and the exchange moves ≤ 64 longs per
+    // (group, partition). Registered in the SQL registry, so the
+    // whole query is one plain-SQL aggregate; same oracle as q192
+    // minus the exact companion count.
+    "q271_kmv_native_agg" -> Q(
+      (s, d) => {
+        val v = shiftrightunsigned(
+          xxhash64(col("user_id").cast("string")), 2)
+        Tables(s, d, "events")
+          .select(col("event_type"), v.as("v"))
+          .filter(col("v") > 0)
+          .createOrReplaceTempView("q271_hashes")
+        s.sql(
+          """SELECT event_type,
+            |  CAST(size(bottom) AS BIGINT) AS k_used,
+            |  element_at(bottom, size(bottom)) AS vk,
+            |  (CAST(size(bottom) AS BIGINT) - 1) *
+            |    (4611686018427387904L div element_at(bottom, size(bottom)))
+            |    AS est_distinct
+            |FROM (
+            |  SELECT event_type, kmv_bottomk(v, 64) AS bottom
+            |  FROM q271_hashes GROUP BY event_type)""".stripMargin)
+      },
+      XxhSql.kmvOracle(withExact = false)),
+
     // KMV set-intersection estimation — the capability that separates
     // the bottom-k sketch from HLL (q180): the retained hash SETS of
     // two sketches compose. For each type pair, rank the union of the

@@ -42,6 +42,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integer literal"))
   }
 
+  test("kmv_bottomk: dedup, truncation to k, ascending output, partial merge") {
+    import spark.implicits._
+    // duplicates collapse; only the 4 smallest distinct values
+    // survive; ascending; and with 8 input partitions the partial
+    // buffers must MERGE correctly across the exchange
+    val df = (Seq(50L, 10L, 30L, 10L, 20L, 40L, 50L, 5L) ++
+      (100L to 300L by 10)).toDF("v").repartition(8)
+    df.createOrReplaceTempView("kmv_in")
+    val arr = spark.sql("SELECT kmv_bottomk(v, 4) AS b FROM kmv_in")
+      .head().getSeq[Long](0)
+    assert(arr == Seq(5L, 10L, 20L, 30L))
+    // k larger than distinct input: everything, ascending
+    val all = spark.sql("SELECT kmv_bottomk(v, 1000) AS b FROM kmv_in")
+      .head().getSeq[Long](0)
+    assert(all == all.sorted && all.distinct == all && all.head == 5L)
+  }
+
+  test("kmv_bottomk: nulls skipped, negatives rejected, k must be literal") {
+    import spark.implicits._
+    Seq(Some(3L), None, Some(1L)).toDF("v")
+      .createOrReplaceTempView("kmv_nulls")
+    assert(spark.sql("SELECT kmv_bottomk(v, 8) FROM kmv_nulls")
+      .head().getSeq[Long](0) == Seq(1L, 3L))
+    Seq(-1L).toDF("v").createOrReplaceTempView("kmv_neg")
+    val e = intercept[Exception](
+      spark.sql("SELECT kmv_bottomk(v, 8) FROM kmv_neg").collect())
+    assert(e.getMessage != null)
+    intercept[Exception](
+      spark.sql("SELECT kmv_bottomk(v, v) FROM kmv_nulls").collect())
+  }
+
   test("OverlapRewrite: emptiness tests on array_intersect become arrays_overlap") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
