@@ -234,7 +234,7 @@ object ScaleQueries {
     // step — without the cache the lineitem⋈orders distinct runs once
     // per depth (measured ~2× of the query's cost at sf0.1).
     "q112_reachability" -> Q(
-      (s, d) => {
+      (s, d) => graft.ops.ShuffleWidth.pinned(s, 8) {
         val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
         val l = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_partkey")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -247,7 +247,13 @@ object ScaleQueries {
           .select((col("l_suppkey") + 10000000L).as("node"))
           .distinct()
           .createOrReplaceTempView("q112_seeds")
-        s.sql(
+        // the recursion re-plans its body EVERY step at the width in
+        // force when the job RUNS, and each step's frame is walk-sized
+        // (thousands of rows) — so the whole query materializes inside
+        // the pinned scope (the q159/q168 discipline; persist() means
+        // the result frame is what Verify/Bench consume, clearCache
+        // reclaims)
+        val out = s.sql(
           """WITH RECURSIVE edges AS (
             |  SELECT c AS src, p AS dst FROM q112_pairs
             |  UNION ALL
@@ -259,7 +265,9 @@ object ScaleQueries {
             |  FROM walk w JOIN edges e ON e.src = w.node
             |  WHERE w.depth < 2)
             |SELECT node, min(depth) AS depth, count(*) AS n_paths
-            |FROM walk GROUP BY node""".stripMargin)
+            |FROM walk GROUP BY node""".stripMargin).persist()
+        out.count()
+        out
       },
       reachabilitySql("orders", "lineitem")),
 
