@@ -1700,6 +1700,67 @@ object ExtraQueries {
         |    AS closed_ppm
         |FROM per GROUP BY 1""".stripMargin),
 
+    // 2-hop reach of the top hubs — "how much of the catalog is two
+    // purchases away from the best-connected parts": the 30
+    // highest-degree nodes, each with its direct-neighbor count and
+    // its strictly-2-hop reach (wedge endpoints minus direct
+    // neighbors minus self). SEED-RESTRICTED by design: an all-nodes
+    // exact 2-hop profile is inherently Σ deg² (measured 7 s at sf0.1
+    // — the formulation that dies at scale), while seeding bounds the
+    // wedge stream to |seeds|·deg² with the seed list broadcast into
+    // the first hop. Everything downstream of the seed pick is
+    // equi-keyed.
+    "q272_two_hop_reach" -> Q(
+      (s, d) => {
+        val e = coPurchaseEdges(s, d)
+        val sym = e.select(col("a").as("x"), col("b").as("y"))
+          .union(e.select(col("b").as("x"), col("a").as("y")))
+          .localCheckpoint(false)
+        val n1 = sym.groupBy("x").agg(count(lit(1)).as("n1"))
+        val seeds = n1.orderBy(col("n1").desc, col("x")).limit(30)
+        val seeded = sym.join(broadcast(seeds.select("x")), "x")
+        val hops = seeded
+          .join(sym.select(col("x").as("y"), col("y").as("z")), "y")
+          .filter(col("x") =!= col("z"))
+          .select("x", "z")
+        val n2 = hops
+          .join(broadcast(sym.select(col("x"), col("y").as("z"))),
+            Seq("x", "z"), "left_anti")
+          .groupBy("x").agg(countDistinct("z").as("n2"))
+        materialized(
+          seeds.join(n2, Seq("x"), "left")
+            .na.fill(0L, Seq("n2"))
+            .select(col("x").as("node"), col("n1"), col("n2"))
+            .orderBy(col("n1").desc, col("node")))
+      },
+      s"""WITH li AS (
+         |  SELECT o, p FROM (
+         |    SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+         |    FROM lineitem WHERE l_quantity >= 25)
+         |  QUALIFY row_number() OVER (PARTITION BY o ORDER BY p) <= 64),
+         |e AS (
+         |  SELECT DISTINCT x.p AS a, y.p AS b
+         |  FROM li x JOIN li y ON x.o = y.o AND x.p < y.p),
+         |sym AS (SELECT a AS x, b AS y FROM e
+         |        UNION ALL SELECT b, a FROM e),
+         |n1 AS (SELECT x, count(*) AS n1 FROM sym GROUP BY 1),
+         |seeds AS (SELECT x, n1 FROM n1 ORDER BY n1 DESC, x LIMIT 30),
+         |hops AS (
+         |  SELECT DISTINCT s1.x, s2.y AS z
+         |  FROM sym s1
+         |  JOIN seeds sd ON sd.x = s1.x
+         |  JOIN sym s2 ON s1.y = s2.x
+         |  WHERE s1.x <> s2.y),
+         |n2 AS (
+         |  SELECT h.x, count(*) AS n2 FROM hops h
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM sym s WHERE s.x = h.x AND s.y = h.z)
+         |  GROUP BY 1)
+         |SELECT sd.x AS node, CAST(sd.n1 AS BIGINT) AS n1,
+         |  CAST(coalesce(n2.n2, 0) AS BIGINT) AS n2
+         |FROM seeds sd LEFT JOIN n2 USING (x)
+         |ORDER BY sd.n1 DESC, node""".stripMargin),
+
     // Behavioral predictability: Gini impurity of the next-event
     // distribution per source state (q157's Markov transitions, asking
     // "how deterministic is what users do next?" instead of "what do
