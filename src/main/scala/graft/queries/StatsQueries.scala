@@ -818,43 +818,40 @@ object StatsQueries {
             sum(expr("in_a * in_b")).as("n_both"))
           .withColumn("est_jaccard_ppm",
             expr("(n_both * 1000000) div k_union"))
-      }, {
-        val items =
-          """items AS (
-            |  SELECT k, k AS tok FROM (
-            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
-            .stripMargin
-        s"""WITH ${XxhSql.hashCtes(items, "k")},
-           |hv AS (
-           |  SELECT DISTINCT e.event_type, CAST(h.h // 4 AS BIGINT) AS v
-           |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
-           |  WHERE h.h // 4 > 0),
-           |sk AS (
-           |  SELECT event_type, v FROM (
-           |    SELECT event_type, v,
-           |      row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
-           |    FROM hv) WHERE rn <= 64),
-           |tps AS (SELECT DISTINCT event_type FROM sk),
-           |pairs AS (
-           |  SELECT a.event_type AS ta, b.event_type AS tb
-           |  FROM tps a JOIN tps b ON a.event_type < b.event_type),
-           |u AS (
-           |  SELECT p.ta, p.tb, s.v,
-           |    max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
-           |    max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
-           |  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
-           |  GROUP BY 1, 2, 3),
-           |r AS (
-           |  SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY v)
-           |    AS rn
-           |  FROM u)
-           |SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_union,
-           |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
-           |  CAST((CAST(sum(in_a * in_b) AS BIGINT) * 1000000) // count(*)
-           |    AS BIGINT) AS est_jaccard_ppm
-           |FROM r WHERE rn <= 64 GROUP BY 1, 2""".stripMargin
-      }),
+      }, kmvOverlapOracleSql),
 
+    // q199's estimator computed purely by SKETCH ALGEBRA: the corpus
+    // is touched once (the native kmv_bottomk aggregate), and every
+    // pairwise Jaccard estimate derives from the retained ARRAYS with
+    // array_union/sort/slice/intersect — zero re-scans, which is the
+    // whole operational point of keeping sketches around: overlap
+    // questions against stored summaries, not against 100 TB of
+    // events. Same oracle as q199 (the estimator is identical).
+    "q273_kmv_sketch_algebra" -> Q(
+      (s, d) => {
+        val v = shiftrightunsigned(
+          xxhash64(col("user_id").cast("string")), 2)
+        Tables(s, d, "events")
+          .select(col("event_type"), v.as("v"))
+          .filter(col("v") > 0)
+          .createOrReplaceTempView("q273_hashes")
+        val sk = s.sql(
+          "SELECT event_type, kmv_bottomk(v, 64) AS b " +
+            "FROM q273_hashes GROUP BY event_type")
+        sk.as("a").join(sk.as("b"),
+            col("a.event_type") < col("b.event_type"))
+          .select(col("a.event_type").as("ta"),
+            col("b.event_type").as("tb"),
+            col("a.b").as("ba"), col("b.b").as("bb"))
+          .withColumn("ub",
+            expr("slice(array_sort(array_union(ba, bb)), 1, 64)"))
+          .select(col("ta"), col("tb"),
+            size(col("ub")).cast("long").as("k_union"),
+            size(expr("array_intersect(array_intersect(ub, ba), bb)"))
+              .cast("long").as("n_both"))
+          .withColumn("est_jaccard_ppm",
+            expr("(n_both * 1000000) div k_union"))
+      }, kmvOverlapOracleSql),
     // Count-min join-cardinality estimation — the broadcast-vs-shuffle
     // planning aid as a verifiable query: |events ⋈ customer on
     // user_id| estimated as min over 4 depths of the CM inner product
@@ -1504,6 +1501,48 @@ object StatsQueries {
         |FROM orders o JOIN med m USING (o_orderpriority)
         |GROUP BY 1""".stripMargin)
   ) ++ HoltWinters.queries ++ RollingHll.queries
+
+  /** Shared oracle of q199/q273 — the KMV union-bottom-64 Jaccard
+    * estimator replayed with the pure-SQL XXH64 (both engine
+    * formulations compute the identical estimate, so one ground truth
+    * serves the window formulation and the sketch-algebra one).
+    */
+  private def kmvOverlapOracleSql: String = {
+    val items =
+      """items AS (
+        |  SELECT k, k AS tok FROM (
+        |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+        .stripMargin
+    s"""WITH ${XxhSql.hashCtes(items, "k")},
+       |hv AS (
+       |  SELECT DISTINCT e.event_type, CAST(h.h // 4 AS BIGINT) AS v
+       |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
+       |  WHERE h.h // 4 > 0),
+       |sk AS (
+       |  SELECT event_type, v FROM (
+       |    SELECT event_type, v,
+       |      row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn
+       |    FROM hv) WHERE rn <= 64),
+       |tps AS (SELECT DISTINCT event_type FROM sk),
+       |pairs AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb
+       |  FROM tps a JOIN tps b ON a.event_type < b.event_type),
+       |u AS (
+       |  SELECT p.ta, p.tb, s.v,
+       |    max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+       |  GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY v)
+       |    AS rn
+       |  FROM u)
+       |SELECT ta, tb, CAST(count(*) AS BIGINT) AS k_union,
+       |  CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       |  CAST((CAST(sum(in_a * in_b) AS BIGINT) * 1000000) // count(*)
+       |    AS BIGINT) AS est_jaccard_ppm
+       |FROM r WHERE rn <= 64 GROUP BY 1, 2""".stripMargin
+  }
 }
 
 /** q197: trailing-7-day distinct-user sketches per event type — the

@@ -47,7 +47,8 @@ object PlanAudit {
     "q233_mrr_at10", // 1-in-50 query sample × corpus (q36 shape)
     "q146_source_minhash", // source-signature pairs: |sources|² over the sketch table, never documents
     "q199_kmv_overlap", // KMV sketch pairs: ≤ 64·|types| rows per side by construction
-    "q255_binary_hamming_ann" // binary-code exact scan baseline; scale path = 16-bit multi-index banding
+    "q255_binary_hamming_ann", // binary-code exact scan baseline; scale path = 16-bit multi-index banding
+    "q273_kmv_sketch_algebra" // sketch-pair cross: ≤ |types|² rows of 64-long arrays, never events
   )
 
   /** Is this subtree's OUTPUT provably at most ~1k rows, walking only
