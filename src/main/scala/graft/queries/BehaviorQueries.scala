@@ -278,6 +278,52 @@ object BehaviorQueries {
         |  CAST(sum(weekly_pairs) AS BIGINT) AS sum_weekly_pairs
         |FROM per_user GROUP BY 1""".stripMargin),
 
+    // Time-weighted average value per user — the step-function
+    // integral (each event's value holds until the next event), the
+    // correct aggregate for state-like metrics where a plain mean
+    // over-weights bursty periods. Per-term products are snapped to
+    // exact integers (value in micros × duration in ms) BEFORE the
+    // sum, so the total is order-free; one per-user lead() window
+    // (bounded fan-in) and one group-by. Term magnitude bounds the
+    // integer path to ~month spans at micro precision — a multi-year
+    // 100 TB deployment moves the same expression to DECIMAL(38).
+    "q274_time_weighted_avg" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        Tables(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("nxt_us", lead("us", 1).over(w))
+          .filter(col("nxt_us").isNotNull)
+          .withColumn("dur_ms", expr("(nxt_us - us) div 1000"))
+          .withColumn("term", expr(
+            "CAST(floor(value * 1000000 + 0.5) AS BIGINT) * dur_ms"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum("dur_ms").as("total_ms"),
+            sum("term").as("sum_term"))
+          .filter(col("total_ms") > 0)
+          .withColumn("twa_micro", expr("sum_term div total_ms"))
+      },
+      """WITH t AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt_us
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, (nxt_us - us) // 1000 AS dur_ms,
+        |    CAST(floor(value * 1000000 + 0.5) AS BIGINT)
+        |      * ((nxt_us - us) // 1000) AS term
+        |  FROM t WHERE nxt_us IS NOT NULL)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+        |  CAST(sum(term) AS BIGINT) AS sum_term,
+        |  CAST(CAST(sum(term) AS BIGINT) // CAST(sum(dur_ms) AS BIGINT)
+        |    AS BIGINT) AS twa_micro
+        |FROM i GROUP BY user_id
+        |HAVING sum(dur_ms) > 0""".stripMargin),
+
     // Survival/at-risk table (the Kaplan-Meier ingredients, kept as
     // exact integers): per user the observed lifetime in days (first
     // to last activity), then per day-offset the churned count and
