@@ -31,17 +31,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * NOT spill — per task the footprint is O(distinct keys in the
   * partition × k). In the operator's target regime (k ≪ group size,
   * key cardinality ≪ row count) that is the right trade, and a
-  * key-explosion run DEGRADES instead of OOMing: when a partial
-  * pass's map exceeds `spark.graft.topk.maxPartialKeys` (default 4M)
-  * the partition flushes its heaps and streams the remainder through
-  * unpruned. Correct by contract — a partial pass may emit any
-  * superset of its per-key top-k (rows it already discarded were
-  * beaten by k retained rows of the same key), and the final stage
-  * still bounds the output. The FINAL stage has no such fallback: it
-  * must hold every post-shuffle key of its partition anyway, and its
-  * input is already pruned to ≤ k·partitions rows per key; if final
-  * keys-per-partition × k approaches executor memory, raise the
-  * shuffle width or use the window formulation, whose sort spills.
+  * key-explosion run DEGRADES instead of OOMing: when EITHER pass's
+  * map exceeds `spark.graft.topk.maxPartialKeys` (default 4M) the
+  * partition abandons the heap strategy. The PARTIAL pass flushes its
+  * heaps and streams the remainder through unpruned — correct by
+  * contract, since a partial pass may emit any superset of its
+  * per-key top-k (rows it already discarded were beaten by k retained
+  * rows of the same key), and the final stage still bounds the
+  * output. The FINAL pass must produce exact per-key top-k, so it
+  * instead spills: flushed heap rows plus the remaining input go into
+  * an [[org.apache.spark.sql.execution.UnsafeExternalRowSorter]]
+  * (disk-backed, same machinery as SortExec) ordered by (key, order),
+  * and a single streaming scan emits the first k rows of each key
+  * group — valid because the exchange already clustered each key into
+  * one partition, and rows evicted from a heap before the overflow
+  * were beaten by k retained rows of the SAME key, so the sorter's
+  * input is a superset of every per-key top-k. Memory under
+  * degradation is O(1) heap + sorter pages that spill.
   *
   * Relationship to Spark's own InferWindowGroupLimit (3.5+): that
   * rule inserts WindowGroupLimit below the Window, pruning each
@@ -91,12 +97,11 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val kk = k
-    // the degradation guard applies only to the partial pass (see the
-    // operator scaladoc); Int.MaxValue disables it for the final stage
-    val maxKeys =
-      if (partial) conf.getConfString(TopKPerKeyExec.MaxPartialKeysKey,
-        "4000000").toInt
-      else Int.MaxValue
+    // both passes share the guard; they differ in how they DEGRADE
+    // past it (partial: pass-through; final: external sort-and-scan)
+    val maxKeys = conf.getConfString(TopKPerKeyExec.MaxPartialKeysKey,
+      "4000000").toInt
+    val isPartial = partial
     val stageName = nodeName
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -124,22 +129,28 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
             overflowed = heaps.size > maxKeys
         }
       }
-      // emit each key's survivors best-first (dequeueAll is worst-first);
-      // on overflow the rest of the partition streams through unpruned —
-      // rows already discarded were beaten within their own key, so the
-      // emitted set is still a superset of every per-key top-k
+      // emit each key's survivors best-first (dequeueAll is worst-first)
       val buffered = heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
-      if (overflowed) {
+      if (!overflowed) buffered
+      else if (isPartial) {
+        // partial degradation: stream the remainder unpruned — rows
+        // already discarded were beaten within their own key, so the
+        // emitted set is still a superset of every per-key top-k
         TopKPerKeyExec.logOverflow(stageName, maxKeys)
         buffered ++ iter
-      } else buffered
+      } else {
+        TopKPerKeyExec.logOverflow(stageName, maxKeys)
+        TopKPerKeyExec.sortAndScan(childOutput, keyExprs, sortOrder, kk,
+          keyProj, buffered ++ iter)
+      }
     }, preservesPartitioning = true)
   }
 }
 
 object TopKPerKeyExec {
-  /** Heap-map key cap for the PARTIAL pass; past it the partition
-    * degrades to pass-through (see the operator scaladoc).
+  /** Heap-map key cap for BOTH passes; past it the partition degrades
+    * — partial to pass-through, final to a spillable external
+    * sort-and-scan (see the operator scaladoc).
     */
   val MaxPartialKeysKey = "spark.graft.topk.maxPartialKeys"
 
@@ -148,6 +159,56 @@ object TopKPerKeyExec {
   /** Executor-side: called once per overflowing partition. */
   private[plans] def logOverflow(stage: String, maxKeys: Int): Unit =
     log.warn(s"$stage partition exceeded $MaxPartialKeysKey=$maxKeys " +
-      "distinct keys; flushing heaps and streaming the remainder " +
-      "unpruned (final stage still bounds the output)")
+      "distinct keys; degrading (partial: pass-through; final: " +
+      "external sort-and-scan)")
+
+  /** Final-stage degradation: exact per-key top-k with O(1) heap via
+    * a disk-backed sort on (key, order) followed by one streaming
+    * scan that emits the first k rows of each key group. Correct
+    * because the exchange clustered every key into this partition and
+    * `rows` is a superset of each key's top-k (heap evictions before
+    * the overflow were within-key).
+    */
+  private[plans] def sortAndScan(childOutput: Seq[Attribute],
+      keyExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
+      keyProj: UnsafeProjection,
+      rows: Iterator[InternalRow]): Iterator[InternalRow] = {
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+    import org.apache.spark.sql.types.{StructField, StructType}
+
+    val schema = StructType(
+      childOutput.map(a => StructField(a.name, a.dataType, a.nullable)))
+    // group keys first (any total order groups them), caller order after
+    val fullOrd = RowOrdering.create(
+      keyExprs.map(SortOrder(_, Ascending)) ++ order, childOutput)
+    // degenerate zero prefix: every comparison falls through to the
+    // full record comparator — fine for a degradation path
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        p.value = 0L; p.isNull = false; p
+      }
+    }
+    val sorter = UnsafeExternalRowSorter.create(schema, fullOrd,
+      PrefixComparators.LONG, prefixComputer,
+      org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+      /* canUseRadixSort = */ false)
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => sorter.cleanupResources()))
+    val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+    rows.foreach {
+      case u: UnsafeRow => sorter.insertRow(u) // insertRow copies bytes
+      case other => sorter.insertRow(toUnsafe(other))
+    }
+    var prevKey: UnsafeRow = null
+    var inKey = 0
+    sorter.sort().filter { row =>
+      val kr = keyProj(row)
+      if (prevKey == null || kr != prevKey) { prevKey = kr.copy(); inKey = 0 }
+      inKey += 1
+      inKey <= k
+    }
+  }
 }

@@ -1724,7 +1724,7 @@ object ExtraQueries {
           .filter(col("x") =!= col("z"))
           .select("x", "z")
         val n2 = hops
-          .join(broadcast(sym.select(col("x"), col("y").as("z"))),
+          .join(broadcast(seeded.select(col("x"), col("y").as("z"))),
             Seq("x", "z"), "left_anti")
           .groupBy("x").agg(countDistinct("z").as("n2"))
         materialized(

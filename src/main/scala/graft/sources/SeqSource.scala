@@ -46,6 +46,24 @@ object SeqSource {
     StructField("id", LongType, nullable = false),
     StructField("sq", LongType, nullable = false),
     StructField("m7", LongType, nullable = false)))
+
+  /** Overflow-safe Gauss sum of [lo, hi): exactly one of `n = hi-lo`
+    * and `lo+hi-1` is even, so dividing the even factor FIRST keeps
+    * every intermediate ≤ the true sum (lo ≥ 0 here), and
+    * `multiplyExact` turns a wrap into None. The naive
+    * `(lo+hi-1)*n/2` wraps its 128-bit-wide product for ranges around
+    * 2^31.5 rows and silently disagrees with the row-wise sum — a
+    * pushdown must either match the unpushed answer or refuse.
+    */
+  private[sources] def exactSum(lo: Long, hi: Long): Option[Long] = {
+    val n = hi - lo
+    if (n <= 0) Some(0L)
+    else try {
+      val a = Math.addExact(lo, hi - 1)
+      Some(if (n % 2 == 0) Math.multiplyExact(n / 2, a)
+      else Math.multiplyExact(n, a / 2))
+    } catch { case _: ArithmeticException => None }
+  }
 }
 
 class SeqTable(rows: Long, slices: Int) extends Table with SupportsRead {
@@ -90,7 +108,10 @@ class SeqScanBuilder(rows: Long, slices: Int) extends ScanBuilder
         case _: CountStar => true
         case m: Min => isId(m.column)
         case m: Max => isId(m.column)
-        case s: Sum => isId(s.column) && !s.isDistinct
+        case s: Sum => isId(s.column) && !s.isDistinct &&
+          // a Sum whose true value wraps LongType is refused, not
+          // answered wrong — Spark then evaluates it row-wise itself
+          SeqSource.exactSum(lo, hi).isDefined
         case _ => false
       }
 
@@ -156,7 +177,9 @@ class SeqAggScan(lo: Long, hi: Long,
       case _: CountStar => n: Any
       case _: Min => if (n == 0) null else (lo: Any)
       case _: Max => if (n == 0) null else (hi - 1: Any)
-      case _: Sum => if (n == 0) null else ((lo + hi - 1) * n / 2: Any)
+      case _: Sum => if (n == 0) null else (SeqSource.exactSum(lo, hi)
+        .getOrElse(throw new IllegalStateException(
+          s"sum over [$lo,$hi) should have been refused at pushdown")): Any)
       case other => throw new IllegalStateException(s"unpushable $other")
     }.toArray
     new PartitionReaderFactory {

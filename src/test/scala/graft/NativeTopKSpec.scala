@@ -176,6 +176,29 @@ class NativeTopKSpec extends AnyFunSuite {
     } finally spark.conf.unset(key)
   }
 
+  test("final-stage key overflow spills to external sort-and-scan, result exact") {
+    val key = graft.plans.TopKPerKeyExec.MaxPartialKeysKey
+    // ~1.5k distinct orders at sf0.001 against a 3-key cap: BOTH
+    // stages overflow in every partition — the partial pass streams
+    // through unpruned and the final pass must take its spillable
+    // sort-and-scan path, still producing exact per-key top-2 with
+    // multi-row groups (k > 1 exercises the group-boundary counting)
+    spark.conf.set(key, "3")
+    try {
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val native = TopK.perKey(li, Seq("l_orderkey"),
+        Seq(col("l_quantity").desc, col("l_linenumber")), k = 2)
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy(col("l_quantity").desc, col("l_linenumber"))
+      val viaWindow = li.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+      assert(native.exceptAll(viaWindow).isEmpty &&
+        viaWindow.exceptAll(native).isEmpty)
+      assert(native.count() == viaWindow.count())
+    } finally spark.conf.unset(key)
+  }
+
   test("plan: partial heap below ONE exchange, no Sort, no Window") {
     val docs = Tables(spark, dir, "documents")
       .select("doc_id", "source", "n_chars")

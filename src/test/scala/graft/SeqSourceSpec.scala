@@ -74,6 +74,33 @@ class SeqSourceSpec extends AnyFunSuite {
     assert(r.getLong(0) == 0L && r.isNullAt(1) && r.isNullAt(2))
   }
 
+  test("pushed SUM is overflow-safe: exact where the naive product wraps, declined past Long") {
+    // 3.2e9 rows: the naive (lo+hi-1)*n intermediate is ~1.02e19 and
+    // wraps, while the true sum (~5.12e18) is representable — the
+    // even-factor split must answer exactly
+    val rows = 3200000000L
+    val df = seq(rows, 8).agg(sum("id").as("s"))
+    assert(scanDesc(df).contains("agg=pushed"), scanDesc(df))
+    val expect = BigInt(rows) * (rows - 1) / 2
+    assert(expect.isValidLong)
+    assert(df.head().getLong(0) == expect.toLong)
+
+    // a narrowed slice of a huge sequence still pushes when ITS sum fits
+    val hi = 6100000000L
+    val lo = 6000000000L
+    val slice = seq(hi, 8).filter(col("id") >= lo).agg(sum("id").as("s"))
+    assert(scanDesc(slice).contains("agg=pushed"), scanDesc(slice))
+    assert(slice.head().getLong(0) ==
+      ((BigInt(lo) + (hi - 1)) * (hi - lo) / 2).toLong)
+
+    // 6.1e9 unfiltered rows: the true sum (~1.86e19) does not fit a
+    // Long — the connector must REFUSE the pushdown rather than answer
+    // wrong. Plan-only assertion: executing the fallback row scan
+    // would generate 6.1e9 rows
+    val declined = seq(hi, 8).agg(sum("id").as("s"))
+    assert(!scanDesc(declined).contains("agg=pushed"), scanDesc(declined))
+  }
+
   test("grouped or non-id aggregates do NOT push — computed from rows") {
     val df = seq(700).groupBy("m7").agg(count(lit(1)).as("n"))
     assert(!scanDesc(df).contains("agg=pushed"), scanDesc(df))
