@@ -1053,9 +1053,14 @@ object AnnQueries {
 
   /** Sign-bit binarization of the 64-dim embedding into one BIGINT
     * (bit i = dim i > 0, MSB-first) — shared by q255/q263; the SQL
-    * twin is [[binCodeCte]].
+    * twin is [[binCodeCte]]. Edge semantics both sides must agree on:
+    * a NULL element leaves the bit UNSET (`NULL > 0` is not true) and
+    * a NaN element SETS it (both engines order NaN above every
+    * value) — so the SQL twin must test `> 0` POSITIVELY; a
+    * `CASE WHEN x <= 0 … ELSE set` formulation silently sets the bit
+    * for NULL.
     */
-  private def binCode =
+  private[graft] def binCode =
     expr("aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> " +
       "acc | IF(embedding[i] > 0, shiftleft(CAST(1 AS BIGINT), 63 - i), " +
       "CAST(0 AS BIGINT)))")
@@ -1066,9 +1071,10 @@ object AnnQueries {
   private def binCodeCte: String =
     """b AS (
       |  SELECT vec_id, list_aggregate(list_transform(range(1, 65), i ->
-      |    CASE WHEN embedding[i] <= 0 THEN 0
-      |         WHEN i = 1 THEN (-9223372036854775807 - 1)::BIGINT
-      |         ELSE (1::BIGINT << (64 - i)) END), 'bit_or') AS bcode
+      |    CASE WHEN embedding[i] > 0 THEN
+      |      CASE WHEN i = 1 THEN (-9223372036854775807 - 1)::BIGINT
+      |           ELSE (1::BIGINT << (64 - i)) END
+      |    ELSE 0 END), 'bit_or') AS bcode
       |  FROM embeddings)""".stripMargin
 
   /** The q125 codebooks: re-trained identically by the query run and

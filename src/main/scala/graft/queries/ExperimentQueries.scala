@@ -142,32 +142,12 @@ object ExperimentQueries {
     // (marginals cross-joined, zeros included — absent cells still
     // carry expected mass) is |langs|·|sources| rows, so every frame
     // after the one corpus groupBy is bounded. Per-cell statistic
-    // (o·T − r·c)²/(r·c·T): all factors are exact integers ≤ 2^53, so
-    // the double division is bit-portable; the micro-snap makes each
-    // contribution a long and the total an order-free integer sum.
+    // (o·T − r·c)²/(r·c·T) is computed in DOUBLE with the identical
+    // operation order on both engines (see chi2Independence); the
+    // micro-snap makes each contribution a long and the total an
+    // order-free integer sum.
     "q262_chi2_independence" -> Q(
-      (s, d) => {
-        val docs = Tables(s, d, "documents")
-        val cells = docs.groupBy("lang", "source")
-          .agg(count(lit(1)).as("o"))
-        val r = docs.groupBy("lang").agg(count(lit(1)).as("r"))
-        val c = docs.groupBy("source").agg(count(lit(1)).as("c"))
-        val t = docs.agg(count(lit(1)).as("t"))
-        r.crossJoin(c).crossJoin(broadcast(t))
-          .join(cells, Seq("lang", "source"), "left")
-          .na.fill(0L, Seq("o"))
-          .withColumn("contrib_micro", expr(
-            "CAST(floor((o * t - r * c) * (o * t - r * c) * 1e6 " +
-              "/ (r * c * t) + 0.5) AS BIGINT)"))
-          .agg(count(lit(1)).as("n_cells"),
-            sum("contrib_micro").as("chi2_micro"))
-          .crossJoin(broadcast(
-            r.agg(count(lit(1)).as("n_langs"))))
-          .crossJoin(broadcast(
-            c.agg(count(lit(1)).as("n_sources"))))
-          .select(col("n_cells"), col("chi2_micro"),
-            ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
-      },
+      (s, d) => chi2Independence(Tables(s, d, "documents")),
       """WITH cells AS (
         |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
         |r AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1),
@@ -179,8 +159,9 @@ object ExperimentQueries {
         |  FROM r CROSS JOIN c CROSS JOIN t
         |  LEFT JOIN cells USING (lang, source)),
         |contrib AS (
-        |  SELECT CAST(floor((o * t - r * c) * (o * t - r * c) * 1e6
-        |    / (r * c * t) + 0.5) AS BIGINT) AS cm
+        |  SELECT CAST(floor((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)
+        |    * (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c) * 1e6
+        |    / (CAST(r AS DOUBLE) * c * t) + 0.5) AS BIGINT) AS cm
         |  FROM grid)
         |SELECT CAST(count(*) AS BIGINT) AS n_cells,
         |  CAST(sum(cm) AS BIGINT) AS chi2_micro,
@@ -189,4 +170,36 @@ object ExperimentQueries {
         |    AS dof
         |FROM contrib""".stripMargin)
   )
+
+  /** The q262 pipeline over an arbitrary documents frame, factored so
+    * the overflow spec can drive it past 50k rows under ANSI. The
+    * per-cell term is computed in DOUBLE with textually identical
+    * operation order to the DuckDB oracle (IEEE 754 on both engines →
+    * identical bits → identical hash at any corpus size); a BIGINT
+    * formulation of (o·T − r·c)² is ~N⁴ and overflows past ~55k
+    * docs — ANSI throws, plain mode silently wraps.
+    */
+  private[graft] def chi2Independence(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cells = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("o"))
+    val r = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+    val c = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    val t = docs.agg(count(lit(1)).as("t"))
+    r.crossJoin(c).crossJoin(broadcast(t))
+      .join(cells, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("contrib_micro", expr(
+        "CAST(floor((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c) " +
+          "* (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c) * 1e6 " +
+          "/ (CAST(r AS DOUBLE) * c * t) + 0.5) AS BIGINT)"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum("contrib_micro").as("chi2_micro"))
+      .crossJoin(broadcast(
+        r.agg(count(lit(1)).as("n_langs"))))
+      .crossJoin(broadcast(
+        c.agg(count(lit(1)).as("n_sources"))))
+      .select(col("n_cells"), col("chi2_micro"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"))
+  }
 }

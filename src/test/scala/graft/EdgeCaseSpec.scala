@@ -101,4 +101,59 @@ class EdgeCaseSpec extends AnyFunSuite {
     // invisible to THIS gate (the exact-dedup gate q63 owns it)
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("chi2Independence survives 60k docs under ANSI — DOUBLE term, exact snap") {
+    // 60k rows push (o·T − r·c)² past Long range: the old BIGINT
+    // formulation threw under ANSI (wrapped silently without) — the
+    // DOUBLE term must compute, and snap to the independently-derived
+    // integer micro total
+    val n = 60000
+    val docs = spark.range(n).select(
+      (col("id") % 3).cast("string").as("lang"),
+      when(col("id") % 7 < 3, "web").otherwise("book").as("source"))
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val row = graft.queries.ExperimentQueries.chi2Independence(docs).head()
+      assert(row.getLong(0) == 6) // 3 langs × 2 sources
+      // reference: same statistic from the exact contingency counts,
+      // computed with the identical IEEE operation order
+      val counts = docs.groupBy("lang", "source").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val langs = counts.keys.map(_._1).toSeq.distinct
+      val srcs = counts.keys.map(_._2).toSeq.distinct
+      val rm = langs.map(l => l -> counts.filter(_._1._1 == l).values.sum).toMap
+      val cm = srcs.map(s2 => s2 -> counts.filter(_._1._2 == s2).values.sum).toMap
+      val expect = (for { l <- langs; s2 <- srcs } yield {
+        val o = counts.getOrElse((l, s2), 0L)
+        val d = o.toDouble * n - rm(l).toDouble * cm(s2)
+        math.floor(d * d * 1e6 / (rm(l).toDouble * cm(s2) * n) + 0.5).toLong
+      }).sum
+      assert(row.getLong(1) == expect, s"chi2_micro ${row.getLong(1)} != $expect")
+      assert(row.getLong(2) == 2L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
+  test("binCode edge semantics: NULL element leaves the bit unset, NaN sets it") {
+    // the q255/q263 oracle must mirror exactly this truth table — a
+    // CASE WHEN x <= 0 … ELSE set formulation sets the bit for NULL
+    val vecs = Seq(
+      (1L, Array.fill[java.lang.Double](64)(0.0)
+        .updated(0, null: java.lang.Double)),          // NULL at dim 0
+      (2L, Array.fill[java.lang.Double](64)(0.0)
+        .updated(0, Double.NaN: java.lang.Double)),    // NaN at dim 0
+      (3L, Array.fill[java.lang.Double](64)(0.0)
+        .updated(63, 1.0: java.lang.Double)))          // plain positive
+      .toDF("vec_id", "embedding")
+    val out = vecs.select(col("vec_id"),
+        graft.queries.AnnQueries.binCode.as("code"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L, "NULL element must leave the sign bit unset")
+    assert(out(2L) == Long.MinValue, "NaN orders above 0 — bit set")
+    assert(out(3L) == 1L)
+  }
 }
