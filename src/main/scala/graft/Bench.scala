@@ -40,29 +40,12 @@ object Bench {
     // the timed action has completed, so its listener events are
     // already enqueued and only need the bus to cycle once.
     val metrics = Metrics.install(spark, maxRecords = 500000)
-    def settle(): Int = {
-      val deadline = System.nanoTime() + 2000000000L // 2 s cap
-      var last = metrics.records.size
-      var quietSince = System.nanoTime()
-      while (System.nanoTime() < deadline &&
-        System.nanoTime() - quietSince < 50000000L) {
-        Thread.sleep(5)
-        val now = metrics.records.size
-        if (now != last) { last = now; quietSince = System.nanoTime() }
-      }
-      last
-    }
     // one settle per run: the previous run's post-settle index doubles
-    // as this run's start, so the wait cost is paid once, not twice
-    var cursor = 0
-    def drained[T](body: => T): (T, Long) = {
-      val r = body
-      val after = settle()
-      val bytes = metrics.records.slice(cursor, after)
-        .map(_.shuffleBytes).sum
-      cursor = after
-      (r, bytes)
-    }
+    // as this run's start, so the wait cost is paid once, not twice.
+    // Attribution advances its cursor on the failure path too — a
+    // crashed run's partial jobs must not bleed into the next query's
+    // shuffle-bytes measurement (spec'd in MetricsSpec).
+    val attr = new Attribution(() => metrics.records)
 
     // min of two measured runs per query: filters scheduler/GC noise.
     // spark.catalog.clearCache() before each run evicts any frames the
@@ -73,7 +56,7 @@ object Bench {
     def timeOnce(name: String): (Double, Long) = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try drained { exec(name); (System.nanoTime() - t0) / 1e9 }
+      try attr.attribute { exec(name); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => (-1.0, 0L) }
     }
     // optional comma-separated substring filter for targeted local perf

@@ -78,6 +78,52 @@ class GraftMetricsListener(maxRecords: Int = 10000)
   def records: Seq[QueryRecord] = buf.iterator().asScala.toSeq
 }
 
+/** Cursor-based attribution of listener records to the action that
+  * produced them: `attribute(body)` runs the body, waits — bounded —
+  * for the record stream to go quiet, and charges exactly the records
+  * enqueued since the previous call. The cursor advances on the
+  * FAILURE path too: a crashed run's partial jobs still enqueued
+  * listener events, and without consuming them here they would bleed
+  * into the NEXT query's shuffle-bytes measurement — the
+  * regression-signal-of-record must not inherit a stranger's bytes.
+  *
+  * `records` is pulled lazily so the helper is testable against a
+  * plain growing buffer (see MetricsSpec); Bench wires it to a
+  * [[GraftMetricsListener]].
+  */
+final class Attribution(records: () => Seq[QueryRecord],
+    quietNs: Long = 50000000L, capNs: Long = 2000000000L) {
+  private var cursor = 0
+
+  private def settle(): Int = {
+    val deadline = System.nanoTime() + capNs
+    var last = records().size
+    var quietSince = System.nanoTime()
+    while (System.nanoTime() < deadline &&
+      System.nanoTime() - quietSince < quietNs) {
+      Thread.sleep(5)
+      val now = records().size
+      if (now != last) { last = now; quietSince = System.nanoTime() }
+    }
+    last
+  }
+
+  /** Run `body`; return (result, shuffle bytes of the records it
+    * enqueued). Rethrows the body's exception after consuming its
+    * records.
+    */
+  def attribute[T](body: => T): (T, Long) =
+    try {
+      val r = body
+      val after = settle()
+      val bytes = records().slice(cursor, after).map(_.shuffleBytes).sum
+      cursor = after
+      (r, bytes)
+    } catch {
+      case e: Throwable => cursor = settle(); throw e
+    }
+}
+
 object Metrics {
 
   /** Install a listener on `spark` and return it (caller keeps the

@@ -59,20 +59,33 @@ object ScaleQueries {
   /** Per-supplier top-3 lineitems by price via a correlated LATERAL
     * subquery — identical ANSI text for Spark and DuckDB.
     */
-  /** Fixed per-JVM scratch directory for the format round-trip gates
-    * (q245-q247): one path per purpose, wiped before reuse, so
-    * repeated Verify/Bench/PlanAudit sweeps hold at most ONE corpus
-    * copy each instead of leaking a fresh temp dir per invocation
-    * (bench runs every query at least twice).
+  /** Per-JVM scratch directory for the format round-trip gates
+    * (q245-q247, q267): one path per purpose under a PID-keyed root,
+    * wiped before reuse, so repeated sweeps inside one JVM hold at
+    * most ONE corpus copy each — and CONCURRENT Verify/Bench/
+    * PlanReport processes can never delete each other's scratch
+    * mid-read (the pre-PID fixed path did exactly that). The root is
+    * removed at JVM exit so parallel processes don't accumulate
+    * corpus copies in the box tmpdir.
     */
-  private def scratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_scratch_$name")
+  private[graft] lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(p)))
+    p
+  }
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => try java.nio.file.Files.delete(f)
+        catch { case _: java.io.IOException => () })
     }
+
+  private def scratchDir(name: String): String = {
+    val p = scratchRoot.resolve(name)
+    deleteRec(p)
     p.toString
   }
 

@@ -82,4 +82,28 @@ class MetricsSpec extends AnyFunSuite {
     Thread.sleep(500)
     assert(l.records.size == before)
   }
+
+  test("Attribution charges each body only its own records — including after a failure") {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[QueryRecord]
+    def rec(bytes: Long) =
+      QueryRecord("save", "op", 1L, 1L, bytes, failed = false)
+    // tiny quiet window: the buffer is appended synchronously inside
+    // the bodies, so settle returns as soon as it sees no growth
+    val attr = new Attribution(() => buf.toSeq,
+      quietNs = 1000000L, capNs = 100000000L)
+
+    val (_, a) = attr.attribute { buf += rec(100); buf += rec(20) }
+    assert(a == 120L)
+
+    // a FAILED body still enqueued partial-job records; its exception
+    // propagates but its records must be consumed, not left for the
+    // next query's measurement
+    val boom = intercept[RuntimeException](attr.attribute[Unit] {
+      buf += rec(777); throw new RuntimeException("query failed")
+    })
+    assert(boom.getMessage == "query failed")
+
+    val (_, b) = attr.attribute { buf += rec(5) }
+    assert(b == 5L, s"failed run's 777 bytes bled into the next query: $b")
+  }
 }

@@ -309,4 +309,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     // same salt+key ⇒ same verdict on rerun
     assert(kept(0.5) == k50)
   }
+
+  test("scratch root is PID-keyed — concurrent processes cannot clobber each other") {
+    // the q245-q247/q267 round-trip gates write under this root; a
+    // fixed path let a concurrent Verify/Bench JVM delete another's
+    // scratch mid-read. Per-process isolation = the PID in the path.
+    val root = graft.queries.ScaleQueries.scratchRoot.toString
+    assert(root.contains(ProcessHandle.current().pid().toString), root)
+    assert(root.startsWith(sys.props("java.io.tmpdir")), root)
+  }
 }
