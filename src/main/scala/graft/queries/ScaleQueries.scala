@@ -345,6 +345,36 @@ object ScaleQueries {
         |  min(range) AS min_id, max(range) AS max_id
         |FROM range(1000, 90000) GROUP BY 1""".stripMargin),
 
+    // q266's static pushdown has a runtime sibling: the V2 connector
+    // as the PROBE side of a broadcast join, where the pruning values
+    // are the BUILD side's keys — unknowable until the dim has run,
+    // so no static filter can express them. SupportsRuntimeFiltering
+    // hands the key set to the scan post-broadcast and partition
+    // planning re-narrows to just the matching id runs: the source
+    // GENERATES ~|dim| rows, not the 1M-row range (SeqSourceSpec pins
+    // the scan's numOutputRows; PlanShapeSpec pins the dynamicpruning
+    // expression). At warehouse scale this is DPP reaching a custom
+    // connector, the most valuable pruning a V2 source can offer.
+    "q275_dsv2_runtime_pruning" -> Q(
+      (s, d) => {
+        val fact = s.read.format("graft.sources.SeqSourceProvider")
+          .option("rows", "1000000").option("slices", "8").load()
+        val keys = Tables(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").cast("long").as("id"))
+        fact.join(broadcast(keys), "id")
+          .groupBy(col("m7"))
+          .agg(count(lit(1)).as("n"), sum("sq").as("sum_sq"),
+            min("id").as("min_id"), max("id").as("max_id"))
+      },
+      """WITH k AS (SELECT CAST(c_custkey AS BIGINT) AS id
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT range % 7 AS m7, count(*) AS n,
+        |  CAST(sum(range * range) AS BIGINT) AS sum_sq,
+        |  min(range) AS min_id, max(range) AS max_id
+        |FROM range(0, 1000000) r JOIN k ON r.range = k.id
+        |GROUP BY 1""".stripMargin),
+
     // Deterministic stratified sampling: a fixed-size per-language
     // eval slice drawn by content-hash order (md5 — portable across
     // engines, unlike a seeded RNG whose stream is engine-private).

@@ -194,22 +194,78 @@ class SeqAggScan(lo: Long, hi: Long,
   }
 }
 
+/** Row scan with JOIN-DRIVEN runtime filtering on top of the static
+  * pushdown: when this scan is the probe side of a broadcast join on
+  * `id`, Spark's dynamic-pruning machinery hands the build side's key
+  * set to [[filter]] AFTER the build side has run, and partition
+  * planning re-narrows to exactly the contiguous runs of matching
+  * ids — the warehouse-scale pruning (scan what the join can keep,
+  * not the table) reaching the V2 connector, not just parquet
+  * (q267). Unabsorbed or partially-absorbed runtime filters are
+  * safe: the join re-checks every surviving row.
+  */
 class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  // runtime-narrowed state; starts at the statically-pushed bounds
+  private var rLo = lo
+  private var rHi = hi
+  private var inIds: Option[Array[Long]] = None
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  // surfaces in EXPLAIN — the spec pins the narrowed range here
+  // surfaces in EXPLAIN — the spec pins the narrowed range here.
+  // (Runtime narrowing arrives after plan rendering; the spec reads
+  // it from the scan node's numOutputRows metric instead.)
   override def description(): String =
     s"graft_seq range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(hi - lo, 0L)
-    val per = math.max(1L, (n + slices - 1) / slices)
-    (0 until slices).iterator
-      .map(i => (lo + i * per, math.min(lo + (i + 1) * per, hi)))
-      .filter { case (a, b) => a < b }
-      .map { case (a, b) => SeqPartition(a, b): InputPartition }
-      .toArray
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) =>
+      val ids = vs.iterator.collect {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+      }.filter(v => v >= rLo && v < rHi).toArray.distinct.sorted
+      // intersect with a previously-delivered set (multiple joins)
+      inIds = Some(inIds.fold(ids)(prev => prev.intersect(ids)))
+    case EqualTo("id", v: Long) =>
+      rLo = math.max(rLo, v); rHi = math.min(rHi, v + 1)
+    case GreaterThan("id", v: Long) => rLo = math.max(rLo, v + 1)
+    case GreaterThanOrEqual("id", v: Long) => rLo = math.max(rLo, v)
+    case LessThan("id", v: Long) => rHi = math.min(rHi, v)
+    case LessThanOrEqual("id", v: Long) => rHi = math.min(rHi, v + 1)
+    case _ => () // not absorbed — the join re-evaluates it anyway
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = inIds match {
+    case Some(ids) =>
+      val live = ids.filter(v => v >= rLo && v < rHi)
+      if (live.isEmpty) Array.empty
+      else {
+        // contiguous ids coalesce into [a,b) runs; runs are chunked so
+        // the partition count stays at the configured width no matter
+        // how scattered the join keys are
+        val per = math.max(1, (live.length + slices - 1) / slices)
+        live.grouped(per).map { chunk =>
+          val runs = chunk.foldLeft(List.empty[(Long, Long)]) {
+            case ((a, b) :: tail, v) if v == b => (a, v + 1) :: tail
+            case (acc, v) => (v, v + 1) :: acc
+          }.reverse
+          SeqRunsPartition(runs): InputPartition
+        }.toArray
+      }
+    case None =>
+      val n = math.max(rHi - rLo, 0L)
+      val per = math.max(1L, (n + slices - 1) / slices)
+      (0 until slices).iterator
+        .map(i => (rLo + i * per, math.min(rLo + (i + 1) * per, rHi)))
+        .filter { case (a, b) => a < b }
+        .map { case (a, b) => SeqPartition(a, b): InputPartition }
+        .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SeqReaderFactory(required.fieldNames)
@@ -217,12 +273,23 @@ class SeqScan(lo: Long, hi: Long, slices: Int, required: StructType)
 
 case class SeqPartition(start: Long, end: Long) extends InputPartition
 
+/** A set of disjoint [start, end) runs read back-to-back — the
+  * partition shape runtime In-filters produce.
+  */
+case class SeqRunsPartition(runs: Seq[(Long, Long)]) extends InputPartition
+
 class SeqReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val sp = p.asInstanceOf[SeqPartition]
+    val runs = p match {
+      case SeqPartition(a, b) => Seq((a, b))
+      case SeqRunsPartition(rs) => rs
+    }
     new PartitionReader[InternalRow] {
-      private var cur = sp.start - 1
-      override def next(): Boolean = { cur += 1; cur < sp.end }
+      private val it = runs.iterator.flatMap { case (a, b) =>
+        Iterator.range(0L, b - a).map(_ + a)
+      }
+      private var cur = 0L
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       // only the PRUNED columns are computed and emitted
       override def get(): InternalRow = InternalRow.fromSeq(cols.map {
         case "id" => cur

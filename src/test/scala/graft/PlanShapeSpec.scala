@@ -147,6 +147,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("q275's V2 seq scan carries the join-driven runtime filter") {
+    val plan = SparkEntry.queries("q275_dsv2_runtime_pruning")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the dynamicpruning expression must sit on the graft_seq
+    // BatchScan line — pruning reached the CONNECTOR, not a post-scan
+    // filter (SeqSourceSpec proves the generated-row count)
+    val scanLine = plan.linesIterator
+      .find(_.contains("graft_seq")).getOrElse("")
+    assert(scanLine.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("query BUILDERS run zero Spark jobs (no driver-side actions at plan time)") {
     // A queries() entry must return a lazy plan; any .count()/.collect()
     // inside the builder forces an extra full materialization per call.

@@ -101,6 +101,48 @@ class SeqSourceSpec extends AnyFunSuite {
     assert(!scanDesc(declined).contains("agg=pushed"), scanDesc(declined))
   }
 
+  test("broadcast-join runtime filter reaches the scan and prunes generation") {
+    // probe = 1e6-row sequence, build = 21 selective keys: with
+    // SupportsRuntimeFiltering the build side's key set re-plans the
+    // scan's partitions to just the matching runs, so the source
+    // GENERATES ~21 rows instead of 1e6 — join-driven pruning on the
+    // V2 connector, the q267 story beyond parquet
+    val fact = seq(1000000, 8)
+    val keys = spark.range(0, 2000).filter(col("id") % 97 === 0)
+      .select(col("id"))
+    val joined = fact.join(broadcast(keys), "id")
+      .agg(count(lit(1)).as("n"), sum("sq").as("s"))
+    // collect(), not head(): head() executes a separate Limit-wrapped
+    // QueryExecution, leaving THIS plan's metrics empty
+    val row = joined.collect()(0)
+    assert(row.getLong(0) == 21)
+    assert(row.getLong(1) ==
+      (0L until 2000L by 97).map(v => v * v).sum)
+
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan)
+      case other => other.children.flatMap(walk)
+    })
+    val scans = walk(joined.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.description().contains("graft_seq") => b
+    }
+    assert(scans.nonEmpty, "no graft_seq BatchScan in the executed plan")
+    assert(scans.exists(_.runtimeFilters.nonEmpty),
+      "no runtime filter attached to the seq scan:\n" +
+        joined.queryExecution.executedPlan)
+    // AQE can leave un-executed copies of the node in the tree (metric
+    // 0) — the EXECUTED instance carries the real count
+    val generated = scans.map(_.metrics("numOutputRows").value).max
+    assert(generated == 21,
+      s"scan generated $generated rows — runtime pruning did not reach it " +
+        scans.map(s2 => (s2.runtimeFilters, s2.metrics("numOutputRows").value)))
+  }
+
   test("grouped or non-id aggregates do NOT push — computed from rows") {
     val df = seq(700).groupBy("m7").agg(count(lit(1)).as("n"))
     assert(!scanDesc(df).contains("agg=pushed"), scanDesc(df))
