@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProduct, KmvBottomK, MinHashSig, SimHash64}
+import graft.functions.{DotProduct, KmvBottomK, KmvEstimate, KmvUnion, MinHashSig, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the library's custom
   * Catalyst expressions with the SQL function registry, so
@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHashDescriptor)
     ext.injectFunction(GraftExtensions.minHashSigDescriptor)
     ext.injectFunction(GraftExtensions.kmvBottomKDescriptor)
+    ext.injectFunction(GraftExtensions.kmvUnionDescriptor)
+    ext.injectFunction(GraftExtensions.kmvEstimateDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.OverlapRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
@@ -76,5 +78,31 @@ object GraftExtensions {
           s"kmv_bottomk k must be an integer literal, got $other")
       }
       KmvBottomK(children.head, k)
+    })
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn k must be an integer literal, got $other")
+  }
+
+  val kmvUnionDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_union"),
+    new ExpressionInfo(classOf[KmvUnion].getName, "kmv_union"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a, b) => KmvUnion(a, b, Int.MaxValue) // exact merge
+      case Seq(a, b, kk) => KmvUnion(a, b, intLit(kk, "kmv_union"))
+      case _ => throw new IllegalArgumentException(
+        "kmv_union takes (sketch, sketch[, int-literal k])")
+    })
+
+  val kmvEstimateDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_estimate"),
+    new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_estimate"),
+    (children: Seq[Expression]) => children match {
+      case Seq(a) => KmvEstimate(a, -1) // assume saturated
+      case Seq(a, kk) => KmvEstimate(a, intLit(kk, "kmv_estimate"))
+      case _ => throw new IllegalArgumentException(
+        "kmv_estimate takes (sketch[, int-literal k])")
     })
 }

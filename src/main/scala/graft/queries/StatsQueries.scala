@@ -852,6 +852,72 @@ object StatsQueries {
           .withColumn("est_jaccard_ppm",
             expr("(n_both * 1000000) div k_union"))
       }, kmvOverlapOracleSql),
+
+    // The incremental-rollup shape a 100 TB pipeline actually stores:
+    // per-(type, month) sketches built ONCE by the native aggregate,
+    // then re-aggregated along the time axis with pure SKETCH ALGEBRA
+    // — a plain-SQL fold of `kmv_union` (associative set-union-
+    // truncate, so collect_list's order never matters) read out by
+    // `kmv_estimate`. No re-scan of the raw corpus: the rollup runs
+    // on |types|·|months| arrays of ≤ 64 longs. Union-truncate is
+    // EXACT w.r.t. re-sketching (a hash a month dropped was beaten by
+    // 64 smaller hashes of that month, so it cannot be in the union's
+    // bottom-64) — the oracle rebuilds the monthly bottom-64 sets in
+    // DuckDB and replays the same algebra on lists.
+    "q276_kmv_rollup_algebra" -> Q(
+      (s, d) => {
+        val v = shiftrightunsigned(
+          xxhash64(col("user_id").cast("string")), 2)
+        Tables(s, d, "events")
+          .select(col("event_type"), year(col("ts")).as("y"),
+            month(col("ts")).as("m"), v.as("v"))
+          .filter(col("v") > 0)
+          .createOrReplaceTempView("q276_hashes")
+        s.sql(
+          """WITH monthly AS (
+            |  SELECT event_type, y, m, kmv_bottomk(v, 64) AS sk
+            |  FROM q276_hashes GROUP BY event_type, y, m),
+            |rolled AS (
+            |  SELECT event_type,
+            |    aggregate(collect_list(sk), CAST(array() AS ARRAY<BIGINT>),
+            |      (acc, x) -> kmv_union(acc, x, 64)) AS sk
+            |  FROM monthly GROUP BY event_type)
+            |SELECT event_type, CAST(size(sk) AS BIGINT) AS k_used,
+            |  element_at(sk, size(sk)) AS vk,
+            |  kmv_estimate(sk, 64) AS est_distinct
+            |FROM rolled""".stripMargin)
+      },
+      {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT CAST(user_id AS VARCHAR) AS k FROM events))"""
+            .stripMargin
+        s"""WITH ${XxhSql.hashCtes(items, "k")},
+           |hv AS (
+           |  SELECT DISTINCT e.event_type, year(e.ts) AS y, month(e.ts) AS m,
+           |    CAST(h.h // 4 AS BIGINT) AS v
+           |  FROM events e JOIN hashed h ON h.k = CAST(e.user_id AS VARCHAR)
+           |  WHERE h.h // 4 > 0),
+           |monthly AS (
+           |  SELECT event_type, y, m, v,
+           |    row_number() OVER (PARTITION BY event_type, y, m ORDER BY v)
+           |      AS rn
+           |  FROM hv),
+           |flat AS (SELECT DISTINCT event_type, v FROM monthly WHERE rn <= 64),
+           |rk AS (
+           |  SELECT event_type, v,
+           |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY v)
+           |      AS BIGINT) AS rn,
+           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nv
+           |  FROM flat)
+           |SELECT event_type, CAST(least(64, nv) AS BIGINT) AS k_used,
+           |  v AS vk,
+           |  CAST(CASE WHEN nv < 64 THEN nv
+           |    ELSE (least(64, nv) - 1) * (4611686018427387904 // v) END
+           |    AS BIGINT) AS est_distinct
+           |FROM rk WHERE rn = least(64, nv)""".stripMargin
+      }),
     // Count-min join-cardinality estimation — the broadcast-vs-shuffle
     // planning aid as a verifiable query: |events ⋈ customer on
     // user_id| estimated as min over 4 depths of the CM inner product

@@ -81,4 +81,52 @@ class SketchesSpec extends AnyFunSuite {
     assert(est <= truth + 4 * slack,
       s"estimate $est too loose: truth $truth, slack $slack")
   }
+
+  test("kmv_union/kmv_estimate: merge-dedup-truncate semantics and both estimator branches") {
+    val spark = TestSpark.spark
+    def arr(vs: Long*) = vs.map(_.toString).mkString("array(", "L,", "L)")
+    def one(sql: String): Any =
+      spark.sql(s"SELECT $sql AS x").collect()(0).get(0)
+
+    // merge + dedup + truncate, ascending
+    assert(one(s"kmv_union(${arr(1, 3, 5)}, ${arr(2, 3, 9)}, 4)")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(1L, 2L, 3L, 5L))
+    // 2-arg = exact (untruncated) union
+    assert(one(s"kmv_union(${arr(1, 3, 5)}, ${arr(2, 3, 9)})")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(1L, 2L, 3L, 5L, 9L))
+    // empty sides
+    assert(one(s"kmv_union(CAST(array() AS ARRAY<BIGINT>), ${arr(7)}, 4)")
+      .asInstanceOf[scala.collection.Seq[Long]].toSeq == Seq(7L))
+
+    // unsaturated sketch with known k: size is EXACT
+    assert(one(s"kmv_estimate(${arr(10, 20, 30)}, 64)") == 3L)
+    // saturated: (k-1) * (2^62 div vk) — the q271 integer formula
+    val vk = 1000000007L
+    val expect = 2L * (4611686018427387904L / vk)
+    assert(one(s"kmv_estimate(${arr(5, 99, vk)}, 3)") == expect)
+    // 1-arg form assumes saturation
+    assert(one(s"kmv_estimate(${arr(5, 99, vk)})") == expect)
+    assert(one("kmv_estimate(CAST(array() AS ARRAY<BIGINT>), 64)") == 0L)
+  }
+
+  test("kmv rollup equivalence: folding per-part sketches == sketching the whole") {
+    // the property the q276 gate rides on — union-truncate of member
+    // sketches is EXACTLY the sketch of the union
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = (1 to 3000).map(i => (i % 4, (i.toLong * 2654435761L) % 100000))
+    rows.toDF("part", "v").filter(col("v") > 0)
+      .createOrReplaceTempView("kmv_eq_rows")
+    val direct = spark.sql(
+      "SELECT kmv_estimate(kmv_bottomk(v, 64), 64) AS e FROM kmv_eq_rows")
+      .collect()(0).getLong(0)
+    val rolled = spark.sql(
+      """SELECT kmv_estimate(aggregate(collect_list(sk),
+        |    CAST(array() AS ARRAY<BIGINT>),
+        |    (acc, x) -> kmv_union(acc, x, 64)), 64) AS e
+        |FROM (SELECT part, kmv_bottomk(v, 64) AS sk
+        |      FROM kmv_eq_rows GROUP BY part)""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(direct == rolled, s"direct $direct != rolled $rolled")
+  }
 }
