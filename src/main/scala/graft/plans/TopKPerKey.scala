@@ -60,8 +60,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * k·|keys|-bounded RESULT (see q205) — bounded, not corpus-sized.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan) extends UnaryNode {
+    k: Int, child: LogicalPlan, ties: Boolean = false) extends UnaryNode {
   require(k > 0, "top-k needs k > 0")
+  // ties mode = rank()==1 semantics (keep EVERY row tied with the
+  // best); only the argmin/argmax case needs it and bounding memory
+  // for k>1 with ties would need per-rank counting — not worth it
+  require(!ties || k == 1, "ties mode supports only k = 1")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
     copy(child = c)
@@ -72,15 +76,17 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child) =>
+    case TopKPerKeyNode(keys, order, k, child, ties) =>
       TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child),
+          ties), ties) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    k: Int, partial: Boolean, child: SparkPlan,
+    ties: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -102,6 +108,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val maxKeys = conf.getConfString(TopKPerKeyExec.MaxPartialKeysKey,
       "4000000").toInt
     val isPartial = partial
+    val withTies = ties
     val stageName = nodeName
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -109,14 +116,26 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // earlier. A max-queue under this ordering keeps the WORST
       // retained row at the head, so admission is one head compare.
       val rowOrd = RowOrdering.create(sortOrder, childOutput)
+      // heap mode keeps exactly k rows per key; ties mode (k = 1)
+      // keeps EVERY row tied with the current best — rank()==1
+      // semantics, so a strictly-beaten row can never return
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      val tied = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
       var overflowed = false
       while (iter.hasNext && !overflowed) {
         val row = iter.next()
         // both the key projection and the source iterator reuse row
         // buffers — copy on retention, never before
         val keyRow = keyProj(row)
-        heaps.get(keyRow) match {
+        if (withTies) tied.get(keyRow) match {
+          case Some(buf) =>
+            val c = rowOrd.compare(row, buf.head)
+            if (c < 0) { buf.clear(); buf += row.copy() }
+            else if (c == 0) buf += row.copy()
+          case None =>
+            tied.update(keyRow.copy(), mutable.ArrayBuffer(row.copy()))
+            overflowed = tied.size > maxKeys
+        } else heaps.get(keyRow) match {
           case Some(h) =>
             if (h.size < kk) h.enqueue(row.copy())
             else if (rowOrd.compare(row, h.head) < 0) {
@@ -130,7 +149,9 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         }
       }
       // emit each key's survivors best-first (dequeueAll is worst-first)
-      val buffered = heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      val buffered =
+        if (withTies) tied.valuesIterator.flatMap(_.iterator)
+        else heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
       if (!overflowed) buffered
       else if (isPartial) {
         // partial degradation: stream the remainder unpruned — rows
@@ -141,7 +162,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       } else {
         TopKPerKeyExec.logOverflow(stageName, maxKeys)
         TopKPerKeyExec.sortAndScan(childOutput, keyExprs, sortOrder, kk,
-          keyProj, buffered ++ iter)
+          withTies, keyProj, buffered ++ iter)
       }
     }, preservesPartitioning = true)
   }
@@ -171,7 +192,7 @@ object TopKPerKeyExec {
     */
   private[plans] def sortAndScan(childOutput: Seq[Attribute],
       keyExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
-      keyProj: UnsafeProjection,
+      ties: Boolean, keyProj: UnsafeProjection,
       rows: Iterator[InternalRow]): Iterator[InternalRow] = {
     import org.apache.spark.sql.execution.UnsafeExternalRowSorter
     import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
@@ -204,11 +225,19 @@ object TopKPerKeyExec {
     }
     var prevKey: UnsafeRow = null
     var inKey = 0
+    var leader: InternalRow = null
+    val tieOrd = RowOrdering.create(order, childOutput)
     sorter.sort().filter { row =>
       val kr = keyProj(row)
-      if (prevKey == null || kr != prevKey) { prevKey = kr.copy(); inKey = 0 }
+      if (prevKey == null || kr != prevKey) {
+        prevKey = kr.copy(); inKey = 0
+        if (ties) leader = row.asInstanceOf[UnsafeRow].copy()
+      }
       inKey += 1
-      inKey <= k
+      // ties mode: the group's first (best) row leads; keep every row
+      // order-equal to it — rank()==1 keeps all tied winners
+      if (ties) tieOrd.compare(row, leader) == 0
+      else inKey <= k
     }
   }
 }

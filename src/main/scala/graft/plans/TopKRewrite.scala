@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.NormalizeShim
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: the ubiquitous window-top-k idiom
   *
@@ -13,26 +13,38 @@ import org.apache.spark.sql.types.IntegerType
   *   .filter($"rn" <= k).drop("rn")
   * }}}
   *
-  * rewrites to the native [[TopKPerKeyNode]] whenever the rank column
-  * itself is DISCARDED — users keep writing the declarative window,
-  * the engine runs the partial/final heap pair (no map-side sort, no
-  * reduce-side sort, no Window operator, shuffle pruned to
-  * ≤ k·partitions rows per key).
+  * rewrites to the native [[TopKPerKeyNode]] — users keep writing the
+  * declarative window, the engine runs the partial/final heap pair
+  * (no map-side sort, no reduce-side sort, shuffle pruned to
+  * ≤ k·partitions rows per key). Shapes handled:
   *
-  * Fires only on the exact shape where the swap is semantics-
-  * preserving:
-  *  - the Window computes a SINGLE row_number over a non-empty
-  *    partition spec with the default running frame;
-  *  - the filter is a sole rank-limit predicate (`rn <= k`,
-  *    `rn < k`, mirrored, or `rn = 1`) — other predicates have been
-  *    separated below/above by PushDownPredicates before this batch
-  *    reaches fixpoint;
-  *  - the Project above references only child columns (the rank is
-  *    dropped). A consumed rank keeps the Window formulation.
+  *  1. Rank DROPPED (a Project above references only child columns):
+  *     the Window disappears entirely — `Project(TopKPerKeyNode)`.
+  *  2. Rank KEPT (filter directly over the window, or reached through
+  *     one pass-through Project that may alias/upcast the rank): the
+  *     window survives but is fed the PRUNED child —
+  *     `[Project](Window(TopKPerKeyNode))` — so both of its sorts run
+  *     on k·|keys| rows instead of the corpus, and the filter is
+  *     dropped (every recomputed rank is ≤ k by construction).
+  *     Survivors' recomputed ranks equal their original ones modulo
+  *     tie permutations, which the window formulation does not pin
+  *     either.
+  *  3. `rank() = 1` / `dense_rank() = 1` (the argmax-latest idiom):
+  *     both functions agree at rank 1 — keep EVERY row tied with the
+  *     best — so the rewrite targets ties-mode top-1
+  *     (TopKPerKeyNode(ties = true)), exact for ANY order, total or
+  *     not. Dropped-rank and kept-rank variants as above.
+  *
+  * Fires only when the Window computes a SINGLE ranking function over
+  * a non-empty partition spec with the default frame, and the filter
+  * is a sole rank-limit predicate (`rn <= k`, `rn < k`, mirrored,
+  * `= 1`; int or long literal — the long form appears when the rank
+  * was upcast). Other predicates have been separated below/above by
+  * PushDownPredicates before this batch reaches fixpoint.
   *
   * Ties: identical contract to the window it replaces — a non-total
-  * order is partition-order-dependent in BOTH formulations, so the
-  * rewrite never makes a deterministic query nondeterministic.
+  * order is partition-order-dependent in BOTH formulations for
+  * row_number, and rank()=1 keeps all tied rows in both.
   *
   * Escape hatch: `spark.graft.topk.autoRewrite=false` (it is a
   * per-query plan change, so the conf is read per planning).
@@ -41,44 +53,92 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   val ConfKey = "spark.graft.topk.autoRewrite"
 
-  /** `rn <= k` in its four spellings, plus `rn = 1`. */
+  /** `rn <= k` in its four spellings, plus `rn = 1`; int or long
+    * literals (long = the rank was upcast in a pass-through Project).
+    */
   private object RankLimit {
-    def unapply(e: Expression): Option[(Attribute, Int)] = e match {
-      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) =>
-        Some((a, k))
-      case LessThan(a: Attribute, Literal(k: Int, IntegerType)) =>
-        Some((a, k - 1))
-      case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: Attribute) =>
-        Some((a, k))
-      case GreaterThan(Literal(k: Int, IntegerType), a: Attribute) =>
-        Some((a, k - 1))
-      case EqualTo(a: Attribute, Literal(k: Int, IntegerType)) if k == 1 =>
-        Some((a, 1))
+    private def lit(e: Expression): Option[Long] = e match {
+      case Literal(k: Int, IntegerType) => Some(k.toLong)
+      case Literal(k: Long, LongType) => Some(k)
       case _ => None
+    }
+    def unapply(e: Expression): Option[(Attribute, Int)] = {
+      val raw: Option[(Attribute, Long)] = e match {
+        case LessThanOrEqual(a: Attribute, l) => lit(l).map((a, _))
+        case LessThan(a: Attribute, l) => lit(l).map(k => (a, k - 1))
+        case GreaterThanOrEqual(l, a: Attribute) => lit(l).map((a, _))
+        case GreaterThan(l, a: Attribute) => lit(l).map(k => (a, k - 1))
+        case EqualTo(a: Attribute, l) => lit(l).filter(_ == 1L).map((a, _))
+        case EqualTo(l, a: Attribute) => lit(l).filter(_ == 1L).map((a, _))
+        case _ => None
+      }
+      raw.collect { case (a, k) if k > 0 && k <= Int.MaxValue => (a, k.toInt) }
     }
   }
 
-  private object RowNumberWindow {
-    /** (rankAttr, partition, order, child) of a lone-row_number Window. */
-    def unapply(w: Window): Option[(Attribute, Seq[Expression], Seq[SortOrder], LogicalPlan)] =
+  /** (rankAttr, partition, order, child) of a lone single-ranking-
+    * function Window; `tiesOnly` = rank()/dense_rank() (safe to
+    * rewrite solely at k = 1, in ties mode).
+    */
+  private object RankingWindow {
+    def unapply(w: Window): Option[(Attribute, Seq[Expression], Seq[SortOrder], LogicalPlan, Boolean)] =
       w match {
-        case Window(Seq(al @ Alias(WindowExpression(_: RowNumber,
+        case Window(Seq(al @ Alias(WindowExpression(fn,
             WindowSpecDefinition(part, order,
-              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+              SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _)), _, _, child, _) if part.nonEmpty && order.nonEmpty =>
-          Some((al.toAttribute, part, order, child))
+          fn match {
+            case _: RowNumber => Some((al.toAttribute, part, order, child, false))
+            case _: Rank => Some((al.toAttribute, part, order, child, true))
+            case _: DenseRank => Some((al.toAttribute, part, order, child, true))
+            case _ => None
+          }
         case _ => None
       }
   }
 
+  /** Does `a` name the rank — directly, or via a pass-through Project
+    * entry that aliases it (possibly upcast int→long, monotone and
+    * injective, so the long-literal comparison is equivalent)?
+    */
+  private def namesRank(a: Attribute, projList: Seq[NamedExpression],
+      rankAttr: Attribute): Boolean =
+    projList.exists {
+      case al: Alias if al.exprId == a.exprId => al.child match {
+        case Cast(c, LongType, _, _) => c.semanticEquals(rankAttr)
+        case c => c.semanticEquals(rankAttr)
+      }
+      case attr: Attribute => attr.exprId == a.exprId &&
+        attr.semanticEquals(rankAttr)
+      case _ => false
+    }
+
+  private def node(part: Seq[Expression], order: Seq[SortOrder], k: Int,
+      child: LogicalPlan, ties: Boolean): TopKPerKeyNode =
+    TopKPerKeyNode(part.map(NormalizeShim.normalizeFloats), order, k, child,
+      ties)
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(ConfKey, "true").toBoolean) plan
-    else plan.transformUp {
+    else plan.transformDown {
+      // rank DROPPED: the Window disappears (anchored at the Project
+      // so it wins over the kept-rank case below for the same subtree)
       case Project(outs,
-          Filter(RankLimit(rn, k), RowNumberWindow(rankAttr, part, order, child)))
-          if k > 0 && rn.semanticEquals(rankAttr) &&
+          Filter(RankLimit(rn, k), RankingWindow(rankAttr, part, order, child, tiesOnly)))
+          if rn.semanticEquals(rankAttr) && (!tiesOnly || k == 1) &&
             outs.forall(_.references.subsetOf(child.outputSet)) =>
-        Project(outs, TopKPerKeyNode(
-          part.map(NormalizeShim.normalizeFloats), order, k, child))
+        Project(outs, node(part, order, k, child, tiesOnly))
+      // rank KEPT, filter directly over the window: prune BELOW it
+      case Filter(RankLimit(rn, k),
+          w @ RankingWindow(rankAttr, part, order, child, tiesOnly))
+          if rn.semanticEquals(rankAttr) && (!tiesOnly || k == 1) =>
+        w.withNewChildren(Seq(node(part, order, k, child, tiesOnly)))
+      // rank KEPT through one aliasing/upcasting Project: same, with
+      // the Project preserved
+      case Filter(RankLimit(a, k), p @ Project(projList,
+          w @ RankingWindow(rankAttr, part, order, child, tiesOnly)))
+          if namesRank(a, projList, rankAttr) && (!tiesOnly || k == 1) =>
+        p.withNewChildren(Seq(
+          w.withNewChildren(Seq(node(part, order, k, child, tiesOnly)))))
     }
 }

@@ -56,7 +56,7 @@ class TopKRewriteSpec extends AnyFunSuite {
       docs.select("source").distinct().count())
   }
 
-  test("a consumed rank keeps the Window formulation") {
+  test("a consumed rank keeps the Window — but feeds it the pruned top-k") {
     val docs = Tables(spark, dir, "documents")
       .select("doc_id", "source", "n_chars")
     val w = Window.partitionBy("source")
@@ -64,8 +64,74 @@ class TopKRewriteSpec extends AnyFunSuite {
     val kept = docs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3) // rn still in the output
     val plan = kept.queryExecution.executedPlan.toString
+    // the rank is consumed, so the Window must survive — over the
+    // k·|keys|-bounded native result, not the corpus
     assert(plan.contains("Window"), plan)
-    assert(!plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("TopKPerKey"), plan)
+    val baseline = {
+      spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+      try {
+        val b = docs.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+        b.collect().toSeq // materialize under the disabled conf
+      } finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
+    }
+    assert(kept.collect().toSeq.sortBy(_.toString) ==
+      baseline.sortBy(_.toString))
+  }
+
+  test("the rank() = 1 argmax idiom fires in ties mode and keeps ALL tied winners") {
+    import spark.implicits._
+    // two sources; source A has a two-way tie at the max value
+    val df = Seq(("a", 1L, 50), ("a", 2L, 90), ("a", 3L, 90),
+      ("b", 4L, 10), ("b", 5L, 70)).toDF("src", "id", "v")
+    val w = Window.partitionBy("src").orderBy(col("v").desc)
+    val best = df.withColumn("r", rank().over(w))
+      .filter(col("r") === 1).drop("r")
+    val plan = best.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    val got = best.select("id").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 5L), s"ties must all survive: $got")
+
+    // dense_rank() = 1 is the same predicate at rank 1
+    val dense = df.withColumn("r", dense_rank().over(w))
+      .filter(col("r") === 1).drop("r")
+    assert(dense.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    assert(dense.select("id").as[Long].collect().toSet == Set(2L, 3L, 5L))
+  }
+
+  test("rank() <= k for k > 1 is NOT rewritten (tie expansion differs)") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc)
+    val plan = docs.withColumn("r", rank().over(w))
+      .filter(col("r") <= 3).drop("r")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && !plan.contains("TopKPerKey"), plan)
+  }
+
+  test("an upcast rank (.cast(long)) no longer blocks the rewrite") {
+    // the AnnQueries idiom: row_number().over(w).cast('long') then
+    // filter — the cast lives in an intermediate Project; the rule now
+    // looks through it and prunes below the Window
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val kept = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    val baseline = {
+      spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+      try {
+        docs.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 4).collect().toSeq
+      } finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
+    }
+    assert(kept.collect().toSeq.sortBy(_.toString) ==
+      baseline.sortBy(_.toString))
   }
 
   test("an empty partition spec (global rank) is left alone") {
