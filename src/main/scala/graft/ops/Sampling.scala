@@ -75,6 +75,36 @@ object Mixture {
     s"substring(md5('$salt' || CAST($keySql AS VARCHAR)), 1, 4) < " +
       s"printf('%04x', CAST(least(floor(($rateSql) * 65536), 65535) AS INT))"
 
+  /** Fixed-size WEIGHTED sample without replacement per stratum —
+    * priority sampling (Duffield–Lund–Thorup, JACM 2007): each row
+    * draws a uniform u ∈ (0,1] and receives priority w/u; the k
+    * largest priorities per stratum are the sample (inclusion
+    * probability ∝ weight, exactly k rows per stratum). Engine
+    * portability is the design point: the draw is the top 32 bits of
+    * a salted xxhash64 and the priority is computed ENTIRELY in
+    * integer arithmetic — `(w · 2³²) div h` — so the ordering is
+    * bit-exact on any engine with 64-bit integers (no libm pow/log,
+    * which differ by ULPs across implementations and would flip
+    * near-tied ranks). Weight must lie in [0, 2³¹) to keep the
+    * product in a long. The top-k is written as the declarative
+    * row_number window, which TopKRewrite lowers to the native heap
+    * pair — no sorts, shuffle pruned to ≤ k·partitions rows per
+    * stratum.
+    */
+  def prioritySample(docs: DataFrame, stratumCol: String, keyCol: String,
+      weightCol: String, salt: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pri = expr(
+      s"(CAST($weightCol AS BIGINT) * 4294967296) div " +
+        s"(shiftrightunsigned(xxhash64(concat('$salt', " +
+        s"CAST($keyCol AS STRING))), 32) + 1)")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("priority").desc, col(keyCol))
+    docs.withColumn("priority", pri)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Deterministic epoch shuffle + shard assignment — the data-ORDER
     * step of a pretraining run: every epoch permutes the corpus by a
     * salted md5 draw, rows land in 16^shardHexChars shards keyed by

@@ -550,6 +550,38 @@ object ScaleQueries {
          |WHERE ${Mixture.keepWeightedSql("doc_id", "wsamp", "n_chars / 4000.0")}"""
         .stripMargin),
 
+    // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
+    // complement: EXACTLY k docs per language, inclusion probability
+    // ∝ length — priority sampling (Duffield–Lund–Thorup), where each
+    // row's priority is (w·2³²) div h over a salted-hash draw.
+    // Integer arithmetic end to end: no libm pow/log whose ULP
+    // differences could flip near-tied ranks between engines — the
+    // oracle replays the identical xxhash64 and the identical integer
+    // division. The top-k is the declarative window idiom, which
+    // TopKRewrite lowers to the native heap pair (PLANS shows no Sort
+    // and no Window).
+    "q277_priority_weighted_sample" -> Q(
+      (s, d) => Mixture.prioritySample(
+        Tables(s, d, "documents").select("lang", "doc_id", "n_chars"),
+        "lang", "doc_id", "n_chars", "w1:", k = 10),
+      {
+        val items =
+          """items AS (
+            |  SELECT k, k AS tok FROM (
+            |    SELECT DISTINCT 'w1:' || CAST(doc_id AS VARCHAR) AS k
+            |    FROM documents))""".stripMargin
+        s"""WITH ${graft.queries.XxhSql.hashCtes(items, "k")},
+           |pr AS (
+           |  SELECT d.lang, d.doc_id, d.n_chars,
+           |    CAST((CAST(d.n_chars AS BIGINT) * 4294967296)
+           |      // (h.h // 4294967296 + 1) AS BIGINT) AS priority
+           |  FROM documents d
+           |  JOIN hashed h ON h.k = 'w1:' || CAST(d.doc_id AS VARCHAR))
+           |SELECT lang, doc_id, n_chars, priority FROM pr
+           |QUALIFY row_number() OVER (PARTITION BY lang
+           |  ORDER BY priority DESC, doc_id) <= 10""".stripMargin
+      }),
+
     // Retractable MV maintenance (q111's operator under UPDATES):
     // a restatement deletes every shipment from 1998-06 on and
     // re-inserts only June/July with a +100 quantity correction.

@@ -310,6 +310,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(kept(0.5) == k50)
   }
 
+  test("prioritySample: exactly k per stratum, deterministic, lowered to native top-k") {
+    import graft.ops.Mixture
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select("lang", "doc_id", "n_chars")
+    val s1 = Mixture.prioritySample(docs, "lang", "doc_id", "n_chars", "w1:", 5)
+    val plan = s1.queryExecution.executedPlan.toString
+    // the declarative window inside the op must lower to the heap pair
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    val perLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (l, n) =>
+      assert(perLang(l) == math.min(5L, n), s"$l: ${perLang.get(l)}")
+    }
+    // same salt ⇒ identical sample on rerun
+    val s2 = Mixture.prioritySample(docs, "lang", "doc_id", "n_chars", "w1:", 5)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+
+    // weight dominance: one row 10000x heavier than 200 unit-weight
+    // rows lands in the top-5 (deterministic for the fixed salt)
+    import spark.implicits._
+    val skewed = ((1 to 200).map(i => ("s", i.toLong, 1L)) :+
+      (("s", 999L, 10000L))).toDF("g", "id", "w")
+    val got = Mixture.prioritySample(skewed, "g", "id", "w", "w1:", 5)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(999L), s"heavy row missing from $got")
+  }
+
   test("scratch root is PID-keyed — concurrent processes cannot clobber each other") {
     // the q245-q247/q267 round-trip gates write under this root; a
     // fixed path let a concurrent Verify/Bench JVM delete another's
