@@ -147,6 +147,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("dynamicpruning"), plan)
   }
 
+  test("Spark's runtime bloom filter injects on a selective shuffle join") {
+    // the third runtime-pruning tier next to parquet DPP (q267) and
+    // V2 runtime filtering (q275): for shuffle joins where neither
+    // side broadcasts, the build side's selective filter materializes
+    // a bloom filter that pre-prunes the probe side's shuffle input.
+    // Thresholds are sized for warehouse scans, so the spec lowers
+    // the application-side floor to exercise the injection locally.
+    val restore = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag")
+      val hot = Tables(spark, dir, "orders")
+        .filter(col("o_totalprice") > 200000.0)
+        .select("o_orderkey")
+      val j = li.join(hot, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count()
+      val plan = j.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloom_filter_might_contain") ||
+        plan.contains("bloomfilter"), plan)
+      assert(j.collect().map(_.getLong(1)).sum > 0)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q275's V2 seq scan carries the join-driven runtime filter") {
     val plan = SparkEntry.queries("q275_dsv2_runtime_pruning")(spark, dir)
       .queryExecution.executedPlan.toString

@@ -371,4 +371,60 @@ class PropertySpec extends AnyFunSuite {
         s"classes=$classes k=$k n=${vs.size}")
     }
   }
+
+  test("KmvAlgebra.union is an exact bottom-k semilattice on random sketches") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import graft.functions.KmvAlgebra
+    def sk(vs: Seq[Long]): ArrayData =
+      new GenericArrayData(vs.distinct.sorted.toArray)
+    def out(a: ArrayData): Seq[Long] = a.toLongArray().toSeq
+    val gen = for {
+      n <- Gen.chooseNum(0, 40)
+      vs <- Gen.listOfN(n, Gen.chooseNum(0L, 60L)) // dense → many collisions
+    } yield vs
+    val trips = samples(Gen.zip(gen, gen, gen), 60)
+    for (((a0, b0, c0), i) <- trips.zipWithIndex; k <- Seq(1, 4, 16)) {
+      val (a, b, c) = (sk(a0), sk(b0), sk(c0))
+      // ground truth: bottom-k of the true set union
+      def truth(xs: Seq[Long]*): Seq[Long] =
+        xs.flatten.distinct.sorted.take(k)
+      val ab = out(KmvAlgebra.union(a, b, k))
+      assert(ab == truth(a0, b0), s"i=$i k=$k union != bottom-k of union")
+      // commutative
+      assert(ab == out(KmvAlgebra.union(b, a, k)))
+      // associative INCLUDING intermediate truncation — the property
+      // the q276 rollup fold rides on
+      val left = out(KmvAlgebra.union(KmvAlgebra.union(a, b, k), c, k))
+      val right = out(KmvAlgebra.union(a, KmvAlgebra.union(b, c, k), k))
+      assert(left == right && left == truth(a0, b0, c0),
+        s"i=$i k=$k truncation broke associativity")
+      // idempotent
+      assert(out(KmvAlgebra.union(a, a, k)) == truth(a0))
+    }
+  }
+
+  test("prioritySample inclusion is monotone in weight on random strata") {
+    import graft.ops.Mixture
+    import spark.implicits._
+    // For ONE fixed stratum and salt: if a row's weight increases and
+    // everything else is fixed, it can only move UP the priority
+    // order — sampled sets are nested in the weight scaling
+    val gen = Gen.listOfN(30, Gen.chooseNum(1L, 1000L))
+    samples(gen, 3).zipWithIndex.foreach { case (ws, i) =>
+      val base = ws.zipWithIndex.map { case (w, id) => ("g", id.toLong, w) }
+      val boosted = base.map { case (g, id, w) =>
+        (g, id, if (id == 7L) w * 50 else w) }
+      def pick(rows: Seq[(String, Long, Long)]): Set[Long] =
+        Mixture.prioritySample(rows.toDF("g", "id", "w"),
+          "g", "id", "w", s"p$i:", 8)
+          .select("id").as[Long].collect().toSet
+      val before = pick(base)
+      val after = pick(boosted)
+      // row 7 boosted 50x: if it was in before, it stays; others'
+      // priorities are untouched, so at most row 7 displaces one row
+      if (before.contains(7L)) assert(after.contains(7L), s"i=$i lost boosted row")
+      assert((before - 7L).diff(after).size <= 1,
+        s"i=$i boosting one row displaced more than one other")
+    }
+  }
 }
