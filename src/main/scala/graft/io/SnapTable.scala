@@ -1,0 +1,155 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-snapshot table layout — the transactional storage
+  * contract a 100 TB lake needs, reduced to its load-bearing parts
+  * (the Delta/Iceberg idea, self-contained and dependency-free):
+  *
+  *  - DATA files are immutable parquet, written once under
+  *    `root/data/<uuid>/`, never mutated or renamed.
+  *  - Every commit atomically publishes ONE manifest
+  *    `root/_log/v<NNNNN>.manifest` naming the commit's files with
+  *    per-file row counts and min/max of a declared STAT column.
+  *    Atomicity rides on `Files.createFile` (fails if the version
+  *    exists), so two concurrent committers can never both claim a
+  *    version — the loser retries at the next number (optimistic
+  *    concurrency; its already-written data files are simply claimed
+  *    by the later manifest).
+  *  - READERS resolve the manifest list as of any version — `append`
+  *    adds files, `overwrite` resets the list — so every read is a
+  *    consistent snapshot, time travel is "stop replaying earlier",
+  *    and nothing a reader holds can be deleted out from under it.
+  *  - The manifest's min/max enable FILE SKIPPING above the format
+  *    tier: a range predicate on the stat column prunes whole files
+  *    from the listing before Spark ever opens a footer — at scale
+  *    the difference between listing 10⁶ files and reading the three
+  *    that overlap.
+  *
+  * Manifest format (line-oriented, no JSON dependency):
+  * {{{
+  * action=append|overwrite
+  * <path>\t<rows>\t<min>\t<max>
+  * }}}
+  *
+  * Stats are computed by reading back ONLY the freshly written files
+  * (one delta-sized scan per commit, never the table).
+  */
+object SnapTable {
+
+  final case class FileStat(path: String, rows: Long, min: Long, max: Long)
+  final case class Manifest(version: Int, action: String, files: Seq[FileStat])
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+
+  private def manifestPath(root: String, v: Int): Path =
+    logDir(root).resolve(f"v$v%05d.manifest")
+
+  /** Committed manifests in version order, up to `asOf` inclusive. */
+  def manifests(root: String, asOf: Option[Int] = None): Seq[Manifest] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val vs = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{5}\\.manifest") =>
+        s.substring(1, 6).toInt }
+      .toSeq.sorted
+    vs.filter(v => asOf.forall(v <= _)).map { v =>
+      val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+      val action = lines.head.stripPrefix("action=")
+      val files = lines.tail.filter(_.nonEmpty).map { l =>
+        val c = l.split('\t')
+        FileStat(c(0), c(1).toLong, c(2).toLong, c(3).toLong)
+      }
+      Manifest(v, action, files)
+    }
+  }
+
+  /** Latest committed version (0 = empty table). */
+  def currentVersion(root: String): Int =
+    manifests(root).lastOption.map(_.version).getOrElse(0)
+
+  /** The live file set as of a version: replay manifests; `overwrite`
+    * resets, `append` accretes.
+    */
+  def liveFiles(root: String, asOf: Option[Int] = None): Seq[FileStat] =
+    manifests(root, asOf).foldLeft(Seq.empty[FileStat]) {
+      case (acc, m) if m.action == "overwrite" => m.files
+      case (acc, m) => acc ++ m.files
+    }
+
+  /** Write `df` as a new commit and return the claimed version.
+    * `filesPerCommit` range-partitions on the stat column so each
+    * file covers a tight, near-disjoint stat range (what makes the
+    * min/max skipping sharp).
+    */
+  def commit(df: DataFrame, root: String, statCol: String,
+      action: String = "append", filesPerCommit: Int = 1): Int = {
+    require(action == "append" || action == "overwrite", action)
+    val spark = df.sparkSession
+    val dataDir = Paths.get(root, "data",
+      java.util.UUID.randomUUID().toString).toString
+    val shaped =
+      if (filesPerCommit == 1) df.coalesce(1)
+      else df.repartitionByRange(filesPerCommit, col(statCol))
+    shaped.write.parquet(dataDir)
+    // stats from the freshly written files only — a delta-sized scan
+    val stats = spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(statCol).cast("long")).as("mn"),
+        max(col(statCol).cast("long")).as("mx"))
+      .collect()
+      .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(_.path)
+    Files.createDirectories(logDir(root))
+    val body = (s"action=$action" +:
+      stats.map(f => s"${f.path}\t${f.rows}\t${f.min}\t${f.max}"))
+      .mkString("", "\n", "\n")
+    // optimistic concurrency: claim the next free version number; a
+    // concurrent winner makes createFile throw and we retry above it
+    var v = currentVersion(root) + 1
+    var committed = false
+    while (!committed) {
+      try {
+        Files.write(manifestPath(root, v), body.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW)
+        committed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    v
+  }
+
+  /** Snapshot read as of a version (default: latest). */
+  def read(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): DataFrame = {
+    val files = liveFiles(root, asOf)
+    require(files.nonEmpty, s"snapshot of $root at $asOf has no files")
+    spark.read.parquet(files.map(_.path): _*)
+  }
+
+  /** Snapshot read with manifest-level FILE SKIPPING for
+    * `statCol ∈ [lo, hi]`: files whose [min, max] cannot overlap are
+    * never listed to Spark. The row-level predicate is re-applied
+    * (files are a superset), so the result is exact.
+    */
+  def readPruned(spark: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
+    val live = liveFiles(root, asOf)
+    val hit = live.filter(f => f.max >= lo && f.min <= hi)
+    if (hit.isEmpty)
+      // preserve the schema for an empty selection
+      read(spark, root, asOf)
+        .filter(lit(false))
+    else spark.read.parquet(hit.map(_.path): _*)
+      .filter(col(statCol).cast("long").between(lo, hi))
+  }
+}

@@ -550,6 +550,87 @@ object ScaleQueries {
          |WHERE ${Mixture.keepWeightedSql("doc_id", "wsamp", "n_chars / 4000.0")}"""
         .stripMargin),
 
+    // Versioned-snapshot storage (io/SnapTable): three commits —
+    // append, append, overwrite — then a TIME-TRAVEL read of every
+    // version from the manifest log. The replay rule (overwrite
+    // resets the live file set, append accretes) is exactly what
+    // makes a 100 TB table transactional: readers resolve a manifest
+    // list, never a directory listing, so a half-finished writer is
+    // invisible and history stays queryable. The oracle recomputes
+    // each version's expected contents from the raw table.
+    "q278_snapshot_time_travel" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 3 === 0), root, "o_orderkey")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 3 === 1), root, "o_orderkey")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_totalprice") > 150000.0), root, "o_orderkey",
+          action = "overwrite")
+        Seq(1, 2, 3).map { v =>
+          graft.io.SnapTable.read(s, root, Some(v))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .as("sum_cents"))
+            .select(lit(v.toLong).as("version"), col("n_rows"),
+              col("sum_cents"))
+        }.reduce(_.unionAll(_))
+      },
+      """WITH c AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM c WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM c WHERE o_totalprice > 150000""".stripMargin),
+
+    // The manifest's per-file min/max as a FILE-SKIPPING index, gated
+    // end to end: four disjoint orderkey-range commits (one file
+    // each), a pruned read for a range overlapping exactly two of
+    // them, and the number of files actually opened REPORTED AS DATA
+    // (count of distinct input_file_name). The oracle recomputes the
+    // skip decision from the declared layout — so a reader that opens
+    // too many (or too few) files hash-fails, not just slows down. At
+    // scale this tier prunes the listing before any footer is read.
+    "q279_snapshot_file_skipping" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap2")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        graft.io.SnapTable.readPruned(s, root, "o_orderkey", 5000L, 10000L)
+          // project the (nondeterministic) file name first; aggregates
+          // may not take it as a direct argument
+          .select(col("o_totalprice"), input_file_name().as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (VALUES (0, 3999), (4000, 7999), (8000, 11999),
+        |     (12000, 99999999)) b(mn, mx)
+        |   WHERE mx >= 5000 AND mn <= 10000) AS n_files_read
+        |FROM orders WHERE o_orderkey BETWEEN 5000 AND 10000""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each
