@@ -83,14 +83,12 @@ object SnapTable {
       case (acc, m) => acc ++ m.files
     }
 
-  /** Write `df` as a new commit and return the claimed version.
-    * `filesPerCommit` range-partitions on the stat column so each
-    * file covers a tight, near-disjoint stat range (what makes the
-    * min/max skipping sharp).
+  /** Write `df` under `root/data/<uuid>/` and return its per-file
+    * stats — a delta-sized read-back of only the freshly written
+    * files, never the table.
     */
-  def commit(df: DataFrame, root: String, statCol: String,
-      action: String = "append", filesPerCommit: Int = 1): Int = {
-    require(action == "append" || action == "overwrite", action)
+  private def writeFiles(df: DataFrame, root: String, statCol: String,
+      filesPerCommit: Int): Seq[FileStat] = {
     val spark = df.sparkSession
     val dataDir = Paths.get(root, "data",
       java.util.UUID.randomUUID().toString).toString
@@ -98,8 +96,7 @@ object SnapTable {
       if (filesPerCommit == 1) df.coalesce(1)
       else df.repartitionByRange(filesPerCommit, col(statCol))
     shaped.write.parquet(dataDir)
-    // stats from the freshly written files only — a delta-sized scan
-    val stats = spark.read.parquet(dataDir)
+    spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"),
         min(col(statCol).cast("long")).as("mn"),
@@ -107,13 +104,20 @@ object SnapTable {
       .collect()
       .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3)))
-      .sortBy(_.path)
+      .sortBy(_.path).toSeq
+  }
+
+  /** Publish a manifest naming `files`, claiming the next free
+    * version (optimistic concurrency: a concurrent winner makes
+    * createFile throw and we retry above it).
+    */
+  private def publish(root: String, action: String,
+      files: Seq[FileStat]): Int = {
+    require(action == "append" || action == "overwrite", action)
     Files.createDirectories(logDir(root))
     val body = (s"action=$action" +:
-      stats.map(f => s"${f.path}\t${f.rows}\t${f.min}\t${f.max}"))
+      files.map(f => s"${f.path}\t${f.rows}\t${f.min}\t${f.max}"))
       .mkString("", "\n", "\n")
-    // optimistic concurrency: claim the next free version number; a
-    // concurrent winner makes createFile throw and we retry above it
     var v = currentVersion(root) + 1
     var committed = false
     while (!committed) {
@@ -126,6 +130,57 @@ object SnapTable {
       }
     }
     v
+  }
+
+  /** Write `df` as a new commit and return the claimed version.
+    * `filesPerCommit` range-partitions on the stat column so each
+    * file covers a tight, near-disjoint stat range (what makes the
+    * min/max skipping sharp).
+    */
+  def commit(df: DataFrame, root: String, statCol: String,
+      action: String = "append", filesPerCommit: Int = 1): Int =
+    publish(root, action, writeFiles(df, root, statCol, filesPerCommit))
+
+  /** OPTIMIZE: rewrite the live file set into `targetFiles`
+    * range-partitioned files and publish as one overwrite — the
+    * small-files maintenance pass every append-heavy table needs.
+    * Readers at older versions are untouched (their files are
+    * immutable); only the listing changes.
+    */
+  def compact(spark: SparkSession, root: String, statCol: String,
+      targetFiles: Int, asOf: Option[Int] = None): Int =
+    publish(root, "overwrite",
+      writeFiles(read(spark, root, asOf), root, statCol, targetFiles))
+
+  /** MERGE (upsert) with FILE-GRANULAR copy-on-write: only live files
+    * whose [min, max] overlaps the update keys' range are read and
+    * rewritten; every other file is carried into the new manifest
+    * untouched. Rows of touched files with a matching key are
+    * replaced by the update row, unmatched update keys are inserted,
+    * everything else is preserved. The update keys must be the stat
+    * column (that is what the manifest can prune on). Returns
+    * (claimed version, number of files rewritten) — at scale the
+    * second number IS the cost of the merge: a 100-key update against
+    * a million-file table rewrites the handful of files it touches.
+    */
+  def merge(spark: SparkSession, root: String, statCol: String,
+      updates: DataFrame, filesPerRewrite: Int = 1): (Int, Int) = {
+    val live = liveFiles(root)
+    val bounds = updates.agg(min(col(statCol).cast("long")),
+      max(col(statCol).cast("long"))).collect()(0)
+    if (bounds.isNullAt(0)) // empty update set: a no-op commit
+      return (publish(root, "overwrite", live), 0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val touched = live.filter(f => f.max >= lo && f.min <= hi)
+    val untouched = live.filterNot(touched.toSet)
+    val current =
+      if (touched.isEmpty) updates.limit(0)
+      else spark.read.parquet(touched.map(_.path): _*)
+    val merged = current
+      .join(updates.select(statCol), Seq(statCol), "left_anti")
+      .unionByName(updates)
+    val rewritten = writeFiles(merged, root, statCol, filesPerRewrite)
+    (publish(root, "overwrite", untouched ++ rewritten), touched.size)
   }
 
   /** Snapshot read as of a version (default: latest). */

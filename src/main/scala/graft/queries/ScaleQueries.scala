@@ -631,6 +631,74 @@ object ScaleQueries {
         |   WHERE mx >= 5000 AND mn <= 10000) AS n_files_read
         |FROM orders WHERE o_orderkey BETWEEN 5000 AND 10000""".stripMargin),
 
+    // OPTIMIZE on the snapshot table: four single-file appends (the
+    // small-files problem in miniature) compacted into two
+    // range-partitioned files by one overwrite commit. Data identity
+    // AND the post-compaction file count are both hash-gated; the
+    // pre-compaction v4 snapshot stays readable (immutability — the
+    // maintenance pass changes the LISTING, never a file a reader
+    // might hold).
+    "q280_snapshot_compaction" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap3")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        graft.io.SnapTable.compact(s, root, "o_orderkey", targetFiles = 2)
+        graft.io.SnapTable.read(s, root)
+          .select(col("o_totalprice"), input_file_name().as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(2 AS BIGINT) AS n_files_read
+        |FROM orders""".stripMargin),
+
+    // MERGE with file-granular copy-on-write: a price correction for
+    // keys in [5000, 6000) touches exactly ONE of the four live range
+    // files; the other three ride into the new manifest unrewritten.
+    // The post-merge snapshot (rows, corrected sum) and the total
+    // file count (3 untouched + 1 rewritten = 4) are hash-gated
+    // against the oracle's CASE-adjusted recompute — at 100 TB the
+    // rewritten-file count IS the merge's cost, so it is checked as
+    // data, not trusted.
+    "q281_snapshot_merge" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap4")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val updates = o
+          .filter(col("o_orderkey") >= 5000L && col("o_orderkey") < 6000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        graft.io.SnapTable.merge(s, root, "o_orderkey", updates)
+        graft.io.SnapTable.read(s, root)
+          .select(col("o_totalprice"), input_file_name().as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(
+        |    (CASE WHEN o_orderkey >= 5000 AND o_orderkey < 6000
+        |          THEN o_totalprice + 1000.0 ELSE o_totalprice END)
+        |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_files_read
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

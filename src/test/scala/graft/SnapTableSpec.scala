@@ -69,6 +69,53 @@ class SnapTableSpec extends AnyFunSuite {
     assert(none.isEmpty && none.columns.toSeq == Seq("id"))
   }
 
+  test("compact: data identical, fewer files, prior versions still readable") {
+    val root = freshRoot()
+    (0 until 5).foreach(i =>
+      SnapTable.commit(((i * 20 + 1).toLong to (i * 20 + 20).toLong)
+        .toDF("id"), root, "id"))
+    assert(SnapTable.liveFiles(root).size == 5)
+    val v = SnapTable.compact(spark, root, "id", targetFiles = 2)
+    assert(v == 6)
+    assert(SnapTable.liveFiles(root).size == 2)
+    assert(SnapTable.read(spark, root).agg(sum("id")).head().getLong(0) ==
+      (1L to 100L).sum)
+    // the pre-compaction snapshot is untouched — immutable files
+    assert(SnapTable.read(spark, root, Some(5)).count() == 100)
+    assert(SnapTable.liveFiles(root, Some(5)).size == 5)
+  }
+
+  test("merge: updates override, new keys insert, untouched files survive by path") {
+    val root = freshRoot()
+    val base = Seq((1L, "a"), (2L, "b"), (50L, "c"), (51L, "d"))
+      .toDF("id", "v")
+    SnapTable.commit(base.filter(col("id") < 10), root, "id")
+    SnapTable.commit(base.filter(col("id") >= 10), root, "id")
+    val before = SnapTable.liveFiles(root).map(_.path).toSet
+    // update id=2, insert id=3 — both inside file 1's range only
+    val updates = Seq((2L, "B"), (3L, "new")).toDF("id", "v")
+    val (v, rewritten) = SnapTable.merge(spark, root, "id", updates)
+    assert(v == 3 && rewritten == 1, s"v=$v rewritten=$rewritten")
+    val got = SnapTable.read(spark, root).as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "new", 50L -> "c",
+      51L -> "d"), got.toString)
+    // the untouched file rode into the new manifest by PATH
+    val after = SnapTable.liveFiles(root).map(_.path).toSet
+    assert(before.intersect(after).size == 1)
+
+    // keys beyond every file's range: pure insert, zero rewrites
+    val (_, r2) = SnapTable.merge(spark, root, "id",
+      Seq((900L, "z")).toDF("id", "v"))
+    assert(r2 == 0, s"insert-only merge rewrote $r2 files")
+    assert(SnapTable.read(spark, root).count() == 6)
+
+    // empty update set: a no-op commit, data unchanged
+    val (_, r3) = SnapTable.merge(spark, root, "id",
+      base.filter(lit(false)))
+    assert(r3 == 0 && SnapTable.read(spark, root).count() == 6)
+  }
+
   test("multi-file commits carve near-disjoint stat ranges") {
     val root = freshRoot()
     SnapTable.commit((1L to 1000L).toDF("id"), root, "id",
