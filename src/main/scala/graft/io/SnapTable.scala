@@ -34,6 +34,7 @@ import org.apache.spark.sql.functions._
   * Manifest format (line-oriented, no JSON dependency):
   * {{{
   * action=append|overwrite
+  * batch=<id>          (optional — streaming commits only)
   * <path>\t<rows>\t<min>\t<max>
   * }}}
   *
@@ -43,7 +44,8 @@ import org.apache.spark.sql.functions._
 object SnapTable {
 
   final case class FileStat(path: String, rows: Long, min: Long, max: Long)
-  final case class Manifest(version: Int, action: String, files: Seq[FileStat])
+  final case class Manifest(version: Int, action: String,
+      files: Seq[FileStat], batchId: Option[Long] = None)
 
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
@@ -61,12 +63,16 @@ object SnapTable {
       .toSeq.sorted
     vs.filter(v => asOf.forall(v <= _)).map { v =>
       val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
-      val action = lines.head.stripPrefix("action=")
-      val files = lines.tail.filter(_.nonEmpty).map { l =>
+      val (header, body) = lines.partition(l => l.contains('=') && !l.contains('\t'))
+      val action = header.collectFirst {
+        case h if h.startsWith("action=") => h.stripPrefix("action=") }.get
+      val batchId = header.collectFirst {
+        case h if h.startsWith("batch=") => h.stripPrefix("batch=").toLong }
+      val files = body.filter(_.nonEmpty).map { l =>
         val c = l.split('\t')
         FileStat(c(0), c(1).toLong, c(2).toLong, c(3).toLong)
       }
-      Manifest(v, action, files)
+      Manifest(v, action, files, batchId)
     }
   }
 
@@ -112,10 +118,11 @@ object SnapTable {
     * createFile throw and we retry above it).
     */
   private def publish(root: String, action: String,
-      files: Seq[FileStat]): Int = {
+      files: Seq[FileStat], batchId: Option[Long] = None): Int = {
     require(action == "append" || action == "overwrite", action)
     Files.createDirectories(logDir(root))
-    val body = (s"action=$action" +:
+    val body = (Seq(s"action=$action") ++
+      batchId.map(b => s"batch=$b") ++
       files.map(f => s"${f.path}\t${f.rows}\t${f.min}\t${f.max}"))
       .mkString("", "\n", "\n")
     var v = currentVersion(root) + 1
@@ -183,12 +190,77 @@ object SnapTable {
     (publish(root, "overwrite", untouched ++ rewritten), touched.size)
   }
 
-  /** Snapshot read as of a version (default: latest). */
+  /** Snapshot read as of a version (default: latest). `mergeSchema`
+    * unions the file schemas so a commit that ADDED a column reads
+    * together with older files (missing values null) — additive
+    * schema evolution without rewriting history. (A production tier
+    * would carry the schema in the manifest; the footer-merge is the
+    * same contract at this scale.)
+    */
   def read(spark: SparkSession, root: String,
       asOf: Option[Int] = None): DataFrame = {
     val files = liveFiles(root, asOf)
     require(files.nonEmpty, s"snapshot of $root at $asOf has no files")
-    spark.read.parquet(files.map(_.path): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(_.path): _*)
+  }
+
+  /** Idempotent STREAMING commit: foreachBatch hands (batch, id)
+    * here; a batch id already recorded in some manifest is a
+    * REPLAY — after a sink-side crash between commit and checkpoint
+    * advance — and must not commit twice. Returns the claimed version
+    * or None for a skipped replay. This is the exactly-once sink
+    * contract: the manifest log, not the checkpoint, is the source of
+    * truth for what landed.
+    */
+  def commitStreamBatch(batch: DataFrame, batchId: Long, root: String,
+      statCol: String, filesPerCommit: Int = 1): Option[Int] =
+    if (manifests(root).exists(_.batchId.contains(batchId))) None
+    else Some(publish(root, "append",
+      writeFiles(batch, root, statCol, filesPerCommit), Some(batchId)))
+
+  /** Drive `stream` into the table with [[commitStreamBatch]] as an
+    * AvailableNow pass (successive calls are incremental via the
+    * checkpoint; a REPLAYED batch — fresh checkpoint, same data — is
+    * recognized by its batch id and skipped).
+    */
+  def streamInto(stream: DataFrame, root: String, statCol: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitStreamBatch(batch, id, root, statCol)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Retention: drop the ability to time-travel before `keepFrom` and
+    * physically delete every data file not referenced by any version
+    * ≥ `keepFrom`. Returns the number of files removed. Readers of
+    * versions ≥ `keepFrom` are unaffected (their files are all
+    * referenced); older snapshots become unreadable — the documented
+    * retention trade every lake format makes.
+    */
+  def vacuum(root: String, keepFrom: Int): Int = {
+    val cur = currentVersion(root)
+    val referenced = (keepFrom to cur)
+      .flatMap(v => liveFiles(root, Some(v)).map(_.path)).toSet
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    val all = Files.walk(dataRoot).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .toSeq
+    // liveFiles paths come from input_file_name() = file: URIs;
+    // normalize both sides to the raw filesystem path
+    def norm(s: String): String = s.stripPrefix("file://").stripPrefix("file:")
+    val refNorm = referenced.map(norm)
+    val doomed = all.filterNot(p => refNorm.contains(p.toString))
+    doomed.foreach(Files.delete)
+    doomed.size
   }
 
   /** Snapshot read with manifest-level FILE SKIPPING for
@@ -204,7 +276,8 @@ object SnapTable {
       // preserve the schema for an empty selection
       read(spark, root, asOf)
         .filter(lit(false))
-    else spark.read.parquet(hit.map(_.path): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(hit.map(_.path): _*)
       .filter(col(statCol).cast("long").between(lo, hi))
   }
 }

@@ -699,6 +699,68 @@ object ScaleQueries {
         |  CAST(4 AS BIGINT) AS n_files_read
         |FROM orders""".stripMargin),
 
+    // Streaming ingest INTO the snapshot table with EXACTLY-ONCE
+    // commit semantics: each micro-batch commits as a manifest
+    // carrying its batch id, and a REPLAYED batch (here: the same
+    // source driven again from a FRESH checkpoint — the crash-replay
+    // shape) is recognized by its id and skipped, not double-landed.
+    // The manifest log, not the checkpoint, is the sink's source of
+    // truth. n_commits is reported as data: two full drives, one
+    // commit. The oracle is the batch recompute — stream-ingested ≡
+    // read-at-once proves loss- and duplication-freedom.
+    "q282_snapshot_stream_ingest" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap5")
+        def drive(ck: String): Unit = graft.io.SnapTable.streamInto(
+          s.readStream
+            .schema(graft.streaming.EventStream.documentsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(d)
+            .select("doc_id", "lang", "n_chars"),
+          root, "doc_id", ck)
+        drive(scratchDir("snap5ck1"))
+        drive(scratchDir("snap5ck2")) // fresh checkpoint → replay of batch 0
+        graft.io.SnapTable.read(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum("n_chars").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            lit(graft.io.SnapTable.currentVersion(root).toLong)
+              .as("n_commits"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS n_commits
+        |FROM documents""".stripMargin),
+
+    // Additive schema evolution on the snapshot table: v2 appends a
+    // column v1's files never heard of; the snapshot read unions the
+    // file schemas (old rows surface NULL) so history is never
+    // rewritten for an ALTER TABLE ADD COLUMN. Both the evolved
+    // column's aggregate and the row count are hash-gated against a
+    // CASE recompute.
+    "q283_snapshot_schema_evolution" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap6")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 2 === 0), root, "o_orderkey")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 2 === 1)
+            .withColumn("priority_cents",
+              expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")),
+          root, "o_orderkey")
+        graft.io.SnapTable.read(s, root)
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("priority_cents")).as("n_evolved"),
+            sum(coalesce(col("priority_cents"), lit(0L))).as("sum_evolved"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_evolved,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1
+        |    THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sum_evolved
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

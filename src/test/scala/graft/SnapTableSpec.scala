@@ -116,6 +116,45 @@ class SnapTableSpec extends AnyFunSuite {
     assert(r3 == 0 && SnapTable.read(spark, root).count() == 6)
   }
 
+  test("commitStreamBatch: a replayed batch id is skipped, not double-landed") {
+    val root = freshRoot()
+    val df = (1L to 10L).toDF("id")
+    assert(SnapTable.commitStreamBatch(df, 0L, root, "id").contains(1))
+    // crash-replay shape: same batch id arrives again
+    assert(SnapTable.commitStreamBatch(df, 0L, root, "id").isEmpty)
+    assert(SnapTable.commitStreamBatch(df, 1L, root, "id").contains(2))
+    assert(SnapTable.read(spark, root).count() == 20)
+    assert(SnapTable.manifests(root).flatMap(_.batchId) == Seq(0L, 1L))
+  }
+
+  test("vacuum deletes exactly the files unreachable from kept versions") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).toDF("id"), root, "id")  // v1
+    SnapTable.commit((11L to 20L).toDF("id"), root, "id") // v2
+    SnapTable.commit((1L to 20L).filter(_ % 2 == 0).toDF("id"), root, "id",
+      action = "overwrite")                               // v3
+    assert(SnapTable.read(spark, root, Some(2)).count() == 20)
+    val removed = SnapTable.vacuum(root, keepFrom = 3)
+    assert(removed == 2, s"expected v1+v2 data files removed, got $removed")
+    // the retained snapshot is intact...
+    assert(SnapTable.read(spark, root).count() == 10)
+    // ...and pre-retention time travel is gone, loudly
+    intercept[Throwable](SnapTable.read(spark, root, Some(2)).count())
+    // vacuum is idempotent
+    assert(SnapTable.vacuum(root, keepFrom = 3) == 0)
+  }
+
+  test("schema evolution: an added column reads as NULL over old files") {
+    val root = freshRoot()
+    SnapTable.commit(Seq((1L, "a")).toDF("id", "v"), root, "id")
+    SnapTable.commit(Seq((2L, "b", 9L)).toDF("id", "v", "extra"), root, "id")
+    val got = SnapTable.read(spark, root)
+    assert(got.columns.toSet == Set("id", "v", "extra"))
+    val rows = got.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2)))
+    assert(rows.toSeq == Seq((1L, true), (2L, false)))
+  }
+
   test("multi-file commits carve near-disjoint stat ranges") {
     val root = freshRoot()
     SnapTable.commit((1L to 1000L).toDF("id"), root, "id",
