@@ -237,6 +237,37 @@ object SnapTable {
     q.awaitTermination()
   }
 
+  /** CDC between two snapshots, computed from the MANIFEST diff: only
+    * files added or removed between the versions are ever read —
+    * untouched files (the overwhelming majority of a large table
+    * under incremental commits) cost nothing. Row-level multiset diff
+    * over the touched files turns a rewrite back into its net effect:
+    * rows present in both the removed and added sides cancel, so a
+    * merge that rewrote one file surfaces only the rows it actually
+    * changed. Returns (inserted, deleted) frames — the feed an
+    * incremental consumer (materialized-view refresh, downstream
+    * sync) applies instead of re-reading the table.
+    */
+  def changes(spark: SparkSession, root: String, fromV: Int,
+      toV: Int): (DataFrame, DataFrame) = {
+    val before = liveFiles(root, Some(fromV))
+    val after = liveFiles(root, Some(toV))
+    val beforePaths = before.map(_.path).toSet
+    val afterPaths = after.map(_.path).toSet
+    val added = after.filterNot(f => beforePaths.contains(f.path))
+    val removed = before.filterNot(f => afterPaths.contains(f.path))
+    def rd(fs: Seq[FileStat], schemaFrom: Seq[FileStat]): DataFrame =
+      if (fs.nonEmpty) spark.read.option("mergeSchema", "true")
+        .parquet(fs.map(_.path): _*)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(schemaFrom.map(_.path): _*).filter(lit(false))
+    require(added.nonEmpty || removed.nonEmpty || after.nonEmpty,
+      s"no files in either snapshot of $root")
+    val addedDf = rd(added, after ++ before)
+    val removedDf = rd(removed, after ++ before)
+    (addedDf.exceptAll(removedDf), removedDf.exceptAll(addedDf))
+  }
+
   /** Retention: drop the ability to time-travel before `keepFrom` and
     * physically delete every data file not referenced by any version
     * ≥ `keepFrom`. Returns the number of files removed. Readers of

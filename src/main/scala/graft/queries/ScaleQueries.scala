@@ -761,6 +761,50 @@ object ScaleQueries {
         |    ELSE 0 END) AS BIGINT) AS sum_evolved
         |FROM orders""".stripMargin),
 
+    // CDC between snapshot versions from the MANIFEST diff: after a
+    // file-granular merge, only the one rewritten file (plus its
+    // predecessor) is read — the three untouched files cost nothing —
+    // and the row-level multiset diff cancels the rewrite back to its
+    // net effect: exactly the updated rows appear as delete+insert
+    // pairs. This is the incremental-consumer feed (MV refresh,
+    // downstream sync) that replaces re-reading a 100 TB table. The
+    // oracle recomputes the expected delta from the update predicate.
+    "q284_snapshot_version_cdc" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap7")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val vBase = graft.io.SnapTable.currentVersion(root)
+        val updates = o
+          .filter(col("o_orderkey") >= 5000L && col("o_orderkey") < 5200L)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val (vNew, _) = graft.io.SnapTable.merge(s, root, "o_orderkey", updates)
+        val (ins, del) = graft.io.SnapTable.changes(s, root, vBase, vNew)
+        def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"))
+            .select(lit(side).as("side"), col("n_rows"), col("sum_cents"))
+        agg(ins, "insert").unionAll(agg(del, "delete"))
+      },
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey >= 5000 AND o_orderkey < 5200)
+        |SELECT 'insert' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor((o_totalprice + 1000.0) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM u
+        |UNION ALL
+        |SELECT 'delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT)
+        |FROM u""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -155,6 +155,30 @@ class SnapTableSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, true), (2L, false)))
   }
 
+  test("changes(): append is pure inserts; merge cancels to its net effect") {
+    val root = freshRoot()
+    SnapTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root, "id")
+    SnapTable.commit(Seq((10L, "x")).toDF("id", "v"), root, "id")
+    // append delta: exactly the new rows, nothing deleted
+    val (i1, d1) = SnapTable.changes(spark, root, 1, 2)
+    assert(i1.as[(Long, String)].collect().toSet == Set((10L, "x")))
+    assert(d1.isEmpty)
+    // merge rewrites file 1 (ids 1,2) changing only id=2: the multiset
+    // diff cancels the untouched row 1 out of the rewrite
+    SnapTable.merge(spark, root, "id", Seq((2L, "B")).toDF("id", "v"))
+    val (i2, d2) = SnapTable.changes(spark, root, 2, 3)
+    assert(i2.as[(Long, String)].collect().toSet == Set((2L, "B")))
+    assert(d2.as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // full-span diff composes
+    val (i3, d3) = SnapTable.changes(spark, root, 1, 3)
+    assert(i3.as[(Long, String)].collect().toSet ==
+      Set((10L, "x"), (2L, "B")))
+    assert(d3.as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // no-op span
+    val (i4, d4) = SnapTable.changes(spark, root, 3, 3)
+    assert(i4.isEmpty && d4.isEmpty)
+  }
+
   test("multi-file commits carve near-disjoint stat ranges") {
     val root = freshRoot()
     SnapTable.commit((1L to 1000L).toDF("id"), root, "id",
