@@ -805,6 +805,50 @@ object ScaleQueries {
         |    AS BIGINT)
         |FROM u""".stripMargin),
 
+    // The full lakehouse maintenance loop in one gate: a merge lands
+    // on the snapshot table, q284's manifest-diff CDC extracts its
+    // net row delta (reading only the rewritten file), and the
+    // aggregate MV refreshes by retractable state algebra —
+    // retract(base, fold(inserts), negate(fold(deletes))) — in
+    // O(delta). The oracle recomputes the view from scratch over the
+    // post-merge data: incremental ≡ recompute is the property that
+    // lets a 100 TB view absorb a 200-row correction without
+    // re-reading anything but the touched file and the state table.
+    "q285_snapshot_incremental_mv" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap8")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val vBase = graft.io.SnapTable.currentVersion(root)
+        def toState(df: org.apache.spark.sql.DataFrame) =
+          graft.ops.MaterializedAgg.fold(
+            df.select((col("o_orderkey") % 7).as("grp"),
+              expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+                .as("cents")),
+            Seq("grp"), Seq("cents"))
+        val base = toState(graft.io.SnapTable.read(s, root, Some(vBase)))
+        val updates = o
+          .filter(col("o_orderkey") >= 5000L && col("o_orderkey") < 5200L)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        val (vNew, _) = graft.io.SnapTable.merge(s, root, "o_orderkey", updates)
+        val (ins, del) = graft.io.SnapTable.changes(s, root, vBase, vNew)
+        graft.ops.MaterializedAgg.retract(base, toState(ins),
+            graft.ops.MaterializedAgg.negate(toState(del)))
+          .select(col("grp"), col("n").cast("long").as("n"),
+            col("sum_cents").cast("long").as("sum_cents"))
+      },
+      """SELECT o_orderkey % 7 AS grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(
+        |    (CASE WHEN o_orderkey >= 5000 AND o_orderkey < 5200
+        |          THEN o_totalprice + 1000.0 ELSE o_totalprice END)
+        |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY 1""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each
