@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * action=append|overwrite
   * batch=<id>          (optional — streaming commits only)
-  * <path>\t<rows>\t<min>\t<max>
+  * <path>\t<rows>\t<col>=<min>:<max>[,<col>=<min>:<max>...]
   * }}}
   *
   * Stats are computed by reading back ONLY the freshly written files
@@ -43,7 +43,19 @@ import org.apache.spark.sql.functions._
   */
 object SnapTable {
 
-  final case class FileStat(path: String, rows: Long, min: Long, max: Long)
+  /** Per-file stats over one or more columns; the FIRST column is the
+    * primary (shaping + single-column pruning APIs), additional
+    * columns enable multi-dimensional file skipping — the Z-order
+    * synergy: files clustered in 2-D carry tight boxes in BOTH
+    * dimensions, so a rectangle predicate prunes on each.
+    */
+  final case class FileStat(path: String, rows: Long,
+      stats: Seq[(String, (Long, Long))]) {
+    def min: Long = stats.head._2._1
+    def max: Long = stats.head._2._2
+    def range(colName: String): Option[(Long, Long)] =
+      stats.collectFirst { case (c, r) if c == colName => r }
+  }
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None)
 
@@ -70,7 +82,12 @@ object SnapTable {
         case h if h.startsWith("batch=") => h.stripPrefix("batch=").toLong }
       val files = body.filter(_.nonEmpty).map { l =>
         val c = l.split('\t')
-        FileStat(c(0), c(1).toLong, c(2).toLong, c(3).toLong)
+        val stats = c(2).split(',').toSeq.map { s =>
+          val Array(name, mm) = s.split('=')
+          val Array(mn, mx) = mm.split(':')
+          name -> (mn.toLong, mx.toLong)
+        }
+        FileStat(c(0), c(1).toLong, stats)
       }
       Manifest(v, action, files, batchId)
     }
@@ -93,23 +110,28 @@ object SnapTable {
     * stats — a delta-sized read-back of only the freshly written
     * files, never the table.
     */
-  private def writeFiles(df: DataFrame, root: String, statCol: String,
-      filesPerCommit: Int): Seq[FileStat] = {
+  private def writeFiles(df: DataFrame, root: String,
+      statCols: Seq[String], filesPerCommit: Int): Seq[FileStat] = {
     val spark = df.sparkSession
     val dataDir = Paths.get(root, "data",
       java.util.UUID.randomUUID().toString).toString
     val shaped =
       if (filesPerCommit == 1) df.coalesce(1)
-      else df.repartitionByRange(filesPerCommit, col(statCol))
+      else df.repartitionByRange(filesPerCommit, col(statCols.head))
     shaped.write.parquet(dataDir)
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"mn_$c"),
+      max(col(c).cast("long")).as(s"mx_$c")))
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"),
-        min(col(statCol).cast("long")).as("mn"),
-        max(col(statCol).cast("long")).as("mx"))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
       .collect()
-      .map(r => FileStat(r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3)))
+      .map { r =>
+        val stats = statCols.zipWithIndex.map { case (c, i) =>
+          c -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+        }
+        FileStat(r.getString(0), r.getLong(1), stats)
+      }
       .sortBy(_.path).toSeq
   }
 
@@ -123,7 +145,8 @@ object SnapTable {
     Files.createDirectories(logDir(root))
     val body = (Seq(s"action=$action") ++
       batchId.map(b => s"batch=$b") ++
-      files.map(f => s"${f.path}\t${f.rows}\t${f.min}\t${f.max}"))
+      files.map(f => s"${f.path}\t${f.rows}\t" + f.stats.map {
+        case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(",")))
       .mkString("", "\n", "\n")
     var v = currentVersion(root) + 1
     var committed = false
@@ -146,7 +169,36 @@ object SnapTable {
     */
   def commit(df: DataFrame, root: String, statCol: String,
       action: String = "append", filesPerCommit: Int = 1): Int =
-    publish(root, action, writeFiles(df, root, statCol, filesPerCommit))
+    publish(root, action, writeFiles(df, root, Seq(statCol), filesPerCommit))
+
+  /** [[commit]] carrying stats for SEVERAL columns (first = primary,
+    * used for shaping); with the data pre-clustered in N dimensions
+    * (e.g. [[graft.ops.ZOrder]]), every stat column's [min, max] box
+    * is tight and [[readPrunedMulti]] skips files in all of them.
+    */
+  def commitCols(df: DataFrame, root: String, statCols: Seq[String],
+      action: String = "append", filesPerCommit: Int = 1): Int =
+    publish(root, action, writeFiles(df, root, statCols, filesPerCommit))
+
+  /** Multi-dimensional file skipping: keep only files whose per-column
+    * boxes intersect EVERY requested [lo, hi]; re-apply the row
+    * predicate (files are a superset), so the result is exact.
+    */
+  def readPrunedMulti(spark: SparkSession, root: String,
+      bounds: Seq[(String, (Long, Long))],
+      asOf: Option[Int] = None): DataFrame = {
+    val live = liveFiles(root, asOf)
+    val hit = live.filter(f => bounds.forall { case (c, (lo, hi)) =>
+      f.range(c).exists { case (mn, mx) => mx >= lo && mn <= hi }
+    })
+    val base =
+      if (hit.isEmpty) read(spark, root, asOf).filter(lit(false))
+      else spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(_.path): _*)
+    bounds.foldLeft(base) { case (df, (c, (lo, hi))) =>
+      df.filter(col(c).cast("long").between(lo, hi))
+    }
+  }
 
   /** OPTIMIZE: rewrite the live file set into `targetFiles`
     * range-partitioned files and publish as one overwrite — the
@@ -157,7 +209,7 @@ object SnapTable {
   def compact(spark: SparkSession, root: String, statCol: String,
       targetFiles: Int, asOf: Option[Int] = None): Int =
     publish(root, "overwrite",
-      writeFiles(read(spark, root, asOf), root, statCol, targetFiles))
+      writeFiles(read(spark, root, asOf), root, Seq(statCol), targetFiles))
 
   /** MERGE (upsert) with FILE-GRANULAR copy-on-write: only live files
     * whose [min, max] overlaps the update keys' range are read and
@@ -186,7 +238,7 @@ object SnapTable {
     val merged = current
       .join(updates.select(statCol), Seq(statCol), "left_anti")
       .unionByName(updates)
-    val rewritten = writeFiles(merged, root, statCol, filesPerRewrite)
+    val rewritten = writeFiles(merged, root, Seq(statCol), filesPerRewrite)
     (publish(root, "overwrite", untouched ++ rewritten), touched.size)
   }
 
@@ -217,7 +269,7 @@ object SnapTable {
       statCol: String, filesPerCommit: Int = 1): Option[Int] =
     if (manifests(root).exists(_.batchId.contains(batchId))) None
     else Some(publish(root, "append",
-      writeFiles(batch, root, statCol, filesPerCommit), Some(batchId)))
+      writeFiles(batch, root, Seq(statCol), filesPerCommit), Some(batchId)))
 
   /** Drive `stream` into the table with [[commitStreamBatch]] as an
     * AvailableNow pass (successive calls are incremental via the

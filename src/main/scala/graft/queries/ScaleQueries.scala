@@ -849,6 +849,50 @@ object ScaleQueries {
         |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY 1""".stripMargin),
 
+    // MULTI-dimensional file skipping: four quadrant commits over
+    // (o_orderkey, o_custkey), each file carrying a tight min/max box
+    // in BOTH columns, then a rectangle read that must open exactly
+    // ONE quadrant — the key dimension alone would keep two files,
+    // the custkey stats cut the second one, which a single-column
+    // layout cannot express (the manifest-level analogue of what
+    // Z-order buys the footer tier). As in q279, the opened-file
+    // count is DATA, hash-checked against the oracle's replay of the
+    // box-intersection decision.
+    "q286_snapshot_2d_skipping" -> Q(
+      (s, d) => {
+        val root = scratchDir("snap9")
+        val o = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        for (kLow <- Seq(true, false); cLow <- Seq(true, false)) {
+          val part = o
+            .filter(if (kLow) col("o_orderkey") < 6000
+            else col("o_orderkey") >= 6000)
+            .filter(if (cLow) col("o_custkey") < 600
+            else col("o_custkey") >= 600)
+          graft.io.SnapTable.commitCols(part, root,
+            Seq("o_orderkey", "o_custkey"))
+        }
+        graft.io.SnapTable.readPrunedMulti(s, root,
+            Seq("o_orderkey" -> (0L, 5000L), "o_custkey" -> (0L, 500L)))
+          .select(col("o_totalprice"), input_file_name().as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (VALUES (0, 5999, 0, 599), (0, 5999, 600, 99999999),
+        |     (6000, 99999999, 0, 599), (6000, 99999999, 600, 99999999))
+        |     b(kmn, kmx, cmn, cmx)
+        |   WHERE kmx >= 0 AND kmn <= 5000 AND cmx >= 0 AND cmn <= 500)
+        |    AS n_files_read
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 0 AND 5000
+        |  AND o_custkey BETWEEN 0 AND 500""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -179,6 +179,45 @@ class SnapTableSpec extends AnyFunSuite {
     assert(i4.isEmpty && d4.isEmpty)
   }
 
+  test("multi-column stats round-trip and prune in every dimension") {
+    val root = freshRoot()
+    val df = (for (x <- 1L to 20L; y <- 1L to 20L) yield (x, y))
+      .toDF("x", "y")
+    // four quadrant files with boxes in BOTH columns
+    for (xl <- Seq(true, false); yl <- Seq(true, false))
+      SnapTable.commitCols(
+        df.filter((if (xl) col("x") <= 10 else col("x") > 10) &&
+          (if (yl) col("y") <= 10 else col("y") > 10)),
+        root, Seq("x", "y"))
+    val live = SnapTable.liveFiles(root)
+    assert(live.size == 4)
+    assert(live.forall(f => f.range("x").isDefined && f.range("y").isDefined))
+    // a rectangle inside one quadrant opens exactly one file
+    val one = SnapTable.readPrunedMulti(spark, root,
+      Seq("x" -> (2L, 5L), "y" -> (12L, 15L)))
+    assert(one.select(input_file_name()).distinct().count() == 1)
+    assert(one.count() == 4L * 4L)
+    // x alone would keep two files; the y bound cuts the second
+    val xOnly = SnapTable.readPrunedMulti(spark, root, Seq("x" -> (2L, 5L)))
+    assert(xOnly.select(input_file_name()).distinct().count() == 2)
+  }
+
+  test("concurrent committers all land, on distinct versions, none lost") {
+    val root = freshRoot()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 4).map { i =>
+      Future(SnapTable.commit(
+        ((i * 100 + 1).toLong to (i * 100 + 100).toLong).toDF("id"),
+        root, "id"))
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    assert(versions.sorted == Seq(1, 2, 3, 4), versions.toString)
+    assert(SnapTable.read(spark, root).count() == 400)
+    assert(SnapTable.read(spark, root).distinct().count() == 400)
+  }
+
   test("multi-file commits carve near-disjoint stat ranges") {
     val root = freshRoot()
     SnapTable.commit((1L to 1000L).toDF("id"), root, "id",
