@@ -893,6 +893,27 @@ object ScaleQueries {
         |WHERE o_orderkey BETWEEN 0 AND 5000
         |  AND o_custkey BETWEEN 0 AND 500""".stripMargin),
 
+    // The rank()=1 argmax WITH TIES, written declaratively: every doc
+    // tied at its language's best score bucket survives — rank()
+    // semantics, not row_number's pick-one. TopKRewrite lowers this
+    // to the ties-mode native top-1 (no Window, no sort, shuffle
+    // pruned to the per-partition winners), exact for any order —
+    // the q94 idiom when the caller WANTS the tied set.
+    "q287_argmax_rank_ties" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("lang")
+          .orderBy(col("score").desc)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars div 1000").as("score"))
+          .withColumn("r", rank().over(w))
+          .filter(col("r") === 1).drop("r")
+      },
+      """SELECT doc_id, lang, n_chars // 1000 AS score FROM documents
+        |QUALIFY rank() OVER (PARTITION BY lang
+        |  ORDER BY n_chars // 1000 DESC) = 1""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -180,6 +180,14 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q287's rank()=1 plans as ties-mode native top-1 — no Window, no Sort") {
+    val plan = SparkEntry.queries("q287_argmax_rank_ties")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!" Sort ".r.findAllIn(plan).hasNext, plan)
+  }
+
   test("q275's V2 seq scan carries the join-driven runtime filter") {
     val plan = SparkEntry.queries("q275_dsv2_runtime_pruning")(spark, dir)
       .queryExecution.executedPlan.toString
