@@ -12,10 +12,16 @@ object Verify {
       case Array(s, o, f) => (s, o, f)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_ANSI=true runs the whole contract under ANSI mode —
+    // the overflow-audit sweep: any silent numeric wrap in a query
+    // becomes a loud error here instead of a wrong answer at scale
+    // (the q262 bug class). The driver never sets it.
+    val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", ansi)
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // native-operator strategies
       .getOrCreate()
