@@ -918,6 +918,49 @@ object StatsQueries {
            |    AS BIGINT) AS est_distinct
            |FROM rk WHERE rn = least(64, nv)""".stripMargin
       }),
+    // Exponentially-weighted moving average over each type's daily
+    // series — the classic smoothing pass a metrics pipeline runs —
+    // in EXACT integer milli-units: e_t = (300·x_t·1000 + 700·e_{t−1})
+    // div 1000, folded left-to-right over the date-sorted series with
+    // the aggregate HOF (the recursion is per-GROUP and bounded by
+    // |days|, so the frame never leaves one row per type; at 100 TB
+    // the corpus pass is the one daily groupBy). The oracle replays
+    // the identical recurrence as a recursive CTE — integer division
+    // on both engines, no floating drift anywhere.
+    "q288_ewma_daily" -> Q(
+      (s, d) => {
+        Tables(s, d, "events")
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("event_type")
+          .agg(sort_array(collect_list(struct(col("day"), col("n"))))
+            .as("s"))
+          .select(col("event_type"),
+            size(col("s")).cast("long").as("n_days"),
+            expr("aggregate(slice(s, 2, size(s) - 1), s[0].n * 1000, " +
+              "(acc, x) -> (300 * x.n * 1000 + 700 * acc) div 1000)")
+              .as("ewma_milli"))
+      },
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT event_type, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn
+        |  FROM daily),
+        |rec AS (
+        |  SELECT event_type, rn, n * 1000 AS e FROM rk WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn,
+        |    (300 * r.n * 1000 + 700 * p.e) // 1000
+        |  FROM rk r JOIN rec p
+        |    ON p.event_type = r.event_type AND r.rn = p.rn + 1)
+        |SELECT event_type, CAST(max(rn) AS BIGINT) AS n_days,
+        |  CAST(arg_max(e, rn) AS BIGINT) AS ewma_milli
+        |FROM rec GROUP BY 1""".stripMargin),
+
     // Count-min join-cardinality estimation — the broadcast-vs-shuffle
     // planning aid as a verifiable query: |events ⋈ customer on
     // user_id| estimated as min over 4 depths of the CM inner product
