@@ -961,6 +961,50 @@ object StatsQueries {
         |  CAST(arg_max(e, rn) AS BIGINT) AS ewma_milli
         |FROM rec GROUP BY 1""".stripMargin),
 
+    // Corpus drift detection — the governance check run before mixing
+    // a new crawl into training data: triangular discrimination
+    // Σ (p−q)²/(p+q) between two slices' (lang, source) distributions
+    // (chi-squared-like, symmetric, bounded — and unlike PSI it needs
+    // no logarithm, so there is no libm ULP hazard to paper over).
+    // The per-cell term is DOUBLE with the identical operation order
+    // on both engines (the q262 pattern); cells absent from a slice
+    // carry 0 and still contribute. Everything after the one corpus
+    // groupBy is |langs|·|sources| rows.
+    "q289_corpus_drift" -> Q(
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+          .select(col("lang"), col("source"), (col("doc_id") % 2).as("half"))
+        val cells = docs.groupBy("lang", "source")
+          .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+        cells
+          .crossJoin(broadcast(cells.agg(sum("na").as("ta"),
+            sum("nb").as("tb"))))
+          .withColumn("contrib_micro", expr(
+            "CAST(floor((CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb) " +
+              "* (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb) " +
+              "/ (CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb) " +
+              "* 1e6 + 0.5) AS BIGINT)"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum("contrib_micro").as("drift_micro"))
+      },
+      """WITH cells AS (
+        |  SELECT lang, source,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |  CAST(sum(nb) AS BIGINT) AS tb FROM cells)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(CAST(floor(
+        |    (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+        |    * (CAST(na AS DOUBLE) / ta - CAST(nb AS DOUBLE) / tb)
+        |    / (CAST(na AS DOUBLE) / ta + CAST(nb AS DOUBLE) / tb)
+        |    * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS drift_micro
+        |FROM cells, t""".stripMargin),
+
     // Count-min join-cardinality estimation — the broadcast-vs-shuffle
     // planning aid as a verifiable query: |events ⋈ customer on
     // user_id| estimated as min over 4 depths of the CM inner product
