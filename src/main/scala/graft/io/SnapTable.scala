@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Versioned-snapshot table layout — the transactional storage
@@ -30,6 +30,23 @@ import org.apache.spark.sql.functions._
   *    from the listing before Spark ever opens a footer — at scale
   *    the difference between listing 10⁶ files and reading the three
   *    that overlap.
+  *  - READ-MODIFY-WRITE commits (merge, compact, delete) validate
+  *    against the log on publish: any version that landed since their
+  *    snapshot is either REBASED over (a non-conflicting concurrent
+  *    append rides into the new live set untouched) or REFUSED with a
+  *    `ConcurrentModificationException` (an append intersecting the
+  *    rewritten key range, or any concurrent overwrite — the Delta
+  *    conflict-checker contract). A blind `commit(action="overwrite")`
+  *    is declared last-writer-wins truncate-and-replace and does not
+  *    rebase.
+  *  - Every `checkpointInterval`-th commit also writes
+  *    `root/_log/c<NNNNN>.checkpoint` holding the RESOLVED state (live
+  *    file list + seen streaming batch ids) as of that version, so
+  *    readers and the exactly-once sink replay only the log tail —
+  *    O(tail) manifest reads per snapshot instead of O(versions)
+  *    (what `_last_checkpoint` buys Delta). Checkpoints are an
+  *    optimization only: a missing or unreadable checkpoint falls
+  *    back to full replay.
   *
   * Manifest format (line-oriented, no JSON dependency):
   * {{{
@@ -37,6 +54,9 @@ import org.apache.spark.sql.functions._
   * batch=<id>          (optional — streaming commits only)
   * <path>\t<rows>\t<col>=<min>:<max>[,<col>=<min>:<max>...]
   * }}}
+  *
+  * Checkpoint format: `version=<v>`, zero or more `batch=<id>` lines,
+  * then file lines identical to a manifest's.
   *
   * Stats are computed by reading back ONLY the freshly written files
   * (one delta-sized scan per commit, never the table).
@@ -59,52 +79,159 @@ object SnapTable {
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None)
 
+  private final case class Checkpoint(version: Int, files: Seq[FileStat],
+      batchIds: Set[Long])
+
+  /** Commits between checkpoints; small enough that the replay tail
+    * stays a handful of reads, large enough that checkpoint writes
+    * (one resolved-state file each) stay rare. System property so the
+    * log layer needs no SparkSession.
+    */
+  private def checkpointInterval: Int =
+    sys.props.get("graft.snap.checkpointInterval").map(_.toInt).getOrElse(20)
+
+  /** Distinct merge keys collected for per-file pruning before the
+    * envelope fallback kicks in (the key set is the merge's working
+    * set — bounded in any sane upsert; the cap is a driver-memory
+    * guard, not a semantic limit).
+    */
+  private def mergeKeyLimit: Int =
+    sys.props.get("graft.snap.mergeKeyLimit").map(_.toInt).getOrElse(100000)
+
+  /** Manifest files physically read — test instrumentation for the
+    * checkpoint contract (a snapshot read after N commits must replay
+    * only the tail, not the whole log).
+    */
+  private[graft] val manifestFilesRead =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def logDir(root: String): Path = Paths.get(root, "_log")
 
   private def manifestPath(root: String, v: Int): Path =
     logDir(root).resolve(f"v$v%05d.manifest")
 
-  /** Committed manifests in version order, up to `asOf` inclusive. */
-  def manifests(root: String, asOf: Option[Int] = None): Seq[Manifest] = {
+  private def checkpointPath(root: String, v: Int): Path =
+    logDir(root).resolve(f"c$v%05d.checkpoint")
+
+  /** Committed version numbers in order — one directory listing, zero
+    * file reads.
+    */
+  private def listVersions(root: String): Seq[Int] = {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) return Nil
-    val vs = Files.list(dir).iterator().asScala
+    val s = Files.list(dir)
+    try s.iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{5}\\.manifest") =>
-        s.substring(1, 6).toInt }
+      .collect { case n if n.matches("v\\d{5}\\.manifest") =>
+        n.substring(1, 6).toInt }
       .toSeq.sorted
-    vs.filter(v => asOf.forall(v <= _)).map { v =>
-      val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
-      val (header, body) = lines.partition(l => l.contains('=') && !l.contains('\t'))
-      val action = header.collectFirst {
-        case h if h.startsWith("action=") => h.stripPrefix("action=") }.get
-      val batchId = header.collectFirst {
-        case h if h.startsWith("batch=") => h.stripPrefix("batch=").toLong }
-      val files = body.filter(_.nonEmpty).map { l =>
-        val c = l.split('\t')
-        val stats = c(2).split(',').toSeq.map { s =>
-          val Array(name, mm) = s.split('=')
-          val Array(mn, mx) = mm.split(':')
-          name -> (mn.toLong, mx.toLong)
-        }
-        FileStat(c(0), c(1).toLong, stats)
-      }
-      Manifest(v, action, files, batchId)
-    }
+    finally s.close()
   }
 
-  /** Latest committed version (0 = empty table). */
+  private def listCheckpointVersions(root: String): Seq[Int] = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.matches("c\\d{5}\\.checkpoint") =>
+        n.substring(1, 6).toInt }
+      .toSeq.sorted
+    finally s.close()
+  }
+
+  private def parseFileLine(l: String): FileStat = {
+    val c = l.split('\t')
+    val stats = c(2).split(',').toSeq.map { s =>
+      val Array(name, mm) = s.split('=')
+      val Array(mn, mx) = mm.split(':')
+      name -> (mn.toLong, mx.toLong)
+    }
+    FileStat(c(0), c(1).toLong, stats)
+  }
+
+  private def fileLine(f: FileStat): String =
+    s"${f.path}\t${f.rows}\t" +
+      f.stats.map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(",")
+
+  private def readManifest(root: String, v: Int): Manifest = {
+    manifestFilesRead.incrementAndGet()
+    val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+    val (header, body) =
+      lines.partition(l => l.contains('=') && !l.contains('\t'))
+    val action = header.collectFirst {
+      case h if h.startsWith("action=") => h.stripPrefix("action=") }.get
+    val batchId = header.collectFirst {
+      case h if h.startsWith("batch=") => h.stripPrefix("batch=").toLong }
+    Manifest(v, action, body.filter(_.nonEmpty).map(parseFileLine), batchId)
+  }
+
+  /** Latest checkpoint at or below `asOf`, or None (missing/corrupt →
+    * full replay; checkpoints are never a correctness dependency).
+    */
+  private def latestCheckpoint(root: String,
+      asOf: Option[Int]): Option[Checkpoint] =
+    listCheckpointVersions(root)
+      .filter(v => asOf.forall(v <= _))
+      .lastOption.flatMap { v =>
+        try {
+          val lines = Files.readAllLines(checkpointPath(root, v))
+            .asScala.toSeq
+          val (header, body) =
+            lines.partition(l => l.contains('=') && !l.contains('\t'))
+          val ver = header.collectFirst {
+            case h if h.startsWith("version=") =>
+              h.stripPrefix("version=").toInt }.get
+          val batches = header.collect {
+            case h if h.startsWith("batch=") =>
+              h.stripPrefix("batch=").toLong }.toSet
+          Some(Checkpoint(ver, body.filter(_.nonEmpty).map(parseFileLine),
+            batches))
+        } catch { case _: Exception => None }
+      }
+
+  /** Committed manifests in version order, up to `asOf` inclusive —
+    * the RAW log accessor (always reads every manifest; snapshot
+    * resolution goes through the checkpoint-aware [[liveFiles]]).
+    */
+  def manifests(root: String, asOf: Option[Int] = None): Seq[Manifest] =
+    listVersions(root).filter(v => asOf.forall(v <= _))
+      .map(v => readManifest(root, v))
+
+  /** Manifests with version in (after, asOf] — the replay tail above a
+    * checkpoint or a rebase base.
+    */
+  private def manifestsAfter(root: String, after: Int,
+      asOf: Option[Int] = None): Seq[Manifest] =
+    listVersions(root)
+      .filter(v => v > after && asOf.forall(v <= _))
+      .map(v => readManifest(root, v))
+
+  /** Latest committed version (0 = empty table) — listing only. */
   def currentVersion(root: String): Int =
-    manifests(root).lastOption.map(_.version).getOrElse(0)
+    listVersions(root).lastOption.getOrElse(0)
+
+  /** Resolved (live files, seen batch ids) as of a version: start
+    * from the newest usable checkpoint, replay only the tail.
+    */
+  private def resolveState(root: String,
+      asOf: Option[Int]): (Seq[FileStat], Set[Long]) = {
+    val ck = latestCheckpoint(root, asOf)
+    val base = ck.map(c => (c.files, c.batchIds))
+      .getOrElse((Seq.empty[FileStat], Set.empty[Long]))
+    manifestsAfter(root, ck.map(_.version).getOrElse(0), asOf)
+      .foldLeft(base) { case ((files, bids), m) =>
+        val f2 = if (m.action == "overwrite") m.files else files ++ m.files
+        (f2, bids ++ m.batchId)
+      }
+  }
 
   /** The live file set as of a version: replay manifests; `overwrite`
-    * resets, `append` accretes.
+    * resets, `append` accretes. Checkpoint-accelerated: O(tail), not
+    * O(versions).
     */
   def liveFiles(root: String, asOf: Option[Int] = None): Seq[FileStat] =
-    manifests(root, asOf).foldLeft(Seq.empty[FileStat]) {
-      case (acc, m) if m.action == "overwrite" => m.files
-      case (acc, m) => acc ++ m.files
-    }
+    resolveState(root, asOf)._1
 
   /** Write `df` under `root/data/<uuid>/` and return its per-file
     * stats — a delta-sized read-back of only the freshly written
@@ -135,31 +262,109 @@ object SnapTable {
       .sortBy(_.path).toSeq
   }
 
+  private def manifestBody(action: String, files: Seq[FileStat],
+      batchId: Option[Long]): String =
+    (Seq(s"action=$action") ++ batchId.map(b => s"batch=$b") ++
+      files.map(fileLine)).mkString("", "\n", "\n")
+
+  /** Atomically claim version `v` (CREATE_NEW: throws
+    * FileAlreadyExistsException if a concurrent winner holds it).
+    */
+  private def writeManifestFile(root: String, v: Int, action: String,
+      files: Seq[FileStat], batchId: Option[Long]): Unit = {
+    Files.createDirectories(logDir(root))
+    Files.write(manifestPath(root, v),
+      manifestBody(action, files, batchId).getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+  }
+
+  /** After landing version `v`, maybe persist the resolved state as a
+    * checkpoint. Best-effort by design: any failure (concurrent
+    * checkpointer, IO) leaves readers on full-tail replay.
+    */
+  private def maybeCheckpoint(root: String, v: Int): Unit =
+    if (v % checkpointInterval == 0) {
+      try {
+        val (files, bids) = resolveState(root, Some(v))
+        val body = (Seq(s"version=$v") ++
+          bids.toSeq.sorted.map(b => s"batch=$b") ++
+          files.map(fileLine)).mkString("", "\n", "\n")
+        Files.write(checkpointPath(root, v), body.getBytes("UTF-8"),
+          StandardOpenOption.CREATE_NEW)
+      } catch { case _: Exception => () }
+    }
+
   /** Publish a manifest naming `files`, claiming the next free
     * version (optimistic concurrency: a concurrent winner makes
-    * createFile throw and we retry above it).
+    * createFile throw and we retry above it). This is the BLIND
+    * commit path — append is order-independent and a caller-requested
+    * overwrite is declared truncate-and-replace — so retrying at the
+    * next number is sound without revalidation. Read-modify-write
+    * commits go through [[publishRebasing]] instead.
     */
   private def publish(root: String, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None): Int = {
     require(action == "append" || action == "overwrite", action)
-    Files.createDirectories(logDir(root))
-    val body = (Seq(s"action=$action") ++
-      batchId.map(b => s"batch=$b") ++
-      files.map(f => s"${f.path}\t${f.rows}\t" + f.stats.map {
-        case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(",")))
-      .mkString("", "\n", "\n")
     var v = currentVersion(root) + 1
     var committed = false
     while (!committed) {
       try {
-        Files.write(manifestPath(root, v), body.getBytes("UTF-8"),
-          StandardOpenOption.CREATE_NEW)
+        writeManifestFile(root, v, action, files, batchId)
         committed = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => v += 1
       }
     }
+    maybeCheckpoint(root, v)
     v
+  }
+
+  /** Publish an `overwrite` computed by a READ-MODIFY-WRITE of the
+    * snapshot at `baseVersion`, revalidating against every version
+    * that has landed since (whether noticed via a createFile collision
+    * or already present before the first attempt):
+    *
+    *  - a concurrent `overwrite` → refuse (both sides rewrote the
+    *    live set from different bases; no sound merge exists);
+    *  - a concurrent `append` whose files satisfy `isConflicting`
+    *    (e.g. they may contain a key this merge rewrites) → refuse;
+    *  - any other concurrent `append` → REBASE: its files ride into
+    *    the published live set untouched (appends are additive, so
+    *    carrying them preserves both commits' rows).
+    *
+    * Refusal throws `ConcurrentModificationException`; the caller's
+    * data files are orphans (never referenced) and cost only storage
+    * until a vacuum. This closes the lost-update window where a
+    * stale-snapshot overwrite silently dropped a concurrent append.
+    */
+  private def publishRebasing(root: String, baseVersion: Int,
+      files: Seq[FileStat], isConflicting: FileStat => Boolean): Int = {
+    var base = baseVersion
+    var live = files
+    while (true) {
+      manifestsAfter(root, base).foreach { m =>
+        if (m.action == "overwrite")
+          throw new java.util.ConcurrentModificationException(
+            s"version ${m.version} overwrote $root concurrently with a " +
+              s"read-modify-write based on v$base; rerun on the new snapshot")
+        if (m.files.exists(isConflicting))
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent append v${m.version} on $root intersects the " +
+              s"key range rewritten by a merge based on v$base")
+        live = live ++ m.files
+        base = m.version
+      }
+      val v = base + 1
+      try {
+        writeManifestFile(root, v, "overwrite", live, None)
+        maybeCheckpoint(root, v)
+        return v
+      } catch {
+        // lost the claim — loop re-reads the newly landed versions
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    -1 // unreachable
   }
 
   /** Write `df` as a new commit and return the claimed version.
@@ -204,33 +409,87 @@ object SnapTable {
     * range-partitioned files and publish as one overwrite — the
     * small-files maintenance pass every append-heavy table needs.
     * Readers at older versions are untouched (their files are
-    * immutable); only the listing changes.
+    * immutable); only the listing changes. A concurrent append
+    * REBASES over the compaction (its files ride along un-compacted);
+    * a concurrent overwrite refuses.
     */
   def compact(spark: SparkSession, root: String, statCol: String,
       targetFiles: Int, asOf: Option[Int] = None): Int =
-    publish(root, "overwrite",
-      writeFiles(read(spark, root, asOf), root, Seq(statCol), targetFiles))
+    compactImpl(spark, root, statCol, targetFiles, asOf, () => ())
+
+  private[graft] def compactImpl(spark: SparkSession, root: String,
+      statCol: String, targetFiles: Int, asOf: Option[Int],
+      beforePublish: () => Unit): Int = {
+    val baseV = asOf.getOrElse(currentVersion(root))
+    val rewritten = writeFiles(read(spark, root, Some(baseV)), root,
+      Seq(statCol), targetFiles)
+    beforePublish()
+    publishRebasing(root, baseV, rewritten, _ => false)
+  }
+
+  /** Any of `sortedKeys` (ascending) inside the file's primary
+    * [min, max]? Binary search — the per-file membership test that
+    * replaces the global envelope, so a sparse update set with a wide
+    * key span touches only the files that actually hold a key.
+    */
+  private def overlapsKeys(f: FileStat, sortedKeys: Array[Long]): Boolean = {
+    var lo = 0
+    var hi = sortedKeys.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sortedKeys(mid) < f.min) lo = mid + 1 else hi = mid
+    }
+    lo < sortedKeys.length && sortedKeys(lo) <= f.max
+  }
 
   /** MERGE (upsert) with FILE-GRANULAR copy-on-write: only live files
-    * whose [min, max] overlaps the update keys' range are read and
-    * rewritten; every other file is carried into the new manifest
-    * untouched. Rows of touched files with a matching key are
-    * replaced by the update row, unmatched update keys are inserted,
-    * everything else is preserved. The update keys must be the stat
-    * column (that is what the manifest can prune on). Returns
-    * (claimed version, number of files rewritten) — at scale the
-    * second number IS the cost of the merge: a 100-key update against
-    * a million-file table rewrites the handful of files it touches.
+    * actually CONTAINING an update key (per-file membership over the
+    * collected distinct keys — not a global [min, max] envelope, so
+    * updates at keys {5, 10⁹} touch two files, not every file between)
+    * are read and rewritten; every other file is carried into the new
+    * manifest untouched. Beyond `graft.snap.mergeKeyLimit` distinct
+    * keys the test degrades to the envelope (a driver-memory guard).
+    * Rows of touched files with a matching key are replaced by the
+    * update row, unmatched update keys are inserted, everything else
+    * is preserved. The update keys must be the stat column (that is
+    * what the manifest can prune on). Returns (claimed version, number
+    * of files rewritten) — at scale the second number IS the cost of
+    * the merge: a 100-key update against a million-file table rewrites
+    * the handful of files it touches. Publication is conflict-checked:
+    * a concurrent append outside the update keys rebases in; one
+    * intersecting them, or any concurrent overwrite, throws
+    * `ConcurrentModificationException`.
     */
   def merge(spark: SparkSession, root: String, statCol: String,
-      updates: DataFrame, filesPerRewrite: Int = 1): (Int, Int) = {
-    val live = liveFiles(root)
-    val bounds = updates.agg(min(col(statCol).cast("long")),
-      max(col(statCol).cast("long"))).collect()(0)
-    if (bounds.isNullAt(0)) // empty update set: a no-op commit
-      return (publish(root, "overwrite", live), 0)
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val touched = live.filter(f => f.max >= lo && f.min <= hi)
+      updates: DataFrame, filesPerRewrite: Int = 1): (Int, Int) =
+    mergeImpl(spark, root, statCol, updates, filesPerRewrite, () => ())
+
+  private[graft] def mergeImpl(spark: SparkSession, root: String,
+      statCol: String, updates: DataFrame, filesPerRewrite: Int,
+      beforePublish: () => Unit): (Int, Int) = {
+    val baseV = currentVersion(root)
+    val live = liveFiles(root, Some(baseV))
+    val keyCap = mergeKeyLimit
+    val keyRows = updates.select(col(statCol).cast("long").as("k"))
+      .distinct().limit(keyCap + 1).collect()
+    if (keyRows.isEmpty) { // empty update set: a no-op commit
+      beforePublish()
+      return (publishRebasing(root, baseV, live, _ => false), 0)
+    }
+    val keys = keyRows.iterator.filter(!_.isNullAt(0))
+      .map(_.getLong(0)).toArray.sorted
+    val touchesUpdates: FileStat => Boolean =
+      if (keyRows.length <= keyCap) {
+        if (keys.isEmpty) (_ => false) // null-key updates: pure inserts
+        else f => overlapsKeys(f, keys)
+      } else { // over the cap: global envelope fallback
+        val b = updates.agg(min(col(statCol).cast("long")),
+          max(col(statCol).cast("long"))).collect()(0)
+        if (b.isNullAt(0)) (_ => false)
+        else { val (lo, hi) = (b.getLong(0), b.getLong(1))
+          f => f.max >= lo && f.min <= hi }
+      }
+    val touched = live.filter(touchesUpdates)
     val untouched = live.filterNot(touched.toSet)
     val current =
       if (touched.isEmpty) updates.limit(0)
@@ -239,7 +498,53 @@ object SnapTable {
       .join(updates.select(statCol), Seq(statCol), "left_anti")
       .unionByName(updates)
     val rewritten = writeFiles(merged, root, Seq(statCol), filesPerRewrite)
-    (publish(root, "overwrite", untouched ++ rewritten), touched.size)
+    beforePublish()
+    (publishRebasing(root, baseV, untouched ++ rewritten, touchesUpdates),
+      touched.size)
+  }
+
+  /** Row-level DELETE as file-granular copy-on-write: files whose
+    * primary stat range intersects [lo, hi] are rewritten WITHOUT the
+    * rows matching `statCol ∈ [lo, hi] AND extraPredicate`; every
+    * other live file rides into the new manifest untouched. Returns
+    * (claimed version, files rewritten, rows deleted). Same conflict
+    * contract as [[merge]]: a concurrent append outside [lo, hi]
+    * rebases in, one inside it (its rows would dodge the delete)
+    * refuses, any concurrent overwrite refuses. The dead pre-image
+    * files stay referenced by older versions until a [[vacuum]].
+    */
+  def delete(spark: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, extraPredicate: Option[Column] = None,
+      filesPerRewrite: Int = 1): (Int, Int, Long) =
+    deleteImpl(spark, root, statCol, lo, hi, extraPredicate,
+      filesPerRewrite, () => ())
+
+  private[graft] def deleteImpl(spark: SparkSession, root: String,
+      statCol: String, lo: Long, hi: Long, extraPredicate: Option[Column],
+      filesPerRewrite: Int, beforePublish: () => Unit): (Int, Int, Long) = {
+    val baseV = currentVersion(root)
+    val live = liveFiles(root, Some(baseV))
+    val inRange: FileStat => Boolean = f => f.max >= lo && f.min <= hi
+    val touched = live.filter(inRange)
+    if (touched.isEmpty) {
+      beforePublish()
+      return (publishRebasing(root, baseV, live, inRange), 0, 0L)
+    }
+    val current = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_.path): _*)
+    // NULL-safe: a three-valued extra predicate must not let a row
+    // dodge BOTH the delete and the keep
+    val doomedPred = coalesce(col(statCol).cast("long").between(lo, hi) &&
+      extraPredicate.getOrElse(lit(true)), lit(false))
+    val deleted = current.filter(doomedPred).count()
+    val kept = current.filter(!doomedPred)
+    val rewritten =
+      if (kept.isEmpty) Seq.empty[FileStat]
+      else writeFiles(kept, root, Seq(statCol), filesPerRewrite)
+    val untouched = live.filterNot(touched.toSet)
+    beforePublish()
+    (publishRebasing(root, baseV, untouched ++ rewritten, inRange),
+      touched.size, deleted)
   }
 
   /** Snapshot read as of a version (default: latest). `mergeSchema`
@@ -257,6 +562,12 @@ object SnapTable {
       .parquet(files.map(_.path): _*)
   }
 
+  /** Streaming batch ids recorded anywhere in the log —
+    * checkpoint-accelerated (O(tail) manifest reads, not O(versions)
+    * per micro-batch).
+    */
+  def seenBatchIds(root: String): Set[Long] = resolveState(root, None)._2
+
   /** Idempotent STREAMING commit: foreachBatch hands (batch, id)
     * here; a batch id already recorded in some manifest is a
     * REPLAY — after a sink-side crash between commit and checkpoint
@@ -267,7 +578,7 @@ object SnapTable {
     */
   def commitStreamBatch(batch: DataFrame, batchId: Long, root: String,
       statCol: String, filesPerCommit: Int = 1): Option[Int] =
-    if (manifests(root).exists(_.batchId.contains(batchId))) None
+    if (seenBatchIds(root).contains(batchId)) None
     else Some(publish(root, "append",
       writeFiles(batch, root, Seq(statCol), filesPerCommit), Some(batchId)))
 
@@ -296,9 +607,13 @@ object SnapTable {
     * over the touched files turns a rewrite back into its net effect:
     * rows present in both the removed and added sides cancel, so a
     * merge that rewrote one file surfaces only the rows it actually
-    * changed. Returns (inserted, deleted) frames — the feed an
-    * incremental consumer (materialized-view refresh, downstream
-    * sync) applies instead of re-reading the table.
+    * changed. Across a schema-evolving span the two sides are aligned
+    * to the UNION of their columns (absent ones null) before the
+    * diff, so an ALTER-ADD-COLUMN between the versions still yields a
+    * feed instead of an AnalysisException. Returns (inserted, deleted)
+    * frames — the feed an incremental consumer (materialized-view
+    * refresh, downstream sync) applies instead of re-reading the
+    * table.
     */
   def changes(spark: SparkSession, root: String, fromV: Int,
       toV: Int): (DataFrame, DataFrame) = {
@@ -315,22 +630,39 @@ object SnapTable {
         .parquet(schemaFrom.map(_.path): _*).filter(lit(false))
     require(added.nonEmpty || removed.nonEmpty || after.nonEmpty,
       s"no files in either snapshot of $root")
-    val addedDf = rd(added, after ++ before)
-    val removedDf = rd(removed, after ++ before)
+    val addedRaw = rd(added, after ++ before)
+    val removedRaw = rd(removed, after ++ before)
+    val fields = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.DataType]
+    (addedRaw.schema ++ removedRaw.schema).foreach(f =>
+      if (!fields.contains(f.name)) fields += f.name -> f.dataType)
+    def align(df: DataFrame): DataFrame = df.select(fields.toSeq.map {
+      case (n, t) =>
+        if (df.columns.contains(n)) col(n) else lit(null).cast(t).as(n)
+    }: _*)
+    val addedDf = align(addedRaw)
+    val removedDf = align(removedRaw)
     (addedDf.exceptAll(removedDf), removedDf.exceptAll(addedDf))
   }
 
   /** Retention: drop the ability to time-travel before `keepFrom` and
-    * physically delete every data file not referenced by any version
-    * ≥ `keepFrom`. Returns the number of files removed. Readers of
-    * versions ≥ `keepFrom` are unaffected (their files are all
-    * referenced); older snapshots become unreadable — the documented
-    * retention trade every lake format makes.
+    * physically delete every data file REFERENCED BY SOME MANIFEST but
+    * unreachable from any version ≥ `keepFrom`. Returns the number of
+    * files removed. Readers of versions ≥ `keepFrom` are unaffected
+    * (their files are all referenced); older snapshots become
+    * unreadable — the documented retention trade every lake format
+    * makes. Files never referenced by ANY manifest are left alone:
+    * they belong to an IN-FLIGHT commit (data written, manifest not
+    * yet published) and deleting them would make the imminent manifest
+    * point at dead paths. (True orphans from abandoned commits persist
+    * until their writer retries or an operator removes them — the
+    * standard lake-format vacuum trade.)
     */
   def vacuum(root: String, keepFrom: Int): Int = {
     val cur = currentVersion(root)
     val referenced = (keepFrom to cur)
       .flatMap(v => liveFiles(root, Some(v)).map(_.path)).toSet
+    val everReferenced = manifests(root).flatMap(_.files.map(_.path)).toSet
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return 0
     val all = Files.walk(dataRoot).iterator().asScala
@@ -341,7 +673,9 @@ object SnapTable {
     // normalize both sides to the raw filesystem path
     def norm(s: String): String = s.stripPrefix("file://").stripPrefix("file:")
     val refNorm = referenced.map(norm)
-    val doomed = all.filterNot(p => refNorm.contains(p.toString))
+    val everNorm = everReferenced.map(norm)
+    val doomed = all.filter(p =>
+      everNorm.contains(p.toString) && !refNorm.contains(p.toString))
     doomed.foreach(Files.delete)
     doomed.size
   }

@@ -90,10 +90,20 @@ object Mixture {
     * row_number window, which TopKRewrite lowers to the native heap
     * pair — no sorts, shuffle pruned to ≤ k·partitions rows per
     * stratum.
+    *
+    * The OUTPUT carries the computed `priority` column by contract
+    * (it is the Horvitz–Thompson weight-estimation input), so an
+    * input frame already holding one is refused loudly instead of
+    * silently overwritten; the internal rank column is
+    * collision-free.
     */
   def prioritySample(docs: DataFrame, stratumCol: String, keyCol: String,
       weightCol: String, salt: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!docs.columns.contains("priority"),
+      "prioritySample emits a 'priority' column; rename or drop the " +
+        "input's own before sampling")
+    val rn = "rn_" + java.util.UUID.randomUUID().toString.take(8)
     val pri = expr(
       s"(CAST($weightCol AS BIGINT) * 4294967296) div " +
         s"(shiftrightunsigned(xxhash64(concat('$salt', " +
@@ -101,8 +111,8 @@ object Mixture {
     val w = Window.partitionBy(stratumCol)
       .orderBy(col("priority").desc, col(keyCol))
     docs.withColumn("priority", pri)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k).drop("rn")
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= k).drop(rn)
   }
 
   /** Deterministic epoch shuffle + shard assignment — the data-ORDER
