@@ -9,45 +9,71 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
+/** Which ranking function's `<= k` semantics the operator computes.
+  * All three agree at k = 1 ties aside; they differ in how boundary
+  * TIES count:
+  *
+  *  - [[TopKMode.RowNum]]: `row_number() <= k` — exactly k rows per
+  *    key (ties broken by partition order, same as the window).
+  *  - [[TopKMode.Rank]]: `rank() <= k` — a row survives iff FEWER
+  *    than k rows order strictly better; boundary ties all survive
+  *    (k = 1 is the keep-all-tied-winners argmax).
+  *  - [[TopKMode.Dense]]: `dense_rank() <= k` — the rows of the k
+  *    best DISTINCT order values survive.
+  */
+sealed trait TopKMode
+object TopKMode {
+  case object RowNum extends TopKMode
+  case object Rank extends TopKMode
+  case object Dense extends TopKMode
+}
+
 /** Native per-key top-k — the custom whole-operator tier applied to
   * the single most common analytics shape this library serves
-  * (`row_number().over(partitionBy(key).orderBy(...)) <= k`).
+  * (`row_number().over(partitionBy(key).orderBy(...)) <= k`, and the
+  * rank()/dense_rank() tie-keeping variants).
   *
   * The window formulation must fully SORT every key group after the
   * shuffle — O(n log n) per partition with the whole input resident —
   * and ships every row across the wire. This operator keeps a bounded
-  * heap per key (O(n log k), memory O(keys·k)) and runs TWICE: a
-  * partial pass before the exchange prunes each map partition to at
-  * most k rows per key, so the shuffle moves ≤ k·partitions rows per
-  * key instead of the whole input — the same partial/final contract
-  * aggregation uses, applied to order statistics. At 100 TB the
-  * difference is the shuffle: top-3-per-source over a corpus moves
-  * ~3·P·|sources| rows, not the corpus.
+  * per-key structure (heap for row_number; an order-keyed group tree
+  * for rank/dense_rank) and runs TWICE: a partial pass before the
+  * exchange prunes each map partition to its local qualifiers, so the
+  * shuffle moves ≤ qualifiers·partitions rows per key instead of the
+  * whole input — the same partial/final contract aggregation uses,
+  * applied to order statistics. Soundness of the partial pass: a row
+  * with fewer than k strictly-better rows (or k better distinct
+  * values) GLOBALLY has fewer in any subset, so per-partition
+  * retention emits a superset of every global qualifier. At 100 TB
+  * the difference is the shuffle: top-3-per-source over a corpus
+  * moves ~3·P·|sources| rows, not the corpus.
   *
-  * Ties: callers must pass a TOTAL order (tie-break columns), same as
-  * any deterministic window top-k.
+  * Ties: row_number callers must pass a TOTAL order (tie-break
+  * columns) for determinism, same as the window; rank/dense_rank are
+  * exact for ANY order (ties survive together by definition).
   *
-  * Memory boundary: the heaps live in an in-memory hash map and do
-  * NOT spill — per task the footprint is O(distinct keys in the
-  * partition × k). In the operator's target regime (k ≪ group size,
-  * key cardinality ≪ row count) that is the right trade, and a
-  * key-explosion run DEGRADES instead of OOMing: when EITHER pass's
-  * map exceeds `spark.graft.topk.maxPartialKeys` (default 4M) the
-  * partition abandons the heap strategy. The PARTIAL pass flushes its
-  * heaps and streams the remainder through unpruned — correct by
-  * contract, since a partial pass may emit any superset of its
-  * per-key top-k (rows it already discarded were beaten by k retained
-  * rows of the same key), and the final stage still bounds the
-  * output. The FINAL pass must produce exact per-key top-k, so it
-  * instead spills: flushed heap rows plus the remaining input go into
-  * an [[org.apache.spark.sql.execution.UnsafeExternalRowSorter]]
+  * Memory boundary: the per-key structures live in an in-memory hash
+  * map and do NOT spill — per task the footprint is O(retained rows),
+  * which is O(distinct keys × k) plus, for the tie-keeping modes,
+  * whatever boundary tie groups hold. TWO guards bound it, checked on
+  * every retention: `spark.graft.topk.maxPartialKeys` (distinct keys,
+  * default 4M) and `spark.graft.topk.maxRetainedRows` (total retained
+  * rows, default 16M — the defense against a coarse order expression
+  * whose single tie group would otherwise accumulate unbounded, e.g.
+  * a `div 1000` bucket score). Past EITHER, the partition abandons
+  * the in-memory strategy. The PARTIAL pass flushes its structures
+  * and streams the remainder through unpruned — correct by contract,
+  * since a partial pass may emit any superset (rows it already
+  * discarded were beaten within their own key), and the final stage
+  * still bounds the output. The FINAL pass must be exact, so it
+  * instead spills: flushed rows plus the remaining input go into an
+  * [[org.apache.spark.sql.execution.UnsafeExternalRowSorter]]
   * (disk-backed, same machinery as SortExec) ordered by (key, order),
-  * and a single streaming scan emits the first k rows of each key
-  * group — valid because the exchange already clustered each key into
-  * one partition, and rows evicted from a heap before the overflow
-  * were beaten by k retained rows of the SAME key, so the sorter's
-  * input is a superset of every per-key top-k. Memory under
-  * degradation is O(1) heap + sorter pages that spill.
+  * and a single streaming scan emits each key group's qualifiers
+  * under the node's mode — valid because the exchange already
+  * clustered each key into one partition and the sorter's input is a
+  * superset of every per-key qualifier set. Memory under degradation
+  * is O(1) heap + sorter pages that spill.
   *
   * Relationship to Spark's own InferWindowGroupLimit (3.5+): that
   * rule inserts WindowGroupLimit below the Window, pruning each
@@ -57,15 +83,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * doesn't need the rank: heaps replace both sorts, the Window
   * disappears, and survivors (not sorted partitions) cross the wire.
   * Callers who need the rank reconstruct it with a window over the
-  * k·|keys|-bounded RESULT (see q205) — bounded, not corpus-sized.
+  * bounded RESULT (see q205) — not corpus-sized.
   */
 case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
-    k: Int, child: LogicalPlan, ties: Boolean = false) extends UnaryNode {
+    k: Int, child: LogicalPlan,
+    mode: TopKMode = TopKMode.RowNum) extends UnaryNode {
   require(k > 0, "top-k needs k > 0")
-  // ties mode = rank()==1 semantics (keep EVERY row tied with the
-  // best); only the argmin/argmax case needs it and bounding memory
-  // for k>1 with ties would need per-rank counting — not worth it
-  require(!ties || k == 1, "ties mode supports only k = 1")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyNode =
     copy(child = c)
@@ -76,17 +99,17 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
   */
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, order, k, child, ties) =>
+    case TopKPerKeyNode(keys, order, k, child, mode) =>
       TopKPerKeyExec(keys, order, k, partial = false,
         TopKPerKeyExec(keys, order, k, partial = true, planLater(child),
-          ties), ties) :: Nil
+          mode), mode) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan,
-    ties: Boolean = false) extends UnaryExecNode {
+    mode: TopKMode = TopKMode.RowNum) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -103,12 +126,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val keyExprs = keys
     val sortOrder = order
     val kk = k
-    // both passes share the guard; they differ in how they DEGRADE
-    // past it (partial: pass-through; final: external sort-and-scan)
+    // both passes share the guards; they differ in how they DEGRADE
+    // past them (partial: pass-through; final: external sort-and-scan)
     val maxKeys = conf.getConfString(TopKPerKeyExec.MaxPartialKeysKey,
       "4000000").toInt
+    val maxRows = conf.getConfString(TopKPerKeyExec.MaxRetainedRowsKey,
+      "16000000").toLong
     val isPartial = partial
-    val withTies = ties
+    val theMode = mode
     val stageName = nodeName
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
@@ -116,83 +141,146 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // earlier. A max-queue under this ordering keeps the WORST
       // retained row at the head, so admission is one head compare.
       val rowOrd = RowOrdering.create(sortOrder, childOutput)
-      // heap mode keeps exactly k rows per key; ties mode (k = 1)
-      // keeps EVERY row tied with the current best — rank()==1
-      // semantics, so a strictly-beaten row can never return
+      // heap mode keeps exactly k rows per key; the rank/dense modes
+      // keep whole tie GROUPS in an order-keyed tree per key
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      val tied = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+      val trees = mutable.HashMap.empty[UnsafeRow, TopKPerKeyExec.KeyGroups]
+      var retained = 0L
       var overflowed = false
+      val dense = theMode == TopKMode.Dense
       while (iter.hasNext && !overflowed) {
         val row = iter.next()
         // both the key projection and the source iterator reuse row
         // buffers — copy on retention, never before
         val keyRow = keyProj(row)
-        if (withTies) tied.get(keyRow) match {
-          case Some(buf) =>
-            val c = rowOrd.compare(row, buf.head)
-            if (c < 0) { buf.clear(); buf += row.copy() }
-            else if (c == 0) buf += row.copy()
-          case None =>
-            tied.update(keyRow.copy(), mutable.ArrayBuffer(row.copy()))
-            overflowed = tied.size > maxKeys
-        } else heaps.get(keyRow) match {
-          case Some(h) =>
-            if (h.size < kk) h.enqueue(row.copy())
-            else if (rowOrd.compare(row, h.head) < 0) {
-              h.dequeue(); h.enqueue(row.copy())
-            }
-          case None =>
-            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            h.enqueue(row.copy())
-            heaps.update(keyRow.copy(), h)
-            overflowed = heaps.size > maxKeys
+        theMode match {
+          case TopKMode.RowNum => heaps.get(keyRow) match {
+            case Some(h) =>
+              if (h.size < kk) { h.enqueue(row.copy()); retained += 1 }
+              else if (rowOrd.compare(row, h.head) < 0) {
+                h.dequeue(); h.enqueue(row.copy())
+              }
+            case None =>
+              val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+              h.enqueue(row.copy())
+              heaps.update(keyRow.copy(), h)
+              retained += 1
+              overflowed = heaps.size > maxKeys
+          }
+          case _ => trees.get(keyRow) match {
+            case Some(g) => retained += g.add(row, rowOrd, kk, dense)
+            case None =>
+              val g = new TopKPerKeyExec.KeyGroups(rowOrd)
+              retained += g.add(row, rowOrd, kk, dense)
+              trees.update(keyRow.copy(), g)
+              overflowed = trees.size > maxKeys
+          }
         }
+        overflowed ||= retained > maxRows
       }
       // emit each key's survivors best-first (dequeueAll is worst-first)
       val buffered =
-        if (withTies) tied.valuesIterator.flatMap(_.iterator)
-        else heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+        if (theMode == TopKMode.RowNum)
+          heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+        else trees.valuesIterator.flatMap(_.rows)
       if (!overflowed) buffered
       else if (isPartial) {
         // partial degradation: stream the remainder unpruned — rows
         // already discarded were beaten within their own key, so the
-        // emitted set is still a superset of every per-key top-k
-        TopKPerKeyExec.logOverflow(stageName, maxKeys)
+        // emitted set is still a superset of every per-key qualifier
+        TopKPerKeyExec.logOverflow(stageName, maxKeys, maxRows)
         buffered ++ iter
       } else {
-        TopKPerKeyExec.logOverflow(stageName, maxKeys)
+        TopKPerKeyExec.logOverflow(stageName, maxKeys, maxRows)
         TopKPerKeyExec.sortAndScan(childOutput, keyExprs, sortOrder, kk,
-          withTies, keyProj, buffered ++ iter)
+          theMode, keyProj, buffered ++ iter)
       }
     }, preservesPartitioning = true)
   }
 }
 
 object TopKPerKeyExec {
-  /** Heap-map key cap for BOTH passes; past it the partition degrades
+  /** Distinct-key cap for BOTH passes; past it the partition degrades
     * — partial to pass-through, final to a spillable external
     * sort-and-scan (see the operator scaladoc).
     */
   val MaxPartialKeysKey = "spark.graft.topk.maxPartialKeys"
 
+  /** Total retained-ROW cap — bounds the tie groups the rank/dense
+    * modes keep whole (and k·keys growth generally); same degradation
+    * as the key cap.
+    */
+  val MaxRetainedRowsKey = "spark.graft.topk.maxRetainedRows"
+
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[TopKPerKeyExec])
 
   /** Executor-side: called once per overflowing partition. */
-  private[plans] def logOverflow(stage: String, maxKeys: Int): Unit =
+  private[plans] def logOverflow(stage: String, maxKeys: Int,
+      maxRows: Long): Unit =
     log.warn(s"$stage partition exceeded $MaxPartialKeysKey=$maxKeys " +
-      "distinct keys; degrading (partial: pass-through; final: " +
-      "external sort-and-scan)")
+      s"distinct keys or $MaxRetainedRowsKey=$maxRows retained rows; " +
+      "degrading (partial: pass-through; final: external sort-and-scan)")
 
-  /** Final-stage degradation: exact per-key top-k with O(1) heap via
-    * a disk-backed sort on (key, order) followed by one streaming
-    * scan that emits the first k rows of each key group. Correct
+  /** One key's retained tie groups for the rank/dense modes: a tree
+    * from a group's representative row to all rows order-equal to it.
+    * Retention invariant after every add (rank): the worst retained
+    * group has fewer than k strictly-better retained rows — groups
+    * falling past it are dropped; (dense): at most k groups. `add`
+    * returns the net retained-row delta so the caller can maintain
+    * the partition-wide cap cheaply.
+    */
+  private[plans] final class KeyGroups(ord: Ordering[InternalRow]) {
+    private val tree =
+      mutable.TreeMap.empty[InternalRow, mutable.ArrayBuffer[InternalRow]](ord)
+    private var total = 0
+
+    def add(row: InternalRow, rowOrd: Ordering[InternalRow], k: Int,
+        dense: Boolean): Int =
+      tree.get(row) match {
+        case Some(buf) => // ties an already-retained group: always keep
+          buf += row.copy()
+          total += 1
+          1
+        case None =>
+          // admission: a value worse than every retained group only
+          // qualifies while the retention isn't full yet
+          val worseThanAll = tree.nonEmpty &&
+            rowOrd.compare(row, tree.lastKey) > 0
+          val full = if (dense) tree.size >= k else total >= k
+          if (worseThanAll && full) 0
+          else {
+            tree.put(row.copy(), mutable.ArrayBuffer(row.copy()))
+            total += 1
+            var delta = 1
+            // trim groups that fell past the boundary
+            var done = false
+            while (!done && tree.size > 1) {
+              val (lastRep, lastBuf) = tree.last
+              val drop =
+                if (dense) tree.size > k else total - lastBuf.size >= k
+              if (drop) {
+                tree.remove(lastRep)
+                total -= lastBuf.size
+                delta -= lastBuf.size
+              } else done = true
+            }
+            delta
+          }
+      }
+
+    def rows: Iterator[InternalRow] = tree.valuesIterator.flatMap(_.iterator)
+  }
+
+  /** Final-stage degradation: exact per-key qualifiers with O(1) heap
+    * via a disk-backed sort on (key, order) followed by one streaming
+    * scan that emits each key group's qualifiers under `mode`. Correct
     * because the exchange clustered every key into this partition and
-    * `rows` is a superset of each key's top-k (heap evictions before
-    * the overflow were within-key).
+    * `rows` is a superset of each key's qualifier set (in-memory
+    * evictions before the overflow were within-key).
     */
   private[plans] def sortAndScan(childOutput: Seq[Attribute],
       keyExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
-      ties: Boolean, keyProj: UnsafeProjection,
+      mode: TopKMode, keyProj: UnsafeProjection,
       rows: Iterator[InternalRow]): Iterator[InternalRow] = {
     import org.apache.spark.sql.execution.UnsafeExternalRowSorter
     import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
@@ -223,21 +311,29 @@ object TopKPerKeyExec {
       case u: UnsafeRow => sorter.insertRow(u) // insertRow copies bytes
       case other => sorter.insertRow(toUnsafe(other))
     }
-    var prevKey: UnsafeRow = null
-    var inKey = 0
-    var leader: InternalRow = null
     val tieOrd = RowOrdering.create(order, childOutput)
+    var prevKey: UnsafeRow = null
+    var rowsBefore = 0 // rows in FINISHED (strictly better) groups
+    var groupRows = 0 // rows seen in the current tie group
+    var groupIdx = 0 // 1-based dense rank of the current group
+    var rep: InternalRow = null // current group's representative
     sorter.sort().filter { row =>
       val kr = keyProj(row)
       if (prevKey == null || kr != prevKey) {
-        prevKey = kr.copy(); inKey = 0
-        if (ties) leader = row.asInstanceOf[UnsafeRow].copy()
+        prevKey = kr.copy()
+        rowsBefore = 0; groupRows = 0; groupIdx = 1
+        rep = row.asInstanceOf[UnsafeRow].copy()
+      } else if (tieOrd.compare(row, rep) != 0) {
+        rowsBefore += groupRows
+        groupRows = 0; groupIdx += 1
+        rep = row.asInstanceOf[UnsafeRow].copy()
       }
-      inKey += 1
-      // ties mode: the group's first (best) row leads; keep every row
-      // order-equal to it — rank()==1 keeps all tied winners
-      if (ties) tieOrd.compare(row, leader) == 0
-      else inKey <= k
+      groupRows += 1
+      mode match {
+        case TopKMode.RowNum => rowsBefore + groupRows <= k
+        case TopKMode.Rank => rowsBefore < k // rank = rowsBefore + 1
+        case TopKMode.Dense => groupIdx <= k
+      }
     }
   }
 }

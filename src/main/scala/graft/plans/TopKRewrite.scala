@@ -14,9 +14,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * }}}
   *
   * rewrites to the native [[TopKPerKeyNode]] — users keep writing the
-  * declarative window, the engine runs the partial/final heap pair
-  * (no map-side sort, no reduce-side sort, shuffle pruned to
-  * ≤ k·partitions rows per key). Shapes handled:
+  * declarative window, the engine runs the partial/final pair
+  * (no map-side sort, no reduce-side sort, shuffle pruned to the
+  * per-partition qualifiers). Shapes handled:
   *
   *  1. Rank DROPPED (a Project above references only child columns):
   *     the Window disappears entirely — `Project(TopKPerKeyNode)`.
@@ -24,16 +24,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *     one pass-through Project that may alias/upcast the rank): the
   *     window survives but is fed the PRUNED child —
   *     `[Project](Window(TopKPerKeyNode))` — so both of its sorts run
-  *     on k·|keys| rows instead of the corpus, and the filter is
-  *     dropped (every recomputed rank is ≤ k by construction).
-  *     Survivors' recomputed ranks equal their original ones modulo
-  *     tie permutations, which the window formulation does not pin
-  *     either.
-  *  3. `rank() = 1` / `dense_rank() = 1` (the argmax-latest idiom):
-  *     both functions agree at rank 1 — keep EVERY row tied with the
-  *     best — so the rewrite targets ties-mode top-1
-  *     (TopKPerKeyNode(ties = true)), exact for ANY order, total or
-  *     not. Dropped-rank and kept-rank variants as above.
+  *     on the bounded qualifier set instead of the corpus, and the
+  *     filter is dropped (every recomputed rank is ≤ k by
+  *     construction: a qualifier's better rows are all qualifiers
+  *     themselves, so its recomputed rank equals the original —
+  *     modulo row_number tie permutations, which the window
+  *     formulation does not pin either).
+  *  3. The ranking function picks the node's MODE: `row_number() <= k`
+  *     → exact-k heaps; `rank() <= k` → keep every row with < k
+  *     strictly better (boundary ties survive; k = 1 is the
+  *     keep-all-tied-winners argmax); `dense_rank() <= k` → keep the
+  *     k best distinct order values. The tie-keeping modes are exact
+  *     for ANY order, total or not.
   *
   * Fires only when the Window computes a SINGLE ranking function over
   * a non-empty partition spec with the default frame, and the filter
@@ -44,7 +46,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Ties: identical contract to the window it replaces — a non-total
   * order is partition-order-dependent in BOTH formulations for
-  * row_number, and rank()=1 keeps all tied rows in both.
+  * row_number, and rank/dense_rank keep tied rows together in both.
   *
   * Escape hatch: `spark.graft.topk.autoRewrite=false` (it is a
   * per-query plan change, so the conf is read per planning).
@@ -76,21 +78,23 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** (rankAttr, partition, order, child) of a lone single-ranking-
-    * function Window; `tiesOnly` = rank()/dense_rank() (safe to
-    * rewrite solely at k = 1, in ties mode).
+  /** (rankAttr, partition, order, child, mode) of a lone
+    * single-ranking-function Window.
     */
   private object RankingWindow {
-    def unapply(w: Window): Option[(Attribute, Seq[Expression], Seq[SortOrder], LogicalPlan, Boolean)] =
+    def unapply(w: Window): Option[(Attribute, Seq[Expression], Seq[SortOrder], LogicalPlan, TopKMode)] =
       w match {
         case Window(Seq(al @ Alias(WindowExpression(fn,
             WindowSpecDefinition(part, order,
               SpecifiedWindowFrame(_, UnboundedPreceding, CurrentRow))),
             _)), _, _, child, _) if part.nonEmpty && order.nonEmpty =>
           fn match {
-            case _: RowNumber => Some((al.toAttribute, part, order, child, false))
-            case _: Rank => Some((al.toAttribute, part, order, child, true))
-            case _: DenseRank => Some((al.toAttribute, part, order, child, true))
+            case _: RowNumber =>
+              Some((al.toAttribute, part, order, child, TopKMode.RowNum))
+            case _: Rank =>
+              Some((al.toAttribute, part, order, child, TopKMode.Rank))
+            case _: DenseRank =>
+              Some((al.toAttribute, part, order, child, TopKMode.Dense))
             case _ => None
           }
         case _ => None
@@ -114,9 +118,9 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
 
   private def node(part: Seq[Expression], order: Seq[SortOrder], k: Int,
-      child: LogicalPlan, ties: Boolean): TopKPerKeyNode =
+      child: LogicalPlan, mode: TopKMode): TopKPerKeyNode =
     TopKPerKeyNode(part.map(NormalizeShim.normalizeFloats), order, k, child,
-      ties)
+      mode)
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(ConfKey, "true").toBoolean) plan
@@ -124,21 +128,21 @@ object TopKRewrite extends Rule[LogicalPlan] {
       // rank DROPPED: the Window disappears (anchored at the Project
       // so it wins over the kept-rank case below for the same subtree)
       case Project(outs,
-          Filter(RankLimit(rn, k), RankingWindow(rankAttr, part, order, child, tiesOnly)))
-          if rn.semanticEquals(rankAttr) && (!tiesOnly || k == 1) &&
+          Filter(RankLimit(rn, k), RankingWindow(rankAttr, part, order, child, mode)))
+          if rn.semanticEquals(rankAttr) &&
             outs.forall(_.references.subsetOf(child.outputSet)) =>
-        Project(outs, node(part, order, k, child, tiesOnly))
+        Project(outs, node(part, order, k, child, mode))
       // rank KEPT, filter directly over the window: prune BELOW it
       case Filter(RankLimit(rn, k),
-          w @ RankingWindow(rankAttr, part, order, child, tiesOnly))
-          if rn.semanticEquals(rankAttr) && (!tiesOnly || k == 1) =>
-        w.withNewChildren(Seq(node(part, order, k, child, tiesOnly)))
+          w @ RankingWindow(rankAttr, part, order, child, mode))
+          if rn.semanticEquals(rankAttr) =>
+        w.withNewChildren(Seq(node(part, order, k, child, mode)))
       // rank KEPT through one aliasing/upcasting Project: same, with
       // the Project preserved
       case Filter(RankLimit(a, k), p @ Project(projList,
-          w @ RankingWindow(rankAttr, part, order, child, tiesOnly)))
-          if namesRank(a, projList, rankAttr) && (!tiesOnly || k == 1) =>
+          w @ RankingWindow(rankAttr, part, order, child, mode)))
+          if namesRank(a, projList, rankAttr) =>
         p.withNewChildren(Seq(
-          w.withNewChildren(Seq(node(part, order, k, child, tiesOnly)))))
+          w.withNewChildren(Seq(node(part, order, k, child, mode)))))
     }
 }

@@ -914,6 +914,47 @@ object ScaleQueries {
         |QUALIFY rank() OVER (PARTITION BY lang
         |  ORDER BY n_chars // 1000 DESC) = 1""".stripMargin),
 
+    // q287's general form: rank() <= k for k > 1 — top-3 score
+    // buckets per language WITH boundary ties kept whole (rank
+    // semantics; row_number would pick arbitrarily inside the tied
+    // bucket). Since r11 TopKRewrite lowers this to rank-mode
+    // TopKPerKey: per-key tie GROUPS in a bounded tree, no Window, no
+    // sort, shuffle pruned to the qualifiers — and a coarse-order tie
+    // explosion degrades to a spillable sort-and-scan instead of
+    // OOMing (TopKRewriteSpec pins that path). Exact for any order.
+    "q290_rank_topk_boundary_ties" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("lang").orderBy(col("score").desc)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars div 1000").as("score"))
+          .withColumn("r", rank().over(w))
+          .filter(col("r") <= 3).drop("r")
+      },
+      """SELECT doc_id, lang, n_chars // 1000 AS score FROM documents
+        |QUALIFY rank() OVER (PARTITION BY lang
+        |  ORDER BY n_chars // 1000 DESC) <= 3""".stripMargin),
+
+    // dense_rank() <= k: the 2 best distinct score buckets per
+    // language, every document in them — the "top value tiers" ask
+    // (rank() would stop counting tiers after a big tie; dense_rank
+    // counts VALUES). Lowered to dense-mode TopKPerKey: at most k
+    // groups retained per key.
+    "q291_dense_rank_top_tiers" -> Q(
+      (s, d) => {
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("lang").orderBy(col("score").desc)
+        Tables(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars div 2000").as("score"))
+          .withColumn("r", dense_rank().over(w))
+          .filter(col("r") <= 2).drop("r")
+      },
+      """SELECT doc_id, lang, n_chars // 2000 AS score FROM documents
+        |QUALIFY dense_rank() OVER (PARTITION BY lang
+        |  ORDER BY n_chars // 2000 DESC) <= 2""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -188,6 +188,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!" Sort ".r.findAllIn(plan).hasNext, plan)
   }
 
+  test("q290/q291's rank()<=k and dense_rank()<=k plan natively — no Window, no Sort") {
+    Seq("q290_rank_topk_boundary_ties", "q291_dense_rank_top_tiers")
+      .foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, dir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("TopKPerKey"), s"$q: $plan")
+        assert(!plan.contains("Window"), s"$q: $plan")
+        assert(!" Sort ".r.findAllIn(plan).hasNext, s"$q: $plan")
+      }
+  }
+
   test("q275's V2 seq scan carries the join-driven runtime filter") {
     val plan = SparkEntry.queries("q275_dsv2_runtime_pruning")(spark, dir)
       .queryExecution.executedPlan.toString

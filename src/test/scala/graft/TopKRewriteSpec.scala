@@ -101,14 +101,68 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(dense.select("id").as[Long].collect().toSet == Set(2L, 3L, 5L))
   }
 
-  test("rank() <= k for k > 1 is NOT rewritten (tie expansion differs)") {
+  test("rank() <= k for k > 1 fires in rank mode and keeps boundary ties") {
+    // a COARSE order (n_chars div 1000) so rank 3 is a multi-row tie
+    // group — the case the rewrite must keep whole, where row_number
+    // would pick arbitrarily
     val docs = Tables(spark, dir, "documents")
-      .select("doc_id", "source", "n_chars")
-    val w = Window.partitionBy("source").orderBy(col("n_chars").desc)
-    val plan = docs.withColumn("r", rank().over(w))
+      .select(col("doc_id"), col("source"),
+        expr("n_chars div 1000").as("score"))
+    val w = Window.partitionBy("source").orderBy(col("score").desc)
+    val top = docs.withColumn("r", rank().over(w))
       .filter(col("r") <= 3).drop("r")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Window") && !plan.contains("TopKPerKey"), plan)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+    val baseline = {
+      spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+      try docs.withColumn("r", rank().over(w))
+        .filter(col("r") <= 3).drop("r").collect().toSeq
+      finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
+    }
+    assert(baseline.size > top.select("source").distinct().count() * 3,
+      "fixture must actually have boundary ties")
+    assert(top.collect().toSeq.sortBy(_.toString) ==
+      baseline.sortBy(_.toString))
+  }
+
+  test("dense_rank() <= k keeps the k best distinct values, all their rows") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 90), ("a", 2L, 90), ("a", 3L, 80),
+      ("a", 4L, 70), ("a", 5L, 60), ("b", 6L, 5)).toDF("src", "id", "v")
+    val w = Window.partitionBy("src").orderBy(col("v").desc)
+    val top = df.withColumn("r", dense_rank().over(w))
+      .filter(col("r") <= 2).drop("r")
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey") && !plan.contains("Window"), plan)
+    // src a: values {90, 80} → rows 1,2,3 (the 90-tie survives whole)
+    assert(top.select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 6L))
+  }
+
+  test("rank/dense modes degrade exactly under the retained-row cap") {
+    import spark.implicits._
+    // one key, ONE giant tie group at the best value — the ADVICE
+    // scenario: the tie buffer would grow unbounded; the cap forces
+    // partial pass-through + final external sort-and-scan, still exact
+    val df = ((1L to 500L).map(i => ("k", i, 7)) ++
+      Seq(("k", 900L, 3), ("k", 901L, 2))).toDF("src", "id", "v")
+      .repartition(4)
+    val w = Window.partitionBy("src").orderBy(col("v").desc)
+    def run(): Set[Long] = df.withColumn("r", rank().over(w))
+      .filter(col("r") === 1).drop("r")
+      .select("id").as[Long].collect().toSet
+    val expected = (1L to 500L).toSet
+    assert(run() == expected)
+    val baseRows = spark.conf.getOption(
+      graft.plans.TopKPerKeyExec.MaxRetainedRowsKey)
+    spark.conf.set(graft.plans.TopKPerKeyExec.MaxRetainedRowsKey, "10")
+    try assert(run() == expected, "capped run must stay exact")
+    finally baseRows match {
+      case Some(v) => spark.conf.set(
+        graft.plans.TopKPerKeyExec.MaxRetainedRowsKey, v)
+      case None => spark.conf.unset(
+        graft.plans.TopKPerKeyExec.MaxRetainedRowsKey)
+    }
   }
 
   test("an upcast rank (.cast(long)) no longer blocks the rewrite") {
