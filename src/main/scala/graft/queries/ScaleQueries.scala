@@ -955,6 +955,173 @@ object ScaleQueries {
         |QUALIFY dense_rank() OVER (PARTITION BY lang
         |  ORDER BY n_chars // 2000 DESC) <= 2""".stripMargin),
 
+    // q279's manifest file skipping, now reached from the PLANNER:
+    // the snap DSv2 connector (sources/SnapSource) pushes the range
+    // predicate into the scan builder, prunes non-overlapping files
+    // from the listing, and the `_snap_file` metadata column reports
+    // the opened-file count AS DATA against the oracle's replay of the
+    // skip decision — `spark.read.format(...)` and SQL users get the
+    // q279 tier without the bespoke Scala API.
+    "q292_snap_dsv2_skipping" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd1")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .filter(col("o_orderkey").between(5000L, 10000L))
+          .select(col("o_totalprice"),
+            col(graft.sources.SnapSource.FileColumn).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (VALUES (0, 3999), (4000, 7999), (8000, 11999),
+        |     (12000, 99999999)) b(mn, mx)
+        |   WHERE mx >= 5000 AND mn <= 10000) AS n_files_read
+        |FROM orders WHERE o_orderkey BETWEEN 5000 AND 10000""".stripMargin),
+
+    // q275's join-driven runtime pruning pointed at a REAL table: the
+    // snap scan probes a broadcast join whose build side (distinct
+    // orderkeys of 50-unit lineitems) is unknowable statically;
+    // SupportsRuntimeFiltering hands the key set to the scan
+    // post-broadcast and partition planning re-prunes the FILE list
+    // (PlanShapeSpec pins the dynamicpruning expression on the scan,
+    // SnapSourceSpec pins the scan's numOutputRows). The matched-file
+    // count is hash-gated as data: files whose manifest box holds at
+    // least one build key — replayed by the oracle from the declared
+    // layout.
+    "q293_snap_dsv2_runtime_pruning" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd2")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val dim = Tables(s, d, "lineitem")
+          .filter(col("l_quantity") === 50)
+          .select(col("l_orderkey").cast("long").as("o_orderkey"))
+          .distinct()
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col(graft.sources.SnapSource.FileColumn).as("f"))
+          .join(broadcast(dim), "o_orderkey")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+      },
+      """WITH k AS (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS id
+        |  FROM lineitem WHERE l_quantity = 50)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  (SELECT CAST(count(*) AS BIGINT)
+        |   FROM (VALUES (0, 3999), (4000, 7999), (8000, 11999),
+        |     (12000, 99999999)) b(mn, mx)
+        |   WHERE EXISTS (SELECT 1 FROM k
+        |     WHERE k.id BETWEEN b.mn AND b.mx)) AS n_files_read
+        |FROM orders JOIN k ON o_orderkey = k.id""".stripMargin),
+
+    // q278's time travel through the READER OPTION: every version of
+    // the manifest log resolved by `option("versionAsOf", v)` on the
+    // DSv2 source — history is SQL-visible, not a library call. Same
+    // oracle recompute as q278.
+    "q294_snap_time_travel_sql" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd3")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 3 === 0), root, "o_orderkey")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 3 === 1), root, "o_orderkey")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_totalprice") > 150000.0), root, "o_orderkey",
+          action = "overwrite")
+        Seq(1, 2, 3).map { v =>
+          s.read.format("graft.sources.SnapSourceProvider")
+            .option("versionAsOf", v.toString).load(root)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                .as("sum_cents"))
+            .select(lit(v.toLong).as("version"), col("n_rows"),
+              col("sum_cents"))
+        }.reduce(_.unionAll(_))
+      },
+      """WITH c AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM c WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM c WHERE o_totalprice > 150000""".stripMargin),
+
+    // Row-level DELETE on the snapshot table: a key-range purge (the
+    // GDPR/retention shape) rewrites ONLY the one live file whose
+    // manifest box intersects the range — the other three ride into
+    // the new manifest by path — and vacuum then reclaims exactly the
+    // superseded pre-image file. Everything observable is hash-gated
+    // as data: surviving rows/sum, the post-delete file count
+    // (3 untouched + 1 rewritten), the deleted-row count, and the
+    // reclaimed-file count. At 100 TB this is the difference between
+    // a copy-on-write of the touched files and rewriting the table.
+    "q295_snap_delete" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd5")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val (v, _, nDeleted) = graft.io.SnapTable.delete(
+          s, root, "o_orderkey", 5000L, 5999L)
+        val reclaimed = graft.io.SnapTable.vacuum(root, keepFrom = v)
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .select(col("o_totalprice"),
+            col(graft.sources.SnapSource.FileColumn).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+          .select(col("n_rows"), col("sum_cents"), col("n_files_read"),
+            lit(nDeleted).as("n_deleted"),
+            lit(reclaimed.toLong).as("n_reclaimed"))
+      },
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 5000 AND 5999
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 5000 AND 5999 THEN 0
+        |    ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_files_read,
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 5000 AND 5999
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(1 AS BIGINT) AS n_reclaimed
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -199,6 +199,14 @@ class PlanShapeSpec extends AnyFunSuite {
       }
   }
 
+  test("q293's snap scan carries the join-driven runtime filter") {
+    val plan = SparkEntry.queries("q293_snap_dsv2_runtime_pruning")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(_.contains("graft_snap")).getOrElse("")
+    assert(scanLine.toLowerCase.contains("dynamicpruning"), plan)
+  }
+
   test("q275's V2 seq scan carries the join-driven runtime filter") {
     val plan = SparkEntry.queries("q275_dsv2_runtime_pruning")(spark, dir)
       .queryExecution.executedPlan.toString
