@@ -302,7 +302,7 @@ object SnapTable {
     * next number is sound without revalidation. Read-modify-write
     * commits go through [[publishRebasing]] instead.
     */
-  private def publish(root: String, action: String,
+  private[graft] def publish(root: String, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None): Int = {
     require(action == "append" || action == "overwrite", action)
     var v = currentVersion(root) + 1

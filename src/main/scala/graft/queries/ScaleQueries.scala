@@ -1122,6 +1122,99 @@ object ScaleQueries {
         |  CAST(1 AS BIGINT) AS n_reclaimed
         |FROM orders""".stripMargin),
 
+    // The snap connector's WRITE path: df.write.format(...) publishes
+    // a manifest commit with per-file stats computed INLINE by the
+    // writer tasks (no read-back scan), Spark range-distributing the
+    // input on the stat column via RequiresDistributionAndOrdering so
+    // files carve skippable ranges. Two disjoint appends, a pruned
+    // read-back (file count as data), then mode("overwrite") =
+    // truncate-and-replace — history intact, liveness reset. Every
+    // observable is hash-gated against the oracle's recompute.
+    "q296_snap_dsv2_write" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd6")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        def w(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+          df.write.format("graft.sources.SnapSourceProvider")
+            .option("statCols", "o_orderkey").option("filesPerCommit", "1")
+            .mode(mode).save(root)
+        w(o.filter(col("o_orderkey") < 6000), "append")
+        w(o.filter(col("o_orderkey") >= 6000), "append")
+        // materialize BEFORE the overwrite truncates the live set —
+        // the scan resolves its file list at execution time
+        val pruned = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .filter(col("o_orderkey") <= 5000L)
+          .select(col("o_totalprice"),
+            col(graft.sources.SnapSource.FileColumn).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+          .collect()(0)
+        w(o.filter(col("o_totalprice") > 150000.0), "overwrite")
+        val after = graft.io.SnapTable.read(s, root).count()
+        s.range(1).select(lit(pruned.getLong(0)).as("n_rows"),
+          lit(pruned.getLong(1)).as("sum_cents"),
+          lit(pruned.getLong(2)).as("n_files_read"),
+          lit(after).as("n_after_truncate"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BIGINT) AS n_files_read,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_totalprice > 150000) AS n_after_truncate
+        |FROM orders WHERE o_orderkey <= 5000""".stripMargin),
+
+    // The snap table as a STREAMING SOURCE: offsets are manifest
+    // versions, a micro-batch is the files its versions appended —
+    // driven twice through one checkpoint, the second drive reads
+    // ONLY the commit that landed in between (incremental, no
+    // re-scan). The sink is the exactly-once snapshot sink from q282,
+    // so stream-out-of ≡ read-at-once proves loss- and
+    // duplication-freedom end to end, and the sink's commit count (one
+    // per drive) rides along as data.
+    "q297_snap_stream_source" -> Q(
+      (s, d) => {
+        val src = scratchDir("snapd7")
+        val sink = scratchDir("snapd8")
+        val ck = scratchDir("snapd7ck")
+        val docs = Tables(s, d, "documents")
+          .select("doc_id", "n_chars")
+        graft.io.SnapTable.commit(
+          docs.filter(col("doc_id") % 3 === 0), src, "doc_id")
+        graft.io.SnapTable.commit(
+          docs.filter(col("doc_id") % 3 === 1), src, "doc_id")
+        def drive(): Unit = {
+          val q = s.readStream.format("graft.sources.SnapSourceProvider")
+            .load(src)
+            .writeStream
+            .foreachBatch {
+              (b: org.apache.spark.sql.DataFrame, id: Long) =>
+                graft.io.SnapTable.commitStreamBatch(b, id, sink, "doc_id")
+                ()
+            }
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drive()
+        graft.io.SnapTable.commit(
+          docs.filter(col("doc_id") % 3 === 2), src, "doc_id")
+        drive() // incremental: only version 3's file streams
+        graft.io.SnapTable.read(s, sink)
+          .agg(count(lit(1)).as("n_rows"), sum("n_chars").as("sum_chars"))
+          .select(col("n_rows"), col("sum_chars"),
+            lit(graft.io.SnapTable.currentVersion(sink).toLong)
+              .as("n_sink_commits"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS n_sink_commits
+        |FROM documents""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

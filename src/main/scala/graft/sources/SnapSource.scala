@@ -78,13 +78,17 @@ class SnapSourceProvider extends TableProvider {
   private def asOf(o: CaseInsensitiveStringMap): Option[Int] =
     Option(o.get("versionAsOf")).map(_.toInt)
 
+  // writes to a not-yet-existing table must not trip read-side schema
+  // inference: accept the frame's own schema
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SnapSource.inferSchema(root(options), asOf(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val o = new CaseInsensitiveStringMap(properties)
-    new SnapDsvTable(root(o), asOf(o), schema)
+    new SnapDsvTable(root(o), asOf(o), schema, o)
   }
 }
 
@@ -142,12 +146,17 @@ object SnapSource {
   }
 }
 
-class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType)
-    extends Table with SupportsRead with SupportsMetadataColumns {
+class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
+    tableOptions: CaseInsensitiveStringMap)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with SupportsMetadataColumns {
   override def name(): String = s"graft_snap($root${asOf.fold("")("@v" + _)})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
       override def name(): String = SnapSource.FileColumn
@@ -156,7 +165,11 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType)
       override def comment(): String = "originating data file path"
     })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapScanBuilder(root, asOf, tableSchema)
+    new SnapScanBuilder(root, asOf, tableSchema, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SnapWriteBuilder(root, info.schema(), info.options())
 }
 
 /** Pushdown state: per-stat-column [lo, hi] bounds and IN-sets tighten
@@ -165,7 +178,8 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType)
   * a SUPERSET of the qualifying rows), absorbed ones are additionally
   * reported via pushedFilters for EXPLAIN.
   */
-class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType)
+class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -223,7 +237,9 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType)
     val hit = live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap))
     new SnapScan(root, hit, required,
-      live.flatMap(_.stats.map(_._1)).distinct)
+      live.flatMap(_.stats.map(_._1)).distinct,
+      ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
+      startingVersion = Option(options.get("startingVersion")).map(_.toInt))
   }
 }
 
@@ -260,7 +276,8 @@ object SnapScan {
   * are safe: the join re-checks every surviving row.
   */
 class SnapScan(root: String, files: Seq[FileStat], required: StructType,
-    statCols: Seq[String]) extends Scan with Batch
+    statCols: Seq[String], ignoreOverwrites: Boolean = false,
+    startingVersion: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering {
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
@@ -295,6 +312,62 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapMicroBatchStream(root, required, ignoreOverwrites,
+      startingVersion.getOrElse(0))
+}
+
+/** STREAMING source over the manifest log: an offset IS a committed
+  * version number, a micro-batch is the files the manifests in
+  * (start, end] appended — the Delta-style "table as a stream"
+  * contract. Exactly-once follows from offsets being durable version
+  * numbers: a replayed batch re-reads exactly the same immutable
+  * files. Appends only: an overwrite commit inside the range
+  * (compact/merge/delete) REFUSES by default — its rewritten files
+  * would double-count rows already streamed — and is SKIPPED under
+  * `option("ignoreOverwrites", true)` (readers see appends only; the
+  * documented lake-format streaming trade).
+  */
+class SnapMicroBatchStream(root: String, required: StructType,
+    ignoreOverwrites: Boolean, startVersion: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class SnapOffset(v: Int) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  override def initialOffset(): Offset = SnapOffset(startVersion)
+  override def latestOffset(): Offset =
+    SnapOffset(SnapTable.currentVersion(root))
+  override def deserializeOffset(json: String): Offset =
+    SnapOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapOffset].v
+    val e = end.asInstanceOf[SnapOffset].v
+    SnapTable.manifests(root).filter(m => m.version > s && m.version <= e)
+      .flatMap { m =>
+        if (m.action == "overwrite") {
+          if (!ignoreOverwrites) throw new IllegalStateException(
+            s"version ${m.version} of $root is an overwrite commit " +
+              "(compact/merge/delete); a version-offset stream cannot " +
+              "replay it without double-counting — restart from a " +
+              "snapshot, or pass option(\"ignoreOverwrites\", true) to " +
+              "stream appends only")
+          Nil
+        } else m.files.map(f =>
+          SnapFilePartition(f.path, f.rows): InputPartition)
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SnapFilePartition(path: String, rows: Long) extends InputPartition
@@ -397,4 +470,236 @@ class SnapFileReader(part: SnapFilePartition, required: StructType)
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** WRITE path: `df.write.format(...).option("statCols", "k").save(root)`
+  * publishes one SnapTable commit. The contract mirrors
+  * [[SnapTable.commit]] but BETTER-shaped for a cluster:
+  *
+  *  - [[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]
+  *    asks Spark to RANGE-distribute and sort the input on the primary
+  *    stat column (and `option("filesPerCommit", n)` pins the
+  *    partition count), so each task's file carves a tight,
+  *    near-disjoint stat range — the layout that makes manifest
+  *    min/max skipping sharp — with the shuffle planned by Catalyst,
+  *    not bolted on by the caller;
+  *  - each task computes its file's row count and per-column min/max
+  *    WHILE writing, so the commit needs no read-back scan at all
+  *    (the Scala API's writeFiles re-reads the fresh files);
+  *  - the driver publishes the manifest only after every task
+  *    committed — a failed job leaves only never-referenced orphan
+  *    files that [[SnapTable.vacuum]] ignores and readers never see.
+  *
+  * `mode("append")` publishes `action=append`; `mode("overwrite")`
+  * (TRUNCATE capability) publishes `action=overwrite` —
+  * truncate-and-replace, same as the Scala API's blind overwrite.
+  */
+class SnapWriteBuilder(root: String, schema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val statCols = Option(options.get("statCols"))
+      .orElse(Option(options.get("statCol")))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(throw new IllegalArgumentException(
+        "snap write needs option(\"statCols\", \"col[,col...]\") — the " +
+          "manifest's file-skipping stats column(s)"))
+    statCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"statCols column $c is not in the written schema " +
+            schema.fieldNames.mkString("[", ",", "]")))
+      require(Seq(LongType, IntegerType, DateType).contains(f.dataType),
+        s"statCols column $c must be bigint/int/date, is ${f.dataType}")
+    }
+    // every written column must round-trip through the reader
+    schema.fields.foreach { f =>
+      require(Seq(LongType, IntegerType, DateType, DoubleType, FloatType,
+        BooleanType, StringType).contains(f.dataType),
+        s"snap write does not support column ${f.name}: ${f.dataType}")
+    }
+    new SnapWrite(root, schema, statCols, overwrite,
+      options.getInt("filesPerCommit", 0))
+  }
+}
+
+class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
+    overwrite: Boolean, filesPerCommit: Int)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.Distributions
+  import org.apache.spark.sql.connector.expressions.{SortDirection, SortOrder => WSortOrder}
+
+  private def order: Array[WSortOrder] = Array(
+    Expressions.sort(Expressions.column(statCols.head),
+      SortDirection.ASCENDING))
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    Distributions.ordered(order)
+  override def requiredOrdering(): Array[WSortOrder] = order
+  override def requiredNumPartitions(): Int = filesPerCommit
+  override def toBatch
+      : org.apache.spark.sql.connector.write.BatchWrite =
+    new SnapBatchWrite(root, schema, statCols, overwrite)
+}
+
+class SnapBatchWrite(root: String, schema: StructType,
+    statCols: Seq[String], overwrite: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val dataDir = java.nio.file.Paths.get(root, "data",
+    java.util.UUID.randomUUID().toString).toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = SnapWriterFactory(dataDir, schema, statCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq
+      .collect { case SnapWriteCommit(Some(f)) => f }.sortBy(_.path)
+    SnapTable.publish(root,
+      if (overwrite) "overwrite" else "append", files)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SnapWriteCommit(Some(f)) =>
+        val p = java.nio.file.Paths.get(
+          f.path.stripPrefix("file://").stripPrefix("file:"))
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Exception => () }
+      case _ => ()
+    }
+}
+
+case class SnapWriteCommit(file: Option[FileStat])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class SnapWriterFactory(dataDir: String, schema: StructType,
+    statCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols)
+}
+
+/** One parquet file per task via parquet-mr's example Group writer;
+  * rows/min/max tracked inline (no read-back). An all-null stat
+  * column publishes the full-range box — never skipped, always safe.
+  */
+class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
+    schema: StructType, statCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.schema.Types
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+
+  private val absPath = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
+    java.nio.file.Paths.get(dataDir,
+      f"part-$partitionId%05d-$taskId.parquet").toAbsolutePath.toString
+  }
+
+  private val messageType: MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case LongType => b.optional(INT64).named(f.name)
+        case IntegerType => b.optional(INT32).named(f.name)
+        case DateType => b.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case DoubleType => b.optional(DOUBLE).named(f.name)
+        case FloatType => b.optional(FLOAT).named(f.name)
+        case BooleanType => b.optional(BOOLEAN).named(f.name)
+        case StringType => b.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case other => throw new IllegalStateException(
+          s"unsupported $other survived SnapWriteBuilder validation")
+      }
+    }
+    b.named("spark_schema")
+  }
+
+  private val writer = {
+    val conf = new Configuration()
+    ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(new HPath(absPath), conf))
+      .withType(messageType)
+      .withConf(conf)
+      .build()
+  }
+  private val factory = new SimpleGroupFactory(messageType)
+
+  private var rows = 0L
+  // (index into schema, running min, running max, sawValue)
+  private val stats = statCols.map { c =>
+    Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.fields.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema.fields(i)
+        f.dataType match {
+          case LongType => g.add(f.name, row.getLong(i))
+          case IntegerType | DateType => g.add(f.name, row.getInt(i))
+          case DoubleType => g.add(f.name, row.getDouble(i))
+          case FloatType => g.add(f.name, row.getFloat(i))
+          case BooleanType => g.add(f.name, row.getBoolean(i))
+          case StringType => g.add(f.name, row.getUTF8String(i).toString)
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+    stats.foreach { s =>
+      val idx = s(0).toInt
+      if (!row.isNullAt(idx)) {
+        val v = schema.fields(idx).dataType match {
+          case LongType => row.getLong(idx)
+          case _ => row.getInt(idx).toLong
+        }
+        if (v < s(1)) s(1) = v
+        if (v > s(2)) s(2) = v
+        s(3) = 1L
+      }
+    }
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writer.close()
+    if (rows == 0L) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(absPath))
+      SnapWriteCommit(None)
+    } else {
+      val fileStats = statCols.zip(stats).map { case (c, s) =>
+        c -> (if (s(3) == 1L) (s(1), s(2))
+        else (Long.MinValue, Long.MaxValue)) // all-null: unskippable box
+      }
+      SnapWriteCommit(Some(FileStat("file:" + absPath, rows, fileStats)))
+    }
+  }
+
+  override def abort(): Unit = {
+    try writer.close() catch { case _: Exception => () }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(absPath))
+    ()
+  }
+
+  override def close(): Unit = ()
 }

@@ -152,6 +152,100 @@ class SnapSourceSpec extends AnyFunSuite {
       r.getDate(6) == java.sql.Date.valueOf("2024-03-01"))
   }
 
+  test("write path: range-distributed files, inline stats, no read-back") {
+    val root = freshRoot()
+    (1L to 400L).map(i => (i, i * 2)).toDF("id", "dbl")
+      .write.format(Fmt)
+      .option("statCols", "id").option("filesPerCommit", "4")
+      .mode("append").save(root)
+    val live = SnapTable.liveFiles(root)
+    assert(live.size == 4, live.toString)
+    assert(live.map(_.rows).sum == 400)
+    // RequiresDistributionAndOrdering range-distributed the input:
+    // files carve non-overlapping id ranges, the skipping-friendly
+    // layout — and min/max were tracked inline, so they must equal
+    // the data's true extremes
+    val sorted = live.sortBy(_.min)
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.max < b.min, s"$a overlaps $b")
+      case _ => ()
+    }
+    assert(sorted.head.min == 1L && sorted.last.max == 400L)
+    // round-trip through BOTH readers
+    assert(SnapTable.read(spark, root).agg(sum("dbl")).head().getLong(0) ==
+      (1L to 400L).map(_ * 2).sum)
+    val viaDsv2 = spark.read.format(Fmt).load(root)
+    assert(viaDsv2.agg(sum("id")).head().getLong(0) == (1L to 400L).sum)
+    // manifest skipping works on the written stats
+    assert(SnapTable.readPruned(spark, root, "id", sorted.head.min,
+      sorted.head.max).count() == sorted.head.rows)
+
+    // mode(overwrite) = truncate-and-replace
+    (500L to 509L).map(i => (i, i)).toDF("id", "dbl")
+      .write.format(Fmt).option("statCols", "id")
+      .mode("overwrite").save(root)
+    assert(SnapTable.read(spark, root).count() == 10)
+    assert(SnapTable.currentVersion(root) == 2)
+    // history intact
+    assert(SnapTable.read(spark, root, Some(1)).count() == 400)
+  }
+
+  test("write path validates statCols and unsupported types loudly") {
+    val root = freshRoot()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      df.write.format(Fmt).mode("append").save(root) // no statCols
+    }
+    intercept[IllegalArgumentException] {
+      df.write.format(Fmt).option("statCols", "nope")
+        .mode("append").save(root)
+    }
+    intercept[IllegalArgumentException] {
+      df.write.format(Fmt).option("statCols", "v") // string stat col
+        .mode("append").save(root)
+    }
+  }
+
+  test("streaming source: micro-batches are manifest versions, incremental") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).toDF("id"), root, "id")
+    SnapTable.commit((11L to 20L).toDF("id"), root, "id")
+    val ck = freshRoot()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drive(extra: String*): Unit = {
+      val reader = spark.readStream.format(Fmt)
+      val q = extra.grouped(2).foldLeft(reader) {
+        case (r, Seq(k, v)) => r.option(k, v)
+        case (r, _) => r
+      }.load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen += ((id, b.count()))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drive()
+    assert(seen.map(_._2).sum == 20, seen.toString)
+    // incremental: a third commit streams ONLY its own rows
+    SnapTable.commit((21L to 25L).toDF("id"), root, "id")
+    drive()
+    assert(seen.map(_._2).sum == 25, seen.toString)
+    // an overwrite commit REFUSES by default...
+    SnapTable.compact(spark, root, "id", targetFiles = 1)
+    val ex = intercept[Exception](drive())
+    assert(ex.getMessage != null || ex.getCause != null)
+    // ...and is SKIPPED (appends-only) under ignoreOverwrites
+    drive("ignoreOverwrites", "true")
+    assert(seen.map(_._2).sum == 25, seen.toString)
+    SnapTable.commit((26L to 30L).toDF("id"), root, "id")
+    drive("ignoreOverwrites", "true")
+    assert(seen.map(_._2).sum == 30, seen.toString)
+  }
+
   test("SQL reaches the connector: temp view + pushdown") {
     val root = rangedTable()
     spark.read.format(Fmt).load(root).createOrReplaceTempView("snap_sql")
