@@ -1215,6 +1215,49 @@ object ScaleQueries {
         |  CAST(2 AS BIGINT) AS n_sink_commits
         |FROM documents""".stripMargin),
 
+    // q294's time travel with ZERO DataFrame code: the SnapCatalog
+    // plugin resolves `catalog.`/path`` identifiers and Spark's own
+    // `VERSION AS OF` syntax lands in loadTable(ident, version) — the
+    // analyzer's native time-travel hook. The whole query is one SQL
+    // string a BI tool could send; same oracle recompute as q278.
+    "q298_snap_sql_version_as_of" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd9")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 3 === 0), root, "o_orderkey")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") % 3 === 1), root, "o_orderkey")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_totalprice") > 150000.0), root, "o_orderkey",
+          action = "overwrite")
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(Seq(1, 2, 3).map { v =>
+          s"""SELECT CAST($v AS BIGINT) AS version,
+             |  count(*) AS n_rows,
+             |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS sum_cents
+             |FROM graftsnap.`$root` VERSION AS OF $v""".stripMargin
+        }.mkString("\nUNION ALL\n"))
+      },
+      """WITH c AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM c WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM c WHERE o_orderkey % 3 IN (0, 1)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM c WHERE o_totalprice > 150000""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

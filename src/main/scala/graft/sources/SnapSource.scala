@@ -703,3 +703,67 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
 
   override def close(): Unit = ()
 }
+
+/** Catalog plugin: registers snap tables under a SQL catalog name so
+  * PLAIN SQL — including Spark's native time-travel syntax — reaches
+  * the connector with zero DataFrame code:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.snap", "graft.sources.SnapCatalog")
+  * spark.sql("SELECT * FROM snap.`/path/to/table` VERSION AS OF 2")
+  * }}}
+  *
+  * The identifier IS the table root path (multi-part identifiers
+  * re-join on '/'). `VERSION AS OF v` resolves through
+  * `loadTable(ident, version)` — the analyzer's own time-travel hook,
+  * not a parser hack. Read-only by design: writes go through the
+  * write-path provider or the Scala API (their commit protocol), so
+  * every mutating catalog method refuses loudly.
+  */
+class SnapCatalog
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
+  import org.apache.spark.sql.connector.expressions.Transform
+
+  private var catalogName = "snap"
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+  override def name(): String = catalogName
+
+  private def root(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def table(ident: Identifier, asOf: Option[Int]): CTable = {
+    val r = root(ident)
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r, "_log")))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.asInstanceOf[Identifier])
+    new SnapDsvTable(r, asOf, SnapSource.inferSchema(r, asOf),
+      CaseInsensitiveStringMap.empty())
+  }
+
+  override def loadTable(ident: Identifier): CTable = table(ident, None)
+  override def loadTable(ident: Identifier, version: String): CTable =
+    table(ident, Some(version.toInt))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // tables are filesystem roots, not an enumerable set
+  override def tableExists(ident: Identifier): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root(ident), "_log"))
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): CTable =
+    throw new UnsupportedOperationException(
+      "snap catalog is read-only: write via " +
+        "df.write.format(\"graft.sources.SnapSourceProvider\") or the " +
+        "graft.io.SnapTable API")
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): CTable =
+    throw new UnsupportedOperationException("snap catalog is read-only")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("snap catalog is read-only")
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("snap catalog is read-only")
+}

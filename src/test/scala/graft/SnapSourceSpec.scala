@@ -246,6 +246,27 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(seen.map(_._2).sum == 30, seen.toString)
   }
 
+  test("catalog plugin: plain SQL VERSION AS OF time travel") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).toDF("id"), root, "id")
+    SnapTable.commit((11L to 20L).toDF("id"), root, "id")
+    SnapTable.commit((1L to 5L).toDF("id"), root, "id", action = "overwrite")
+    spark.conf.set("spark.sql.catalog.snaptest",
+      classOf[graft.sources.SnapCatalog].getName)
+    def q(sql: String): Long = spark.sql(sql).head().getLong(0)
+    assert(q(s"SELECT count(*) FROM snaptest.`$root`") == 5)
+    assert(q(s"SELECT count(*) FROM snaptest.`$root` VERSION AS OF 1") == 10)
+    assert(q(s"SELECT count(*) FROM snaptest.`$root` VERSION AS OF 2") == 20)
+    assert(q(s"SELECT sum(id) FROM snaptest.`$root` VERSION AS OF 2") ==
+      (1L to 20L).sum)
+    // a mutating statement refuses loudly
+    intercept[Exception](spark.sql(
+      s"DROP TABLE snaptest.`$root`"))
+    // a missing table is a resolution error, not a crash
+    intercept[org.apache.spark.sql.AnalysisException](spark.sql(
+      "SELECT * FROM snaptest.`/tmp/definitely_not_a_snap_table`").collect())
+  }
+
   test("SQL reaches the connector: temp view + pushdown") {
     val root = rangedTable()
     spark.read.format(Fmt).load(root).createOrReplaceTempView("snap_sql")
