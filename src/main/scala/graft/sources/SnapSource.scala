@@ -332,16 +332,27 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
   */
 class SnapMicroBatchStream(root: String, required: StructType,
     ignoreOverwrites: Boolean, startVersion: Int)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class SnapOffset(v: Int) extends Offset {
     override def json(): String = v.toString
   }
 
+  // Trigger.AvailableNow contract: pin "available" at prepare time so
+  // the run drains to a FIXED end even while writers keep committing
+  private var availableEnd: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableEnd = Some(SnapTable.currentVersion(root))
+
   override def initialOffset(): Offset = SnapOffset(startVersion)
   override def latestOffset(): Offset =
-    SnapOffset(SnapTable.currentVersion(root))
+    SnapOffset(availableEnd.getOrElse(SnapTable.currentVersion(root)))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+  override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset =
     SnapOffset(json.trim.toInt)
 
