@@ -65,37 +65,36 @@ object Bench {
       .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filters.isEmpty || filters.exists(n.contains))
-    // INTERLEAVED A/B sampling: the full sweep runs twice end-to-end
-    // (A over every query, then B over every query) instead of two
-    // back-to-back runs per query — a co-tenant burst lasting seconds
-    // to minutes now lands on the SAME query in at most one pass, so
-    // min(A, B) sheds it; back-to-back samples shared every burst,
-    // which is exactly the ±4x single-sample noise the r8/r9
-    // byte-identical experiment measured
-    val passA = selected.map(name => name -> timeOnce(name))
-    val passB = selected.map(name => name -> timeOnce(name)).toMap
-    val best2 = passA.map { case (name, (a, ab)) =>
-      val (b, bb) = passB(name)
-      if (a < 0 || b < 0) (name, -1.0, 0L, false)
-      else {
-        val (best, bestBytes) = if (a <= b) (a, ab) else (b, bb)
-        // when even the interleaved runs disagree badly, mark the
-        // query for one more sample so a single contended run can't
-        // masquerade as its cost
-        (name, best, bestBytes, math.max(a, b) > best * 1.5)
-      }
+    // Sampling design, shaped by two MEASURED box pathologies:
+    //  1. Back-to-back samples share any co-tenant burst — the ±4x
+    //     single-sample noise of the r8/r9 byte-identical experiment.
+    //  2. Interleaving the two passes across the sweep (so the
+    //     samples are separated in time) evicts the whole-stage-
+    //     codegen class cache between a query's runs: every pass
+    //     recompiles every query and short queries read a SYSTEMATIC
+    //     +45% median vs the back-to-back protocol (measured on this
+    //     tree against the r10 tree, same box, same plans).
+    // So: runs A/B stay BACK-TO-BACK (warm, comparable round over
+    // round), and a third full pass sweeps all queries AFTERWARD in
+    // the same order — each query's third sample lands one
+    // sweep-duration away from its A/B pair, so a burst that hit both
+    // warm samples is shed by min(), while the pass's cold-codegen
+    // penalty only ever makes it a no-op (min never increases).
+    val best2 = selected.map { name =>
+      val (a, ab) = timeOnce(name)
+      val (b, bb) = timeOnce(name)
+      if (a < 0 || b < 0) (name, -1.0, 0L)
+      else if (a <= b) (name, a, ab) else (name, b, bb)
     }
-    // the tie-break pass is itself a sweep over just the disagreeing
-    // queries, again separated in time from both A and B
-    val timed = best2.map { case (name, best, bestBytes, retry) =>
-      if (!retry) (name, best, bestBytes)
+    val timed = best2.map { case (name, best, bestBytes) =>
+      if (best < 0) (name, best, bestBytes)
       else {
         val (c, cb) = timeOnce(name)
         if (c < 0) {
           // two clean runs already exist, so keep the timing — but an
           // intermittent failure must not vanish from the record
-          System.err.println(s"[bench] $name: tie-break run FAILED " +
-            "(intermittent); reporting min of the two clean runs")
+          System.err.println(s"[bench] $name: separated third run " +
+            "FAILED (intermittent); reporting min of the two clean runs")
           (name, best, bestBytes)
         } else if (c < best) (name, c, cb) else (name, best, bestBytes)
       }
@@ -116,7 +115,7 @@ object Bench {
     val bytesJson = shuffleBytes
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"queries":${mapJson(results)},"shuffle_bytes":$bytesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":3,"queries":${mapJson(results)},"shuffle_bytes":$bytesJson,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and the sbt
     // success footer eats ~110 of them, so the FINAL line must be a
     // complete JSON object in well under that budget. With 100+ queries
@@ -128,7 +127,7 @@ object Bench {
     val byCost = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else -v }
     val budget = 1500
     val fixedOverhead =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"queries":{},"n_queries":${results.size},"full":"bench_out.json","sf":"$sfDir"}""".length
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":3,"queries":{},"n_queries":${results.size},"full":"bench_out.json","sf":"$sfDir"}""".length
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = fixedOverhead
     byCost.foreach { case (k, v) =>
@@ -136,7 +135,7 @@ object Bench {
       if (used + cost <= budget) { kept += (k -> v); used += cost }
     }
     val headline =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":2,"queries":${mapJson(kept.sortBy(_._1).toSeq)},"n_queries":${results.size},"full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":3,"queries":${mapJson(kept.sortBy(_._1).toSeq)},"n_queries":${results.size},"full":"bench_out.json","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), fullLine + "\n")
