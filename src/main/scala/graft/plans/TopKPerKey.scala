@@ -234,13 +234,39 @@ object TopKPerKeyExec {
       mutable.TreeMap.empty[InternalRow, mutable.ArrayBuffer[InternalRow]](ord)
     private var total = 0
 
+    /** Drop trailing groups that fell past the boundary; returns the
+      * (non-positive) retained-row delta. Rank: a group whose
+      * strictly-better row count reached k is out — which can happen
+      * on an INSERT of a better value or on a TIE joining a better
+      * group, so both paths must trim. Dense: only the group count
+      * matters.
+      */
+    private def trim(k: Int, dense: Boolean): Int = {
+      var delta = 0
+      var done = false
+      while (!done && tree.size > 1) {
+        val (lastRep, lastBuf) = tree.last
+        val drop =
+          if (dense) tree.size > k else total - lastBuf.size >= k
+        if (drop) {
+          tree.remove(lastRep)
+          total -= lastBuf.size
+          delta -= lastBuf.size
+        } else done = true
+      }
+      delta
+    }
+
     def add(row: InternalRow, rowOrd: Ordering[InternalRow], k: Int,
         dense: Boolean): Int =
       tree.get(row) match {
-        case Some(buf) => // ties an already-retained group: always keep
+        case Some(buf) =>
+          // ties an already-retained group — but the extra row can
+          // push GROUPS BELOW it past rank k (their strictly-better
+          // count grew), so the rank mode re-trims here too
           buf += row.copy()
           total += 1
-          1
+          1 + (if (dense) 0 else trim(k, dense))
         case None =>
           // admission: a value worse than every retained group only
           // qualifies while the retention isn't full yet
@@ -251,20 +277,7 @@ object TopKPerKeyExec {
           else {
             tree.put(row.copy(), mutable.ArrayBuffer(row.copy()))
             total += 1
-            var delta = 1
-            // trim groups that fell past the boundary
-            var done = false
-            while (!done && tree.size > 1) {
-              val (lastRep, lastBuf) = tree.last
-              val drop =
-                if (dense) tree.size > k else total - lastBuf.size >= k
-              if (drop) {
-                tree.remove(lastRep)
-                total -= lastBuf.size
-                delta -= lastBuf.size
-              } else done = true
-            }
-            delta
+            1 + trim(k, dense)
           }
       }
 

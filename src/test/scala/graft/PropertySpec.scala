@@ -21,6 +21,42 @@ class PropertySpec extends AnyFunSuite {
   private val dimGen: Gen[List[Int]] =
     Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1, 4)))
 
+  test("rank/dense/row_number <= k native rewrites equal the window on random tied frames") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rowGen = for {
+      n <- Gen.chooseNum(30, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 4)
+        v <- Gen.chooseNum(0, 5) // tiny value domain → heavy tie groups
+        id <- Gen.chooseNum(0, 1000000)
+      } yield (s"k$k", v, id.toLong))
+    } yield rows
+    samples(rowGen, 6).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("key", "v", "id")
+      val w = Window.partitionBy("key").orderBy(col("v").desc)
+      val wTotal = Window.partitionBy("key")
+        .orderBy(col("v").desc, col("id"))
+      val k = 1 + i % 4
+      def run(build: => org.apache.spark.sql.DataFrame): Seq[String] =
+        build.collect().map(_.toString).sorted.toSeq
+      def both(build: => org.apache.spark.sql.DataFrame): Unit = {
+        val got = run(build) // TopKRewrite fires (default on)
+        spark.conf.set(graft.plans.TopKRewrite.ConfKey, "false")
+        val want =
+          try run(build)
+          finally spark.conf.unset(graft.plans.TopKRewrite.ConfKey)
+        assert(got == want, s"sample $i k=$k diverged from the window")
+      }
+      both(df.withColumn("r", rank().over(w))
+        .filter(col("r") <= k).drop("r"))
+      both(df.withColumn("r", dense_rank().over(w))
+        .filter(col("r") <= k).drop("r"))
+      both(df.withColumn("r", row_number().over(wTotal))
+        .filter(col("r") <= k).drop("r"))
+    }
+  }
+
   test("combo cardinality = product of member counts (J14)") {
     samples(dimGen, 5).foreach { sizes =>
       val dims = Dimension(1, "Geography", "G", hasUom = false,

@@ -422,6 +422,47 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 194)
   }
 
+  test("stress: concurrent appenders and mergers — appends never lost, merges atomic") {
+    val root = freshRoot()
+    SnapTable.commit(Seq((0L, "base")).toDF("id", "v"), root, "id")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // 3 appenders on disjoint key ranges race 2 mergers that keep
+    // rewriting key 0 — every interleaving either rebases (appends
+    // carried) or refuses with CME (nothing published); nothing is
+    // ever silently dropped
+    val appenders = (1 to 3).map { t =>
+      Future {
+        (1 to 3).foreach { j =>
+          SnapTable.commit(Seq((t * 100L + j, s"a$t$j")).toDF("id", "v"),
+            root, "id")
+        }
+      }
+    }
+    val mergers = (1 to 2).map { t =>
+      Future {
+        (1 to 3).foreach { j =>
+          try {
+            SnapTable.merge(spark, root, "id",
+              Seq((0L, s"m$t$j")).toDF("id", "v"))
+            ()
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      }
+    }
+    Await.result(Future.sequence(appenders ++ mergers), 300.seconds)
+    val got = SnapTable.read(spark, root).as[(Long, String)]
+      .collect().toMap
+    for (t <- 1 to 3; j <- 1 to 3)
+      assert(got.get(t * 100L + j).contains(s"a$t$j"),
+        s"append ($t,$j) lost under concurrent merges: $got")
+    assert(got.size == 10, got.toString)
+    assert(got(0L) == "base" || got(0L).startsWith("m"), got(0L))
+  }
+
   test("multi-file commits carve near-disjoint stat ranges") {
     val root = freshRoot()
     SnapTable.commit((1L to 1000L).toDF("id"), root, "id",
