@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.plans.logical.Sort
 import org.apache.spark.sql.graft.{NormalizeShim, PlanShim}
 
-import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
+import graft.plans.{TopKMode, TopKPerKeyNode, TopKPerKeyStrategy}
 
 /** Public wrapper for the native per-key top-k operator
   * ([[graft.plans.TopKPerKeyNode]]): bounded heaps with a partial
@@ -24,7 +24,23 @@ import graft.plans.{TopKPerKeyNode, TopKPerKeyStrategy}
 object TopK {
 
   def perKey(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
-      k: Int): DataFrame = {
+      k: Int): DataFrame = perKeyMode(df, keyCols, order, k, TopKMode.RowNum)
+
+  /** `rank() <= k` semantics: every row with fewer than k strictly
+    * better survives — boundary TIES kept whole (k = 1 is the
+    * keep-all-tied-winners argmax). Exact for any order, total or not.
+    */
+  def perKeyRank(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = perKeyMode(df, keyCols, order, k, TopKMode.Rank)
+
+  /** `dense_rank() <= k` semantics: all rows of the k best DISTINCT
+    * order values per key.
+    */
+  def perKeyDense(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = perKeyMode(df, keyCols, order, k, TopKMode.Dense)
+
+  private def perKeyMode(df: DataFrame, keyCols: Seq[String],
+      order: Seq[Column], k: Int, mode: TopKMode): DataFrame = {
     val spark = df.sparkSession
     require(keyCols.nonEmpty,
       "TopK.perKey needs at least one key column; for a global top-k " +
@@ -64,7 +80,7 @@ object TopK {
     // exchange hashes the same expressions, so without this the
     // operator would diverge from window partitionBy semantics
     val keys = keyCols.map(n => NormalizeShim.normalizeFloats(attr(n)))
-    PlanShim.ofRows(spark, TopKPerKeyNode(keys, sortOrder, k, base))
+    PlanShim.ofRows(spark, TopKPerKeyNode(keys, sortOrder, k, base, mode))
   }
 
   /** [[perKey]] plus the rank column a window top-k would carry —

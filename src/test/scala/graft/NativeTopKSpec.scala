@@ -214,4 +214,19 @@ class NativeTopKSpec extends AnyFunSuite {
     assert(plan.indexOf("TopKPerKey(partial)") >
       plan.indexOf("Exchange hashpartitioning"), plan)
   }
+
+  test("TopK.perKeyRank/perKeyDense equal their window formulations") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 90), ("a", 2L, 90), ("a", 3L, 80),
+      ("a", 4L, 80), ("a", 5L, 70), ("b", 6L, 5), ("b", 7L, 5))
+      .toDF("src", "id", "v")
+    val w = Window.partitionBy("src").orderBy(col("v").desc)
+    def windowed(fn: org.apache.spark.sql.Column, k: Int): Set[Long] =
+      df.withColumn("r", fn.over(w)).filter(col("r") <= k).drop("r")
+        .select("id").as[Long].collect().toSet
+    assert(TopK.perKeyRank(df, Seq("src"), Seq(col("v").desc), 2)
+      .select("id").as[Long].collect().toSet == windowed(rank(), 2))
+    assert(TopK.perKeyDense(df, Seq("src"), Seq(col("v").desc), 2)
+      .select("id").as[Long].collect().toSet == windowed(dense_rank(), 2))
+  }
 }
