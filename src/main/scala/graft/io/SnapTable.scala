@@ -465,11 +465,17 @@ object SnapTable {
     mergeImpl(spark, root, statCol, updates, filesPerRewrite, () => ())
 
   private[graft] def mergeImpl(spark: SparkSession, root: String,
-      statCol: String, updates: DataFrame, filesPerRewrite: Int,
+      statCol: String, updatesRaw: DataFrame, filesPerRewrite: Int,
       beforePublish: () => Unit): (Int, Int) = {
     val baseV = currentVersion(root)
     val live = liveFiles(root, Some(baseV))
     val keyCap = mergeKeyLimit
+    // the update frame is consumed up to three times (key collect,
+    // anti-join, union) — materialize once so an expensive upstream
+    // (a join, a dedup) isn't re-executed per consumer
+    val updates = updatesRaw.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val keyRows = updates.select(col(statCol).cast("long").as("k"))
       .distinct().limit(keyCap + 1).collect()
     if (keyRows.isEmpty) { // empty update set: a no-op commit
@@ -501,6 +507,7 @@ object SnapTable {
     beforePublish()
     (publishRebasing(root, baseV, untouched ++ rewritten, touchesUpdates),
       touched.size)
+    } finally { updates.unpersist(); () }
   }
 
   /** Row-level DELETE as file-granular copy-on-write: files whose
@@ -536,11 +543,13 @@ object SnapTable {
     // dodge BOTH the delete and the keep
     val doomedPred = coalesce(col(statCol).cast("long").between(lo, hi) &&
       extraPredicate.getOrElse(lit(true)), lit(false))
-    val deleted = current.filter(doomedPred).count()
     val kept = current.filter(!doomedPred)
     val rewritten =
       if (kept.isEmpty) Seq.empty[FileStat]
       else writeFiles(kept, root, Seq(statCol), filesPerRewrite)
+    // deleted count from MANIFEST row counts minus the rewrite's —
+    // no second scan of the touched files
+    val deleted = touched.map(_.rows).sum - rewritten.map(_.rows).sum
     val untouched = live.filterNot(touched.toSet)
     beforePublish()
     (publishRebasing(root, baseV, untouched ++ rewritten, inRange),
