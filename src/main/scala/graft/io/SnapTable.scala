@@ -48,9 +48,21 @@ import org.apache.spark.sql.functions._
   *    optimization only: a missing or unreadable checkpoint falls
   *    back to full replay.
   *
+  *  - Every manifest also records the TABLE SCHEMA as of its version
+  *    (`schema=` header: the serialized StructType — prior schema
+  *    unioned with the commit's frame for appends, the rewrite's
+  *    resolved union for overwrites), so COLD SCHEMA RESOLUTION reads
+  *    exactly ONE log file and ZERO parquet footers — O(1) in both
+  *    commit count and file count (Delta's metaData action). An empty
+  *    live set (everything deleted, an empty overwrite) stays
+  *    readable: the schema survives in the manifest even when no data
+  *    file does. Logs written before this header fall back to
+  *    footer-union inference.
+  *
   * Manifest format (line-oriented, no JSON dependency):
   * {{{
   * action=append|overwrite
+  * schema=<StructType json>  (optional — absent only in legacy logs)
   * batch=<id>          (optional — streaming commits only)
   * <path>\t<rows>\t<col>=<min>:<max>[,<col>=<min>:<max>...]
   * }}}
@@ -77,7 +89,8 @@ object SnapTable {
       stats.collectFirst { case (c, r) if c == colName => r }
   }
   final case class Manifest(version: Int, action: String,
-      files: Seq[FileStat], batchId: Option[Long] = None)
+      files: Seq[FileStat], batchId: Option[Long] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
 
   private final case class Checkpoint(version: Int, files: Seq[FileStat],
       batchIds: Set[Long])
@@ -114,7 +127,9 @@ object SnapTable {
     logDir(root).resolve(f"c$v%05d.checkpoint")
 
   /** Committed version numbers in order — one directory listing, zero
-    * file reads.
+    * file reads. `\d{5,}` + full-digit-run parse: the writer pads to
+    * five digits but f"%05d" simply grows past 99999, so versions
+    * ≥ 100000 must stay visible (numeric sort, not lexicographic).
     */
   private def listVersions(root: String): Seq[Int] = {
     val dir = logDir(root)
@@ -122,8 +137,8 @@ object SnapTable {
     val s = Files.list(dir)
     try s.iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case n if n.matches("v\\d{5}\\.manifest") =>
-        n.substring(1, 6).toInt }
+      .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
+        n.substring(1, n.indexOf('.')).toInt }
       .toSeq.sorted
     finally s.close()
   }
@@ -134,8 +149,8 @@ object SnapTable {
     val s = Files.list(dir)
     try s.iterator().asScala
       .map(_.getFileName.toString)
-      .collect { case n if n.matches("c\\d{5}\\.checkpoint") =>
-        n.substring(1, 6).toInt }
+      .collect { case n if n.matches("c\\d{5,}\\.checkpoint") =>
+        n.substring(1, n.indexOf('.')).toInt }
       .toSeq.sorted
     finally s.close()
   }
@@ -163,8 +178,49 @@ object SnapTable {
       case h if h.startsWith("action=") => h.stripPrefix("action=") }.get
     val batchId = header.collectFirst {
       case h if h.startsWith("batch=") => h.stripPrefix("batch=").toLong }
-    Manifest(v, action, body.filter(_.nonEmpty).map(parseFileLine), batchId)
+    val schema = header.collectFirst {
+      case h if h.startsWith("schema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(h.stripPrefix("schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType] }
+    Manifest(v, action, body.filter(_.nonEmpty).map(parseFileLine), batchId,
+      schema)
   }
+
+  /** Schema as written to a manifest header: every field nullable (a
+    * snapshot unions files of many commits — absence is null) and
+    * metadata stripped (keeps the serialized line free of arbitrary
+    * user strings; types and names are the whole contract).
+    */
+  private def normalizeSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(s.fields.toSeq.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType,
+        nullable = true)))
+
+  /** Union in order, first occurrence of a name wins its type — the
+    * same additive-evolution contract mergeSchema applies to footers.
+    */
+  private def unionSchemas(ss: Seq[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType = {
+    val fields = scala.collection.mutable.LinkedHashMap
+      .empty[String, org.apache.spark.sql.types.StructField]
+    ss.foreach(_.fields.foreach(f =>
+      if (!fields.contains(f.name)) fields += f.name -> f))
+    normalizeSchema(org.apache.spark.sql.types.StructType(
+      fields.values.toSeq))
+  }
+
+  /** Table schema as of a version, resolved from the log alone: the
+    * newest manifest carries the full schema as of its commit, so this
+    * is ONE manifest read and ZERO parquet footers. `None` only for
+    * legacy logs whose newest manifest predates the schema header —
+    * callers then fall back to footer-union inference.
+    */
+  def tableSchema(root: String,
+      asOf: Option[Int] = None): Option[org.apache.spark.sql.types.StructType] =
+    listVersions(root).filter(v => asOf.forall(v <= _)).lastOption
+      .flatMap(v => readManifest(root, v).schema)
 
   /** Latest checkpoint at or below `asOf`, or None (missing/corrupt →
     * full replay; checkpoints are never a correctness dependency).
@@ -199,9 +255,11 @@ object SnapTable {
       .map(v => readManifest(root, v))
 
   /** Manifests with version in (after, asOf] — the replay tail above a
-    * checkpoint or a rebase base.
+    * checkpoint or a rebase base. Exposed to the DSv2 streaming source
+    * so a micro-batch reads ONLY the manifests of its version range,
+    * not the whole log.
     */
-  private def manifestsAfter(root: String, after: Int,
+  private[graft] def manifestsAfter(root: String, after: Int,
       asOf: Option[Int] = None): Seq[Manifest] =
     listVersions(root)
       .filter(v => v > after && asOf.forall(v <= _))
@@ -263,18 +321,22 @@ object SnapTable {
   }
 
   private def manifestBody(action: String, files: Seq[FileStat],
-      batchId: Option[Long]): String =
-    (Seq(s"action=$action") ++ batchId.map(b => s"batch=$b") ++
+      batchId: Option[Long],
+      schema: Option[org.apache.spark.sql.types.StructType]): String =
+    (Seq(s"action=$action") ++
+      schema.map(s => s"schema=${normalizeSchema(s).json}") ++
+      batchId.map(b => s"batch=$b") ++
       files.map(fileLine)).mkString("", "\n", "\n")
 
   /** Atomically claim version `v` (CREATE_NEW: throws
     * FileAlreadyExistsException if a concurrent winner holds it).
     */
   private def writeManifestFile(root: String, v: Int, action: String,
-      files: Seq[FileStat], batchId: Option[Long]): Unit = {
+      files: Seq[FileStat], batchId: Option[Long],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     Files.createDirectories(logDir(root))
     Files.write(manifestPath(root, v),
-      manifestBody(action, files, batchId).getBytes("UTF-8"),
+      manifestBody(action, files, batchId, schema).getBytes("UTF-8"),
       StandardOpenOption.CREATE_NEW)
   }
 
@@ -303,20 +365,40 @@ object SnapTable {
     * commits go through [[publishRebasing]] instead.
     */
   private[graft] def publish(root: String, action: String,
-      files: Seq[FileStat], batchId: Option[Long] = None): Int = {
+      files: Seq[FileStat], batchId: Option[Long] = None,
+      frameSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     require(action == "append" || action == "overwrite", action)
-    var v = currentVersion(root) + 1
-    var committed = false
-    while (!committed) {
+    while (true) {
+      // schema and slot come from the SAME listing: a clean claim of
+      // slot v proves no commit landed in between, so the recorded
+      // union (prev schema ∪ frame) is exact; a collision re-lists and
+      // re-unions before the retry
+      val prev = listVersions(root).lastOption
+      val v = prev.getOrElse(0) + 1
+      val schema: Option[org.apache.spark.sql.types.StructType] =
+        frameSchema.flatMap { fs =>
+          if (action == "overwrite") Some(fs) // live set := these files
+          else prev match {
+            case None => Some(fs)
+            case Some(pv) => readManifest(root, pv).schema match {
+              case Some(ps) => Some(unionSchemas(Seq(ps, fs)))
+              // legacy log without schema headers: recording only the
+              // frame would CLAIM a table schema that misses older
+              // columns — stay legacy, readers keep footer inference
+              case None => None
+            }
+          }
+        }
       try {
-        writeManifestFile(root, v, action, files, batchId)
-        committed = true
+        writeManifestFile(root, v, action, files, batchId, schema)
+        maybeCheckpoint(root, v)
+        return v
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => v += 1
+        case _: java.nio.file.FileAlreadyExistsException => ()
       }
     }
-    maybeCheckpoint(root, v)
-    v
+    -1 // unreachable
   }
 
   /** Publish an `overwrite` computed by a READ-MODIFY-WRITE of the
@@ -338,9 +420,11 @@ object SnapTable {
     * stale-snapshot overwrite silently dropped a concurrent append.
     */
   private def publishRebasing(root: String, baseVersion: Int,
-      files: Seq[FileStat], isConflicting: FileStat => Boolean): Int = {
+      files: Seq[FileStat], isConflicting: FileStat => Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     var base = baseVersion
     var live = files
+    var sch = schema
     while (true) {
       manifestsAfter(root, base).foreach { m =>
         if (m.action == "overwrite")
@@ -352,11 +436,18 @@ object SnapTable {
             s"concurrent append v${m.version} on $root intersects the " +
               s"key range rewritten by a merge based on v$base")
         live = live ++ m.files
+        // a rebased append rides in with its columns: union its
+        // recorded table schema; a legacy append (no header) would
+        // make any recorded schema a lie — drop to footer inference
+        sch = (sch, m.schema) match {
+          case (Some(a), Some(b)) => Some(unionSchemas(Seq(a, b)))
+          case _ => None
+        }
         base = m.version
       }
       val v = base + 1
       try {
-        writeManifestFile(root, v, "overwrite", live, None)
+        writeManifestFile(root, v, "overwrite", live, None, sch)
         maybeCheckpoint(root, v)
         return v
       } catch {
@@ -374,7 +465,8 @@ object SnapTable {
     */
   def commit(df: DataFrame, root: String, statCol: String,
       action: String = "append", filesPerCommit: Int = 1): Int =
-    publish(root, action, writeFiles(df, root, Seq(statCol), filesPerCommit))
+    publish(root, action, writeFiles(df, root, Seq(statCol), filesPerCommit),
+      frameSchema = Some(df.schema))
 
   /** [[commit]] carrying stats for SEVERAL columns (first = primary,
     * used for shaping); with the data pre-clustered in N dimensions
@@ -383,7 +475,8 @@ object SnapTable {
     */
   def commitCols(df: DataFrame, root: String, statCols: Seq[String],
       action: String = "append", filesPerCommit: Int = 1): Int =
-    publish(root, action, writeFiles(df, root, statCols, filesPerCommit))
+    publish(root, action, writeFiles(df, root, statCols, filesPerCommit),
+      frameSchema = Some(df.schema))
 
   /** Multi-dimensional file skipping: keep only files whose per-column
     * boxes intersect EVERY requested [lo, hi]; re-apply the row
@@ -421,10 +514,12 @@ object SnapTable {
       statCol: String, targetFiles: Int, asOf: Option[Int],
       beforePublish: () => Unit): Int = {
     val baseV = asOf.getOrElse(currentVersion(root))
-    val rewritten = writeFiles(read(spark, root, Some(baseV)), root,
-      Seq(statCol), targetFiles)
+    val frame = read(spark, root, Some(baseV))
+    val rewritten = writeFiles(frame, root, Seq(statCol), targetFiles)
     beforePublish()
-    publishRebasing(root, baseV, rewritten, _ => false)
+    // the compaction frame IS the resolved snapshot (mergeSchema union)
+    publishRebasing(root, baseV, rewritten, _ => false,
+      schema = Some(frame.schema))
   }
 
   /** Any of `sortedKeys` (ascending) inside the file's primary
@@ -478,9 +573,11 @@ object SnapTable {
     try {
     val keyRows = updates.select(col(statCol).cast("long").as("k"))
       .distinct().limit(keyCap + 1).collect()
-    if (keyRows.isEmpty) { // empty update set: a no-op commit
-      beforePublish()
-      return (publishRebasing(root, baseV, live, _ => false), 0)
+    if (keyRows.isEmpty) {
+      // empty update set: nothing changes — publishing an overwrite of
+      // the unchanged live set would abort concurrent read-modify-
+      // writes and break version-offset streams for a no-op
+      return (baseV, 0)
     }
     val keys = keyRows.iterator.filter(!_.isNullAt(0))
       .map(_.getLong(0)).toArray.sorted
@@ -505,8 +602,15 @@ object SnapTable {
       .unionByName(updates)
     val rewritten = writeFiles(merged, root, Seq(statCol), filesPerRewrite)
     beforePublish()
-    (publishRebasing(root, baseV, untouched ++ rewritten, touchesUpdates),
-      touched.size)
+    // recorded schema: base ∪ updates (untouched files ⊆ base). A
+    // legacy base without a schema header stays legacy — claiming
+    // base-less columns would drop the untouched files' fields.
+    val recorded =
+      if (live.isEmpty) Some(unionSchemas(Seq(updates.schema)))
+      else tableSchema(root, Some(baseV))
+        .map(bs => unionSchemas(Seq(bs, updates.schema)))
+    (publishRebasing(root, baseV, untouched ++ rewritten, touchesUpdates,
+      schema = recorded), touched.size)
     } finally { updates.unpersist(); () }
   }
 
@@ -534,8 +638,11 @@ object SnapTable {
     val inRange: FileStat => Boolean = f => f.max >= lo && f.min <= hi
     val touched = live.filter(inRange)
     if (touched.isEmpty) {
-      beforePublish()
-      return (publishRebasing(root, baseV, live, inRange), 0, 0L)
+      // no file intersects the range: nothing to delete — early-return
+      // instead of publishing an overwrite of the unchanged live set
+      // (which would abort concurrent read-modify-writes and kill
+      // version-offset streams for a commit that changed nothing)
+      return (baseV, 0, 0L)
     }
     val current = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(_.path): _*)
@@ -552,7 +659,10 @@ object SnapTable {
     val deleted = touched.map(_.rows).sum - rewritten.map(_.rows).sum
     val untouched = live.filterNot(touched.toSet)
     beforePublish()
-    (publishRebasing(root, baseV, untouched ++ rewritten, inRange),
+    // a delete never adds columns: the base schema carries over (and
+    // keeps the table readable even when every row is deleted)
+    (publishRebasing(root, baseV, untouched ++ rewritten, inRange,
+      schema = tableSchema(root, Some(baseV))),
       touched.size, deleted)
   }
 
@@ -566,9 +676,27 @@ object SnapTable {
   def read(spark: SparkSession, root: String,
       asOf: Option[Int] = None): DataFrame = {
     val files = liveFiles(root, asOf)
-    require(files.nonEmpty, s"snapshot of $root at $asOf has no files")
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(_.path): _*)
+    if (files.nonEmpty)
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.path): _*)
+    else {
+      // a LEGAL table state — everything deleted, or an overwrite of
+      // an empty frame — must read as an empty relation, not throw.
+      // Schema from the manifest header; for a legacy log, from the
+      // newest manifest that still referenced files (best effort: its
+      // files survive vacuum only while some kept version needs them).
+      val schema = tableSchema(root, asOf).getOrElse {
+        val lastWithFiles = manifests(root, asOf).reverse
+          .find(_.files.nonEmpty)
+          .getOrElse(throw new IllegalArgumentException(
+            s"snapshot of $root at $asOf has no files and no recorded " +
+              "schema"))
+        spark.read.option("mergeSchema", "true")
+          .parquet(lastWithFiles.files.map(_.path): _*).schema
+      }
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    }
   }
 
   /** Streaming batch ids recorded anywhere in the log —
@@ -589,7 +717,8 @@ object SnapTable {
       statCol: String, filesPerCommit: Int = 1): Option[Int] =
     if (seenBatchIds(root).contains(batchId)) None
     else Some(publish(root, "append",
-      writeFiles(batch, root, Seq(statCol), filesPerCommit), Some(batchId)))
+      writeFiles(batch, root, Seq(statCol), filesPerCommit), Some(batchId),
+      frameSchema = Some(batch.schema)))
 
   /** Drive `stream` into the table with [[commitStreamBatch]] as an
     * AvailableNow pass (successive calls are incremental via the

@@ -463,6 +463,70 @@ class SnapTableSpec extends AnyFunSuite {
     assert(got(0L) == "base" || got(0L).startsWith("m"), got(0L))
   }
 
+  test("schema rides the manifest: O(1) cold resolution, zero footers") {
+    val root = freshRoot()
+    (1 to 50).foreach(i => SnapTable.commit(
+      Seq((i.toLong, s"v$i")).toDF("id", "s"), root, "id"))
+    val before = SnapTable.manifestFilesRead.get()
+    val schema = SnapTable.tableSchema(root)
+    // ONE manifest read — not O(commits), no parquet footers involved
+    assert(SnapTable.manifestFilesRead.get() - before == 1,
+      s"read ${SnapTable.manifestFilesRead.get() - before} log files")
+    assert(schema.map(_.fieldNames.toSeq).contains(Seq("id", "s")), schema)
+    assert(schema.get("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+
+    // additive evolution: a commit with an extra column UNIONS
+    SnapTable.commit(Seq((99L, "x", 7.5)).toDF("id", "s", "score"),
+      root, "id")
+    assert(SnapTable.tableSchema(root).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "s", "score")))
+    // as-of resolution sees the schema of ITS version
+    assert(SnapTable.tableSchema(root, Some(50)).map(_.fieldNames.toSeq)
+      .contains(Seq("id", "s")))
+  }
+
+  test("empty live set stays readable: delete-everything, then read") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"),
+      root, "id")
+    val (_, _, deleted) = SnapTable.delete(spark, root, "id", 1L, 10L)
+    assert(deleted == 10L)
+    assert(SnapTable.liveFiles(root).isEmpty)
+    val empty = SnapTable.read(spark, root)
+    assert(empty.columns.toSeq == Seq("id", "s"))
+    assert(empty.count() == 0)
+    // and the table accepts data again afterward
+    SnapTable.commit(Seq((42L, "back")).toDF("id", "s"), root, "id")
+    assert(SnapTable.read(spark, root).count() == 1)
+  }
+
+  test("versions beyond the five-digit padding stay visible") {
+    val root = freshRoot()
+    SnapTable.commit(Seq((1L, "a")).toDF("id", "s"), root, "id")
+    // forge a six-digit version the way f"%05d" itself would emit it
+    Files.write(Paths.get(root, "_log", "v100000.manifest"),
+      "action=append\n".getBytes("UTF-8"))
+    assert(SnapTable.currentVersion(root) == 100000)
+    assert(SnapTable.read(spark, root).count() == 1) // replay includes it
+  }
+
+  test("no-op merge and delete publish NOTHING") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).toDF("id"), root, "id")
+    val v = SnapTable.currentVersion(root)
+    // delete range no file intersects
+    val (dv, nf, nr) = SnapTable.delete(spark, root, "id", 500L, 600L)
+    assert((dv, nf, nr) == (v, 0, 0L))
+    // merge with an empty update frame
+    val (mv, mf) = SnapTable.merge(spark, root, "id",
+      (1L to 10L).toDF("id").filter(lit(false)))
+    assert((mv, mf) == (v, 0))
+    // the log is untouched: a concurrent reader/stream sees no commit
+    assert(SnapTable.currentVersion(root) == v)
+    assert(SnapTable.manifests(root).size == v)
+  }
+
   test("multi-file commits carve near-disjoint stat ranges") {
     val root = freshRoot()
     SnapTable.commit((1L to 1000L).toDF("id"), root, "id",
