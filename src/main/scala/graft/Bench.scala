@@ -83,11 +83,13 @@ object Bench {
     val best2 = selected.map { name =>
       val (a, ab) = timeOnce(name)
       val (b, bb) = timeOnce(name)
-      if (a < 0 || b < 0) (name, -1.0, 0L)
-      else if (a <= b) (name, a, ab) else (name, b, bb)
+      val (best, bytes) =
+        if (a < 0 || b < 0) (-1.0, 0L)
+        else if (a <= b) (a, ab) else (b, bb)
+      (name, best, bytes, Seq(a, b))
     }
-    val timed = best2.map { case (name, best, bestBytes) =>
-      if (best < 0) (name, best, bestBytes)
+    val timed = best2.map { case (name, best, bestBytes, ab) =>
+      if (best < 0) (name, best, bestBytes, ab)
       else {
         val (c, cb) = timeOnce(name)
         if (c < 0) {
@@ -95,12 +97,19 @@ object Bench {
           // intermittent failure must not vanish from the record
           System.err.println(s"[bench] $name: separated third run " +
             "FAILED (intermittent); reporting min of the two clean runs")
-          (name, best, bestBytes)
-        } else if (c < best) (name, c, cb) else (name, best, bestBytes)
+          (name, best, bestBytes, ab :+ c)
+        } else if (c < best) (name, c, cb, ab :+ c)
+        else (name, best, bestBytes, ab :+ c)
       }
     }
-    val results = timed.map { case (n, t, _) => n -> t }
-    val shuffleBytes = timed.map { case (n, _, b) => n -> b }
+    val results = timed.map { case (n, t, _, _) => n -> t }
+    val shuffleBytes = timed.map { case (n, _, b, _) => n -> b }
+    // every RAW sample (A/B back-to-back, then the separated third
+    // pass), in measurement order: the r10↔r11 driver delta was only
+    // diagnosable via shuffle-byte cross-checks because min() hides
+    // which sample a co-tenant burst hit — the raw triples make a
+    // burst visible directly in the artifact
+    val samples = timed.map { case (n, _, _, ss) => n -> ss }
     spark.catalog.clearCache() // release the last query's result cache
     // 3-decimal timings: millisecond precision is all the box's noise
     // floor supports
@@ -114,8 +123,11 @@ object Bench {
     // (runtime volume, not plan shape); the headline stays timing-only
     val bytesJson = shuffleBytes
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val samplesJson = samples.map { case (k, ss) =>
+      "\"" + k + "\":" + ss.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":3,"queries":${mapJson(results)},"shuffle_bytes":$bytesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":3,"queries":${mapJson(results)},"shuffle_bytes":$bytesJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     // The driver keeps only the LAST ~2000 chars of stdout and the sbt
     // success footer eats ~110 of them, so the FINAL line must be a
     // complete JSON object in well under that budget. With 100+ queries

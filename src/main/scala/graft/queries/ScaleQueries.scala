@@ -1258,6 +1258,157 @@ object ScaleQueries {
         |  CAST(sum(cents) AS BIGINT)
         |FROM c WHERE o_totalprice > 150000""".stripMargin),
 
+    // The snap connector over a TIMESTAMP-carrying schema (the events
+    // table's own shape): the r11 reader tier rejected anything beyond
+    // bigint/int/double/float/boolean/string/date; the vectorized tier
+    // decodes timestamps (and decimals) natively, the manifest carries
+    // the schema so resolution opens zero footers, and the aggregates
+    // below hash the round-trip as exact epoch-microsecond integers —
+    // no cross-engine timestamp formatting in the result at all.
+    // (sum is taken over SECONDS offset from a 2020 epoch so it cannot
+    // overflow BIGINT at any SF.)
+    "q299_snap_typed_read" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd10")
+        val e = Tables(s, d, "events").select("event_id", "ts", "value")
+        graft.io.SnapTable.commit(
+          e.filter(col("event_id") % 2 === 0), root, "event_id")
+        graft.io.SnapTable.commit(
+          e.filter(col("event_id") % 2 === 1), root, "event_id")
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            min(expr("unix_micros(ts)")).as("min_micros"),
+            max(expr("unix_micros(ts)")).as("max_micros"),
+            sum(expr("(unix_micros(ts) - 1577836800000000L) div 1000000"))
+              .as("sum_sec_off"),
+            sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(epoch_us(ts)) AS BIGINT) AS min_micros,
+        |  CAST(max(epoch_us(ts)) AS BIGINT) AS max_micros,
+        |  CAST(sum((epoch_us(ts) - 1577836800000000) // 1000000)
+        |    AS BIGINT) AS sum_sec_off,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events""".stripMargin),
+
+    // CREATE TABLE AS SELECT + INSERT INTO in PLAIN SQL: the catalog
+    // publishes v1 (schema in the manifest, zero files) with the
+    // declared statCols persisted beside the log, the CTAS write lands
+    // v2 through the inline-stats DSv2 writer, and the INSERT finds
+    // the table's layout from its properties — no options restated.
+    // The commit count (create + CTAS + insert = 3) rides along as
+    // data, as does the pruned-read file count over the final table.
+    "q300_snap_sql_ctas" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd11")
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+          .createOrReplaceTempView("q300_orders_src")
+        s.sql(
+          s"""CREATE TABLE graftsnap.`$root`
+             |TBLPROPERTIES ('statCols'='o_orderkey')
+             |AS SELECT o_orderkey, o_totalprice FROM q300_orders_src
+             |WHERE o_orderkey < 6000""".stripMargin)
+        s.sql(
+          s"""INSERT INTO graftsnap.`$root`
+             |SELECT o_orderkey, o_totalprice FROM q300_orders_src
+             |WHERE o_orderkey >= 6000""".stripMargin)
+        s.sql(
+          s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS sum_cents,
+             |  CAST(${graft.io.SnapTable.currentVersion(root)} AS BIGINT)
+             |    AS n_commits
+             |FROM graftsnap.`$root`""".stripMargin)
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(3 AS BIGINT) AS n_commits
+        |FROM orders""".stripMargin),
+
+    // q295's row-level DELETE with ZERO library calls: plain SQL
+    // `DELETE FROM ... WHERE k BETWEEN a AND b` lowers through
+    // SupportsDelete onto the same file-granular copy-on-write (one
+    // file rewritten, three carried by path, conflict contract
+    // intact), and vacuum reclaims exactly the superseded pre-image.
+    // Rows, file count, and reclaim count are all hash-gated as data.
+    "q301_snap_sql_delete" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd12")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"DELETE FROM graftsnap.`$root` " +
+          "WHERE o_orderkey BETWEEN 5000 AND 5999")
+        val reclaimed = graft.io.SnapTable.vacuum(root,
+          keepFrom = graft.io.SnapTable.currentVersion(root))
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .select(col("o_totalprice"),
+            col(graft.sources.SnapSource.FileColumn).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+          .select(col("n_rows"), col("sum_cents"), col("n_files_read"),
+            lit(reclaimed.toLong).as("n_reclaimed"))
+      },
+      """SELECT
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 5000 AND 5999
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey BETWEEN 5000 AND 5999 THEN 0
+        |    ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) END)
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_files_read,
+        |  CAST(1 AS BIGINT) AS n_reclaimed
+        |FROM orders""".stripMargin),
+
+    // ADMISSION CONTROL on the snap streaming source: a 5-version
+    // backlog under maxVersionsPerTrigger=2 drains in exactly three
+    // bounded micro-batches (2+2+1 versions) instead of one batch
+    // spanning every pending commit — the restart-after-backlog shape
+    // where unbounded planning OOMs a real stream. Each batch's row
+    // count is hash-gated against the oracle's replay of the slicing.
+    "q302_snap_stream_admission" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = scratchDir("snapd13")
+        val ck = scratchDir("snapd13ck")
+        val docs = Tables(s, d, "documents").select("doc_id", "n_chars")
+        (0 to 4).foreach(i => graft.io.SnapTable.commit(
+          docs.filter(col("doc_id") % 5 === i), src, "doc_id"))
+        val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val q = s.readStream.format("graft.sources.SnapSourceProvider")
+          .option("maxVersionsPerTrigger", "2")
+          .load(src)
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            batches.synchronized { batches += ((id, b.count())) }
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        batches.sortBy(_._1).toSeq.toDF("batch_idx", "n_rows")
+      },
+      """SELECT CAST(b AS BIGINT) AS batch_idx,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM (SELECT CASE WHEN doc_id % 5 IN (0, 1) THEN 0
+        |             WHEN doc_id % 5 IN (2, 3) THEN 1
+        |             ELSE 2 END AS b
+        |      FROM documents)
+        |GROUP BY b""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -7,21 +7,26 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HPath}
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.api.ReadSupport
-import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetOutputFormat}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.schema.{GroupType, MessageType, PrimitiveType, Type => PType}
+import org.apache.parquet.schema.{MessageType, Type => PType}
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.io.SnapTable
@@ -96,60 +101,94 @@ object SnapSource {
   /** The file-path metadata column (Iceberg's `_file`). */
   val FileColumn = "_snap_file"
 
+  /** Parquet footers physically opened for SCHEMA work — test
+    * instrumentation: cold resolution against a schema-carrying log
+    * must read zero footers.
+    */
+  private[graft] val footersRead =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[sources] def sparkType(t: PType): DataType = {
     require(t.isPrimitive, s"nested column ${t.getName} is not supported " +
       "by the snap DSv2 reader")
     val p = t.asPrimitiveType()
     (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
       case (INT64, null) => LongType
+      case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+        if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+      case (INT64, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        DecimalType(d.getPrecision, d.getScale)
       case (INT32, d: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
         DateType
+      case (INT32, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        DecimalType(d.getPrecision, d.getScale)
       case (INT32, _) => IntegerType
+      case (INT96, _) => TimestampType
       case (DOUBLE, _) => DoubleType
       case (FLOAT, _) => FloatType
       case (BOOLEAN, _) => BooleanType
       case (BINARY, s: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
         StringType
+      case (BINARY, d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        DecimalType(d.getPrecision, d.getScale)
+      case (BINARY, null) => BinaryType
+      case (FIXED_LEN_BYTE_ARRAY,
+          d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+        DecimalType(d.getPrecision, d.getScale)
       case (name, ann) => throw new IllegalArgumentException(
         s"snap DSv2 reader does not support column ${t.getName}: " +
-          s"$name/$ann (supported: bigint, int, double, float, boolean, " +
-          "string, date)")
+          s"$name/$ann")
     }
   }
 
   private[sources] def footerSchema(path: String): MessageType = {
+    footersRead.incrementAndGet()
     val in = HadoopInputFile.fromPath(new HPath(path), new Configuration())
     val r = ParquetFileReader.open(in)
     try r.getFileMetaData.getSchema finally r.close()
   }
 
-  /** Union of the live files' schemas in commit order (one footer per
-    * commit directory — a commit's files share a schema).
+  /** Table schema, O(1): the newest manifest's recorded StructType —
+    * ONE log read, ZERO parquet footers, independent of commit or
+    * file count (and an empty live set stays readable). Only a LEGACY
+    * log written before schema headers falls back to unioning the
+    * live files' footers in commit order (one per commit directory);
+    * a legacy EMPTY snapshot falls back to the newest manifest that
+    * still carried files.
     */
-  def inferSchema(root: String, asOf: Option[Int]): StructType = {
-    val live = SnapTable.liveFiles(root, asOf)
-    require(live.nonEmpty, s"snapshot of $root at $asOf has no files")
-    val repPerDir = mutable.LinkedHashMap.empty[String, String]
-    live.foreach { f =>
-      val dir = f.path.substring(0, f.path.lastIndexOf('/'))
-      if (!repPerDir.contains(dir)) repPerDir += dir -> f.path
-    }
-    val fields = mutable.LinkedHashMap.empty[String, StructField]
-    repPerDir.values.foreach { p =>
-      footerSchema(p).getFields.asScala.foreach { t =>
-        if (!fields.contains(t.getName))
-          fields += t.getName ->
-            StructField(t.getName, sparkType(t), nullable = true)
+  def inferSchema(root: String, asOf: Option[Int]): StructType =
+    SnapTable.tableSchema(root, asOf).getOrElse {
+      val live = SnapTable.liveFiles(root, asOf)
+      val src =
+        if (live.nonEmpty) live
+        else SnapTable.manifests(root, asOf).reverse
+          .find(_.files.nonEmpty).map(_.files)
+          .getOrElse(throw new IllegalArgumentException(
+            s"snapshot of $root at $asOf has no files and no recorded " +
+              "schema"))
+      val repPerDir = mutable.LinkedHashMap.empty[String, String]
+      src.foreach { f =>
+        val dir = f.path.substring(0, f.path.lastIndexOf('/'))
+        if (!repPerDir.contains(dir)) repPerDir += dir -> f.path
       }
+      val fields = mutable.LinkedHashMap.empty[String, StructField]
+      repPerDir.values.foreach { p =>
+        footerSchema(p).getFields.asScala.foreach { t =>
+          if (!fields.contains(t.getName))
+            fields += t.getName ->
+              StructField(t.getName, sparkType(t), nullable = true)
+        }
+      }
+      StructType(fields.values.toSeq)
     }
-    StructType(fields.values.toSeq)
-  }
 }
 
 class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
-    tableOptions: CaseInsensitiveStringMap)
+    tableOptions: CaseInsensitiveStringMap,
+    tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
     with SupportsMetadataColumns {
   override def name(): String = s"graft_snap($root${asOf.fold("")("@v" + _)})"
   override def schema(): StructType = tableSchema
@@ -166,10 +205,102 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
     })
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapScanBuilder(root, asOf, tableSchema, options)
+
+  /** statCols resolution for writes that carry no reader option (SQL
+    * INSERT INTO / CTAS): catalog table properties first (either
+    * spelling the SQL layer produces), then the existing manifest's
+    * own stat columns — an established table keeps its layout without
+    * the caller restating it.
+    */
+  private def defaultStatCols: Option[Seq[String]] =
+    tableProps.get("statCols").orElse(tableProps.get("option.statCols"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(SnapTable.liveFiles(root, None).headOption
+        .map(_.stats.map(_._1)))
+
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new SnapWriteBuilder(root, info.schema(), info.options())
+    new SnapWriteBuilder(root, info.schema(), info.options(),
+      defaultStatCols)
+
+  // ---- SQL DELETE (SupportsDelete): a WHERE fully expressible as a
+  // range over the PRIMARY stat column lowers onto SnapTable.delete's
+  // file-granular copy-on-write, conflict contract included. Anything
+  // the manifest cannot prune on is refused (canDeleteWhere false) —
+  // Spark then reports the delete as unsupported instead of silently
+  // rewriting the table.
+
+  private def longLit(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case s: java.lang.Short => Some(s.longValue())
+    case b: java.lang.Byte => Some(b.longValue())
+    case _ => None
+  }
+
+  /** Conjunctive filters → one [lo, hi] on `statCol`, or None when any
+    * conjunct is out of contract (other column, non-integer literal,
+    * OR-shapes Spark hands down as And-free residuals).
+    */
+  private def parseRange(filters: Array[Filter],
+      statCol: String): Option[(Long, Long)] = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var ok = true
+    filters.foreach {
+      case EqualTo(c, v) if c == statCol => longLit(v) match {
+        case Some(l) => lo = math.max(lo, l); hi = math.min(hi, l)
+        case None => ok = false
+      }
+      case GreaterThan(c, v) if c == statCol => longLit(v) match {
+        case Some(l) if l < Long.MaxValue => lo = math.max(lo, l + 1)
+        case _ => ok = false
+      }
+      case GreaterThanOrEqual(c, v) if c == statCol => longLit(v) match {
+        case Some(l) => lo = math.max(lo, l)
+        case None => ok = false
+      }
+      case LessThan(c, v) if c == statCol => longLit(v) match {
+        case Some(l) if l > Long.MinValue => hi = math.min(hi, l - 1)
+        case _ => ok = false
+      }
+      case LessThanOrEqual(c, v) if c == statCol => longLit(v) match {
+        case Some(l) => hi = math.min(hi, l)
+        case None => ok = false
+      }
+      case IsNotNull(c) if c == statCol => ()
+      case _: AlwaysTrue => ()
+      case _ => ok = false
+    }
+    if (ok) Some((lo, hi)) else None
+  }
+
+  private def primaryStatCol: Option[String] =
+    defaultStatCols.flatMap(_.headOption)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    SnapTable.liveFiles(root, None).isEmpty || // nothing to delete
+      primaryStatCol.exists(c => parseRange(filters, c).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (SnapTable.liveFiles(root, None).isEmpty) return
+    val c = primaryStatCol.getOrElse(throw new IllegalStateException(
+      s"snap table $root has no stat column to delete by"))
+    val (lo, hi) = parseRange(filters, c).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE on $root must be a range over stat column $c; got " +
+          filters.mkString(", ")))
+    SnapTable.delete(spark, root, c, lo, hi)
+    ()
+  }
+
+  override def truncateTable(): Boolean = {
+    SnapTable.publish(root, "overwrite", Nil,
+      frameSchema = Some(tableSchema))
+    true
+  }
 }
 
 /** Pushdown state: per-stat-column [lo, hi] bounds and IN-sets tighten
@@ -208,11 +339,16 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       case EqualTo(c, v) => longVal(v).exists { l =>
         narrow(c, l, l); true }
       case GreaterThan(c, v) => longVal(v).exists { l =>
-        narrow(c, l + 1, Long.MaxValue); true }
+        // boundary literal: l+1 would wrap to Long.MinValue and the
+        // provably-empty predicate would prune NOTHING — record an
+        // explicitly empty range (lo > hi) that prunes every file
+        if (l == Long.MaxValue) narrow(c, 1L, 0L)
+        else narrow(c, l + 1, Long.MaxValue); true }
       case GreaterThanOrEqual(c, v) => longVal(v).exists { l =>
         narrow(c, l, Long.MaxValue); true }
       case LessThan(c, v) => longVal(v).exists { l =>
-        narrow(c, Long.MinValue, l - 1); true }
+        if (l == Long.MinValue) narrow(c, 1L, 0L)
+        else narrow(c, Long.MinValue, l - 1); true }
       case LessThanOrEqual(c, v) => longVal(v).exists { l =>
         narrow(c, Long.MinValue, l); true }
       case In(c, vs) =>
@@ -239,21 +375,28 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     new SnapScan(root, hit, required,
       live.flatMap(_.stats.map(_._1)).distinct,
       ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
-      startingVersion = Option(options.get("startingVersion")).map(_.toInt))
+      startingVersion = Option(options.get("startingVersion")).map(_.toInt),
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 }
 
 object SnapScan {
   /** Does the file's stat box intersect every pushed bound and contain
     * at least one key of every pushed IN-set? Columns a file carries
-    * no stats for cannot prune it.
+    * no stats for cannot prune it — EXCEPT against a provably-empty
+    * bound (lo > hi, from contradictory or boundary-overflowing
+    * predicates): no row anywhere can satisfy it, so every file
+    * prunes, stats or not.
     */
   private[sources] def survives(f: FileStat, bounds: Map[String, (Long, Long)],
       inSets: Map[String, Array[Long]]): Boolean =
     bounds.forall { case (c, (lo, hi)) =>
-      f.range(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      lo <= hi && f.range(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     } && inSets.forall { case (c, keys) =>
-      f.range(c).forall { case (mn, mx) => anyIn(keys, mn, mx) }
+      keys.nonEmpty && f.range(c).forall { case (mn, mx) => anyIn(keys, mn, mx) }
     }
 
   /** Any of `sorted` inside [mn, mx]? Binary search. */
@@ -277,7 +420,9 @@ object SnapScan {
   */
 class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     statCols: Seq[String], ignoreOverwrites: Boolean = false,
-    startingVersion: Option[Int] = None) extends Scan with Batch
+    startingVersion: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering {
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
@@ -299,9 +444,19 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
       }.sorted
       if (ls.length == vs.length)
         rInSets(c) = rInSets.get(c).fold(ls)(_.intersect(ls))
-    case EqualTo(c, v: java.lang.Long) =>
-      val (a, b) = rBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      rBounds(c) = (math.max(a, v.longValue()), math.min(b, v.longValue()))
+    case EqualTo(c, v) =>
+      // int-keyed DPP equalities arrive boxed as Integer — absorb the
+      // same way as Long, or the file list silently skips re-pruning
+      val l = v match {
+        case x: java.lang.Long => Some(x.longValue())
+        case x: java.lang.Integer => Some(x.longValue())
+        case x: java.lang.Short => Some(x.longValue())
+        case _ => None
+      }
+      l.foreach { lv =>
+        val (a, b) = rBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
+        rBounds(c) = (math.max(a, lv), math.min(b, lv))
+      }
     case _ => () // not absorbed — the join re-evaluates it anyway
   }
 
@@ -316,7 +471,8 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapMicroBatchStream(root, required, ignoreOverwrites,
-      startingVersion.getOrElse(0))
+      startingVersion.getOrElse(0), maxVersionsPerTrigger,
+      maxFilesPerTrigger)
 }
 
 /** STREAMING source over the manifest log: an offset IS a committed
@@ -331,10 +487,12 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
   * documented lake-format streaming trade).
   */
 class SnapMicroBatchStream(root: String, required: StructType,
-    ignoreOverwrites: Boolean, startVersion: Int)
+    ignoreOverwrites: Boolean, startVersion: Int,
+    maxVersionsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
 
   private case class SnapOffset(v: Int) extends Offset {
     override def json(): String = v.toString
@@ -349,9 +507,48 @@ class SnapMicroBatchStream(root: String, required: StructType,
   override def initialOffset(): Offset = SnapOffset(startVersion)
   override def latestOffset(): Offset =
     SnapOffset(availableEnd.getOrElse(SnapTable.currentVersion(root)))
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
-    latestOffset()
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** ADMISSION CONTROL: a restarted stream against a long backlog must
+    * not plan ONE micro-batch spanning every pending version.
+    * `maxVersionsPerTrigger` bounds a batch by listing arithmetic
+    * alone (versions are consecutive integers); `maxFilesPerTrigger`
+    * (also honored when Spark echoes it back as [[ReadMaxFiles]])
+    * walks the pending manifests IN RANGE ONLY and cuts the batch
+    * where the file budget is spent — always admitting at least one
+    * version, or a single over-budget commit would wedge the stream.
+    */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[SnapOffset].v
+    val cap = availableEnd.getOrElse(SnapTable.currentVersion(root))
+    if (cap <= s) return SnapOffset(s)
+    val fileCap = (limit match {
+      case mf: ReadMaxFiles => Some(mf.maxFiles())
+      case _ => None
+    }).orElse(maxFilesPerTrigger)
+    val vCapped = maxVersionsPerTrigger
+      .fold(cap)(n => math.min(cap, s + math.max(1, n)))
+    fileCap match {
+      case None => SnapOffset(vCapped)
+      case Some(budget) =>
+        // a batch is a CONTIGUOUS version range: stop at the first
+        // version that overflows the budget (later, smaller commits
+        // cannot leapfrog it)
+        var end = s
+        var used = 0
+        var full = false
+        SnapTable.manifestsAfter(root, s, Some(vCapped)).foreach { m =>
+          if (!full) {
+            val n = if (m.action == "overwrite") 0 else m.files.size
+            if (end == s || used + n <= budget) { end = m.version; used += n }
+            else full = true
+          }
+        }
+        SnapOffset(end)
+    }
+  }
   override def reportLatestOffset(): Offset = latestOffset()
   override def deserializeOffset(json: String): Offset =
     SnapOffset(json.trim.toInt)
@@ -360,7 +557,9 @@ class SnapMicroBatchStream(root: String, required: StructType,
       : Array[InputPartition] = {
     val s = start.asInstanceOf[SnapOffset].v
     val e = end.asInstanceOf[SnapOffset].v
-    SnapTable.manifests(root).filter(m => m.version > s && m.version <= e)
+    // reads ONLY the manifests in (s, e] — a micro-batch over a
+    // million-commit table costs its own range, not the whole log
+    SnapTable.manifestsAfter(root, s, Some(e))
       .flatMap { m =>
         if (m.action == "overwrite") {
           if (!ignoreOverwrites) throw new IllegalStateException(
@@ -384,16 +583,19 @@ class SnapMicroBatchStream(root: String, required: StructType,
 case class SnapFilePartition(path: String, rows: Long) extends InputPartition
 
 class SnapReaderFactory(required: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[SnapFilePartition]
-    val dataFields =
-      required.fields.filter(_.name != SnapSource.FileColumn)
-    if (dataFields.isEmpty)
-      // metadata-only projection (count(*), count of files): answered
-      // from the manifest's row count, zero file opens
-      new MetadataOnlyReader(part, required)
-    else new SnapFileReader(part, required)
-  }
+  private val hasDataColumns =
+    required.fields.exists(_.name != SnapSource.FileColumn)
+  // the projection is scan-level, so every partition answers the same
+  // way — the all-or-nothing contract DataSourceV2ScanExecBase needs
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    hasDataColumns
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    // metadata-only projection (count(*), count of files): answered
+    // from the manifest's row count, zero file opens
+    new MetadataOnlyReader(p.asInstanceOf[SnapFilePartition], required)
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] =
+    new SnapVectorReader(p.asInstanceOf[SnapFilePartition], required)
 }
 
 /** Emits `rows` copies of the projection without opening the file —
@@ -409,77 +611,66 @@ class MetadataOnlyReader(part: SnapFilePartition, required: StructType)
   override def close(): Unit = ()
 }
 
-/** One parquet file via parquet-mr's example Group API with a
-  * projection of exactly the requested DATA columns that exist in the
-  * file (schema evolution: requested-but-absent columns surface as
-  * NULL, matching mergeSchema).
+/** One parquet file through Spark's VECTORIZED parquet reader — the
+  * same columnar decode tier `spark.read.parquet` runs on, not a
+  * row-at-a-time shim: column chunks decode straight into
+  * `OnHeapColumnVector`s and flow to the operator above as
+  * `ColumnarBatch`es, so a wide snap scan costs what a native parquet
+  * scan costs. The requested schema is the scan's pruned DATA
+  * projection; a requested column ABSENT from the file (additive
+  * evolution) comes back as an all-null vector — Spark's own
+  * missing-column path, matching mergeSchema. The `_snap_file`
+  * metadata column rides along as a per-file
+  * [[ConstantColumnVector]] spliced into each output batch (how
+  * Spark's own `_metadata` struct is served).
   */
-class SnapFileReader(part: SnapFilePartition, required: StructType)
-    extends PartitionReader[InternalRow] {
+class SnapVectorReader(part: SnapFilePartition, required: StructType)
+    extends PartitionReader[ColumnarBatch] {
 
-  private val fileSchema = SnapSource.footerSchema(part.path)
-  private val present: Map[String, PType] =
-    fileSchema.getFields.asScala.map(t => t.getName -> t).toMap
-  private val projFields: Array[PType] =
-    required.fields.collect {
-      case f if f.name != SnapSource.FileColumn && present.contains(f.name) =>
-        present(f.name)
-    }
-  // per required field: None = constant (metadata path or evolved
-  // NULL); Some(i) = index into the projection group
-  private val slots: Array[Option[Int]] = {
-    var idx = -1
-    required.fields.map { f =>
-      if (f.name == SnapSource.FileColumn) None
-      else if (present.contains(f.name)) { idx += 1; Some(idx) }
-      else None
-    }
-  }
-  private val filePath = UTF8String.fromString(part.path)
+  private val dataSchema =
+    StructType(required.fields.filter(_.name != SnapSource.FileColumn).toSeq)
 
-  private val reader: ParquetReader[Group] = {
+  private val reader = {
     val conf = new Configuration()
-    // empty projections never reach here (MetadataOnlyReader), but a
-    // file holding NONE of the requested columns would — give the
-    // projection one real column to keep parquet-mr happy; its values
-    // are never read
-    val proj =
-      if (projFields.nonEmpty) projFields
-      else Array(fileSchema.getFields.asScala.head)
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA,
-      new MessageType(fileSchema.getName, proj: _*).toString)
-    ParquetReader.builder(new GroupReadSupport(), new HPath(part.path))
-      .withConf(conf).build()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    // the schema-converter knobs Spark's scan sets before handing a
+    // task to this reader (it reads them with no defaults)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    val raw = part.path.stripPrefix("file://").stripPrefix("file:")
+    val split = new FileSplit(new HPath(part.path), 0,
+      java.nio.file.Files.size(java.nio.file.Paths.get(raw)),
+      Array.empty[String])
+    r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    r.initBatch(new StructType(), InternalRow.empty)
+    r.enableReturningBatches()
+    r
   }
 
-  private var current: Group = _
-
-  override def next(): Boolean = {
-    current = reader.read()
-    current != null
+  private val dataBatch = reader.resultBatch()
+  private val out: ColumnarBatch = {
+    var di = -1
+    val vectors: Array[ColumnVector] = required.fields.map { f =>
+      if (f.name == SnapSource.FileColumn) {
+        val v = new ConstantColumnVector(4096, StringType)
+        v.setUtf8String(UTF8String.fromString(part.path))
+        v: ColumnVector
+      } else { di += 1; dataBatch.column(di) }
+    }
+    new ColumnarBatch(vectors)
   }
 
-  override def get(): InternalRow = {
-    val g = current
-    InternalRow.fromSeq(required.fields.toSeq.zip(slots.toSeq).map {
-      case (f, None) =>
-        if (f.name == SnapSource.FileColumn) filePath else null
-      case (f, Some(i)) =>
-        if (g.getFieldRepetitionCount(i) == 0) null
-        else f.dataType match {
-          case LongType => g.getLong(i, 0)
-          case IntegerType | DateType => g.getInteger(i, 0)
-          case DoubleType => g.getDouble(i, 0)
-          case FloatType => g.getFloat(i, 0)
-          case BooleanType => g.getBoolean(i, 0)
-          case StringType =>
-            UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-          case other => throw new IllegalStateException(
-            s"unsupported type $other survived schema inference")
-        }
-    })
-  }
-
+  override def next(): Boolean =
+    reader.nextBatch() && { out.setNumRows(dataBatch.numRows()); true }
+  override def get(): ColumnarBatch = out
   override def close(): Unit = reader.close()
 }
 
@@ -506,7 +697,8 @@ class SnapFileReader(part: SnapFilePartition, required: StructType)
   * truncate-and-replace, same as the Scala API's blind overwrite.
   */
 class SnapWriteBuilder(root: String, schema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    defaultStatCols: Option[Seq[String]] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -520,6 +712,7 @@ class SnapWriteBuilder(root: String, schema: StructType,
     val statCols = Option(options.get("statCols"))
       .orElse(Option(options.get("statCol")))
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .orElse(defaultStatCols) // catalog property / established layout
       .getOrElse(throw new IllegalArgumentException(
         "snap write needs option(\"statCols\", \"col[,col...]\") — the " +
           "manifest's file-skipping stats column(s)"))
@@ -531,11 +724,20 @@ class SnapWriteBuilder(root: String, schema: StructType,
       require(Seq(LongType, IntegerType, DateType).contains(f.dataType),
         s"statCols column $c must be bigint/int/date, is ${f.dataType}")
     }
-    // every written column must round-trip through the reader
+    // every written column must round-trip through the vectorized
+    // reader: any flat primitive (incl. timestamp/decimal/binary);
+    // nested types stay refused
     schema.fields.foreach { f =>
-      require(Seq(LongType, IntegerType, DateType, DoubleType, FloatType,
-        BooleanType, StringType).contains(f.dataType),
-        s"snap write does not support column ${f.name}: ${f.dataType}")
+      val ok = f.dataType match {
+        case LongType | IntegerType | DateType | DoubleType | FloatType |
+             BooleanType | StringType | TimestampType | TimestampNTZType |
+             BinaryType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(ok,
+        s"snap write supports flat primitive columns only; " +
+          s"${f.name} is ${f.dataType}")
     }
     new SnapWrite(root, schema, statCols, overwrite,
       options.getInt("filesPerCommit", 0))
@@ -603,17 +805,16 @@ case class SnapWriterFactory(dataDir: String, schema: StructType,
     new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols)
 }
 
-/** One parquet file per task via parquet-mr's example Group writer;
-  * rows/min/max tracked inline (no read-back). An all-null stat
-  * column publishes the full-range box — never skipped, always safe.
+/** One parquet file per task via Spark's own [[ParquetWriteSupport]] —
+  * InternalRow goes straight to the column writers (no intermediate
+  * Group materialization, full flat-type coverage incl. timestamp and
+  * decimal); rows/min/max tracked inline (no read-back). An all-null
+  * stat column publishes the full-range box — never skipped, always
+  * safe.
   */
 class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     schema: StructType, statCols: Seq[String])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  import org.apache.parquet.schema.Types
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
-  import org.apache.parquet.hadoop.util.HadoopOutputFile
 
   private val absPath = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
@@ -621,35 +822,22 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
       f"part-$partitionId%05d-$taskId.parquet").toAbsolutePath.toString
   }
 
-  private val messageType: MessageType = {
-    val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      f.dataType match {
-        case LongType => b.optional(INT64).named(f.name)
-        case IntegerType => b.optional(INT32).named(f.name)
-        case DateType => b.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case DoubleType => b.optional(DOUBLE).named(f.name)
-        case FloatType => b.optional(FLOAT).named(f.name)
-        case BooleanType => b.optional(BOOLEAN).named(f.name)
-        case StringType => b.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case other => throw new IllegalStateException(
-          s"unsupported $other survived SnapWriteBuilder validation")
-      }
-    }
-    b.named("spark_schema")
-  }
-
   private val writer = {
     val conf = new Configuration()
-    ExampleParquetWriter.builder(
-        HadoopOutputFile.fromPath(new HPath(absPath), conf))
-      .withType(messageType)
-      .withConf(conf)
-      .build()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // ParquetWriteSupport.init asserts these are present (Spark's scan
+    // sets them from the session before handing tasks out)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    new ParquetOutputFormat[InternalRow]() {
+      override def getWriteSupport(c: Configuration) =
+        new ParquetWriteSupport
+    }.getRecordWriter(conf, new HPath(absPath), CompressionCodecName.SNAPPY)
   }
-  private val factory = new SimpleGroupFactory(messageType)
 
   private var rows = 0L
   // (index into schema, running min, running max, sawValue)
@@ -658,24 +846,7 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   }
 
   override def write(row: InternalRow): Unit = {
-    val g = factory.newGroup()
-    var i = 0
-    while (i < schema.fields.length) {
-      if (!row.isNullAt(i)) {
-        val f = schema.fields(i)
-        f.dataType match {
-          case LongType => g.add(f.name, row.getLong(i))
-          case IntegerType | DateType => g.add(f.name, row.getInt(i))
-          case DoubleType => g.add(f.name, row.getDouble(i))
-          case FloatType => g.add(f.name, row.getFloat(i))
-          case BooleanType => g.add(f.name, row.getBoolean(i))
-          case StringType => g.add(f.name, row.getUTF8String(i).toString)
-          case _ => ()
-        }
-      }
-      i += 1
-    }
-    writer.write(g)
+    writer.write(null, row)
     rows += 1
     stats.foreach { s =>
       val idx = s(0).toInt
@@ -693,7 +864,7 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writer.close()
+    writer.close(null)
     if (rows == 0L) {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(absPath))
       SnapWriteCommit(None)
@@ -707,7 +878,7 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   }
 
   override def abort(): Unit = {
-    try writer.close() catch { case _: Exception => () }
+    try writer.close(null) catch { case _: Exception => () }
     java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(absPath))
     ()
   }
@@ -727,9 +898,15 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   * The identifier IS the table root path (multi-part identifiers
   * re-join on '/'). `VERSION AS OF v` resolves through
   * `loadTable(ident, version)` — the analyzer's own time-travel hook,
-  * not a parser hack. Read-only by design: writes go through the
-  * write-path provider or the Scala API (their commit protocol), so
-  * every mutating catalog method refuses loudly.
+  * not a parser hack.
+  *
+  * WRITABLE for creation: `CREATE TABLE` / `CREATE TABLE ... AS
+  * SELECT` publish version 1 (schema in the manifest header, zero
+  * files) and persist `statCols` (TBLPROPERTIES or OPTIONS) beside
+  * the log, so every later SQL `INSERT INTO` / `DELETE FROM` finds
+  * the table's declared layout without restating it. DROP and RENAME
+  * keep refusing — a snap root owns its history; destroying it is an
+  * operator action (vacuum), not a query.
   */
 class SnapCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog {
@@ -744,13 +921,30 @@ class SnapCatalog
   private def root(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString("/")
 
+  private def propsPath(r: String): java.nio.file.Path =
+    java.nio.file.Paths.get(r, "_log", "_table")
+
+  /** Table-level properties persisted at CREATE TABLE (line-oriented
+    * key=value, same no-dependency style as the manifests).
+    */
+  private def tableProps(r: String): Map[String, String] = {
+    val p = propsPath(r)
+    if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+    else java.nio.file.Files.readAllLines(p).asScala.flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+  }
+
   private def table(ident: Identifier, asOf: Option[Int]): CTable = {
     val r = root(ident)
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r, "_log")))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
     new SnapDsvTable(r, asOf, SnapSource.inferSchema(r, asOf),
-      CaseInsensitiveStringMap.empty())
+      CaseInsensitiveStringMap.empty(), tableProps(r))
   }
 
   override def loadTable(ident: Identifier): CTable = table(ident, None)
@@ -762,19 +956,44 @@ class SnapCatalog
   override def tableExists(ident: Identifier): Boolean =
     java.nio.file.Files.isDirectory(
       java.nio.file.Paths.get(root(ident), "_log"))
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): CTable =
-    throw new UnsupportedOperationException(
-      "snap catalog is read-only: write via " +
-        "df.write.format(\"graft.sources.SnapSourceProvider\") or the " +
-        "graft.io.SnapTable API")
+      properties: util.Map[String, String]): CTable = {
+    val r = root(ident)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "snap tables are unpartitioned — layout comes from statCols " +
+        "range-shaping, not directory partitions")
+    val props = properties.asScala.toMap
+    val statCols = props.get("statCols").orElse(props.get("option.statCols"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(r, "_log"))
+    statCols.foreach { sc =>
+      java.nio.file.Files.write(propsPath(r),
+        s"statCols=$sc\n".getBytes("UTF-8"))
+    }
+    // version 1: the schema exists before any data does — an empty
+    // SELECT * already answers with the right columns
+    SnapTable.publish(r, "append", Nil, frameSchema = Some(schema))
+    new SnapDsvTable(r, None, schema, CaseInsensitiveStringMap.empty(),
+      tableProps(r))
+  }
+
   override def alterTable(ident: Identifier,
       changes: TableChange*): CTable =
-    throw new UnsupportedOperationException("snap catalog is read-only")
+    throw new UnsupportedOperationException(
+      "snap catalog does not alter tables: schema evolves additively " +
+        "through commits")
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("snap catalog is read-only")
+    throw new UnsupportedOperationException(
+      "snap catalog refuses DROP: a snap root owns its history; " +
+        "removing it is an operator action, not a query")
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("snap catalog is read-only")
+    throw new UnsupportedOperationException(
+      "snap catalog refuses RENAME: the identifier IS the filesystem " +
+        "root")
 }

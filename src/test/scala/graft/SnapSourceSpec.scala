@@ -278,4 +278,127 @@ class SnapSourceSpec extends AnyFunSuite {
         got.getLong(1) == (1L to 100L).map(_ * 2).sum)
     } finally spark.catalog.dropTempView("snap_sql")
   }
+
+  test("scan is COLUMNAR: batches come from the vectorized reader") {
+    val root = rangedTable()
+    val df = spark.read.format(Fmt).load(root).select("id", "dbl", "s")
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec if b.scan.description().contains("graft_snap") => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "snap scan must serve ColumnarBatches, not rows")
+    // metadata-only projections stay on the row-based manifest answer
+    val meta = spark.read.format(Fmt).load(root)
+      .select(col(graft.sources.SnapSource.FileColumn))
+    meta.collect()
+    assert(meta.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.supportsColumnar }.forall(!_))
+  }
+
+  test("timestamp and decimal round-trip through reader AND writer") {
+    val ts1 = java.sql.Timestamp.valueOf("2024-03-01 10:30:00.123456")
+    val ts2 = java.sql.Timestamp.valueOf("2025-12-31 23:59:59.999999")
+    val df0 = Seq((1L, ts1, BigDecimal("12345.67")),
+      (2L, ts2, BigDecimal("-0.01"))).toDF("id", "ts", "amt")
+      .withColumn("amt", col("amt").cast("decimal(12,2)"))
+    // via the Scala API (Spark parquet writer) ...
+    val root1 = freshRoot()
+    SnapTable.commit(df0, root1, "id")
+    val got1 = spark.read.format(Fmt).load(root1).orderBy("id").collect()
+    assert(got1.map(_.getTimestamp(1)).toSeq == Seq(ts1, ts2))
+    assert(got1.map(_.getDecimal(2).toString).toSeq ==
+      Seq("12345.67", "-0.01"))
+    // ... and via the DSv2 write path (inline-stats writer)
+    val root2 = freshRoot()
+    df0.write.format(Fmt).option("statCols", "id").mode("append").save(root2)
+    val got2 = spark.read.format(Fmt).load(root2).orderBy("id").collect()
+    assert(got2.map(_.getTimestamp(1)).toSeq == Seq(ts1, ts2))
+    assert(got2.map(_.getDecimal(2).toString).toSeq ==
+      Seq("12345.67", "-0.01"))
+    // filters over the timestamp table still work end to end
+    assert(spark.read.format(Fmt).load(root2)
+      .filter(col("ts") > lit(ts1)).count() == 1)
+  }
+
+  test("cold schema resolution: one log read, zero parquet footers") {
+    val root = freshRoot()
+    (1 to 50).foreach(i => SnapTable.commit(
+      Seq((i.toLong, s"v$i")).toDF("id", "s"), root, "id"))
+    val mBefore = SnapTable.manifestFilesRead.get()
+    val fBefore = graft.sources.SnapSource.footersRead.get()
+    val schema = graft.sources.SnapSource.inferSchema(root, None)
+    assert(SnapTable.manifestFilesRead.get() - mBefore == 1,
+      s"schema resolution read " +
+        s"${SnapTable.manifestFilesRead.get() - mBefore} log files")
+    assert(graft.sources.SnapSource.footersRead.get() - fBefore == 0,
+      "schema resolution must open no parquet footer")
+    assert(schema.fieldNames.toSeq == Seq("id", "s"))
+  }
+
+  test("empty live set reads as an empty relation, not an error") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).map(i => (i, s"r$i")).toDF("id", "s"),
+      root, "id")
+    SnapTable.delete(spark, root, "id", 1L, 10L)
+    val df = spark.read.format(Fmt).load(root)
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.count() == 0)
+    assert(df.filter(col("id") > 3).collect().isEmpty)
+  }
+
+  test("streaming admission control bounds each micro-batch") {
+    val root = freshRoot()
+    (1 to 5).foreach(i => SnapTable.commit(
+      ((i * 10L + 1) to (i * 10L + 10)).toDF("id"), root, "id"))
+    def drain(extra: (String, String)*): Seq[Long] = {
+      val ck = freshRoot()
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = extra.foldLeft(spark.readStream.format(Fmt)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches += b.count()
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      batches.toSeq
+    }
+    // a 5-version backlog with maxVersionsPerTrigger=2 drains in
+    // 3 bounded micro-batches (2+2+1 versions of 10 rows each)
+    val byVersion = drain("maxVersionsPerTrigger" -> "2")
+    assert(byVersion == Seq(20L, 20L, 10L), byVersion.toString)
+    // maxFilesPerTrigger=1 (one file per commit here) → 5 batches
+    val byFiles = drain("maxFilesPerTrigger" -> "1")
+    assert(byFiles == Seq(10L, 10L, 10L, 10L, 10L), byFiles.toString)
+    // unbounded baseline still drains everything at once
+    assert(drain() == Seq(50L))
+  }
+
+  test("runtime EqualTo re-pruning absorbs int-typed keys") {
+    // unit-level: the scan's filter() hook gets the boxed build-side
+    // key the way an int-keyed DPP equality delivers it
+    import graft.io.SnapTable.FileStat
+    val files = Seq(
+      FileStat("f1", 10, Seq("id" -> (1L, 100L))),
+      FileStat("f2", 10, Seq("id" -> (101L, 200L))),
+      FileStat("f3", 10, Seq("id" -> (201L, 300L))))
+    def pruned(v: Any): Int = {
+      val scan = new graft.sources.SnapScan("unused", files,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))), Seq("id"))
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("id", v)))
+      scan.planInputPartitions().length
+    }
+    assert(pruned(java.lang.Long.valueOf(150L)) == 1)
+    assert(pruned(java.lang.Integer.valueOf(150)) == 1,
+      "int-typed equality must re-prune like long")
+    assert(pruned(java.lang.Short.valueOf(150.toShort)) == 1)
+  }
 }
