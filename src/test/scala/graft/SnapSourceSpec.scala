@@ -379,6 +379,21 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(drain() == Seq(50L))
   }
 
+  test("boundary literals prune everything instead of overflowing") {
+    val root = rangedTable()
+    // id > Long.MaxValue is provably empty; the naive l+1 pushdown
+    // wraps to Long.MinValue and prunes NOTHING — the empty-range
+    // guard must instead prune every file (zero scan output)
+    val over = spark.read.format(Fmt).load(root)
+      .filter(col("id") > Long.MaxValue).select("id", "dbl")
+    assert(over.count() == 0)
+    assert(scanRows(over) == 0, "no file may survive an empty bound")
+    val under = spark.read.format(Fmt).load(root)
+      .filter(col("id") < Long.MinValue).select("id", "dbl")
+    assert(under.count() == 0)
+    assert(scanRows(under) == 0)
+  }
+
   test("runtime EqualTo re-pruning absorbs int-typed keys") {
     // unit-level: the scan's filter() hook gets the boxed build-side
     // key the way an int-keyed DPP equality delivers it
