@@ -1409,6 +1409,53 @@ object ScaleQueries {
         |      FROM documents)
         |GROUP BY b""".stripMargin),
 
+    // COUNT(*)/MIN/MAX answered ENTIRELY from the manifest: the
+    // aggregation pushes complete into the snap scan (one partition,
+    // one row, ZERO data files opened — the opens counter rides along
+    // as data), because per-file row counts and min/max boxes ARE the
+    // aggregate at any table size. The same three aggregates under a
+    // row filter fall back to the (vectorized) row scan and still
+    // hash-match — pushdown changes cost, never answers.
+    "q303_snap_agg_pushdown" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd15")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val before = graft.sources.SnapSource.filesOpened.get()
+        val pushed = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+            max(col("o_orderkey")).as("mx"))
+          .collect()(0)
+        val opens = graft.sources.SnapSource.filesOpened.get() - before
+        val filtered = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .filter(col("o_orderkey").between(5000L, 10000L))
+          .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("mx"))
+          .collect()(0)
+        s.range(1).select(
+          lit(pushed.getLong(0)).as("n_rows"),
+          lit(pushed.getLong(1)).as("min_key"),
+          lit(pushed.getLong(2)).as("max_key"),
+          lit(opens).as("n_opens"),
+          lit(filtered.getLong(0)).as("n_filtered"),
+          lit(filtered.getLong(1)).as("max_filtered"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |  CAST(0 AS BIGINT) AS n_opens,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 5000 AND 10000) AS n_filtered,
+        |  (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 5000 AND 10000) AS max_filtered
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -108,6 +108,13 @@ object SnapSource {
   private[graft] val footersRead =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Data files opened by the vectorized reader — test/gate
+    * instrumentation (meaningful in local mode where executors share
+    * the JVM): a manifest-answered aggregate must open zero.
+    */
+  private[graft] val filesOpened =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[sources] def sparkType(t: PType): DataType = {
     require(t.isPrimitive, s"nested column ${t.getName} is not supported " +
       "by the snap DSv2 reader")
@@ -312,12 +319,17 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
 class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
 
   private val bounds = mutable.Map.empty[String, (Long, Long)]
   private val inSets = mutable.Map.empty[String, Array[Long]]
   private var pushed = Array.empty[Filter]
   private var required: StructType = full
+  private var aggs: Option[Seq[AggregateFunc]] = None
+  private var limit: Option[Int] = None
 
   private def longVal(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -368,18 +380,74 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** COMPLETE aggregate pushdown answered from the MANIFEST: with no
+    * residual predicates (our pushFilters returns everything residual,
+    * so Spark only offers an aggregation when the query had no
+    * filters at all), COUNT(*) is the sum of per-file row counts and
+    * MIN/MAX over an integer stat column are the extremes of the
+    * per-file boxes — exact because the boxes are computed from the
+    * data at commit time. Zero file opens at any table size. Refused
+    * (Spark falls back to a row scan) whenever: a file lacks stats
+    * for the column, a file carries the all-null sentinel box
+    * (Long.MinValue..Long.MaxValue — extremes unknowable), the column
+    * is not an integer type, or there is any grouping.
+    */
+  private def aggPushable(a: Aggregation): Boolean = {
+    if (a.groupByExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
+      return false
+    if (bounds.nonEmpty || inSets.nonEmpty) return false
+    lazy val live = SnapTable.liveFiles(root, asOf)
+    def statName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    def statOk(c: String): Boolean =
+      full.fields.find(_.name == c).exists(f =>
+        f.dataType == LongType || f.dataType == IntegerType) &&
+        live.forall(_.range(c).exists { case (mn, mx) =>
+          !(mn == Long.MinValue && mx == Long.MaxValue)
+        })
+    a.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => statName(m.column).exists(statOk)
+      case m: Max => statName(m.column).exists(statOk)
+      case _ => false
+    }
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    aggPushable(a)
+  override def pushAggregation(a: Aggregation): Boolean =
+    if (aggPushable(a)) { aggs = Some(a.aggregateExpressions.toSeq); true }
+    else false
+
+  /** LIMIT pushdown as file-prefix truncation: the manifest's row
+    * counts tell how many files are needed to satisfy n rows, so a
+    * `LIMIT 10` over a million-file table plans one partition.
+    * Partial by declaration — Spark keeps its own Limit above (each
+    * kept file is read whole).
+    */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = {
     val live = SnapTable.liveFiles(root, asOf)
     val hit = live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap))
-    new SnapScan(root, hit, required,
-      live.flatMap(_.stats.map(_._1)).distinct,
-      ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
-      startingVersion = Option(options.get("startingVersion")).map(_.toInt),
-      maxVersionsPerTrigger =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-      maxFilesPerTrigger =
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+    aggs match {
+      case Some(fns) => new SnapAggScan(root, hit, fns, full)
+      case None => new SnapScan(root, hit, required,
+        live.flatMap(_.stats.map(_._1)).distinct,
+        ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
+        startingVersion = Option(options.get("startingVersion")).map(_.toInt),
+        maxVersionsPerTrigger =
+          Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+        maxFilesPerTrigger =
+          Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+        limit = limit)
+    }
   }
 }
 
@@ -422,8 +490,9 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     statCols: Seq[String], ignoreOverwrites: Boolean = false,
     startingVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    maxFilesPerTrigger: Option[Int] = None,
+    limit: Option[Int] = None) extends Scan with Batch
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
   private val rInSets = mutable.Map.empty[String, Array[Long]]
@@ -460,10 +529,39 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     case _ => () // not absorbed — the join re-evaluates it anyway
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap))
-      .map(f => SnapFilePartition(f.path, f.rows): InputPartition)
-      .toArray
+  /** Planner-visible statistics straight from the manifest: exact row
+    * count over the (statically pruned) file list and a width-based
+    * size estimate — what lets Catalyst choose broadcast sides for
+    * snap tables the way it does for file relations with stats.
+    */
+  override def estimateStatistics(): Statistics = {
+    val n = files.map(_.rows).sum
+    val width = math.max(1, required.defaultSize)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, n * width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pruned =
+      files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap))
+    // pushed LIMIT: keep the file prefix whose manifest row counts
+    // cover n (each kept file reads whole; Spark re-applies the limit)
+    val kept = limit match {
+      case Some(n) =>
+        var acc = 0L
+        pruned.takeWhile { f =>
+          val need = acc < n
+          acc += f.rows
+          need
+        }
+      case None => pruned
+    }
+    kept.map(f => SnapFilePartition(f.path, f.rows): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapReaderFactory(required)
@@ -473,6 +571,78 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     new SnapMicroBatchStream(root, required, ignoreOverwrites,
       startingVersion.getOrElse(0), maxVersionsPerTrigger,
       maxFilesPerTrigger)
+}
+
+/** Completely-pushed aggregate scan answered from the MANIFEST: one
+  * partition, one row — COUNT(*) sums per-file row counts, MIN/MAX
+  * over integer stat columns fold the per-file boxes. Exactness was
+  * validated at pushdown time (every file carries real stats for the
+  * column; the all-null sentinel box refuses). An empty table answers
+  * count 0 with NULL extremes, matching the row-scan aggregation.
+  */
+class SnapAggScan(root: String, files: Seq[FileStat],
+    fns: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
+    table: StructType) extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def colOf(
+      f: AggregateFunc): String = (f match {
+    case m: Min => m.column
+    case m: Max => m.column
+    case other => throw new IllegalStateException(s"unpushable $other")
+  }) match {
+    case r: NamedReference => r.fieldNames.head
+    case other => throw new IllegalStateException(s"unpushable col $other")
+  }
+
+  private def colType(c: String): DataType =
+    table.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
+
+  override def readSchema(): StructType =
+    StructType(fns.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        StructField(s"agg$i", LongType, nullable = false)
+      case (f, i) => StructField(s"agg$i", colType(colOf(f)), nullable = true)
+    }.toSeq)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_snap files=${files.size} agg=manifest(" +
+      fns.map(_.toString).mkString(",") + ")"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapFilePartition("<manifest-agg>", 1))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    def typed(c: String, v: Long): Any = colType(c) match {
+      case IntegerType => v.toInt
+      case _ => v
+    }
+    val values: Array[Any] = fns.map {
+      case _: CountStar => files.map(_.rows).sum: Any
+      case m: Min =>
+        val c = colOf(m)
+        val mins = files.flatMap(_.range(c)).map(_._1)
+        if (mins.isEmpty) null else typed(c, mins.min)
+      case m: Max =>
+        val c = colOf(m)
+        val maxs = files.flatMap(_.range(c)).map(_._2)
+        if (maxs.isEmpty) null else typed(c, maxs.max)
+      case other => throw new IllegalStateException(s"unpushable $other")
+    }.toArray
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean = {
+            val r = !emitted; emitted = true; r
+          }
+          override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 /** STREAMING source over the manifest log: an offset IS a committed
@@ -631,6 +801,7 @@ class SnapVectorReader(part: SnapFilePartition, required: StructType)
     StructType(required.fields.filter(_.name != SnapSource.FileColumn).toSeq)
 
   private val reader = {
+    SnapSource.filesOpened.incrementAndGet()
     val conf = new Configuration()
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[ParquetReadSupport].getName)

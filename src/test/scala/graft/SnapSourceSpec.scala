@@ -379,6 +379,52 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(drain() == Seq(50L))
   }
 
+  test("count/min/max push COMPLETELY into the manifest: zero opens") {
+    val root = rangedTable()
+    val before = graft.sources.SnapSource.filesOpened.get()
+    val r = spark.read.format(Fmt).load(root)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (400L, 1L, 400L))
+    assert(graft.sources.SnapSource.filesOpened.get() - before == 0,
+      "a manifest-answered aggregate must open no data file")
+    // a filter blocks complete pushdown (our filters are residual) —
+    // the row scan answers, still correctly
+    val f = spark.read.format(Fmt).load(root)
+      .filter(col("id") > 200L).agg(count(lit(1)), max(col("id"))).head()
+    assert((f.getLong(0), f.getLong(1)) == (200L, 400L))
+    // avg is not manifest-answerable: falls back to the row scan
+    val a = spark.read.format(Fmt).load(root)
+      .agg(avg(col("id"))).head().getDouble(0)
+    assert(a == 200.5)
+  }
+
+  test("LIMIT pushdown truncates the planned file list by row counts") {
+    val root = rangedTable() // 4 files x 100 rows
+    val sb = new graft.sources.SnapScanBuilder(root, None,
+      graft.sources.SnapSource.inferSchema(root, None))
+    sb.pushLimit(5)
+    val one = sb.build().asInstanceOf[graft.sources.SnapScan]
+      .planInputPartitions()
+    assert(one.length == 1, s"LIMIT 5 needs one 100-row file, got ${one.length}")
+    val sb2 = new graft.sources.SnapScanBuilder(root, None,
+      graft.sources.SnapSource.inferSchema(root, None))
+    sb2.pushLimit(250)
+    assert(sb2.build().asInstanceOf[graft.sources.SnapScan]
+      .planInputPartitions().length == 3)
+    // end to end: the answer is still exactly n rows
+    assert(spark.read.format(Fmt).load(root).limit(5).count() == 5)
+  }
+
+  test("scan reports manifest statistics to the planner") {
+    val root = rangedTable()
+    val scan = new graft.sources.SnapScanBuilder(root, None,
+      graft.sources.SnapSource.inferSchema(root, None))
+      .build().asInstanceOf[graft.sources.SnapScan]
+    val st = scan.estimateStatistics()
+    assert(st.numRows().getAsLong == 400)
+    assert(st.sizeInBytes().getAsLong >= 400)
+  }
+
   test("boundary literals prune everything instead of overflowing") {
     val root = rangedTable()
     // id > Long.MaxValue is provably empty; the naive l+1 pushdown
