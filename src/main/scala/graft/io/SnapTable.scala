@@ -458,6 +458,20 @@ object SnapTable {
     -1 // unreachable
   }
 
+  /** Publish the overwrite of a SQL row-level operation (MERGE INTO /
+    * UPDATE via the DSv2 connector): the snapshot at `baseVersion`
+    * minus the replaced files plus their rewrites. Unlike [[merge]],
+    * whose update-key set yields a sound per-file rebase test, a SQL
+    * operation's condition is arbitrary — a concurrent append COULD
+    * hold rows the ON/WHERE clause would have matched — so the
+    * conservative serializable answer is refuse-and-rerun on ANY
+    * concurrent commit (`ConcurrentModificationException`).
+    */
+  private[graft] def publishReplace(root: String, baseVersion: Int,
+      files: Seq[FileStat],
+      schema: Option[org.apache.spark.sql.types.StructType]): Int =
+    publishRebasing(root, baseVersion, files, _ => true, schema)
+
   /** Write `df` as a new commit and return the claimed version.
     * `filesPerCommit` range-partitions on the stat column so each
     * file covers a tight, near-disjoint stat range (what makes the

@@ -1456,6 +1456,104 @@ object ScaleQueries {
         |   WHERE o_orderkey BETWEEN 5000 AND 10000) AS max_filtered
         |FROM orders""".stripMargin),
 
+    // SQL MERGE INTO via SupportsRowLevelOperations: the group-based
+    // copy-on-write rewrite. The ON keys (5000-5499) live in ONE of
+    // the four files; the optimizer's runtime group filter narrows
+    // the scan to that file, the replacement write swaps it (carrying
+    // the other three by path — n_carried=3 IS the granularity
+    // assertion), and NOT-MATCHED rows insert in the same commit.
+    // The oracle replays the upsert relationally.
+    "q304_snap_sql_merge" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd16")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        o.createOrReplaceTempView("q304_orders_src")
+        s.sql(
+          """CREATE OR REPLACE TEMP VIEW q304_updates AS
+            |SELECT o_orderkey, o_totalprice + 10 AS o_totalprice
+            |FROM q304_orders_src WHERE o_orderkey BETWEEN 5000 AND 5499
+            |UNION ALL
+            |SELECT o_orderkey + 20000000, o_totalprice
+            |FROM q304_orders_src WHERE o_orderkey BETWEEN 100 AND 199
+            |""".stripMargin)
+        val before = graft.io.SnapTable.liveFiles(root).map(_.path).toSet
+        s.sql(
+          s"""MERGE INTO graftsnap.`$root` t
+             |USING q304_updates u ON t.o_orderkey = u.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice
+             |WHEN NOT MATCHED THEN
+             |  INSERT (o_orderkey, o_totalprice)
+             |  VALUES (u.o_orderkey, u.o_totalprice)""".stripMargin)
+        val after = graft.io.SnapTable.liveFiles(root).map(_.path).toSet
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"))
+          .select(col("n_rows"), col("sum_cents"),
+            lit(before.intersect(after).size.toLong).as("n_carried"))
+      },
+      """WITH base AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |upd AS (SELECT o_orderkey AS k, o_totalprice + 10 AS p
+        |        FROM base WHERE o_orderkey BETWEEN 5000 AND 5499),
+        |ins AS (SELECT o_orderkey + 20000000 AS k, o_totalprice AS p
+        |        FROM base WHERE o_orderkey BETWEEN 100 AND 199),
+        |final AS (
+        |  SELECT CASE WHEN u.k IS NOT NULL THEN u.p
+        |              ELSE b.o_totalprice END AS p
+        |  FROM base b LEFT JOIN upd u ON b.o_orderkey = u.k
+        |  UNION ALL SELECT p FROM ins)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(3 AS BIGINT) AS n_carried
+        |FROM final""".stripMargin),
+
+    // SQL UPDATE through the same group-based machinery, with the
+    // WHERE range ALSO statically skipping files from the manifest
+    // before group filtering runs: one file rewritten, three carried
+    // by path, every non-matching row of the touched file preserved
+    // (the rewrite reads matching GROUPS whole — that is the
+    // correctness trap of copy-on-write updates, hash-gated here).
+    "q305_snap_sql_update" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd17")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        val before = graft.io.SnapTable.liveFiles(root).map(_.path).toSet
+        s.sql(s"UPDATE graftsnap.`$root` " +
+          "SET o_totalprice = o_totalprice * 2 " +
+          "WHERE o_orderkey BETWEEN 9000 AND 9999")
+        val after = graft.io.SnapTable.liveFiles(root).map(_.path).toSet
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"))
+          .select(col("n_rows"), col("sum_cents"),
+            lit(before.intersect(after).size.toLong).as("n_carried"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(
+        |    CASE WHEN o_orderkey BETWEEN 9000 AND 9999
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(3 AS BIGINT) AS n_carried
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -196,6 +196,7 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with SupportsMetadataColumns {
   override def name(): String = s"graft_snap($root${asOf.fold("")("@v" + _)})"
   override def schema(): StructType = tableSchema
@@ -308,6 +309,29 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
       frameSchema = Some(tableSchema))
     true
   }
+
+  /** SQL MERGE INTO / UPDATE (and non-range DELETE) via Spark's
+    * GROUP-BASED row-level rewrite: the operation's scan serves the
+    * table with `_snap_file` as the group id, the optimizer's runtime
+    * group filter narrows it to the files that actually hold matching
+    * rows, and the replacement write swaps exactly those files in one
+    * conflict-checked overwrite — SQL-reachable copy-on-write at file
+    * granularity.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val statCols = defaultStatCols.getOrElse(
+      throw new IllegalStateException(
+        s"snap table $root has no stat columns for a row-level " +
+          "operation"))
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new SnapRowLevelOperation(root, tableSchema, info.command(),
+          statCols)
+    }
+  }
 }
 
 /** Pushdown state: per-stat-column [lo, hi] bounds and IN-sets tighten
@@ -324,10 +348,12 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate._
 
-  private val bounds = mutable.Map.empty[String, (Long, Long)]
-  private val inSets = mutable.Map.empty[String, Array[Long]]
+  // visible to SnapRowLevelScanBuilder, which reuses the pushdown
+  // state but builds a replace-aware scan
+  private[sources] val bounds = mutable.Map.empty[String, (Long, Long)]
+  private[sources] val inSets = mutable.Map.empty[String, Array[Long]]
   private var pushed = Array.empty[Filter]
-  private var required: StructType = full
+  private[sources] var required: StructType = full
   private var aggs: Option[Seq[AggregateFunc]] = None
   private var limit: Option[Int] = None
 
@@ -1055,6 +1081,177 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   }
 
   override def close(): Unit = ()
+}
+
+/** One SQL row-level operation (MERGE INTO / UPDATE / rewritten
+  * DELETE) as group-based copy-on-write:
+  *
+  *  - the SCAN serves the snapshot pinned at the operation's start,
+  *    with `_snap_file` declared as the required metadata attribute —
+  *    the GROUP id of Spark's rewrite;
+  *  - [[SupportsRuntimeV2Filtering]] on `_snap_file` receives the
+  *    optimizer's runtime group filter (distinct files holding
+  *    MATCHING rows) and narrows partition planning to exactly those
+  *    files; the operation records that final list;
+  *  - the WRITE receives the full replacement contents of the
+  *    affected groups (plus MERGE inserts) and publishes ONE
+  *    overwrite: snapshot-at-base − replaced files + rewrites,
+  *    through the conflict checker — any concurrent commit refuses
+  *    (an arbitrary ON/WHERE admits no sound rebase test, unlike the
+  *    Scala API's key-set merge).
+  *
+  * Static pushdown still applies underneath: an UPDATE's WHERE range
+  * skips files from the manifest before any group filtering runs
+  * (GroupBasedRowLevelOperationScanPlanning pushes filters for group
+  * SELECTION only — matching groups are always read whole).
+  */
+class SnapRowLevelOperation(root: String, tableSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    statCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The snapshot this operation reads and replaces against. */
+  private[sources] val baseVersion = SnapTable.currentVersion(root)
+
+  /** Files the (group-filtered) scan finally planned — written by
+    * [[SnapRowLevelScan.planInputPartitions]] before any task runs,
+    * consumed by the replacement commit. Defaults to the full live
+    * set (= whole-snapshot replace) for safety.
+    */
+  @volatile private[sources] var scannedFiles: Seq[FileStat] =
+    SnapTable.liveFiles(root, Some(baseVersion))
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_snap_rowlevel($cmd)"
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapSource.FileColumn))
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new SnapRowLevelScanBuilder(this, root, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new SnapWrite(root, info.schema(), statCols, overwrite = false,
+            filesPerCommit = 0) {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new SnapReplaceBatchWrite(SnapRowLevelOperation.this, root,
+              info.schema(), statCols)
+        }
+    }
+}
+
+/** The row-level operation's scan: the normal pushdown state (static
+  * file skipping from the operation's WHERE) but a replace-aware
+  * scan, with complete-aggregate/limit pushdown refused — a rewrite
+  * must see rows, not manifest answers.
+  */
+class SnapRowLevelScanBuilder(op: SnapRowLevelOperation, root: String,
+    full: StructType)
+    extends SnapScanBuilder(root, Some(op.baseVersion), full) {
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = false
+  override def pushAggregation(a: Aggregation): Boolean = false
+  override def pushLimit(n: Int): Boolean = false
+
+  override def build(): Scan = {
+    val live = SnapTable.liveFiles(root, Some(op.baseVersion))
+    val hit = live.filter(f =>
+      SnapScan.survives(f, bounds.toMap, inSets.toMap))
+    new SnapRowLevelScan(op, hit, required)
+  }
+}
+
+class SnapRowLevelScan(op: SnapRowLevelOperation, files: Seq[FileStat],
+    required: StructType) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Literal => VLiteral}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private var allowed: Option[Set[String]] = None
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_snap_rowlevel files=${files.size} " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapSource.FileColumn))
+
+  /** Runtime GROUP filtering: the distinct `_snap_file` values of
+    * matching rows arrive as an IN (or =) predicate; only those files
+    * are re-read and replaced.
+    */
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      def isFileCol(
+          e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case r: NamedReference =>
+            r.fieldNames.toSeq == Seq(SnapSource.FileColumn)
+          case _ => false
+        }
+      val kids = p.children()
+      if ((p.name() == "IN" || p.name() == "=") &&
+          kids.nonEmpty && isFileCol(kids(0))) {
+        val vals = kids.drop(1).toSeq.flatMap {
+          case l: VLiteral[_] => Option(l.value()).map(_.toString)
+          case _ => None
+        }
+        if (vals.length == kids.length - 1)
+          allowed = Some(allowed.fold(vals.toSet)(_.intersect(vals.toSet)))
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val surviving = files.filter(f => allowed.forall(_.contains(f.path)))
+    op.scannedFiles = surviving
+    surviving.map(f =>
+      SnapFilePartition(f.path, f.rows): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapReaderFactory(required)
+}
+
+/** Replacement commit: snapshot-at-base − the files the scan read +
+  * the rewrite's files, one conflict-checked overwrite.
+  */
+class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
+    schema: StructType, statCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  private val dataDir = java.nio.file.Paths.get(root, "data",
+    java.util.UUID.randomUUID().toString).toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = SnapWriterFactory(dataDir, schema, statCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rewritten = messages.toSeq
+      .collect { case SnapWriteCommit(Some(f)) => f }.sortBy(_.path)
+    val replaced = op.scannedFiles.map(_.path).toSet
+    val untouched = SnapTable.liveFiles(root, Some(op.baseVersion))
+      .filterNot(f => replaced.contains(f.path))
+    SnapTable.publishReplace(root, op.baseVersion, untouched ++ rewritten,
+      SnapTable.tableSchema(root, Some(op.baseVersion)))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SnapWriteCommit(Some(f)) =>
+        val p = java.nio.file.Paths.get(
+          f.path.stripPrefix("file://").stripPrefix("file:"))
+        try java.nio.file.Files.deleteIfExists(p)
+        catch { case _: Exception => () }
+      case _ => ()
+    }
 }
 
 /** Catalog plugin: registers snap tables under a SQL catalog name so

@@ -425,6 +425,49 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(st.sizeInBytes().getAsLong >= 400)
   }
 
+  test("SQL UPDATE rewrites ONLY files holding matching rows") {
+    val root = rangedTable() // ids 1..400 in 4 files, dbl = 2*id
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    val before = SnapTable.liveFiles(root).map(_.path).toSet
+    spark.sql(s"UPDATE graftsnap.`$root` SET dbl = dbl + 1000 " +
+      "WHERE id BETWEEN 150 AND 160")
+    val after = SnapTable.liveFiles(root)
+    assert(before.intersect(after.map(_.path).toSet).size == 3,
+      "the three unmatched files must carry by path")
+    val got = spark.read.format(Fmt).load(root)
+    assert(got.count() == 400, "group rows outside the WHERE must survive")
+    def dblOf(id: Long): Long =
+      got.filter(col("id") === id).head().getLong(1)
+    assert(dblOf(155) == 155 * 2 + 1000) // matched: updated
+    assert(dblOf(120) == 240) // same file, unmatched: preserved
+    assert(dblOf(50) == 100) // untouched file
+  }
+
+  test("SQL MERGE INTO upserts at file granularity") {
+    val root = rangedTable()
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    Seq((150L, 9999L, "upd"), (500L, 1234L, "new"))
+      .toDF("id", "dbl", "s").createOrReplaceTempView("snap_merge_src")
+    val before = SnapTable.liveFiles(root).map(_.path).toSet
+    spark.sql(
+      s"""MERGE INTO graftsnap.`$root` t
+         |USING snap_merge_src u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET dbl = u.dbl, s = u.s
+         |WHEN NOT MATCHED THEN INSERT (id, dbl, s)
+         |  VALUES (u.id, u.dbl, u.s)""".stripMargin)
+    val after = SnapTable.liveFiles(root).map(_.path).toSet
+    assert(before.intersect(after).size == 3,
+      "only the file holding id=150 may rewrite")
+    val got = spark.read.format(Fmt).load(root)
+    assert(got.count() == 401)
+    assert(got.filter(col("id") === 150).head().getLong(1) == 9999)
+    assert(got.filter(col("id") === 500).head().getString(2) == "new")
+    assert(got.filter(col("id") === 151).head().getLong(1) == 302,
+      "unmatched row of the rewritten file preserved")
+  }
+
   test("boundary literals prune everything instead of overflowing") {
     val root = rangedTable()
     // id > Long.MaxValue is provably empty; the naive l+1 pushdown

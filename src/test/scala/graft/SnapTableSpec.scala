@@ -527,6 +527,19 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.manifests(root).size == v)
   }
 
+  test("publishReplace refuses ANY concurrent commit") {
+    val root = freshRoot()
+    SnapTable.commit(Seq((1L, "a")).toDF("id", "s"), root, "id")
+    val base = SnapTable.currentVersion(root)
+    SnapTable.commit(Seq((2L, "b")).toDF("id", "s"), root, "id")
+    // a SQL row-level operation's predicate is arbitrary: even a plain
+    // concurrent APPEND could hold rows it would have matched, so the
+    // replace publish must refuse (unlike merge's key-set rebase)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapTable.publishReplace(root, base, Seq.empty, None)
+    }
+  }
+
   test("multi-file commits carve near-disjoint stat ranges") {
     val root = freshRoot()
     SnapTable.commit((1L to 1000L).toDF("id"), root, "id",
