@@ -90,7 +90,8 @@ object SnapTable {
   }
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      commitTs: Option[Long] = None)
 
   private final case class Checkpoint(version: Int, files: Seq[FileStat],
       batchIds: Set[Long])
@@ -183,8 +184,10 @@ object SnapTable {
         org.apache.spark.sql.types.DataType
           .fromJson(h.stripPrefix("schema="))
           .asInstanceOf[org.apache.spark.sql.types.StructType] }
+    val ts = header.collectFirst {
+      case h if h.startsWith("ts=") => h.stripPrefix("ts=").toLong }
     Manifest(v, action, body.filter(_.nonEmpty).map(parseFileLine), batchId,
-      schema)
+      schema, ts)
   }
 
   /** Schema as written to a manifest header: every field nullable (a
@@ -269,6 +272,22 @@ object SnapTable {
   def currentVersion(root: String): Int =
     listVersions(root).lastOption.getOrElse(0)
 
+  /** Newest version committed at or before `tsMillis` — TIMESTAMP AS
+    * OF resolution. Commit time comes from the manifest's `ts=`
+    * header (robust to copies), falling back to the file's mtime for
+    * legacy logs. None when the timestamp predates the first commit.
+    * O(versions) manifest reads — time-travel resolution, not a hot
+    * path (a binary search over mtimes would cut it if it ever is).
+    */
+  def versionAt(root: String, tsMillis: Long): Option[Int] = {
+    val vs = listVersions(root)
+    vs.reverseIterator.find { v =>
+      val ts = readManifest(root, v).commitTs.getOrElse(
+        Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
+      ts <= tsMillis
+    }
+  }
+
   /** Resolved (live files, seen batch ids) as of a version: start
     * from the newest usable checkpoint, replay only the tail.
     */
@@ -323,7 +342,7 @@ object SnapTable {
   private def manifestBody(action: String, files: Seq[FileStat],
       batchId: Option[Long],
       schema: Option[org.apache.spark.sql.types.StructType]): String =
-    (Seq(s"action=$action") ++
+    (Seq(s"action=$action", s"ts=${System.currentTimeMillis()}") ++
       schema.map(s => s"schema=${normalizeSchema(s).json}") ++
       batchId.map(b => s"batch=$b") ++
       files.map(fileLine)).mkString("", "\n", "\n")

@@ -1554,6 +1554,92 @@ object ScaleQueries {
         |  CAST(3 AS BIGINT) AS n_carried
         |FROM orders""".stripMargin),
 
+    // SQL ALTER TABLE ADD COLUMN as a PURE LOG operation: one
+    // zero-file append manifest extends the schema header — no data
+    // file touched, old rows read NULL, history keeps its own schema.
+    // The gate drives CTAS → ALTER → INSERT-with-new-column → read,
+    // hashing the null split and the new column's sum; the pre-ALTER
+    // version still answers with the ORIGINAL two columns (column
+    // count at version 2 rides along as data).
+    "q306_snap_sql_alter" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd19")
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+          .createOrReplaceTempView("q306_orders_src")
+        s.sql(
+          s"""CREATE TABLE graftsnap.`$root`
+             |TBLPROPERTIES ('statCols'='o_orderkey')
+             |AS SELECT o_orderkey, o_totalprice FROM q306_orders_src
+             |WHERE o_orderkey < 6000""".stripMargin)
+        s.sql(s"ALTER TABLE graftsnap.`$root` ADD COLUMN half_cents BIGINT")
+        s.sql(
+          s"""INSERT INTO graftsnap.`$root`
+             |SELECT o_orderkey, o_totalprice,
+             |  CAST(floor(o_totalprice * 50 + 0.5) AS BIGINT)
+             |FROM q306_orders_src WHERE o_orderkey >= 6000""".stripMargin)
+        val oldCols = s.sql(
+          s"SELECT * FROM graftsnap.`$root` VERSION AS OF 2 LIMIT 0")
+          .columns.length.toLong
+        s.sql(
+          s"""SELECT count(*) AS n_rows,
+             |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |    AS sum_cents,
+             |  sum(coalesce(half_cents, 0)) AS sum_half,
+             |  sum(CASE WHEN half_cents IS NULL THEN 1 ELSE 0 END)
+             |    AS n_pre_alter,
+             |  CAST($oldCols AS BIGINT) AS n_cols_v2
+             |FROM graftsnap.`$root`""".stripMargin)
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN o_orderkey >= 6000
+        |    THEN CAST(floor(o_totalprice * 50 + 0.5) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS sum_half,
+        |  CAST(sum(CASE WHEN o_orderkey < 6000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_pre_alter,
+        |  CAST(2 AS BIGINT) AS n_cols_v2
+        |FROM orders""".stripMargin),
+
+    // TIMESTAMP AS OF through the analyzer's native hook
+    // (loadTable(ident, micros)): commit times ride the manifest
+    // (`ts=` header), resolution picks the newest version at or
+    // before the asked instant. The gate captures a wall-clock
+    // boundary between two commits and reads both that instant and
+    // the present — counts replayed exactly by the oracle.
+    "q307_snap_timestamp_as_of" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd20")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") < 6000), root, "o_orderkey")
+        Thread.sleep(30) // commit-ts granularity guard
+        val t1 = System.currentTimeMillis()
+        Thread.sleep(30)
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey") >= 6000), root, "o_orderkey")
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        val asOf = java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(t1))
+        s.sql(
+          s"""SELECT CAST(1 AS BIGINT) AS at, count(*) AS n_rows
+             |FROM graftsnap.`$root` TIMESTAMP AS OF '$asOf'
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), count(*)
+             |FROM graftsnap.`$root`""".stripMargin)
+      },
+      """SELECT CAST(1 AS BIGINT) AS at,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM orders WHERE o_orderkey < 6000
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

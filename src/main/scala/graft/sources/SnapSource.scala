@@ -976,7 +976,8 @@ class SnapBatchWrite(root: String, schema: StructType,
     val files = messages.toSeq
       .collect { case SnapWriteCommit(Some(f)) => f }.sortBy(_.path)
     SnapTable.publish(root,
-      if (overwrite) "overwrite" else "append", files)
+      if (overwrite) "overwrite" else "append", files,
+      frameSchema = Some(schema))
     ()
   }
 
@@ -1319,6 +1320,19 @@ class SnapCatalog
   override def loadTable(ident: Identifier, version: String): CTable =
     table(ident, Some(version.toInt))
 
+  /** `TIMESTAMP AS OF` — the analyzer hands micros since epoch;
+    * resolution is the newest manifest committed at or before it
+    * (`ts=` header, mtime fallback for legacy logs).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): CTable = {
+    val r = root(ident)
+    val v = SnapTable.versionAt(r, timestamp / 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $r exists at or before timestamp " +
+          s"${timestamp}us — the first commit is newer"))
+    table(ident, Some(v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // tables are filesystem roots, not an enumerable set
   override def tableExists(ident: Identifier): Boolean =
@@ -1350,11 +1364,53 @@ class SnapCatalog
       tableProps(r))
   }
 
+  /** `ALTER TABLE ... ADD COLUMN(S)`: additive evolution as a pure
+    * LOG operation — one zero-file append manifest whose schema
+    * header unions the new column(s) at the end. No data file is
+    * touched; existing rows read NULL for the new columns (the
+    * mergeSchema contract the table always had), history stays
+    * readable at its own schema. Everything else (drop/rename/type
+    * change) refuses: those would rewrite history.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): CTable =
-    throw new UnsupportedOperationException(
-      "snap catalog does not alter tables: schema evolves additively " +
-        "through commits")
+      changes: TableChange*): CTable = {
+    import org.apache.spark.sql.connector.catalog.TableChange.AddColumn
+    val r = root(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.asInstanceOf[Identifier])
+    require(SnapTable.tableSchema(r, None).isDefined,
+      s"snap table $r predates schema headers; ALTER would record a " +
+        "schema the older manifests cannot corroborate")
+    val added = changes.map {
+      case a: AddColumn =>
+        require(a.fieldNames.length == 1,
+          "snap ALTER adds top-level columns only")
+        require(a.isNullable,
+          s"new column ${a.fieldNames.head} must be nullable — " +
+            "existing rows have no value for it")
+        require(a.position == null,
+          "snap ALTER appends at the end (schema is a union in " +
+            "commit order); positions are not supported")
+        require(a.defaultValue == null,
+          "snap ALTER does not backfill defaults")
+        val ok = a.dataType match {
+          case LongType | IntegerType | DateType | DoubleType |
+               FloatType | BooleanType | StringType | TimestampType |
+               TimestampNTZType | BinaryType => true
+          case _: DecimalType => true
+          case _ => false
+        }
+        require(ok, s"unsupported column type ${a.dataType} for " +
+          a.fieldNames.head)
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"snap catalog supports ALTER TABLE ADD COLUMN only, not $other")
+    }
+    SnapTable.publish(r, "append", Nil,
+      frameSchema = Some(StructType(added)))
+    table(ident, None)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
       "snap catalog refuses DROP: a snap root owns its history; " +

@@ -468,6 +468,48 @@ class SnapSourceSpec extends AnyFunSuite {
       "unmatched row of the rewritten file preserved")
   }
 
+  test("ALTER TABLE ADD COLUMN is a zero-file log operation") {
+    val root = rangedTable()
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    val filesBefore = SnapTable.liveFiles(root).map(_.path).toSet
+    spark.sql(s"ALTER TABLE graftsnap.`$root` ADD COLUMN score DOUBLE")
+    // no data file touched; the schema grew at the end
+    assert(SnapTable.liveFiles(root).map(_.path).toSet == filesBefore)
+    val df = spark.read.format(Fmt).load(root)
+    assert(df.columns.toSeq == Seq("id", "dbl", "s", "score"))
+    assert(df.filter(col("score").isNull).count() == 400)
+    // history keeps its own schema
+    assert(spark.read.format(Fmt).option("versionAsOf", "4").load(root)
+      .columns.toSeq == Seq("id", "dbl", "s"))
+    // refusals: NOT NULL and non-AddColumn changes
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root` ADD COLUMN bad BIGINT NOT NULL"))
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root` DROP COLUMN dbl"))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest commit at the instant") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).toDF("id"), root, "id")
+    Thread.sleep(20)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    SnapTable.commit((11L to 20L).toDF("id"), root, "id")
+    assert(SnapTable.versionAt(root, t1).contains(1))
+    assert(SnapTable.versionAt(root, System.currentTimeMillis())
+      .contains(2))
+    assert(SnapTable.versionAt(root, 0L).isEmpty) // predates the log
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    val asOf = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t1))
+    assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$root` " +
+      s"TIMESTAMP AS OF '$asOf'").head().getLong(0) == 10)
+  }
+
   test("boundary literals prune everything instead of overflowing") {
     val root = rangedTable()
     // id > Long.MaxValue is provably empty; the naive l+1 pushdown
