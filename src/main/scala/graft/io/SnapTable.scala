@@ -488,8 +488,9 @@ object SnapTable {
     */
   private[graft] def publishReplace(root: String, baseVersion: Int,
       files: Seq[FileStat],
-      schema: Option[org.apache.spark.sql.types.StructType]): Int =
-    publishRebasing(root, baseVersion, files, _ => true, schema)
+      schema: Option[org.apache.spark.sql.types.StructType],
+      isConflicting: FileStat => Boolean = _ => true): Int =
+    publishRebasing(root, baseVersion, files, isConflicting, schema)
 
   /** Write `df` as a new commit and return the claimed version.
     * `filesPerCommit` range-partitions on the stat column so each

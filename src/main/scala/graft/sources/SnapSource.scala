@@ -1122,6 +1122,18 @@ class SnapRowLevelOperation(root: String, tableSchema: StructType,
   @volatile private[sources] var scannedFiles: Seq[FileStat] =
     SnapTable.liveFiles(root, Some(baseVersion))
 
+  /** The operation's statically-pushed bound on the PRIMARY stat
+    * column (an UPDATE/DELETE WHERE range), recorded by the scan
+    * builder. It NARROWS the conflict test: a concurrent append
+    * whose stat box cannot intersect this bound cannot hold a row
+    * the predicate would have matched, so it REBASES into the
+    * replacement commit instead of aborting it. Absent (MERGE, or a
+    * WHERE not on the stat column) every concurrent commit refuses.
+    */
+  @volatile private[sources] var predicateBound: Option[(Long, Long)] = None
+
+  private[sources] def primaryStatCol: String = statCols.head
+
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
   override def description(): String = s"graft_snap_rowlevel($cmd)"
@@ -1163,6 +1175,9 @@ class SnapRowLevelScanBuilder(op: SnapRowLevelOperation, root: String,
     val live = SnapTable.liveFiles(root, Some(op.baseVersion))
     val hit = live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap))
+    // an UPDATE/DELETE WHERE range on the primary stat column also
+    // narrows the operation's CONFLICT test (see predicateBound)
+    op.predicateBound = bounds.toMap.get(op.primaryStatCol)
     new SnapRowLevelScan(op, hit, required)
   }
 }
@@ -1239,8 +1254,18 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
     val replaced = op.scannedFiles.map(_.path).toSet
     val untouched = SnapTable.liveFiles(root, Some(op.baseVersion))
       .filterNot(f => replaced.contains(f.path))
+    // with a recorded WHERE range, only concurrent appends whose stat
+    // box could hold a matching row conflict; a file with no stats
+    // for the column is unknowable and conflicts conservatively
+    val conflicts: graft.io.SnapTable.FileStat => Boolean =
+      op.predicateBound match {
+        case Some((lo, hi)) => f =>
+          f.range(op.primaryStatCol)
+            .forall { case (mn, mx) => mx >= lo && mn <= hi }
+        case None => _ => true
+      }
     SnapTable.publishReplace(root, op.baseVersion, untouched ++ rewritten,
-      SnapTable.tableSchema(root, Some(op.baseVersion)))
+      SnapTable.tableSchema(root, Some(op.baseVersion)), conflicts)
     ()
   }
 

@@ -510,6 +510,48 @@ class SnapSourceSpec extends AnyFunSuite {
       s"TIMESTAMP AS OF '$asOf'").head().getLong(0) == 10)
   }
 
+  test("row-level op conflicts narrow to the WHERE range") {
+    import graft.io.SnapTable.FileStat
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
+    def runOp(root: String, appendIds: Seq[Long]): Unit = {
+      val schema = graft.sources.SnapSource.inferSchema(root, None)
+      val op = new graft.sources.SnapRowLevelOperation(
+        root, schema, Command.UPDATE, Seq("id"))
+      val sb = op.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .asInstanceOf[graft.sources.SnapScanBuilder]
+      sb.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.GreaterThanOrEqual("id", 150L),
+        org.apache.spark.sql.sources.LessThanOrEqual("id", 160L)))
+      val scan = sb.build()
+      scan.toBatch.planInputPartitions() // records scannedFiles+bound
+      // a commit lands BETWEEN the op's read and its publish
+      SnapTable.commit(appendIds.map(i => (i, i * 2, s"v$i"))
+        .toDF("id", "dbl", "s"), root, "id")
+      new graft.sources.SnapReplaceBatchWrite(op, root, schema, Seq("id"))
+        .commit(Array(graft.sources.SnapWriteCommit(Some(
+          FileStat("file:/rewritten-placeholder", 11L,
+            Seq("id" -> (150L, 160L)))))))
+    }
+
+    // append OUTSIDE the WHERE range: cannot hold a matching row →
+    // REBASES into the replacement commit instead of aborting it
+    val root1 = rangedTable()
+    runOp(root1, Seq(900L))
+    val live1 = SnapTable.liveFiles(root1)
+    assert(live1.exists(_.path.contains("rewritten-placeholder")))
+    assert(live1.exists(f => f.min == 900L && f.max == 900L),
+      "the disjoint concurrent append must ride into the live set")
+    assert(live1.size == 5, live1.toString) // 3 untouched + rewrite + append
+
+    // append INSIDE the range: could have matched → refuses
+    val root2 = rangedTable()
+    intercept[java.util.ConcurrentModificationException] {
+      runOp(root2, Seq(155L))
+    }
+  }
+
   test("boundary literals prune everything instead of overflowing") {
     val root = rangedTable()
     // id > Long.MaxValue is provably empty; the naive l+1 pushdown
