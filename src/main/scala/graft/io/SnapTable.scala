@@ -332,7 +332,12 @@ object SnapTable {
       .collect()
       .map { r =>
         val stats = statCols.zipWithIndex.map { case (c, i) =>
-          c -> (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i))
+          // an all-null stat column has NULL extremes: publish the
+          // sentinel full-range box (never skipped, always safe) —
+          // the same contract as the DSv2 writer's inline stats
+          c -> (if (r.isNullAt(2 + 2 * i))
+            (Long.MinValue, Long.MaxValue)
+          else (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
         }
         FileStat(r.getString(0), r.getLong(1), stats)
       }
@@ -374,6 +379,19 @@ object SnapTable {
           StandardOpenOption.CREATE_NEW)
       } catch { case _: Exception => () }
     }
+
+  /** Claim VERSION 1 of a brand-new table — the atomic CREATE TABLE
+    * primitive. Unlike [[publish]], which retries into the next free
+    * slot (correct for commits, wrong for creation: two concurrent
+    * CREATEs must not both "succeed" with the loser appending onto the
+    * winner's log), this makes exactly one attempt and lets the
+    * `FileAlreadyExistsException` escape so the catalog can surface it
+    * as TableAlreadyExists.
+    */
+  private[graft] def createEmpty(root: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    writeManifestFile(root, 1, "append", Nil, None,
+      Some(normalizeSchema(schema)))
 
   /** Publish a manifest naming `files`, claiming the next free
     * version (optimistic concurrency: a concurrent winner makes

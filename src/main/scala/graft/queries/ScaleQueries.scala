@@ -1438,13 +1438,19 @@ object ScaleQueries {
           .filter(col("o_orderkey").between(5000L, 10000L))
           .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("mx"))
           .collect()(0)
+        // null-tolerant extraction: at tiny SF the filtered range can
+        // be EMPTY (max = NULL) and a bare getLong would throw — the
+        // driver gate runs at sf0.01 where all probes are non-null,
+        // but the plan report runs this at sf0.001 too
+        def gl(r: org.apache.spark.sql.Row, i: Int): Long =
+          if (r.isNullAt(i)) -1L else r.getLong(i)
         s.range(1).select(
-          lit(pushed.getLong(0)).as("n_rows"),
-          lit(pushed.getLong(1)).as("min_key"),
-          lit(pushed.getLong(2)).as("max_key"),
+          lit(gl(pushed, 0)).as("n_rows"),
+          lit(gl(pushed, 1)).as("min_key"),
+          lit(gl(pushed, 2)).as("max_key"),
           lit(opens).as("n_opens"),
-          lit(filtered.getLong(0)).as("n_filtered"),
-          lit(filtered.getLong(1)).as("max_filtered"))
+          lit(gl(filtered, 0)).as("n_filtered"),
+          lit(gl(filtered, 1)).as("max_filtered"))
       },
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(min(o_orderkey) AS BIGINT) AS min_key,

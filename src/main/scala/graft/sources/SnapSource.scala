@@ -294,6 +294,15 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     if (SnapTable.liveFiles(root, None).isEmpty) return
+    // `DELETE FROM t` (no condition) arrives as an empty/AlwaysTrue
+    // filter set. Lowering it onto the range path would keep rows whose
+    // stat column is NULL (a BETWEEN never matches NULL) — route it to
+    // the truncate path instead: an overwrite of the empty live set,
+    // which deletes EVERY row regardless of stat-column nullness.
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      truncateTable()
+      return
+    }
     val c = primaryStatCol.getOrElse(throw new IllegalStateException(
       s"snap table $root has no stat column to delete by"))
     val (lo, hi) = parseRange(filters, c).getOrElse(
@@ -785,10 +794,19 @@ class SnapReaderFactory(required: StructType) extends PartitionReaderFactory {
   // way — the all-or-nothing contract DataSourceV2ScanExecBase needs
   override def supportColumnarReads(p: InputPartition): Boolean =
     hasDataColumns
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     // metadata-only projection (count(*), count of files): answered
-    // from the manifest's row count, zero file opens
+    // from the manifest's row count, zero file opens. The row path is
+    // ONLY legal for that projection — supportColumnarReads routes
+    // every data-column read to the vectorized reader, and if an
+    // engine path ever violates that contract this must FAIL, not
+    // silently serve NULL data columns.
+    if (hasDataColumns) throw new IllegalStateException(
+      "snap row-based reader asked for data columns " +
+        required.fieldNames.mkString("[", ",", "]") +
+        " — the columnar path must have been taken")
     new MetadataOnlyReader(p.asInstanceOf[SnapFilePartition], required)
+  }
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] =
     new SnapVectorReader(p.asInstanceOf[SnapFilePartition], required)
@@ -1376,15 +1394,21 @@ class SnapCatalog
         "range-shaping, not directory partitions")
     val props = properties.asScala.toMap
     val statCols = props.get("statCols").orElse(props.get("option.statCols"))
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(r, "_log"))
+    // version 1 FIRST, claimed atomically (single attempt, no
+    // retry-into-next-slot): of two concurrent CREATEs exactly one
+    // wins the v1 manifest; the loser surfaces TableAlreadyExists
+    // instead of silently appending onto the winner's log. The props
+    // file is written only by the winner, after the claim.
+    try SnapTable.createEmpty(r, schema)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
     statCols.foreach { sc =>
       java.nio.file.Files.write(propsPath(r),
         s"statCols=$sc\n".getBytes("UTF-8"))
     }
-    // version 1: the schema exists before any data does — an empty
-    // SELECT * already answers with the right columns
-    SnapTable.publish(r, "append", Nil, frameSchema = Some(schema))
     new SnapDsvTable(r, None, schema, CaseInsensitiveStringMap.empty(),
       tableProps(r))
   }
@@ -1404,13 +1428,22 @@ class SnapCatalog
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
-    require(SnapTable.tableSchema(r, None).isDefined,
-      s"snap table $r predates schema headers; ALTER would record a " +
-        "schema the older manifests cannot corroborate")
+    val existing = SnapTable.tableSchema(r, None).getOrElse(
+      throw new IllegalArgumentException(
+        s"snap table $r predates schema headers; ALTER would record a " +
+          "schema the older manifests cannot corroborate"))
     val added = changes.map {
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
           "snap ALTER adds top-level columns only")
+        // publish would union first-occurrence-wins, silently
+        // no-opping a duplicate name (and ignoring a differing type);
+        // SQL semantics require a duplicate-column ERROR instead
+        if (existing.fields.exists(
+            _.name.equalsIgnoreCase(a.fieldNames.head)))
+          throw new IllegalArgumentException(
+            s"column ${a.fieldNames.head} already exists in snap " +
+              s"table $r")
         require(a.isNullable,
           s"new column ${a.fieldNames.head} must be nullable — " +
             "existing rows have no value for it")

@@ -589,4 +589,76 @@ class SnapSourceSpec extends AnyFunSuite {
       "int-typed equality must re-prune like long")
     assert(pruned(java.lang.Short.valueOf(150.toShort)) == 1)
   }
+
+  test("unconditional DELETE truncates — NULL-stat rows do not survive") {
+    val root = freshRoot()
+    // an all-null-stat file publishes the sentinel box; a range-lowered
+    // DELETE FROM t would keep its rows (BETWEEN never matches NULL)
+    SnapTable.commit(Seq((Some(1L), "a"), (Some(2L), "b"))
+      .toDF("id", "s"), root, "id")
+    SnapTable.commit(Seq((Option.empty[Long], "null-row"))
+      .toDF("id", "s"), root, "id")
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"DELETE FROM graftsnap.`$root`")
+    assert(spark.read.format(Fmt).load(root).count() == 0,
+      "DELETE FROM without WHERE must remove every row, " +
+        "including NULL-stat ones")
+    // schema survives the truncate
+    assert(spark.read.format(Fmt).load(root).columns.toSeq ==
+      Seq("id", "s"))
+  }
+
+  test("ALTER ADD COLUMN refuses an existing name instead of no-opping") {
+    val root = rangedTable() // columns id, dbl, s
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root` ADD COLUMN dbl STRING"))
+    assert(e.getMessage.contains("already exists"),
+      s"duplicate column must error, got: ${e.getMessage}")
+    // and case-insensitively, matching Spark's resolution default
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root` ADD COLUMN DBL STRING"))
+    assert(e2.getMessage.contains("already exists"))
+  }
+
+  test("row-based reader refuses data columns instead of NULL-ing them") {
+    val f = new graft.sources.SnapReaderFactory(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    val p = graft.sources.SnapFilePartition("f1", 10)
+    assert(f.supportColumnarReads(p)) // data cols => columnar path
+    intercept[IllegalStateException](f.createReader(p))
+  }
+
+  test("concurrent CREATE TABLE: exactly one wins, loser errors") {
+    val root = freshRoot() + "/t1"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val start = new CountDownLatch(1)
+    val results = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          start.await()
+          try { SnapTable.createEmpty(root, schema); None }
+          catch { case t: Throwable => Some(t) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(30, TimeUnit.SECONDS))
+    val outcomes = results.map(_.get())
+    assert(outcomes.count(_.isEmpty) == 1,
+      s"exactly one CREATE may claim v1, got $outcomes")
+    assert(outcomes.flatten.forall(
+      _.isInstanceOf[java.nio.file.FileAlreadyExistsException]))
+    assert(SnapTable.currentVersion(root) == 1,
+      "the loser must NOT have appended a second version")
+  }
 }
