@@ -82,11 +82,20 @@ object SnapTable {
     * dimensions, so a rectangle predicate prunes on each.
     */
   final case class FileStat(path: String, rows: Long,
-      stats: Seq[(String, (Long, Long))]) {
+      stats: Seq[(String, (Long, Long))],
+      nullCounts: Seq[(String, Long)] = Nil) {
     def min: Long = stats.head._2._1
     def max: Long = stats.head._2._2
     def range(colName: String): Option[(Long, Long)] =
       stats.collectFirst { case (c, r) if c == colName => r }
+    /** NULLs in the column within this file — `None` for manifests
+      * written before null counts existed (callers must then assume
+      * nulls MAY be present). What makes a box containment proof a
+      * row containment proof: box ⊆ bound AND zero nulls ⇒ EVERY row
+      * of the file satisfies the bound.
+      */
+    def nullCount(colName: String): Option[Long] =
+      nullCounts.collectFirst { case (c, n) if c == colName => n }
   }
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None,
@@ -158,17 +167,25 @@ object SnapTable {
 
   private def parseFileLine(l: String): FileStat = {
     val c = l.split('\t')
-    val stats = c(2).split(',').toSeq.map { s =>
+    val parts = c(2).split(',').toSeq.map { s =>
       val Array(name, mm) = s.split('=')
-      val Array(mn, mx) = mm.split(':')
-      name -> (mn.toLong, mx.toLong)
+      // col=min:max (legacy) or col=min:max:nullCount
+      val nums = mm.split(':')
+      (name, (nums(0).toLong, nums(1).toLong),
+        if (nums.length > 2) Some(nums(2).toLong) else None)
     }
-    FileStat(c(0), c(1).toLong, stats)
+    FileStat(c(0), c(1).toLong, parts.map(p => p._1 -> p._2),
+      parts.collect { case (n, _, Some(nc)) => n -> nc })
   }
 
   private def fileLine(f: FileStat): String =
     s"${f.path}\t${f.rows}\t" +
-      f.stats.map { case (c, (mn, mx)) => s"$c=$mn:$mx" }.mkString(",")
+      f.stats.map { case (c, (mn, mx)) =>
+        f.nullCount(c) match {
+          case Some(nc) => s"$c=$mn:$mx:$nc"
+          case None => s"$c=$mn:$mx"
+        }
+      }.mkString(",")
 
   private def readManifest(root: String, v: Int): Manifest = {
     manifestFilesRead.incrementAndGet()
@@ -325,12 +342,15 @@ object SnapTable {
     shaped.write.parquet(dataDir)
     val aggs = statCols.flatMap(c => Seq(
       min(col(c).cast("long")).as(s"mn_$c"),
-      max(col(c).cast("long")).as(s"mx_$c")))
+      max(col(c).cast("long")).as(s"mx_$c"))) ++
+      statCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nc_$c"))
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
       .collect()
       .map { r =>
+        val n = statCols.length
         val stats = statCols.zipWithIndex.map { case (c, i) =>
           // an all-null stat column has NULL extremes: publish the
           // sentinel full-range box (never skipped, always safe) —
@@ -339,7 +359,10 @@ object SnapTable {
             (Long.MinValue, Long.MaxValue)
           else (r.getLong(2 + 2 * i), r.getLong(3 + 2 * i)))
         }
-        FileStat(r.getString(0), r.getLong(1), stats)
+        val nulls = statCols.zipWithIndex.map { case (c, i) =>
+          c -> r.getLong(2 + 2 * n + i)
+        }
+        FileStat(r.getString(0), r.getLong(1), stats, nulls)
       }
       .sortBy(_.path).toSeq
   }

@@ -1646,6 +1646,62 @@ object ScaleQueries {
         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT)
         |FROM orders""".stripMargin),
 
+    // q303 under a WHERE: an aggregate whose range bound fully
+    // CONTAINS every surviving file's box (and the column has zero
+    // recorded nulls) absorbs the filter EXACTLY, so the aggregation
+    // still pushes complete — count/min/max answered from manifest
+    // row counts and boxes with ZERO file opens. A bound a file
+    // STRADDLES keeps the filter residual and falls back to the
+    // vectorized row scan — same answers, different cost. Both open
+    // counters ride along as hash-gated data.
+    "q308_snap_filtered_agg" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd21")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        def gl(r: org.apache.spark.sql.Row, i: Int): Long =
+          if (r.isNullAt(i)) -1L else r.getLong(i)
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        // [4000, 7999] contains the second file's box exactly
+        val aligned = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .filter(col("o_orderkey").between(4000L, 7999L))
+          .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+            max(col("o_orderkey")).as("mx"))
+          .collect()(0)
+        val alignedOpens = graft.sources.SnapSource.filesOpened.get() - c0
+        // [5000, 10000] straddles two files: residual filter, row scan
+        val c1 = graft.sources.SnapSource.filesOpened.get()
+        val straddle = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .filter(col("o_orderkey").between(5000L, 10000L))
+          .agg(count(lit(1)).as("n")).collect()(0)
+        val straddleOpens = graft.sources.SnapSource.filesOpened.get() - c1
+        s.range(1).select(
+          lit(gl(aligned, 0)).as("n_aligned"),
+          lit(gl(aligned, 1)).as("min_aligned"),
+          lit(gl(aligned, 2)).as("max_aligned"),
+          lit(alignedOpens).as("n_opens_aligned"),
+          lit(gl(straddle, 0)).as("n_straddle"),
+          lit(straddleOpens).as("n_opens_straddle"))
+      },
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 4000 AND 7999) AS n_aligned,
+        |  (SELECT CAST(min(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 4000 AND 7999) AS min_aligned,
+        |  (SELECT CAST(max(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 4000 AND 7999) AS max_aligned,
+        |  CAST(0 AS BIGINT) AS n_opens_aligned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 5000 AND 10000) AS n_straddle,
+        |  CAST(2 AS BIGINT) AS n_opens_straddle""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

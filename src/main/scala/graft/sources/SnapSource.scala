@@ -345,9 +345,16 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
 
 /** Pushdown state: per-stat-column [lo, hi] bounds and IN-sets tighten
   * as filters arrive; the required schema shrinks under column
-  * pruning. Every filter is returned as residual (file skipping keeps
-  * a SUPERSET of the qualifying rows), absorbed ones are additionally
-  * reported via pushedFilters for EXPLAIN.
+  * pruning. A filter is returned as residual (file skipping keeps a
+  * SUPERSET of the qualifying rows, Spark re-checks) UNLESS the
+  * manifest PROVES every emitted row satisfies it — every surviving
+  * file's box fully contained in the filter's interval with ZERO
+  * recorded nulls — in which case it is absorbed EXACTLY, which both
+  * removes the per-row re-check and unlocks aggregate pushdown under
+  * a WHERE (Spark only offers an aggregation when no residual filter
+  * remains). The live file list is PINNED at first use: the same
+  * snapshot that validated exactness is the one the scan reads (a
+  * commit landing mid-planning cannot introduce an unvalidated file).
   */
 class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
@@ -365,6 +372,19 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   private[sources] var required: StructType = full
   private var aggs: Option[Seq[AggregateFunc]] = None
   private var limit: Option[Int] = None
+
+  /** The snapshot this scan plans AND reads — one listing, pinned.
+    * Closes the TOCTOU between pushdown validation (exact filters,
+    * pushable aggregates) and build(): both see these files.
+    */
+  private[sources] lazy val liveAtPlan: Seq[FileStat] =
+    SnapTable.liveFiles(root, asOf)
+
+  /** Row-level operation scans must keep EVERY filter residual: their
+    * pushed filters select GROUPS to rewrite, and the rewrite reads
+    * matching groups whole — exact absorption is a read-path contract.
+    */
+  protected def allowExactAbsorption: Boolean = true
 
   private def longVal(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -408,30 +428,76 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       case _ => false
     }
     pushed = absorbed
-    filters // ALL residual: skipping keeps supersets, Spark re-checks rows
+    if (!allowExactAbsorption) return filters
+    // EXACT absorption: with all prunable bounds recorded, a filter
+    // whose interval CONTAINS every surviving file's box — and whose
+    // column has zero recorded nulls in each (a box says nothing
+    // about NULL rows; legacy manifests without null counts refuse)
+    // — is satisfied by every row the scan can emit and need not be
+    // re-evaluated. Anything weaker stays residual.
+    val surviving = liveAtPlan.filter(f =>
+      SnapScan.survives(f, bounds.toMap, inSets.toMap))
+    def noNulls(c: String): Boolean =
+      surviving.forall(_.nullCount(c).contains(0L))
+    def contained(c: String, lo: Long, hi: Long): Boolean =
+      surviving.forall(_.range(c).exists { case (mn, mx) =>
+        // the sentinel box means "extremes unknown", never containment
+        !(mn == Long.MinValue && mx == Long.MaxValue) &&
+          mn >= lo && mx <= hi
+      }) && noNulls(c)
+    val residual = filters.filterNot {
+      case EqualTo(c, v) => longVal(v).exists(l => contained(c, l, l))
+      case GreaterThan(c, v) => longVal(v).exists(l =>
+        l < Long.MaxValue && contained(c, l + 1, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        longVal(v).exists(l => contained(c, l, Long.MaxValue))
+      case LessThan(c, v) => longVal(v).exists(l =>
+        l > Long.MinValue && contained(c, Long.MinValue, l - 1))
+      case LessThanOrEqual(c, v) =>
+        longVal(v).exists(l => contained(c, Long.MinValue, l))
+      case IsNotNull(c) => noNulls(c)
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+    exactOnly = residual.isEmpty
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** True when every arriving filter was absorbed EXACTLY — the
+    * precondition [[aggPushable]] re-checks before answering an
+    * aggregate from the manifest (Spark's no-residual invariant,
+    * asserted locally rather than assumed).
+    */
+  private var exactOnly = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** COMPLETE aggregate pushdown answered from the MANIFEST: with no
-    * residual predicates (our pushFilters returns everything residual,
-    * so Spark only offers an aggregation when the query had no
-    * filters at all), COUNT(*) is the sum of per-file row counts and
-    * MIN/MAX over an integer stat column are the extremes of the
-    * per-file boxes — exact because the boxes are computed from the
-    * data at commit time. Zero file opens at any table size. Refused
-    * (Spark falls back to a row scan) whenever: a file lacks stats
-    * for the column, a file carries the all-null sentinel box
-    * (Long.MinValue..Long.MaxValue — extremes unknowable), the column
-    * is not an integer type, or there is any grouping.
+  /** COMPLETE aggregate pushdown answered from the MANIFEST. Spark
+    * only offers an aggregation when NO residual filter remains — so
+    * either the query had no filters, or every filter was absorbed
+    * EXACTLY (every surviving file's box fully inside the bound, zero
+    * nulls — see pushFilters). In both cases the surviving files'
+    * rows ARE precisely the filtered rows: COUNT(*) is the sum of
+    * their manifest row counts and MIN/MAX over an integer stat
+    * column fold their boxes — exact because the boxes are computed
+    * from the data at commit time. Zero file opens at any table size,
+    * filtered or not. Refused (Spark falls back to a row scan)
+    * whenever: a residual filter slipped through (`exactOnly`,
+    * asserted locally rather than trusted), a surviving file lacks
+    * stats for the column or carries the all-null sentinel box
+    * (extremes unknowable), the column is not an integer type, or
+    * there is any grouping. The file list is the PINNED planning
+    * snapshot — a commit landing between pushdown and build cannot
+    * swap in an unvalidated file.
     */
   private def aggPushable(a: Aggregation): Boolean = {
     if (a.groupByExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
       return false
-    if (bounds.nonEmpty || inSets.nonEmpty) return false
-    lazy val live = SnapTable.liveFiles(root, asOf)
+    if (!exactOnly) return false
+    lazy val surviving = liveAtPlan.filter(f =>
+      SnapScan.survives(f, bounds.toMap, inSets.toMap))
     def statName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -441,7 +507,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     def statOk(c: String): Boolean =
       full.fields.find(_.name == c).exists(f =>
         f.dataType == LongType || f.dataType == IntegerType) &&
-        live.forall(_.range(c).exists { case (mn, mx) =>
+        surviving.forall(_.range(c).exists { case (mn, mx) =>
           !(mn == Long.MinValue && mx == Long.MaxValue)
         })
     a.aggregateExpressions.forall {
@@ -468,7 +534,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = {
-    val live = SnapTable.liveFiles(root, asOf)
+    val live = liveAtPlan // the pinned planning snapshot, not a re-list
     val hit = live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap))
     aggs match {
@@ -1056,9 +1122,9 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   }
 
   private var rows = 0L
-  // (index into schema, running min, running max, sawValue)
+  // (index into schema, running min, running max, sawValue, nullCount)
   private val stats = statCols.map { c =>
-    Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L)
+    Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L, 0L)
   }
 
   override def write(row: InternalRow): Unit = {
@@ -1074,7 +1140,7 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         if (v < s(1)) s(1) = v
         if (v > s(2)) s(2) = v
         s(3) = 1L
-      }
+      } else s(4) += 1L
     }
   }
 
@@ -1089,7 +1155,9 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         c -> (if (s(3) == 1L) (s(1), s(2))
         else (Long.MinValue, Long.MaxValue)) // all-null: unskippable box
       }
-      SnapWriteCommit(Some(FileStat("file:" + absPath, rows, fileStats)))
+      val nulls = statCols.zip(stats).map { case (c, s) => c -> s(4) }
+      SnapWriteCommit(Some(FileStat("file:" + absPath, rows, fileStats,
+        nulls)))
     }
   }
 
@@ -1188,6 +1256,10 @@ class SnapRowLevelScanBuilder(op: SnapRowLevelOperation, root: String,
   override def supportCompletePushDown(a: Aggregation): Boolean = false
   override def pushAggregation(a: Aggregation): Boolean = false
   override def pushLimit(n: Int): Boolean = false
+  // the op's pushed WHERE selects GROUPS; matching groups are read
+  // whole and Spark re-evaluates the condition in the rewrite plan —
+  // every filter must stay residual
+  override protected def allowExactAbsorption: Boolean = false
 
   override def build(): Scan = {
     val live = SnapTable.liveFiles(root, Some(op.baseVersion))

@@ -590,6 +590,52 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(pruned(java.lang.Short.valueOf(150.toShort)) == 1)
   }
 
+  test("FILTERED aggregates answer from the manifest when boxes align") {
+    val root = rangedTable() // boxes [1,100] [101,200] [201,300] [301,400]
+    val before = graft.sources.SnapSource.filesOpened.get()
+    // every surviving file fully contained in [101, 300], zero nulls:
+    // the filter absorbs EXACTLY, the aggregation pushes complete, and
+    // the answer comes from row counts + boxes — zero file opens
+    val r = spark.read.format(Fmt).load(root)
+      .filter(col("id").between(101L, 300L))
+      .agg(count(lit(1)), min("id"), max("id")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((200L, 101L, 300L)))
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "a box-aligned filtered aggregate must open zero data files")
+    // a STRADDLING bound keeps the filter residual: the aggregation
+    // falls back to the (vectorized) row scan and stays exact
+    val r2 = spark.read.format(Fmt).load(root)
+      .filter(col("id").between(150L, 250L))
+      .agg(count(lit(1)), min("id"), max("id")).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) ==
+      ((101L, 150L, 250L)))
+    assert(graft.sources.SnapSource.filesOpened.get() == before + 2,
+      "the straddling fallback reads exactly the two surviving files")
+  }
+
+  test("NULLs in the filter column refuse exact absorption") {
+    val root = freshRoot()
+    // one file, box [1, 10], but TWO null-id rows hiding behind it
+    SnapTable.commit(
+      (Seq(Some(1L), Some(10L), None, None)).map(id => (id, "x"))
+        .toDF("id", "s"), root, "id")
+    val before = graft.sources.SnapSource.filesOpened.get()
+    val n = spark.read.format(Fmt).load(root)
+      .filter(col("id").between(1L, 10L)).count()
+    assert(n == 2, "NULL id rows must NOT count under the filter")
+    assert(graft.sources.SnapSource.filesOpened.get() > before,
+      "with nulls recorded, the aggregate must row-scan, not trust boxes")
+  }
+
+  test("exact absorption still re-prunes correctly on plain row scans") {
+    val root = rangedTable()
+    // contained filter on a NON-aggregating query: the Filter node may
+    // vanish (absorbed exactly) but the rows must be identical
+    val got = spark.read.format(Fmt).load(root)
+      .filter(col("id") >= 301L).agg(sum("dbl")).head().getLong(0)
+    assert(got == (301L to 400L).map(_ * 2).sum)
+  }
+
   test("unconditional DELETE truncates — NULL-stat rows do not survive") {
     val root = freshRoot()
     // an all-null-stat file publishes the sentinel box; a range-lowered

@@ -553,4 +553,25 @@ class SnapTableSpec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("null counts ride the manifest; legacy lines parse as unknown") {
+    val root = freshRoot()
+    SnapTable.commit(
+      Seq(Some(1L), Some(5L), None).map(id => (id, "x")).toDF("id", "s"),
+      root, "id")
+    val f = SnapTable.liveFiles(root).head
+    assert(f.rows == 3 && (f.min, f.max) == ((1L, 5L)))
+    assert(f.nullCount("id").contains(1L),
+      s"the commit must record the null count, got $f")
+    // a LEGACY manifest line (col=min:max, no third field) must parse
+    // with nullCount UNKNOWN — readers then assume nulls may exist
+    val legacyRoot = freshRoot()
+    java.nio.file.Files.createDirectories(Paths.get(legacyRoot, "_log"))
+    java.nio.file.Files.write(Paths.get(legacyRoot, "_log", "v00001.manifest"),
+      "action=append\nfile:/nowhere.parquet\t7\tid=1:5\n".getBytes("UTF-8"))
+    val lf = SnapTable.liveFiles(legacyRoot).head
+    assert(lf.rows == 7 && (lf.min, lf.max) == ((1L, 5L)))
+    assert(lf.nullCount("id").isEmpty,
+      "legacy stats must read back as null-count-unknown")
+  }
 }
