@@ -1098,7 +1098,8 @@ object ScaleQueries {
         }
         val (v, _, nDeleted) = graft.io.SnapTable.delete(
           s, root, "o_orderkey", 5000L, 5999L)
-        val reclaimed = graft.io.SnapTable.vacuum(root, keepFrom = v)
+        val reclaimed = graft.io.SnapTable.vacuum(root, keepFrom = v,
+          graceMs = 0L) // no concurrent writer in this gate
         s.read.format("graft.sources.SnapSourceProvider").load(root)
           .select(col("o_totalprice"),
             col(graft.sources.SnapSource.FileColumn).as("f"))
@@ -1351,7 +1352,8 @@ object ScaleQueries {
         s.sql(s"DELETE FROM graftsnap.`$root` " +
           "WHERE o_orderkey BETWEEN 5000 AND 5999")
         val reclaimed = graft.io.SnapTable.vacuum(root,
-          keepFrom = graft.io.SnapTable.currentVersion(root))
+          keepFrom = graft.io.SnapTable.currentVersion(root),
+          graceMs = 0L) // no concurrent writer in this gate
         s.read.format("graft.sources.SnapSourceProvider").load(root)
           .select(col("o_totalprice"),
             col(graft.sources.SnapSource.FileColumn).as("f"))

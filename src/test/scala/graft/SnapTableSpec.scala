@@ -134,14 +134,14 @@ class SnapTableSpec extends AnyFunSuite {
     SnapTable.commit((1L to 20L).filter(_ % 2 == 0).toDF("id"), root, "id",
       action = "overwrite")                               // v3
     assert(SnapTable.read(spark, root, Some(2)).count() == 20)
-    val removed = SnapTable.vacuum(root, keepFrom = 3)
+    val removed = SnapTable.vacuum(root, keepFrom = 3, graceMs = 0L)
     assert(removed == 2, s"expected v1+v2 data files removed, got $removed")
     // the retained snapshot is intact...
     assert(SnapTable.read(spark, root).count() == 10)
     // ...and pre-retention time travel is gone, loudly
     intercept[Throwable](SnapTable.read(spark, root, Some(2)).count())
     // vacuum is idempotent
-    assert(SnapTable.vacuum(root, keepFrom = 3) == 0)
+    assert(SnapTable.vacuum(root, keepFrom = 3, graceMs = 0L) == 0)
   }
 
   test("schema evolution: an added column reads as NULL over old files") {
@@ -378,19 +378,63 @@ class SnapTableSpec extends AnyFunSuite {
       Set((1L, "a", None)))
   }
 
-  test("vacuum spares files no manifest has ever referenced (in-flight commits)") {
+  test("vacuum spares RECENT unreferenced files (in-flight grace window)") {
     val root = freshRoot()
     SnapTable.commit((1L to 10L).toDF("id"), root, "id")
     SnapTable.commit((1L to 5L).toDF("id"), root, "id", action = "overwrite")
-    // simulate an in-flight commit: data written, manifest not yet
-    // published — the pre-fix vacuum deleted it out from under the writer
+    // age the superseded v1 file past the grace window (the table was
+    // built moments ago; production files are hours old)
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(root, "data")).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600L * 1000)))
+    // simulate an in-flight commit: data JUST written, manifest not
+    // yet published — vacuum must not delete it out from under the
+    // writer; the grace window (not an ever-referenced full-log scan)
+    // is what protects it
     val inflight = Paths.get(root, "data", "inflight")
     Files.createDirectories(inflight)
     val orphan = inflight.resolve("part-00000.parquet")
     Files.write(orphan, Array[Byte](1, 2, 3))
-    val removed = SnapTable.vacuum(root, keepFrom = 2)
+    val removed = SnapTable.vacuum(root, keepFrom = 2) // default grace
     assert(removed == 1, s"only v1's superseded file should go, got $removed")
     assert(Files.exists(orphan), "an unpublished commit's file must survive")
+    // and once past the grace window, an abandoned orphan is
+    // reclaimed instead of leaking forever
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600L * 1000))
+    assert(SnapTable.vacuum(root, keepFrom = 2) == 1,
+      "an aged-out orphan must be reclaimable")
+  }
+
+  test("versionAt is O(log n) and vacuum O(tail) in manifest reads") {
+    val root = freshRoot()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType)))
+    // 60 zero-file commits: versionAt/vacuum read MANIFESTS, so data
+    // files are irrelevant — this keeps the spec fast
+    (1 to 60).foreach { _ =>
+      SnapTable.publish(root, "append", Nil, frameSchema = Some(schema))
+    }
+    val t = System.currentTimeMillis() + 1000
+    val c0 = SnapTable.manifestFilesRead.get()
+    assert(SnapTable.versionAt(root, t).contains(60))
+    val versionReads = SnapTable.manifestFilesRead.get() - c0
+    assert(versionReads <= 8,
+      s"binary search over 60 commits must read ~log2(60) manifests, " +
+        s"read $versionReads")
+    val c1 = SnapTable.manifestFilesRead.get()
+    SnapTable.vacuum(root, keepFrom = 55, graceMs = 0L)
+    val vacuumReads = SnapTable.manifestFilesRead.get() - c1
+    // live(55) = checkpoint at 40 + replay 41..55, plus manifests
+    // 56..60 — well under the 60+ a full-log scan would cost
+    assert(vacuumReads <= 25,
+      s"vacuum must resolve from checkpoint + tail, read $vacuumReads")
   }
 
   test("delete: copy-on-write of only the touched files, vacuum reclaims") {
@@ -410,7 +454,7 @@ class SnapTableSpec extends AnyFunSuite {
     assert(got.filter(col("id").between(150, 250)).isEmpty)
     // pre-delete snapshot still readable until vacuumed away
     assert(SnapTable.read(spark, root, Some(3)).count() == 300)
-    assert(SnapTable.vacuum(root, keepFrom = 4) == 2)
+    assert(SnapTable.vacuum(root, keepFrom = 4, graceMs = 0L) == 2)
     intercept[Throwable](SnapTable.read(spark, root, Some(3)).count())
 
     // extra predicate + no-range-overlap path
