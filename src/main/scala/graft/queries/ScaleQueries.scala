@@ -1704,6 +1704,134 @@ object ScaleQueries {
         |   WHERE o_orderkey BETWEEN 5000 AND 10000) AS n_straddle,
         |  CAST(2 AS BIGINT) AS n_opens_straddle""".stripMargin),
 
+    // CHANGE-DATA-FEED STREAMING: a version-offset stream with
+    // option(readChangeFeed) keeps running ACROSS overwrite commits —
+    // the SQL DELETE and MERGE the table supports stream as their
+    // per-version file diffs tagged _change_type insert/delete with
+    // _commit_version, instead of wedging the stream (default) or
+    // vanishing (ignoreOverwrites). Two AvailableNow passes share one
+    // checkpoint: pass 1 drains the 4 seed commits, an append + a SQL
+    // DELETE + a SQL MERGE land mid-stream, pass 2 resumes from the
+    // stored offset and emits exactly their changes. The oracle
+    // replays every count and cent from the known file layout:
+    // rewrites over-report symmetric pairs deterministically (v6
+    // re-inserts the kept rows of the touched file; v7 re-inserts the
+    // merged file plus its inserts, +10 on each matched price).
+    "q309_snap_cdf_stream" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd22")
+        val ck = scratchDir("snapd22ck")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, Long)]
+        def drain(): Unit = {
+          val q = s.readStream.format("graft.sources.SnapSourceProvider")
+            .option("readChangeFeed", "true").load(root)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.groupBy("_commit_version", "_change_type")
+                .agg(count(lit(1)).as("n"),
+                  sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                    .as("cents"))
+                .collect().foreach(r => acc.synchronized {
+                  acc += ((r.getLong(0), r.getString(1), r.getLong(2),
+                    r.getLong(3)))
+                })
+              ()
+            }
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // v1..v4 seed commits
+        // mid-stream: append (v5), SQL DELETE (v6), SQL MERGE (v7)
+        graft.io.SnapTable.commit(
+          o.filter(col("o_orderkey").between(200L, 299L))
+            .select((col("o_orderkey") + 40000000L).as("o_orderkey"),
+              col("o_totalprice")), root, "o_orderkey")
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"DELETE FROM graftsnap.`$root` " +
+          "WHERE o_orderkey BETWEEN 9000 AND 9999")
+        o.createOrReplaceTempView("q309_orders_src")
+        s.sql(
+          """CREATE OR REPLACE TEMP VIEW q309_updates AS
+            |SELECT o_orderkey, o_totalprice + 10 AS o_totalprice
+            |FROM q309_orders_src WHERE o_orderkey BETWEEN 5000 AND 5499
+            |UNION ALL
+            |SELECT o_orderkey + 20000000, o_totalprice
+            |FROM q309_orders_src WHERE o_orderkey BETWEEN 100 AND 199
+            |""".stripMargin)
+        s.sql(
+          s"""MERGE INTO graftsnap.`$root` t
+             |USING q309_updates u ON t.o_orderkey = u.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = u.o_totalprice
+             |WHEN NOT MATCHED THEN
+             |  INSERT (o_orderkey, o_totalprice)
+             |  VALUES (u.o_orderkey, u.o_totalprice)""".stripMargin)
+        drain() // v5..v7 from the SAME checkpoint, across overwrites
+        import s.implicits._
+        acc.toSeq.toDF("version", "change_type", "n_part", "cents_part")
+          .groupBy("version", "change_type")
+          .agg(sum("n_part").as("n_rows"),
+            sum("cents_part").as("sum_cents"))
+      },
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM o WHERE k < 4000
+        |UNION ALL
+        |SELECT 2, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 4000 AND k < 8000
+        |UNION ALL
+        |SELECT 3, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 8000 AND k < 12000
+        |UNION ALL
+        |SELECT 4, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 12000
+        |UNION ALL
+        |SELECT 5, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k BETWEEN 200 AND 299
+        |UNION ALL
+        |SELECT 6, 'delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 8000 AND k < 12000
+        |UNION ALL
+        |SELECT 6, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 8000 AND k < 12000
+        |  AND NOT (k BETWEEN 9000 AND 9999)
+        |UNION ALL
+        |SELECT 7, 'delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 4000 AND k < 8000
+        |UNION ALL
+        |SELECT 7, 'insert',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o
+        |   WHERE k >= 4000 AND k < 8000)
+        |  + (SELECT CAST(count(*) AS BIGINT) FROM o
+        |     WHERE k BETWEEN 100 AND 199),
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM o
+        |   WHERE k >= 4000 AND k < 8000)
+        |  + 1000 * (SELECT CAST(count(*) AS BIGINT) FROM o
+        |            WHERE k BETWEEN 5000 AND 5499)
+        |  + (SELECT CAST(sum(c) AS BIGINT) FROM o
+        |     WHERE k BETWEEN 100 AND 199)""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

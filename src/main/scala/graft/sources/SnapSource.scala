@@ -87,8 +87,16 @@ class SnapSourceProvider extends TableProvider {
   // inference: accept the frame's own schema
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapSource.inferSchema(root(options), asOf(options))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = SnapSource.inferSchema(root(options), asOf(options))
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields.toSeq :+
+        StructField(SnapSource.ChangeTypeColumn, StringType,
+          nullable = false) :+
+        StructField(SnapSource.CommitVersionColumn, LongType,
+          nullable = false))
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -100,6 +108,56 @@ class SnapSourceProvider extends TableProvider {
 object SnapSource {
   /** The file-path metadata column (Iceberg's `_file`). */
   val FileColumn = "_snap_file"
+
+  /** CHANGE-DATA-FEED columns (Delta's `_change_type` /
+    * `_commit_version`), present only under
+    * `option("readChangeFeed", true)`: every emitted row is tagged
+    * `insert` or `delete` plus the version that caused it.
+    */
+  val ChangeTypeColumn = "_change_type"
+  val CommitVersionColumn = "_commit_version"
+
+  /** Columns served from the PARTITION, not the parquet file — a
+    * projection of only these answers from manifest metadata with
+    * zero file opens.
+    */
+  private[sources] val MetaServed: Set[String] =
+    Set(FileColumn, ChangeTypeColumn, CommitVersionColumn)
+
+  /** Per-version row-level changes of the manifest range (fromV, toV]
+    * as reader partitions: an `append` emits its files as `insert`
+    * rows; an `overwrite` (compact/merge/delete/update) diffs the live
+    * set it replaced — files added emit `insert`, files dropped emit
+    * `delete`. A file rewritten with most rows unchanged therefore
+    * over-reports symmetric delete+insert pairs that CANCEL when the
+    * consumer applies the feed as a multiset (delete then insert) —
+    * the net effect equals [[SnapTable.changes]]'s row-level diff,
+    * computed here without any cross-file join so each partition
+    * stays an independent file read. Cost: ONE live-set resolve at
+    * `fromV` plus the manifests in range — never the whole log.
+    */
+  private[sources] def changePartitions(root: String, fromV: Int,
+      toV: Int): Seq[SnapFilePartition] = {
+    if (toV <= fromV) return Nil
+    val live = mutable.LinkedHashMap.empty[String, FileStat]
+    SnapTable.liveFiles(root, Some(fromV)).foreach(f => live += f.path -> f)
+    val out = Seq.newBuilder[SnapFilePartition]
+    SnapTable.manifestsAfter(root, fromV, Some(toV)).foreach { m =>
+      if (m.action == "overwrite") {
+        val newPaths = m.files.map(_.path).toSet
+        m.files.filterNot(f => live.contains(f.path)).foreach(f =>
+          out += SnapFilePartition(f.path, f.rows, "insert", m.version))
+        live.values.filterNot(f => newPaths.contains(f.path)).foreach(f =>
+          out += SnapFilePartition(f.path, f.rows, "delete", m.version))
+        live.clear()
+        m.files.foreach(f => live += f.path -> f)
+      } else m.files.foreach { f =>
+        out += SnapFilePartition(f.path, f.rows, "insert", m.version)
+        live += f.path -> f
+      }
+    }
+    out.result()
+  }
 
   /** Parquet footers physically opened for SCHEMA work — test
     * instrumentation: cold resolution against a schema-carrying log
@@ -380,11 +438,21 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   private[sources] lazy val liveAtPlan: Seq[FileStat] =
     SnapTable.liveFiles(root, asOf)
 
+  /** CHANGE-DATA-FEED mode: rows come from per-version file diffs
+    * (including files an overwrite REMOVED), tagged insert/delete —
+    * so nothing that reasons over the LIVE set may fire: exact filter
+    * absorption, manifest-answered aggregates, and LIMIT file-prefix
+    * truncation are all disabled; filters stay residual and Spark
+    * re-checks rows, which remains correct (change partitions are a
+    * superset of any filtered feed).
+    */
+  private val cdf = options.getBoolean("readChangeFeed", false)
+
   /** Row-level operation scans must keep EVERY filter residual: their
     * pushed filters select GROUPS to rewrite, and the rewrite reads
     * matching groups whole — exact absorption is a read-path contract.
     */
-  protected def allowExactAbsorption: Boolean = true
+  protected def allowExactAbsorption: Boolean = !cdf
 
   private def longVal(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -495,6 +563,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   private def aggPushable(a: Aggregation): Boolean = {
     if (a.groupByExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
       return false
+    if (cdf) return false // change rows ≠ live rows
     if (!exactOnly) return false
     lazy val surviving = liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap))
@@ -530,7 +599,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     * Partial by declaration — Spark keeps its own Limit above (each
     * kept file is read whole).
     */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def pushLimit(n: Int): Boolean =
+    if (cdf) false else { limit = Some(n); true }
   override def isPartiallyPushed(): Boolean = true
 
   override def build(): Scan = {
@@ -547,7 +617,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
           Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
         maxFilesPerTrigger =
           Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-        limit = limit)
+        limit = limit, cdf = cdf, asOf = asOf)
     }
   }
 }
@@ -592,16 +662,26 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     startingVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None, cdf: Boolean = false,
+    asOf: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
   private val rInSets = mutable.Map.empty[String, Array[Long]]
 
+  /** Batch CHANGE FEED: every per-version change in
+    * (startingVersion, versionAsOf ?? current] — the batch twin of the
+    * streaming feed (Delta's startingVersion/endingVersion contract).
+    */
+  private lazy val cdfParts: Seq[SnapFilePartition] =
+    SnapSource.changePartitions(root, startingVersion.getOrElse(0),
+      asOf.getOrElse(SnapTable.currentVersion(root)))
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_snap files=${files.size} cols=${required.fieldNames.mkString(",")}"
+    if (cdf) s"graft_snap changefeed cols=${required.fieldNames.mkString(",")}"
+    else s"graft_snap files=${files.size} cols=${required.fieldNames.mkString(",")}"
 
   override def filterAttributes(): Array[NamedReference] =
     statCols.map(Expressions.column).toArray
@@ -636,7 +716,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     * snap tables the way it does for file relations with stats.
     */
   override def estimateStatistics(): Statistics = {
-    val n = files.map(_.rows).sum
+    val n = if (cdf) cdfParts.map(_.rows).sum else files.map(_.rows).sum
     val width = math.max(1, required.defaultSize)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -647,6 +727,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    if (cdf) return cdfParts.map(p => p: InputPartition).toArray
     val pruned =
       files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap))
     // pushed LIMIT: keep the file prefix whose manifest row counts
@@ -671,7 +752,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapMicroBatchStream(root, required, ignoreOverwrites,
       startingVersion.getOrElse(0), maxVersionsPerTrigger,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, cdf)
 }
 
 /** Completely-pushed aggregate scan answered from the MANIFEST: one
@@ -760,7 +841,8 @@ class SnapAggScan(root: String, files: Seq[FileStat],
 class SnapMicroBatchStream(root: String, required: StructType,
     ignoreOverwrites: Boolean, startVersion: Int,
     maxVersionsPerTrigger: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    cdf: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -812,7 +894,13 @@ class SnapMicroBatchStream(root: String, required: StructType,
         var full = false
         SnapTable.manifestsAfter(root, s, Some(vCapped)).foreach { m =>
           if (!full) {
-            val n = if (m.action == "overwrite") 0 else m.files.size
+            // under the change feed an overwrite contributes its
+            // post-image files (the removed side would need a live-set
+            // resolve per version — the budget is a planning bound,
+            // not an exact count)
+            val n = if (m.action == "overwrite") {
+              if (cdf) m.files.size else 0
+            } else m.files.size
             if (end == s || used + n <= budget) { end = m.version; used += n }
             else full = true
           }
@@ -828,6 +916,13 @@ class SnapMicroBatchStream(root: String, required: StructType,
       : Array[InputPartition] = {
     val s = start.asInstanceOf[SnapOffset].v
     val e = end.asInstanceOf[SnapOffset].v
+    // CHANGE FEED: the batch is the per-version file DIFFS of (s, e],
+    // insert AND delete rows — an overwrite commit (compact/merge/
+    // update/delete) streams as its net file effect instead of
+    // wedging the stream or being silently skipped
+    if (cdf)
+      return SnapSource.changePartitions(root, s, e)
+        .map(p => p: InputPartition).toArray
     // reads ONLY the manifests in (s, e] — a micro-batch over a
     // million-commit table costs its own range, not the whole log
     SnapTable.manifestsAfter(root, s, Some(e))
@@ -837,8 +932,9 @@ class SnapMicroBatchStream(root: String, required: StructType,
             s"version ${m.version} of $root is an overwrite commit " +
               "(compact/merge/delete); a version-offset stream cannot " +
               "replay it without double-counting — restart from a " +
-              "snapshot, or pass option(\"ignoreOverwrites\", true) to " +
-              "stream appends only")
+              "snapshot, pass option(\"ignoreOverwrites\", true) to " +
+              "stream appends only, or option(\"readChangeFeed\", true) " +
+              "to stream row-level changes")
           Nil
         } else m.files.map(f =>
           SnapFilePartition(f.path, f.rows): InputPartition)
@@ -851,11 +947,17 @@ class SnapMicroBatchStream(root: String, required: StructType,
   override def stop(): Unit = ()
 }
 
-case class SnapFilePartition(path: String, rows: Long) extends InputPartition
+/** `changeType`/`commitVersion` carry the CDF tags (null / -1 on
+  * plain snapshot scans — the columns are only ever projected under
+  * `readChangeFeed`, which always plans change partitions).
+  */
+case class SnapFilePartition(path: String, rows: Long,
+    changeType: String = null, commitVersion: Long = -1L)
+    extends InputPartition
 
 class SnapReaderFactory(required: StructType) extends PartitionReaderFactory {
   private val hasDataColumns =
-    required.fields.exists(_.name != SnapSource.FileColumn)
+    required.fields.exists(f => !SnapSource.MetaServed.contains(f.name))
   // the projection is scan-level, so every partition answers the same
   // way — the all-or-nothing contract DataSourceV2ScanExecBase needs
   override def supportColumnarReads(p: InputPartition): Boolean =
@@ -879,12 +981,18 @@ class SnapReaderFactory(required: StructType) extends PartitionReaderFactory {
 }
 
 /** Emits `rows` copies of the projection without opening the file —
-  * every requested column is the metadata path (or nothing at all).
+  * every requested column is partition metadata (or nothing at all):
+  * the file path, the change type, the commit version.
   */
 class MetadataOnlyReader(part: SnapFilePartition, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val row = InternalRow.fromSeq(required.fields.toSeq.map(_ =>
-    UTF8String.fromString(part.path)))
+  private val row = InternalRow.fromSeq(required.fields.toSeq.map(f =>
+    f.name match {
+      case SnapSource.CommitVersionColumn => part.commitVersion
+      case SnapSource.ChangeTypeColumn =>
+        UTF8String.fromString(part.changeType)
+      case _ => UTF8String.fromString(part.path)
+    }))
   private var left = part.rows
   override def next(): Boolean = { val h = left > 0; left -= 1; h }
   override def get(): InternalRow = row
@@ -908,7 +1016,8 @@ class SnapVectorReader(part: SnapFilePartition, required: StructType)
     extends PartitionReader[ColumnarBatch] {
 
   private val dataSchema =
-    StructType(required.fields.filter(_.name != SnapSource.FileColumn).toSeq)
+    StructType(required.fields
+      .filter(f => !SnapSource.MetaServed.contains(f.name)).toSeq)
 
   private val reader = {
     SnapSource.filesOpened.incrementAndGet()
@@ -940,11 +1049,21 @@ class SnapVectorReader(part: SnapFilePartition, required: StructType)
   private val out: ColumnarBatch = {
     var di = -1
     val vectors: Array[ColumnVector] = required.fields.map { f =>
-      if (f.name == SnapSource.FileColumn) {
-        val v = new ConstantColumnVector(4096, StringType)
-        v.setUtf8String(UTF8String.fromString(part.path))
-        v: ColumnVector
-      } else { di += 1; dataBatch.column(di) }
+      f.name match {
+        case SnapSource.FileColumn =>
+          val v = new ConstantColumnVector(4096, StringType)
+          v.setUtf8String(UTF8String.fromString(part.path))
+          v: ColumnVector
+        case SnapSource.ChangeTypeColumn =>
+          val v = new ConstantColumnVector(4096, StringType)
+          v.setUtf8String(UTF8String.fromString(part.changeType))
+          v: ColumnVector
+        case SnapSource.CommitVersionColumn =>
+          val v = new ConstantColumnVector(4096, LongType)
+          v.setLong(part.commitVersion)
+          v: ColumnVector
+        case _ => di += 1; dataBatch.column(di)
+      }
     }
     new ColumnarBatch(vectors)
   }

@@ -636,6 +636,100 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(got == (301L to 400L).map(_ * 2).sum)
   }
 
+  test("batch change feed: appends insert, overwrites diff to ins+del") {
+    val root = rangedTable() // v1..v4: 100 rows each, ids 1..400
+    // v5: merge rewrites file 2 (update id=150, insert id=500)
+    SnapTable.merge(spark, root, "id",
+      Seq((150L, 9999L, "upd"), (500L, 1000L, "new")).toDF("id", "dbl", "s"))
+    // v6: delete ids 301..400 — file 4 vanishes, nothing rewritten
+    SnapTable.delete(spark, root, "id", 301L, 400L)
+    val feed = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .load(root)
+    assert(feed.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+    val byVt = feed.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // v6 rewrites TWO files: ids 301..400 vanish whole, and the v5
+    // merge file rides through a rewrite because its box spans
+    // [101, 500] (it holds the inserted id=500) — 201 deletes, 101
+    // re-inserts, which cancel to the net 100-row removal below
+    assert(byVt == Map(
+      (1L, "insert") -> 100L, (2L, "insert") -> 100L,
+      (3L, "insert") -> 100L, (4L, "insert") -> 100L,
+      (5L, "insert") -> 101L, (5L, "delete") -> 100L,
+      (6L, "insert") -> 101L, (6L, "delete") -> 201L), byVt.toString)
+    // the feed's NET effect over (4, 6] equals SnapTable.changes —
+    // symmetric rewrite pairs cancel under multiset difference
+    val tail = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .option("startingVersion", "4").load(root)
+      .select("id", "dbl", "s", "_change_type")
+    val ins = tail.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val del = tail.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    val (expIns, expDel) = SnapTable.changes(spark, root, 4, 6)
+    assert(ins.exceptAll(del).exceptAll(expIns).isEmpty &&
+      expIns.exceptAll(ins.exceptAll(del)).isEmpty,
+      "net inserts must equal the row-level diff")
+    assert(del.exceptAll(ins).exceptAll(expDel).isEmpty &&
+      expDel.exceptAll(del.exceptAll(ins)).isEmpty,
+      "net deletes must equal the row-level diff")
+    // bounded end: versionAsOf caps the feed
+    assert(spark.read.format(Fmt).option("readChangeFeed", "true")
+      .option("versionAsOf", "4").load(root).count() == 400)
+  }
+
+  test("change-feed metadata projection opens zero files") {
+    val root = rangedTable()
+    val before = graft.sources.SnapSource.filesOpened.get()
+    val counts = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .load(root).groupBy("_commit_version").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1L -> 100L, 2L -> 100L, 3L -> 100L, 4L -> 100L))
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "version/type/count projections answer from the manifest")
+  }
+
+  test("streaming change feed survives merge and delete mid-stream") {
+    val root = freshRoot()
+    val ck = freshRoot()
+    SnapTable.commit((1L to 100L).map(i => (i, i * 2)).toDF("id", "dbl"),
+      root, "id")
+    SnapTable.commit((101L to 200L).map(i => (i, i * 2)).toDF("id", "dbl"),
+      root, "id")
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format(Fmt)
+        .option("readChangeFeed", "true").load(root)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.groupBy("_commit_version", "_change_type").count().collect()
+            .foreach(r => acc.synchronized {
+              acc += ((r.getLong(0), r.getString(1), r.getLong(2))) })
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain() // v1, v2
+    // mid-stream: an append, a merge (overwrite), a range delete
+    SnapTable.commit((201L to 250L).map(i => (i, i * 2)).toDF("id", "dbl"),
+      root, "id")                                                   // v3
+    SnapTable.merge(spark, root, "id",
+      Seq((150L, 0L)).toDF("id", "dbl"))                            // v4
+    SnapTable.delete(spark, root, "id", 201L, 250L)                 // v5
+    drain() // continues from the checkpointed offset, over overwrites
+    val got = acc.sortBy(t => (t._1, t._2)).toList
+    assert(got == List(
+      (1L, "insert", 100L), (2L, "insert", 100L), (3L, "insert", 50L),
+      (4L, "delete", 100L), (4L, "insert", 100L),
+      (5L, "delete", 50L)), got.toString)
+  }
+
   test("unconditional DELETE truncates — NULL-stat rows do not survive") {
     val root = freshRoot()
     // an all-null-stat file publishes the sentinel box; a range-lowered
