@@ -1832,6 +1832,47 @@ object ScaleQueries {
         |  + (SELECT CAST(sum(c) AS BIGINT) FROM o
         |     WHERE k BETWEEN 100 AND 199)""".stripMargin),
 
+    // NESTED TYPES through the snap connector: an array, a struct and
+    // a map column ride the DSv2 inline-stats writer into the table
+    // and come back through Spark's nested vectorized decode — the
+    // complex-type surface (q96/q97) is now storable in the lakehouse
+    // tier, not just plain parquet. File skipping still prunes on the
+    // flat stat column underneath (opened-file count rides along).
+    // Every aggregate folds nested accesses to integers the oracle
+    // replays scalar-wise from the base table.
+    "q310_snap_nested" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd23")
+        val o = Tables(s, d, "orders").select(col("o_orderkey"),
+          array(col("o_orderkey") % 7, col("o_orderkey") % 11).as("tags"),
+          struct(col("o_totalprice").as("p"),
+            (col("o_orderkey") % 100).as("m")).as("meta"),
+          map(lit("ok"), col("o_orderkey") % 13).as("kv"))
+        o.write.format("graft.sources.SnapSourceProvider")
+          .option("statCols", "o_orderkey")
+          .option("filesPerCommit", "4")
+          .mode("append").save(root)
+        val snap = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+        snap.agg(count(lit(1)).as("n_rows"),
+          sum(expr("tags[0] + tags[1]")).as("sum_tags"),
+          sum(expr("CAST(floor(meta.p * 100 + 0.5) AS BIGINT)"))
+            .as("sum_cents"),
+          sum(col("meta.m")).as("sum_mod"),
+          sum(expr("kv['ok']")).as("sum_kv"),
+          countDistinct(col(graft.sources.SnapSource.FileColumn))
+            .as("n_files"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(o_orderkey % 7 + o_orderkey % 11) AS BIGINT)
+        |    AS sum_tags,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_mod,
+        |  CAST(sum(o_orderkey % 13) AS BIGINT) AS sum_kv,
+        |  CAST(4 AS BIGINT) AS n_files
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

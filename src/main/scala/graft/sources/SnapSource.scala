@@ -124,6 +124,22 @@ object SnapSource {
   private[sources] val MetaServed: Set[String] =
     Set(FileColumn, ChangeTypeColumn, CommitVersionColumn)
 
+  /** Types the snap writer/reader round-trip: every flat primitive
+    * Spark's parquet tier serializes, plus arrays/maps/structs of them
+    * to any depth (the vectorized reader decodes nested columns
+    * natively). Interval/variant/UDT stay refused.
+    */
+  private[sources] def writableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | DoubleType | FloatType |
+         BooleanType | StringType | TimestampType | TimestampNTZType |
+         BinaryType => true
+    case _: DecimalType => true
+    case ArrayType(et, _) => writableType(et)
+    case MapType(kt, vt, _) => writableType(kt) && writableType(vt)
+    case st: StructType => st.fields.forall(f => writableType(f.dataType))
+    case _ => false
+  }
+
   /** Per-version row-level changes of the manifest range (fromV, toV]
     * as reader partitions: an `append` emits its files as `insert`
     * rows; an `overwrite` (compact/merge/delete/update) diffs the live
@@ -1125,19 +1141,11 @@ class SnapWriteBuilder(root: String, schema: StructType,
         s"statCols column $c must be bigint/int/date, is ${f.dataType}")
     }
     // every written column must round-trip through the vectorized
-    // reader: any flat primitive (incl. timestamp/decimal/binary);
-    // nested types stay refused
+    // reader: any flat primitive (incl. timestamp/decimal/binary) or
+    // arrays/maps/structs of them — Spark's nested vectorized decode
     schema.fields.foreach { f =>
-      val ok = f.dataType match {
-        case LongType | IntegerType | DateType | DoubleType | FloatType |
-             BooleanType | StringType | TimestampType | TimestampNTZType |
-             BinaryType => true
-        case _: DecimalType => true
-        case _ => false
-      }
-      require(ok,
-        s"snap write supports flat primitive columns only; " +
-          s"${f.name} is ${f.dataType}")
+      require(SnapSource.writableType(f.dataType),
+        s"snap write does not support column ${f.name}: ${f.dataType}")
     }
     new SnapWrite(root, schema, statCols, overwrite,
       options.getInt("filesPerCommit", 0))
@@ -1643,15 +1651,9 @@ class SnapCatalog
             "commit order); positions are not supported")
         require(a.defaultValue == null,
           "snap ALTER does not backfill defaults")
-        val ok = a.dataType match {
-          case LongType | IntegerType | DateType | DoubleType |
-               FloatType | BooleanType | StringType | TimestampType |
-               TimestampNTZType | BinaryType => true
-          case _: DecimalType => true
-          case _ => false
-        }
-        require(ok, s"unsupported column type ${a.dataType} for " +
-          a.fieldNames.head)
+        require(SnapSource.writableType(a.dataType),
+          s"unsupported column type ${a.dataType} for " +
+            a.fieldNames.head)
         StructField(a.fieldNames.head, a.dataType, nullable = true)
       case other => throw new UnsupportedOperationException(
         s"snap catalog supports ALTER TABLE ADD COLUMN only, not $other")

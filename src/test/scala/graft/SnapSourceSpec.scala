@@ -730,6 +730,37 @@ class SnapSourceSpec extends AnyFunSuite {
       (5L, "delete", 50L)), got.toString)
   }
 
+  test("nested types round-trip: array, map, struct through write+read") {
+    val root = freshRoot()
+    val df = (1L to 50L).map(i =>
+      (i, Seq(i, i * 2), Map(s"k$i" -> i * 3), (i * 4, s"s$i")))
+      .toDF("id", "arr", "m", "st")
+    df.write.format(Fmt).option("statCols", "id").mode("append").save(root)
+    val got = spark.read.format(Fmt).load(root)
+    assert(got.schema.fieldNames.toSeq == Seq("id", "arr", "m", "st"))
+    assert(got.count() == 50)
+    // array elements decode
+    assert(got.select(sum(expr("arr[0] + arr[1]"))).head().getLong(0) ==
+      (1L to 50L).map(i => i * 3).sum)
+    // map values decode
+    assert(got.select(sum(expr("m[concat('k', CAST(id AS STRING))]")))
+      .head().getLong(0) == (1L to 50L).map(_ * 3).sum)
+    // struct fields decode
+    assert(got.select(sum(col("st._1"))).head().getLong(0) ==
+      (1L to 50L).map(_ * 4).sum)
+    assert(got.filter(col("st._2") === "s7").count() == 1)
+    // file skipping still prunes on the flat stat column
+    assert(got.filter(col("id").between(1L, 10L)).count() == 10)
+    // and nested columns survive the Scala-API commit + ALTER path
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"ALTER TABLE graftsnap.`$root` " +
+      "ADD COLUMN extras ARRAY<BIGINT>")
+    assert(spark.read.format(Fmt).load(root).schema("extras").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+  }
+
   test("unconditional DELETE truncates — NULL-stat rows do not survive") {
     val root = freshRoot()
     // an all-null-stat file publishes the sentinel box; a range-lowered
