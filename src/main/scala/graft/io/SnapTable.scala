@@ -118,7 +118,7 @@ object SnapTable {
     * set — bounded in any sane upsert; the cap is a driver-memory
     * guard, not a semantic limit).
     */
-  private def mergeKeyLimit: Int =
+  private[graft] def mergeKeyLimit: Int =
     sys.props.get("graft.snap.mergeKeyLimit").map(_.toInt).getOrElse(100000)
 
   /** Manifest files physically read — test instrumentation for the

@@ -1185,7 +1185,7 @@ class SnapBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
-      .collect { case SnapWriteCommit(Some(f)) => f }.sortBy(_.path)
+      .collect { case SnapWriteCommit(Some(f), _) => f }.sortBy(_.path)
     SnapTable.publish(root,
       if (overwrite) "overwrite" else "append", files,
       frameSchema = Some(schema))
@@ -1194,7 +1194,7 @@ class SnapBatchWrite(root: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case SnapWriteCommit(Some(f)) =>
+      case SnapWriteCommit(Some(f), _) =>
         val p = java.nio.file.Paths.get(
           f.path.stripPrefix("file://").stripPrefix("file:"))
         try java.nio.file.Files.deleteIfExists(p)
@@ -1203,15 +1203,22 @@ class SnapBatchWrite(root: String, schema: StructType,
     }
 }
 
-case class SnapWriteCommit(file: Option[FileStat])
+/** `writtenKeys`: the DISTINCT primary-stat-column values this task
+  * wrote (row-level-operation writes only, capped at
+  * `graft.snap.mergeKeyLimit`; `None` = not collected or overflowed).
+  * The replacement commit unions them into its conflict predicate.
+  */
+case class SnapWriteCommit(file: Option[FileStat],
+    writtenKeys: Option[Array[Long]] = None)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class SnapWriterFactory(dataDir: String, schema: StructType,
-    statCols: Seq[String])
+    statCols: Seq[String], collectKeys: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols)
+    new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols,
+      collectKeys)
 }
 
 /** One parquet file per task via Spark's own [[ParquetWriteSupport]] —
@@ -1222,7 +1229,8 @@ case class SnapWriterFactory(dataDir: String, schema: StructType,
   * safe.
   */
 class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
-    schema: StructType, statCols: Seq[String])
+    schema: StructType, statCols: Seq[String],
+    collectKeys: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val absPath = {
@@ -1254,9 +1262,18 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L, 0L)
   }
 
+  // distinct primary-key values written (row-level-op writes): feeds
+  // the replacement commit's conflict predicate; past the cap the set
+  // is dropped (None) and the commit falls back to refuse-all
+  private val keyCap = SnapTable.mergeKeyLimit
+  private val keys =
+    if (collectKeys) new java.util.HashSet[java.lang.Long]() else null
+  private var keysOverflow = false
+
   override def write(row: InternalRow): Unit = {
     writer.write(null, row)
     rows += 1
+    var primary = true
     stats.foreach { s =>
       val idx = s(0).toInt
       if (!row.isNullAt(idx)) {
@@ -1267,16 +1284,31 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         if (v < s(1)) s(1) = v
         if (v > s(2)) s(2) = v
         s(3) = 1L
+        if (primary && collectKeys && !keysOverflow) {
+          keys.add(v)
+          if (keys.size > keyCap) { keysOverflow = true; keys.clear() }
+        }
       } else s(4) += 1L
+      primary = false
     }
   }
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writer.close(null)
+    val written: Option[Array[Long]] =
+      if (!collectKeys || keysOverflow) None
+      else {
+        val arr = new Array[Long](keys.size)
+        val it = keys.iterator()
+        var i = 0
+        while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+        java.util.Arrays.sort(arr)
+        Some(arr)
+      }
     if (rows == 0L) {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(absPath))
-      SnapWriteCommit(None)
+      SnapWriteCommit(None, written)
     } else {
       val fileStats = statCols.zip(stats).map { case (c, s) =>
         c -> (if (s(3) == 1L) (s(1), s(2))
@@ -1284,7 +1316,7 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
       }
       val nulls = statCols.zip(stats).map { case (c, s) => c -> s(4) }
       SnapWriteCommit(Some(FileStat("file:" + absPath, rows, fileStats,
-        nulls)))
+        nulls)), written)
     }
   }
 
@@ -1463,23 +1495,57 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
     java.util.UUID.randomUUID().toString).toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = SnapWriterFactory(dataDir, schema, statCols)
+      : DataWriterFactory =
+    SnapWriterFactory(dataDir, schema, statCols, collectKeys = true)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rewritten = messages.toSeq
-      .collect { case SnapWriteCommit(Some(f)) => f }.sortBy(_.path)
+      .collect { case SnapWriteCommit(Some(f), _) => f }.sortBy(_.path)
     val replaced = op.scannedFiles.map(_.path).toSet
     val untouched = SnapTable.liveFiles(root, Some(op.baseVersion))
       .filterNot(f => replaced.contains(f.path))
-    // with a recorded WHERE range, only concurrent appends whose stat
-    // box could hold a matching row conflict; a file with no stats
-    // for the column is unknowable and conflicts conservatively
+    // the operation's WRITTEN KEY SET: distinct primary-stat values
+    // across every task's output (updates, carried rows AND merge
+    // inserts), None if any task overflowed the cap
+    val keyCap = SnapTable.mergeKeyLimit
+    val writtenKeys: Option[Array[Long]] = {
+      val sets = messages.toSeq.collect {
+        case SnapWriteCommit(_, k) => k }
+      if (sets.isEmpty || sets.exists(_.isEmpty)) None
+      else {
+        val merged = sets.flatMap(_.get).distinct
+        if (merged.length > keyCap) None
+        else Some(merged.sorted.toArray)
+      }
+    }
+    // Conflict narrowing, strongest evidence first:
+    //  - an UPDATE/DELETE WHERE range on the primary stat column:
+    //    only appends whose box could hold a MATCHING row conflict;
+    //  - otherwise (MERGE, or a non-range WHERE) the written key set:
+    //    an append whose box holds none of the keys this operation
+    //    produced (matched updates, carried rows, merge inserts)
+    //    REBASES — the blind append is logically ordered after the
+    //    operation, Delta's WriteSerializable contract. (The one
+    //    reordering this admits: an insert-less MERGE whose source
+    //    key never matched produces no row at that key, so a
+    //    concurrent append there rides in un-merged — exactly the
+    //    append-after-merge serial order.)
+    //  - no evidence (cap overflow, zero tasks): refuse everything.
+    // A concurrent file with no/sentinel stats is unknowable and
+    // conflicts conservatively in every mode.
     val conflicts: graft.io.SnapTable.FileStat => Boolean =
-      op.predicateBound match {
-        case Some((lo, hi)) => f =>
+      (op.predicateBound, writtenKeys) match {
+        case (Some((lo, hi)), _) => f =>
           f.range(op.primaryStatCol)
             .forall { case (mn, mx) => mx >= lo && mn <= hi }
-        case None => _ => true
+        case (None, Some(keys)) => f =>
+          f.range(op.primaryStatCol) match {
+            case Some((mn, mx))
+                if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+              SnapScan.anyIn(keys, mn, mx)
+            case _ => true // stats absent or sentinel: unknowable
+          }
+        case _ => _ => true
       }
     SnapTable.publishReplace(root, op.baseVersion, untouched ++ rewritten,
       SnapTable.tableSchema(root, Some(op.baseVersion)), conflicts)
@@ -1488,7 +1554,7 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case SnapWriteCommit(Some(f)) =>
+      case SnapWriteCommit(Some(f), _) =>
         val p = java.nio.file.Paths.get(
           f.path.stripPrefix("file://").stripPrefix("file:"))
         try java.nio.file.Files.deleteIfExists(p)

@@ -552,6 +552,62 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE conflicts narrow to the WRITTEN key set") {
+    import graft.io.SnapTable.FileStat
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
+    // a MERGE (no WHERE range) whose rewrite produced keys
+    // {150..160, 500}: the commit message carries the written key set
+    def runMerge(root: String, appendIds: Seq[Long],
+        keys: Option[Array[Long]]): Unit = {
+      val schema = graft.sources.SnapSource.inferSchema(root, None)
+      val op = new graft.sources.SnapRowLevelOperation(
+        root, schema, Command.MERGE, Seq("id"))
+      val sb = op.newScanBuilder(
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .asInstanceOf[graft.sources.SnapScanBuilder]
+      val scan = sb.build()
+      scan.toBatch.planInputPartitions() // records scannedFiles
+      // a commit lands BETWEEN the op's read and its publish
+      SnapTable.commit(appendIds.map(i => (i, i * 2, s"v$i"))
+        .toDF("id", "dbl", "s"), root, "id")
+      new graft.sources.SnapReplaceBatchWrite(op, root, schema, Seq("id"))
+        .commit(Array(graft.sources.SnapWriteCommit(Some(
+          FileStat("file:/rewritten-placeholder", 12L,
+            Seq("id" -> (150L, 500L)))), keys)))
+    }
+    val written = Some((150L to 160L).toArray :+ 500L)
+
+    // append DISJOINT from every written key (inside the rewrite's
+    // [150, 500] box, even): the blind append orders after the merge
+    // and REBASES — the box test would have refused key 300
+    val root1 = rangedTable()
+    runMerge(root1, Seq(300L), written)
+    val live1 = SnapTable.liveFiles(root1)
+    assert(live1.exists(_.path.contains("rewritten-placeholder")))
+    assert(live1.exists(f => f.min == 300L && f.max == 300L),
+      "a key-disjoint concurrent append must ride into the live set")
+
+    // append AT a written key (the merge produced a row there): the
+    // two commits collide on the key — refuse
+    val root2 = rangedTable()
+    intercept[java.util.ConcurrentModificationException] {
+      runMerge(root2, Seq(155L), written)
+    }
+    // ...same for a merge-INSERTED key
+    val root3 = rangedTable()
+    intercept[java.util.ConcurrentModificationException] {
+      runMerge(root3, Seq(500L), written)
+    }
+
+    // no key evidence (cap overflow): refuse ANY concurrent append —
+    // the r12 conservative contract
+    val root4 = rangedTable()
+    intercept[java.util.ConcurrentModificationException] {
+      runMerge(root4, Seq(900L), None)
+    }
+  }
+
   test("boundary literals prune everything instead of overflowing") {
     val root = rangedTable()
     // id > Long.MaxValue is provably empty; the naive l+1 pushdown
