@@ -1,0 +1,139 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Filesystem seam for the snap log + writer tier.
+  *
+  * A table root WITHOUT a scheme stays on `java.nio` — the local
+  * default, and the one backend whose CREATE_NEW version claim is
+  * syscall-atomic (the concurrency specs run here). A root WITH a
+  * scheme (`file:`, `hdfs:`, `s3a:`, ...) routes every operation
+  * through the Hadoop `FileSystem` API resolved from the path — which
+  * is what lets the SAME connector run against cluster storage: the
+  * read tier already speaks Hadoop (`HadoopInputFile`, the vectorized
+  * reader's `FileSplit`), this closes the log/manifest/writer side.
+  * On `hdfs:` the `create(overwrite=false)` claim is atomic in the
+  * NameNode; on `file:` Hadoop's local FS checks-then-creates, so
+  * scheme'd LOCAL roots trade a sliver of claim atomicity for API
+  * parity — documented, and irrelevant to single-writer use.
+  *
+  * Everything takes and returns STRING paths so callers never juggle
+  * two path types.
+  */
+object SnapIo {
+
+  private[graft] def hasScheme(p: String): Boolean =
+    !p.startsWith("/") && p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")
+
+  private def fs(p: String): FileSystem =
+    new HPath(p).getFileSystem(new Configuration())
+
+  /** Join path segments under `base`, scheme-preserving. */
+  def child(base: String, names: String*): String =
+    if (hasScheme(base))
+      names.foldLeft(base)((b, n) => b.stripSuffix("/") + "/" + n)
+    else Paths.get(base, names: _*).toString
+
+  def isDir(p: String): Boolean =
+    if (hasScheme(p)) {
+      val f = fs(p)
+      val hp = new HPath(p)
+      f.exists(hp) && f.getFileStatus(hp).isDirectory
+    } else Files.isDirectory(Paths.get(p))
+
+  def isFile(p: String): Boolean =
+    if (hasScheme(p)) {
+      val f = fs(p)
+      val hp = new HPath(p)
+      f.exists(hp) && f.getFileStatus(hp).isFile
+    } else Files.isRegularFile(Paths.get(p))
+
+  /** Names (not paths) of a directory's direct children. */
+  def listNames(dir: String): Seq[String] =
+    if (hasScheme(dir))
+      fs(dir).listStatus(new HPath(dir)).toSeq.map(_.getPath.getName)
+    else {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally s.close()
+    }
+
+  def readLines(p: String): Seq[String] =
+    if (hasScheme(p)) {
+      val in = fs(p).open(new HPath(p))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    } else Files.readAllLines(Paths.get(p)).asScala.toSeq
+
+  /** Atomically create `p` with `bytes`; throws
+    * `java.nio.file.FileAlreadyExistsException` (normalized across
+    * backends) when the path exists — the version-claim primitive.
+    */
+  def createNew(p: String, bytes: Array[Byte]): Unit =
+    if (hasScheme(p)) {
+      val out =
+        try fs(p).create(new HPath(p), /* overwrite = */ false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new java.nio.file.FileAlreadyExistsException(p)
+          case e: java.io.IOException
+              if e.getMessage != null &&
+                e.getMessage.contains("already exists") =>
+            throw new java.nio.file.FileAlreadyExistsException(p)
+        }
+      try out.write(bytes) finally out.close()
+    } else
+      Files.write(Paths.get(p), bytes, StandardOpenOption.CREATE_NEW)
+
+  /** Create or overwrite `p` with `bytes`. */
+  def write(p: String, bytes: Array[Byte]): Unit =
+    if (hasScheme(p)) {
+      val out = fs(p).create(new HPath(p), /* overwrite = */ true)
+      try out.write(bytes) finally out.close()
+    } else {
+      Files.write(Paths.get(p), bytes)
+      ()
+    }
+
+  def mkdirs(p: String): Unit =
+    if (hasScheme(p)) { fs(p).mkdirs(new HPath(p)); () }
+    else { Files.createDirectories(Paths.get(p)); () }
+
+  def mtime(p: String): Long =
+    if (hasScheme(p)) fs(p).getFileStatus(new HPath(p)).getModificationTime
+    else Files.getLastModifiedTime(Paths.get(p)).toMillis
+
+  def size(p: String): Long =
+    if (hasScheme(p)) fs(p).getFileStatus(new HPath(p)).getLen
+    else Files.size(Paths.get(p))
+
+  /** Delete if present; false when it wasn't there. */
+  def delete(p: String): Boolean =
+    if (hasScheme(p)) fs(p).delete(new HPath(p), /* recursive = */ false)
+    else Files.deleteIfExists(Paths.get(p))
+
+  /** Every .parquet file under `dir`, recursively. */
+  def walkParquet(dir: String): Seq[String] =
+    if (hasScheme(dir)) {
+      val it = fs(dir).listFiles(new HPath(dir), /* recursive = */ true)
+      val out = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+          out += st.getPath.toString
+      }
+      out.result()
+    } else {
+      val s = Files.walk(Paths.get(dir))
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toSeq
+      finally s.close()
+    }
+}

@@ -1,9 +1,5 @@
 package graft.io
 
-import java.nio.file.{Files, Path, Paths, StandardOpenOption}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -128,13 +124,17 @@ object SnapTable {
   private[graft] val manifestFilesRead =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def logDir(root: String): Path = Paths.get(root, "_log")
+  // all log/writer I/O goes through the SnapIo seam: bare paths stay
+  // on java.nio (atomic local claims), scheme'd paths (file:/hdfs:/
+  // s3a:) route through the Hadoop FileSystem API — same connector,
+  // cluster storage
+  private def logDir(root: String): String = SnapIo.child(root, "_log")
 
-  private def manifestPath(root: String, v: Int): Path =
-    logDir(root).resolve(f"v$v%05d.manifest")
+  private def manifestPath(root: String, v: Int): String =
+    SnapIo.child(logDir(root), f"v$v%05d.manifest")
 
-  private def checkpointPath(root: String, v: Int): Path =
-    logDir(root).resolve(f"c$v%05d.checkpoint")
+  private def checkpointPath(root: String, v: Int): String =
+    SnapIo.child(logDir(root), f"c$v%05d.checkpoint")
 
   /** Committed version numbers in order — one directory listing, zero
     * file reads. `\d{5,}` + full-digit-run parse: the writer pads to
@@ -143,26 +143,20 @@ object SnapTable {
     */
   private def listVersions(root: String): Seq[Int] = {
     val dir = logDir(root)
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+    if (!SnapIo.isDir(dir)) return Nil
+    SnapIo.listNames(dir)
       .collect { case n if n.matches("v\\d{5,}\\.manifest") =>
         n.substring(1, n.indexOf('.')).toInt }
-      .toSeq.sorted
-    finally s.close()
+      .sorted
   }
 
   private def listCheckpointVersions(root: String): Seq[Int] = {
     val dir = logDir(root)
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    try s.iterator().asScala
-      .map(_.getFileName.toString)
+    if (!SnapIo.isDir(dir)) return Nil
+    SnapIo.listNames(dir)
       .collect { case n if n.matches("c\\d{5,}\\.checkpoint") =>
         n.substring(1, n.indexOf('.')).toInt }
-      .toSeq.sorted
-    finally s.close()
+      .sorted
   }
 
   private def parseFileLine(l: String): FileStat = {
@@ -189,7 +183,7 @@ object SnapTable {
 
   private def readManifest(root: String, v: Int): Manifest = {
     manifestFilesRead.incrementAndGet()
-    val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+    val lines = SnapIo.readLines(manifestPath(root, v))
     val (header, body) =
       lines.partition(l => l.contains('=') && !l.contains('\t'))
     val action = header.collectFirst {
@@ -251,8 +245,7 @@ object SnapTable {
       .filter(v => asOf.forall(v <= _))
       .lastOption.flatMap { v =>
         try {
-          val lines = Files.readAllLines(checkpointPath(root, v))
-            .asScala.toSeq
+          val lines = SnapIo.readLines(checkpointPath(root, v))
           val (header, body) =
             lines.partition(l => l.contains('=') && !l.contains('\t'))
           val ver = header.collectFirst {
@@ -306,7 +299,7 @@ object SnapTable {
     val vs = listVersions(root).toIndexedSeq
     if (vs.isEmpty) return None
     def tsOf(v: Int): Long = readManifest(root, v).commitTs.getOrElse(
-      Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
+      SnapIo.mtime(manifestPath(root, v)))
     var lo = 0
     var hi = vs.length - 1
     var ans = -1
@@ -347,8 +340,8 @@ object SnapTable {
   private def writeFiles(df: DataFrame, root: String,
       statCols: Seq[String], filesPerCommit: Int): Seq[FileStat] = {
     val spark = df.sparkSession
-    val dataDir = Paths.get(root, "data",
-      java.util.UUID.randomUUID().toString).toString
+    val dataDir = SnapIo.child(root, "data",
+      java.util.UUID.randomUUID().toString)
     val shaped =
       if (filesPerCommit == 1) df.coalesce(1)
       else df.repartitionByRange(filesPerCommit, col(statCols.head))
@@ -394,10 +387,9 @@ object SnapTable {
   private def writeManifestFile(root: String, v: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long],
       schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
-    Files.createDirectories(logDir(root))
-    Files.write(manifestPath(root, v),
-      manifestBody(action, files, batchId, schema).getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW)
+    SnapIo.mkdirs(logDir(root))
+    SnapIo.createNew(manifestPath(root, v),
+      manifestBody(action, files, batchId, schema).getBytes("UTF-8"))
   }
 
   /** After landing version `v`, maybe persist the resolved state as a
@@ -411,8 +403,7 @@ object SnapTable {
         val body = (Seq(s"version=$v") ++
           bids.toSeq.sorted.map(b => s"batch=$b") ++
           files.map(fileLine)).mkString("", "\n", "\n")
-        Files.write(checkpointPath(root, v), body.getBytes("UTF-8"),
-          StandardOpenOption.CREATE_NEW)
+        SnapIo.createNew(checkpointPath(root, v), body.getBytes("UTF-8"))
       } catch { case _: Exception => () }
     }
 
@@ -899,20 +890,17 @@ object SnapTable {
       graceMs: Long = 15 * 60 * 1000L): Int = {
     val referenced = (liveFiles(root, Some(keepFrom)).map(_.path) ++
       manifestsAfter(root, keepFrom).flatMap(_.files.map(_.path))).toSet
-    val dataRoot = Paths.get(root, "data")
-    if (!Files.isDirectory(dataRoot)) return 0
-    val all = Files.walk(dataRoot).iterator().asScala
-      .filter(p => Files.isRegularFile(p) &&
-        p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
+    val dataRoot = SnapIo.child(root, "data")
+    if (!SnapIo.isDir(dataRoot)) return 0
+    val all = SnapIo.walkParquet(dataRoot)
     // liveFiles paths come from input_file_name() = file: URIs;
     // normalize both sides to the raw filesystem path
     def norm(s: String): String = s.stripPrefix("file://").stripPrefix("file:")
     val refNorm = referenced.map(norm)
     val cutoff = System.currentTimeMillis() - graceMs
-    val doomed = all.filter(p => !refNorm.contains(p.toString) &&
-      Files.getLastModifiedTime(p).toMillis <= cutoff)
-    doomed.foreach(Files.delete)
+    val doomed = all.filter(p => !refNorm.contains(norm(p)) &&
+      SnapIo.mtime(p) <= cutoff)
+    doomed.foreach(SnapIo.delete)
     doomed.size
   }
 

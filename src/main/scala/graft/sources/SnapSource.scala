@@ -1051,10 +1051,8 @@ class SnapVectorReader(part: SnapFilePartition, required: StructType)
     val r = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, /* capacity = */ 4096)
-    val raw = part.path.stripPrefix("file://").stripPrefix("file:")
     val split = new FileSplit(new HPath(part.path), 0,
-      java.nio.file.Files.size(java.nio.file.Paths.get(raw)),
-      Array.empty[String])
+      graft.io.SnapIo.size(part.path), Array.empty[String])
     r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
     r.initBatch(new StructType(), InternalRow.empty)
     r.enableReturningBatches()
@@ -1177,8 +1175,8 @@ class SnapBatchWrite(root: String, schema: StructType,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val dataDir = java.nio.file.Paths.get(root, "data",
-    java.util.UUID.randomUUID().toString).toString
+  private val dataDir = graft.io.SnapIo.child(root, "data",
+    java.util.UUID.randomUUID().toString)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = SnapWriterFactory(dataDir, schema, statCols)
@@ -1195,9 +1193,7 @@ class SnapBatchWrite(root: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case SnapWriteCommit(Some(f), _) =>
-        val p = java.nio.file.Paths.get(
-          f.path.stripPrefix("file://").stripPrefix("file:"))
-        try java.nio.file.Files.deleteIfExists(p)
+        try graft.io.SnapIo.delete(f.path)
         catch { case _: Exception => () }
       case _ => ()
     }
@@ -1234,9 +1230,10 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val absPath = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dataDir))
-    java.nio.file.Paths.get(dataDir,
-      f"part-$partitionId%05d-$taskId.parquet").toAbsolutePath.toString
+    graft.io.SnapIo.mkdirs(dataDir)
+    val name = f"part-$partitionId%05d-$taskId.parquet"
+    if (graft.io.SnapIo.hasScheme(dataDir)) graft.io.SnapIo.child(dataDir, name)
+    else java.nio.file.Paths.get(dataDir, name).toAbsolutePath.toString
   }
 
   private val writer = {
@@ -1307,7 +1304,7 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         Some(arr)
       }
     if (rows == 0L) {
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(absPath))
+      graft.io.SnapIo.delete(absPath)
       SnapWriteCommit(None, written)
     } else {
       val fileStats = statCols.zip(stats).map { case (c, s) =>
@@ -1315,14 +1312,17 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         else (Long.MinValue, Long.MaxValue)) // all-null: unskippable box
       }
       val nulls = statCols.zip(stats).map { case (c, s) => c -> s(4) }
-      SnapWriteCommit(Some(FileStat("file:" + absPath, rows, fileStats,
-        nulls)), written)
+      val uri =
+        if (graft.io.SnapIo.hasScheme(absPath)) absPath
+        else "file:" + absPath
+      SnapWriteCommit(Some(FileStat(uri, rows, fileStats, nulls)),
+        written)
     }
   }
 
   override def abort(): Unit = {
     try writer.close(null) catch { case _: Exception => () }
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(absPath))
+    graft.io.SnapIo.delete(absPath)
     ()
   }
 
@@ -1491,8 +1491,8 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
-  private val dataDir = java.nio.file.Paths.get(root, "data",
-    java.util.UUID.randomUUID().toString).toString
+  private val dataDir = graft.io.SnapIo.child(root, "data",
+    java.util.UUID.randomUUID().toString)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
@@ -1555,9 +1555,7 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case SnapWriteCommit(Some(f), _) =>
-        val p = java.nio.file.Paths.get(
-          f.path.stripPrefix("file://").stripPrefix("file:"))
-        try java.nio.file.Files.deleteIfExists(p)
+        try graft.io.SnapIo.delete(f.path)
         catch { case _: Exception => () }
       case _ => ()
     }
@@ -1598,16 +1596,16 @@ class SnapCatalog
   private def root(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString("/")
 
-  private def propsPath(r: String): java.nio.file.Path =
-    java.nio.file.Paths.get(r, "_log", "_table")
+  private def propsPath(r: String): String =
+    graft.io.SnapIo.child(r, "_log", "_table")
 
   /** Table-level properties persisted at CREATE TABLE (line-oriented
     * key=value, same no-dependency style as the manifests).
     */
   private def tableProps(r: String): Map[String, String] = {
     val p = propsPath(r)
-    if (!java.nio.file.Files.isRegularFile(p)) Map.empty
-    else java.nio.file.Files.readAllLines(p).asScala.flatMap { l =>
+    if (!graft.io.SnapIo.isFile(p)) Map.empty
+    else graft.io.SnapIo.readLines(p).flatMap { l =>
       l.split("=", 2) match {
         case Array(k, v) if k.nonEmpty => Some(k -> v)
         case _ => None
@@ -1617,7 +1615,7 @@ class SnapCatalog
 
   private def table(ident: Identifier, asOf: Option[Int]): CTable = {
     val r = root(ident)
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(r, "_log")))
+    if (!graft.io.SnapIo.isDir(graft.io.SnapIo.child(r, "_log")))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
     new SnapDsvTable(r, asOf, SnapSource.inferSchema(r, asOf),
@@ -1644,8 +1642,7 @@ class SnapCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // tables are filesystem roots, not an enumerable set
   override def tableExists(ident: Identifier): Boolean =
-    java.nio.file.Files.isDirectory(
-      java.nio.file.Paths.get(root(ident), "_log"))
+    graft.io.SnapIo.isDir(graft.io.SnapIo.child(root(ident), "_log"))
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -1671,8 +1668,7 @@ class SnapCatalog
           .TableAlreadyExistsException(ident)
     }
     statCols.foreach { sc =>
-      java.nio.file.Files.write(propsPath(r),
-        s"statCols=$sc\n".getBytes("UTF-8"))
+      graft.io.SnapIo.write(propsPath(r), s"statCols=$sc\n".getBytes("UTF-8"))
     }
     new SnapDsvTable(r, None, schema, CaseInsensitiveStringMap.empty(),
       tableProps(r))

@@ -598,6 +598,41 @@ class SnapTableSpec extends AnyFunSuite {
     }
   }
 
+  test("file:-scheme root drives the log through the Hadoop FileSystem") {
+    // same contract as a bare path, but every log/manifest/props/vacuum
+    // operation routes through FileSystem.get — the seam a cluster
+    // deployment points at hdfs:// or s3a://
+    val root = "file:" + freshRoot() + "/t"
+    val v1 = SnapTable.commit((1L to 100L).toDF("id"), root, "id")
+    val v2 = SnapTable.commit((101L to 200L).toDF("id"), root, "id")
+    assert((v1, v2) == ((1, 2)))
+    assert(SnapTable.read(spark, root).count() == 200)
+    assert(SnapTable.read(spark, root, Some(1)).count() == 100)
+    assert(SnapTable.liveFiles(root).size == 2)
+    // skipping still prunes through the scheme'd listing
+    assert(SnapTable.readPruned(spark, root, "id", 150L, 160L)
+      .count() == 11)
+    // row-level delete + vacuum, all through the Hadoop API
+    val (_, touched, deleted) = SnapTable.delete(spark, root, "id",
+      101L, 150L)
+    assert(touched == 1 && deleted == 50L)
+    assert(SnapTable.read(spark, root).count() == 150)
+    assert(SnapTable.vacuum(root,
+      keepFrom = SnapTable.currentVersion(root), graceMs = 0L) == 1)
+    // the DSv2 connector reads and writes the same scheme'd root
+    assert(spark.read.format("graft.sources.SnapSourceProvider")
+      .load(root).count() == 150)
+    (201L to 250L).toDF("id").write
+      .format("graft.sources.SnapSourceProvider")
+      .option("statCols", "id").mode("append").save(root)
+    assert(SnapTable.read(spark, root).count() == 200)
+    // SQL catalog ops against the scheme'd root
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$root`")
+      .head().getLong(0) == 200)
+  }
+
   test("null counts ride the manifest; legacy lines parse as unknown") {
     val root = freshRoot()
     SnapTable.commit(
