@@ -79,7 +79,8 @@ object SnapTable {
     */
   final case class FileStat(path: String, rows: Long,
       stats: Seq[(String, (Long, Long))],
-      nullCounts: Seq[(String, Long)] = Nil) {
+      nullCounts: Seq[(String, Long)] = Nil,
+      sums: Seq[(String, Long)] = Nil) {
     def min: Long = stats.head._2._1
     def max: Long = stats.head._2._2
     def range(colName: String): Option[(Long, Long)] =
@@ -92,6 +93,12 @@ object SnapTable {
       */
     def nullCount(colName: String): Option[Long] =
       nullCounts.collectFirst { case (c, n) if c == colName => n }
+    /** SUM of the column's non-null values within this file — `None`
+      * for legacy manifests or when the per-file sum overflowed a
+      * long at write time. What turns SUM(k) into a manifest fold.
+      */
+    def colSum(colName: String): Option[Long] =
+      sums.collectFirst { case (c, v) if c == colName => v }
   }
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None,
@@ -161,23 +168,28 @@ object SnapTable {
 
   private def parseFileLine(l: String): FileStat = {
     val c = l.split('\t')
+    // col=min:max (legacy), col=min:max:nullCount, or
+    // col=min:max:nullCount:sum ("-" sum = overflowed at write time)
     val parts = c(2).split(',').toSeq.map { s =>
       val Array(name, mm) = s.split('=')
-      // col=min:max (legacy) or col=min:max:nullCount
       val nums = mm.split(':')
       (name, (nums(0).toLong, nums(1).toLong),
-        if (nums.length > 2) Some(nums(2).toLong) else None)
+        if (nums.length > 2) Some(nums(2).toLong) else None,
+        if (nums.length > 3 && nums(3) != "-") Some(nums(3).toLong)
+        else None)
     }
     FileStat(c(0), c(1).toLong, parts.map(p => p._1 -> p._2),
-      parts.collect { case (n, _, Some(nc)) => n -> nc })
+      parts.collect { case (n, _, Some(nc), _) => n -> nc },
+      parts.collect { case (n, _, _, Some(sm)) => n -> sm })
   }
 
   private def fileLine(f: FileStat): String =
     s"${f.path}\t${f.rows}\t" +
       f.stats.map { case (c, (mn, mx)) =>
-        f.nullCount(c) match {
-          case Some(nc) => s"$c=$mn:$mx:$nc"
-          case None => s"$c=$mn:$mx"
+        (f.nullCount(c), f.colSum(c)) match {
+          case (Some(nc), Some(sm)) => s"$c=$mn:$mx:$nc:$sm"
+          case (Some(nc), None) => s"$c=$mn:$mx:$nc:-"
+          case _ => s"$c=$mn:$mx"
         }
       }.mkString(",")
 
@@ -350,7 +362,11 @@ object SnapTable {
       min(col(c).cast("long")).as(s"mn_$c"),
       max(col(c).cast("long")).as(s"mx_$c"))) ++
       statCols.map(c =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nc_$c"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nc_$c")) ++
+      // per-file SUM via decimal(38,0): cannot overflow at any file
+      // size (and never trips ANSI); recorded only when it fits a long
+      statCols.map(c =>
+        sum(col(c).cast("long").cast("decimal(38,0)")).as(s"sm_$c"))
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
@@ -368,7 +384,19 @@ object SnapTable {
         val nulls = statCols.zipWithIndex.map { case (c, i) =>
           c -> r.getLong(2 + 2 * n + i)
         }
-        FileStat(r.getString(0), r.getLong(1), stats, nulls)
+        val lmin = java.math.BigDecimal.valueOf(Long.MinValue)
+        val lmax = java.math.BigDecimal.valueOf(Long.MaxValue)
+        val sums = statCols.zipWithIndex.flatMap { case (c, i) =>
+          val j = 2 + 3 * n + i
+          if (r.isNullAt(j)) None // all-null column: no sum
+          else {
+            val bd = r.getDecimal(j)
+            if (bd.compareTo(lmin) >= 0 && bd.compareTo(lmax) <= 0)
+              Some(c -> bd.longValueExact())
+            else None // does not fit a long: omit, readers fall back
+          }
+        }
+        FileStat(r.getString(0), r.getLong(1), stats, nulls, sums)
       }
       .sortBy(_.path).toSeq
   }

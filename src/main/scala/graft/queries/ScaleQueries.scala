@@ -1832,6 +1832,63 @@ object ScaleQueries {
         |  + (SELECT CAST(sum(c) AS BIGINT) FROM o
         |     WHERE k BETWEEN 100 AND 199)""".stripMargin),
 
+    // SUM joins count/min/max in the manifest-answered tier: every
+    // commit records a per-file per-stat-column SUM (decimal-safe at
+    // write, omitted if it cannot fit a long), so SUM(k) — unfiltered
+    // OR under a box-aligned WHERE — folds per-file sums with ZERO
+    // file opens, while a straddling bound falls back to the row scan
+    // (engine-native overflow semantics preserved by refusing any
+    // fold that would not fit). Open counters hash-gated as data.
+    "q311_snap_sum_pushdown" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd24")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        def gl(r: org.apache.spark.sql.Row, i: Int): Long =
+          if (r.isNullAt(i)) -1L else r.getLong(i)
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val whole = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .agg(sum(col("o_orderkey")).as("s"), count(lit(1)).as("n"))
+          .collect()(0)
+        val wholeOpens = graft.sources.SnapSource.filesOpened.get() - c0
+        val c1 = graft.sources.SnapSource.filesOpened.get()
+        val aligned = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .filter(col("o_orderkey").between(4000L, 7999L))
+          .agg(sum(col("o_orderkey")).as("s")).collect()(0)
+        val alignedOpens = graft.sources.SnapSource.filesOpened.get() - c1
+        val c2 = graft.sources.SnapSource.filesOpened.get()
+        val straddle = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+          .filter(col("o_orderkey").between(5000L, 10000L))
+          .agg(sum(col("o_orderkey")).as("s")).collect()(0)
+        val straddleOpens = graft.sources.SnapSource.filesOpened.get() - c2
+        s.range(1).select(
+          lit(gl(whole, 0)).as("sum_all"),
+          lit(gl(whole, 1)).as("n_all"),
+          lit(wholeOpens).as("n_opens_all"),
+          lit(gl(aligned, 0)).as("sum_aligned"),
+          lit(alignedOpens).as("n_opens_aligned"),
+          lit(gl(straddle, 0)).as("sum_straddle"),
+          lit(straddleOpens).as("n_opens_straddle"))
+      },
+      """SELECT CAST(sum(o_orderkey) AS BIGINT) AS sum_all,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(0 AS BIGINT) AS n_opens_all,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 4000 AND 7999) AS sum_aligned,
+        |  CAST(0 AS BIGINT) AS n_opens_aligned,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 5000 AND 10000) AS sum_straddle,
+        |  CAST(2 AS BIGINT) AS n_opens_straddle
+        |FROM orders""".stripMargin),
+
     // NESTED TYPES through the snap connector: an array, a struct and
     // a map column ride the DSv2 inline-stats writer into the table
     // and come back through Spark's nested vectorized decode — the

@@ -539,6 +539,18 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         l > Long.MinValue && contained(c, Long.MinValue, l - 1))
       case LessThanOrEqual(c, v) =>
         longVal(v).exists(l => contained(c, Long.MinValue, l))
+      case In(c, vs) =>
+        // exact iff every surviving file's box is fully COVERED by
+        // the key set (every integer in [mn, mx] is a key, zero
+        // nulls) — then no row of any surviving file can miss the IN
+        val ls = vs.flatMap(longVal)
+        ls.length == vs.length && ls.nonEmpty && noNulls(c) && {
+          val sorted = ls.distinct.sorted
+          surviving.forall(_.range(c).exists { case (mn, mx) =>
+            !(mn == Long.MinValue && mx == Long.MaxValue) &&
+              SnapScan.allIn(sorted, mn, mx)
+          })
+        }
       case IsNotNull(c) => noNulls(c)
       case _: AlwaysTrue => true
       case _ => false
@@ -589,16 +601,30 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         Some(r.fieldNames.head)
       case _ => None
     }
-    def statOk(c: String): Boolean =
+    def intCol(c: String): Boolean =
       full.fields.find(_.name == c).exists(f =>
-        f.dataType == LongType || f.dataType == IntegerType) &&
+        f.dataType == LongType || f.dataType == IntegerType)
+    def statOk(c: String): Boolean =
+      intCol(c) &&
         surviving.forall(_.range(c).exists { case (mn, mx) =>
           !(mn == Long.MinValue && mx == Long.MaxValue)
         })
+    // SUM folds per-file sums: every surviving file must carry one
+    // (legacy manifests and per-file overflow refuse), and the total
+    // must fit a long — otherwise the row scan keeps engine-native
+    // overflow semantics
+    def sumOk(c: String): Boolean =
+      intCol(c) && {
+        val vals = surviving.map(_.colSum(c))
+        vals.forall(_.isDefined) &&
+          (try { vals.flatten.foldLeft(0L)(Math.addExact); true }
+          catch { case _: ArithmeticException => false })
+      }
     a.aggregateExpressions.forall {
       case _: CountStar => true
       case m: Min => statName(m.column).exists(statOk)
       case m: Max => statName(m.column).exists(statOk)
+      case s: Sum => !s.isDistinct && statName(s.column).exists(sumOk)
       case _ => false
     }
   }
@@ -663,6 +689,25 @@ object SnapScan {
       if (sorted(mid) < mn) lo = mid + 1 else hi = mid
     }
     lo < sorted.length && sorted(lo) <= mx
+  }
+
+  /** EVERY integer in [mn, mx] present in `sorted` (distinct,
+    * ascending)? Strictly increasing values from mn at index i to mx
+    * at index i+(mx-mn) are forced consecutive — two binary-search
+    * probes, no scan. The IN-set exactness test: a file whose box is
+    * fully covered by the key set has no row that can miss the IN.
+    */
+  private[sources] def allIn(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
+    val span = mx - mn
+    if (span < 0 || span >= sorted.length) return false
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && sorted(lo) == mn &&
+      lo + span < sorted.length && sorted(lo + span.toInt) == mx
   }
 }
 
@@ -788,6 +833,7 @@ class SnapAggScan(root: String, files: Seq[FileStat],
       f: AggregateFunc): String = (f match {
     case m: Min => m.column
     case m: Max => m.column
+    case s: Sum => s.column
     case other => throw new IllegalStateException(s"unpushable $other")
   }) match {
     case r: NamedReference => r.fieldNames.head
@@ -801,6 +847,8 @@ class SnapAggScan(root: String, files: Seq[FileStat],
     StructType(fns.zipWithIndex.map {
       case (_: CountStar, i) =>
         StructField(s"agg$i", LongType, nullable = false)
+      // Spark's Sum over int/long aggregates AS long
+      case (_: Sum, i) => StructField(s"agg$i", LongType, nullable = true)
       case (f, i) => StructField(s"agg$i", colType(colOf(f)), nullable = true)
     }.toSeq)
   override def toBatch: Batch = this
@@ -826,6 +874,12 @@ class SnapAggScan(root: String, files: Seq[FileStat],
         val c = colOf(m)
         val maxs = files.flatMap(_.range(c)).map(_._2)
         if (maxs.isEmpty) null else typed(c, maxs.max)
+      case s: Sum =>
+        val c = colOf(s)
+        val sums = files.flatMap(_.colSum(c))
+        // pushdown validated every file carries a fitting sum; an
+        // empty selection answers NULL like SQL SUM over zero rows
+        if (sums.isEmpty) null else (sums.foldLeft(0L)(Math.addExact): Any)
       case other => throw new IllegalStateException(s"unpushable $other")
     }.toArray
     new PartitionReaderFactory {
@@ -1254,9 +1308,11 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   }
 
   private var rows = 0L
-  // (index into schema, running min, running max, sawValue, nullCount)
+  // (index into schema, running min, running max, sawValue, nullCount,
+  //  running sum, sumOverflowed)
   private val stats = statCols.map { c =>
-    Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L, 0L)
+    Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L, 0L,
+      0L, 0L)
   }
 
   // distinct primary-key values written (row-level-op writes): feeds
@@ -1281,6 +1337,10 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         if (v < s(1)) s(1) = v
         if (v > s(2)) s(2) = v
         s(3) = 1L
+        if (s(6) == 0L) {
+          try s(5) = Math.addExact(s(5), v)
+          catch { case _: ArithmeticException => s(6) = 1L }
+        }
         if (primary && collectKeys && !keysOverflow) {
           keys.add(v)
           if (keys.size > keyCap) { keysOverflow = true; keys.clear() }
@@ -1312,10 +1372,14 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         else (Long.MinValue, Long.MaxValue)) // all-null: unskippable box
       }
       val nulls = statCols.zip(stats).map { case (c, s) => c -> s(4) }
+      // sum only when some value was seen and the fold never overflowed
+      val sums = statCols.zip(stats).collect {
+        case (c, s) if s(3) == 1L && s(6) == 0L => c -> s(5)
+      }
       val uri =
         if (graft.io.SnapIo.hasScheme(absPath)) absPath
         else "file:" + absPath
-      SnapWriteCommit(Some(FileStat(uri, rows, fileStats, nulls)),
+      SnapWriteCommit(Some(FileStat(uri, rows, fileStats, nulls, sums)),
         written)
     }
   }

@@ -669,6 +669,68 @@ class SnapSourceSpec extends AnyFunSuite {
       "the straddling fallback reads exactly the two surviving files")
   }
 
+  test("SUM pushes into the manifest, filtered and unfiltered") {
+    val root = rangedTable() // boxes [1,100] .. [301,400], dbl = 2*id
+    val before = graft.sources.SnapSource.filesOpened.get()
+    val r = spark.read.format(Fmt).load(root)
+      .agg(sum("id"), count(lit(1))).head()
+    assert(r.getLong(0) == (1L to 400L).sum && r.getLong(1) == 400L)
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "unfiltered SUM must answer from manifest sums")
+    // box-aligned filter: still zero opens
+    val rf = spark.read.format(Fmt).load(root)
+      .filter(col("id").between(101L, 300L)).agg(sum("id")).head()
+    assert(rf.getLong(0) == (101L to 300L).sum)
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "box-aligned filtered SUM must answer from manifest sums")
+    // a non-stat column has no manifest sum: row-scan fallback
+    val rd = spark.read.format(Fmt).load(root).agg(sum("dbl")).head()
+    assert(rd.getLong(0) == (1L to 400L).map(_ * 2).sum)
+    assert(graft.sources.SnapSource.filesOpened.get() > before,
+      "sum over a column without manifest sums must row-scan")
+  }
+
+  test("SUM over legacy manifests (no recorded sums) falls back") {
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    // legacy-format manifest: min:max only — no null counts, no sums
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "_log"))
+    val dataDir = java.nio.file.Paths.get(root, "data", "d1")
+    java.nio.file.Files.createDirectories(dataDir)
+    (1L to 10L).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(dataDir.toString)
+    val pq = java.nio.file.Files.list(dataDir).iterator().asScala
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_log", "v00001.manifest"),
+      (s"action=append\nfile:$pq\t10\tid=1:10\n").getBytes("UTF-8"))
+    val before = graft.sources.SnapSource.filesOpened.get()
+    assert(spark.read.format(Fmt).load(root).agg(sum("id"))
+      .head().getLong(0) == 55L)
+    assert(graft.sources.SnapSource.filesOpened.get() > before,
+      "no recorded sum => the aggregate must read rows")
+  }
+
+  test("IN-set covering every box value absorbs exactly") {
+    val root = rangedTable()
+    val before = graft.sources.SnapSource.filesOpened.get()
+    // keys 1..200 COVER files 1 and 2 completely (and prune 3, 4):
+    // exact absorption => count answers from the manifest
+    val n = spark.read.format(Fmt).load(root)
+      .filter(col("id").isin(1L to 200L: _*)).count()
+    assert(n == 200)
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "a box-covering IN must push the count to the manifest")
+    // a GAP in the key set (150 missing) keeps the filter residual
+    val gap = (1L to 200L).filterNot(_ == 150L)
+    val n2 = spark.read.format(Fmt).load(root)
+      .filter(col("id").isin(gap: _*)).count()
+    assert(n2 == 199)
+    assert(graft.sources.SnapSource.filesOpened.get() > before,
+      "a gapped IN cannot prove row containment and must row-scan")
+  }
+
   test("NULLs in the filter column refuse exact absorption") {
     val root = freshRoot()
     // one file, box [1, 10], but TWO null-id rows hiding behind it
