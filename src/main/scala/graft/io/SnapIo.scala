@@ -27,8 +27,12 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   */
 object SnapIo {
 
+  // scheme must be >= 2 chars (Hadoop's own Path parsing treats a
+  // single letter before ':' as a Windows drive, not a scheme — so
+  // "C:\tables\t" stays on java.nio instead of failing in FileSystem
+  // resolution with a bogus one-letter scheme)
   private[graft] def hasScheme(p: String): Boolean =
-    !p.startsWith("/") && p.matches("[A-Za-z][A-Za-z0-9+.-]*:.*")
+    !p.startsWith("/") && p.matches("[A-Za-z][A-Za-z0-9+.-]+:.*")
 
   private def fs(p: String): FileSystem =
     new HPath(p).getFileSystem(new Configuration())
@@ -70,9 +74,20 @@ object SnapIo {
       finally in.close()
     } else Files.readAllLines(Paths.get(p)).asScala.toSeq
 
-  /** Atomically create `p` with `bytes`; throws
+  /** Create `p` with `bytes`, failing with
     * `java.nio.file.FileAlreadyExistsException` (normalized across
     * backends) when the path exists — the version-claim primitive.
+    *
+    * PER-SCHEME CONCURRENCY GUARANTEES: the claim is ATOMIC on bare
+    * local paths (java.nio `CREATE_NEW` is one syscall) and on
+    * `hdfs:` (the NameNode serializes `create(overwrite=false)`).
+    * On `file:` and `s3a:` Hadoop's implementation is
+    * CHECK-THEN-CREATE — two racing writers can both believe they
+    * claimed the same version and one commit is silently lost — so
+    * those schemes are SINGLE-WRITER ONLY (Delta makes the same
+    * trade: S3 multi-writer requires an external locking LogStore).
+    * Multi-writer tables belong on a backend with a conditional
+    * create: bare local paths or hdfs:.
     */
   def createNew(p: String, bytes: Array[Byte]): Unit =
     if (hasScheme(p)) {

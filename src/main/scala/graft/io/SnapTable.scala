@@ -305,19 +305,36 @@ object SnapTable {
     * writer clock domain per claim, and the claim serializes them;
     * sub-millisecond skew between racing writers moves the boundary
     * by at most the skew, the same contract every ts-ordered log
-    * resolution makes.)
+    * resolution makes.) Legacy logs can VIOLATE monotonicity — mtime
+    * fallbacks after a log copy, multi-host clock skew — so every
+    * probed (version, ts) pair is checked against the ones already
+    * seen; the first out-of-order pair abandons the binary search for
+    * the linear reverse scan, which always finds the newest version
+    * with ts <= t regardless of ordering.
     */
   def versionAt(root: String, tsMillis: Long): Option[Int] = {
     val vs = listVersions(root).toIndexedSeq
     if (vs.isEmpty) return None
     def tsOf(v: Int): Long = readManifest(root, v).commitTs.getOrElse(
       SnapIo.mtime(manifestPath(root, v)))
+    // probes so far, keyed by listing index — a new probe must be
+    // >= every earlier-index probe and <= every later-index probe
+    val probes = scala.collection.mutable.TreeMap.empty[Int, Long]
+    def monotonic(i: Int, t: Long): Boolean =
+      probes.rangeTo(i).lastOption.forall(_._2 <= t) &&
+        probes.rangeFrom(i).headOption.forall(_._2 >= t)
     var lo = 0
     var hi = vs.length - 1
     var ans = -1
     while (lo <= hi) {
       val mid = (lo + hi) >>> 1
-      if (tsOf(vs(mid)) <= tsMillis) { ans = mid; lo = mid + 1 }
+      val t = tsOf(vs(mid))
+      if (!monotonic(mid, t))
+        // non-monotonic log: the invariant binary search rests on is
+        // gone — fall back to the full reverse scan
+        return vs.reverseIterator.find(v => tsOf(v) <= tsMillis)
+      probes += mid -> t
+      if (t <= tsMillis) { ans = mid; lo = mid + 1 }
       else hi = mid - 1
     }
     if (ans < 0) None else Some(vs(ans))
@@ -403,10 +420,11 @@ object SnapTable {
 
   private def manifestBody(action: String, files: Seq[FileStat],
       batchId: Option[Long],
-      schema: Option[org.apache.spark.sql.types.StructType]): String =
+      schema: Option[org.apache.spark.sql.types.StructType],
+      extraHeaders: Seq[String] = Nil): String =
     (Seq(s"action=$action", s"ts=${System.currentTimeMillis()}") ++
       schema.map(s => s"schema=${normalizeSchema(s).json}") ++
-      batchId.map(b => s"batch=$b") ++
+      batchId.map(b => s"batch=$b") ++ extraHeaders ++
       files.map(fileLine)).mkString("", "\n", "\n")
 
   /** Atomically claim version `v` (CREATE_NEW: throws
@@ -414,10 +432,12 @@ object SnapTable {
     */
   private def writeManifestFile(root: String, v: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      extraHeaders: Seq[String] = Nil): Unit = {
     SnapIo.mkdirs(logDir(root))
     SnapIo.createNew(manifestPath(root, v),
-      manifestBody(action, files, batchId, schema).getBytes("UTF-8"))
+      manifestBody(action, files, batchId, schema, extraHeaders)
+        .getBytes("UTF-8"))
   }
 
   /** After landing version `v`, maybe persist the resolved state as a
@@ -444,9 +464,26 @@ object SnapTable {
     * as TableAlreadyExists.
     */
   private[graft] def createEmpty(root: String,
-      schema: org.apache.spark.sql.types.StructType): Unit =
+      schema: org.apache.spark.sql.types.StructType,
+      props: Map[String, String] = Map.empty): Unit =
     writeManifestFile(root, 1, "append", Nil, None,
-      Some(normalizeSchema(schema)))
+      Some(normalizeSchema(schema)),
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"prop.$k=$v" })
+
+  /** Table property recorded at creation — read from the FIRST
+    * manifest's `prop.<key>=` header, so properties live inside the
+    * atomically claimed v1 file: a crash after the claim can never
+    * leave an existing table missing its creation-time properties
+    * (the catalog's sidecar props file is a read fast-path only).
+    */
+  def tableProperty(root: String, key: String): Option[String] =
+    listVersions(root).headOption.flatMap { v =>
+      manifestFilesRead.incrementAndGet()
+      SnapIo.readLines(manifestPath(root, v)).collectFirst {
+        case l if l.startsWith(s"prop.$key=") && !l.contains('\t') =>
+          l.stripPrefix(s"prop.$key=")
+      }
+    }
 
   /** Publish a manifest naming `files`, claiming the next free
     * version (optimistic concurrency: a concurrent winner makes
@@ -905,17 +942,22 @@ object SnapTable {
     * full-log scan.
     *
     * IN-FLIGHT commits (data written, manifest not yet published) are
-    * protected by the `graceMs` window: a candidate file younger than
-    * it is spared regardless of reference state — the same
+    * protected by the `graceMs` window, applied PER COMMIT DIRECTORY
+    * (one commit = one `data/<uuid>/` dir): a candidate is spared
+    * while ANY file of its directory is younger than the window, so a
+    * long-running commit's early files stay protected for as long as
+    * a straggler task is still writing siblings. `graceMs` must
+    * exceed the longest possible write-to-publish gap of any writer
+    * (a large backfill's full write phase, plus writer/storage clock
+    * skew on hdfs/s3a) — the default is 24 HOURS, the same
     * retention-duration contract Delta's VACUUM makes (its default is
-    * hours; ours is minutes because commits here are seconds). Pass
-    * `graceMs = 0` only when no writer can be mid-commit. This
-    * replaces the previous ever-referenced full-log scan: abandoned
-    * orphans now age out of protection and get reclaimed instead of
-    * leaking forever.
+    * 7 days). Pass `graceMs = 0` only when no writer can be
+    * mid-commit. This replaces the previous ever-referenced full-log
+    * scan: abandoned orphans now age out of protection and get
+    * reclaimed instead of leaking forever.
     */
   def vacuum(root: String, keepFrom: Int,
-      graceMs: Long = 15 * 60 * 1000L): Int = {
+      graceMs: Long = 24 * 60 * 60 * 1000L): Int = {
     val referenced = (liveFiles(root, Some(keepFrom)).map(_.path) ++
       manifestsAfter(root, keepFrom).flatMap(_.files.map(_.path))).toSet
     val dataRoot = SnapIo.child(root, "data")
@@ -926,8 +968,14 @@ object SnapTable {
     def norm(s: String): String = s.stripPrefix("file://").stripPrefix("file:")
     val refNorm = referenced.map(norm)
     val cutoff = System.currentTimeMillis() - graceMs
-    val doomed = all.filter(p => !refNorm.contains(norm(p)) &&
-      SnapIo.mtime(p) <= cutoff)
+    // a commit dir is in flight while its newest file is younger than
+    // the grace window — protect every sibling, not just young files
+    val dirYoungest = all.groupBy(p => p.substring(0, p.lastIndexOf('/')))
+      .map { case (d, fs) => d -> fs.map(SnapIo.mtime).max }
+    val doomed = all.filter { p =>
+      !refNorm.contains(norm(p)) &&
+        dirYoungest(p.substring(0, p.lastIndexOf('/'))) <= cutoff
+    }
     doomed.foreach(SnapIo.delete)
     doomed.size
   }

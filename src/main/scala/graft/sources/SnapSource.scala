@@ -1663,18 +1663,25 @@ class SnapCatalog
   private def propsPath(r: String): String =
     graft.io.SnapIo.child(r, "_log", "_table")
 
-  /** Table-level properties persisted at CREATE TABLE (line-oriented
-    * key=value, same no-dependency style as the manifests).
+  /** Table-level properties persisted at CREATE TABLE. The durable
+    * copy lives INSIDE the v1 manifest (`prop.<k>=` headers — written
+    * by the same atomic claim that creates the table, so no crash can
+    * separate a table from its properties); the sidecar props file is
+    * only a fast path and a legacy location.
     */
   private def tableProps(r: String): Map[String, String] = {
     val p = propsPath(r)
-    if (!graft.io.SnapIo.isFile(p)) Map.empty
-    else graft.io.SnapIo.readLines(p).flatMap { l =>
-      l.split("=", 2) match {
-        case Array(k, v) if k.nonEmpty => Some(k -> v)
-        case _ => None
-      }
-    }.toMap
+    val fromFile =
+      if (!graft.io.SnapIo.isFile(p)) Map.empty[String, String]
+      else graft.io.SnapIo.readLines(p).flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) if k.nonEmpty => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+    if (fromFile.contains("statCols")) fromFile
+    else fromFile ++
+      SnapTable.tableProperty(r, "statCols").map("statCols" -> _)
   }
 
   private def table(ident: Identifier, asOf: Option[Int]): CTable = {
@@ -1723,9 +1730,12 @@ class SnapCatalog
     // version 1 FIRST, claimed atomically (single attempt, no
     // retry-into-next-slot): of two concurrent CREATEs exactly one
     // wins the v1 manifest; the loser surfaces TableAlreadyExists
-    // instead of silently appending onto the winner's log. The props
-    // file is written only by the winner, after the claim.
-    try SnapTable.createEmpty(r, schema)
+    // instead of silently appending onto the winner's log. statCols
+    // ride INSIDE the claimed manifest (prop. headers) so a crash
+    // right after the claim cannot leave the table property-less;
+    // the sidecar props file below is a read fast-path only.
+    try SnapTable.createEmpty(r, schema,
+      statCols.map(sc => Map("statCols" -> sc)).getOrElse(Map.empty))
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis

@@ -382,15 +382,15 @@ class SnapTableSpec extends AnyFunSuite {
     val root = freshRoot()
     SnapTable.commit((1L to 10L).toDF("id"), root, "id")
     SnapTable.commit((1L to 5L).toDF("id"), root, "id", action = "overwrite")
-    // age the superseded v1 file past the grace window (the table was
-    // built moments ago; production files are hours old)
+    // age the superseded v1 file past the 24 h grace window (the
+    // table was built moments ago; production files are days old)
     import scala.jdk.CollectionConverters._
     Files.walk(Paths.get(root, "data")).iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .foreach(p => Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3600L * 1000)))
+          System.currentTimeMillis() - 25L * 3600L * 1000)))
     // simulate an in-flight commit: data JUST written, manifest not
     // yet published — vacuum must not delete it out from under the
     // writer; the grace window (not an ever-referenced full-log scan)
@@ -406,9 +406,24 @@ class SnapTableSpec extends AnyFunSuite {
     // reclaimed instead of leaking forever
     Files.setLastModifiedTime(orphan,
       java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 3600L * 1000))
+        System.currentTimeMillis() - 25L * 3600L * 1000))
     assert(SnapTable.vacuum(root, keepFrom = 2) == 1,
       "an aged-out orphan must be reclaimable")
+    // grace is PER COMMIT DIR: an old file whose sibling is still
+    // being written (one commit = one uuid dir) stays protected —
+    // a long write phase must not lose its early files mid-commit
+    val slow = Paths.get(root, "data", "slowcommit")
+    Files.createDirectories(slow)
+    val early = slow.resolve("part-00000.parquet")
+    val late = slow.resolve("part-00001.parquet")
+    Files.write(early, Array[Byte](1))
+    Files.write(late, Array[Byte](2))
+    Files.setLastModifiedTime(early,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 25L * 3600L * 1000))
+    assert(SnapTable.vacuum(root, keepFrom = 2) == 0,
+      "a young sibling must protect the whole commit dir")
+    assert(Files.exists(early) && Files.exists(late))
   }
 
   test("versionAt is O(log n) and vacuum O(tail) in manifest reads") {
@@ -652,5 +667,66 @@ class SnapTableSpec extends AnyFunSuite {
     assert(lf.rows == 7 && (lf.min, lf.max) == ((1L, 5L)))
     assert(lf.nullCount("id").isEmpty,
       "legacy stats must read back as null-count-unknown")
+  }
+
+  test("versionAt on a NON-monotonic legacy log falls back to the " +
+      "linear reverse scan") {
+    def mkLog(ts: Seq[Long]): String = {
+      val root = freshRoot()
+      val dir = Paths.get(root, "_log")
+      Files.createDirectories(dir)
+      ts.zipWithIndex.foreach { case (t, i) =>
+        Files.write(dir.resolve(f"v${i + 1}%05d.manifest"),
+          s"action=append\nts=$t\n".getBytes("UTF-8"))
+      }
+      root
+    }
+    // a log copy scrambled the ts= headers. ts = (8000, 1200, 2000,
+    // 500, 9000), t = 1500: the blind binary search probes
+    // v3 (2000 > t → left half), then v1 (8000) — and 8000 > 2000 at
+    // a LOWER index is the probed inversion; without detection the
+    // search would conclude NO version has ts <= 1500. The linear
+    // reverse scan — what the detection falls back to — finds v4
+    // (500 <= 1500), the newest version at or before t.
+    val scrambled = mkLog(Seq(8000L, 1200L, 2000L, 500L, 9000L))
+    assert(SnapTable.versionAt(scrambled, 1500L).contains(4),
+      "detected inversion must fall back to the reverse scan's answer")
+    // a MONOTONIC log keeps the O(log n) path and its answers
+    val clean = mkLog(Seq(1000L, 2000L, 3000L, 4000L, 5000L))
+    assert(SnapTable.versionAt(clean, 3500L).contains(3))
+    assert(SnapTable.versionAt(clean, 500L).isEmpty)
+    assert(SnapTable.versionAt(clean, 9999L).contains(5))
+  }
+
+  test("statCols live inside the v1 manifest; sidecar props file is " +
+      "a fast path only") {
+    val root = freshRoot()
+    SnapTable.createEmpty(root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      Map("statCols" -> "k"))
+    assert(SnapTable.tableProperty(root, "statCols").contains("k"))
+    assert(SnapTable.tableProperty(root, "nope").isEmpty)
+    // the catalog resolves statCols WITHOUT the sidecar file — the
+    // crash-between-claim-and-props case the advisor flagged
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"INSERT INTO graftsnap.`$root` VALUES (7)")
+    val f = SnapTable.liveFiles(root).head
+    assert(f.stats.map(_._1) == Seq("k"),
+      s"INSERT must find statCols from the v1 manifest, got ${f.stats}")
+  }
+
+  test("hasScheme treats one-letter prefixes as drive letters, not " +
+      "URI schemes") {
+    import graft.io.SnapIo
+    assert(!SnapIo.hasScheme("C:\\tables\\t"))
+    assert(!SnapIo.hasScheme("C:/tables/t"))
+    assert(SnapIo.hasScheme("file:/tmp/t"))
+    assert(SnapIo.hasScheme("hdfs://nn/t"))
+    assert(SnapIo.hasScheme("s3a://bucket/t"))
+    assert(!SnapIo.hasScheme("/abs/path"))
+    assert(!SnapIo.hasScheme("rel/path"))
   }
 }
