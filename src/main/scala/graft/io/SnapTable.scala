@@ -362,6 +362,25 @@ object SnapTable {
   def liveFiles(root: String, asOf: Option[Int] = None): Seq[FileStat] =
     resolveState(root, asOf)._1
 
+  /** The stat column as a LONG in its manifest box encoding — the
+    * TYPED-BOX contract: integers as themselves, DateType as EPOCH
+    * DAYS, TimestampType as EPOCH MICROS. The read side converts
+    * filter literals of those types to the same encoding, so file
+    * skipping, exact absorption and MIN/MAX pushdown work on the
+    * columns a real lakehouse filters by — time. (The encoding is
+    * determined by the column's TYPE, never stored: a manifest box is
+    * only ever compared against literals of that same column.)
+    */
+  private[graft] def statLong(schema: org.apache.spark.sql.types.StructType,
+      c: String): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(DateType) => unix_date(col(c)).cast("long")
+      case Some(TimestampType) => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+  }
+
   /** Write `df` under `root/data/<uuid>/` and return its per-file
     * stats — a delta-sized read-back of only the freshly written
     * files, never the table.
@@ -375,15 +394,16 @@ object SnapTable {
       if (filesPerCommit == 1) df.coalesce(1)
       else df.repartitionByRange(filesPerCommit, col(statCols.head))
     shaped.write.parquet(dataDir)
+    def sl(c: String) = statLong(df.schema, c)
     val aggs = statCols.flatMap(c => Seq(
-      min(col(c).cast("long")).as(s"mn_$c"),
-      max(col(c).cast("long")).as(s"mx_$c"))) ++
+      min(sl(c)).as(s"mn_$c"),
+      max(sl(c)).as(s"mx_$c"))) ++
       statCols.map(c =>
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nc_$c")) ++
       // per-file SUM via decimal(38,0): cannot overflow at any file
       // size (and never trips ANSI); recorded only when it fits a long
       statCols.map(c =>
-        sum(col(c).cast("long").cast("decimal(38,0)")).as(s"sm_$c"))
+        sum(sl(c).cast("decimal(38,0)")).as(s"sm_$c"))
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
@@ -638,7 +658,7 @@ object SnapTable {
       else spark.read.option("mergeSchema", "true")
         .parquet(hit.map(_.path): _*)
     bounds.foldLeft(base) { case (df, (c, (lo, hi))) =>
-      df.filter(col(c).cast("long").between(lo, hi))
+      df.filter(statLong(df.schema, c).between(lo, hi))
     }
   }
 
@@ -715,7 +735,7 @@ object SnapTable {
     val updates = updatesRaw.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-    val keyRows = updates.select(col(statCol).cast("long").as("k"))
+    val keyRows = updates.select(statLong(updates.schema, statCol).as("k"))
       .distinct().limit(keyCap + 1).collect()
     if (keyRows.isEmpty) {
       // empty update set: nothing changes — publishing an overwrite of
@@ -730,8 +750,8 @@ object SnapTable {
         if (keys.isEmpty) (_ => false) // null-key updates: pure inserts
         else f => overlapsKeys(f, keys)
       } else { // over the cap: global envelope fallback
-        val b = updates.agg(min(col(statCol).cast("long")),
-          max(col(statCol).cast("long"))).collect()(0)
+        val b = updates.agg(min(statLong(updates.schema, statCol)),
+          max(statLong(updates.schema, statCol))).collect()(0)
         if (b.isNullAt(0)) (_ => false)
         else { val (lo, hi) = (b.getLong(0), b.getLong(1))
           f => f.max >= lo && f.min <= hi }
@@ -792,7 +812,7 @@ object SnapTable {
       .parquet(touched.map(_.path): _*)
     // NULL-safe: a three-valued extra predicate must not let a row
     // dodge BOTH the delete and the keep
-    val doomedPred = coalesce(col(statCol).cast("long").between(lo, hi) &&
+    val doomedPred = coalesce(statLong(current.schema, statCol).between(lo, hi) &&
       extraPredicate.getOrElse(lit(true)), lit(false))
     val kept = current.filter(!doomedPred)
     val rewritten =
@@ -993,8 +1013,10 @@ object SnapTable {
       // preserve the schema for an empty selection
       read(spark, root, asOf)
         .filter(lit(false))
-    else spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(_.path): _*)
-      .filter(col(statCol).cast("long").between(lo, hi))
+    else {
+      val df = spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(_.path): _*)
+      df.filter(statLong(df.schema, statCol).between(lo, hi))
+    }
   }
 }

@@ -1930,6 +1930,76 @@ object ScaleQueries {
         |  CAST(4 AS BIGINT) AS n_files
         |FROM orders""".stripMargin),
 
+    // TYPED STAT BOXES: manifests record DateType stats as EPOCH-DAY
+    // boxes (timestamps as micros), so the dominant 100 TB filter
+    // axis — TIME — prunes files, absorbs exactly, and answers
+    // MIN/MAX from the manifest. Four year-ranged commits on
+    // o_orderdate: a bound containing the 1994-95 file's box keeps
+    // its aggregate manifest-answered (0 opens), a straddling bound
+    // falls back to a 2-file row scan, and the unfiltered
+    // MIN/MAX(o_orderdate) folds boxes with zero opens. Open counters
+    // ride along as hash-gated data.
+    "q312_snap_date_stats" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd25")
+        // physical o_orderdate is TIMESTAMP_NTZ — a DATE stat column
+        // is the contract under test, so cast on ingest
+        val o = Tables(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"))
+        // testdata order dates span 1995..2001
+        Seq(("1990-01-01", "1997-01-01"), ("1997-01-01", "1999-01-01"),
+          ("1999-01-01", "2001-01-01"), ("2001-01-01", "2100-01-01"))
+          .foreach { case (a, b) =>
+            graft.io.SnapTable.commit(
+              o.filter(col("o_orderdate") >= lit(a) &&
+                col("o_orderdate") < lit(b)), root, "o_orderdate")
+          }
+        def snap = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val all = snap.agg(min(col("o_orderdate")).as("mn"),
+          max(col("o_orderdate")).as("mx")).collect()(0)
+        val allOpens = graft.sources.SnapSource.filesOpened.get() - c0
+        val c1 = graft.sources.SnapSource.filesOpened.get()
+        val aligned = snap
+          .filter(col("o_orderdate").between(
+            lit("1997-01-01"), lit("1998-12-31")))
+          .agg(count(lit(1)).as("n"), min(col("o_orderdate")).as("mn"))
+          .collect()(0)
+        val alignedOpens = graft.sources.SnapSource.filesOpened.get() - c1
+        val c2 = graft.sources.SnapSource.filesOpened.get()
+        val straddle = snap
+          .filter(col("o_orderdate").between(
+            lit("1998-01-01"), lit("1999-12-31")))
+          .agg(count(lit(1)).as("n")).collect()(0)
+        val straddleOpens = graft.sources.SnapSource.filesOpened.get() - c2
+        s.range(1).select(
+          lit(all.getDate(0)).as("mn_all"),
+          lit(all.getDate(1)).as("mx_all"),
+          lit(allOpens).as("n_opens_all"),
+          lit(aligned.getLong(0)).as("n_aligned"),
+          lit(aligned.getDate(1)).as("mn_aligned"),
+          lit(alignedOpens).as("n_opens_aligned"),
+          lit(straddle.getLong(0)).as("n_straddle"),
+          lit(straddleOpens).as("n_opens_straddle"))
+      },
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT
+        |  (SELECT min(d) FROM od) AS mn_all,
+        |  (SELECT max(d) FROM od) AS mx_all,
+        |  CAST(0 AS BIGINT) AS n_opens_all,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM od
+        |   WHERE d BETWEEN DATE '1997-01-01'
+        |     AND DATE '1998-12-31') AS n_aligned,
+        |  (SELECT min(d) FROM od
+        |   WHERE d BETWEEN DATE '1997-01-01'
+        |     AND DATE '1998-12-31') AS mn_aligned,
+        |  CAST(0 AS BIGINT) AS n_opens_aligned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM od
+        |   WHERE d BETWEEN DATE '1998-01-01'
+        |     AND DATE '1999-12-31') AS n_straddle,
+        |  CAST(2 AS BIGINT) AS n_opens_straddle""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -175,6 +175,30 @@ object SnapSource {
     out.result()
   }
 
+  /** A pushed-filter literal in its manifest TYPED-BOX encoding:
+    * integers as themselves, dates as EPOCH DAYS, timestamps as EPOCH
+    * MICROS — the exact encoding [[graft.io.SnapTable]] records at
+    * write time, which is what makes file skipping, exact absorption
+    * and MIN/MAX pushdown work on time columns (the dominant filter
+    * axis of a real lakehouse). Both the java.sql and the java.time
+    * spellings arrive depending on `spark.sql.datetime.java8API`.
+    * Day/micro granularity keeps strict bounds exact: `d > lit` ⇔
+    * `days >= enc(lit) + 1` because column values are whole units.
+    */
+  private[sources] def statLit(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case s: java.lang.Short => Some(s.longValue())
+    case b: java.lang.Byte => Some(b.longValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant => Some(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case _ => None
+  }
+
   /** Parquet footers physically opened for SCHEMA work — test
     * instrumentation: cold resolution against a schema-carrying log
     * must read zero footers.
@@ -313,13 +337,7 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
   // Spark then reports the delete as unsupported instead of silently
   // rewriting the table.
 
-  private def longLit(v: Any): Option[Long] = v match {
-    case l: java.lang.Long => Some(l.longValue())
-    case i: java.lang.Integer => Some(i.longValue())
-    case s: java.lang.Short => Some(s.longValue())
-    case b: java.lang.Byte => Some(b.longValue())
-    case _ => None
-  }
+  private def longLit(v: Any): Option[Long] = SnapSource.statLit(v)
 
   /** Conjunctive filters → one [lo, hi] on `statCol`, or None when any
     * conjunct is out of contract (other column, non-integer literal,
@@ -470,15 +488,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     */
   protected def allowExactAbsorption: Boolean = !cdf
 
-  private def longVal(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int => Some(i.toLong)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case l: java.lang.Long => Some(l.longValue())
-    case i: java.lang.Integer => Some(i.longValue())
-    case _ => None
-  }
+  private def longVal(v: Any): Option[Long] = SnapSource.statLit(v)
 
   private def narrow(c: String, lo: Long, hi: Long): Unit = {
     val (a, b) = bounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
@@ -604,8 +614,15 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     def intCol(c: String): Boolean =
       full.fields.find(_.name == c).exists(f =>
         f.dataType == LongType || f.dataType == IntegerType)
+    // MIN/MAX fold typed boxes: integers, plus DateType (epoch-day
+    // boxes) and TimestampType (epoch-micro boxes) — the time columns
+    // a 100 TB table is actually filtered and bounded by. SUM stays
+    // integer-only (summing dates is not a thing).
+    def boxCol(c: String): Boolean =
+      intCol(c) || full.fields.find(_.name == c).exists(f =>
+        f.dataType == DateType || f.dataType == TimestampType)
     def statOk(c: String): Boolean =
-      intCol(c) &&
+      boxCol(c) &&
         surviving.forall(_.range(c).exists { case (mn, mx) =>
           !(mn == Long.MinValue && mx == Long.MaxValue)
         })
@@ -749,21 +766,14 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
 
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In(c, vs) =>
-      val ls = vs.collect {
-        case l: java.lang.Long => l.longValue()
-        case i: java.lang.Integer => i.longValue()
-      }.sorted
+      val ls = vs.flatMap(SnapSource.statLit).sorted
       if (ls.length == vs.length)
         rInSets(c) = rInSets.get(c).fold(ls)(_.intersect(ls))
     case EqualTo(c, v) =>
-      // int-keyed DPP equalities arrive boxed as Integer — absorb the
-      // same way as Long, or the file list silently skips re-pruning
-      val l = v match {
-        case x: java.lang.Long => Some(x.longValue())
-        case x: java.lang.Integer => Some(x.longValue())
-        case x: java.lang.Short => Some(x.longValue())
-        case _ => None
-      }
+      // int-keyed DPP equalities arrive boxed as Integer (and
+      // date-keyed ones as Date/LocalDate) — absorb in the typed-box
+      // encoding, or the file list silently skips re-pruning
+      val l = SnapSource.statLit(v)
       l.foreach { lv =>
         val (a, b) = rBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
         rBounds(c) = (math.max(a, lv), math.min(b, lv))
@@ -862,7 +872,8 @@ class SnapAggScan(root: String, files: Seq[FileStat],
   override def createReaderFactory(): PartitionReaderFactory = {
     def typed(c: String, v: Long): Any = colType(c) match {
       case IntegerType => v.toInt
-      case _ => v
+      case DateType => v.toInt // epoch-day box = DateType's internal repr
+      case _ => v // long; TimestampType's internal micros are long too
     }
     val values: Array[Any] = fns.map {
       case _: CountStar => files.map(_.rows).sum: Any
@@ -1189,8 +1200,10 @@ class SnapWriteBuilder(root: String, schema: StructType,
         throw new IllegalArgumentException(
           s"statCols column $c is not in the written schema " +
             schema.fieldNames.mkString("[", ",", "]")))
-      require(Seq(LongType, IntegerType, DateType).contains(f.dataType),
-        s"statCols column $c must be bigint/int/date, is ${f.dataType}")
+      require(Seq(LongType, IntegerType, DateType, TimestampType)
+          .contains(f.dataType),
+        s"statCols column $c must be bigint/int/date/timestamp, " +
+          s"is ${f.dataType}")
     }
     // every written column must round-trip through the vectorized
     // reader: any flat primitive (incl. timestamp/decimal/binary) or
@@ -1330,8 +1343,11 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     stats.foreach { s =>
       val idx = s(0).toInt
       if (!row.isNullAt(idx)) {
+        // typed-box encoding straight off the internal representation:
+        // long as-is, timestamp = epoch micros (long), date = epoch
+        // days (int), int as itself
         val v = schema.fields(idx).dataType match {
-          case LongType => row.getLong(idx)
+          case LongType | TimestampType => row.getLong(idx)
           case _ => row.getInt(idx).toLong
         }
         if (v < s(1)) s(1) = v

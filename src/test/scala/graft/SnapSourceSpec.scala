@@ -950,4 +950,77 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(SnapTable.currentVersion(root) == 1,
       "the loser must NOT have appended a second version")
   }
+
+  test("DATE stat column: typed boxes skip files, absorb exactly, " +
+      "answer MIN/MAX from the manifest") {
+    val root = freshRoot()
+    def day(s: String) = java.sql.Date.valueOf(s)
+    // three month-aligned commits on a DateType stat column
+    Seq(("2024-01-01", "2024-01-31"), ("2024-02-01", "2024-02-29"),
+      ("2024-03-01", "2024-03-31")).foreach { case (a, b) =>
+      val lo = day(a).toLocalDate
+      val hi = day(b).toLocalDate
+      val rows = Iterator.iterate(lo)(_.plusDays(1))
+        .takeWhile(!_.isAfter(hi))
+        .map(d => (java.sql.Date.valueOf(d), d.getDayOfMonth.toLong))
+        .toSeq
+      SnapTable.commit(rows.toDF("d", "v"), root, "d")
+    }
+    val snap = spark.read.format(Fmt).load(root)
+    // pruning: a range inside February touches ONE file
+    val feb = snap.filter(col("d").between(day("2024-02-10"),
+      day("2024-02-20")))
+    assert(scanRows(feb) == 29, "only February's file may be read")
+    assert(feb.count() == 11)
+    // MIN/MAX over the date column answer from the manifest: 0 opens
+    val before = graft.sources.SnapSource.filesOpened.get()
+    val mm = snap.agg(min("d"), max("d"), count(lit(1))).head()
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "unfiltered MIN/MAX(date) must fold manifest boxes, not rows")
+    assert(mm.getDate(0).toString == "2024-01-01")
+    assert(mm.getDate(1).toString == "2024-03-31")
+    assert(mm.getLong(2) == 31L + 29L + 31L)
+    // EXACT absorption: a bound containing February's whole box keeps
+    // the aggregate manifest-answered under the WHERE
+    val b2 = graft.sources.SnapSource.filesOpened.get()
+    val febAgg = snap
+      .filter(col("d").between(day("2024-02-01"), day("2024-02-29")))
+      .agg(count(lit(1)), min("d")).head()
+    assert(graft.sources.SnapSource.filesOpened.get() == b2,
+      "a box-aligned date bound must absorb exactly (agg pushes)")
+    assert(febAgg.getLong(0) == 29L)
+    assert(febAgg.getDate(1).toString == "2024-02-01")
+    // strict > / < stay exact at day granularity
+    assert(snap.filter(col("d") > day("2024-03-31")).count() == 0)
+    assert(snap.filter(col("d") < day("2024-01-02")).count() == 1)
+  }
+
+  test("TIMESTAMP stat column: micro boxes prune and push MIN/MAX") {
+    val root = freshRoot()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two hour-aligned commits through the DSv2 inline-stats writer
+    Seq("2024-05-01 10", "2024-05-01 11").foreach { h =>
+      (0 until 60).map(m => (ts(f"$h:$m%02d:00"), m.toLong))
+        .toDF("t", "v")
+        .write.format(Fmt).option("statCols", "t")
+        .mode("append").save(root)
+    }
+    val snap = spark.read.format(Fmt).load(root)
+    val hour11 = snap.filter(col("t") >= ts("2024-05-01 11:00:00"))
+    assert(scanRows(hour11) == 60, "hour-10 file must be skipped")
+    assert(hour11.count() == 60)
+    val before = graft.sources.SnapSource.filesOpened.get()
+    val mm = snap.agg(min("t"), max("t")).head()
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "MIN/MAX(timestamp) must fold manifest micro boxes")
+    assert(mm.getTimestamp(0) == ts("2024-05-01 10:00:00"))
+    assert(mm.getTimestamp(1) == ts("2024-05-01 11:59:00"))
+    // Scala-API row-level ops keep working on a time-typed stat col:
+    // delete hour 10 via its epoch-day... no — via the typed range
+    // (micros): readPruned takes the LONG encoding directly
+    val enc = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .fromJavaTimestamp(ts("2024-05-01 10:59:59"))
+    val pruned = SnapTable.readPruned(spark, root, "t", Long.MinValue, enc)
+    assert(pruned.count() == 60)
+  }
 }
