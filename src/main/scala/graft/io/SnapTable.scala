@@ -355,12 +355,40 @@ object SnapTable {
       }
   }
 
+  /** Earliest version whose snapshot is still fully materialized —
+    * recorded by [[vacuum]] (the `_log/_retain` marker). `None` for a
+    * never-vacuumed table. Reads below this version FAIL FAST at plan
+    * time with a clear error instead of a mid-scan
+    * FileNotFoundException (Delta's earliest-retained contract).
+    */
+  def retainedFrom(root: String): Option[Int] = {
+    val p = SnapIo.child(logDir(root), "_retain")
+    if (!SnapIo.isFile(p)) None
+    else SnapIo.readLines(p).collectFirst {
+      case l if l.startsWith("retain=") => l.stripPrefix("retain=").toInt
+    }
+  }
+
+  private def checkRetained(root: String, asOf: Option[Int]): Unit =
+    asOf.foreach { v =>
+      retainedFrom(root).foreach { r =>
+        if (v < r) throw new IllegalStateException(
+          s"version $v of $root was vacuumed away — the earliest " +
+            s"retained version is $r (vacuum recorded the horizon; " +
+            "time travel below it would read deleted files)")
+      }
+    }
+
   /** The live file set as of a version: replay manifests; `overwrite`
     * resets, `append` accretes. Checkpoint-accelerated: O(tail), not
-    * O(versions).
+    * O(versions). Time travel below the vacuum horizon fails fast
+    * (see [[retainedFrom]]); reading the CURRENT snapshot never pays
+    * the marker check.
     */
-  def liveFiles(root: String, asOf: Option[Int] = None): Seq[FileStat] =
+  def liveFiles(root: String, asOf: Option[Int] = None): Seq[FileStat] = {
+    checkRetained(root, asOf)
     resolveState(root, asOf)._1
+  }
 
   /** The stat column as a LONG in its manifest box encoding — the
     * TYPED-BOX contract: integers as themselves, DateType as EPOCH
@@ -997,6 +1025,12 @@ object SnapTable {
         dirYoungest(p.substring(0, p.lastIndexOf('/'))) <= cutoff
     }
     doomed.foreach(SnapIo.delete)
+    // record the horizon (monotonically): time travel below keepFrom
+    // is now DECLARED gone — readers fail fast at plan time instead
+    // of tripping a FileNotFoundException mid-scan
+    if (retainedFrom(root).forall(_ < keepFrom))
+      SnapIo.write(SnapIo.child(logDir(root), "_retain"),
+        s"retain=$keepFrom\n".getBytes("UTF-8"))
     doomed.size
   }
 

@@ -969,19 +969,33 @@ class SnapMicroBatchStream(root: String, required: StructType,
       case Some(budget) =>
         // a batch is a CONTIGUOUS version range: stop at the first
         // version that overflows the budget (later, smaller commits
-        // cannot leapfrog it)
+        // cannot leapfrog it). Under the change feed an overwrite
+        // contributes BOTH sides of its diff — the inserted files AND
+        // the removed live files, exactly the partitions
+        // changePartitions will plan — costing ONE live-set resolve
+        // at `s` plus a fold over the manifests already being read.
+        var live: mutable.Set[String] =
+          if (cdf) mutable.Set(SnapTable.liveFiles(root, Some(s))
+            .map(_.path): _*)
+          else null
         var end = s
         var used = 0
         var full = false
         SnapTable.manifestsAfter(root, s, Some(vCapped)).foreach { m =>
           if (!full) {
-            // under the change feed an overwrite contributes its
-            // post-image files (the removed side would need a live-set
-            // resolve per version — the budget is a planning bound,
-            // not an exact count)
             val n = if (m.action == "overwrite") {
-              if (cdf) m.files.size else 0
-            } else m.files.size
+              if (cdf) {
+                val newPaths = m.files.map(_.path).toSet
+                val inserts = m.files.count(f => !live.contains(f.path))
+                val deletes = live.count(p => !newPaths.contains(p))
+                live.clear()
+                live ++= newPaths
+                inserts + deletes
+              } else 0
+            } else {
+              if (cdf) live ++= m.files.map(_.path)
+              m.files.size
+            }
             if (end == s || used + n <= budget) { end = m.version; used += n }
             else full = true
           }

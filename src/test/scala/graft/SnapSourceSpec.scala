@@ -951,6 +951,34 @@ class SnapSourceSpec extends AnyFunSuite {
       "the loser must NOT have appended a second version")
   }
 
+  test("CDF admission budget counts BOTH sides of an overwrite's diff") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val root = freshRoot()
+    // v1: 2-file append; v2: overwrite into 2 files — its change feed
+    // is 2 deletes + 2 inserts = 4 partitions, not the 2 post-image
+    // files the old accounting charged
+    SnapTable.commit((1L to 100L).toDF("id"), root, "id",
+      filesPerCommit = 2)
+    SnapTable.commit((1L to 50L).toDF("id"), root, "id",
+      action = "overwrite", filesPerCommit = 2)
+    val schema = graft.sources.SnapSource.inferSchema(root, None)
+    val ms = new graft.sources.SnapMicroBatchStream(root, schema,
+      ignoreOverwrites = false, startVersion = 0,
+      maxFilesPerTrigger = Some(5), cdf = true)
+    val s0 = ms.deserializeOffset("0")
+    // budget 5: v1 costs 2, v2 costs 4 → 6 > 5, so the first batch
+    // must stop at v1 (the old post-image-only accounting admitted
+    // both and planned 6 partitions against a budget of 5)
+    val e1 = ms.latestOffset(s0, ReadLimit.maxFiles(5))
+    assert(e1.json == "1", s"batch must cut before the overwrite, got $e1")
+    assert(ms.planInputPartitions(s0, e1).length == 2)
+    // the overwrite alone is over budget but is the batch's FIRST
+    // version — always admitted, or the stream would wedge
+    val e2 = ms.latestOffset(e1, ReadLimit.maxFiles(5))
+    assert(e2.json == "2")
+    assert(ms.planInputPartitions(e1, e2).length == 4)
+  }
+
   test("DATE stat column: typed boxes skip files, absorb exactly, " +
       "answer MIN/MAX from the manifest") {
     val root = freshRoot()

@@ -718,6 +718,36 @@ class SnapTableSpec extends AnyFunSuite {
       s"INSERT must find statCols from the v1 manifest, got ${f.stats}")
   }
 
+  test("vacuum records the retention horizon; time travel below it " +
+      "fails fast at plan time") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).toDF("id"), root, "id")   // v1
+    SnapTable.commit((11L to 20L).toDF("id"), root, "id")  // v2
+    SnapTable.commit((1L to 5L).toDF("id"), root, "id",
+      action = "overwrite")                                // v3
+    assert(SnapTable.retainedFrom(root).isEmpty)
+    SnapTable.vacuum(root, keepFrom = 3, graceMs = 0L)
+    assert(SnapTable.retainedFrom(root).contains(3))
+    // below the horizon: a CLEAR plan-time error naming the earliest
+    // retained version — not a mid-scan FileNotFoundException
+    val e = intercept[IllegalStateException](
+      SnapTable.liveFiles(root, Some(2)))
+    assert(e.getMessage.contains("earliest retained version is 3"))
+    intercept[IllegalStateException](
+      SnapTable.read(spark, root, Some(1)))
+    // at and above the horizon, and at the current snapshot: fine
+    assert(SnapTable.read(spark, root, Some(3)).count() == 5)
+    assert(SnapTable.read(spark, root).count() == 5)
+    // the horizon is monotone: a later vacuum with a SMALLER keepFrom
+    // refuses (it would resolve a vacuumed snapshot)
+    intercept[IllegalStateException](
+      SnapTable.vacuum(root, keepFrom = 2, graceMs = 0L))
+    // and a larger keepFrom advances it
+    SnapTable.commit((6L to 9L).toDF("id"), root, "id")    // v4
+    SnapTable.vacuum(root, keepFrom = 4, graceMs = 0L)
+    assert(SnapTable.retainedFrom(root).contains(4))
+  }
+
   test("hasScheme treats one-letter prefixes as drive letters, not " +
       "URI schemes") {
     import graft.io.SnapIo
