@@ -67,6 +67,18 @@ object SnapIo {
       finally s.close()
     }
 
+  def readBytes(p: String): Array[Byte] =
+    if (hasScheme(p)) {
+      val in = fs(p).open(new HPath(p))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    } else Files.readAllBytes(Paths.get(p))
+
   def readLines(p: String): Seq[String] =
     if (hasScheme(p)) {
       val in = fs(p).open(new HPath(p))
@@ -133,13 +145,16 @@ object SnapIo {
     else Files.deleteIfExists(Paths.get(p))
 
   /** Every .parquet file under `dir`, recursively. */
-  def walkParquet(dir: String): Seq[String] =
+  def walkParquet(dir: String): Seq[String] = walkSuffix(dir, ".parquet")
+
+  /** Every file under `dir` (recursively) with the given suffix. */
+  def walkSuffix(dir: String, suffix: String): Seq[String] =
     if (hasScheme(dir)) {
       val it = fs(dir).listFiles(new HPath(dir), /* recursive = */ true)
       val out = Seq.newBuilder[String]
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+        if (st.isFile && st.getPath.getName.endsWith(suffix))
           out += st.getPath.toString
       }
       out.result()
@@ -147,7 +162,7 @@ object SnapIo {
       val s = Files.walk(Paths.get(dir))
       try s.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
+          p.getFileName.toString.endsWith(suffix))
         .map(_.toString).toSeq
       finally s.close()
     }

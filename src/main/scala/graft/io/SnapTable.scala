@@ -80,9 +80,15 @@ object SnapTable {
   final case class FileStat(path: String, rows: Long,
       stats: Seq[(String, (Long, Long))],
       nullCounts: Seq[(String, Long)] = Nil,
-      sums: Seq[(String, Long)] = Nil) {
+      sums: Seq[(String, Long)] = Nil,
+      dv: Option[(String, Long)] = None) {
     def min: Long = stats.head._2._1
     def max: Long = stats.head._2._2
+    /** Rows a reader of this file emits: the physical row count minus
+      * the DELETION VECTOR's entries. `rows` stays the physical count
+      * (position space); this is the live count.
+      */
+    def liveRows: Long = rows - dv.fold(0L)(_._2)
     def range(colName: String): Option[(Long, Long)] =
       stats.collectFirst { case (c, r) if c == colName => r }
     /** NULLs in the column within this file — `None` for manifests
@@ -103,7 +109,9 @@ object SnapTable {
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      commitTs: Option[Long] = None)
+      commitTs: Option[Long] = None,
+      rowOp: Option[String] = None,
+      postimages: Set[String] = Set.empty)
 
   private final case class Checkpoint(version: Int, files: Seq[FileStat],
       batchIds: Set[Long])
@@ -178,9 +186,18 @@ object SnapTable {
         if (nums.length > 3 && nums(3) != "-") Some(nums(3).toLong)
         else None)
     }
+    // optional 4th field: dv=<sidecar path>:<deleted row count> — the
+    // file's DELETION VECTOR (merge-on-read row-level ops)
+    val dv = c.drop(3).collectFirst {
+      case s if s.startsWith("dv=") =>
+        val body = s.stripPrefix("dv=")
+        val cut = body.lastIndexOf(':')
+        (body.substring(0, cut), body.substring(cut + 1).toLong)
+    }
     FileStat(c(0), c(1).toLong, parts.map(p => p._1 -> p._2),
       parts.collect { case (n, _, Some(nc), _) => n -> nc },
-      parts.collect { case (n, _, _, Some(sm)) => n -> sm })
+      parts.collect { case (n, _, _, Some(sm)) => n -> sm },
+      dv)
   }
 
   private def fileLine(f: FileStat): String =
@@ -191,7 +208,8 @@ object SnapTable {
           case (Some(nc), None) => s"$c=$mn:$mx:$nc:-"
           case _ => s"$c=$mn:$mx"
         }
-      }.mkString(",")
+      }.mkString(",") +
+      f.dv.fold("") { case (p, n) => s"\tdv=$p:$n" }
 
   private def readManifest(root: String, v: Int): Manifest = {
     manifestFilesRead.incrementAndGet()
@@ -209,8 +227,14 @@ object SnapTable {
           .asInstanceOf[org.apache.spark.sql.types.StructType] }
     val ts = header.collectFirst {
       case h if h.startsWith("ts=") => h.stripPrefix("ts=").toLong }
+    val rowOp = header.collectFirst {
+      case h if h.startsWith("rowop=") => h.stripPrefix("rowop=") }
+    val postimages = header.collectFirst {
+      case h if h.startsWith("postimages=") =>
+        h.stripPrefix("postimages=").split(',').filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty[String])
     Manifest(v, action, body.filter(_.nonEmpty).map(parseFileLine), batchId,
-      schema, ts)
+      schema, ts, rowOp, postimages)
   }
 
   /** Schema as written to a manifest header: every field nullable (a
@@ -598,7 +622,8 @@ object SnapTable {
     */
   private def publishRebasing(root: String, baseVersion: Int,
       files: Seq[FileStat], isConflicting: FileStat => Boolean,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      extraHeaders: Seq[String] = Nil): Int = {
     var base = baseVersion
     var live = files
     var sch = schema
@@ -624,7 +649,8 @@ object SnapTable {
       }
       val v = base + 1
       try {
-        writeManifestFile(root, v, "overwrite", live, None, sch)
+        writeManifestFile(root, v, "overwrite", live, None, sch,
+          extraHeaders)
         maybeCheckpoint(root, v)
         return v
       } catch {
@@ -670,6 +696,88 @@ object SnapTable {
     publish(root, action, writeFiles(df, root, statCols, filesPerCommit),
       frameSchema = Some(df.schema))
 
+  // ---------------------------------------------------------------
+  // DELETION VECTORS (merge-on-read): a sidecar file of sorted row
+  // POSITIONS (physical indices within the parquet file) that readers
+  // subtract, so a 1-row DELETE marks one position instead of
+  // rewriting a 1 GB file. Data files stay immutable; the DV sidecar
+  // is itself immutable (a later delete writes a NEW sidecar holding
+  // the union) — time travel and concurrent readers keep working
+  // unchanged. Compaction (and any copy-on-write rewrite that touches
+  // the file) materializes DVs away.
+  // ---------------------------------------------------------------
+
+  /** Row positions a DV-based delete may mark in one operation before
+    * falling back to copy-on-write (driver-memory guard — positions
+    * are collected to group/union them; a delete this large is better
+    * served by a rewrite anyway).
+    */
+  private[graft] def dvRowLimit: Int =
+    sys.props.get("graft.snap.dvRowLimit").map(_.toInt).getOrElse(100000)
+
+  /** Serialize sorted positions under `root/dv/<uuid>/` (one dir per
+    * operation, so vacuum's per-dir grace window treats an op's
+    * sidecars like a commit's data files).
+    */
+  private[graft] def writeDv(root: String, positions: Array[Long]): String = {
+    val dir = SnapIo.child(root, "dv",
+      java.util.UUID.randomUUID().toString)
+    SnapIo.mkdirs(dir)
+    val p = SnapIo.child(dir, "d0.dv")
+    val bb = java.nio.ByteBuffer.allocate(8 * (positions.length + 1))
+    bb.putLong(positions.length.toLong)
+    positions.foreach(bb.putLong)
+    SnapIo.write(p, bb.array())
+    p
+  }
+
+  /** Sorted deleted positions of a sidecar — executor-safe (static
+    * object, plain byte read).
+    */
+  private[graft] def readDv(path: String): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(SnapIo.readBytes(path))
+    val n = bb.getLong.toInt
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  /** `input_file_name`/`_metadata.file_path` spellings vs manifest
+    * paths: normalize the local-file scheme so position joins match.
+    */
+  private[graft] def normPath(s: String): String =
+    s.replaceFirst("^file:/+", "/")
+
+  /** Read a file set applying DELETION VECTORS: files without a DV
+    * keep the plain (mergeSchema) parquet path — identical plan to
+    * before DVs existed — and DV'd files anti-join their (path,
+    * row_index) exclusions, computed from `_metadata.row_index` so
+    * correctness is independent of how Spark splits the file.
+    */
+  private[graft] def readFiles(spark: SparkSession,
+      files: Seq[FileStat]): DataFrame = {
+    val (dvd, plain) = files.partition(_.dv.isDefined)
+    def rd(fs: Seq[FileStat]): DataFrame =
+      spark.read.option("mergeSchema", "true").parquet(fs.map(_.path): _*)
+    if (dvd.isEmpty) rd(files)
+    else {
+      val pairs = dvd.flatMap(f =>
+        readDv(f.dv.get._1).map(i => (normPath(f.path), i)))
+      import spark.implicits._
+      val del = pairs.toDF("_dv_p", "_dv_i")
+      val raw = rd(dvd)
+        .withColumn("_dv_p",
+          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("_dv_i", col("_metadata.row_index"))
+      val clean = raw
+        .join(broadcast(del), Seq("_dv_p", "_dv_i"), "left_anti")
+        .drop("_dv_p", "_dv_i")
+      if (plain.isEmpty) clean
+      else rd(plain).unionByName(clean, allowMissingColumns = true)
+    }
+  }
+
   /** Multi-dimensional file skipping: keep only files whose per-column
     * boxes intersect EVERY requested [lo, hi]; re-apply the row
     * predicate (files are a superset), so the result is exact.
@@ -683,8 +791,7 @@ object SnapTable {
     })
     val base =
       if (hit.isEmpty) read(spark, root, asOf).filter(lit(false))
-      else spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(_.path): _*)
+      else readFiles(spark, hit)
     bounds.foldLeft(base) { case (df, (c, (lo, hi))) =>
       df.filter(statLong(df.schema, c).between(lo, hi))
     }
@@ -788,7 +895,7 @@ object SnapTable {
     val untouched = live.filterNot(touched.toSet)
     val current =
       if (touched.isEmpty) updates.limit(0)
-      else spark.read.parquet(touched.map(_.path): _*)
+      else readFiles(spark, touched) // DV-aware: deleted rows stay dead
     val merged = current
       .join(updates.select(statCol), Seq(statCol), "left_anti")
       .unionByName(updates)
@@ -836,8 +943,7 @@ object SnapTable {
       // version-offset streams for a commit that changed nothing)
       return (baseV, 0, 0L)
     }
-    val current = spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(_.path): _*)
+    val current = readFiles(spark, touched) // DV-aware
     // NULL-safe: a three-valued extra predicate must not let a row
     // dodge BOTH the delete and the keep
     val doomedPred = coalesce(statLong(current.schema, statCol).between(lo, hi) &&
@@ -846,9 +952,9 @@ object SnapTable {
     val rewritten =
       if (kept.isEmpty) Seq.empty[FileStat]
       else writeFiles(kept, root, Seq(statCol), filesPerRewrite)
-    // deleted count from MANIFEST row counts minus the rewrite's —
+    // deleted count from MANIFEST live counts minus the rewrite's —
     // no second scan of the touched files
-    val deleted = touched.map(_.rows).sum - rewritten.map(_.rows).sum
+    val deleted = touched.map(_.liveRows).sum - rewritten.map(_.rows).sum
     val untouched = live.filterNot(touched.toSet)
     beforePublish()
     // a delete never adds columns: the base schema carries over (and
@@ -856,6 +962,86 @@ object SnapTable {
     (publishRebasing(root, baseV, untouched ++ rewritten, inRange,
       schema = tableSchema(root, Some(baseV))),
       touched.size, deleted)
+  }
+
+  /** Row-level DELETE as MERGE-ON-READ: instead of rewriting every
+    * file intersecting [lo, hi] (the [[delete]] copy-on-write path —
+    * a 1-row delete against a 1 GB file rewrites 1 GB), mark the
+    * matching ROW POSITIONS in per-file DELETION VECTOR sidecars and
+    * publish an overwrite whose file entries are unchanged except for
+    * their `dv=` references. Readers subtract the positions; the
+    * change feed emits ONLY the newly deleted rows (O(changes), not
+    * O(file)); [[compact]] — or any later rewrite touching the file —
+    * materializes the DV away. Positions come from
+    * `_metadata.row_index`, so they are correct regardless of how
+    * Spark split the file while scanning.
+    *
+    * Falls back to the copy-on-write [[delete]] when the matched-row
+    * count exceeds `graft.snap.dvRowLimit` (a delete that large is
+    * better served by a rewrite). A file whose every live row matched
+    * is dropped from the live set outright rather than carrying a
+    * full DV. Conflict contract identical to [[delete]]. Returns
+    * (claimed version, files DV'd or dropped, rows deleted).
+    */
+  def deleteDv(spark: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, extraPredicate: Option[Column] = None)
+      : (Int, Int, Long) =
+    deleteDvImpl(spark, root, statCol, lo, hi, extraPredicate, () => ())
+
+  private[graft] def deleteDvImpl(spark: SparkSession, root: String,
+      statCol: String, lo: Long, hi: Long, extraPredicate: Option[Column],
+      beforePublish: () => Unit): (Int, Int, Long) = {
+    val baseV = currentVersion(root)
+    val live = liveFiles(root, Some(baseV))
+    val inRange: FileStat => Boolean = f => f.max >= lo && f.min <= hi
+    val touched = live.filter(inRange)
+    if (touched.isEmpty) return (baseV, 0, 0L)
+    // matched (file, position) pairs off the RAW parquet — the old
+    // DV's positions are subtracted below so re-deleting dead rows
+    // neither double-counts nor re-marks
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(_.path): _*)
+    val doomedPred = coalesce(
+      statLong(raw.schema, statCol).between(lo, hi) &&
+        extraPredicate.getOrElse(lit(true)), lit(false))
+    val cap = dvRowLimit
+    val hits = raw.filter(doomedPred)
+      .select(regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+        .as("p"), col("_metadata.row_index").as("i"))
+      .limit(cap + 1).collect()
+    if (hits.length > cap)
+      // too many positions for merge-on-read: rewrite instead
+      return deleteImpl(spark, root, statCol, lo, hi, extraPredicate,
+        filesPerRewrite = 1, beforePublish)
+    val byFile: Map[String, Array[Long]] = hits
+      .groupBy(_.getString(0))
+      .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted }
+    var deleted = 0L
+    var changedFiles = 0
+    val newLive: Seq[FileStat] = live.flatMap { f =>
+      byFile.get(normPath(f.path)) match {
+        case None => Some(f)
+        case Some(matched) =>
+          val old: Array[Long] = f.dv.fold(Array.empty[Long])(d =>
+            readDv(d._1))
+          val oldSet = old.toSet
+          val fresh = matched.filterNot(oldSet)
+          if (fresh.isEmpty) Some(f)
+          else {
+            deleted += fresh.length
+            changedFiles += 1
+            val union = (old ++ fresh).sorted
+            if (union.length.toLong >= f.rows) None // fully dead: drop
+            else Some(f.copy(dv =
+              Some((writeDv(root, union), union.length.toLong))))
+          }
+      }
+    }
+    if (changedFiles == 0) return (baseV, 0, 0L)
+    beforePublish()
+    (publishRebasing(root, baseV, newLive, inRange,
+      schema = tableSchema(root, Some(baseV)),
+      extraHeaders = Seq("rowop=delete")), changedFiles, deleted)
   }
 
   /** Snapshot read as of a version (default: latest). `mergeSchema`
@@ -869,8 +1055,7 @@ object SnapTable {
       asOf: Option[Int] = None): DataFrame = {
     val files = liveFiles(root, asOf)
     if (files.nonEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(files.map(_.path): _*)
+      readFiles(spark, files) // plain parquet plan unless a DV exists
     else {
       // a LEGAL table state — everything deleted, or an overwrite of
       // an empty frame — must read as an empty relation, not throw.
@@ -949,15 +1134,18 @@ object SnapTable {
       toV: Int): (DataFrame, DataFrame) = {
     val before = liveFiles(root, Some(fromV))
     val after = liveFiles(root, Some(toV))
-    val beforePaths = before.map(_.path).toSet
-    val afterPaths = after.map(_.path).toSet
-    val added = after.filterNot(f => beforePaths.contains(f.path))
-    val removed = before.filterNot(f => afterPaths.contains(f.path))
+    // identity = (path, deletion vector): a file whose DV grew between
+    // the versions is REMOVED-at-old-state + ADDED-at-new-state — the
+    // DV-filtered reads then cancel everything except the newly
+    // deleted rows, exactly like a rewrite's multiset diff
+    def key(f: FileStat): (String, Option[(String, Long)]) = (f.path, f.dv)
+    val beforeKeys = before.map(key).toSet
+    val afterKeys = after.map(key).toSet
+    val added = after.filterNot(f => beforeKeys.contains(key(f)))
+    val removed = before.filterNot(f => afterKeys.contains(key(f)))
     def rd(fs: Seq[FileStat], schemaFrom: Seq[FileStat]): DataFrame =
-      if (fs.nonEmpty) spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(_.path): _*)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(schemaFrom.map(_.path): _*).filter(lit(false))
+      if (fs.nonEmpty) readFiles(spark, fs)
+      else readFiles(spark, schemaFrom).filter(lit(false))
     require(added.nonEmpty || removed.nonEmpty || after.nonEmpty,
       s"no files in either snapshot of $root")
     val addedRaw = rd(added, after ++ before)
@@ -1006,15 +1194,20 @@ object SnapTable {
     */
   def vacuum(root: String, keepFrom: Int,
       graceMs: Long = 24 * 60 * 60 * 1000L): Int = {
-    val referenced = (liveFiles(root, Some(keepFrom)).map(_.path) ++
-      manifestsAfter(root, keepFrom).flatMap(_.files.map(_.path))).toSet
+    val keptFiles = liveFiles(root, Some(keepFrom)) ++
+      manifestsAfter(root, keepFrom).flatMap(_.files)
+    val referenced = keptFiles.map(_.path).toSet
+    // DV sidecars referenced by any kept version survive too
+    val refDv = keptFiles.flatMap(_.dv.map(_._1)).toSet
     val dataRoot = SnapIo.child(root, "data")
     if (!SnapIo.isDir(dataRoot)) return 0
-    val all = SnapIo.walkParquet(dataRoot)
+    val dvRoot = SnapIo.child(root, "dv")
+    val all = SnapIo.walkParquet(dataRoot) ++
+      (if (SnapIo.isDir(dvRoot)) SnapIo.walkSuffix(dvRoot, ".dv") else Nil)
     // liveFiles paths come from input_file_name() = file: URIs;
     // normalize both sides to the raw filesystem path
     def norm(s: String): String = s.stripPrefix("file://").stripPrefix("file:")
-    val refNorm = referenced.map(norm)
+    val refNorm = (referenced ++ refDv).map(norm)
     val cutoff = System.currentTimeMillis() - graceMs
     // a commit dir is in flight while its newest file is younger than
     // the grace window — protect every sibling, not just young files
@@ -1048,8 +1241,7 @@ object SnapTable {
       read(spark, root, asOf)
         .filter(lit(false))
     else {
-      val df = spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(_.path): _*)
+      val df = readFiles(spark, hit)
       df.filter(statLong(df.schema, statCol).between(lo, hi))
     }
   }

@@ -2000,6 +2000,69 @@ object ScaleQueries {
         |     AND DATE '1999-12-31') AS n_straddle,
         |  CAST(2 AS BIGINT) AS n_opens_straddle""".stripMargin),
 
+    // DELETION VECTORS (merge-on-read): on a dv=true table, SQL
+    // DELETE marks row positions in a sidecar instead of rewriting
+    // the touched file — n_files_rewritten is gated to ZERO while the
+    // scan hash-matches the oracle (a 1 GB file would have cost 1 GB
+    // of writes under copy-on-write for a 100-row delete). compact()
+    // then materializes the DV away and vacuum reclaims the sidecar
+    // plus the superseded pre-compaction files — all counts gated.
+    "q313_snap_deletion_vectors" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd26") + "/t"
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+          "TBLPROPERTIES ('statCols'='o_orderkey', 'dv'='true')")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          o.filter(col("o_orderkey") >= a && col("o_orderkey") < b)
+            .write.format("graft.sources.SnapSourceProvider")
+            .option("statCols", "o_orderkey")
+            .option("filesPerCommit", "1")
+            .mode("append").save(root)
+        }
+        val before = graft.io.SnapTable.liveFiles(root).map(_.path).toSet
+        s.sql(s"DELETE FROM graftsnap.`$root` " +
+          "WHERE o_orderkey BETWEEN 5000 AND 5099")
+        val live = graft.io.SnapTable.liveFiles(root)
+        val rewritten = live.count(f => !before.contains(f.path))
+        val dvFiles = live.count(_.dv.isDefined)
+        val scan = s.sql(s"SELECT CAST(count(*) AS BIGINT), " +
+          "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+          s"AS BIGINT) FROM graftsnap.`$root`").collect()(0)
+        val vc = graft.io.SnapTable.compact(s, root, "o_orderkey",
+          targetFiles = 1)
+        val reclaimed = graft.io.SnapTable.vacuum(root, keepFrom = vc,
+          graceMs = 0L) // no concurrent writer in this gate
+        val post = s.sql(s"SELECT CAST(count(*) AS BIGINT) " +
+          s"FROM graftsnap.`$root`").collect()(0)
+        s.range(1).select(
+          lit(scan.getLong(0)).as("n_rows"),
+          lit(scan.getLong(1)).as("sum_cents"),
+          lit(rewritten.toLong).as("n_files_rewritten"),
+          lit(dvFiles.toLong).as("n_dv_files"),
+          lit(post.getLong(0)).as("n_rows_post_compact"),
+          lit(graft.io.SnapTable.liveFiles(root)
+            .count(_.dv.isDefined).toLong).as("n_dv_post_compact"),
+          lit(reclaimed.toLong).as("n_reclaimed"))
+      },
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 5000 AND 5099) AS n_rows,
+        |  (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |     AS BIGINT)) AS BIGINT) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 5000 AND 5099) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS n_files_rewritten,
+        |  CAST(1 AS BIGINT) AS n_dv_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 5000 AND 5099)
+        |    AS n_rows_post_compact,
+        |  CAST(0 AS BIGINT) AS n_dv_post_compact,
+        |  CAST(5 AS BIGINT) AS n_reclaimed""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

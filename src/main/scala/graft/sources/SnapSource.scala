@@ -140,17 +140,31 @@ object SnapSource {
     case _ => false
   }
 
+  /** A change partition reading a file's LIVE content (its own DV
+    * subtracted) under the given tag.
+    */
+  private def partOf(f: FileStat, changeType: String,
+      v: Long): SnapFilePartition =
+    SnapFilePartition(f.path, f.liveRows, changeType, v,
+      dvPath = f.dv.map(_._1).orNull)
+
   /** Per-version row-level changes of the manifest range (fromV, toV]
     * as reader partitions: an `append` emits its files as `insert`
     * rows; an `overwrite` (compact/merge/delete/update) diffs the live
-    * set it replaced — files added emit `insert`, files dropped emit
-    * `delete`. A file rewritten with most rows unchanged therefore
-    * over-reports symmetric delete+insert pairs that CANCEL when the
-    * consumer applies the feed as a multiset (delete then insert) —
-    * the net effect equals [[SnapTable.changes]]'s row-level diff,
-    * computed here without any cross-file join so each partition
-    * stays an independent file read. Cost: ONE live-set resolve at
-    * `fromV` plus the manifests in range — never the whole log.
+    * set it replaced — files added emit `insert` (or
+    * `update_postimage` when the commit's manifest marks them as a
+    * merge's rewritten-update files), files dropped emit `delete`,
+    * and — the MERGE-ON-READ case — a file present on both sides
+    * whose DELETION VECTOR changed emits ONLY the newly deleted
+    * positions (`delete`, or `update_preimage` under a merge): a
+    * 1-row DV delete against a 1 GB file streams one change row, not
+    * two gigabytes of cancelling pairs. Copy-on-write rewrites still
+    * over-report symmetric delete+insert pairs that CANCEL when the
+    * consumer applies the feed as a multiset — the net effect equals
+    * [[SnapTable.changes]]'s row-level diff, computed here without
+    * any cross-file join so each partition stays an independent file
+    * read. Cost: ONE live-set resolve at `fromV` plus the manifests
+    * in range — never the whole log.
     */
   private[sources] def changePartitions(root: String, fromV: Int,
       toV: Int): Seq[SnapFilePartition] = {
@@ -160,15 +174,31 @@ object SnapSource {
     val out = Seq.newBuilder[SnapFilePartition]
     SnapTable.manifestsAfter(root, fromV, Some(toV)).foreach { m =>
       if (m.action == "overwrite") {
+        val merge = m.rowOp.contains("merge")
         val newPaths = m.files.map(_.path).toSet
-        m.files.filterNot(f => live.contains(f.path)).foreach(f =>
-          out += SnapFilePartition(f.path, f.rows, "insert", m.version))
+        m.files.foreach { f =>
+          live.get(f.path) match {
+            case None =>
+              out += partOf(f,
+                if (m.postimages.contains(f.path)) "update_postimage"
+                else "insert", m.version)
+            case Some(old) if old.dv != f.dv =>
+              // DV delta: rows newly dead in this commit only
+              out += SnapFilePartition(f.path,
+                f.dv.fold(0L)(_._2) - old.dv.fold(0L)(_._2),
+                if (merge) "update_preimage" else "delete", m.version,
+                deltaOldDv = old.dv.map(_._1).orNull,
+                deltaNewDv = f.dv.map(_._1).orNull)
+            case Some(_) => () // carried untouched: no change rows
+          }
+        }
         live.values.filterNot(f => newPaths.contains(f.path)).foreach(f =>
-          out += SnapFilePartition(f.path, f.rows, "delete", m.version))
+          out += partOf(f,
+            if (merge) "update_preimage" else "delete", m.version))
         live.clear()
         m.files.foreach(f => live += f.path -> f)
       } else m.files.foreach { f =>
-        out += SnapFilePartition(f.path, f.rows, "insert", m.version)
+        out += partOf(f, "insert", m.version)
         live += f.path -> f
       }
     }
@@ -251,6 +281,34 @@ object SnapSource {
     val in = HadoopInputFile.fromPath(new HPath(path), new Configuration())
     val r = ParquetFileReader.open(in)
     try r.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Spark's vectorized parquet reader over one whole file, projected
+    * to `dataSchema` — the shared decode tier of both the columnar
+    * reader (enableReturningBatches) and the row-mode DV reader.
+    */
+  private[sources] def openVectorized(path: String,
+      dataSchema: StructType): VectorizedParquetRecordReader = {
+    filesOpened.incrementAndGet()
+    val conf = new Configuration()
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
+    // the schema-converter knobs Spark's scan sets before handing a
+    // task to this reader (it reads them with no defaults)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+    val r = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, /* capacity = */ 4096)
+    val split = new FileSplit(new HPath(path), 0,
+      graft.io.SnapIo.size(path), Array.empty[String])
+    r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
+    r.initBatch(new StructType(), InternalRow.empty)
+    r
   }
 
   /** Table schema, O(1): the newest manifest's recorded StructType —
@@ -401,7 +459,13 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
       throw new IllegalArgumentException(
         s"DELETE on $root must be a range over stat column $c; got " +
           filters.mkString(", ")))
-    SnapTable.delete(spark, root, c, lo, hi)
+    // DELETION VECTORS (table property dv=true): mark positions
+    // instead of rewriting files — a 1-row DELETE against a 1 GB file
+    // writes a sidecar of one position. Falls back to copy-on-write
+    // internally past graft.snap.dvRowLimit matched rows.
+    if (tableProps.get("dv").exists(_.equalsIgnoreCase("true")))
+      SnapTable.deleteDv(spark, root, c, lo, hi)
+    else SnapTable.delete(spark, root, c, lo, hi)
     ()
   }
 
@@ -621,8 +685,12 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     def boxCol(c: String): Boolean =
       intCol(c) || full.fields.find(_.name == c).exists(f =>
         f.dataType == DateType || f.dataType == TimestampType)
+    // a DELETION VECTOR makes extremes and sums unknowable from the
+    // manifest (the deleted rows may have held them); COUNT stays
+    // exact — the manifest records the live count
+    def noDv: Boolean = surviving.forall(_.dv.isEmpty)
     def statOk(c: String): Boolean =
-      boxCol(c) &&
+      boxCol(c) && noDv &&
         surviving.forall(_.range(c).exists { case (mn, mx) =>
           !(mn == Long.MinValue && mx == Long.MaxValue)
         })
@@ -631,7 +699,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     // must fit a long — otherwise the row scan keeps engine-native
     // overflow semantics
     def sumOk(c: String): Boolean =
-      intCol(c) && {
+      intCol(c) && noDv && {
         val vals = surviving.map(_.colSum(c))
         vals.forall(_.isDefined) &&
           (try { vals.flatten.foldLeft(0L)(Math.addExact); true }
@@ -787,7 +855,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     * snap tables the way it does for file relations with stats.
     */
   override def estimateStatistics(): Statistics = {
-    val n = if (cdf) cdfParts.map(_.rows).sum else files.map(_.rows).sum
+    val n = if (cdf) cdfParts.map(_.rows).sum else files.map(_.liveRows).sum
     val width = math.max(1, required.defaultSize)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -801,23 +869,31 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     if (cdf) return cdfParts.map(p => p: InputPartition).toArray
     val pruned =
       files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap))
-    // pushed LIMIT: keep the file prefix whose manifest row counts
+    // pushed LIMIT: keep the file prefix whose manifest LIVE counts
     // cover n (each kept file reads whole; Spark re-applies the limit)
     val kept = limit match {
       case Some(n) =>
         var acc = 0L
         pruned.takeWhile { f =>
           val need = acc < n
-          acc += f.rows
+          acc += f.liveRows
           need
         }
       case None => pruned
     }
-    kept.map(f => SnapFilePartition(f.path, f.rows): InputPartition).toArray
+    kept.map(f => SnapFilePartition(f.path, f.liveRows,
+      dvPath = f.dv.map(_._1).orNull): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapReaderFactory(required)
+    // DELETION VECTORS force the row-mode reader (a position filter
+    // cannot be applied to an immutable ColumnarBatch); the decision
+    // is scan-level — all-or-nothing across partitions
+    new SnapReaderFactory(required,
+      rowMode =
+        if (cdf) cdfParts.exists(p => p.dvPath != null ||
+          p.deltaOldDv != null || p.deltaNewDv != null)
+        else files.exists(_.dv.isDefined))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -876,7 +952,7 @@ class SnapAggScan(root: String, files: Seq[FileStat],
       case _ => v // long; TimestampType's internal micros are long too
     }
     val values: Array[Any] = fns.map {
-      case _: CountStar => files.map(_.rows).sum: Any
+      case _: CountStar => files.map(_.liveRows).sum: Any
       case m: Min =>
         val c = colOf(m)
         val mins = files.flatMap(_.range(c)).map(_._1)
@@ -974,9 +1050,11 @@ class SnapMicroBatchStream(root: String, required: StructType,
         // the removed live files, exactly the partitions
         // changePartitions will plan — costing ONE live-set resolve
         // at `s` plus a fold over the manifests already being read.
-        var live: mutable.Set[String] =
-          if (cdf) mutable.Set(SnapTable.liveFiles(root, Some(s))
-            .map(_.path): _*)
+        // path -> DV sidecar (or null): a DV-only change is one
+        // change partition and must be budgeted like one
+        var live: mutable.Map[String, String] =
+          if (cdf) mutable.Map(SnapTable.liveFiles(root, Some(s))
+            .map(f => f.path -> f.dv.map(_._1).orNull): _*)
           else null
         var end = s
         var used = 0
@@ -985,15 +1063,23 @@ class SnapMicroBatchStream(root: String, required: StructType,
           if (!full) {
             val n = if (m.action == "overwrite") {
               if (cdf) {
-                val newPaths = m.files.map(_.path).toSet
-                val inserts = m.files.count(f => !live.contains(f.path))
-                val deletes = live.count(p => !newPaths.contains(p))
+                val newByPath = m.files
+                  .map(f => f.path -> f.dv.map(_._1).orNull).toMap
+                val changed = m.files.count { f =>
+                  live.get(f.path) match {
+                    case None => true // insert
+                    case Some(dv) => dv != f.dv.map(_._1).orNull // DV delta
+                  }
+                }
+                val deletes =
+                  live.keysIterator.count(p => !newByPath.contains(p))
                 live.clear()
-                live ++= newPaths
-                inserts + deletes
+                live ++= newByPath
+                changed + deletes
               } else 0
             } else {
-              if (cdf) live ++= m.files.map(_.path)
+              if (cdf) live ++= m.files.map(f =>
+                f.path -> f.dv.map(_._1).orNull)
               m.files.size
             }
             if (end == s || used + n <= budget) { end = m.version; used += n }
@@ -1037,38 +1123,54 @@ class SnapMicroBatchStream(root: String, required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapReaderFactory(required)
+    // the factory outlives any one micro-batch, so the row/columnar
+    // choice cannot consult a batch's partitions: under the change
+    // feed DV deltas may appear at any trigger (row mode,
+    // conservatively); without it the stream admits appends only,
+    // whose manifest entries never carry a DV
+    new SnapReaderFactory(required, rowMode = cdf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 /** `changeType`/`commitVersion` carry the CDF tags (null / -1 on
   * plain snapshot scans — the columns are only ever projected under
-  * `readChangeFeed`, which always plans change partitions).
+  * `readChangeFeed`, which always plans change partitions). `rows` is
+  * the count the partition EMITS (live rows, or a DV delta's size).
+  * Position filtering: `dvPath` excludes the file's deleted
+  * positions; `deltaOldDv`/`deltaNewDv` select ONLY the positions in
+  * (new − old) — the newly deleted rows of a merge-on-read commit.
   */
 case class SnapFilePartition(path: String, rows: Long,
-    changeType: String = null, commitVersion: Long = -1L)
+    changeType: String = null, commitVersion: Long = -1L,
+    dvPath: String = null, deltaOldDv: String = null,
+    deltaNewDv: String = null)
     extends InputPartition
 
-class SnapReaderFactory(required: StructType) extends PartitionReaderFactory {
+class SnapReaderFactory(required: StructType, rowMode: Boolean = false)
+    extends PartitionReaderFactory {
   private val hasDataColumns =
     required.fields.exists(f => !SnapSource.MetaServed.contains(f.name))
-  // the projection is scan-level, so every partition answers the same
-  // way — the all-or-nothing contract DataSourceV2ScanExecBase needs
+  // the projection and DV-presence are scan-level, so every partition
+  // answers the same way — the all-or-nothing contract
+  // DataSourceV2ScanExecBase needs
   override def supportColumnarReads(p: InputPartition): Boolean =
-    hasDataColumns
+    hasDataColumns && !rowMode
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    // metadata-only projection (count(*), count of files): answered
-    // from the manifest's row count, zero file opens. The row path is
-    // ONLY legal for that projection — supportColumnarReads routes
-    // every data-column read to the vectorized reader, and if an
-    // engine path ever violates that contract this must FAIL, not
-    // silently serve NULL data columns.
-    if (hasDataColumns) throw new IllegalStateException(
-      "snap row-based reader asked for data columns " +
-        required.fieldNames.mkString("[", ",", "]") +
-        " — the columnar path must have been taken")
-    new MetadataOnlyReader(p.asInstanceOf[SnapFilePartition], required)
+    val part = p.asInstanceOf[SnapFilePartition]
+    if (hasDataColumns) {
+      // DELETION-VECTOR scans run row-based: a position filter cannot
+      // be expressed over an immutable ColumnarBatch, so the batch
+      // decodes vectorized underneath and rows stream out filtered
+      if (!rowMode) throw new IllegalStateException(
+        "snap row-based reader asked for data columns " +
+          required.fieldNames.mkString("[", ",", "]") +
+          " — the columnar path must have been taken")
+      new SnapRowReader(part, required)
+    } else
+      // metadata-only projection (count(*), count of files): answered
+      // from the manifest's live row count, zero file opens
+      new MetadataOnlyReader(part, required)
   }
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] =
@@ -1115,25 +1217,7 @@ class SnapVectorReader(part: SnapFilePartition, required: StructType)
       .filter(f => !SnapSource.MetaServed.contains(f.name)).toSeq)
 
   private val reader = {
-    SnapSource.filesOpened.incrementAndGet()
-    val conf = new Configuration()
-    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
-      classOf[ParquetReadSupport].getName)
-    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, dataSchema.json)
-    // the schema-converter knobs Spark's scan sets before handing a
-    // task to this reader (it reads them with no defaults)
-    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
-    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
-    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
-    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, true)
-    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
-    val r = new VectorizedParquetRecordReader(
-      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
-      /* useOffHeap = */ false, /* capacity = */ 4096)
-    val split = new FileSplit(new HPath(part.path), 0,
-      graft.io.SnapIo.size(part.path), Array.empty[String])
-    r.initialize(split, new TaskAttemptContextImpl(conf, new TaskAttemptID()))
-    r.initBatch(new StructType(), InternalRow.empty)
+    val r = SnapSource.openVectorized(part.path, dataSchema)
     r.enableReturningBatches()
     r
   }
@@ -1165,6 +1249,152 @@ class SnapVectorReader(part: SnapFilePartition, required: StructType)
     reader.nextBatch() && { out.setNumRows(dataBatch.numRows()); true }
   override def get(): ColumnarBatch = out
   override def close(): Unit = reader.close()
+}
+
+/** Row-mode reader for DELETION-VECTOR scans: the same vectorized
+  * parquet decode underneath (batches), rows streamed out through the
+  * batch's row view with a POSITION filter applied — either the
+  * file's DV excluded (normal scans of a DV'd file) or ONLY the
+  * positions of (newDv − oldDv) included (a change feed's merge-on-
+  * read delta). Positions are physical row indices; reading the whole
+  * file as one split makes the running counter exact. Metadata
+  * columns splice in through a zero-copy row view.
+  */
+class SnapRowReader(part: SnapFilePartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val dataSchema =
+    StructType(required.fields
+      .filter(f => !SnapSource.MetaServed.contains(f.name)).toSeq)
+
+  private val reader = SnapSource.openVectorized(part.path, dataSchema)
+
+  private val delta = part.deltaNewDv != null || part.deltaOldDv != null
+  // delta mode: positions to EMIT (new minus old); else positions to
+  // SKIP (the file's own DV); both sorted → one forward pointer each
+  private val positions: Array[Long] =
+    if (delta) {
+      val nw = if (part.deltaNewDv == null) Array.empty[Long]
+        else SnapTable.readDv(part.deltaNewDv)
+      val old = if (part.deltaOldDv == null) Set.empty[Long]
+        else SnapTable.readDv(part.deltaOldDv).toSet
+      nw.filterNot(old)
+    } else if (part.dvPath != null) SnapTable.readDv(part.dvPath)
+    else null
+  private var ptr = 0
+  private var pos = -1L
+
+  private def keep(p: Long): Boolean = {
+    if (positions == null) return true
+    while (ptr < positions.length && positions(ptr) < p) ptr += 1
+    val at = ptr < positions.length && positions(ptr) == p
+    if (delta) at else !at
+  }
+
+  private val splice =
+    if (required.fields.exists(f => SnapSource.MetaServed.contains(f.name)))
+      new SplicedRow(required, part)
+    else null
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (reader.nextKeyValue()) {
+      pos += 1
+      if (keep(pos)) {
+        val r = reader.getCurrentValue.asInstanceOf[InternalRow]
+        current = if (splice == null) r else splice.set(r)
+        return true
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Required-order view over a data row with the partition-constant
+  * metadata columns (`_snap_file`, `_change_type`, `_commit_version`)
+  * spliced in — the row-mode twin of the columnar reader's
+  * ConstantColumnVector splice, allocation-free per row.
+  */
+private[sources] class SplicedRow(required: StructType,
+    part: SnapFilePartition) extends InternalRow {
+  // >= 0: index into the data row; -1 file path, -2 change type,
+  // -3 commit version
+  private val mapIdx: Array[Int] = {
+    var di = -1
+    required.fields.map(_.name match {
+      case SnapSource.FileColumn => -1
+      case SnapSource.ChangeTypeColumn => -2
+      case SnapSource.CommitVersionColumn => -3
+      case _ => di += 1; di
+    })
+  }
+  private val pathU = UTF8String.fromString(part.path)
+  private val ctU =
+    if (part.changeType == null) null
+    else UTF8String.fromString(part.changeType)
+  private var row: InternalRow = _
+  def set(r: InternalRow): SplicedRow = { row = r; this }
+
+  override def numFields: Int = required.length
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("SplicedRow is read-only")
+  override def update(i: Int, v: Any): Unit =
+    throw new UnsupportedOperationException("SplicedRow is read-only")
+  override def copy(): InternalRow =
+    new SplicedRow(required, part).set(row.copy())
+  override def isNullAt(i: Int): Boolean = mapIdx(i) match {
+    case -1 => false
+    case -2 => ctU == null
+    case -3 => false
+    case j => row.isNullAt(j)
+  }
+  override def getUTF8String(i: Int): UTF8String = mapIdx(i) match {
+    case -1 => pathU
+    case -2 => ctU
+    case j => row.getUTF8String(j)
+  }
+  override def getLong(i: Int): Long = mapIdx(i) match {
+    case -3 => part.commitVersion
+    case j => row.getLong(j)
+  }
+  // data-only accessors (the metadata columns are never these types)
+  override def getBoolean(i: Int): Boolean = row.getBoolean(mapIdx(i))
+  override def getByte(i: Int): Byte = row.getByte(mapIdx(i))
+  override def getShort(i: Int): Short = row.getShort(mapIdx(i))
+  override def getInt(i: Int): Int = row.getInt(mapIdx(i))
+  override def getFloat(i: Int): Float = row.getFloat(mapIdx(i))
+  override def getDouble(i: Int): Double = row.getDouble(mapIdx(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    row.getDecimal(mapIdx(i), precision, scale)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(mapIdx(i))
+  override def getInterval(i: Int)
+      : org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(mapIdx(i))
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    row.getStruct(mapIdx(i), numFields)
+  override def getArray(i: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(mapIdx(i))
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    row.getMap(mapIdx(i))
+  override def getVariant(i: Int)
+      : org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(mapIdx(i))
+  override def getGeography(i: Int)
+      : org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(mapIdx(i))
+  override def getGeometry(i: Int)
+      : org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(mapIdx(i))
+  override def get(i: Int, dataType: DataType): AnyRef = mapIdx(i) match {
+    case -1 => pathU
+    case -2 => ctU
+    case -3 => java.lang.Long.valueOf(part.commitVersion)
+    case j => row.get(j, dataType)
+  }
 }
 
 /** WRITE path: `df.write.format(...).option("statCols", "k").save(root)`
@@ -1570,11 +1800,15 @@ class SnapRowLevelScan(op: SnapRowLevelOperation, files: Seq[FileStat],
   override def planInputPartitions(): Array[InputPartition] = {
     val surviving = files.filter(f => allowed.forall(_.contains(f.path)))
     op.scannedFiles = surviving
-    surviving.map(f =>
-      SnapFilePartition(f.path, f.rows): InputPartition).toArray
+    // DV exclusions ride along: a rewrite of a DV'd file must not
+    // resurrect its deleted rows (the replacement drops the DV — the
+    // rewrite IS the materialization)
+    surviving.map(f => SnapFilePartition(f.path, f.liveRows,
+      dvPath = f.dv.map(_._1).orNull): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapReaderFactory(required)
+    new SnapReaderFactory(required,
+      rowMode = files.exists(_.dv.isDefined))
 }
 
 /** Replacement commit: snapshot-at-base − the files the scan read +
@@ -1709,9 +1943,10 @@ class SnapCatalog
           case _ => None
         }
       }.toMap
-    if (fromFile.contains("statCols")) fromFile
-    else fromFile ++
-      SnapTable.tableProperty(r, "statCols").map("statCols" -> _)
+    val keys = Seq("statCols", "dv")
+    if (keys.forall(fromFile.contains)) fromFile
+    else fromFile ++ keys.filterNot(fromFile.contains).flatMap(k =>
+      SnapTable.tableProperty(r, k).map(k -> _))
   }
 
   private def table(ident: Identifier, asOf: Option[Int]): CTable = {
@@ -1757,6 +1992,7 @@ class SnapCatalog
         "range-shaping, not directory partitions")
     val props = properties.asScala.toMap
     val statCols = props.get("statCols").orElse(props.get("option.statCols"))
+    val dvProp = props.get("dv").orElse(props.get("option.dv"))
     // version 1 FIRST, claimed atomically (single attempt, no
     // retry-into-next-slot): of two concurrent CREATEs exactly one
     // wins the v1 manifest; the loser surfaces TableAlreadyExists
@@ -1765,15 +2001,17 @@ class SnapCatalog
     // right after the claim cannot leave the table property-less;
     // the sidecar props file below is a read fast-path only.
     try SnapTable.createEmpty(r, schema,
-      statCols.map(sc => Map("statCols" -> sc)).getOrElse(Map.empty))
+      (statCols.map("statCols" -> _) ++ dvProp.map("dv" -> _)).toMap)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
     }
-    statCols.foreach { sc =>
-      graft.io.SnapIo.write(propsPath(r), s"statCols=$sc\n".getBytes("UTF-8"))
-    }
+    val propLines = statCols.map(sc => s"statCols=$sc") ++
+      dvProp.map(v => s"dv=$v")
+    if (propLines.nonEmpty)
+      graft.io.SnapIo.write(propsPath(r),
+        propLines.mkString("", "\n", "\n").getBytes("UTF-8"))
     new SnapDsvTable(r, None, schema, CaseInsensitiveStringMap.empty(),
       tableProps(r))
   }

@@ -951,6 +951,104 @@ class SnapSourceSpec extends AnyFunSuite {
       "the loser must NOT have appended a second version")
   }
 
+  test("deletion vectors through the DSv2 scan: row-mode filtering, " +
+      "COUNT stays manifest-answered, MIN/MAX refuses") {
+    val root = freshRoot()
+    Seq((1L, 100L), (101L, 200L)).foreach { case (a, b) =>
+      SnapTable.commit((a to b).map(i => (i, i * 2)).toDF("id", "v"),
+        root, "id")
+    }
+    SnapTable.deleteDv(spark, root, "id", 150L, 159L)
+    val snap = spark.read.format(Fmt).load(root)
+    // data correctness through the row-mode reader
+    assert(snap.count() == 190)
+    assert(snap.agg(sum("id")).head().getLong(0) ==
+      (1L to 200L).sum - (150L to 159L).sum)
+    // COUNT(*) still answers from the manifest (live counts): 0 opens
+    val before = graft.sources.SnapSource.filesOpened.get()
+    assert(snap.agg(count(lit(1))).head().getLong(0) == 190)
+    assert(graft.sources.SnapSource.filesOpened.get() == before,
+      "count over a DV'd table must fold manifest live counts")
+    // MIN/MAX cannot trust boxes under a DV — must row-scan, and the
+    // answer must see the deletions
+    val mm = snap.agg(min("id"), max("id"),
+      max(when(col("id").between(140, 170), col("id")))).head()
+    assert(graft.sources.SnapSource.filesOpened.get() > before)
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2)) ==
+      ((1L, 200L, 170L)))
+    // file skipping still prunes; the DV'd file reads filtered
+    assert(snap.filter(col("id").between(101, 200)).count() == 90)
+    // metadata column splices through the row-mode reader
+    assert(snap.select(col(graft.sources.SnapSource.FileColumn))
+      .distinct().count() == 2)
+  }
+
+  test("SQL DELETE on a dv=true table marks positions instead of " +
+      "rewriting the file") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statCols'='id', 'dv'='true')")
+    spark.sql(s"INSERT INTO graftsnap.`$root` " +
+      "SELECT id, id * 2 FROM range(1, 1001)")
+    val filesBefore = SnapTable.liveFiles(root).map(_.path).toSet
+    spark.sql(s"DELETE FROM graftsnap.`$root` WHERE id BETWEEN 10 AND 19")
+    assert(SnapTable.liveFiles(root).map(_.path).toSet == filesBefore,
+      "dv=true DELETE must leave every data file in place")
+    assert(SnapTable.liveFiles(root).exists(_.dv.isDefined))
+    assert(spark.sql(s"SELECT count(*), sum(id) FROM graftsnap.`$root`")
+      .head() == org.apache.spark.sql.Row(990L,
+        (1L to 1000L).sum - (10L to 19L).sum))
+    // SQL MERGE (group-based CoW) on the DV'd table: a DEAD key (15)
+    // is unmatched — it inserts, not resurrects — and a LIVE key (25)
+    // updates in place; the rewrite of the touched group must keep
+    // the other dead rows dead and materializes the file's DV away
+    spark.sql("SELECT 15 AS id, 999 AS v UNION ALL SELECT 25, 888")
+      .createOrReplaceTempView("u15")
+    spark.sql(
+      s"""MERGE INTO graftsnap.`$root` t USING u15 u ON t.id = u.id
+         |WHEN MATCHED THEN UPDATE SET v = u.v
+         |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (u.id, u.v)
+         |""".stripMargin)
+    val after = spark.sql(
+      s"SELECT count(*), sum(CASE WHEN id BETWEEN 10 AND 19 THEN 1 " +
+        s"ELSE 0 END), sum(CASE WHEN id = 25 THEN v END) " +
+        s"FROM graftsnap.`$root`").head()
+    assert(after == org.apache.spark.sql.Row(991L, 1L, 888L),
+      s"only the merged dead key returns, live key updates, got $after")
+    assert(SnapTable.liveFiles(root).forall(_.dv.isEmpty),
+      "the group rewrite materializes the DV away")
+  }
+
+  test("change feed emits a DV delete as ONLY the newly dead rows") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 1000L).map(i => (i, i * 3))
+      .toDF("id", "v"), root, "id")                    // v1: 1000 rows
+    SnapTable.deleteDv(spark, root, "id", 500L, 502L)  // v2: 3 rows
+    val feed = spark.read.format(Fmt)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(root)
+    val rows = feed.select("_commit_version", "_change_type", "id")
+      .collect()
+    assert(rows.length == 3,
+      s"a 3-row DV delete must stream 3 change rows, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) == 2L &&
+      r.getString(1) == "delete"))
+    assert(rows.map(_.getLong(2)).sorted.toSeq == Seq(500L, 501L, 502L))
+    // and the full feed from 0 nets to the live table
+    val all = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .load(root)
+    assert(all.count() == 1003)
+    // metadata-only projection over the feed: rows from live counts,
+    // zero opens — the delta partition reports its delta size
+    val before = graft.sources.SnapSource.filesOpened.get()
+    assert(all.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 1000L, "delete" -> 3L))
+    assert(graft.sources.SnapSource.filesOpened.get() == before)
+  }
+
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val root = freshRoot()

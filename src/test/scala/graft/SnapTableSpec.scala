@@ -748,6 +748,114 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.retainedFrom(root).contains(4))
   }
 
+  test("deleteDv: merge-on-read delete marks positions, leaves the " +
+      "data file in place") {
+    val root = freshRoot()
+    Seq((1L, 100L), (101L, 200L), (201L, 300L)).foreach { case (a, b) =>
+      SnapTable.commit((a to b).toDF("id"), root, "id")
+    }
+    val pathsBefore = SnapTable.liveFiles(root).map(_.path).toSet
+    val (v, changed, deleted) = SnapTable.deleteDv(spark, root, "id",
+      150L, 160L)
+    assert((v, changed, deleted) == (4, 1, 11L),
+      s"(v=$v changed=$changed deleted=$deleted)")
+    val live = SnapTable.liveFiles(root)
+    // NO file was rewritten — same paths, one gained a DV reference
+    assert(live.map(_.path).toSet == pathsBefore,
+      "a DV delete must not rewrite or drop data files")
+    val dvd = live.filter(_.dv.isDefined)
+    assert(dvd.size == 1 && dvd.head.dv.get._2 == 11L)
+    assert(dvd.head.liveRows == 89L && dvd.head.rows == 100L)
+    // reads subtract the positions
+    val got = SnapTable.read(spark, root)
+    assert(got.count() == 289)
+    assert(got.filter(col("id").between(150, 160)).isEmpty)
+    assert(got.agg(sum("id")).head().getLong(0) ==
+      (1L to 300L).sum - (150L to 160L).sum)
+    // pruned reads too
+    assert(SnapTable.readPruned(spark, root, "id", 140L, 170L)
+      .count() == 31 - 11)
+    // time travel to the pre-delete snapshot still sees every row
+    assert(SnapTable.read(spark, root, Some(3)).count() == 300)
+    // a second delete UNIONS into a new sidecar; re-deleting dead
+    // rows neither double-counts nor re-marks
+    val (_, c2, d2) = SnapTable.deleteDv(spark, root, "id", 155L, 165L)
+    assert((c2, d2) == (1, 5L), s"(c=$c2 d=$d2)")
+    assert(SnapTable.read(spark, root).count() == 284)
+    // no matching rows → no commit
+    val (v3, c3, d3) = SnapTable.deleteDv(spark, root, "id", 150L, 160L)
+    assert(c3 == 0 && d3 == 0L && v3 == SnapTable.currentVersion(root))
+    // CoW merge on the DV'd file keeps deleted rows dead and
+    // materializes the DV away
+    val (_, nTouched) = SnapTable.merge(spark, root, "id",
+      Seq(155L).toDF("id"))
+    assert(nTouched == 1)
+    val after = SnapTable.read(spark, root)
+    assert(after.filter(col("id") === 155L).count() == 1,
+      "the merge re-inserts key 155")
+    assert(after.count() == 285)
+    assert(after.filter(col("id").between(150, 154)).isEmpty,
+      "other deleted rows stay dead through the rewrite")
+    assert(SnapTable.liveFiles(root).forall(_.dv.isEmpty) ||
+      SnapTable.liveFiles(root).filter(_.dv.isDefined)
+        .forall(f => f.min > 165 || f.max < 150),
+      "the rewrite materializes the touched file's DV")
+  }
+
+  test("deleteDv: fully-dead file is dropped; over-limit falls back " +
+      "to copy-on-write") {
+    val root = freshRoot()
+    Seq((1L, 50L), (51L, 100L)).foreach { case (a, b) =>
+      SnapTable.commit((a to b).toDF("id"), root, "id")
+    }
+    // kill every row of file 1 → the file leaves the live set
+    val (_, c1, d1) = SnapTable.deleteDv(spark, root, "id", 1L, 50L)
+    assert((c1, d1) == (1, 50L))
+    val live = SnapTable.liveFiles(root)
+    assert(live.size == 1 && live.head.dv.isEmpty)
+    assert(SnapTable.read(spark, root).count() == 50)
+    // over the position cap: falls back to CoW (file rewritten)
+    val old = sys.props.get("graft.snap.dvRowLimit")
+    sys.props("graft.snap.dvRowLimit") = "5"
+    try {
+      val before = SnapTable.liveFiles(root).map(_.path).toSet
+      val (_, c2, d2) = SnapTable.deleteDv(spark, root, "id", 51L, 70L)
+      assert(d2 == 20L)
+      val after = SnapTable.liveFiles(root)
+      assert(after.forall(_.dv.isEmpty), "CoW fallback writes no DV")
+      assert(after.map(_.path).toSet.intersect(before).isEmpty,
+        "CoW fallback rewrites the touched file")
+      assert(SnapTable.read(spark, root).count() == 30)
+      assert(c2 == 1)
+    } finally {
+      old match {
+        case Some(v) => sys.props("graft.snap.dvRowLimit") = v
+        case None => sys.props -= "graft.snap.dvRowLimit"
+      }
+      ()
+    }
+  }
+
+  test("changes() nets a DV delete to exactly the deleted rows; " +
+      "vacuum reclaims dead sidecars after compaction") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 100L).toDF("id"), root, "id") // v1
+    SnapTable.deleteDv(spark, root, "id", 10L, 12L)       // v2
+    val (ins, del) = SnapTable.changes(spark, root, 1, 2)
+    assert(ins.isEmpty, "a pure delete inserts nothing")
+    assert(del.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 11L, 12L))
+    // compact materializes the DV; vacuum then reclaims the sidecar
+    // and the superseded file
+    SnapTable.compact(spark, root, "id", targetFiles = 1)  // v3
+    assert(SnapTable.liveFiles(root).forall(_.dv.isEmpty))
+    assert(SnapTable.read(spark, root).count() == 97)
+    val removed = SnapTable.vacuum(root,
+      keepFrom = SnapTable.currentVersion(root), graceMs = 0L)
+    assert(removed == 2, s"old data file + dv sidecar, got $removed")
+    assert(SnapTable.read(spark, root).count() == 97)
+  }
+
   test("hasScheme treats one-letter prefixes as drive letters, not " +
       "URI schemes") {
     import graft.io.SnapIo
