@@ -1044,6 +1044,126 @@ object SnapTable {
       extraHeaders = Seq("rowop=delete")), changedFiles, deleted)
   }
 
+  /** MERGE (upsert) as MERGE-ON-READ: matched rows are marked dead in
+    * per-file DELETION VECTOR sidecars (no file rewrite) and every
+    * update row is written fresh — matched keys into a file the
+    * manifest tags as `update_postimage`, unmatched keys into a plain
+    * insert file. The change feed of this commit is therefore
+    * O(changed rows): `update_preimage` = the DV deltas (the matched
+    * rows' original values), `update_postimage` = the rewritten
+    * values, `insert` = the genuinely new keys — a 1-row upsert into
+    * a 1 GB file streams 2 change rows, not 2 GB of cancelling pairs.
+    * Falls back to the copy-on-write [[merge]] past
+    * `graft.snap.mergeKeyLimit` distinct keys or
+    * `graft.snap.dvRowLimit` matched positions. Conflict contract
+    * identical to [[merge]] (per-file key-set test). Returns
+    * (claimed version, files DV'd, rows updated).
+    */
+  def mergeDv(spark: SparkSession, root: String, statCol: String,
+      updates: DataFrame, filesPerRewrite: Int = 1): (Int, Int, Long) =
+    mergeDvImpl(spark, root, statCol, updates, filesPerRewrite, () => ())
+
+  private[graft] def mergeDvImpl(spark: SparkSession, root: String,
+      statCol: String, updatesRaw: DataFrame, filesPerRewrite: Int,
+      beforePublish: () => Unit): (Int, Int, Long) = {
+    val baseV = currentVersion(root)
+    val live = liveFiles(root, Some(baseV))
+    val keyCap = mergeKeyLimit
+    val updates = updatesRaw.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val keyRows = updates.select(statLong(updates.schema, statCol)
+        .as("k")).distinct().limit(keyCap + 1).collect()
+      if (keyRows.isEmpty) return (baseV, 0, 0L)
+      if (keyRows.length > keyCap) {
+        // beyond the key cap the per-file DV probe degrades anyway —
+        // the copy-on-write merge's envelope fallback handles it
+        // (updated-row count unreported there: -1)
+        val (v, t) = mergeImpl(spark, root, statCol, updates,
+          filesPerRewrite, beforePublish)
+        return (v, t, -1L)
+      }
+      val keys = keyRows.iterator.filter(!_.isNullAt(0))
+        .map(_.getLong(0)).toArray.sorted
+      val touchesUpdates: FileStat => Boolean =
+        if (keys.isEmpty) (_ => false) else f => overlapsKeys(f, keys)
+      val touched = live.filter(touchesUpdates)
+      // freshly matched (file, position, key): raw read so positions
+      // are physical; rows already dead in an old DV are subtracted
+      // below (they are NOT matches — merge sees live rows only)
+      import spark.implicits._
+      val keysDf = keys.toSeq.toDF("k")
+      val cap = dvRowLimit
+      val hits =
+        if (touched.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else {
+          val raw = spark.read.option("mergeSchema", "true")
+            .parquet(touched.map(_.path): _*)
+          raw.select(
+            regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
+              .as("p"),
+            col("_metadata.row_index").as("i"),
+            statLong(raw.schema, statCol).as("k"))
+            .join(broadcast(keysDf), Seq("k"), "left_semi")
+            .select("p", "i", "k")
+            .limit(cap + 1).collect()
+        }
+      if (hits.length > cap) {
+        val (v, t) = mergeImpl(spark, root, statCol, updates,
+          filesPerRewrite, beforePublish)
+        return (v, t, -1L)
+      }
+      // subtract already-dead positions per file
+      val oldDvByPath: Map[String, Set[Long]] = touched
+        .flatMap(f => f.dv.map(d => normPath(f.path) -> readDv(d._1).toSet))
+        .toMap
+      val fresh = hits.filter(r => !oldDvByPath.getOrElse(r.getString(0),
+        Set.empty[Long]).contains(r.getLong(1)))
+      val matchedKeys: Set[Long] = fresh.map(_.getLong(2)).toSet
+      val byFile: Map[String, Array[Long]] = fresh.groupBy(_.getString(0))
+        .map { case (p, rs) => p -> rs.map(_.getLong(1)).sorted }
+      var changed = 0
+      val dvd: Seq[FileStat] = live.flatMap { f =>
+        byFile.get(normPath(f.path)) match {
+          case None => Some(f)
+          case Some(pos) =>
+            changed += 1
+            val union = (f.dv.fold(Array.empty[Long])(d =>
+              readDv(d._1)) ++ pos).sorted
+            if (union.length.toLong >= f.rows) None
+            else Some(f.copy(dv =
+              Some((writeDv(root, union), union.length.toLong))))
+        }
+      }
+      // every update row lands fresh: matched keys → postimage file,
+      // the rest (incl. null keys) → plain inserts
+      val keyCol = statLong(updates.schema, statCol)
+      val mk = matchedKeys.toSeq.toDF("_mk")
+      val matchedUpd = updates.join(broadcast(mk),
+        keyCol === col("_mk"), "left_semi")
+      val insertUpd = updates.join(broadcast(mk),
+        keyCol === col("_mk"), "left_anti")
+      val postFiles =
+        if (matchedKeys.isEmpty) Nil
+        else writeFiles(matchedUpd, root, Seq(statCol), filesPerRewrite)
+      val insFiles =
+        if (insertUpd.isEmpty) Nil
+        else writeFiles(insertUpd, root, Seq(statCol), filesPerRewrite)
+      beforePublish()
+      val recorded =
+        if (live.isEmpty) Some(unionSchemas(Seq(updates.schema)))
+        else tableSchema(root, Some(baseV))
+          .map(bs => unionSchemas(Seq(bs, updates.schema)))
+      val headers = Seq("rowop=merge") ++
+        (if (postFiles.nonEmpty)
+          Seq(s"postimages=${postFiles.map(_.path).mkString(",")}")
+        else Nil)
+      (publishRebasing(root, baseV, dvd ++ postFiles ++ insFiles,
+        touchesUpdates, schema = recorded, extraHeaders = headers),
+        changed, fresh.length.toLong)
+    } finally { updates.unpersist(); () }
+  }
+
   /** Snapshot read as of a version (default: latest). `mergeSchema`
     * unions the file schemas so a commit that ADDED a column reads
     * together with older files (missing values null) — additive

@@ -2063,6 +2063,100 @@ object ScaleQueries {
         |  CAST(0 AS BIGINT) AS n_dv_post_compact,
         |  CAST(5 AS BIGINT) AS n_reclaimed""".stripMargin),
 
+    // ROW-LEVEL CDF: with deletion vectors, a mid-stream merge-on-read
+    // DELETE streams ONLY its dead rows and a merge-on-read MERGE
+    // streams update_preimage (original values) + update_postimage
+    // (new values) + insert — O(changed rows), where q309's
+    // copy-on-write ops streamed whole-file cancelling pairs. The
+    // stream shares one checkpoint across both passes; every count
+    // and cent is replayed by the oracle from the key ranges.
+    "q314_snap_rowlevel_cdf" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd27")
+        val ck = scratchDir("snapd27ck")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, String, Long, Long)]
+        def drain(): Unit = {
+          val q = s.readStream.format("graft.sources.SnapSourceProvider")
+            .option("readChangeFeed", "true").load(root)
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.groupBy("_commit_version", "_change_type")
+                .agg(count(lit(1)).as("n"),
+                  sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+                    .as("cents"))
+                .collect().foreach(r => acc.synchronized {
+                  acc += ((r.getLong(0), r.getString(1), r.getLong(2),
+                    r.getLong(3)))
+                })
+              ()
+            }
+            .option("checkpointLocation", ck)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // v1..v4 seed commits
+        // mid-stream: merge-on-read DELETE (v5) and MERGE (v6)
+        graft.io.SnapTable.deleteDv(s, root, "o_orderkey", 9000L, 9049L)
+        val updates = o
+          .filter(col("o_orderkey").between(5000L, 5049L))
+          .select(col("o_orderkey"),
+            (col("o_totalprice") + 10).as("o_totalprice"))
+          .unionByName(o.filter(col("o_orderkey").between(100L, 199L))
+            .select((col("o_orderkey") + 20000000L).as("o_orderkey"),
+              col("o_totalprice")))
+        graft.io.SnapTable.mergeDv(s, root, "o_orderkey", updates)
+        drain() // v5..v6 from the SAME checkpoint
+        import s.implicits._
+        acc.toSeq.toDF("version", "change_type", "n_part", "cents_part")
+          .groupBy("version", "change_type")
+          .agg(sum("n_part").as("n_rows"),
+            sum("cents_part").as("sum_cents"))
+      },
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM o WHERE k < 4000
+        |UNION ALL
+        |SELECT 2, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 4000 AND k < 8000
+        |UNION ALL
+        |SELECT 3, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 8000 AND k < 12000
+        |UNION ALL
+        |SELECT 4, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k >= 12000
+        |UNION ALL
+        |SELECT 5, 'delete', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k BETWEEN 9000 AND 9049
+        |UNION ALL
+        |SELECT 6, 'update_preimage', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k BETWEEN 5000 AND 5049
+        |UNION ALL
+        |SELECT 6, 'update_postimage', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) + 1000 * count(*) AS BIGINT)
+        |FROM o WHERE k BETWEEN 5000 AND 5049
+        |UNION ALL
+        |SELECT 6, 'insert', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT)
+        |FROM o WHERE k BETWEEN 100 AND 199""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -1049,6 +1049,28 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(graft.sources.SnapSource.filesOpened.get() == before)
   }
 
+  test("change feed of a mergeDv: update_preimage/update_postimage/" +
+      "insert, O(changed rows)") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 1000L).map(i => (i, i * 10))
+      .toDF("id", "v"), root, "id")                         // v1
+    SnapTable.mergeDv(spark, root, "id",
+      Seq((7L, -7L), (9L, -9L), (5000L, -5L)).toDF("id", "v")) // v2
+    val feed = spark.read.format(Fmt).option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(root)
+      .select("_change_type", "id", "v").collect()
+    val byType = feed.groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq }
+    assert(feed.length == 5,
+      s"a 2-update + 1-insert merge must stream 5 change rows, " +
+        s"got ${feed.length}")
+    assert(byType("update_preimage") == Seq((7L, 70L), (9L, 90L)),
+      s"preimages carry the ORIGINAL values: $byType")
+    assert(byType("update_postimage") == Seq((7L, -7L), (9L, -9L)))
+    assert(byType("insert") == Seq((5000L, -5L)))
+  }
+
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val root = freshRoot()

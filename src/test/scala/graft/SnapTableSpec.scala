@@ -856,6 +856,45 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 97)
   }
 
+  test("mergeDv: merge-on-read upsert DVs the preimages and lands " +
+      "postimage + insert files") {
+    val root = freshRoot()
+    Seq((1L, 100L), (101L, 200L)).foreach { case (a, b) =>
+      SnapTable.commit((a to b).map(i => (i, i * 10)).toDF("id", "v"),
+        root, "id")
+    }
+    val before = SnapTable.liveFiles(root).map(_.path).toSet
+    val updates = Seq((50L, -1L), (60L, -2L), (500L, -3L))
+      .toDF("id", "v")
+    val (ver, changed, updated) = SnapTable.mergeDv(spark, root, "id",
+      updates)
+    assert((ver, changed, updated) == (3, 1, 2L),
+      s"(v=$ver changed=$changed updated=$updated)")
+    val live = SnapTable.liveFiles(root)
+    // originals still present by path; one carries a 2-position DV;
+    // two fresh files: the postimage (matched keys) and the insert
+    assert(before.subsetOf(live.map(_.path).toSet),
+      "mergeDv must not rewrite existing files")
+    assert(live.count(_.dv.isDefined) == 1)
+    assert(live.size == 4)
+    val got = SnapTable.read(spark, root)
+    assert(got.count() == 201)
+    assert(got.filter(col("id").isin(50L, 60L, 500L))
+      .select("v").as[Long].collect().sorted.toSeq ==
+      Seq(-3L, -2L, -1L))
+    // manifest tags: rowop=merge + the postimage file
+    val m = SnapTable.manifests(root).last
+    assert(m.rowOp.contains("merge"))
+    assert(m.postimages.size == 1)
+    // upsert of an upserted key: the postimage file gets DV'd in turn
+    val (_, c2, u2) = SnapTable.mergeDv(spark, root, "id",
+      Seq((50L, -9L)).toDF("id", "v"))
+    assert((c2, u2) == (1, 1L))
+    assert(SnapTable.read(spark, root)
+      .filter(col("id") === 50L).select("v").as[Long].head() == -9L)
+    assert(SnapTable.read(spark, root).count() == 201)
+  }
+
   test("hasScheme treats one-letter prefixes as drive letters, not " +
       "URI schemes") {
     import graft.io.SnapIo
