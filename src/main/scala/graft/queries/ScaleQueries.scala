@@ -2157,6 +2157,49 @@ object ScaleQueries {
         |  CAST(sum(c) AS BIGINT)
         |FROM o WHERE k BETWEEN 100 AND 199""".stripMargin),
 
+    // SQL MAINTENANCE: OPTIMIZE and VACUUM as catalog procedures via
+    // Spark's native CALL — a SQL-first user compacts the small-files
+    // debt and GCs history without a line of Scala. The procedures
+    // return their effect as result sets (claimed version, file
+    // counts, reclaimed count), all hash-gated; the post-maintenance
+    // scan must still match the oracle byte for byte.
+    "q315_snap_sql_maintenance" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd28")
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        val opt = s.sql("CALL graftsnap.system.optimize(" +
+          s"table => '$root', target_files => 2)").collect()(0)
+        val vac = s.sql("CALL graftsnap.system.vacuum(" +
+          s"table => '$root', grace_ms => 0)").collect()(0)
+        s.read.format("graft.sources.SnapSourceProvider").load(root)
+          .select(col("o_totalprice"),
+            col(graft.sources.SnapSource.FileColumn).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+              .as("sum_cents"),
+            countDistinct(col("f")).as("n_files_read"))
+          .select(col("n_rows"), col("sum_cents"), col("n_files_read"),
+            lit(opt.getInt(1).toLong).as("n_files_before"),
+            lit(opt.getInt(2).toLong).as("n_files_after"),
+            lit(vac.getInt(1).toLong).as("n_reclaimed"))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents,
+        |  CAST(2 AS BIGINT) AS n_files_read,
+        |  CAST(4 AS BIGINT) AS n_files_before,
+        |  CAST(2 AS BIGINT) AS n_files_after,
+        |  CAST(4 AS BIGINT) AS n_reclaimed
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

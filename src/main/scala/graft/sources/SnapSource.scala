@@ -1912,7 +1912,8 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
   * operator action (vacuum), not a query.
   */
 class SnapCatalog
-    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+    extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
   import org.apache.spark.sql.connector.expressions.Transform
 
@@ -2075,4 +2076,108 @@ class SnapCatalog
     throw new UnsupportedOperationException(
       "snap catalog refuses RENAME: the identifier IS the filesystem " +
         "root")
+
+  // ---- SQL MAINTENANCE PROCEDURES (ProcedureCatalog): the two
+  // operator actions a table needs that are not queries — OPTIMIZE
+  // (small-files compaction) and VACUUM (retention GC) — reachable
+  // from plain SQL via Spark's native CALL statement:
+  //
+  //   CALL snap.system.optimize(table => '/root', target_files => 4)
+  //   CALL snap.system.vacuum(table => '/root', grace_ms => 0)
+  //
+  // Each returns a one-row result set (the claimed version / the
+  // reclaimed count), so a SQL-first user can script maintenance and
+  // assert on its effect without any Scala.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan => CScan}
+
+  private def primaryStat(r: String): String =
+    tableProps(r).get("statCols")
+      .map(_.split(',').head.trim).filter(_.nonEmpty)
+      .orElse(SnapTable.liveFiles(r, None).headOption
+        .map(_.stats.head._1))
+      .getOrElse(throw new IllegalStateException(
+        s"snap table $r has no stat column — cannot optimize"))
+
+  private def oneRow(schema: StructType, values: Any*)
+      : java.util.Iterator[CScan] = {
+    val row = InternalRow.fromSeq(values)
+    val scan: CScan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private abstract class SnapProcedure(procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private val optimizeProc: UnboundProcedure =
+    new SnapProcedure("optimize") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snap table root path").build(),
+        ProcedureParameter.in("target_files", IntegerType)
+          .defaultValue("1")
+          .comment("files the live set is rewritten into").build())
+      override def call(input: InternalRow): java.util.Iterator[CScan] = {
+        val r = input.getUTF8String(0).toString
+        val target = input.getInt(1)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val before = SnapTable.liveFiles(r, None).size
+        val v = SnapTable.compact(spark, r, primaryStat(r), target)
+        oneRow(StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))),
+          v, before, SnapTable.liveFiles(r, None).size)
+      }
+    }
+
+  private val vacuumProc: UnboundProcedure =
+    new SnapProcedure("vacuum") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snap table root path").build(),
+        ProcedureParameter.in("keep_from", IntegerType)
+          .defaultValue("-1")
+          .comment("earliest version to keep (-1 = current)").build(),
+        ProcedureParameter.in("grace_ms", LongType)
+          .defaultValue(s"${24L * 60 * 60 * 1000}")
+          .comment("in-flight commit protection window").build())
+      override def call(input: InternalRow): java.util.Iterator[CScan] = {
+        val r = input.getUTF8String(0).toString
+        val keepFrom = input.getInt(1) match {
+          case -1 => SnapTable.currentVersion(r)
+          case v => v
+        }
+        val removed = SnapTable.vacuum(r, keepFrom, input.getLong(2))
+        oneRow(StructType(Seq(
+          StructField("kept_from", IntegerType, nullable = false),
+          StructField("removed_files", IntegerType, nullable = false))),
+          keepFrom, removed)
+      }
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array("system"), "optimize"),
+      Identifier.of(Array("system"), "vacuum"))
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val nsOk = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (nsOk) ident.name().toLowerCase match {
+      case "optimize" => return optimizeProc
+      case "vacuum" => return vacuumProc
+      case _ => ()
+    }
+    throw new IllegalArgumentException(
+      s"unknown snap procedure ${ident.namespace().mkString(".")}." +
+        s"${ident.name()} — available: system.optimize, system.vacuum")
+  }
 }

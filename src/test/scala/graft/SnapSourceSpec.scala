@@ -1071,6 +1071,32 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(byType("insert") == Seq((5000L, -5L)))
   }
 
+  test("SQL CALL: system.optimize compacts, system.vacuum reclaims") {
+    val root = freshRoot()
+    (1 to 4).foreach(i => SnapTable.commit(
+      ((i * 100L) to (i * 100L + 50L)).toDF("id"), root, "id"))
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    val opt = spark.sql("CALL graftsnap.system.optimize(" +
+      s"table => '$root', target_files => 2)").head()
+    assert(opt == org.apache.spark.sql.Row(5, 4, 2),
+      s"(version, files_before, files_after) got $opt")
+    val vac = spark.sql("CALL graftsnap.system.vacuum(" +
+      s"table => '$root', grace_ms => 0)").head()
+    assert(vac == org.apache.spark.sql.Row(5, 4),
+      s"(kept_from, removed_files) got $vac")
+    // table intact after maintenance; pre-horizon time travel refuses
+    assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$root`")
+      .head().getLong(0) == 4 * 51L)
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM graftsnap.`$root` VERSION AS OF 2")
+        .collect())
+    // defaults: target_files omitted = 1
+    val opt2 = spark.sql(
+      s"CALL graftsnap.system.optimize(table => '$root')").head()
+    assert(opt2.getInt(2) == 1, s"default target_files=1, got $opt2")
+  }
+
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val root = freshRoot()
