@@ -237,16 +237,50 @@ object SnapTable {
       schema, ts, rowOp, postimages)
   }
 
+  /** Field-metadata key carrying a column's PHYSICAL (parquet) name
+    * when it differs from the logical one — what makes ALTER TABLE
+    * RENAME COLUMN a pure log operation (old files keep their column;
+    * readers request the physical name) and lets a dropped name be
+    * re-added with a different type (the re-add gets a FRESH physical
+    * name, so old files' stale column is never decoded as the new
+    * type). Absent = physical == logical, the common case and every
+    * pre-mapping table.
+    */
+  private[graft] val PhysKey = "snapPhys"
+
+  private[graft] def physOf(f: org.apache.spark.sql.types.StructField)
+      : String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** logical → physical for the fields where they differ. */
+  private[graft] def colMapOf(s: org.apache.spark.sql.types.StructType)
+      : Map[String, String] =
+    s.fields.iterator.flatMap { f =>
+      val p = physOf(f)
+      if (p != f.name) Some(f.name -> p) else None
+    }.toMap
+
+  private[graft] def colMap(root: String): Map[String, String] =
+    tableSchema(root, None).map(colMapOf).getOrElse(Map.empty)
+
   /** Schema as written to a manifest header: every field nullable (a
     * snapshot unions files of many commits — absence is null) and
-    * metadata stripped (keeps the serialized line free of arbitrary
-    * user strings; types and names are the whole contract).
+    * metadata stripped EXCEPT the physical-name mapping (keeps the
+    * serialized line free of arbitrary user strings; names, types and
+    * the phys mapping are the whole contract).
     */
   private def normalizeSchema(s: org.apache.spark.sql.types.StructType)
       : org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(s.fields.toSeq.map(f =>
+    org.apache.spark.sql.types.StructType(s.fields.toSeq.map { f =>
+      val md =
+        if (f.metadata.contains(PhysKey))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(PhysKey, f.metadata.getString(PhysKey)).build()
+        else org.apache.spark.sql.types.Metadata.empty
       org.apache.spark.sql.types.StructField(f.name, f.dataType,
-        nullable = true)))
+        nullable = true, metadata = md)
+    })
 
   /** Union in order, first occurrence of a name wins its type — the
     * same additive-evolution contract mergeSchema applies to footers.
@@ -442,16 +476,30 @@ object SnapTable {
     val spark = df.sparkSession
     val dataDir = SnapIo.child(root, "data",
       java.util.UUID.randomUUID().toString)
+    // parquet columns carry PHYSICAL names: rename any logical column
+    // the table's mapping covers (a frame already in physical names —
+    // a rewrite's read-back — passes through; phys names are
+    // uniquified, never another field's logical name)
+    val cmap = colMap(root)
+    val physed =
+      if (cmap.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(c).as(cmap.getOrElse(c, c))): _*)
+    def physC(c: String): String =
+      if (physed.columns.contains(c)) c else cmap.getOrElse(c, c)
     val shaped =
-      if (filesPerCommit == 1) df.coalesce(1)
-      else df.repartitionByRange(filesPerCommit, col(statCols.head))
+      if (filesPerCommit == 1) physed.coalesce(1)
+      else physed.repartitionByRange(filesPerCommit,
+        col(physC(statCols.head)))
     shaped.write.parquet(dataDir)
-    def sl(c: String) = statLong(df.schema, c)
+    // stats are computed over the physical column but recorded under
+    // the LOGICAL key — the name filters and aggregates arrive with
+    def sl(c: String) = statLong(physed.schema, physC(c))
     val aggs = statCols.flatMap(c => Seq(
       min(sl(c)).as(s"mn_$c"),
       max(sl(c)).as(s"mx_$c"))) ++
       statCols.map(c =>
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nc_$c")) ++
+        sum(when(col(physC(c)).isNull, 1L).otherwise(0L)).as(s"nc_$c")) ++
       // per-file SUM via decimal(38,0): cannot overflow at any file
       // size (and never trips ANSI); recorded only when it fits a long
       statCols.map(c =>
@@ -593,6 +641,35 @@ object SnapTable {
         }
       try {
         writeManifestFile(root, v, action, files, batchId, schema)
+        maybeCheckpoint(root, v)
+        return v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Publish a SCHEMA-ONLY commit whose header REPLACES the table
+    * schema (RENAME/DROP COLUMN — operations publish() can't express:
+    * its first-occurrence-wins union would resurrect the old name).
+    * `evolve` re-applies against the schema CURRENT at each claim
+    * attempt, so a concurrent append's new column is never lost to a
+    * stale-read race. Zero files touched; history stays readable at
+    * its own per-version schema.
+    */
+  private[graft] def publishSchemaBy(root: String)(
+      evolve: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Int = {
+    while (true) {
+      val v = listVersions(root).lastOption.getOrElse(0) + 1
+      val cur = tableSchema(root, None).getOrElse(
+        throw new IllegalArgumentException(
+          s"snap table $root predates schema headers; schema DDL would " +
+            "record a schema the older manifests cannot corroborate"))
+      try {
+        writeManifestFile(root, v, "append", Nil, None,
+          Some(normalizeSchema(evolve(cur))))
         maybeCheckpoint(root, v)
         return v
       } catch {
@@ -895,7 +972,10 @@ object SnapTable {
     val untouched = live.filterNot(touched.toSet)
     val current =
       if (touched.isEmpty) updates.limit(0)
-      else readFiles(spark, touched) // DV-aware: deleted rows stay dead
+      // DV-aware (deleted rows stay dead), projected to LOGICAL names
+      // so the anti-join against the logical-named updates aligns
+      else toLogical(readFiles(spark, touched),
+        tableSchema(root, Some(baseV)))
     val merged = current
       .join(updates.select(statCol), Seq(statCol), "left_anti")
       .unionByName(updates)
@@ -943,7 +1023,10 @@ object SnapTable {
       // version-offset streams for a commit that changed nothing)
       return (baseV, 0, 0L)
     }
-    val current = readFiles(spark, touched) // DV-aware
+    // DV-aware, projected to logical names so statCol and the user's
+    // extra predicate resolve on a renamed table
+    val current = toLogical(readFiles(spark, touched),
+      tableSchema(root, Some(baseV)))
     // NULL-safe: a three-valued extra predicate must not let a row
     // dodge BOTH the delete and the keep
     val doomedPred = coalesce(statLong(current.schema, statCol).between(lo, hi) &&
@@ -996,13 +1079,15 @@ object SnapTable {
     val inRange: FileStat => Boolean = f => f.max >= lo && f.min <= hi
     val touched = live.filter(inRange)
     if (touched.isEmpty) return (baseV, 0, 0L)
-    // matched (file, position) pairs off the RAW parquet — the old
-    // DV's positions are subtracted below so re-deleting dead rows
+    // matched (file, position) pairs off the RAW parquet (physical
+    // column names — positions must be physical) — the old DV's
+    // positions are subtracted below so re-deleting dead rows
     // neither double-counts nor re-marks
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(touched.map(_.path): _*)
+    val physStat = colMap(root).getOrElse(statCol, statCol)
     val doomedPred = coalesce(
-      statLong(raw.schema, statCol).between(lo, hi) &&
+      statLong(raw.schema, physStat).between(lo, hi) &&
         extraPredicate.getOrElse(lit(true)), lit(false))
     val cap = dvRowLimit
     val hits = raw.filter(doomedPred)
@@ -1099,11 +1184,12 @@ object SnapTable {
         else {
           val raw = spark.read.option("mergeSchema", "true")
             .parquet(touched.map(_.path): _*)
+          val physStat = colMap(root).getOrElse(statCol, statCol)
           raw.select(
             regexp_replace(col("_metadata.file_path"), "^file:/+", "/")
               .as("p"),
             col("_metadata.row_index").as("i"),
-            statLong(raw.schema, statCol).as("k"))
+            statLong(raw.schema, physStat).as("k"))
             .join(broadcast(keysDf), Seq("k"), "left_semi")
             .select("p", "i", "k")
             .limit(cap + 1).collect()
@@ -1171,11 +1257,32 @@ object SnapTable {
     * would carry the schema in the manifest; the footer-merge is the
     * same contract at this scale.)
     */
+  /** Project a physical-named frame onto the table's LOGICAL schema:
+    * renamed columns come back under their logical name, dropped
+    * columns vanish, absent ones read NULL. A table whose physical
+    * and logical layouts coincide returns the frame untouched (the
+    * pre-mapping plan, byte for byte).
+    */
+  private def toLogical(df: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    schema match {
+      case Some(s)
+          if colMapOf(s).nonEmpty ||
+            !s.fieldNames.sameElements(df.columns) =>
+        df.select(s.fields.toSeq.map { f =>
+          val p = physOf(f)
+          if (df.columns.contains(p)) col(p).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case _ => df
+    }
+
   def read(spark: SparkSession, root: String,
       asOf: Option[Int] = None): DataFrame = {
     val files = liveFiles(root, asOf)
     if (files.nonEmpty)
-      readFiles(spark, files) // plain parquet plan unless a DV exists
+      // plain parquet plan unless a DV or a schema mapping exists
+      toLogical(readFiles(spark, files), tableSchema(root, asOf))
     else {
       // a LEGAL table state — everything deleted, or an overwrite of
       // an empty frame — must read as an empty relation, not throw.

@@ -2200,6 +2200,63 @@ object ScaleQueries {
         |  CAST(4 AS BIGINT) AS n_reclaimed
         |FROM orders""".stripMargin),
 
+    // ALTER TABLE RENAME/DROP COLUMN as pure log operations: the
+    // schema header carries a logical→physical name mapping, so a
+    // rename costs one zero-file manifest while every pre-rename file
+    // keeps serving the column under its new name — including the
+    // STAT column, whose rename also keeps DELETE's metadata path
+    // resolving. Writes after the rename land in the ORIGINAL
+    // physical column; history reads at its own per-version schema.
+    "q316_snap_alter_rename_drop" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd29") + "/t"
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE) " +
+          "TBLPROPERTIES ('statCols'='o_orderkey')")
+        o.createOrReplaceTempView("q316_src")
+        s.sql(s"INSERT INTO graftsnap.`$root` " +
+          "SELECT o_orderkey, o_totalprice FROM q316_src " +
+          "WHERE o_orderkey < 6000")
+        s.sql(s"ALTER TABLE graftsnap.`$root` " +
+          "RENAME COLUMN o_totalprice TO price")
+        s.sql(s"INSERT INTO graftsnap.`$root` " +
+          "SELECT o_orderkey, o_totalprice FROM q316_src " +
+          "WHERE o_orderkey >= 6000")
+        s.sql(s"ALTER TABLE graftsnap.`$root` RENAME COLUMN o_orderkey TO k")
+        s.sql(s"DELETE FROM graftsnap.`$root` WHERE k BETWEEN 5000 AND 5999")
+        val now = s.sql(s"SELECT CAST(count(*) AS BIGINT), " +
+          "CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)" +
+          s", CAST(sum(k) AS BIGINT) FROM graftsnap.`$root`").collect()(0)
+        // history at v2 still speaks its own schema (o_totalprice)
+        val tt = s.sql(s"SELECT CAST(count(*) AS BIGINT), " +
+          "CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) " +
+          s"AS BIGINT) FROM graftsnap.`$root` VERSION AS OF 2")
+          .collect()(0)
+        s.range(1).select(
+          lit(now.getLong(0)).as("n_rows"),
+          lit(now.getLong(1)).as("sum_cents"),
+          lit(now.getLong(2)).as("sum_keys"),
+          lit(tt.getLong(0)).as("n_rows_v2"),
+          lit(tt.getLong(1)).as("sum_cents_v2"))
+      },
+      """WITH o AS (SELECT o_orderkey AS k,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o
+        |   WHERE k NOT BETWEEN 5000 AND 5999) AS n_rows,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM o
+        |   WHERE k NOT BETWEEN 5000 AND 5999) AS sum_cents,
+        |  (SELECT CAST(sum(k) AS BIGINT) FROM o
+        |   WHERE k NOT BETWEEN 5000 AND 5999) AS sum_keys,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o
+        |   WHERE k < 6000) AS n_rows_v2,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM o
+        |   WHERE k < 6000) AS sum_cents_v2""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

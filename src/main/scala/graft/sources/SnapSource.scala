@@ -529,6 +529,13 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   private var aggs: Option[Seq[AggregateFunc]] = None
   private var limit: Option[Int] = None
 
+  /** logical → physical column mapping from the table schema (ALTER
+    * RENAME/re-ADD) — readers request physical parquet names, the
+    * engine sees logical ones.
+    */
+  private[sources] val physMap: Map[String, String] =
+    SnapTable.colMapOf(full)
+
   /** The snapshot this scan plans AND reads — one listing, pinned.
     * Closes the TOCTOU between pushdown validation (exact filters,
     * pushable aggregates) and build(): both see these files.
@@ -738,6 +745,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       case Some(fns) => new SnapAggScan(root, hit, fns, full)
       case None => new SnapScan(root, hit, required,
         live.flatMap(_.stats.map(_._1)).distinct,
+        physMap = physMap,
         ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
         startingVersion = Option(options.get("startingVersion")).map(_.toInt),
         maxVersionsPerTrigger =
@@ -804,7 +812,8 @@ object SnapScan {
   * are safe: the join re-checks every surviving row.
   */
 class SnapScan(root: String, files: Seq[FileStat], required: StructType,
-    statCols: Seq[String], ignoreOverwrites: Boolean = false,
+    statCols: Seq[String], physMap: Map[String, String] = Map.empty,
+    ignoreOverwrites: Boolean = false,
     startingVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
@@ -893,13 +902,14 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
       rowMode =
         if (cdf) cdfParts.exists(p => p.dvPath != null ||
           p.deltaOldDv != null || p.deltaNewDv != null)
-        else files.exists(_.dv.isDefined))
+        else files.exists(_.dv.isDefined),
+      physMap = physMap)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new SnapMicroBatchStream(root, required, ignoreOverwrites,
       startingVersion.getOrElse(0), maxVersionsPerTrigger,
-      maxFilesPerTrigger, cdf)
+      maxFilesPerTrigger, cdf, physMap)
 }
 
 /** Completely-pushed aggregate scan answered from the MANIFEST: one
@@ -999,7 +1009,7 @@ class SnapMicroBatchStream(root: String, required: StructType,
     ignoreOverwrites: Boolean, startVersion: Int,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false, physMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
@@ -1128,7 +1138,7 @@ class SnapMicroBatchStream(root: String, required: StructType,
     // feed DV deltas may appear at any trigger (row mode,
     // conservatively); without it the stream admits appends only,
     // whose manifest entries never carry a DV
-    new SnapReaderFactory(required, rowMode = cdf)
+    new SnapReaderFactory(required, rowMode = cdf, physMap = physMap)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1147,7 +1157,8 @@ case class SnapFilePartition(path: String, rows: Long,
     deltaNewDv: String = null)
     extends InputPartition
 
-class SnapReaderFactory(required: StructType, rowMode: Boolean = false)
+class SnapReaderFactory(required: StructType, rowMode: Boolean = false,
+    physMap: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   private val hasDataColumns =
     required.fields.exists(f => !SnapSource.MetaServed.contains(f.name))
@@ -1166,7 +1177,7 @@ class SnapReaderFactory(required: StructType, rowMode: Boolean = false)
         "snap row-based reader asked for data columns " +
           required.fieldNames.mkString("[", ",", "]") +
           " — the columnar path must have been taken")
-      new SnapRowReader(part, required)
+      new SnapRowReader(part, required, physMap)
     } else
       // metadata-only projection (count(*), count of files): answered
       // from the manifest's live row count, zero file opens
@@ -1174,7 +1185,8 @@ class SnapReaderFactory(required: StructType, rowMode: Boolean = false)
   }
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] =
-    new SnapVectorReader(p.asInstanceOf[SnapFilePartition], required)
+    new SnapVectorReader(p.asInstanceOf[SnapFilePartition], required,
+      physMap)
 }
 
 /** Emits `rows` copies of the projection without opening the file —
@@ -1209,12 +1221,16 @@ class MetadataOnlyReader(part: SnapFilePartition, required: StructType)
   * [[ConstantColumnVector]] spliced into each output batch (how
   * Spark's own `_metadata` struct is served).
   */
-class SnapVectorReader(part: SnapFilePartition, required: StructType)
+class SnapVectorReader(part: SnapFilePartition, required: StructType,
+    physMap: Map[String, String] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
 
+  // parquet request under PHYSICAL names (batch columns align
+  // positionally with the required fields, so the rename is free)
   private val dataSchema =
     StructType(required.fields
-      .filter(f => !SnapSource.MetaServed.contains(f.name)).toSeq)
+      .filter(f => !SnapSource.MetaServed.contains(f.name))
+      .map(f => f.copy(name = physMap.getOrElse(f.name, f.name))).toSeq)
 
   private val reader = {
     val r = SnapSource.openVectorized(part.path, dataSchema)
@@ -1260,12 +1276,14 @@ class SnapVectorReader(part: SnapFilePartition, required: StructType)
   * file as one split makes the running counter exact. Metadata
   * columns splice in through a zero-copy row view.
   */
-class SnapRowReader(part: SnapFilePartition, required: StructType)
+class SnapRowReader(part: SnapFilePartition, required: StructType,
+    physMap: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val dataSchema =
     StructType(required.fields
-      .filter(f => !SnapSource.MetaServed.contains(f.name)).toSeq)
+      .filter(f => !SnapSource.MetaServed.contains(f.name))
+      .map(f => f.copy(name = physMap.getOrElse(f.name, f.name))).toSeq)
 
   private val reader = SnapSource.openVectorized(part.path, dataSchema)
 
@@ -1457,12 +1475,13 @@ class SnapWriteBuilder(root: String, schema: StructType,
         s"snap write does not support column ${f.name}: ${f.dataType}")
     }
     new SnapWrite(root, schema, statCols, overwrite,
-      options.getInt("filesPerCommit", 0))
+      options.getInt("filesPerCommit", 0), SnapTable.colMap(root))
   }
 }
 
 class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
-    overwrite: Boolean, filesPerCommit: Int)
+    overwrite: Boolean, filesPerCommit: Int,
+    physMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.Distributions
@@ -1478,11 +1497,12 @@ class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
   override def requiredNumPartitions(): Int = filesPerCommit
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
-    new SnapBatchWrite(root, schema, statCols, overwrite)
+    new SnapBatchWrite(root, schema, statCols, overwrite, physMap)
 }
 
 class SnapBatchWrite(root: String, schema: StructType,
-    statCols: Seq[String], overwrite: Boolean)
+    statCols: Seq[String], overwrite: Boolean,
+    physMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1490,7 +1510,8 @@ class SnapBatchWrite(root: String, schema: StructType,
     java.util.UUID.randomUUID().toString)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = SnapWriterFactory(dataDir, schema, statCols)
+      : DataWriterFactory =
+    SnapWriterFactory(dataDir, schema, statCols, physMap = physMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
@@ -1520,12 +1541,13 @@ case class SnapWriteCommit(file: Option[FileStat],
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class SnapWriterFactory(dataDir: String, schema: StructType,
-    statCols: Seq[String], collectKeys: Boolean = false)
+    statCols: Seq[String], collectKeys: Boolean = false,
+    physMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols,
-      collectKeys)
+      collectKeys, physMap)
 }
 
 /** One parquet file per task via Spark's own [[ParquetWriteSupport]] —
@@ -1537,7 +1559,8 @@ case class SnapWriterFactory(dataDir: String, schema: StructType,
   */
 class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     schema: StructType, statCols: Seq[String],
-    collectKeys: Boolean = false)
+    collectKeys: Boolean = false,
+    physMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   private val absPath = {
@@ -1549,7 +1572,9 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
 
   private val writer = {
     val conf = new Configuration()
-    ParquetWriteSupport.setSchema(schema, conf)
+    // parquet columns carry PHYSICAL names; row indices are unchanged
+    ParquetWriteSupport.setSchema(StructType(schema.fields.map(f =>
+      f.copy(name = physMap.getOrElse(f.name, f.name))).toSeq), conf)
     // ParquetWriteSupport.init asserts these are present (Spark's scan
     // sets them from the session before handing tasks out)
     conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
@@ -1717,7 +1742,7 @@ class SnapRowLevelOperation(root: String, tableSchema: StructType,
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new SnapWrite(root, info.schema(), statCols, overwrite = false,
-            filesPerCommit = 0) {
+            filesPerCommit = 0, SnapTable.colMap(root)) {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new SnapReplaceBatchWrite(SnapRowLevelOperation.this, root,
@@ -1751,12 +1776,13 @@ class SnapRowLevelScanBuilder(op: SnapRowLevelOperation, root: String,
     // an UPDATE/DELETE WHERE range on the primary stat column also
     // narrows the operation's CONFLICT test (see predicateBound)
     op.predicateBound = bounds.toMap.get(op.primaryStatCol)
-    new SnapRowLevelScan(op, hit, required)
+    new SnapRowLevelScan(op, hit, required, physMap)
   }
 }
 
 class SnapRowLevelScan(op: SnapRowLevelOperation, files: Seq[FileStat],
-    required: StructType) extends Scan with Batch
+    required: StructType, physMap: Map[String, String] = Map.empty)
+    extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Literal => VLiteral}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -1808,7 +1834,7 @@ class SnapRowLevelScan(op: SnapRowLevelOperation, files: Seq[FileStat],
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapReaderFactory(required,
-      rowMode = files.exists(_.dv.isDefined))
+      rowMode = files.exists(_.dv.isDefined), physMap = physMap)
 }
 
 /** Replacement commit: snapshot-at-base − the files the scan read +
@@ -1824,7 +1850,8 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    SnapWriterFactory(dataDir, schema, statCols, collectKeys = true)
+    SnapWriterFactory(dataDir, schema, statCols, collectKeys = true,
+      physMap = SnapTable.colMap(root))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rewritten = messages.toSeq
@@ -2017,34 +2044,47 @@ class SnapCatalog
       tableProps(r))
   }
 
-  /** `ALTER TABLE ... ADD COLUMN(S)`: additive evolution as a pure
-    * LOG operation — one zero-file append manifest whose schema
-    * header unions the new column(s) at the end. No data file is
-    * touched; existing rows read NULL for the new columns (the
-    * mergeSchema contract the table always had), history stays
-    * readable at its own schema. Everything else (drop/rename/type
-    * change) refuses: those would rewrite history.
+  /** `ALTER TABLE ... ADD / RENAME / DROP COLUMN` as pure LOG
+    * operations — one zero-file manifest whose schema header is the
+    * evolved table schema. No data file is ever touched; history
+    * stays readable at its own per-version schema. The NAME MAPPING
+    * (`snapPhys` field metadata) is what makes the non-additive forms
+    * sound:
+    *
+    *  - ADD assigns the column a FRESH physical parquet name, so a
+    *    previously dropped name can be re-added — with a different
+    *    type — without old files' stale column being decoded as it;
+    *  - RENAME changes only the logical name, keeping the physical
+    *    one: readers of any version request the physical column; a
+    *    renamed STAT column also refreshes the catalog's statCols
+    *    property so row-level operations keep resolving;
+    *  - DROP removes the field from the schema — old files keep the
+    *    bytes (readers never request them); a later rewrite sheds
+    *    them naturally.
+    *
+    * Type changes still refuse: they would reinterpret history.
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): CTable = {
-    import org.apache.spark.sql.connector.catalog.TableChange.AddColumn
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn, RenameColumn}
     val r = root(ident)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
-    val existing = SnapTable.tableSchema(r, None).getOrElse(
+    def existing: StructType = SnapTable.tableSchema(r, None).getOrElse(
       throw new IllegalArgumentException(
         s"snap table $r predates schema headers; ALTER would record a " +
           "schema the older manifests cannot corroborate"))
-    val added = changes.map {
+    def find(s: StructType, name: String): Option[StructField] =
+      s.fields.find(_.name.equalsIgnoreCase(name))
+    changes.foreach {
       case a: AddColumn =>
         require(a.fieldNames.length == 1,
           "snap ALTER adds top-level columns only")
         // publish would union first-occurrence-wins, silently
         // no-opping a duplicate name (and ignoring a differing type);
         // SQL semantics require a duplicate-column ERROR instead
-        if (existing.fields.exists(
-            _.name.equalsIgnoreCase(a.fieldNames.head)))
+        if (find(existing, a.fieldNames.head).isDefined)
           throw new IllegalArgumentException(
             s"column ${a.fieldNames.head} already exists in snap " +
               s"table $r")
@@ -2059,12 +2099,73 @@ class SnapCatalog
         require(SnapSource.writableType(a.dataType),
           s"unsupported column type ${a.dataType} for " +
             a.fieldNames.head)
-        StructField(a.fieldNames.head, a.dataType, nullable = true)
+        // fresh physical name: collision-proof against any dropped or
+        // historical column of the same logical name
+        val phys = a.fieldNames.head + "_" +
+          java.util.UUID.randomUUID().toString.substring(0, 8)
+        val fld = StructField(a.fieldNames.head, a.dataType,
+          nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(SnapTable.PhysKey, phys).build())
+        SnapTable.publishSchemaBy(r)(cur =>
+          StructType(cur.fields.toSeq :+ fld))
+      case rn: RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "snap ALTER renames top-level columns only")
+        val from = rn.fieldNames.head
+        SnapTable.publishSchemaBy(r) { cur =>
+          val f = find(cur, from).getOrElse(
+            throw new IllegalArgumentException(
+              s"no column $from in snap table $r"))
+          if (find(cur, rn.newName).isDefined)
+            throw new IllegalArgumentException(
+              s"column ${rn.newName} already exists in snap table $r")
+          // keep the physical name (defaulting to the pre-rename
+          // logical name — what the files actually contain)
+          val phys = SnapTable.physOf(f)
+          StructType(cur.fields.toSeq.map { g =>
+            if (g.name.equalsIgnoreCase(from))
+              g.copy(name = rn.newName,
+                metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .putString(SnapTable.PhysKey, phys).build())
+            else g
+          })
+        }
+        // a renamed stat column keeps row-level ops resolving: the
+        // sidecar props file shadows the immutable v1 manifest header
+        val props = tableProps(r)
+        props.get("statCols").foreach { sc =>
+          val cols = sc.split(',').map(_.trim)
+          if (cols.exists(_.equalsIgnoreCase(from))) {
+            val updated = cols.map(c =>
+              if (c.equalsIgnoreCase(from)) rn.newName else c)
+            val lines = (props + ("statCols" -> updated.mkString(",")))
+              .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+            graft.io.SnapIo.write(propsPath(r),
+              lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+          }
+        }
+      case del: DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "snap ALTER drops top-level columns only")
+        val name = del.fieldNames.head
+        val isStat = tableProps(r).get("statCols").exists(
+          _.split(',').map(_.trim).exists(_.equalsIgnoreCase(name)))
+        if (isStat) throw new IllegalArgumentException(
+          s"column $name is a stat column of snap table $r — file " +
+            "skipping and write shaping depend on it; drop refused")
+        SnapTable.publishSchemaBy(r) { cur =>
+          if (find(cur, name).isEmpty) {
+            if (del.ifExists()) cur
+            else throw new IllegalArgumentException(
+              s"no column $name in snap table $r")
+          } else StructType(cur.fields.toSeq
+            .filterNot(_.name.equalsIgnoreCase(name)))
+        }
       case other => throw new UnsupportedOperationException(
-        s"snap catalog supports ALTER TABLE ADD COLUMN only, not $other")
+        "snap catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN " +
+          s"only, not $other")
     }
-    SnapTable.publish(r, "append", Nil,
-      frameSchema = Some(StructType(added)))
     table(ident, None)
   }
   override def dropTable(ident: Identifier): Boolean =

@@ -482,11 +482,12 @@ class SnapSourceSpec extends AnyFunSuite {
     // history keeps its own schema
     assert(spark.read.format(Fmt).option("versionAsOf", "4").load(root)
       .columns.toSeq == Seq("id", "dbl", "s"))
-    // refusals: NOT NULL and non-AddColumn changes
+    // refusals: NOT NULL additions and type changes (DROP/RENAME are
+    // supported since the name-mapping landed)
     intercept[Exception](spark.sql(
       s"ALTER TABLE graftsnap.`$root` ADD COLUMN bad BIGINT NOT NULL"))
     intercept[Exception](spark.sql(
-      s"ALTER TABLE graftsnap.`$root` DROP COLUMN dbl"))
+      s"ALTER TABLE graftsnap.`$root` ALTER COLUMN dbl TYPE STRING"))
   }
 
   test("TIMESTAMP AS OF resolves to the newest commit at the instant") {
@@ -1095,6 +1096,64 @@ class SnapSourceSpec extends AnyFunSuite {
     val opt2 = spark.sql(
       s"CALL graftsnap.system.optimize(table => '$root')").head()
     assert(opt2.getInt(2) == 1, s"default target_files=1, got $opt2")
+  }
+
+  test("ALTER RENAME/DROP COLUMN: name mapping keeps old files " +
+      "readable; drop + re-add with a different type") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` " +
+      "(id BIGINT, tag STRING, score DOUBLE) " +
+      "TBLPROPERTIES ('statCols'='id')")
+    spark.sql(s"INSERT INTO graftsnap.`$root` " +
+      "SELECT id, concat('t', id), id * 0.5 FROM range(1, 101)")
+    // RENAME: old files resolve the new logical name via the mapping
+    spark.sql(s"ALTER TABLE graftsnap.`$root` RENAME COLUMN tag TO label")
+    val renamed = spark.sql(
+      s"SELECT label FROM graftsnap.`$root` WHERE id = 7").head()
+    assert(renamed.getString(0) == "t7",
+      s"pre-rename data must read under the new name, got $renamed")
+    // a write AFTER the rename goes to the ORIGINAL physical column,
+    // so old and new files union seamlessly
+    spark.sql(s"INSERT INTO graftsnap.`$root` " +
+      "SELECT id, concat('n', id), id * 0.5 FROM range(200, 211)")
+    assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$root` " +
+      "WHERE label LIKE 'n%'").head().getLong(0) == 11)
+    assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$root`")
+      .head().getLong(0) == 111)
+    // duplicate target refuses
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root` RENAME COLUMN score TO label"))
+    // DROP then RE-ADD the same name with a DIFFERENT type: the
+    // re-add gets a fresh physical column, old bytes are never
+    // decoded as the new type
+    spark.sql(s"ALTER TABLE graftsnap.`$root` DROP COLUMN score")
+    assert(!spark.sql(s"SELECT * FROM graftsnap.`$root`")
+      .columns.contains("score"))
+    spark.sql(s"ALTER TABLE graftsnap.`$root` ADD COLUMN score BIGINT")
+    val re = spark.sql(s"SELECT sum(score), count(*) " +
+      s"FROM graftsnap.`$root`").head()
+    assert(re.isNullAt(0) && re.getLong(1) == 111,
+      s"re-added column reads NULL everywhere, got $re")
+    spark.sql(s"INSERT INTO graftsnap.`$root` VALUES (999, 'x', 42)")
+    assert(spark.sql(s"SELECT sum(score) FROM graftsnap.`$root`")
+      .head().getLong(0) == 42L)
+    // time travel: history reads at its OWN schema (score was DOUBLE)
+    assert(spark.sql(s"SELECT sum(score) FROM graftsnap.`$root` " +
+      "VERSION AS OF 2").head().getDouble(0) ==
+      (1L to 100L).map(_ * 0.5).sum)
+    // stat column rename keeps row-level ops resolving
+    spark.sql(s"ALTER TABLE graftsnap.`$root` RENAME COLUMN id TO pk")
+    spark.sql(s"DELETE FROM graftsnap.`$root` WHERE pk BETWEEN 1 AND 10")
+    assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$root`")
+      .head().getLong(0) == 102)
+    // dropping a stat column refuses
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root` DROP COLUMN pk"))
+    // Scala API sees the same logical schema
+    assert(graft.io.SnapTable.read(spark, root)
+      .columns.toSeq == Seq("pk", "label", "score"))
   }
 
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
