@@ -2257,6 +2257,68 @@ object ScaleQueries {
         |  (SELECT CAST(sum(c) AS BIGINT) FROM o
         |   WHERE k < 6000) AS sum_cents_v2""".stripMargin),
 
+    // STORAGE-PARTITIONED JOIN: two snap tables created PARTITIONED
+    // BY the same identity key — the roll-on-key writer gives one
+    // file per key (manifest box min == max proves it), the scan
+    // reports KeyGroupedPartitioning, and the join plans with ZERO
+    // exchanges (gated as data) under v2 bucketing. At 100 TB this is
+    // the co-located dimension join: no shuffle of either side, ever.
+    "q317_snap_partitioned_join" -> Q(
+      (s, d) => {
+        val base = scratchDir("snapd30")
+        val r1 = base + "/t1"
+        val r2 = base + "/t2"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (k)")
+        s.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (k)")
+        Tables(s, d, "orders").createOrReplaceTempView("q317_orders")
+        Tables(s, d, "customer").createOrReplaceTempView("q317_customer")
+        s.sql(s"""INSERT INTO graftsnap.`$r1`
+          |SELECT o_custkey % 16,
+          |  sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+          |FROM q317_orders GROUP BY o_custkey % 16""".stripMargin)
+        s.sql(s"""INSERT INTO graftsnap.`$r2`
+          |SELECT c_custkey % 16,
+          |  sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+          |FROM q317_customer GROUP BY c_custkey % 16""".stripMargin)
+        val old = (s.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            s"""SELECT a.k AS k, a.cents + b.cents AS total_cents
+               |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+               |ON a.k = b.k""".stripMargin)
+          val rows = j.collect()
+          val exchanges = "Exchange".r
+            .findAllIn(j.queryExecution.executedPlan.toString).size
+          import s.implicits._
+          rows.map(r => (r.getLong(0), r.getLong(1), exchanges.toLong))
+            .toSeq.toDF("k", "total_cents", "n_exchanges")
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+        }
+      },
+      """WITH a AS (
+        |  SELECT o_custkey % 16 AS k,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey % 16),
+        |b AS (
+        |  SELECT c_custkey % 16 AS k,
+        |    CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM customer GROUP BY c_custkey % 16)
+        |SELECT CAST(a.k AS BIGINT) AS k,
+        |  CAST(a.cents + b.cents AS BIGINT) AS total_cents,
+        |  CAST(0 AS BIGINT) AS n_exchanges
+        |FROM a JOIN b ON a.k = b.k""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

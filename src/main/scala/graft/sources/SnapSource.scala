@@ -367,8 +367,18 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String = "originating data file path"
     })
+  /** Identity partition column of a PARTITIONED BY table — the
+    * storage-partitioned-join contract (one file per key value).
+    */
+  private lazy val partCol: Option[String] =
+    tableProps.get("partitionCol")
+      .orElse(SnapTable.tableProperty(root, "partitionCol"))
+
+  override def partitioning(): Array[Transform] =
+    partCol.map(c => Expressions.identity(c)).toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapScanBuilder(root, asOf, tableSchema, options)
+    new SnapScanBuilder(root, asOf, tableSchema, options, partCol)
 
   /** statCols resolution for writes that carry no reader option (SQL
     * INSERT INTO / CTAS): catalog table properties first (either
@@ -386,7 +396,7 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapWriteBuilder(root, info.schema(), info.options(),
-      defaultStatCols)
+      defaultStatCols, partCol)
 
   // ---- SQL DELETE (SupportsDelete): a WHERE fully expressible as a
   // range over the PRIMARY stat column lowers onto SnapTable.delete's
@@ -513,7 +523,8 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
   * commit landing mid-planning cannot introduce an unvalidated file).
   */
 class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    partCol: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -745,7 +756,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       case Some(fns) => new SnapAggScan(root, hit, fns, full)
       case None => new SnapScan(root, hit, required,
         live.flatMap(_.stats.map(_._1)).distinct,
-        physMap = physMap,
+        physMap = physMap, partCol = partCol,
         ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
         startingVersion = Option(options.get("startingVersion")).map(_.toInt),
         maxVersionsPerTrigger =
@@ -813,13 +824,54 @@ object SnapScan {
   */
 class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     statCols: Seq[String], physMap: Map[String, String] = Map.empty,
+    partCol: Option[String] = None,
     ignoreOverwrites: Boolean = false,
     startingVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     limit: Option[Int] = None, cdf: Boolean = false,
     asOf: Option[Int] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with SupportsReportPartitioning {
+
+  /** KEY-GROUPED when the table declares an identity partition column
+    * and every planned file provably holds exactly ONE key (manifest
+    * box min == max; the roll-on-key writer guarantees this, a
+    * foreign Scala-API commit breaks it and the scan falls back to
+    * unknown — never wrong, just shuffled). A pushed LIMIT or the
+    * change feed also fall back: their partition lists diverge from
+    * the static grouping.
+    */
+  private lazy val keyGrouped: Boolean =
+    partCol.exists { c =>
+      !cdf && limit.isEmpty && files.nonEmpty &&
+        files.forall(_.range(c).exists { case (mn, mx) =>
+          mn == mx && !(mn == Long.MinValue && mx == Long.MaxValue)
+        })
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyGrouped) {
+      val c = partCol.get
+      val n = files.flatMap(_.range(c)).map(_._1).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(Array(Expressions.identity(c)), n)
+    } else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(0)
+
+  /** The partition-key value in the COLUMN's internal representation
+    * (int days / int / long) — what HasPartitionKey must hand Spark.
+    */
+  private def keyValOf(f: FileStat): Any = {
+    val c = partCol.get
+    val v = f.range(c).get._1
+    required.fields.find(_.name == c).map(_.dataType)
+      .orElse(Some(LongType)).get match {
+      case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
+      case _ => java.lang.Long.valueOf(v)
+    }
+  }
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
   private val rInSets = mutable.Map.empty[String, Array[Long]]
@@ -891,7 +943,9 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
       case None => pruned
     }
     kept.map(f => SnapFilePartition(f.path, f.liveRows,
-      dvPath = f.dv.map(_._1).orNull): InputPartition).toArray
+      dvPath = f.dv.map(_._1).orNull,
+      pKey = if (keyGrouped) InternalRow.fromSeq(Seq(keyValOf(f)))
+        else null): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1154,8 +1208,13 @@ class SnapMicroBatchStream(root: String, required: StructType,
 case class SnapFilePartition(path: String, rows: Long,
     changeType: String = null, commitVersion: Long = -1L,
     dvPath: String = null, deltaOldDv: String = null,
-    deltaNewDv: String = null)
+    deltaNewDv: String = null, pKey: InternalRow = null)
     extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // consulted only under KeyGroupedPartitioning, where the scan set
+  // it for every partition
+  override def partitionKey(): InternalRow = pKey
+}
 
 class SnapReaderFactory(required: StructType, rowMode: Boolean = false,
     physMap: Map[String, String] = Map.empty)
@@ -1439,7 +1498,8 @@ private[sources] class SplicedRow(required: StructType,
   */
 class SnapWriteBuilder(root: String, schema: StructType,
     options: CaseInsensitiveStringMap,
-    defaultStatCols: Option[Seq[String]] = None)
+    defaultStatCols: Option[Seq[String]] = None,
+    partitionCol: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -1474,14 +1534,19 @@ class SnapWriteBuilder(root: String, schema: StructType,
       require(SnapSource.writableType(f.dataType),
         s"snap write does not support column ${f.name}: ${f.dataType}")
     }
+    partitionCol.foreach(pc => require(statCols.head == pc,
+      s"partitioned snap table $root shapes files by $pc — it must be " +
+        "the primary stat column"))
     new SnapWrite(root, schema, statCols, overwrite,
-      options.getInt("filesPerCommit", 0), SnapTable.colMap(root))
+      options.getInt("filesPerCommit", 0), SnapTable.colMap(root),
+      rollOnKey = partitionCol.isDefined)
   }
 }
 
 class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
     overwrite: Boolean, filesPerCommit: Int,
-    physMap: Map[String, String] = Map.empty)
+    physMap: Map[String, String] = Map.empty,
+    rollOnKey: Boolean = false)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.Distributions
@@ -1497,12 +1562,14 @@ class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
   override def requiredNumPartitions(): Int = filesPerCommit
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
-    new SnapBatchWrite(root, schema, statCols, overwrite, physMap)
+    new SnapBatchWrite(root, schema, statCols, overwrite, physMap,
+      rollOnKey)
 }
 
 class SnapBatchWrite(root: String, schema: StructType,
     statCols: Seq[String], overwrite: Boolean,
-    physMap: Map[String, String] = Map.empty)
+    physMap: Map[String, String] = Map.empty,
+    rollOnKey: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1511,11 +1578,13 @@ class SnapBatchWrite(root: String, schema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    SnapWriterFactory(dataDir, schema, statCols, physMap = physMap)
+    SnapWriterFactory(dataDir, schema, statCols, physMap = physMap,
+      rollOnKey = rollOnKey)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
-      .collect { case SnapWriteCommit(Some(f), _) => f }.sortBy(_.path)
+      .collect { case SnapWriteCommit(fs, _) => fs }
+      .flatten.sortBy(_.path)
     SnapTable.publish(root,
       if (overwrite) "overwrite" else "append", files,
       frameSchema = Some(schema))
@@ -1524,9 +1593,9 @@ class SnapBatchWrite(root: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case SnapWriteCommit(Some(f), _) =>
+      case SnapWriteCommit(fs, _) => fs.foreach(f =>
         try graft.io.SnapIo.delete(f.path)
-        catch { case _: Exception => () }
+        catch { case _: Exception => () })
       case _ => ()
     }
 }
@@ -1536,66 +1605,42 @@ class SnapBatchWrite(root: String, schema: StructType,
   * `graft.snap.mergeKeyLimit`; `None` = not collected or overflowed).
   * The replacement commit unions them into its conflict predicate.
   */
-case class SnapWriteCommit(file: Option[FileStat],
+/** `files`: the task's finished file stats (several under the
+  * roll-on-key partitioned write, at most one otherwise).
+  */
+case class SnapWriteCommit(files: Seq[FileStat],
     writtenKeys: Option[Array[Long]] = None)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class SnapWriterFactory(dataDir: String, schema: StructType,
     statCols: Seq[String], collectKeys: Boolean = false,
-    physMap: Map[String, String] = Map.empty)
+    physMap: Map[String, String] = Map.empty,
+    rollOnKey: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols,
-      collectKeys, physMap)
+      collectKeys, physMap, rollOnKey)
 }
 
-/** One parquet file per task via Spark's own [[ParquetWriteSupport]] —
+/** Parquet files per task via Spark's own [[ParquetWriteSupport]] —
   * InternalRow goes straight to the column writers (no intermediate
   * Group materialization, full flat-type coverage incl. timestamp and
   * decimal); rows/min/max tracked inline (no read-back). An all-null
   * stat column publishes the full-range box — never skipped, always
-  * safe.
+  * safe. With `rollOnKey` (storage-partitioned tables) the task's
+  * input arrives clustered AND sorted on the primary stat column, so
+  * the writer ROLLS to a new file whenever the key changes — every
+  * file then holds exactly one key (box min == max), which is what
+  * lets the scan report KeyGroupedPartitioning and a snap-snap join
+  * plan with zero exchanges.
   */
 class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     schema: StructType, statCols: Seq[String],
     collectKeys: Boolean = false,
-    physMap: Map[String, String] = Map.empty)
+    physMap: Map[String, String] = Map.empty,
+    rollOnKey: Boolean = false)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-
-  private val absPath = {
-    graft.io.SnapIo.mkdirs(dataDir)
-    val name = f"part-$partitionId%05d-$taskId.parquet"
-    if (graft.io.SnapIo.hasScheme(dataDir)) graft.io.SnapIo.child(dataDir, name)
-    else java.nio.file.Paths.get(dataDir, name).toAbsolutePath.toString
-  }
-
-  private val writer = {
-    val conf = new Configuration()
-    // parquet columns carry PHYSICAL names; row indices are unchanged
-    ParquetWriteSupport.setSchema(StructType(schema.fields.map(f =>
-      f.copy(name = physMap.getOrElse(f.name, f.name))).toSeq), conf)
-    // ParquetWriteSupport.init asserts these are present (Spark's scan
-    // sets them from the session before handing tasks out)
-    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
-    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
-    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
-    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
-    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
-    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
-    new ParquetOutputFormat[InternalRow]() {
-      override def getWriteSupport(c: Configuration) =
-        new ParquetWriteSupport
-    }.getRecordWriter(conf, new HPath(absPath), CompressionCodecName.SNAPPY)
-  }
-
-  private var rows = 0L
-  // (index into schema, running min, running max, sawValue, nullCount,
-  //  running sum, sumOverflowed)
-  private val stats = statCols.map { c =>
-    Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L, 0L,
-      0L, 0L)
-  }
 
   // distinct primary-key values written (row-level-op writes): feeds
   // the replacement commit's conflict predicate; past the cap the set
@@ -1605,39 +1650,125 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     if (collectKeys) new java.util.HashSet[java.lang.Long]() else null
   private var keysOverflow = false
 
-  override def write(row: InternalRow): Unit = {
-    writer.write(null, row)
-    rows += 1
-    var primary = true
-    stats.foreach { s =>
-      val idx = s(0).toInt
-      if (!row.isNullAt(idx)) {
-        // typed-box encoding straight off the internal representation:
-        // long as-is, timestamp = epoch micros (long), date = epoch
-        // days (int), int as itself
-        val v = schema.fields(idx).dataType match {
-          case LongType | TimestampType => row.getLong(idx)
-          case _ => row.getInt(idx).toLong
-        }
-        if (v < s(1)) s(1) = v
-        if (v > s(2)) s(2) = v
-        s(3) = 1L
-        if (s(6) == 0L) {
-          try s(5) = Math.addExact(s(5), v)
-          catch { case _: ArithmeticException => s(6) = 1L }
-        }
-        if (primary && collectKeys && !keysOverflow) {
-          keys.add(v)
-          if (keys.size > keyCap) { keysOverflow = true; keys.clear() }
-        }
-      } else s(4) += 1L
-      primary = false
+  private val primaryIdx = schema.fieldIndex(statCols.head)
+  private def primaryVal(row: InternalRow): Long =
+    schema.fields(primaryIdx).dataType match {
+      case LongType | TimestampType => row.getLong(primaryIdx)
+      case _ => row.getInt(primaryIdx).toLong
     }
+
+  /** One physical file: its writer, inline stats, and finalization. */
+  private class OneFile(fileSeq: Int) {
+    val absPath: String = {
+      graft.io.SnapIo.mkdirs(dataDir)
+      val name = f"part-$partitionId%05d-$taskId-$fileSeq%04d.parquet"
+      if (graft.io.SnapIo.hasScheme(dataDir))
+        graft.io.SnapIo.child(dataDir, name)
+      else java.nio.file.Paths.get(dataDir, name).toAbsolutePath.toString
+    }
+    val writer = {
+      val conf = new Configuration()
+      // parquet columns carry PHYSICAL names; row indices unchanged
+      ParquetWriteSupport.setSchema(StructType(schema.fields.map(f =>
+        f.copy(name = physMap.getOrElse(f.name, f.name))).toSeq), conf)
+      // ParquetWriteSupport.init asserts these are present (Spark's
+      // scan sets them from the session before handing tasks out)
+      conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+      conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+      conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+      conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+      conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+      conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+      new ParquetOutputFormat[InternalRow]() {
+        override def getWriteSupport(c: Configuration) =
+          new ParquetWriteSupport
+      }.getRecordWriter(conf, new HPath(absPath), CompressionCodecName.SNAPPY)
+    }
+    var rows = 0L
+    // (index into schema, running min, running max, sawValue,
+    //  nullCount, running sum, sumOverflowed)
+    val stats: Seq[Array[Long]] = statCols.map { c =>
+      Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L,
+        0L, 0L, 0L)
+    }
+    def write(row: InternalRow): Unit = {
+      writer.write(null, row)
+      rows += 1
+      var primary = true
+      stats.foreach { s =>
+        val idx = s(0).toInt
+        if (!row.isNullAt(idx)) {
+          // typed-box encoding straight off the internal
+          // representation: long as-is, timestamp = epoch micros
+          // (long), date = epoch days (int), int as itself
+          val v = schema.fields(idx).dataType match {
+            case LongType | TimestampType => row.getLong(idx)
+            case _ => row.getInt(idx).toLong
+          }
+          if (v < s(1)) s(1) = v
+          if (v > s(2)) s(2) = v
+          s(3) = 1L
+          if (s(6) == 0L) {
+            try s(5) = Math.addExact(s(5), v)
+            catch { case _: ArithmeticException => s(6) = 1L }
+          }
+          if (primary && collectKeys && !keysOverflow) {
+            keys.add(v)
+            if (keys.size > keyCap) { keysOverflow = true; keys.clear() }
+          }
+        } else s(4) += 1L
+        primary = false
+      }
+    }
+    def finish(): Option[FileStat] = {
+      writer.close(null)
+      if (rows == 0L) { graft.io.SnapIo.delete(absPath); None }
+      else {
+        val fileStats = statCols.zip(stats).map { case (c, s) =>
+          c -> (if (s(3) == 1L) (s(1), s(2))
+          else (Long.MinValue, Long.MaxValue)) // all-null: unskippable
+        }
+        val nulls = statCols.zip(stats).map { case (c, s) => c -> s(4) }
+        // sum only when a value was seen and the fold never overflowed
+        val sums = statCols.zip(stats).collect {
+          case (c, s) if s(3) == 1L && s(6) == 0L => c -> s(5)
+        }
+        val uri =
+          if (graft.io.SnapIo.hasScheme(absPath)) absPath
+          else "file:" + absPath
+        Some(FileStat(uri, rows, fileStats, nulls, sums))
+      }
+    }
+    def kill(): Unit = {
+      try writer.close(null) catch { case _: Exception => () }
+      graft.io.SnapIo.delete(absPath)
+      ()
+    }
+  }
+
+  private var cur: OneFile = null
+  private var fileSeq = 0
+  private val finished = Seq.newBuilder[FileStat]
+  private var curKey = 0L
+  private var curKeyNull = false
+  private var anyRow = false
+
+  override def write(row: InternalRow): Unit = {
+    if (rollOnKey) {
+      val isNull = row.isNullAt(primaryIdx)
+      val k = if (isNull) 0L else primaryVal(row)
+      if (!anyRow || isNull != curKeyNull || (!isNull && k != curKey)) {
+        if (cur != null) finished ++= cur.finish()
+        cur = new OneFile(fileSeq); fileSeq += 1
+        curKey = k; curKeyNull = isNull; anyRow = true
+      }
+    } else if (cur == null) { cur = new OneFile(fileSeq); fileSeq += 1 }
+    cur.write(row)
   }
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    writer.close(null)
+    if (cur != null) { finished ++= cur.finish(); cur = null }
     val written: Option[Array[Long]] =
       if (!collectKeys || keysOverflow) None
       else {
@@ -1648,31 +1779,14 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         java.util.Arrays.sort(arr)
         Some(arr)
       }
-    if (rows == 0L) {
-      graft.io.SnapIo.delete(absPath)
-      SnapWriteCommit(None, written)
-    } else {
-      val fileStats = statCols.zip(stats).map { case (c, s) =>
-        c -> (if (s(3) == 1L) (s(1), s(2))
-        else (Long.MinValue, Long.MaxValue)) // all-null: unskippable box
-      }
-      val nulls = statCols.zip(stats).map { case (c, s) => c -> s(4) }
-      // sum only when some value was seen and the fold never overflowed
-      val sums = statCols.zip(stats).collect {
-        case (c, s) if s(3) == 1L && s(6) == 0L => c -> s(5)
-      }
-      val uri =
-        if (graft.io.SnapIo.hasScheme(absPath)) absPath
-        else "file:" + absPath
-      SnapWriteCommit(Some(FileStat(uri, rows, fileStats, nulls, sums)),
-        written)
-    }
+    SnapWriteCommit(finished.result(), written)
   }
 
   override def abort(): Unit = {
-    try writer.close(null) catch { case _: Exception => () }
-    graft.io.SnapIo.delete(absPath)
-    ()
+    if (cur != null) { cur.kill(); cur = null }
+    finished.result().foreach(f =>
+      try graft.io.SnapIo.delete(f.path.stripPrefix("file:"))
+      catch { case _: Exception => () })
   }
 
   override def close(): Unit = ()
@@ -1855,7 +1969,8 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rewritten = messages.toSeq
-      .collect { case SnapWriteCommit(Some(f), _) => f }.sortBy(_.path)
+      .collect { case SnapWriteCommit(fs, _) => fs }
+      .flatten.sortBy(_.path)
     val replaced = op.scannedFiles.map(_.path).toSet
     val untouched = SnapTable.liveFiles(root, Some(op.baseVersion))
       .filterNot(f => replaced.contains(f.path))
@@ -1909,9 +2024,9 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case SnapWriteCommit(Some(f), _) =>
+      case SnapWriteCommit(fs, _) => fs.foreach(f =>
         try graft.io.SnapIo.delete(f.path)
-        catch { case _: Exception => () }
+        catch { case _: Exception => () })
       case _ => ()
     }
 }
@@ -1971,7 +2086,7 @@ class SnapCatalog
           case _ => None
         }
       }.toMap
-    val keys = Seq("statCols", "dv")
+    val keys = Seq("statCols", "dv", "partitionCol")
     if (keys.forall(fromFile.contains)) fromFile
     else fromFile ++ keys.filterNot(fromFile.contains).flatMap(k =>
       SnapTable.tableProperty(r, k).map(k -> _))
@@ -2015,11 +2130,42 @@ class SnapCatalog
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "snap tables are unpartitioned — layout comes from statCols " +
-        "range-shaping, not directory partitions")
+    // PARTITIONED BY (col): identity transform only — each commit
+    // writes ONE FILE PER KEY VALUE (the roll-on-key writer), the
+    // manifest box proves it (min == max), and scans report
+    // KeyGroupedPartitioning so two snap tables partitioned on the
+    // same column JOIN WITHOUT EXCHANGES (storage-partitioned join;
+    // enable spark.sql.sources.v2.bucketing.enabled). Anything
+    // fancier (bucket/days) would need a FunctionCatalog resolution —
+    // identity is the exchange-free workhorse for dimension-keyed
+    // layouts and needs none.
+    val partitionCol: Option[String] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name == "identity" =>
+        val refs = t.references()
+        require(refs.length == 1 && refs.head.fieldNames.length == 1,
+          "snap PARTITIONED BY takes a single top-level column")
+        val name = refs.head.fieldNames.head
+        val f = schema.fields.find(_.name.equalsIgnoreCase(name))
+          .getOrElse(throw new IllegalArgumentException(
+            s"partition column $name is not in the table schema"))
+        require(Seq(LongType, IntegerType, DateType)
+            .contains(f.dataType),
+          s"partition column $name must be bigint/int/date, " +
+            s"is ${f.dataType}")
+        Some(f.name)
+      case other => throw new UnsupportedOperationException(
+        "snap tables support PARTITIONED BY (<column>) — identity " +
+          s"transforms only, not ${other.mkString(", ")}")
+    }
     val props = properties.asScala.toMap
     val statCols = props.get("statCols").orElse(props.get("option.statCols"))
+      .orElse(partitionCol) // a partitioned table's layout IS its key
+    statCols.zip(partitionCol).foreach { case (sc, pc) =>
+      require(sc.split(',').head.trim.equalsIgnoreCase(pc),
+        s"partition column $pc must be the primary stat column " +
+          s"(got statCols=$sc) — file shaping and skipping key on it")
+    }
     val dvProp = props.get("dv").orElse(props.get("option.dv"))
     // version 1 FIRST, claimed atomically (single attempt, no
     // retry-into-next-slot): of two concurrent CREATEs exactly one
@@ -2029,14 +2175,16 @@ class SnapCatalog
     // right after the claim cannot leave the table property-less;
     // the sidecar props file below is a read fast-path only.
     try SnapTable.createEmpty(r, schema,
-      (statCols.map("statCols" -> _) ++ dvProp.map("dv" -> _)).toMap)
+      (statCols.map("statCols" -> _) ++ dvProp.map("dv" -> _) ++
+        partitionCol.map("partitionCol" -> _)).toMap)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
     }
     val propLines = statCols.map(sc => s"statCols=$sc") ++
-      dvProp.map(v => s"dv=$v")
+      dvProp.map(v => s"dv=$v") ++
+      partitionCol.map(pc => s"partitionCol=$pc")
     if (propLines.nonEmpty)
       graft.io.SnapIo.write(propsPath(r),
         propLines.mkString("", "\n", "\n").getBytes("UTF-8"))

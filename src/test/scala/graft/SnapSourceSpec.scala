@@ -531,7 +531,7 @@ class SnapSourceSpec extends AnyFunSuite {
       SnapTable.commit(appendIds.map(i => (i, i * 2, s"v$i"))
         .toDF("id", "dbl", "s"), root, "id")
       new graft.sources.SnapReplaceBatchWrite(op, root, schema, Seq("id"))
-        .commit(Array(graft.sources.SnapWriteCommit(Some(
+        .commit(Array(graft.sources.SnapWriteCommit(Seq(
           FileStat("file:/rewritten-placeholder", 11L,
             Seq("id" -> (150L, 160L)))))))
     }
@@ -573,7 +573,7 @@ class SnapSourceSpec extends AnyFunSuite {
       SnapTable.commit(appendIds.map(i => (i, i * 2, s"v$i"))
         .toDF("id", "dbl", "s"), root, "id")
       new graft.sources.SnapReplaceBatchWrite(op, root, schema, Seq("id"))
-        .commit(Array(graft.sources.SnapWriteCommit(Some(
+        .commit(Array(graft.sources.SnapWriteCommit(Seq(
           FileStat("file:/rewritten-placeholder", 12L,
             Seq("id" -> (150L, 500L)))), keys)))
     }
@@ -1154,6 +1154,60 @@ class SnapSourceSpec extends AnyFunSuite {
     // Scala API sees the same logical schema
     assert(graft.io.SnapTable.read(spark, root)
       .columns.toSeq == Seq("pk", "label", "score"))
+  }
+
+  test("storage-partitioned join: identity-partitioned snap tables " +
+      "join with ZERO exchanges") {
+    val base = freshRoot()
+    val r1 = base + "/t1"
+    val r2 = base + "/t2"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.sql(s"INSERT INTO graftsnap.`$r1` " +
+      "SELECT id % 8, id FROM range(0, 800)")
+    spark.sql(s"INSERT INTO graftsnap.`$r2` " +
+      "SELECT id % 8, id * 2 FROM range(0, 400)")
+    // the roll-on-key writer proves one file per key in the manifest
+    val live1 = SnapTable.liveFiles(r1)
+    assert(live1.size == 8, s"one file per key, got ${live1.size}")
+    assert(live1.forall(f => f.min == f.max))
+    val old = (spark.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        s"""SELECT a.k AS k, count(*) AS n, sum(a.v + b.w) AS s
+           |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b ON a.k = b.k
+           |GROUP BY a.k""".stripMargin)
+      val rows = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // expected per key: 100 x 50 pairs
+      val exp = (0L until 8L).map { k =>
+        val vs = (0L until 800L).filter(_ % 8 == k)
+        val ws = (0L until 400L).filter(_ % 8 == k).map(_ * 2)
+        (k, vs.size.toLong * ws.size,
+          vs.sum * ws.size + ws.sum * vs.size)
+      }
+      assert(rows.toSeq == exp.toSeq)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must plan ZERO exchanges:\n$plan")
+      // sanity: with v2 bucketing OFF the same join shuffles
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val j2 = spark.sql(
+        s"""SELECT count(*) FROM graftsnap.`$r1` a
+           |JOIN graftsnap.`$r2` b ON a.k = b.k""".stripMargin)
+      j2.collect()
+      assert(j2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+    }
   }
 
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
