@@ -71,6 +71,93 @@ import org.apache.spark.sql.functions._
   */
 object SnapTable {
 
+  /** UTF-8 BYTE-SPACE string statistics. String boxes live in the
+    * byte-lexicographic order of the column's UTF-8 encoding — the
+    * order Spark's UTF8String binary comparison (and parquet's
+    * BINARY min/max) already uses — NEVER java.lang.String's UTF-16
+    * code-unit order, which disagrees beyond the BMP (surrogates at
+    * 0xD800 sort below U+E000 in UTF-16 but above it in UTF-8 bytes).
+    * All comparisons, truncation, and the safe-upper-bound increment
+    * therefore operate on raw byte arrays; manifests store them
+    * url-base64 (no padding), so a prefix cut mid-codepoint is
+    * representable and still orders correctly.
+    */
+  private[graft] object StrStat {
+    /** Stored prefix length in BYTES (Delta truncates at 32 chars;
+      * 64 bytes keeps boxes tight on real-world keys while bounding
+      * manifest growth at any file count).
+      */
+    def maxLen: Int =
+      sys.props.get("graft.snap.strStatLen").map(_.toInt).getOrElse(64)
+    /** String columns tracked per table, in schema order (a cap, not
+      * a selection API: wide document schemas should not pay stats
+      * for every free-text column).
+      */
+    def maxCols: Int =
+      sys.props.get("graft.snap.strStatCols").map(_.toInt).getOrElse(8)
+
+    def enc(b: Array[Byte]): String =
+      java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+    def dec(s: String): Array[Byte] =
+      java.util.Base64.getUrlDecoder.decode(s)
+
+    /** Unsigned byte-lexicographic compare — UTF8String binary order. */
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+
+    /** The truncated-prefix contract: a stored prefix is a valid
+      * LOWER bound as-is (a prefix never exceeds its string), but a
+      * truncated MAX needs an upper bound ABOVE every string sharing
+      * the prefix — increment the last non-0xFF byte and drop the
+      * tail. `None` (all 0xFF — degenerate) means no finite upper
+      * bound exists and the max side cannot prune.
+      */
+    def safeUpper(p: Array[Byte]): Option[Array[Byte]] = {
+      var i = p.length - 1
+      while (i >= 0 && (p(i) & 0xff) == 0xff) i -= 1
+      if (i < 0) None
+      else {
+        val r = java.util.Arrays.copyOfRange(p, 0, i + 1)
+        r(i) = ((r(i) & 0xff) + 1).toByte
+        Some(r)
+      }
+    }
+
+    /** Truncate raw value bytes to the stored prefix. */
+    def prefixOfBytes(b: Array[Byte]): (String, Boolean) =
+      if (b.length <= maxLen) (enc(b), false)
+      else (enc(java.util.Arrays.copyOfRange(b, 0, maxLen)), true)
+
+    /** Truncate raw UTF-8 bytes of `s` to the stored prefix. */
+    def prefixOf(s: String): (String, Boolean) =
+      prefixOfBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Per-file box for one STRING column: url-base64 UTF-8 prefixes of
+    * the file's min/max, truncation flags, and the null count.
+    * `allNull` marks a file whose column holds no value at all — any
+    * value predicate on the column prunes it outright.
+    */
+  final case class StrBox(minB64: String, minTrunc: Boolean,
+      maxB64: String, maxTrunc: Boolean, nulls: Long,
+      allNull: Boolean) {
+    def minBytes: Array[Byte] = StrStat.dec(minB64)
+    def maxBytes: Array[Byte] = StrStat.dec(maxB64)
+    /** Exclusive upper bound valid even when truncated; None = the
+      * max side cannot prune (degenerate all-0xFF prefix).
+      */
+    def upperExclusive: Option[Array[Byte]] =
+      if (!maxTrunc) None else StrStat.safeUpper(maxBytes)
+  }
+
   /** Per-file stats over one or more columns; the FIRST column is the
     * primary (shaping + single-column pruning APIs), additional
     * columns enable multi-dimensional file skipping — the Z-order
@@ -81,7 +168,8 @@ object SnapTable {
       stats: Seq[(String, (Long, Long))],
       nullCounts: Seq[(String, Long)] = Nil,
       sums: Seq[(String, Long)] = Nil,
-      dv: Option[(String, Long)] = None) {
+      dv: Option[(String, Long)] = None,
+      strStats: Seq[(String, StrBox)] = Nil) {
     def min: Long = stats.head._2._1
     def max: Long = stats.head._2._2
     /** Rows a reader of this file emits: the physical row count minus
@@ -105,6 +193,11 @@ object SnapTable {
       */
     def colSum(colName: String): Option[Long] =
       sums.collectFirst { case (c, v) if c == colName => v }
+    /** String box for the column — `None` for non-string columns and
+      * manifests written before string stats existed (no pruning).
+      */
+    def strBox(colName: String): Option[StrBox] =
+      strStats.collectFirst { case (c, b) if c == colName => b }
   }
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None,
@@ -194,10 +287,32 @@ object SnapTable {
         val cut = body.lastIndexOf(':')
         (body.substring(0, cut), body.substring(cut + 1).toLong)
     }
+    // optional field: str=<col>=<b64min>[*]:<b64max>[*]:<nulls>[,...]
+    // (`*` = truncated side; `!:<nulls>` = all-null column). Absent in
+    // manifests written before string stats existed.
+    val strs = c.drop(3).collectFirst {
+      case s if s.startsWith("str=") =>
+        s.stripPrefix("str=").split(',').toSeq.map { tok =>
+          val eq = tok.indexOf('=')
+          val name = tok.substring(0, eq)
+          val body = tok.substring(eq + 1).split(":", -1)
+          if (body(0) == "!")
+            name -> StrBox("", minTrunc = false, "", maxTrunc = false,
+              body(1).toLong, allNull = true)
+          else {
+            def part(p: String): (String, Boolean) =
+              if (p.endsWith("*")) (p.dropRight(1), true) else (p, false)
+            val (mn, mnT) = part(body(0))
+            val (mx, mxT) = part(body(1))
+            name -> StrBox(mn, mnT, mx, mxT, body(2).toLong,
+              allNull = false)
+          }
+        }
+    }.getOrElse(Nil)
     FileStat(c(0), c(1).toLong, parts.map(p => p._1 -> p._2),
       parts.collect { case (n, _, Some(nc), _) => n -> nc },
       parts.collect { case (n, _, _, Some(sm)) => n -> sm },
-      dv)
+      dv, strs)
   }
 
   private def fileLine(f: FileStat): String =
@@ -209,7 +324,13 @@ object SnapTable {
           case _ => s"$c=$mn:$mx"
         }
       }.mkString(",") +
-      f.dv.fold("") { case (p, n) => s"\tdv=$p:$n" }
+      f.dv.fold("") { case (p, n) => s"\tdv=$p:$n" } +
+      (if (f.strStats.isEmpty) ""
+      else "\tstr=" + f.strStats.map { case (c, b) =>
+        if (b.allNull) s"$c=!:${b.nulls}"
+        else s"$c=${b.minB64}${if (b.minTrunc) "*" else ""}:" +
+          s"${b.maxB64}${if (b.maxTrunc) "*" else ""}:${b.nulls}"
+      }.mkString(","))
 
   private def readManifest(root: String, v: Int): Manifest = {
     manifestFilesRead.incrementAndGet()
@@ -495,6 +616,14 @@ object SnapTable {
     // stats are computed over the physical column but recorded under
     // the LOGICAL key — the name filters and aggregates arrive with
     def sl(c: String) = statLong(physed.schema, physC(c))
+    // STRING BOXES ride along automatically: every top-level string
+    // column (schema order, capped) gets per-file min/max prefixes —
+    // Spark's string min/max already fold in UTF8String binary order,
+    // which IS the byte order the boxes are defined in; truncation to
+    // the stored prefix happens driver-side on the collected extremes
+    val strCols = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .take(StrStat.maxCols).map(_.name).toSeq
     val aggs = statCols.flatMap(c => Seq(
       min(sl(c)).as(s"mn_$c"),
       max(sl(c)).as(s"mx_$c"))) ++
@@ -503,7 +632,11 @@ object SnapTable {
       // per-file SUM via decimal(38,0): cannot overflow at any file
       // size (and never trips ANSI); recorded only when it fits a long
       statCols.map(c =>
-        sum(sl(c).cast("decimal(38,0)")).as(s"sm_$c"))
+        sum(sl(c).cast("decimal(38,0)")).as(s"sm_$c")) ++
+      strCols.flatMap(c => Seq(
+        min(col(physC(c))).as(s"smn_$c"),
+        max(col(physC(c))).as(s"smx_$c"),
+        sum(when(col(physC(c)).isNull, 1L).otherwise(0L)).as(s"snc_$c")))
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
@@ -533,7 +666,20 @@ object SnapTable {
             else None // does not fit a long: omit, readers fall back
           }
         }
-        FileStat(r.getString(0), r.getLong(1), stats, nulls, sums)
+        val strs = strCols.zipWithIndex.map { case (c, j) =>
+          val base = 2 + 4 * n + 3 * j
+          val nc = r.getLong(base + 2)
+          c -> (if (r.isNullAt(base))
+            StrBox("", minTrunc = false, "", maxTrunc = false, nc,
+              allNull = true)
+          else {
+            val (mnP, mnT) = StrStat.prefixOf(r.getString(base))
+            val (mxP, mxT) = StrStat.prefixOf(r.getString(base + 1))
+            StrBox(mnP, mnT, mxP, mxT, nc, allNull = false)
+          })
+        }
+        FileStat(r.getString(0), r.getLong(1), stats, nulls, sums,
+          strStats = strs)
       }
       .sortBy(_.path).toSeq
   }

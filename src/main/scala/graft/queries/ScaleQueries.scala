@@ -2319,6 +2319,66 @@ object ScaleQueries {
         |  CAST(0 AS BIGINT) AS n_exchanges
         |FROM a JOIN b ON a.k = b.k""".stripMargin),
 
+    // STRING STAT BOXES: manifests record per-file min/max PREFIXES of
+    // every string column (UTF-8 byte space — Spark's binary collation
+    // — truncated at 64 bytes with a truncation-safe exclusive upper
+    // bound), so the =, range, LIKE-prefix, and IN filters a 100 TB
+    // user runs on string keys skip files from the manifest alone.
+    // Four custkey-ranged commits on customer: c_name order IS custkey
+    // order (zero-padded), so an equality opens 1 file, a name range
+    // opens 1, a LIKE prefix opens 1, a 2-key IN opens 2, and a bound
+    // above every box opens 0 — all open counters hash-gated as data,
+    // with the filters staying residual (row counts match the oracle).
+    "q318_snap_string_stats" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd31")
+        val c = Tables(s, d, "customer").select("c_custkey", "c_name")
+        Seq((0L, 375L), (375L, 750L), (750L, 1125L),
+          (1125L, Long.MaxValue)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            c.filter(col("c_custkey") >= a && col("c_custkey") < b),
+            root, "c_custkey")
+        }
+        def snap = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+        def probe(f: org.apache.spark.sql.Column): (Long, Long) = {
+          val c0 = graft.sources.SnapSource.filesOpened.get()
+          val n = snap.filter(f).count()
+          (n, graft.sources.SnapSource.filesOpened.get() - c0)
+        }
+        val (nEq, oEq) = probe(col("c_name") === "Customer#000000042")
+        val (nRg, oRg) = probe(col("c_name")
+          .between("Customer#000000400", "Customer#000000500"))
+        val (nPf, oPf) = probe(col("c_name").startsWith("Customer#0000008"))
+        val (nIn, oIn) = probe(col("c_name")
+          .isin("Customer#000000100", "Customer#000001200"))
+        val (nHi, oHi) = probe(col("c_name") >= "D")
+        s.range(1).select(
+          lit(nEq).as("n_eq"), lit(oEq).as("o_eq"),
+          lit(nRg).as("n_range"), lit(oRg).as("o_range"),
+          lit(nPf).as("n_prefix"), lit(oPf).as("o_prefix"),
+          lit(nIn).as("n_in"), lit(oIn).as("o_in"),
+          lit(nHi).as("n_above"), lit(oHi).as("o_above"))
+      },
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_name = 'Customer#000000042') AS n_eq,
+        |  CAST(1 AS BIGINT) AS o_eq,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_name BETWEEN 'Customer#000000400'
+        |     AND 'Customer#000000500') AS n_range,
+        |  CAST(1 AS BIGINT) AS o_range,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_name LIKE 'Customer#0000008%') AS n_prefix,
+        |  CAST(1 AS BIGINT) AS o_prefix,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_name IN ('Customer#000000100', 'Customer#000001200'))
+        |    AS n_in,
+        |  CAST(2 AS BIGINT) AS o_in,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_name >= 'D') AS n_above,
+        |  CAST(0 AS BIGINT) AS o_above""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -535,6 +535,13 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   // state but builds a replace-aware scan
   private[sources] val bounds = mutable.Map.empty[String, (Long, Long)]
   private[sources] val inSets = mutable.Map.empty[String, Array[Long]]
+  // STRING bounds prune files through the per-file string boxes but
+  // are NEVER absorbed exactly (a truncated prefix box cannot certify
+  // row membership) — the filters stay residual and Spark re-checks
+  private[sources] val strBounds =
+    mutable.Map.empty[String, SnapScan.StrBound]
+  private[sources] val strInSets =
+    mutable.Map.empty[String, Array[Array[Byte]]]
   private var pushed = Array.empty[Filter]
   private[sources] var required: StructType = full
   private var aggs: Option[Seq[AggregateFunc]] = None
@@ -577,30 +584,77 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     bounds(c) = (math.max(a, lo), math.min(b, hi))
   }
 
+  /** UTF-8 bytes of a string literal — the space string boxes live in.
+    * Only for genuine StringType columns: a string literal against a
+    * date/timestamp column belongs to the typed long path.
+    */
+  private def strVal(c: String, v: Any): Option[Array[Byte]] = {
+    val isStr = full.fields.find(_.name == c).exists(
+      _.dataType == StringType)
+    if (!isStr) None
+    else v match {
+      case s: String =>
+        Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case u: UTF8String => Some(u.getBytes)
+      case _ => None
+    }
+  }
+
+  private def narrowStr(c: String, lo: Option[(Array[Byte], Boolean)],
+      hi: Option[(Array[Byte], Boolean)]): Unit =
+    strBounds(c) = strBounds
+      .getOrElse(c, SnapScan.StrBound()).narrowed(lo, hi)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val absorbed = filters.filter {
       case EqualTo(c, v) => longVal(v).exists { l =>
-        narrow(c, l, l); true }
+        narrow(c, l, l); true } ||
+        strVal(c, v).exists { b =>
+          narrowStr(c, Some((b, false)), Some((b, false))); true }
       case GreaterThan(c, v) => longVal(v).exists { l =>
         // boundary literal: l+1 would wrap to Long.MinValue and the
         // provably-empty predicate would prune NOTHING — record an
         // explicitly empty range (lo > hi) that prunes every file
         if (l == Long.MaxValue) narrow(c, 1L, 0L)
-        else narrow(c, l + 1, Long.MaxValue); true }
+        else narrow(c, l + 1, Long.MaxValue); true } ||
+        strVal(c, v).exists { b =>
+          narrowStr(c, Some((b, true)), None); true }
       case GreaterThanOrEqual(c, v) => longVal(v).exists { l =>
-        narrow(c, l, Long.MaxValue); true }
+        narrow(c, l, Long.MaxValue); true } ||
+        strVal(c, v).exists { b =>
+          narrowStr(c, Some((b, false)), None); true }
       case LessThan(c, v) => longVal(v).exists { l =>
         if (l == Long.MinValue) narrow(c, 1L, 0L)
-        else narrow(c, Long.MinValue, l - 1); true }
+        else narrow(c, Long.MinValue, l - 1); true } ||
+        strVal(c, v).exists { b =>
+          narrowStr(c, None, Some((b, true))); true }
       case LessThanOrEqual(c, v) => longVal(v).exists { l =>
-        narrow(c, Long.MinValue, l); true }
+        narrow(c, Long.MinValue, l); true } ||
+        strVal(c, v).exists { b =>
+          narrowStr(c, None, Some((b, false))); true }
+      case StringStartsWith(c, p) => strVal(c, p).exists { b =>
+        // value ∈ [prefix, safeUpper(prefix)) — the half-open range
+        // every string with this prefix falls into; a degenerate
+        // all-0xFF prefix leaves the upper side unbounded
+        narrowStr(c, Some((b, false)),
+          SnapTable.StrStat.safeUpper(b).map(u => (u, true)))
+        true
+      }
       case In(c, vs) =>
         val ls = vs.flatMap(longVal)
         if (ls.length == vs.length && ls.nonEmpty) {
           val sorted = ls.sorted
           inSets(c) = inSets.get(c).fold(sorted)(_.intersect(sorted))
           true
-        } else false
+        } else {
+          val bs = vs.flatMap(v => strVal(c, v))
+          if (bs.length == vs.length && bs.nonEmpty) {
+            val sorted = SnapScan.sortedDistinctBytes(bs)
+            strInSets(c) = strInSets.get(c)
+              .fold(sorted)(SnapScan.intersectBytes(_, sorted))
+            true
+          } else false
+        }
       case _ => false
     }
     pushed = absorbed
@@ -612,7 +666,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     // — is satisfied by every row the scan can emit and need not be
     // re-evaluated. Anything weaker stays residual.
     val surviving = liveAtPlan.filter(f =>
-      SnapScan.survives(f, bounds.toMap, inSets.toMap))
+      SnapScan.survives(f, bounds.toMap, inSets.toMap,
+        strBounds.toMap, strInSets.toMap))
     def noNulls(c: String): Boolean =
       surviving.forall(_.nullCount(c).contains(0L))
     def contained(c: String, lo: Long, hi: Long): Boolean =
@@ -686,7 +741,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     if (cdf) return false // change rows ≠ live rows
     if (!exactOnly) return false
     lazy val surviving = liveAtPlan.filter(f =>
-      SnapScan.survives(f, bounds.toMap, inSets.toMap))
+      SnapScan.survives(f, bounds.toMap, inSets.toMap,
+        strBounds.toMap, strInSets.toMap))
     def statName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -751,7 +807,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   override def build(): Scan = {
     val live = liveAtPlan // the pinned planning snapshot, not a re-list
     val hit = live.filter(f =>
-      SnapScan.survives(f, bounds.toMap, inSets.toMap))
+      SnapScan.survives(f, bounds.toMap, inSets.toMap,
+        strBounds.toMap, strInSets.toMap))
     aggs match {
       case Some(fns) => new SnapAggScan(root, hit, fns, full)
       case None => new SnapScan(root, hit, required,
@@ -769,19 +826,139 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
 }
 
 object SnapScan {
+  import SnapTable.{StrBox, StrStat}
+
+  /** Pushed bound on a STRING column in UTF-8 byte space. Endpoints
+    * carry their own strictness — byte strings admit no `+1`/`-1`
+    * endpoint normalization the way longs do. A `None` side is
+    * unbounded; `empty` marks a provably-contradictory conjunction
+    * (every file prunes, stats or not).
+    */
+  private[sources] final case class StrBound(
+      lo: Option[(Array[Byte], Boolean)] = None,
+      hi: Option[(Array[Byte], Boolean)] = None,
+      empty: Boolean = false) {
+    private def tighterLo(a: (Array[Byte], Boolean),
+        b: (Array[Byte], Boolean)): (Array[Byte], Boolean) = {
+      val d = StrStat.cmp(a._1, b._1)
+      if (d > 0) a else if (d < 0) b else (a._1, a._2 || b._2)
+    }
+    private def tighterHi(a: (Array[Byte], Boolean),
+        b: (Array[Byte], Boolean)): (Array[Byte], Boolean) = {
+      val d = StrStat.cmp(a._1, b._1)
+      if (d < 0) a else if (d > 0) b else (a._1, a._2 || b._2)
+    }
+    def narrowed(nl: Option[(Array[Byte], Boolean)],
+        nh: Option[(Array[Byte], Boolean)]): StrBound = {
+      val l = (lo, nl) match {
+        case (Some(a), Some(b)) => Some(tighterLo(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      val h = (hi, nh) match {
+        case (Some(a), Some(b)) => Some(tighterHi(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      val dead = (l, h) match {
+        case (Some((lb, ls)), Some((hb, hs))) =>
+          val d = StrStat.cmp(lb, hb)
+          d > 0 || (d == 0 && (ls || hs))
+        case _ => false
+      }
+      StrBound(l, h, empty || dead)
+    }
+  }
+
+  /** Can the file hold a value satisfying the string bound? The box's
+    * min prefix is a valid LOWER bound as-is; the max side uses the
+    * truncation-safe exclusive upper when truncated (no finite upper
+    * → the max side cannot prune). An `allNull` box prunes outright:
+    * bounds only arise from value predicates, which no null row
+    * satisfies.
+    */
+  private def strBoxHits(b: StrBox, sb: StrBound): Boolean = {
+    if (b.allNull) return false
+    val loOk = sb.lo.forall { case (v, strict) =>
+      if (b.maxTrunc) b.upperExclusive match {
+        case Some(u) => StrStat.cmp(u, v) > 0 // all values < u
+        case None => true
+      } else {
+        val d = StrStat.cmp(b.maxBytes, v)
+        d > 0 || (d == 0 && !strict)
+      }
+    }
+    val hiOk = sb.hi.forall { case (v, strict) =>
+      val d = StrStat.cmp(b.minBytes, v) // minBytes <= true min
+      d < 0 || (d == 0 && !strict && !b.minTrunc)
+    }
+    loOk && hiOk
+  }
+
+  /** Sort + dedup byte keys in unsigned byte-lexicographic order. */
+  private[sources] def sortedDistinctBytes(
+      bs: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val sorted = bs.sortWith((a, b) => StrStat.cmp(a, b) < 0)
+    val out = mutable.ArrayBuffer.empty[Array[Byte]]
+    sorted.foreach { b =>
+      if (out.isEmpty || StrStat.cmp(out.last, b) != 0) out += b
+    }
+    out.toArray
+  }
+
+  /** Intersection of two SORTED distinct byte-key sets (repeated IN
+    * predicates on one column conjoin).
+    */
+  private[sources] def intersectBytes(a: Array[Array[Byte]],
+      b: Array[Array[Byte]]): Array[Array[Byte]] = {
+    val out = mutable.ArrayBuffer.empty[Array[Byte]]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val d = StrStat.cmp(a(i), b(j))
+      if (d == 0) { out += a(i); i += 1; j += 1 }
+      else if (d < 0) i += 1
+      else j += 1
+    }
+    out.toArray
+  }
+
+  /** Any key of the sorted byte-key set inside the box? */
+  private def strBoxHitsIn(b: StrBox, keys: Array[Array[Byte]]): Boolean = {
+    if (b.allNull) return false
+    // first key >= the box's lower bound
+    var lo = 0
+    var hi = keys.length
+    val mn = b.minBytes
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (StrStat.cmp(keys(mid), mn) < 0) lo = mid + 1 else hi = mid
+    }
+    if (lo >= keys.length) return false
+    if (b.maxTrunc) b.upperExclusive match {
+      case Some(u) => StrStat.cmp(keys(lo), u) < 0
+      case None => true
+    } else StrStat.cmp(keys(lo), b.maxBytes) <= 0
+  }
+
   /** Does the file's stat box intersect every pushed bound and contain
     * at least one key of every pushed IN-set? Columns a file carries
     * no stats for cannot prune it — EXCEPT against a provably-empty
     * bound (lo > hi, from contradictory or boundary-overflowing
     * predicates): no row anywhere can satisfy it, so every file
-    * prunes, stats or not.
+    * prunes, stats or not. String bounds prune through the same gate
+    * via the per-file string boxes.
     */
   private[sources] def survives(f: FileStat, bounds: Map[String, (Long, Long)],
-      inSets: Map[String, Array[Long]]): Boolean =
+      inSets: Map[String, Array[Long]],
+      strBounds: Map[String, StrBound] = Map.empty,
+      strInSets: Map[String, Array[Array[Byte]]] = Map.empty): Boolean =
     bounds.forall { case (c, (lo, hi)) =>
       lo <= hi && f.range(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     } && inSets.forall { case (c, keys) =>
       keys.nonEmpty && f.range(c).forall { case (mn, mx) => anyIn(keys, mn, mx) }
+    } && strBounds.forall { case (c, sb) =>
+      !sb.empty && f.strBox(c).forall(b => strBoxHits(b, sb))
+    } && strInSets.forall { case (c, keys) =>
+      keys.nonEmpty && f.strBox(c).forall(b => strBoxHitsIn(b, keys))
     }
 
   /** Any of `sorted` inside [mn, mx]? Binary search. */
@@ -1657,6 +1834,16 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
       case _ => row.getInt(primaryIdx).toLong
     }
 
+  // STRING BOXES ride along for every top-level string column (schema
+  // order, capped) — same automatic selection as the Scala writer, so
+  // a table's manifests stay uniform whichever path committed them.
+  // Extremes are tracked as cloned UTF8Strings (binary compare IS the
+  // byte order the boxes are defined in); truncation to the stored
+  // prefix happens once per file at finish.
+  private val strIdx: Array[Int] = schema.fields.zipWithIndex
+    .filter(_._1.dataType == StringType)
+    .take(SnapTable.StrStat.maxCols).map(_._2).toArray
+
   /** One physical file: its writer, inline stats, and finalization. */
   private class OneFile(fileSeq: Int) {
     val absPath: String = {
@@ -1691,9 +1878,30 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
       Array[Long](schema.fieldIndex(c), Long.MaxValue, Long.MinValue, 0L,
         0L, 0L, 0L)
     }
+    // string extremes per tracked column (null = no value seen yet)
+    val strMin = new Array[UTF8String](strIdx.length)
+    val strMax = new Array[UTF8String](strIdx.length)
+    val strNulls = new Array[Long](strIdx.length)
     def write(row: InternalRow): Unit = {
       writer.write(null, row)
       rows += 1
+      var j = 0
+      while (j < strIdx.length) {
+        val idx = strIdx(j)
+        if (row.isNullAt(idx)) strNulls(j) += 1L
+        else {
+          val u = row.getUTF8String(idx)
+          if (strMin(j) == null) {
+            // one clone serves both sides until a new extreme arrives
+            val c = u.clone()
+            strMin(j) = c; strMax(j) = c
+          } else {
+            if (u.compareTo(strMin(j)) < 0) strMin(j) = u.clone()
+            if (u.compareTo(strMax(j)) > 0) strMax(j) = u.clone()
+          }
+        }
+        j += 1
+      }
       var primary = true
       stats.foreach { s =>
         val idx = s(0).toInt
@@ -1733,10 +1941,24 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         val sums = statCols.zip(stats).collect {
           case (c, s) if s(3) == 1L && s(6) == 0L => c -> s(5)
         }
+        val strs = strIdx.indices.map { j =>
+          val name = schema.fields(strIdx(j)).name
+          name -> (if (strMin(j) == null)
+            SnapTable.StrBox("", minTrunc = false, "", maxTrunc = false,
+              strNulls(j), allNull = true)
+          else {
+            val (mnP, mnT) =
+              SnapTable.StrStat.prefixOfBytes(strMin(j).getBytes)
+            val (mxP, mxT) =
+              SnapTable.StrStat.prefixOfBytes(strMax(j).getBytes)
+            SnapTable.StrBox(mnP, mnT, mxP, mxT, strNulls(j),
+              allNull = false)
+          })
+        }
         val uri =
           if (graft.io.SnapIo.hasScheme(absPath)) absPath
           else "file:" + absPath
-        Some(FileStat(uri, rows, fileStats, nulls, sums))
+        Some(FileStat(uri, rows, fileStats, nulls, sums, strStats = strs))
       }
     }
     def kill(): Unit = {
@@ -1886,7 +2108,8 @@ class SnapRowLevelScanBuilder(op: SnapRowLevelOperation, root: String,
   override def build(): Scan = {
     val live = SnapTable.liveFiles(root, Some(op.baseVersion))
     val hit = live.filter(f =>
-      SnapScan.survives(f, bounds.toMap, inSets.toMap))
+      SnapScan.survives(f, bounds.toMap, inSets.toMap,
+        strBounds.toMap, strInSets.toMap))
     // an UPDATE/DELETE WHERE range on the primary stat column also
     // narrows the operation's CONFLICT test (see predicateBound)
     op.predicateBound = bounds.toMap.get(op.primaryStatCol)

@@ -1310,4 +1310,92 @@ class SnapSourceSpec extends AnyFunSuite {
     val pruned = SnapTable.readPruned(spark, root, "t", Long.MinValue, enc)
     assert(pruned.count() == 60)
   }
+
+  test("STRING boxes: =, range, prefix, and IN prune files; filters " +
+      "stay residual") {
+    val root = freshRoot()
+    // four commits keyed by id; string boxes ride along automatically
+    Seq((1L, 100L), (101L, 200L), (201L, 300L), (301L, 400L)).foreach {
+      case (a, b) => SnapTable.commit(
+        (a to b).map(i => (i, f"k$i%05d")).toDF("id", "name"),
+        root, "id")
+    }
+    val snap = spark.read.format(Fmt).load(root)
+    // equality reads ONE file
+    val eq = snap.filter(col("name") === "k00150")
+    assert(scanRows(eq) == 100, "= must prune to the matching file")
+    assert(eq.count() == 1)
+    // a range inside one commit reads one file, exact rows survive
+    val rg = snap.filter(col("name") >= "k00210" && col("name") < "k00220")
+    assert(scanRows(rg) == 100)
+    assert(rg.count() == 10)
+    // prefix: k003xx spans files 3 (k00300) and 4 (k00301..k00399)
+    val pf = snap.filter(col("name").startsWith("k003"))
+    assert(scanRows(pf) == 200, "LIKE 'k003%' must read exactly 2 files")
+    assert(pf.count() == 100)
+    // IN across two files
+    val in = snap.filter(col("name").isin("k00050", "k00350"))
+    assert(scanRows(in) == 200)
+    assert(in.count() == 2)
+    // bounds above/below every box prune ALL files
+    assert(snap.filter(col("name") > "z").count() == 0)
+    assert(snap.filter(col("name") < "k00001").count() == 0)
+    // a contradictory conjunction is provably empty
+    assert(snap.filter(col("name") > "k9" && col("name") < "k0")
+      .count() == 0)
+    // string filters are pruning-only: an aggregate under one must
+    // NOT be manifest-answered (the box cannot certify rows)
+    val before = graft.sources.SnapSource.filesOpened.get()
+    assert(snap.filter(col("name") <= "k00100")
+      .agg(count(lit(1))).head().getLong(0) == 100)
+    assert(graft.sources.SnapSource.filesOpened.get() > before,
+      "a string-filtered aggregate must row-scan, never push")
+  }
+
+  test("STRING boxes: truncated prefixes never prune a matching row") {
+    val root = freshRoot()
+    val p = "p" * 70 // beyond the 64-byte stored prefix
+    SnapTable.commit(Seq((1L, p + "a"), (2L, p + "c"))
+      .toDF("id", "name"), root, "id")
+    SnapTable.commit(Seq((3L, "q1"), (4L, "q2"))
+      .toDF("id", "name"), root, "id")
+    val snap = spark.read.format(Fmt).load(root)
+    // both sides of file 1's box are truncated to p*64 — a value
+    // under the shared prefix must still be found
+    val hit = snap.filter(col("name") === (p + "b"))
+    assert(scanRows(hit) == 2, "the truncated file must survive")
+    assert(hit.count() == 0) // residual filter rejects the rows
+    assert(snap.filter(col("name") === (p + "c")).count() == 1)
+    // a value equal to the stored prefix itself is provably below the
+    // file's true min (truncation means the min is LONGER) — pruned
+    val miss = snap.filter(col("name") === ("p" * 64))
+    assert(miss.count() == 0)
+    assert(scanRows(miss) == 0, "prefix-equal probe must prune the file")
+    // the q-file box is untruncated and prunes normally
+    assert(scanRows(snap.filter(col("name") === "q2")) == 2)
+  }
+
+  test("STRING boxes order in UTF-8 BYTE space, not UTF-16") {
+    val root = freshRoot()
+    val bmp = "\uE000" // UTF-8 EE 80 80
+    val emoji = new String(Character.toChars(0x1F600)) // F0 9F 98 80
+    // java.lang.String order says emoji < bmp (surrogates sort low);
+    // UTF-8 byte order — Spark's — says emoji > bmp
+    assert(emoji.compareTo(bmp) < 0, "sanity: UTF-16 disagrees")
+    SnapTable.commit(Seq((1L, bmp)).toDF("id", "name"), root, "id")
+    SnapTable.commit(Seq((2L, emoji)).toDF("id", "name"), root, "id")
+    val snap = spark.read.format(Fmt).load(root)
+    val above = snap.filter(col("name") > bmp)
+    assert(above.count() == 1, "emoji sorts ABOVE U+E000 in byte space")
+    assert(scanRows(above) == 1, "the U+E000 file must be pruned")
+    // all-null boxes prune against any value predicate
+    val root2 = freshRoot()
+    SnapTable.commit(Seq((1L, null.asInstanceOf[String]), (2L, null))
+      .toDF("id", "name"), root2, "id")
+    SnapTable.commit(Seq((3L, "x")).toDF("id", "name"), root2, "id")
+    val snap2 = spark.read.format(Fmt).load(root2)
+    val vx = snap2.filter(col("name") === "x")
+    assert(vx.count() == 1)
+    assert(scanRows(vx) == 1, "an all-null file must prune on =")
+  }
 }

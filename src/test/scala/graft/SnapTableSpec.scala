@@ -895,6 +895,56 @@ class SnapTableSpec extends AnyFunSuite {
     assert(SnapTable.read(spark, root).count() == 201)
   }
 
+  test("StrStat: byte compare, truncation-safe upper bound, prefixes") {
+    import SnapTable.StrStat
+    def b(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // unsigned byte order: 0xEE 80 80 (U+E000) < 0xF0 9F 98 80 (emoji)
+    assert(StrStat.cmp(b(""),
+      new String(Character.toChars(0x1F600)).getBytes("UTF-8")) < 0)
+    assert(StrStat.cmp(b("a"), b("ab")) < 0) // prefix sorts first
+    assert(StrStat.cmp(b("b"), b("ab")) > 0)
+    // safeUpper: bump last non-0xFF byte, drop the tail
+    assert(StrStat.safeUpper(b("abc")).map(new String(_, "UTF-8"))
+      .contains("abd"))
+    assert(StrStat.safeUpper(Array(0x61.toByte, 0xff.toByte))
+      .map(_.toSeq).contains(Seq(0x62.toByte)))
+    assert(StrStat.safeUpper(Array(0xff.toByte, 0xff.toByte)).isEmpty)
+    // prefixOf truncates at the byte cap and flags it
+    val long = "x" * 100
+    val (p, t) = StrStat.prefixOf(long)
+    assert(t && StrStat.dec(p).length == StrStat.maxLen)
+    val (q, u) = StrStat.prefixOf("short")
+    assert(!u && new String(StrStat.dec(q), "UTF-8") == "short")
+  }
+
+  test("manifests round-trip string boxes, incl. truncated + all-null;" +
+      " legacy manifests without them still parse") {
+    val root = freshRoot()
+    val p = "s" * 70
+    SnapTable.commit(Seq((1L, "alpha", p + "1"), (2L, "omega", p + "2"),
+      (3L, null.asInstanceOf[String], p + "3"))
+      .toDF("id", "a", "b"), root, "id")
+    SnapTable.commit(Seq((4L, null.asInstanceOf[String],
+      null.asInstanceOf[String])).toDF("id", "a", "b"), root, "id")
+    val fs = SnapTable.liveFiles(root).sortBy(_.min)
+    assert(fs.length == 2)
+    val f1 = fs.head
+    val boxA = f1.strBox("a").get
+    assert(new String(boxA.minBytes, "UTF-8") == "alpha")
+    assert(new String(boxA.maxBytes, "UTF-8") == "omega")
+    assert(!boxA.minTrunc && !boxA.maxTrunc && boxA.nulls == 1L &&
+      !boxA.allNull)
+    val boxB = f1.strBox("b").get
+    assert(boxB.minTrunc && boxB.maxTrunc)
+    assert(new String(boxB.minBytes, "UTF-8") == "s" * 64)
+    assert(boxB.upperExclusive.map(new String(_, "UTF-8"))
+      .contains("s" * 63 + "t"))
+    val f2 = fs(1)
+    assert(f2.strBox("a").exists(b => b.allNull && b.nulls == 1L))
+    // a column with no box (legacy manifest shape) reads as None
+    assert(f1.strBox("nope").isEmpty)
+  }
+
   test("hasScheme treats one-letter prefixes as drive letters, not " +
       "URI schemes") {
     import graft.io.SnapIo
