@@ -609,7 +609,8 @@ object SnapTable {
     def physC(c: String): String =
       if (physed.columns.contains(c)) c else cmap.getOrElse(c, c)
     val shaped =
-      if (filesPerCommit == 1) physed.coalesce(1)
+      if (filesPerCommit == -1) physed // pre-shaped (compactZ)
+      else if (filesPerCommit == 1) physed.coalesce(1)
       else physed.repartitionByRange(filesPerCommit,
         col(physC(statCols.head)))
     shaped.write.parquet(dataDir)
@@ -1040,6 +1041,82 @@ object SnapTable {
     val rewritten = writeFiles(frame, root, Seq(statCol), targetFiles)
     beforePublish()
     // the compaction frame IS the resolved snapshot (mergeSchema union)
+    publishRebasing(root, baseV, rewritten, _ => false,
+      schema = Some(frame.schema))
+  }
+
+  /** OPTIMIZE ... ZORDER BY: rewrite the live set clustered on the
+    * Morton z-value of TWO stat-typed columns (int/long/date/
+    * timestamp via the typed-box long encoding) and record
+    * multi-column boxes, so post-optimize scans skip files on EITHER
+    * dimension — the layout fix for "sorted by a, scanned by b",
+    * which at 100 TB is the difference between a 1-file probe and a
+    * full scan on the second key.
+    *
+    * Values are normalized linearly into 2^bits cells per dimension
+    * between the live set's global extremes (taken from the manifest
+    * boxes when every file carries them — zero extra reads — else
+    * one aggregate pass over the frame being rewritten anyway); the
+    * cell coordinates interleave with [[graft.ops.ZOrder.zValue2]]
+    * and `repartitionByRange` on the z-value shapes the files. The
+    * z-value only PLACES rows — every box is computed from the real
+    * data afterwards, so a skewed normalization costs tightness,
+    * never correctness.
+    */
+  def compactZ(spark: SparkSession, root: String, zCols: Seq[String],
+      targetFiles: Int, bits: Int = 16, asOf: Option[Int] = None): Int = {
+    require(zCols.length == 2,
+      s"ZORDER BY takes exactly two columns, got ${zCols.mkString(",")}")
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val baseV = asOf.getOrElse(currentVersion(root))
+    val frame = read(spark, root, Some(baseV))
+    zCols.foreach { c =>
+      val dt = frame.schema.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"ZORDER BY column $c not in table schema"))
+      import org.apache.spark.sql.types._
+      require(Seq(LongType, IntegerType, ShortType, ByteType, DateType,
+        TimestampType).contains(dt),
+        s"ZORDER BY column $c must be integer/date/timestamp, got $dt")
+    }
+    def enc(c: String) = statLong(frame.schema, c)
+    // global extremes: manifest boxes if EVERY live file has a real
+    // box for both columns, else one agg pass over the rewrite input
+    val live = liveFiles(root, Some(baseV))
+    val spans: Seq[(Long, Long)] = {
+      val fromManifest = zCols.map { c =>
+        val rs = live.map(f => f.range(c).filterNot(
+          _ == (Long.MinValue, Long.MaxValue)))
+        if (rs.nonEmpty && rs.forall(_.isDefined))
+          Some((rs.map(_.get._1).min, rs.map(_.get._2).max))
+        else None
+      }
+      if (fromManifest.forall(_.isDefined)) fromManifest.map(_.get)
+      else {
+        val r = frame.agg(min(enc(zCols.head)), max(enc(zCols.head)),
+          min(enc(zCols(1))), max(enc(zCols(1)))).collect()(0)
+        if (r.isNullAt(0) || r.isNullAt(2)) Seq((0L, 0L), (0L, 0L))
+        else Seq((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+      }
+    }
+    val cells = 1L << bits
+    def bucket(c: String, span: (Long, Long)): Column = {
+      val (mn, mx) = span
+      // double math: placement only, boxes stay exact; width +1 keeps
+      // the max value inside the top cell, NULLs land in cell 0
+      val width = math.max(1.0, (mx.toDouble - mn.toDouble + 1))
+      least(lit(cells - 1), greatest(lit(0L),
+        floor((enc(c).cast("double") - lit(mn.toDouble))
+          / lit(width) * lit(cells.toDouble)).cast("long")))
+    }
+    val z = graft.ops.ZOrder.zValue2(
+      coalesce(bucket(zCols.head, spans.head), lit(0L)),
+      coalesce(bucket(zCols(1), spans(1)), lit(0L)), bits)
+    val clustered = frame.withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val rewritten = writeFiles(clustered, root, zCols, filesPerCommit = -1)
     publishRebasing(root, baseV, rewritten, _ => false,
       schema = Some(frame.schema))
   }

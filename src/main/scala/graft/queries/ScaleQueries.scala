@@ -2379,6 +2379,74 @@ object ScaleQueries {
         |   WHERE c_name >= 'D') AS n_above,
         |  CAST(0 AS BIGINT) AS o_above""".stripMargin),
 
+    // OPTIMIZE ... ZORDER BY: a table committed sorted by o_orderkey
+    // has tight boxes on orderkey and FULL-WIDTH boxes on o_custkey —
+    // a custkey probe must open every file (gated: 4 of 4). One
+    // `CALL graftsnap.system.optimize(zorder_by =>
+    // 'o_orderkey,o_custkey')` rewrites the live set Morton-clustered
+    // with multi-column boxes, after which a narrow band on EITHER
+    // dimension opens at most half the 16 files (the 16 z-chunks form
+    // a 4×4 grid, so a 1-grid-row band is ~4 files; range-partitioner
+    // sampling wobble is why the gate is an inequality flag, not an
+    // exact count). Row counts and the post-optimize table hash-match
+    // the oracle — clustering moves rows, never changes them.
+    "q319_snap_zorder" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd32") + "/t"
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, Long.MaxValue)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        def snap = s.read.format("graft.sources.SnapSourceProvider")
+          .load(root)
+        def probe(f: org.apache.spark.sql.Column): (Long, Long) = {
+          val c0 = graft.sources.SnapSource.filesOpened.get()
+          val n = snap.filter(f).count()
+          (n, graft.sources.SnapSource.filesOpened.get() - c0)
+        }
+        val custBand = col("o_custkey").between(10L, 20L)
+        val (nB, oB) = probe(custBand) // no custkey stats: all 4 open
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        val opt = s.sql("CALL graftsnap.system.optimize(" +
+          s"table => '$root', target_files => 16, " +
+          "zorder_by => 'o_orderkey,o_custkey')").collect()(0)
+        val (nC, oC) = probe(custBand)
+        val (nK, oK) = probe(col("o_orderkey").between(100L, 200L))
+        val sums = snap.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sk"),
+          sum(col("o_custkey")).as("sc")).collect()(0)
+        s.range(1).select(
+          lit(nB).as("n_cust_before"), lit(oB).as("o_cust_before"),
+          lit(opt.getInt(2).toLong).as("n_files_after"),
+          lit(nC).as("n_cust_after"),
+          lit(if (oC * 2 <= 16) 1L else 0L).as("cust_pruned"),
+          lit(nK).as("n_key_after"),
+          lit(if (oK * 2 <= 16) 1L else 0L).as("key_pruned"),
+          lit(sums.getLong(0)).as("n_rows"),
+          lit(sums.getLong(1)).as("sum_keys"),
+          lit(sums.getLong(2)).as("sum_cust"))
+      },
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey BETWEEN 10 AND 20) AS n_cust_before,
+        |  CAST(4 AS BIGINT) AS o_cust_before,
+        |  CAST(16 AS BIGINT) AS n_files_after,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_custkey BETWEEN 10 AND 20) AS n_cust_after,
+        |  CAST(1 AS BIGINT) AS cust_pruned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |   WHERE o_orderkey BETWEEN 100 AND 200) AS n_key_after,
+        |  CAST(1 AS BIGINT) AS key_pruned,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+        |  (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders)
+        |    AS sum_keys,
+        |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders)
+        |    AS sum_cust""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -2596,13 +2596,22 @@ class SnapCatalog
           .comment("snap table root path").build(),
         ProcedureParameter.in("target_files", IntegerType)
           .defaultValue("1")
-          .comment("files the live set is rewritten into").build())
+          .comment("files the live set is rewritten into").build(),
+        ProcedureParameter.in("zorder_by", StringType)
+          .defaultValue("''")
+          .comment("two comma-separated stat-typed columns: rewrite " +
+            "Morton-clustered with multi-column boxes, so scans " +
+            "prune files on either dimension").build())
       override def call(input: InternalRow): java.util.Iterator[CScan] = {
         val r = input.getUTF8String(0).toString
         val target = input.getInt(1)
+        val zBy = input.getUTF8String(2).toString.trim
         val spark = org.apache.spark.sql.SparkSession.active
         val before = SnapTable.liveFiles(r, None).size
-        val v = SnapTable.compact(spark, r, primaryStat(r), target)
+        val v =
+          if (zBy.isEmpty) SnapTable.compact(spark, r, primaryStat(r), target)
+          else SnapTable.compactZ(spark, r,
+            zBy.split(',').map(_.trim).toSeq, target)
         oneRow(StructType(Seq(
           StructField("version", IntegerType, nullable = false),
           StructField("files_before", IntegerType, nullable = false),

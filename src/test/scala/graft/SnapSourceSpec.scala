@@ -1311,6 +1311,45 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(pruned.count() == 60)
   }
 
+  test("compactZ: z-order rewrite records multi-column boxes and " +
+      "prunes on either dimension") {
+    val root = freshRoot()
+    // committed sorted by x — y is decorrelated (Weyl sequence), so
+    // pre-optimize every file spans the whole y range
+    val rows = (0L until 4096L).map(i => (i, (i * 2654435761L) % 4096L))
+    rows.grouped(1024).foreach(g =>
+      SnapTable.commit(g.toSeq.toDF("x", "y"), root, "x"))
+    def snap = spark.read.format(Fmt).load(root)
+    val sums0 = snap.agg(sum("x"), sum("y")).head()
+    // before: no y stats — a y probe reads everything
+    assert(scanRows(snap.filter(col("y") < 256L)) == 4096)
+    val v = SnapTable.compactZ(spark, root, Seq("x", "y"),
+      targetFiles = 16)
+    assert(v > 0)
+    val fs = SnapTable.liveFiles(root)
+    assert(fs.size == 16)
+    // every rewritten file carries a REAL box on both dimensions
+    assert(fs.forall(f => Seq("x", "y").forall(c =>
+      f.range(c).exists(r => r != (Long.MinValue, Long.MaxValue)))))
+    // contents unchanged — clustering moves rows, never changes them
+    val sums1 = snap.agg(sum("x"), sum("y")).head()
+    assert(sums0 == sums1)
+    assert(snap.count() == 4096)
+    // 16 z-chunks ≈ a 4x4 grid: a 1/16 band on EITHER dimension now
+    // reads at most half the table (expected ~1/4; range-partitioner
+    // sampling wobble is why this is an inequality)
+    val yBand = snap.filter(col("y") < 256L)
+    assert(yBand.count() == 256)
+    assert(scanRows(yBand) <= 2048, "y band must prune z-ordered files")
+    val xBand = snap.filter(col("x") < 256L)
+    assert(xBand.count() == 256)
+    assert(scanRows(xBand) <= 2048, "x band must prune z-ordered files")
+    // a ZORDER BY column outside the schema (or a string) refuses
+    intercept[IllegalArgumentException] {
+      SnapTable.compactZ(spark, root, Seq("x", "nope"), 4)
+    }
+  }
+
   test("STRING boxes: =, range, prefix, and IN prune files; filters " +
       "stay residual") {
     val root = freshRoot()
