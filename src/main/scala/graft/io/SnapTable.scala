@@ -1045,6 +1045,24 @@ object SnapTable {
       schema = Some(frame.schema))
   }
 
+  /** Compaction with a caller-provided SHAPING of the rewrite frame
+    * and per-file EXTRA stat tags (e.g. the bucket id a bucketed
+    * table's layout contract requires) — the generic form behind
+    * bucket-preserving OPTIMIZE. Same conflict contract as
+    * [[compact]]: rebases over concurrent appends, refuses overwrites.
+    */
+  private[graft] def compactWith(spark: SparkSession, root: String,
+      statCols: Seq[String], shape: DataFrame => DataFrame,
+      extraStats: FileStat => Seq[(String, (Long, Long))],
+      asOf: Option[Int] = None): Int = {
+    val baseV = asOf.getOrElse(currentVersion(root))
+    val frame = read(spark, root, Some(baseV))
+    val rewritten = writeFiles(shape(frame), root, statCols, -1)
+      .map(f => f.copy(stats = f.stats ++ extraStats(f)))
+    publishRebasing(root, baseV, rewritten, _ => false,
+      schema = Some(frame.schema))
+  }
+
   /** OPTIMIZE ... ZORDER BY: rewrite the live set clustered on the
     * Morton z-value of TWO stat-typed columns (int/long/date/
     * timestamp via the typed-box long encoding) and record

@@ -2447,6 +2447,82 @@ object ScaleQueries {
         |  (SELECT CAST(sum(o_custkey) AS BIGINT) FROM orders)
         |    AS sum_cust""".stripMargin),
 
+    // BUCKET STORAGE-PARTITIONED JOIN: q317's identity SPJ is the
+    // dimension layout (one file per KEY — unusable when keys number
+    // billions); bucket(16, k) is the FACT layout. Both tables write
+    // per-bucket files via the catalog's `bucket` function (Murmur3 =
+    // Spark's own hash placement, so the clustered write lands one
+    // whole bucket per task = one file per bucket per commit), the
+    // manifest tags each file's bucket, scans report
+    // KeyGroupedPartitioning over bucket(16, k), and the
+    // orders-lineitem join plans with ZERO exchanges — at 100 TB this
+    // is the fact-fact join that otherwise shuffles both sides. Point
+    // lookups map the key through the bucket function and open ONE
+    // bucket's file — both counters hash-gated as data.
+    "q320_snap_bucket_join" -> Q(
+      (s, d) => {
+        val base = scratchDir("snapd33")
+        val r1 = base + "/t1"
+        val r2 = base + "/t2"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (bucket(16, k))")
+        s.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, qty BIGINT) " +
+          "PARTITIONED BY (bucket(16, k))")
+        Tables(s, d, "orders").createOrReplaceTempView("q320_orders")
+        Tables(s, d, "lineitem").createOrReplaceTempView("q320_lineitem")
+        s.sql(s"""INSERT INTO graftsnap.`$r1`
+          |SELECT o_orderkey,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q320_orders""".stripMargin)
+        s.sql(s"""INSERT INTO graftsnap.`$r2`
+          |SELECT l_orderkey, CAST(l_quantity AS BIGINT)
+          |FROM q320_lineitem""".stripMargin)
+        val old = (s.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            s"""SELECT a.k % 64 AS g, count(*) AS n_pairs,
+               |  sum(a.cents + b.qty) AS s
+               |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+               |ON a.k = b.k GROUP BY a.k % 64""".stripMargin)
+          val rows = j.collect()
+          // the join AND the pre-aggregation ride the key grouping —
+          // hashpartitioning exchanges are what a shuffled join would
+          // insert (the final %64 rollup legitimately repartitions)
+          val joinShuffles = "Exchange hashpartitioning\\(k#"
+            .r.findAllIn(j.queryExecution.executedPlan.toString).size
+          val c0 = graft.sources.SnapSource.filesOpened.get()
+          val pt = s.sql(s"SELECT cents FROM graftsnap.`$r1` " +
+            "WHERE k = 4321").collect()(0).getLong(0)
+          val ptOpens = graft.sources.SnapSource.filesOpened.get() - c0
+          import s.implicits._
+          rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            joinShuffles.toLong, pt, ptOpens))
+            .toSeq.toDF("g", "n_pairs", "s", "n_join_shuffles",
+              "pt_cents", "pt_opens")
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+        }
+      },
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT CAST(a.k % 64 AS BIGINT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(a.cents + b.qty) AS BIGINT) AS s,
+        |  CAST(0 AS BIGINT) AS n_join_shuffles,
+        |  (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |   FROM orders WHERE o_orderkey = 4321) AS pt_cents,
+        |  CAST(1 AS BIGINT) AS pt_opens
+        |FROM a JOIN b ON a.k = b.k GROUP BY a.k % 64""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -374,11 +374,22 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
     tableProps.get("partitionCol")
       .orElse(SnapTable.tableProperty(root, "partitionCol"))
 
+  /** Hash-bucket layout of a PARTITIONED BY (bucket(n, col)) table —
+    * per-bucket files, manifest-tagged, SPJ over the catalog's
+    * `bucket` function (see [[SnapBucket]]).
+    */
+  private lazy val bucketSpec: Option[(String, Int)] =
+    tableProps.get("bucketSpec")
+      .orElse(SnapTable.tableProperty(root, "bucketSpec"))
+      .map(SnapBucket.parseSpec)
+
   override def partitioning(): Array[Transform] =
-    partCol.map(c => Expressions.identity(c)).toArray
+    partCol.map(c => Expressions.identity(c)).toArray ++
+      bucketSpec.map { case (c, n) => Expressions.bucket(n, c) }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapScanBuilder(root, asOf, tableSchema, options, partCol)
+    new SnapScanBuilder(root, asOf, tableSchema, options, partCol,
+      bucketSpec)
 
   /** statCols resolution for writes that carry no reader option (SQL
     * INSERT INTO / CTAS): catalog table properties first (either
@@ -390,13 +401,14 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
     tableProps.get("statCols").orElse(tableProps.get("option.statCols"))
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .orElse(SnapTable.liveFiles(root, None).headOption
-        .map(_.stats.map(_._1)))
+        // bucket tags are layout pseudo-columns, not stat columns
+        .map(_.stats.map(_._1).filterNot(_.contains('#'))))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapWriteBuilder(root, info.schema(), info.options(),
-      defaultStatCols, partCol)
+      defaultStatCols, partCol, bucketSpec)
 
   // ---- SQL DELETE (SupportsDelete): a WHERE fully expressible as a
   // range over the PRIMARY stat column lowers onto SnapTable.delete's
@@ -524,7 +536,8 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
   */
 class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
-    partCol: Option[String] = None)
+    partCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -605,10 +618,31 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     strBounds(c) = strBounds
       .getOrElse(c, SnapScan.StrBound()).narrowed(lo, hi)
 
+  /** Point predicates on the BUCKET column of a bucketed table also
+    * prune by bucket id: map the keys through the bucket function
+    * onto the per-file bucket tag, so a key lookup reads ONE bucket's
+    * files, not the table. Ranges cannot (a hash bucket is not an
+    * interval). The literals arrive in the typed-box long encoding —
+    * hash as the column's internal type, matching the writer.
+    */
+  private def noteBucketKeys(c: String, ls: Seq[Long]): Unit =
+    bucketSpec.foreach { case (bc, n) =>
+      if (bc.equalsIgnoreCase(c)) {
+        val wide = full.fields.find(_.name == c).map(_.dataType)
+          .exists(dt => dt == LongType || dt == TimestampType)
+        val ids = ls.map(l =>
+          if (wide) SnapBucket.ofLong(l, n).toLong
+          else SnapBucket.ofInt(l.toInt, n).toLong)
+          .distinct.sorted.toArray
+        val tag = SnapBucket.tag(bc, n)
+        inSets(tag) = inSets.get(tag).fold(ids)(_.intersect(ids))
+      }
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val absorbed = filters.filter {
       case EqualTo(c, v) => longVal(v).exists { l =>
-        narrow(c, l, l); true } ||
+        narrow(c, l, l); noteBucketKeys(c, Seq(l)); true } ||
         strVal(c, v).exists { b =>
           narrowStr(c, Some((b, false)), Some((b, false))); true }
       case GreaterThan(c, v) => longVal(v).exists { l =>
@@ -645,6 +679,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         if (ls.length == vs.length && ls.nonEmpty) {
           val sorted = ls.sorted
           inSets(c) = inSets.get(c).fold(sorted)(_.intersect(sorted))
+          noteBucketKeys(c, sorted.toSeq)
           true
         } else {
           val bs = vs.flatMap(v => strVal(c, v))
@@ -812,8 +847,14 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     aggs match {
       case Some(fns) => new SnapAggScan(root, hit, fns, full)
       case None => new SnapScan(root, hit, required,
-        live.flatMap(_.stats.map(_._1)).distinct,
-        physMap = physMap, partCol = partCol,
+        // bucket tags are manifest pseudo-columns, not engine
+        // attributes — they must not reach filterAttributes
+        live.flatMap(_.stats.map(_._1)).distinct.filterNot(_.contains('#')),
+        physMap = physMap, partCol = partCol, bucketSpec = bucketSpec,
+        bucketWide = bucketSpec.exists { case (bc, _) =>
+          full.fields.find(_.name.equalsIgnoreCase(bc)).forall(f =>
+            f.dataType == LongType || f.dataType == TimestampType)
+        },
         ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
         startingVersion = Option(options.get("startingVersion")).map(_.toInt),
         maxVersionsPerTrigger =
@@ -1002,6 +1043,8 @@ object SnapScan {
 class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     statCols: Seq[String], physMap: Map[String, String] = Map.empty,
     partCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None,
+    bucketWide: Boolean = true,
     ignoreOverwrites: Boolean = false,
     startingVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
@@ -1027,6 +1070,21 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
         })
     }
 
+  /** BUCKET-GROUPED when the table declares bucket(n, col) and every
+    * planned file carries the manifest bucket tag (min == max, a
+    * valid id) — the bucketed DSv2 writer guarantees it; a foreign
+    * Scala-API commit lacks the tag and the scan falls back to
+    * unknown, never wrong. Same LIMIT/CDF exclusions as identity.
+    */
+  private lazy val bucketGrouped: Boolean =
+    bucketSpec.exists { case (c, n) =>
+      val tag = SnapBucket.tag(c, n)
+      !cdf && limit.isEmpty && files.nonEmpty &&
+        files.forall(_.range(tag).exists { case (mn, mx) =>
+          mn == mx && mn >= 0 && mn < n
+        })
+    }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (keyGrouped) {
@@ -1034,21 +1092,33 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
       val n = files.flatMap(_.range(c)).map(_._1).distinct.size
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(Array(Expressions.identity(c)), n)
+    } else if (bucketGrouped) {
+      val (c, n) = bucketSpec.get
+      val groups = files.flatMap(_.range(SnapBucket.tag(c, n)))
+        .map(_._1).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups)
     } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
 
   /** The partition-key value in the COLUMN's internal representation
     * (int days / int / long) — what HasPartitionKey must hand Spark.
+    * Bucket-grouped scans key on the INT bucket id instead.
     */
-  private def keyValOf(f: FileStat): Any = {
-    val c = partCol.get
-    val v = f.range(c).get._1
-    required.fields.find(_.name == c).map(_.dataType)
-      .orElse(Some(LongType)).get match {
-      case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
-      case _ => java.lang.Long.valueOf(v)
+  private def keyValOf(f: FileStat): Any =
+    if (bucketGrouped && partCol.isEmpty) {
+      val (c, n) = bucketSpec.get
+      java.lang.Integer.valueOf(
+        f.range(SnapBucket.tag(c, n)).get._1.toInt)
+    } else {
+      val c = partCol.get
+      val v = f.range(c).get._1
+      required.fields.find(_.name == c).map(_.dataType)
+        .orElse(Some(LongType)).get match {
+        case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
+        case _ => java.lang.Long.valueOf(v)
+      }
     }
-  }
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
   private val rInSets = mutable.Map.empty[String, Array[Long]]
@@ -1070,11 +1140,31 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
   override def filterAttributes(): Array[NamedReference] =
     statCols.map(Expressions.column).toArray
 
+  /** Join-driven (DPP) keys on the BUCKET column prune whole buckets:
+    * a dimension-filtered fact scan then reads only the buckets the
+    * surviving dimension keys hash into — the runtime counterpart of
+    * the static point-lookup pruning (bucket files have full-width
+    * key boxes, so value-box pruning alone would keep everything).
+    */
+  private def noteBucketRuntime(c: String, ls: Seq[Long]): Unit =
+    bucketSpec.foreach { case (bc, n) =>
+      if (bc.equalsIgnoreCase(c)) {
+        val ids = ls.map(l =>
+          if (bucketWide) SnapBucket.ofLong(l, n).toLong
+          else SnapBucket.ofInt(l.toInt, n).toLong)
+          .distinct.sorted.toArray
+        val tag = SnapBucket.tag(bc, n)
+        rInSets(tag) = rInSets.get(tag).fold(ids)(_.intersect(ids))
+      }
+    }
+
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In(c, vs) =>
       val ls = vs.flatMap(SnapSource.statLit).sorted
-      if (ls.length == vs.length)
+      if (ls.length == vs.length) {
         rInSets(c) = rInSets.get(c).fold(ls)(_.intersect(ls))
+        noteBucketRuntime(c, ls.toSeq)
+      }
     case EqualTo(c, v) =>
       // int-keyed DPP equalities arrive boxed as Integer (and
       // date-keyed ones as Date/LocalDate) — absorb in the typed-box
@@ -1083,6 +1173,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
       l.foreach { lv =>
         val (a, b) = rBounds.getOrElse(c, (Long.MinValue, Long.MaxValue))
         rBounds(c) = (math.max(a, lv), math.min(b, lv))
+        noteBucketRuntime(c, Seq(lv))
       }
     case _ => () // not absorbed — the join re-evaluates it anyway
   }
@@ -1121,7 +1212,8 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     }
     kept.map(f => SnapFilePartition(f.path, f.liveRows,
       dvPath = f.dv.map(_._1).orNull,
-      pKey = if (keyGrouped) InternalRow.fromSeq(Seq(keyValOf(f)))
+      pKey = if (keyGrouped || bucketGrouped)
+        InternalRow.fromSeq(Seq(keyValOf(f)))
         else null): InputPartition).toArray
   }
 
@@ -1676,7 +1768,8 @@ private[sources] class SplicedRow(required: StructType,
 class SnapWriteBuilder(root: String, schema: StructType,
     options: CaseInsensitiveStringMap,
     defaultStatCols: Option[Seq[String]] = None,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -1711,19 +1804,29 @@ class SnapWriteBuilder(root: String, schema: StructType,
       require(SnapSource.writableType(f.dataType),
         s"snap write does not support column ${f.name}: ${f.dataType}")
     }
-    partitionCol.foreach(pc => require(statCols.head == pc,
-      s"partitioned snap table $root shapes files by $pc — it must be " +
-        "the primary stat column"))
+    // a PATH-based write to a bucketed table (df.write.save(root))
+    // must honor the layout too, or it would silently strip the
+    // bucket tags and degrade every later join to a shuffle — resolve
+    // the spec from the table's own properties when the builder was
+    // not handed one by the catalog
+    val bSpec = bucketSpec.orElse(
+      SnapTable.tableProperty(root, "bucketSpec")
+        .map(SnapBucket.parseSpec))
+    partitionCol.orElse(bSpec.map(_._1)).foreach(pc =>
+      require(statCols.head == pc,
+        s"partitioned snap table $root shapes files by $pc — it must " +
+          "be the primary stat column"))
     new SnapWrite(root, schema, statCols, overwrite,
       options.getInt("filesPerCommit", 0), SnapTable.colMap(root),
-      rollOnKey = partitionCol.isDefined)
+      rollOnKey = partitionCol.isDefined, bucketSpec = bSpec)
   }
 }
 
 class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
     overwrite: Boolean, filesPerCommit: Int,
     physMap: Map[String, String] = Map.empty,
-    rollOnKey: Boolean = false)
+    rollOnKey: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.Distributions
@@ -1734,19 +1837,32 @@ class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
       SortDirection.ASCENDING))
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
-    Distributions.ordered(order)
-  override def requiredOrdering(): Array[WSortOrder] = order
-  override def requiredNumPartitions(): Int = filesPerCommit
+    bucketSpec match {
+      // CLUSTER by the key with exactly n partitions: Spark plans
+      // hash partitioning, whose placement IS the bucket function
+      // (see SnapBucket) — each task receives one whole bucket, so a
+      // commit writes exactly one file per populated bucket. The
+      // identity is an optimization only: the writer rolls files by
+      // its own per-row bucket id, so any placement stays correct.
+      case Some(_) =>
+        Distributions.clustered(Array(Expressions.column(statCols.head)))
+      case None => Distributions.ordered(order)
+    }
+  override def requiredOrdering(): Array[WSortOrder] =
+    if (bucketSpec.isDefined) Array.empty else order
+  override def requiredNumPartitions(): Int =
+    bucketSpec.map(_._2).getOrElse(filesPerCommit)
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
     new SnapBatchWrite(root, schema, statCols, overwrite, physMap,
-      rollOnKey)
+      rollOnKey, bucketSpec)
 }
 
 class SnapBatchWrite(root: String, schema: StructType,
     statCols: Seq[String], overwrite: Boolean,
     physMap: Map[String, String] = Map.empty,
-    rollOnKey: Boolean = false)
+    rollOnKey: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -1756,7 +1872,7 @@ class SnapBatchWrite(root: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     SnapWriterFactory(dataDir, schema, statCols, physMap = physMap,
-      rollOnKey = rollOnKey)
+      rollOnKey = rollOnKey, bucketSpec = bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
@@ -1792,12 +1908,13 @@ case class SnapWriteCommit(files: Seq[FileStat],
 case class SnapWriterFactory(dataDir: String, schema: StructType,
     statCols: Seq[String], collectKeys: Boolean = false,
     physMap: Map[String, String] = Map.empty,
-    rollOnKey: Boolean = false)
+    rollOnKey: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols,
-      collectKeys, physMap, rollOnKey)
+      collectKeys, physMap, rollOnKey, bucketSpec)
 }
 
 /** Parquet files per task via Spark's own [[ParquetWriteSupport]] —
@@ -1816,7 +1933,8 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     schema: StructType, statCols: Seq[String],
     collectKeys: Boolean = false,
     physMap: Map[String, String] = Map.empty,
-    rollOnKey: Boolean = false)
+    rollOnKey: Boolean = false,
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   // distinct primary-key values written (row-level-op writes): feeds
@@ -1844,8 +1962,10 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     .filter(_._1.dataType == StringType)
     .take(SnapTable.StrStat.maxCols).map(_._2).toArray
 
-  /** One physical file: its writer, inline stats, and finalization. */
-  private class OneFile(fileSeq: Int) {
+  /** One physical file: its writer, inline stats, and finalization.
+    * `bucket` (bucketed tables) stamps the file's manifest bucket tag.
+    */
+  private class OneFile(fileSeq: Int, bucket: Option[Int] = None) {
     val absPath: String = {
       graft.io.SnapIo.mkdirs(dataDir)
       val name = f"part-$partitionId%05d-$taskId-$fileSeq%04d.parquet"
@@ -1935,6 +2055,8 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         val fileStats = statCols.zip(stats).map { case (c, s) =>
           c -> (if (s(3) == 1L) (s(1), s(2))
           else (Long.MinValue, Long.MaxValue)) // all-null: unskippable
+        } ++ bucket.zip(bucketSpec).map { case (b, (c, n)) =>
+          SnapBucket.tag(c, n) -> (b.toLong, b.toLong)
         }
         val nulls = statCols.zip(stats).map { case (c, s) => c -> s(4) }
         // sum only when a value was seen and the fold never overflowed
@@ -1974,8 +2096,28 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   private var curKey = 0L
   private var curKeyNull = false
   private var anyRow = false
+  // bucketed tables: one open file PER BUCKET — under the aligned
+  // clustered write a task sees a single bucket, but correctness
+  // never depends on placement (any task may hold up to n open
+  // writers; the CREATE-time cap bounds n)
+  private val byBucket =
+    if (bucketSpec.isDefined) new java.util.HashMap[Integer, OneFile]()
+    else null
+  private val bucketDt =
+    bucketSpec.map(_ => schema.fields(primaryIdx).dataType).orNull
 
   override def write(row: InternalRow): Unit = {
+    if (byBucket != null) {
+      val b = SnapBucket.ofRow(row, primaryIdx, bucketDt,
+        bucketSpec.get._2)
+      var f = byBucket.get(b)
+      if (f == null) {
+        f = new OneFile(fileSeq, bucket = Some(b)); fileSeq += 1
+        byBucket.put(b, f)
+      }
+      f.write(row)
+      return
+    }
     if (rollOnKey) {
       val isNull = row.isNullAt(primaryIdx)
       val k = if (isNull) 0L else primaryVal(row)
@@ -1990,6 +2132,10 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (byBucket != null) {
+      byBucket.values().asScala.toSeq.foreach(f => finished ++= f.finish())
+      byBucket.clear()
+    }
     if (cur != null) { finished ++= cur.finish(); cur = null }
     val written: Option[Array[Long]] =
       if (!collectKeys || keysOverflow) None
@@ -2005,6 +2151,10 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   }
 
   override def abort(): Unit = {
+    if (byBucket != null) {
+      byBucket.values().asScala.foreach(_.kill())
+      byBucket.clear()
+    }
     if (cur != null) { cur.kill(); cur = null }
     finished.result().foreach(f =>
       try graft.io.SnapIo.delete(f.path.stripPrefix("file:"))
@@ -2076,14 +2226,20 @@ class SnapRowLevelOperation(root: String, tableSchema: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.Write =
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        // a rewrite of a BUCKETED table must re-tag its files, or one
+        // MERGE would silently strip the layout joins depend on
+        val bSpec = SnapTable.tableProperty(root, "bucketSpec")
+          .map(SnapBucket.parseSpec)
         new SnapWrite(root, info.schema(), statCols, overwrite = false,
-            filesPerCommit = 0, SnapTable.colMap(root)) {
+            filesPerCommit = 0, SnapTable.colMap(root),
+            bucketSpec = bSpec) {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new SnapReplaceBatchWrite(SnapRowLevelOperation.this, root,
-              info.schema(), statCols)
+              info.schema(), statCols, bSpec)
         }
+      }
     }
 }
 
@@ -2178,7 +2334,8 @@ class SnapRowLevelScan(op: SnapRowLevelOperation, files: Seq[FileStat],
   * the rewrite's files, one conflict-checked overwrite.
   */
 class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
-    schema: StructType, statCols: Seq[String])
+    schema: StructType, statCols: Seq[String],
+    bucketSpec: Option[(String, Int)] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -2188,7 +2345,7 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     SnapWriterFactory(dataDir, schema, statCols, collectKeys = true,
-      physMap = SnapTable.colMap(root))
+      physMap = SnapTable.colMap(root), bucketSpec = bucketSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rewritten = messages.toSeq
@@ -2278,9 +2435,25 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
   */
 class SnapCatalog
     extends org.apache.spark.sql.connector.catalog.TableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import org.apache.spark.sql.connector.catalog.{Identifier, Table => CTable, TableChange}
   import org.apache.spark.sql.connector.expressions.Transform
+
+  // ---- FUNCTION CATALOG: the `bucket` transform's engine-visible
+  // definition. Spark resolves a scan-reported bucket(n, k)
+  // partitioning to a TransformExpression through THIS lookup (the
+  // analyzer asks with an empty namespace), which is what lets it
+  // prove two snap scans share a partitioning and plan the
+  // storage-partitioned join without exchanges.
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) SnapBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName = "snap"
   override def initialize(name: String,
@@ -2309,7 +2482,7 @@ class SnapCatalog
           case _ => None
         }
       }.toMap
-    val keys = Seq("statCols", "dv", "partitionCol")
+    val keys = Seq("statCols", "dv", "partitionCol", "bucketSpec")
     if (keys.forall(fromFile.contains)) fromFile
     else fromFile ++ keys.filterNot(fromFile.contains).flatMap(k =>
       SnapTable.tableProperty(r, k).map(k -> _))
@@ -2353,41 +2526,64 @@ class SnapCatalog
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    // PARTITIONED BY (col): identity transform only — each commit
-    // writes ONE FILE PER KEY VALUE (the roll-on-key writer), the
-    // manifest box proves it (min == max), and scans report
-    // KeyGroupedPartitioning so two snap tables partitioned on the
-    // same column JOIN WITHOUT EXCHANGES (storage-partitioned join;
-    // enable spark.sql.sources.v2.bucketing.enabled). Anything
-    // fancier (bucket/days) would need a FunctionCatalog resolution —
-    // identity is the exchange-free workhorse for dimension-keyed
-    // layouts and needs none.
-    val partitionCol: Option[String] = partitions.toSeq match {
-      case Nil => None
-      case Seq(t) if t.name == "identity" =>
-        val refs = t.references()
-        require(refs.length == 1 && refs.head.fieldNames.length == 1,
-          "snap PARTITIONED BY takes a single top-level column")
-        val name = refs.head.fieldNames.head
-        val f = schema.fields.find(_.name.equalsIgnoreCase(name))
-          .getOrElse(throw new IllegalArgumentException(
-            s"partition column $name is not in the table schema"))
-        require(Seq(LongType, IntegerType, DateType)
-            .contains(f.dataType),
-          s"partition column $name must be bigint/int/date, " +
-            s"is ${f.dataType}")
-        Some(f.name)
-      case other => throw new UnsupportedOperationException(
-        "snap tables support PARTITIONED BY (<column>) — identity " +
-          s"transforms only, not ${other.mkString(", ")}")
+    // PARTITIONED BY (col): each commit writes ONE FILE PER KEY VALUE
+    // (the roll-on-key writer), the manifest box proves it
+    // (min == max), and scans report KeyGroupedPartitioning so two
+    // snap tables partitioned on the same column JOIN WITHOUT
+    // EXCHANGES (storage-partitioned join; enable
+    // spark.sql.sources.v2.bucketing.enabled) — the dimension-table
+    // layout. PARTITIONED BY (bucket(n, col)): the FACT-table form —
+    // keys fold into n hash buckets (the catalog's `bucket` function,
+    // see SnapBucket), each commit writes per-bucket files tagged in
+    // the manifest, and two same-bucketed tables SPJ the same way.
+    def singleRef(t: Transform): String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames.length == 1,
+        "snap PARTITIONED BY takes a single top-level column")
+      refs.head.fieldNames.head
     }
+    def schemaField(name: String): StructField =
+      schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"partition column $name is not in the table schema"))
+    val (partitionCol: Option[String], bucketSpec: Option[(String, Int)]) =
+      partitions.toSeq match {
+        case Nil => (None, None)
+        case Seq(t) if t.name == "identity" =>
+          val f = schemaField(singleRef(t))
+          require(Seq(LongType, IntegerType, DateType)
+              .contains(f.dataType),
+            s"partition column ${f.name} must be bigint/int/date, " +
+              s"is ${f.dataType}")
+          (Some(f.name), None)
+        case Seq(t) if t.name == "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.dataType == IntegerType =>
+              l.value().asInstanceOf[Int]
+          }.getOrElse(throw new IllegalArgumentException(
+            "bucket transform needs an INT bucket count"))
+          require(n >= 1 && n <= 4096,
+            s"bucket count must be in [1, 4096], got $n")
+          val f = schemaField(singleRef(t))
+          require(Seq(LongType, IntegerType, DateType, TimestampType)
+              .contains(f.dataType),
+            s"bucket column ${f.name} must be bigint/int/date/" +
+              s"timestamp, is ${f.dataType}")
+          (None, Some((f.name, n)))
+        case other => throw new UnsupportedOperationException(
+          "snap tables support PARTITIONED BY (<column>) or " +
+            s"(bucket(n, <column>)), not ${other.mkString(", ")}")
+      }
     val props = properties.asScala.toMap
     val statCols = props.get("statCols").orElse(props.get("option.statCols"))
       .orElse(partitionCol) // a partitioned table's layout IS its key
-    statCols.zip(partitionCol).foreach { case (sc, pc) =>
-      require(sc.split(',').head.trim.equalsIgnoreCase(pc),
-        s"partition column $pc must be the primary stat column " +
-          s"(got statCols=$sc) — file shaping and skipping key on it")
+      .orElse(bucketSpec.map(_._1))
+    statCols.zip(partitionCol.orElse(bucketSpec.map(_._1))).foreach {
+      case (sc, pc) =>
+        require(sc.split(',').head.trim.equalsIgnoreCase(pc),
+          s"partition column $pc must be the primary stat column " +
+            s"(got statCols=$sc) — file shaping and skipping key on it")
     }
     val dvProp = props.get("dv").orElse(props.get("option.dv"))
     // version 1 FIRST, claimed atomically (single attempt, no
@@ -2399,7 +2595,9 @@ class SnapCatalog
     // the sidecar props file below is a read fast-path only.
     try SnapTable.createEmpty(r, schema,
       (statCols.map("statCols" -> _) ++ dvProp.map("dv" -> _) ++
-        partitionCol.map("partitionCol" -> _)).toMap)
+        partitionCol.map("partitionCol" -> _) ++
+        bucketSpec.map { case (c, n) =>
+          "bucketSpec" -> SnapBucket.formatSpec(c, n) }).toMap)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis
@@ -2407,7 +2605,9 @@ class SnapCatalog
     }
     val propLines = statCols.map(sc => s"statCols=$sc") ++
       dvProp.map(v => s"dv=$v") ++
-      partitionCol.map(pc => s"partitionCol=$pc")
+      partitionCol.map(pc => s"partitionCol=$pc") ++
+      bucketSpec.map { case (c, n) =>
+        s"bucketSpec=${SnapBucket.formatSpec(c, n)}" }
     if (propLines.nonEmpty)
       graft.io.SnapIo.write(propsPath(r),
         propLines.mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -2608,10 +2808,44 @@ class SnapCatalog
         val zBy = input.getUTF8String(2).toString.trim
         val spark = org.apache.spark.sql.SparkSession.active
         val before = SnapTable.liveFiles(r, None).size
-        val v =
-          if (zBy.isEmpty) SnapTable.compact(spark, r, primaryStat(r), target)
-          else SnapTable.compactZ(spark, r,
-            zBy.split(',').map(_.trim).toSeq, target)
+        val bSpec = tableProps(r).get("bucketSpec")
+          .map(SnapBucket.parseSpec)
+        val v = bSpec match {
+          // a BUCKETED table's compaction must preserve the layout
+          // contract (per-bucket files + manifest tags) or one
+          // OPTIMIZE would silently strip the join co-location:
+          // route rows by the bucket function (one partition per
+          // bucket — Spark's repartition placement IS the function)
+          // and re-derive each file's tag from its key box (every
+          // key in a file hashes to its bucket; an all-null sentinel
+          // box means every key is null = the null bucket)
+          case Some((bc, n)) =>
+            require(zBy.isEmpty,
+              s"snap table $r is bucketed by bucket($n, $bc) — " +
+                "ZORDER BY would destroy the join layout; refuse")
+            val wide = SnapTable.tableSchema(r, None)
+              .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
+              .forall(f => f.dataType == LongType ||
+                f.dataType == TimestampType)
+            SnapTable.compactWith(spark, r, Seq(bc),
+              _.repartition(n,
+                org.apache.spark.sql.functions.col(bc)),
+              f => {
+                val b = f.range(bc) match {
+                  case Some((mn, mx))
+                      if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+                    if (wide) SnapBucket.ofLong(mn, n)
+                    else SnapBucket.ofInt(mn.toInt, n)
+                  case _ => SnapBucket.ofNull(n)
+                }
+                Seq(SnapBucket.tag(bc, n) -> (b.toLong, b.toLong))
+              })
+          case None if zBy.isEmpty =>
+            SnapTable.compact(spark, r, primaryStat(r), target)
+          case None =>
+            SnapTable.compactZ(spark, r,
+              zBy.split(',').map(_.trim).toSeq, target)
+        }
         oneRow(StructType(Seq(
           StructField("version", IntegerType, nullable = false),
           StructField("files_before", IntegerType, nullable = false),

@@ -1210,6 +1210,118 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket storage-partitioned join: bucket(8, k) tables join " +
+      "with ZERO exchanges; point lookups prune to one bucket") {
+    val base = freshRoot()
+    val r1 = base + "/t1"
+    val r2 = base + "/t2"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO graftsnap.`$r1` " +
+      "SELECT id, id * 3 FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO graftsnap.`$r2` " +
+      "SELECT id, id * 7 FROM range(0, 500)")
+    // the aligned clustered write gives ONE file per populated bucket,
+    // each tagged with its bucket id in the manifest
+    val live1 = SnapTable.liveFiles(r1)
+    assert(live1.size == 8, s"one file per bucket, got ${live1.size}")
+    assert(live1.forall(_.range("k#b8").exists { case (mn, mx) =>
+      mn == mx && mn >= 0 && mn < 8
+    }))
+    // rows landed in the bucket their key hashes to
+    val snap1 = spark.read.format(Fmt).load(r1)
+    val perFile = snap1.select(col("k"),
+      col(graft.sources.SnapSource.FileColumn).as("f"))
+      .collect().groupBy(_.getString(1))
+    perFile.values.foreach { rows =>
+      val bs = rows.map(r =>
+        graft.sources.SnapBucket.ofLong(r.getLong(0), 8)).distinct
+      assert(bs.length == 1, "a file must hold exactly one bucket")
+    }
+    val old = (spark.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        s"""SELECT a.k AS k, a.v + b.w AS t
+           |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+           |ON a.k = b.k""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length == 500)
+      assert(rows.map(_.getLong(1)).sum == (0L until 500L).map(_ * 10L).sum)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 10L))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket SPJ must plan ZERO exchanges:\n$plan")
+      // a point lookup maps the key through the bucket function and
+      // opens exactly that bucket's file
+      val c0 = graft.sources.SnapSource.filesOpened.get()
+      val v = spark.sql(
+        s"SELECT v FROM graftsnap.`$r1` WHERE k = 123").head().getLong(0)
+      assert(v == 369L)
+      assert(graft.sources.SnapSource.filesOpened.get() - c0 == 1,
+        "k = 123 must open only its bucket's file")
+      // an IN over two keys opens at most two buckets' files
+      val c1 = graft.sources.SnapSource.filesOpened.get()
+      assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$r1` " +
+        "WHERE k IN (5, 700)").head().getLong(0) == 2L)
+      assert(graft.sources.SnapSource.filesOpened.get() - c1 <= 2)
+      // a PATH-based append resolves the layout from table properties
+      // and keeps tagging (a write that stripped tags would silently
+      // degrade every later join to a shuffle)
+      Seq((2000L, 6000L)).toDF("k", "v")
+        .write.format(Fmt).mode("append").save(r1)
+      assert(SnapTable.liveFiles(r1).forall(
+        _.range("k#b8").exists(r => r._1 == r._2)))
+      // a MERGE rewrite keeps tagging too
+      Seq((123L, -1L)).toDF("k", "v").createOrReplaceTempView("bj_upd")
+      spark.sql(
+        s"""MERGE INTO graftsnap.`$r1` t USING bj_upd s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      assert(SnapTable.liveFiles(r1).forall(
+        _.range("k#b8").exists(r => r._1 == r._2)))
+      // bucket-preserving OPTIMIZE: per-bucket files, tags intact,
+      // the join stays exchange-free afterwards
+      val opt = spark.sql(s"CALL graftsnap.system.optimize(" +
+        s"table => '$r1')").head()
+      assert(opt.getInt(2) == 8, "optimize must keep one file/bucket")
+      assert(SnapTable.liveFiles(r1).forall(
+        _.range("k#b8").exists(r => r._1 == r._2)))
+      val j3 = spark.sql(
+        s"""SELECT a.k AS k, a.v + b.w AS t
+           |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+           |ON a.k = b.k""".stripMargin)
+      val rows3 = j3.collect()
+      assert(rows3.length == 500)
+      assert(rows3.find(_.getLong(0) == 123L).get.getLong(1) ==
+        -1L + 123L * 7L)
+      assert(!j3.queryExecution.executedPlan.toString.contains("Exchange"),
+        "the optimized bucketed join must stay exchange-free")
+      // ZORDER on a bucketed table refuses — it would strip the layout
+      intercept[Exception](spark.sql(s"CALL graftsnap.system.optimize(" +
+        s"table => '$r1', zorder_by => 'k,v')").collect())
+      // join-driven runtime filtering prunes whole BUCKETS: a
+      // selective dim filter reaches the fact scan as DPP keys, which
+      // map through the bucket function onto the manifest tags
+      val dim = spark.range(0, 1000).filter(col("id") % 250 === 1)
+        .select(col("id").as("k")) // keys 1, 251, 501, 751
+      val fact = spark.read.format(Fmt).load(r1)
+      assert(fact.join(broadcast(dim), "k").count() == 4)
+      // 4 keys hit at most 4 of the 8 buckets ≈ half the 1001 rows
+      val dppRows = scanRows(fact.join(broadcast(dim), "k"))
+      assert(dppRows <= 700,
+        s"DPP keys must prune non-matching buckets, scanned $dppRows")
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+    }
+  }
+
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val root = freshRoot()
