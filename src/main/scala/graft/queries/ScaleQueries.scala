@@ -2353,12 +2353,27 @@ object ScaleQueries {
         val (nIn, oIn) = probe(col("c_name")
           .isin("Customer#000000100", "Customer#000001200"))
         val (nHi, oHi) = probe(col("c_name") >= "D")
+        // string MIN/MAX fold untruncated boxes from the manifest, and
+        // a box-aligned string bound absorbs EXACTLY so the aggregate
+        // under the WHERE stays manifest-answered — zero opens both
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val mm = snap.agg(min(col("c_name")).as("mn"),
+          max(col("c_name")).as("mx")).collect()(0)
+        val al = snap
+          .filter(col("c_name").between(
+            "Customer#000000000", "Customer#000000374"))
+          .agg(count(lit(1))).collect()(0)
+        val aggOpens = graft.sources.SnapSource.filesOpened.get() - c0
         s.range(1).select(
           lit(nEq).as("n_eq"), lit(oEq).as("o_eq"),
           lit(nRg).as("n_range"), lit(oRg).as("o_range"),
           lit(nPf).as("n_prefix"), lit(oPf).as("o_prefix"),
           lit(nIn).as("n_in"), lit(oIn).as("o_in"),
-          lit(nHi).as("n_above"), lit(oHi).as("o_above"))
+          lit(nHi).as("n_above"), lit(oHi).as("o_above"),
+          lit(mm.getString(0)).as("mn_name"),
+          lit(mm.getString(1)).as("mx_name"),
+          lit(al.getLong(0)).as("n_aligned"),
+          lit(aggOpens).as("o_agg"))
       },
       """SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
@@ -2377,7 +2392,13 @@ object ScaleQueries {
         |  CAST(2 AS BIGINT) AS o_in,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
         |   WHERE c_name >= 'D') AS n_above,
-        |  CAST(0 AS BIGINT) AS o_above""".stripMargin),
+        |  CAST(0 AS BIGINT) AS o_above,
+        |  (SELECT min(c_name) FROM customer) AS mn_name,
+        |  (SELECT max(c_name) FROM customer) AS mx_name,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |   WHERE c_name BETWEEN 'Customer#000000000'
+        |     AND 'Customer#000000374') AS n_aligned,
+        |  CAST(0 AS BIGINT) AS o_agg""".stripMargin),
 
     // OPTIMIZE ... ZORDER BY: a table committed sorted by o_orderkey
     // has tight boxes on orderkey and FULL-WIDTH boxes on o_custkey —

@@ -555,6 +555,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     mutable.Map.empty[String, SnapScan.StrBound]
   private[sources] val strInSets =
     mutable.Map.empty[String, Array[Array[Byte]]]
+  // IS NULL columns: prune files whose recorded null count is zero
+  private[sources] val needNull = mutable.Set.empty[String]
   private var pushed = Array.empty[Filter]
   private[sources] var required: StructType = full
   private var aggs: Option[Seq[AggregateFunc]] = None
@@ -690,6 +692,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
             true
           } else false
         }
+      case IsNull(c) => needNull += c; true
       case _ => false
     }
     pushed = absorbed
@@ -702,25 +705,59 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     // re-evaluated. Anything weaker stays residual.
     val surviving = liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap))
+        strBounds.toMap, strInSets.toMap, needNull.toSet))
     def noNulls(c: String): Boolean =
-      surviving.forall(_.nullCount(c).contains(0L))
+      surviving.forall(f => f.nullCount(c).contains(0L) ||
+        f.strBox(c).exists(b => !b.allNull && b.nulls == 0L))
     def contained(c: String, lo: Long, hi: Long): Boolean =
       surviving.forall(_.range(c).exists { case (mn, mx) =>
         // the sentinel box means "extremes unknown", never containment
         !(mn == Long.MinValue && mx == Long.MaxValue) &&
           mn >= lo && mx <= hi
       }) && noNulls(c)
+    // STRING exact absorption: the LOWER side is truncation-proof
+    // (a truncated stored min strictly undercuts the true min, so
+    // stored >= v already proves true > v); the UPPER side needs an
+    // untruncated max. Zero nulls required as always — a null row
+    // fails any value predicate and must stay filterable.
+    import SnapTable.StrStat
+    def strAll(c: String)(ok: SnapTable.StrBox => Boolean): Boolean =
+      surviving.nonEmpty && surviving.forall(_.strBox(c).exists(b =>
+        !b.allNull && b.nulls == 0L && ok(b)))
+    def strGe(b: SnapTable.StrBox, v: Array[Byte],
+        strict: Boolean): Boolean = {
+      val d = StrStat.cmp(b.minBytes, v)
+      if (b.minTrunc) d >= 0 else d > 0 || (!strict && d == 0)
+    }
+    def strLe(b: SnapTable.StrBox, v: Array[Byte],
+        strict: Boolean): Boolean = !b.maxTrunc && {
+      val d = StrStat.cmp(b.maxBytes, v)
+      d < 0 || (!strict && d == 0)
+    }
     val residual = filters.filterNot {
-      case EqualTo(c, v) => longVal(v).exists(l => contained(c, l, l))
+      case EqualTo(c, v) =>
+        longVal(v).exists(l => contained(c, l, l)) ||
+          strVal(c, v).exists(b => strAll(c)(x =>
+            strGe(x, b, strict = false) && strLe(x, b, strict = false)))
       case GreaterThan(c, v) => longVal(v).exists(l =>
-        l < Long.MaxValue && contained(c, l + 1, Long.MaxValue))
+        l < Long.MaxValue && contained(c, l + 1, Long.MaxValue)) ||
+        strVal(c, v).exists(b => strAll(c)(strGe(_, b, strict = true)))
       case GreaterThanOrEqual(c, v) =>
-        longVal(v).exists(l => contained(c, l, Long.MaxValue))
+        longVal(v).exists(l => contained(c, l, Long.MaxValue)) ||
+          strVal(c, v).exists(b => strAll(c)(strGe(_, b, strict = false)))
       case LessThan(c, v) => longVal(v).exists(l =>
-        l > Long.MinValue && contained(c, Long.MinValue, l - 1))
+        l > Long.MinValue && contained(c, Long.MinValue, l - 1)) ||
+        strVal(c, v).exists(b => strAll(c)(strLe(_, b, strict = true)))
       case LessThanOrEqual(c, v) =>
-        longVal(v).exists(l => contained(c, Long.MinValue, l))
+        longVal(v).exists(l => contained(c, Long.MinValue, l)) ||
+          strVal(c, v).exists(b => strAll(c)(strLe(_, b, strict = false)))
+      case StringStartsWith(c, p) =>
+        // value ∈ [p, safeUpper(p)); an all-0xFF prefix has no finite
+        // upper but any value >= p must then extend p — lower suffices
+        strVal(c, p).exists(b => strAll(c) { x =>
+          strGe(x, b, strict = false) &&
+            StrStat.safeUpper(b).forall(u => strLe(x, u, strict = true))
+        })
       case In(c, vs) =>
         // exact iff every surviving file's box is fully COVERED by
         // the key set (every integer in [mn, mx] is a key, zero
@@ -777,7 +814,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     if (!exactOnly) return false
     lazy val surviving = liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap))
+        strBounds.toMap, strInSets.toMap, needNull.toSet))
     def statName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -803,6 +840,13 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         surviving.forall(_.range(c).exists { case (mn, mx) =>
           !(mn == Long.MinValue && mx == Long.MaxValue)
         })
+    // STRING MIN/MAX fold string boxes — exact only when every
+    // surviving file's box is UNTRUNCATED on both sides (a truncated
+    // prefix is not the extreme); all-null boxes contribute nothing
+    def strOk(c: String): Boolean =
+      full.fields.find(_.name == c).exists(_.dataType == StringType) &&
+        noDv && surviving.forall(_.strBox(c).exists(b =>
+          b.allNull || (!b.minTrunc && !b.maxTrunc)))
     // SUM folds per-file sums: every surviving file must carry one
     // (legacy manifests and per-file overflow refuse), and the total
     // must fit a long — otherwise the row scan keeps engine-native
@@ -816,8 +860,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       }
     a.aggregateExpressions.forall {
       case _: CountStar => true
-      case m: Min => statName(m.column).exists(statOk)
-      case m: Max => statName(m.column).exists(statOk)
+      case m: Min => statName(m.column).exists(c => statOk(c) || strOk(c))
+      case m: Max => statName(m.column).exists(c => statOk(c) || strOk(c))
       case s: Sum => !s.isDistinct && statName(s.column).exists(sumOk)
       case _ => false
     }
@@ -843,7 +887,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     val live = liveAtPlan // the pinned planning snapshot, not a re-list
     val hit = live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap))
+        strBounds.toMap, strInSets.toMap, needNull.toSet))
     aggs match {
       case Some(fns) => new SnapAggScan(root, hit, fns, full)
       case None => new SnapScan(root, hit, required,
@@ -991,7 +1035,8 @@ object SnapScan {
   private[sources] def survives(f: FileStat, bounds: Map[String, (Long, Long)],
       inSets: Map[String, Array[Long]],
       strBounds: Map[String, StrBound] = Map.empty,
-      strInSets: Map[String, Array[Array[Byte]]] = Map.empty): Boolean =
+      strInSets: Map[String, Array[Array[Byte]]] = Map.empty,
+      needNull: Set[String] = Set.empty): Boolean =
     bounds.forall { case (c, (lo, hi)) =>
       lo <= hi && f.range(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     } && inSets.forall { case (c, keys) =>
@@ -1000,6 +1045,12 @@ object SnapScan {
       !sb.empty && f.strBox(c).forall(b => strBoxHits(b, sb))
     } && strInSets.forall { case (c, keys) =>
       keys.nonEmpty && f.strBox(c).forall(b => strBoxHitsIn(b, keys))
+    } && needNull.forall { c =>
+      // IS NULL: a file with a RECORDED zero null count holds no null
+      // row (the count is physical, pre-DV — deletion can only remove
+      // rows, never add a null); unknown counts cannot prune
+      f.nullCount(c).forall(_ > 0L) &&
+        f.strBox(c).forall(b => b.allNull || b.nulls > 0L)
     }
 
   /** Any of `sorted` inside [mn, mx]? Binary search. */
@@ -1284,16 +1335,30 @@ class SnapAggScan(root: String, files: Seq[FileStat],
       case DateType => v.toInt // epoch-day box = DateType's internal repr
       case _ => v // long; TimestampType's internal micros are long too
     }
+    import SnapTable.StrStat
+    def strFold(c: String, takeMin: Boolean): Any = {
+      val sides = files.flatMap(_.strBox(c)).filterNot(_.allNull)
+        .map(b => if (takeMin) b.minBytes else b.maxBytes)
+      if (sides.isEmpty) null
+      else UTF8String.fromBytes(sides.reduce((a, b) =>
+        if ((StrStat.cmp(a, b) <= 0) == takeMin) a else b))
+    }
     val values: Array[Any] = fns.map {
       case _: CountStar => files.map(_.liveRows).sum: Any
       case m: Min =>
         val c = colOf(m)
-        val mins = files.flatMap(_.range(c)).map(_._1)
-        if (mins.isEmpty) null else typed(c, mins.min)
+        if (colType(c) == StringType) strFold(c, takeMin = true)
+        else {
+          val mins = files.flatMap(_.range(c)).map(_._1)
+          if (mins.isEmpty) null else typed(c, mins.min)
+        }
       case m: Max =>
         val c = colOf(m)
-        val maxs = files.flatMap(_.range(c)).map(_._2)
-        if (maxs.isEmpty) null else typed(c, maxs.max)
+        if (colType(c) == StringType) strFold(c, takeMin = false)
+        else {
+          val maxs = files.flatMap(_.range(c)).map(_._2)
+          if (maxs.isEmpty) null else typed(c, maxs.max)
+        }
       case s: Sum =>
         val c = colOf(s)
         val sums = files.flatMap(_.colSum(c))
@@ -2265,7 +2330,7 @@ class SnapRowLevelScanBuilder(op: SnapRowLevelOperation, root: String,
     val live = SnapTable.liveFiles(root, Some(op.baseVersion))
     val hit = live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap))
+        strBounds.toMap, strInSets.toMap, needNull.toSet))
     // an UPDATE/DELETE WHERE range on the primary stat column also
     // narrows the operation's CONFLICT test (see predicateBound)
     op.predicateBound = bounds.toMap.get(op.primaryStatCol)

@@ -1462,6 +1462,31 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("IS NULL prunes files with a recorded ZERO null count") {
+    val root = freshRoot()
+    // A: no nulls anywhere; B: names all null; C: ids all null
+    SnapTable.commit((1L to 10L).map(i => (Some(i), Some(s"a$i"), i))
+      .toDF("id", "name", "w"), root, "id")
+    SnapTable.commit((11L to 18L)
+      .map(i => (Some(i), None: Option[String], i))
+      .toDF("id", "name", "w"), root, "id")
+    SnapTable.commit(Seq((None: Option[Long], Some("x"), 0L),
+      (None, Some("y"), 0L)).toDF("id", "name", "w"), root, "id")
+    val snap = spark.read.format(Fmt).load(root)
+    // stat-column nulls: only C's file may be read
+    val idNull = snap.filter(col("id").isNull)
+    assert(idNull.count() == 2)
+    assert(scanRows(idNull) == 2, "id IS NULL must prune A and B")
+    // string-column nulls prune through the string boxes
+    val nameNull = snap.filter(col("name").isNull)
+    assert(nameNull.count() == 8)
+    assert(scanRows(nameNull) == 8, "name IS NULL must prune A and C")
+    // a column with no recorded stats cannot prune — correct, unpruned
+    val wNull = snap.filter(col("w").isNull)
+    assert(wNull.count() == 0)
+    assert(scanRows(wNull) == 20)
+  }
+
   test("STRING boxes: =, range, prefix, and IN prune files; filters " +
       "stay residual") {
     val root = freshRoot()
@@ -1494,13 +1519,60 @@ class SnapSourceSpec extends AnyFunSuite {
     // a contradictory conjunction is provably empty
     assert(snap.filter(col("name") > "k9" && col("name") < "k0")
       .count() == 0)
-    // string filters are pruning-only: an aggregate under one must
-    // NOT be manifest-answered (the box cannot certify rows)
+    // a BOX-ALIGNED string bound absorbs exactly (see the MIN/MAX
+    // test); a STRADDLING one cannot — the aggregate under it must
+    // row-scan, never be manifest-answered
     val before = graft.sources.SnapSource.filesOpened.get()
-    assert(snap.filter(col("name") <= "k00100")
-      .agg(count(lit(1))).head().getLong(0) == 100)
+    assert(snap.filter(col("name") <= "k00150")
+      .agg(count(lit(1))).head().getLong(0) == 150)
     assert(graft.sources.SnapSource.filesOpened.get() > before,
-      "a string-filtered aggregate must row-scan, never push")
+      "a straddling string bound must row-scan, never push")
+  }
+
+  test("string MIN/MAX answer from the manifest; aligned string " +
+      "bounds absorb exactly; truncation refuses") {
+    val root = freshRoot()
+    Seq((1L, 100L), (101L, 200L), (201L, 300L), (301L, 400L)).foreach {
+      case (a, b) => SnapTable.commit(
+        (a to b).map(i => (i, f"k$i%05d")).toDF("id", "name"),
+        root, "id")
+    }
+    val snap = spark.read.format(Fmt).load(root)
+    // unfiltered string MIN/MAX fold untruncated boxes: zero opens
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    val mm = snap.agg(min("name"), max("name"), count(lit(1))).head()
+    assert(graft.sources.SnapSource.filesOpened.get() == c0,
+      "MIN/MAX(string) must fold manifest boxes, not rows")
+    assert(mm.getString(0) == "k00001")
+    assert(mm.getString(1) == "k00400")
+    assert(mm.getLong(2) == 400L)
+    // a box-aligned string range absorbs EXACTLY — the aggregate
+    // under the WHERE still answers from the manifest
+    val c1 = graft.sources.SnapSource.filesOpened.get()
+    val r = snap
+      .filter(col("name") >= "k00101" && col("name") <= "k00200")
+      .agg(count(lit(1)), min("name")).head()
+    assert(graft.sources.SnapSource.filesOpened.get() == c1,
+      "a box-aligned string bound must absorb exactly (agg pushes)")
+    assert(r.getLong(0) == 100L)
+    assert(r.getString(1) == "k00101")
+    // LIKE 'prefix%' covering whole files absorbs too
+    val c2 = graft.sources.SnapSource.filesOpened.get()
+    assert(snap.filter(col("name").startsWith("k"))
+      .agg(count(lit(1))).head().getLong(0) == 400L)
+    assert(graft.sources.SnapSource.filesOpened.get() == c2)
+    // TRUNCATED boxes refuse the fold and fall back to a row scan
+    val root2 = freshRoot()
+    val p = "p" * 70
+    SnapTable.commit(Seq((1L, p + "a"), (2L, p + "c"))
+      .toDF("id", "name"), root2, "id")
+    SnapTable.commit(Seq((3L, "q1")).toDF("id", "name"), root2, "id")
+    val snap2 = spark.read.format(Fmt).load(root2)
+    val c3 = graft.sources.SnapSource.filesOpened.get()
+    val mn2 = snap2.agg(min("name")).head().getString(0)
+    assert(graft.sources.SnapSource.filesOpened.get() > c3,
+      "truncated boxes must force a row scan")
+    assert(mn2 == p + "a")
   }
 
   test("STRING boxes: truncated prefixes never prune a matching row") {
