@@ -752,6 +752,16 @@ object SnapTable {
       }
     }
 
+  /** Publish a CLONE snapshot: an overwrite manifest referencing
+    * another table's data files verbatim (paths are absolute; the
+    * clone's own vacuum never reaches a foreign root). Called right
+    * after [[createEmpty]]'s v1 claim by the catalog's clone
+    * procedure.
+    */
+  private[graft] def publishClone(root: String, files: Seq[FileStat],
+      schema: org.apache.spark.sql.types.StructType): Int =
+    publish(root, "overwrite", files, frameSchema = Some(schema))
+
   /** Publish a manifest naming `files`, claiming the next free
     * version (optimistic concurrency: a concurrent winner makes
     * createFile throw and we retry above it). This is the BLIND

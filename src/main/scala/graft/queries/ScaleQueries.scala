@@ -2544,6 +2544,92 @@ object ScaleQueries {
         |  CAST(1 AS BIGINT) AS pt_opens
         |FROM a JOIN b ON a.k = b.k GROUP BY a.k % 64""".stripMargin),
 
+    // ZERO-COPY CLONE: a new table whose first snapshot REFERENCES
+    // the source's files — one manifest write, no bytes copied (the
+    // local-file count under the clone's data/ is gated to ZERO), at
+    // any version. At 100 TB this is the dev/test sandbox: full table
+    // in O(1), then divergent writes land in the clone's own root —
+    // an INSERT and a DELETE on the clone leave the source byte-
+    // identical (both sides hash-gated), and a version-pinned clone
+    // reproduces history.
+    "q321_snap_clone" -> Q(
+      (s, d) => {
+        val base = scratchDir("snapd34")
+        val src = base + "/src"
+        val dst = base + "/dst"
+        val dstOld = base + "/dst_old"
+        val o = Tables(s, d, "orders").select("o_orderkey", "o_totalprice")
+          .select(col("o_orderkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, Long.MaxValue)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            src, "o_orderkey")
+        }
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"DELETE FROM graftsnap.`$src` " +
+          "WHERE o_orderkey BETWEEN 5000 AND 5999") // v5
+        val c = s.sql("CALL graftsnap.system.clone(" +
+          s"source => '$src', target => '$dst')").collect()(0)
+        def localFiles(root: String): Long = {
+          val dataDir = java.nio.file.Paths.get(root, "data")
+          if (!java.nio.file.Files.isDirectory(dataDir)) 0L
+          else {
+            val st = java.nio.file.Files.walk(dataDir)
+            try st.filter(p => p.toString.endsWith(".parquet")).count()
+            finally st.close()
+          }
+        }
+        val zeroCopy = localFiles(dst)
+        def agg(root: String) = s.read
+          .format("graft.sources.SnapSourceProvider").load(root)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+          .collect()(0)
+        val clone0 = agg(dst)
+        // a version-pinned clone reproduces history (before the 4th
+        // slice and the delete existed)
+        s.sql("CALL graftsnap.system.clone(" +
+          s"source => '$src', target => '$dstOld', version => 2)")
+        val old0 = agg(dstOld)
+        // divergence: writes to the clone land in ITS root only
+        s.sql(s"INSERT INTO graftsnap.`$dst` VALUES (99999999, 1)")
+        s.sql(s"DELETE FROM graftsnap.`$dst` " +
+          "WHERE o_orderkey BETWEEN 0 AND 999")
+        val clone1 = agg(dst)
+        val src1 = agg(src)
+        s.range(1).select(
+          lit(c.getInt(0).toLong).as("source_version"),
+          lit(c.getInt(2).toLong).as("files_referenced"),
+          lit(zeroCopy).as("n_local_files"),
+          lit(clone0.getLong(0)).as("n_clone"),
+          lit(clone0.getLong(1)).as("s_clone"),
+          lit(old0.getLong(0)).as("n_clone_v2"),
+          lit(clone1.getLong(0)).as("n_diverged"),
+          lit(clone1.getLong(1)).as("s_diverged"),
+          lit(src1.getLong(0)).as("n_src_after"),
+          lit(src1.getLong(1)).as("s_src_after"))
+      },
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |kept AS (SELECT * FROM o WHERE k NOT BETWEEN 5000 AND 5999)
+        |SELECT CAST(5 AS BIGINT) AS source_version,
+        |  CAST(4 AS BIGINT) AS files_referenced,
+        |  CAST(0 AS BIGINT) AS n_local_files,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_clone,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM kept) AS s_clone,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o
+        |   WHERE k < 8000) AS n_clone_v2,
+        |  (SELECT CAST(count(*) AS BIGINT) + 1 FROM kept
+        |   WHERE k NOT BETWEEN 0 AND 999) AS n_diverged,
+        |  (SELECT CAST(sum(c) AS BIGINT) + 1 FROM kept
+        |   WHERE k NOT BETWEEN 0 AND 999) AS s_diverged,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_src_after,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM kept) AS s_src_after""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

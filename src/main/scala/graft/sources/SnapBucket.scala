@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
@@ -95,7 +95,8 @@ object SnapBucketFunction extends UnboundFunction {
 }
 
 final class SnapBoundBucket(dt: DataType)
-    extends ScalarFunction[Integer] {
+    extends ScalarFunction[Integer]
+    with ReducibleFunction[Integer, Integer] {
   override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
@@ -107,4 +108,33 @@ final class SnapBoundBucket(dt: DataType)
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): Integer =
     SnapBucket.ofRow(input, 1, dt, input.getInt(0))
+  /** COMPATIBLE bucket counts: floorMod(h, a) mod b == floorMod(h, b)
+    * whenever b divides a, so a bucket(32) side coarsens onto a
+    * bucket(16) side by id mod 16 — Spark groups the finer side's
+    * partitions through this reducer and the mixed-count join still
+    * plans without exchanges
+    * (spark.sql.sources.v2.bucketing.allowCompatibleTransforms
+    * .enabled). Identity (a == b) returns null per the contract —
+    * "no reduction needed"; a non-divisible pair returns null too —
+    * "not reducible", Spark falls back to a shuffle.
+    */
+  override def reducer(thisN: Int,
+      other: ReducibleFunction[_, _],
+      otherN: Int): Reducer[Integer, Integer] = other match {
+    case o: SnapBoundBucket if o.canonicalName() == canonicalName() &&
+        thisN != otherN && otherN > 0 && thisN % otherN == 0 =>
+      new SnapBucketReducer(otherN)
+    case _ => null
+  }
 }
+
+/** Top-level and Serializable: the reducer rides inside partitioning
+  * expressions the executors deserialize — an inner class would drag
+  * the (non-serializable) bound function along as its outer pointer.
+  */
+final class SnapBucketReducer(otherN: Int)
+    extends Reducer[Integer, Integer] with Serializable {
+  override def reduce(i: Integer): Integer =
+    Integer.valueOf(i.intValue() % otherN)
+}
+

@@ -2944,9 +2944,64 @@ class SnapCatalog
       }
     }
 
+  /** ZERO-COPY CLONE (Delta's shallow clone): the target is a new
+    * table whose first snapshot REFERENCES the source's data files —
+    * one manifest write, no bytes copied, any version. What makes it
+    * sound here: every manifest path is absolute, readers open paths
+    * as-is, the clone inherits the source's layout properties
+    * (statCols/dv/partitionCol/bucketSpec), and vacuum only ever
+    * deletes under its OWN root's data/ and dv/ dirs — a clone's
+    * vacuum cannot touch source bytes, while writes to either side
+    * land in their own roots and never alias. The one shared-fate
+    * caveat is Delta's own: vacuuming the SOURCE below the cloned
+    * version orphans the clone's references (fail-fast via the
+    * retention horizon on the source, not silently).
+    */
+  private val cloneProc: UnboundProcedure =
+    new SnapProcedure("clone") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("source", StringType)
+          .comment("snap table root to clone").build(),
+        ProcedureParameter.in("target", StringType)
+          .comment("new table root (must not exist)").build(),
+        ProcedureParameter.in("version", IntegerType)
+          .defaultValue("-1")
+          .comment("source version to clone (-1 = current)").build())
+      override def call(input: InternalRow): java.util.Iterator[CScan] = {
+        val src = input.getUTF8String(0).toString
+        val dst = input.getUTF8String(1).toString
+        val v = input.getInt(2) match {
+          case -1 => SnapTable.currentVersion(src)
+          case x => x
+        }
+        if (graft.io.SnapIo.isDir(graft.io.SnapIo.child(dst, "_log")))
+          throw new IllegalArgumentException(
+            s"clone target $dst already exists")
+        val files = SnapTable.liveFiles(src, Some(v))
+        val schema = SnapTable.tableSchema(src, Some(v)).getOrElse(
+          throw new IllegalArgumentException(
+            s"source $src@$v predates schema headers — cannot clone"))
+        val props = Seq("statCols", "dv", "partitionCol", "bucketSpec")
+          .flatMap(k => SnapTable.tableProperty(src, k).map(k -> _))
+          .toMap
+        SnapTable.createEmpty(dst, schema, props) // atomic v1 claim
+        if (props.nonEmpty)
+          graft.io.SnapIo.write(propsPath(dst),
+            props.toSeq.sortBy(_._1).map { case (k, p) => s"$k=$p" }
+              .mkString("", "\n", "\n").getBytes("UTF-8"))
+        val cv = SnapTable.publishClone(dst, files, schema)
+        oneRow(StructType(Seq(
+          StructField("source_version", IntegerType, nullable = false),
+          StructField("clone_version", IntegerType, nullable = false),
+          StructField("files_referenced", IntegerType, nullable = false))),
+          v, cv, files.size)
+      }
+    }
+
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "optimize"),
-      Identifier.of(Array("system"), "vacuum"))
+      Identifier.of(Array("system"), "vacuum"),
+      Identifier.of(Array("system"), "clone"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val nsOk = ident.namespace().isEmpty ||
@@ -2954,10 +3009,12 @@ class SnapCatalog
     if (nsOk) ident.name().toLowerCase match {
       case "optimize" => return optimizeProc
       case "vacuum" => return vacuumProc
+      case "clone" => return cloneProc
       case _ => ()
     }
     throw new IllegalArgumentException(
       s"unknown snap procedure ${ident.namespace().mkString(".")}." +
-        s"${ident.name()} — available: system.optimize, system.vacuum")
+        s"${ident.name()} — available: system.optimize, system.vacuum" +
+        ", system.clone")
   }
 }

@@ -1322,6 +1322,88 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("compatible bucket counts: bucket(8) joins bucket(4) " +
+      "shuffle-free via the reducer; GROUP BY rides the grouping") {
+    val base = freshRoot()
+    val r1 = base + "/t1"
+    val r2 = base + "/t2"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO graftsnap.`$r1` " +
+      "SELECT id, id * 3 FROM range(0, 400)")
+    spark.sql(s"INSERT INTO graftsnap.`$r2` " +
+      "SELECT id % 200, id FROM range(0, 400)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    val old = confs.map(c => c -> spark.conf.get(c))
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    confs.foreach(spark.conf.set(_, "true"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.sql(
+        s"""SELECT a.k AS k, a.v + b.w AS t
+           |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+           |ON a.k = b.k""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length == 400, "each of 200 keys matches twice")
+      assert(rows.map(_.getLong(1)).sum ==
+        (0L until 200L).map(k => 2 * 3 * k + k + (k + 200)).sum)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"mixed-bucket-count SPJ must plan ZERO exchanges:\n$plan")
+      // aggregation by the bucket key rides the key grouping too —
+      // no exchange between the scan and the final aggregate
+      val g = spark.sql(s"SELECT k, sum(v) AS s FROM graftsnap.`$r1` " +
+        "GROUP BY k")
+      assert(g.collect().length == 400)
+      assert(!g.queryExecution.executedPlan.toString.contains("Exchange"),
+        "GROUP BY the bucket key must not shuffle a bucketed table")
+    } finally {
+      old.foreach { case (c, v) => spark.conf.set(c, v) }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
+  test("zero-copy clone: references source files; existing target " +
+      "refuses; clone maintenance never touches source bytes") {
+    val base = freshRoot()
+    val src = base + "/src"
+    val dst = base + "/dst"
+    SnapTable.commit((1L to 100L).map(i => (i, i * 2)).toDF("id", "v"),
+      src, "id")
+    SnapTable.commit((101L to 200L).map(i => (i, i * 2)).toDF("id", "v"),
+      src, "id")
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    val c = spark.sql("CALL graftsnap.system.clone(" +
+      s"source => '$src', target => '$dst')").head()
+    assert(c.getInt(0) == 2 && c.getInt(2) == 2)
+    assert(spark.read.format(Fmt).load(dst).count() == 200)
+    // an existing target refuses (both a table and the same clone)
+    intercept[Exception](spark.sql("CALL graftsnap.system.clone(" +
+      s"source => '$src', target => '$dst')").collect())
+    // layout props carried: the clone's DELETE resolves its stat col
+    spark.sql(s"DELETE FROM graftsnap.`$dst` WHERE id BETWEEN 1 AND 50")
+    assert(spark.read.format(Fmt).load(dst).count() == 150)
+    assert(spark.read.format(Fmt).load(src).count() == 200,
+      "a clone's delete must not touch the source")
+    // OPTIMIZE materializes the clone; vacuum with zero grace then
+    // reclaims only CLONE-root bytes — the source stays intact
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$dst')")
+    spark.sql(s"CALL graftsnap.system.vacuum(table => '$dst', " +
+      "grace_ms => 0)").collect()
+    assert(spark.read.format(Fmt).load(dst).count() == 150)
+    assert(spark.read.format(Fmt).load(src)
+      .agg(sum("v")).head().getLong(0) == (1L to 200L).map(_ * 2).sum,
+      "vacuuming the clone must never delete source files")
+  }
+
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val root = freshRoot()
