@@ -1404,6 +1404,59 @@ class SnapSourceSpec extends AnyFunSuite {
       "vacuuming the clone must never delete source files")
   }
 
+  test("one-side-shuffle SPJ: an unbucketed side shuffles INTO the " +
+      "bucket partitioning; the bucketed fact never moves") {
+    val base = freshRoot()
+    val r1 = base + "/fact"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO graftsnap.`$r1` " +
+      "SELECT id, id * 3 FROM range(0, 1000)")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+    val old = confs.map(c => c -> spark.conf.get(c))
+    val oldBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    confs.foreach(spark.conf.set(_, "true"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.range(0, 200).selectExpr("id AS k", "id * 7 AS w")
+        .createOrReplaceTempView("oss_dim")
+      val j = spark.sql(
+        s"""SELECT f.k AS k, f.v + d.w AS t
+           |FROM graftsnap.`$r1` f JOIN oss_dim d ON f.k = d.k""".stripMargin)
+      val rows = j.collect()
+      assert(rows.length == 200)
+      assert(rows.forall(r => r.getLong(1) == r.getLong(0) * 10L))
+      // exactly ONE exchange node — the dim side hashing through the
+      // V2 bucket function into the fact's storage partitioning; the
+      // 100 TB side never moves (count NODES, not plan-string matches:
+      // AQE's toString prints the initial plan too)
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p match {
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => walk(q.plan)
+          case other => other.children.flatMap(walk)
+        })
+      val nodes = walk(j.queryExecution.executedPlan)
+      assert(nodes.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 1,
+        "one-side-shuffle SPJ must shuffle ONLY the dim side")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange keygroupedpartitioning"),
+        s"the dim side must shuffle INTO the bucket partitioning:\n$plan")
+    } finally {
+      old.foreach { case (c, v) => spark.conf.set(c, v) }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val root = freshRoot()
