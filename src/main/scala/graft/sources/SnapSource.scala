@@ -229,6 +229,20 @@ object SnapSource {
     case _ => None
   }
 
+  /** `startingTimestamp` option value → epoch millis: bare digits are
+    * millis, ISO-8601 instants and SQL timestamps (session-UTC) parse
+    * as themselves.
+    */
+  private[sources] def parseTsMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime
+          .parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   /** Parquet footers physically opened for SCHEMA work — test
     * instrumentation: cold resolution against a schema-carrying log
     * must read zero footers.
@@ -899,8 +913,17 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
           full.fields.find(_.name.equalsIgnoreCase(bc)).forall(f =>
             f.dataType == LongType || f.dataType == TimestampType)
         },
+        totalLive = live.size,
         ignoreOverwrites = options.getBoolean("ignoreOverwrites", false),
-        startingVersion = Option(options.get("startingVersion")).map(_.toInt),
+        startingVersion = Option(options.get("startingVersion")).map(_.toInt)
+          .orElse(Option(options.get("startingTimestamp")).map { s =>
+            // Delta-parity: include every version committed AT or
+            // AFTER the timestamp. startingVersion is EXCLUSIVE, so
+            // resolve the newest version strictly BEFORE it; a
+            // timestamp predating the log streams from the beginning
+            val ts = SnapSource.parseTsMillis(s)
+            SnapTable.versionAt(root, ts - 1).getOrElse(0)
+          }),
         maxVersionsPerTrigger =
           Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
         maxFilesPerTrigger =
@@ -908,6 +931,34 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         limit = limit, cdf = cdf, asOf = asOf)
     }
   }
+}
+
+/** UI-visible scan metrics (SQL tab): the snap connector's pruning
+  * work is otherwise invisible — a 100 TB operator needs to SEE that
+  * a scan planned 4 of 40,000 files, not infer it from timings. One
+  * ZERO-ARG class per metric: Spark's UI re-instantiates the metric
+  * class reflectively to aggregate values.
+  */
+private[sources] sealed abstract class SnapCustomMetric(
+    metricName: String, desc: String)
+    extends org.apache.spark.sql.connector.metric.CustomMetric {
+  override def name(): String = metricName
+  override def description(): String = desc
+  override def aggregateTaskMetrics(taskMetrics: Array[Long]): String =
+    taskMetrics.sum.toString
+}
+final class SnapFilesPlannedMetric extends SnapCustomMetric(
+  "snapFilesPlanned", "snap files planned after manifest pruning")
+final class SnapFilesSkippedMetric extends SnapCustomMetric(
+  "snapFilesSkipped", "snap files skipped by manifest stats")
+final class SnapDvRowsMetric extends SnapCustomMetric(
+  "snapDvRowsSubtracted", "rows subtracted by deletion vectors")
+
+private[sources] case class SnapDriverMetric(metricName: String,
+    metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 object SnapScan {
@@ -1096,6 +1147,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     partCol: Option[String] = None,
     bucketSpec: Option[(String, Int)] = None,
     bucketWide: Boolean = true,
+    totalLive: Int = -1,
     ignoreOverwrites: Boolean = false,
     startingVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None,
@@ -1230,28 +1282,75 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
   }
 
   /** Planner-visible statistics straight from the manifest: exact row
-    * count over the (statically pruned) file list and a width-based
-    * size estimate — what lets Catalyst choose broadcast sides for
-    * snap tables the way it does for file relations with stats.
+    * count over the (statically pruned) file list, a width-based size
+    * estimate — what lets Catalyst choose broadcast sides for snap
+    * tables the way it does for file relations with stats — and,
+    * since round 14, COLUMN-LEVEL stats (min/max/nullCount folded
+    * from the per-file boxes, in the column's internal
+    * representation) so CBO's filter/join cardinality estimation
+    * works on snap tables without an ANALYZE pass. A column reports
+    * only when EVERY planned file carries a real (non-sentinel) box —
+    * a partial fold would claim extremes the data may exceed.
     */
   override def estimateStatistics(): Statistics = {
     val n = if (cdf) cdfParts.map(_.rows).sum else files.map(_.liveRows).sum
     val width = math.max(1, required.defaultSize)
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (!cdf && files.nonEmpty) statCols.foreach { c =>
+      val boxes = files.map(_.range(c))
+      val real = boxes.forall(_.exists(r =>
+        r != (Long.MinValue, Long.MaxValue)))
+      val nullsKnown = files.forall(_.nullCount(c).isDefined)
+      if (real) {
+        val mn = boxes.flatten.map(_._1).min
+        val mx = boxes.flatten.map(_._2).max
+        val nc = if (nullsKnown)
+          java.util.OptionalLong.of(files.flatMap(_.nullCount(c)).sum)
+        else java.util.OptionalLong.empty()
+        // internal representation per type (what catalyst ColumnStat
+        // holds): date = epoch-day Int, timestamp = micros Long
+        def typed(v: Long): Object =
+          required.fields.find(_.name == c).map(_.dataType)
+            .getOrElse(LongType) match {
+            case IntegerType | DateType => Integer.valueOf(v.toInt)
+            case ShortType => java.lang.Short.valueOf(v.toShort)
+            case _ => java.lang.Long.valueOf(v)
+          }
+        colStats.put(Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats
+            .ColumnStatistics {
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.of(typed(mn))
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.of(typed(mx))
+            override def nullCount(): java.util.OptionalLong = nc
+          })
+      }
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, n * width))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(n)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    if (cdf) return cdfParts.map(p => p: InputPartition).toArray
+  /** The files this scan will actually read: static pruning happened
+    * at build() (the builder's bounds), this applies the RUNTIME
+    * (join-driven) bounds and the pushed LIMIT's file-prefix cut.
+    * Pure function of scan state — called by both partition planning
+    * and the driver metrics report.
+    */
+  private def keptFiles: Seq[FileStat] = {
     val pruned =
       files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap))
     // pushed LIMIT: keep the file prefix whose manifest LIVE counts
     // cover n (each kept file reads whole; Spark re-applies the limit)
-    val kept = limit match {
+    limit match {
       case Some(n) =>
         var acc = 0L
         pruned.takeWhile { f =>
@@ -1261,11 +1360,38 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
         }
       case None => pruned
     }
-    kept.map(f => SnapFilePartition(f.path, f.liveRows,
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (cdf) return cdfParts.map(p => p: InputPartition).toArray
+    keptFiles.map(f => SnapFilePartition(f.path, f.liveRows,
       dvPath = f.dv.map(_._1).orNull,
       pKey = if (keyGrouped || bucketGrouped)
         InternalRow.fromSeq(Seq(keyValOf(f)))
         else null): InputPartition).toArray
+  }
+
+  // UI-visible pruning accounting (SQL tab on the scan node): how
+  // many live files the snapshot held, how many survived static +
+  // runtime pruning, and how many rows deletion vectors subtract —
+  // the observable proof a 40,000-file scan planned 4
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new SnapFilesPlannedMetric, new SnapFilesSkippedMetric,
+      new SnapDvRowsMetric)
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val planned = if (cdf) cdfParts.size else keptFiles.size
+    val skipped =
+      if (cdf) 0L
+      else math.max(0L, (totalLive - planned).toLong)
+    val dvRows =
+      if (cdf) 0L
+      else keptFiles.flatMap(_.dv.map(_._2)).sum
+    Array(SnapDriverMetric("snapFilesPlanned", planned.toLong),
+      SnapDriverMetric("snapFilesSkipped", skipped),
+      SnapDriverMetric("snapDvRowsSubtracted", dvRows))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

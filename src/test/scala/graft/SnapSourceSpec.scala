@@ -1457,6 +1457,34 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("startingTimestamp resolves the CDF start from commit times") {
+    val root = freshRoot()
+    SnapTable.commit((1L to 10L).toDF("id"), root, "id") // v1
+    Thread.sleep(30)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapTable.commit((11L to 20L).toDF("id"), root, "id") // v2
+    def changesFrom(ts: String) = spark.read.format(Fmt)
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", ts)
+      .load(root)
+    // a timestamp between the commits includes ONLY v2's changes
+    val c = changesFrom(mid.toString).collect()
+    assert(c.length == 10)
+    assert(c.forall(_.getAs[Long]("id") >= 11L))
+    // the ISO-8601 spelling resolves identically
+    val iso = java.time.Instant.ofEpochMilli(mid).toString
+    assert(changesFrom(iso).count() == 10)
+    // a timestamp predating the log streams from the beginning
+    assert(changesFrom("0").count() == 20)
+    // explicit startingVersion wins over the timestamp
+    assert(spark.read.format(Fmt)
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("startingTimestamp", mid.toString)
+      .load(root).count() == 20)
+  }
+
   test("CDF admission budget counts BOTH sides of an overwrite's diff") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val root = freshRoot()
@@ -1595,6 +1623,75 @@ class SnapSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SnapTable.compactZ(spark, root, Seq("x", "nope"), 4)
     }
+  }
+
+  test("scan metrics: planned/skipped file counts and DV-subtracted " +
+      "rows surface on the scan node") {
+    val root = rangedTable() // 4 files, ids 1..400
+    def scanMetrics(df: DataFrame): Map[String, Long] = {
+      df.collect()
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p +: (p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => walk(q.plan)
+        case other => other.children.flatMap(walk)
+      })
+      walk(df.queryExecution.executedPlan).collectFirst {
+        case b: BatchScanExec
+            if b.scan.description().contains("graft_snap") =>
+          b.metrics.collect { case (k, m) if k.startsWith("snap") =>
+            k -> m.value }.toMap
+      }.getOrElse(Map.empty)
+    }
+    val m1 = scanMetrics(spark.read.format(Fmt).load(root)
+      .filter(col("id").between(150L, 250L)))
+    assert(m1("snapFilesPlanned") == 2L)
+    assert(m1("snapFilesSkipped") == 2L)
+    assert(m1("snapDvRowsSubtracted") == 0L)
+    val m2 = scanMetrics(spark.read.format(Fmt).load(root))
+    assert(m2("snapFilesPlanned") == 4L)
+    assert(m2("snapFilesSkipped") == 0L)
+    // a DV'd table reports the subtracted rows
+    val root2 = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root2` (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statCols'='id', 'dv'='true')")
+    spark.sql(s"INSERT INTO graftsnap.`$root2` " +
+      "SELECT id, id FROM range(0, 100)")
+    spark.sql(s"DELETE FROM graftsnap.`$root2` WHERE id BETWEEN 10 AND 29")
+    val m3 = scanMetrics(spark.read.format(Fmt).load(root2))
+    assert(m3("snapDvRowsSubtracted") == 20L)
+    assert(m3("snapFilesPlanned") == 1L)
+  }
+
+  test("column-level statistics reach the planner from the manifest") {
+    val root = rangedTable() // ids 1..400, 4 files
+    val old = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val df = spark.read.format(Fmt).load(root).select("id", "dbl")
+      val stats = df.queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(400)))
+      val idStat = stats.attributeStats.collectFirst {
+        case (a, s) if a.name == "id" => s
+      }
+      assert(idStat.isDefined, "manifest boxes must reach CBO stats")
+      assert(idStat.get.min.contains(1L))
+      assert(idStat.get.max.contains(400L))
+      assert(idStat.get.nullCount.contains(BigInt(0)))
+      // pruning narrows the reported stats to the surviving files
+      val pruned = spark.read.format(Fmt).load(root)
+        .filter(col("id") > 200L).select("id")
+      val ps = pruned.queryExecution.optimizedPlan.stats
+      val pStat = ps.attributeStats.collectFirst {
+        case (a, s) if a.name == "id" => s
+      }
+      assert(pStat.exists(_.min.contains(201L)))
+      assert(pStat.exists(_.max.contains(400L)))
+    } finally spark.conf.set("spark.sql.cbo.enabled", old)
   }
 
   test("IS NULL prunes files with a recorded ZERO null count") {
