@@ -2630,6 +2630,83 @@ object ScaleQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_src_after,
         |  (SELECT CAST(sum(c) AS BIGINT) FROM kept) AS s_src_after""".stripMargin),
 
+    // RESTORE + HISTORY from SQL: a bad DELETE is undone by
+    // publishing a new version whose live set references the
+    // pre-delete files (one manifest write, no data copied; the bad
+    // version stays time-travelable), and the log itself is queryable
+    // as a result set — version/action/file/row counts hash-gated,
+    // commit-time monotonicity gated as a flag (the values are
+    // wall-clock).
+    "q322_snap_restore_history" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd35") + "/t"
+        val o = Tables(s, d, "orders").select(col("o_orderkey"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, Long.MaxValue)).foreach { case (a, b) =>
+          graft.io.SnapTable.commit(
+            o.filter(col("o_orderkey") >= a && col("o_orderkey") < b),
+            root, "o_orderkey")
+        }
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"DELETE FROM graftsnap.`$root` " +
+          "WHERE o_orderkey BETWEEN 5000 AND 5999") // v5: the bad op
+        val rst = s.sql("CALL graftsnap.system.restore(" +
+          s"table => '$root', version => 4)").collect()(0)
+        def agg(asOf: Option[Int]) = {
+          val r = s.read.format("graft.sources.SnapSourceProvider")
+          asOf.fold(r)(v => r.option("versionAsOf", v.toString))
+            .load(root)
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+            .collect()(0)
+        }
+        val now = agg(None) // restored = pre-delete
+        val bad = agg(Some(5)) // the bad version stays travelable
+        val h = s.sql("CALL graftsnap.system.history(" +
+          s"table => '$root')").collect()
+        val tsMono = h.map(_.getLong(2)).sliding(2)
+          .forall(p => p.length < 2 || p(0) <= p(1))
+        import s.implicits._
+        h.map(r => (r.getInt(0).toLong, r.getString(1),
+          r.getInt(3).toLong, r.getLong(4),
+          if (tsMono) 1L else 0L,
+          rst.getInt(1).toLong, now.getLong(0), now.getLong(1),
+          bad.getLong(0)))
+          .toSeq.toDF("version", "action", "n_files", "n_rows",
+            "ts_monotone", "new_version", "n_now", "s_now", "n_bad")
+      },
+      """WITH o AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |seg AS (
+        |  SELECT 1 AS version, 'append' AS action, 1 AS n_files,
+        |    (SELECT count(*) FROM o WHERE k < 4000) AS n_rows
+        |  UNION ALL SELECT 2, 'append', 1,
+        |    (SELECT count(*) FROM o
+        |     WHERE k >= 4000 AND k < 8000)
+        |  UNION ALL SELECT 3, 'append', 1,
+        |    (SELECT count(*) FROM o
+        |     WHERE k >= 8000 AND k < 12000)
+        |  UNION ALL SELECT 4, 'append', 1,
+        |    (SELECT count(*) FROM o WHERE k >= 12000)
+        |  UNION ALL SELECT 5, 'overwrite', 4,
+        |    (SELECT count(*) FROM o
+        |     WHERE k NOT BETWEEN 5000 AND 5999)
+        |  UNION ALL SELECT 6, 'overwrite', 4,
+        |    (SELECT count(*) FROM o))
+        |SELECT CAST(version AS BIGINT) AS version, action,
+        |  CAST(n_files AS BIGINT) AS n_files,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS ts_monotone,
+        |  CAST(6 AS BIGINT) AS new_version,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o) AS n_now,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM o) AS s_now,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM o
+        |   WHERE k NOT BETWEEN 5000 AND 5999) AS n_bad
+        |FROM seg""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -3124,10 +3124,75 @@ class SnapCatalog
       }
     }
 
+  /** RESTORE (Delta parity): publish a new version whose live set is
+    * an older version's — a declared overwrite referencing the old
+    * files, one manifest write, no data copied. History stays intact
+    * (the bad versions remain time-travelable); restoring below the
+    * vacuum horizon fails fast like any time travel.
+    */
+  private val restoreProc: UnboundProcedure =
+    new SnapProcedure("restore") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snap table root path").build(),
+        ProcedureParameter.in("version", IntegerType)
+          .comment("version whose live set to restore").build())
+      override def call(input: InternalRow): java.util.Iterator[CScan] = {
+        val r = input.getUTF8String(0).toString
+        val v = input.getInt(1)
+        val files = SnapTable.liveFiles(r, Some(v))
+        val schema = SnapTable.tableSchema(r, Some(v)).getOrElse(
+          throw new IllegalArgumentException(
+            s"snap table $r@$v predates schema headers — cannot restore"))
+        val nv = SnapTable.publishClone(r, files, schema)
+        oneRow(StructType(Seq(
+          StructField("restored_version", IntegerType, nullable = false),
+          StructField("new_version", IntegerType, nullable = false),
+          StructField("files_referenced", IntegerType, nullable = false))),
+          v, nv, files.size)
+      }
+    }
+
+  /** Table history as a result set — version, action, commit time,
+    * file/row counts per manifest. Driver-side by design: history is
+    * O(versions) small, and a SQL-first operator needs it queryable.
+    */
+  private val historyProc: UnboundProcedure =
+    new SnapProcedure("history") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snap table root path").build())
+      override def call(input: InternalRow): java.util.Iterator[CScan] = {
+        val r = input.getUTF8String(0).toString
+        val schema = StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("action", StringType, nullable = false),
+          StructField("ts_millis", LongType, nullable = true),
+          StructField("n_files", IntegerType, nullable = false),
+          StructField("n_rows", LongType, nullable = false)))
+        val hist = SnapTable.manifests(r).map { m =>
+          InternalRow.fromSeq(Seq(m.version,
+            UTF8String.fromString(m.action),
+            m.commitTs.map(java.lang.Long.valueOf).orNull,
+            m.files.size,
+            m.files.map(_.liveRows).sum))
+        }.toArray
+        val scan: CScan = new LocalScan {
+          override def readSchema(): StructType = schema
+          // NB: named `hist`, not `rows` — a val named like the
+          // method would be shadowed here and `rows` would tail-spin
+          override def rows(): Array[InternalRow] = hist
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "optimize"),
       Identifier.of(Array("system"), "vacuum"),
-      Identifier.of(Array("system"), "clone"))
+      Identifier.of(Array("system"), "clone"),
+      Identifier.of(Array("system"), "restore"),
+      Identifier.of(Array("system"), "history"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val nsOk = ident.namespace().isEmpty ||
@@ -3136,11 +3201,13 @@ class SnapCatalog
       case "optimize" => return optimizeProc
       case "vacuum" => return vacuumProc
       case "clone" => return cloneProc
+      case "restore" => return restoreProc
+      case "history" => return historyProc
       case _ => ()
     }
     throw new IllegalArgumentException(
       s"unknown snap procedure ${ident.namespace().mkString(".")}." +
         s"${ident.name()} — available: system.optimize, system.vacuum" +
-        ", system.clone")
+        ", system.clone, system.restore, system.history")
   }
 }
