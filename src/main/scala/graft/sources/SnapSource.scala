@@ -2039,8 +2039,11 @@ class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
         Distributions.clustered(Array(Expressions.column(statCols.head)))
       case None => Distributions.ordered(order)
     }
-  override def requiredOrdering(): Array[WSortOrder] =
-    if (bucketSpec.isDefined) Array.empty else order
+  // bucketed writes also sort WITHIN the task by the key: a bucket
+  // file's manifest box spans its whole hash range regardless, but
+  // parquet page statistics inside the file stay tight — free at
+  // write time (in-partition sort, no shuffle added)
+  override def requiredOrdering(): Array[WSortOrder] = order
   override def requiredNumPartitions(): Int =
     bucketSpec.map(_._2).getOrElse(filesPerCommit)
   override def toBatch
