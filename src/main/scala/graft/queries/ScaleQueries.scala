@@ -2707,6 +2707,53 @@ object ScaleQueries {
         |   WHERE k NOT BETWEEN 5000 AND 5999) AS n_bad
         |FROM seg""".stripMargin),
 
+    // GROUPED aggregate pushdown: on an identity-partitioned table
+    // every file provably holds ONE key (box min == max), so
+    // `GROUP BY k` groups are unions of whole files and
+    // count/min/max/sum fold per key from the manifest — a
+    // dimension rollup with ZERO file opens at any table size (the
+    // open counter rides along hash-gated). Grouping by anything
+    // else refuses and row-scans (correct, just not free).
+    "q323_snap_grouped_agg" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd36") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k,cents')")
+        Tables(s, d, "orders").createOrReplaceTempView("q323_orders")
+        // two inserts: every key holds TWO files — the per-key fold
+        // must union whole files
+        s.sql(s"""INSERT INTO graftsnap.`$root`
+          |SELECT o_custkey % 8,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q323_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql(s"""INSERT INTO graftsnap.`$root`
+          |SELECT o_custkey % 8,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q323_orders WHERE o_orderkey % 2 = 1""".stripMargin)
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val g = s.sql(
+          s"""SELECT k, count(*) AS n, sum(cents) AS s,
+             |  min(cents) AS mn, max(cents) AS mx
+             |FROM graftsnap.`$root` GROUP BY k""".stripMargin).collect()
+        val opens = graft.sources.SnapSource.filesOpened.get() - c0
+        import s.implicits._
+        g.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), opens))
+          .toSeq.toDF("k", "n", "s", "mn", "mx", "n_opens")
+      },
+      """SELECT CAST(o_custkey % 8 AS BIGINT) AS k,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS s,
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS mn,
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS mx,
+        |  CAST(0 AS BIGINT) AS n_opens
+        |FROM orders GROUP BY o_custkey % 8""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -574,6 +574,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   private var pushed = Array.empty[Filter]
   private[sources] var required: StructType = full
   private var aggs: Option[Seq[AggregateFunc]] = None
+  private var aggGroupBy: Option[String] = None
   private var limit: Option[Int] = None
 
   /** logical → physical column mapping from the table schema (ALTER
@@ -822,8 +823,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     * swap in an unvalidated file.
     */
   private def aggPushable(a: Aggregation): Boolean = {
-    if (a.groupByExpressions.nonEmpty || a.aggregateExpressions.isEmpty)
-      return false
+    if (a.aggregateExpressions.isEmpty) return false
     if (cdf) return false // change rows ≠ live rows
     if (!exactOnly) return false
     lazy val surviving = liveAtPlan.filter(f =>
@@ -834,6 +834,24 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       case r: NamedReference if r.fieldNames.length == 1 =>
         Some(r.fieldNames.head)
       case _ => None
+    }
+    // GROUPED pushdown only for `GROUP BY <identity partition col>`
+    // on a key-grouped table: every file provably holds ONE key
+    // (box min == max), so per-key groups are unions of whole files
+    // and every per-file stat folds per key exactly. COUNT(*) stays
+    // exact under deletion vectors (live counts); MIN/MAX/SUM refuse
+    // on them below as usual.
+    if (a.groupByExpressions.nonEmpty) {
+      val ok = a.groupByExpressions.toSeq match {
+        case Seq(g) => statName(g).exists(c =>
+          partCol.exists(_.equalsIgnoreCase(c)) &&
+            surviving.nonEmpty &&
+            surviving.forall(_.range(c).exists { case (mn, mx) =>
+              mn == mx && !(mn == Long.MinValue && mx == Long.MaxValue)
+            }))
+        case _ => false
+      }
+      if (!ok) return false
     }
     def intCol(c: String): Boolean =
       full.fields.find(_.name == c).exists(f =>
@@ -884,8 +902,13 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   override def supportCompletePushDown(a: Aggregation): Boolean =
     aggPushable(a)
   override def pushAggregation(a: Aggregation): Boolean =
-    if (aggPushable(a)) { aggs = Some(a.aggregateExpressions.toSeq); true }
-    else false
+    if (aggPushable(a)) {
+      aggs = Some(a.aggregateExpressions.toSeq)
+      aggGroupBy = a.groupByExpressions.toSeq.headOption.collect {
+        case r: NamedReference => r.fieldNames.head
+      }
+      true
+    } else false
 
   /** LIMIT pushdown as file-prefix truncation: the manifest's row
     * counts tell how many files are needed to satisfy n rows, so a
@@ -903,7 +926,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
         strBounds.toMap, strInSets.toMap, needNull.toSet))
     aggs match {
-      case Some(fns) => new SnapAggScan(root, hit, fns, full)
+      case Some(fns) => new SnapAggScan(root, hit, fns, full, aggGroupBy)
       case None => new SnapScan(root, hit, required,
         // bucket tags are manifest pseudo-columns, not engine
         // attributes — they must not reach filterAttributes
@@ -1421,7 +1444,8 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
   */
 class SnapAggScan(root: String, files: Seq[FileStat],
     fns: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
-    table: StructType) extends Scan with Batch {
+    table: StructType,
+    groupBy: Option[String] = None) extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -1440,13 +1464,15 @@ class SnapAggScan(root: String, files: Seq[FileStat],
     table.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
 
   override def readSchema(): StructType =
-    StructType(fns.zipWithIndex.map {
-      case (_: CountStar, i) =>
-        StructField(s"agg$i", LongType, nullable = false)
-      // Spark's Sum over int/long aggregates AS long
-      case (_: Sum, i) => StructField(s"agg$i", LongType, nullable = true)
-      case (f, i) => StructField(s"agg$i", colType(colOf(f)), nullable = true)
-    }.toSeq)
+    StructType(groupBy.map(c =>
+      StructField(c, colType(c), nullable = true)).toSeq ++
+      fns.zipWithIndex.map {
+        case (_: CountStar, i) =>
+          StructField(s"agg$i", LongType, nullable = false)
+        // Spark's Sum over int/long aggregates AS long
+        case (_: Sum, i) => StructField(s"agg$i", LongType, nullable = true)
+        case (f, i) => StructField(s"agg$i", colType(colOf(f)), nullable = true)
+      }.toSeq)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_snap files=${files.size} agg=manifest(" +
@@ -1462,46 +1488,55 @@ class SnapAggScan(root: String, files: Seq[FileStat],
       case _ => v // long; TimestampType's internal micros are long too
     }
     import SnapTable.StrStat
-    def strFold(c: String, takeMin: Boolean): Any = {
-      val sides = files.flatMap(_.strBox(c)).filterNot(_.allNull)
+    def strFold(fs: Seq[FileStat], c: String, takeMin: Boolean): Any = {
+      val sides = fs.flatMap(_.strBox(c)).filterNot(_.allNull)
         .map(b => if (takeMin) b.minBytes else b.maxBytes)
       if (sides.isEmpty) null
       else UTF8String.fromBytes(sides.reduce((a, b) =>
         if ((StrStat.cmp(a, b) <= 0) == takeMin) a else b))
     }
-    val values: Array[Any] = fns.map {
-      case _: CountStar => files.map(_.liveRows).sum: Any
+    def valuesOf(fs: Seq[FileStat]): Seq[Any] = fns.map {
+      case _: CountStar => fs.map(_.liveRows).sum: Any
       case m: Min =>
         val c = colOf(m)
-        if (colType(c) == StringType) strFold(c, takeMin = true)
+        if (colType(c) == StringType) strFold(fs, c, takeMin = true)
         else {
-          val mins = files.flatMap(_.range(c)).map(_._1)
+          val mins = fs.flatMap(_.range(c)).map(_._1)
           if (mins.isEmpty) null else typed(c, mins.min)
         }
       case m: Max =>
         val c = colOf(m)
-        if (colType(c) == StringType) strFold(c, takeMin = false)
+        if (colType(c) == StringType) strFold(fs, c, takeMin = false)
         else {
-          val maxs = files.flatMap(_.range(c)).map(_._2)
+          val maxs = fs.flatMap(_.range(c)).map(_._2)
           if (maxs.isEmpty) null else typed(c, maxs.max)
         }
       case s: Sum =>
         val c = colOf(s)
-        val sums = files.flatMap(_.colSum(c))
+        val sums = fs.flatMap(_.colSum(c))
         // pushdown validated every file carries a fitting sum; an
         // empty selection answers NULL like SQL SUM over zero rows
         if (sums.isEmpty) null else (sums.foldLeft(0L)(Math.addExact): Any)
       case other => throw new IllegalStateException(s"unpushable $other")
-    }.toArray
+    }
+    // GROUPED form (GROUP BY the identity partition column): one row
+    // per key — pushdown validated every file holds exactly one key
+    // (box min == max), so each key's group is a union of whole
+    // files and the per-file folds are exact per key
+    val out: Array[InternalRow] = groupBy match {
+      case None => Array(InternalRow.fromSeq(valuesOf(files)))
+      case Some(c) =>
+        files.groupBy(_.range(c).get._1).toArray.map { case (k, fs) =>
+          InternalRow.fromSeq(typed(c, k) +: valuesOf(fs.toSeq))
+        }
+    }
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
           : PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var emitted = false
-          override def next(): Boolean = {
-            val r = !emitted; emitted = true; r
-          }
-          override def get(): InternalRow = InternalRow.fromSeq(values.toSeq)
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < out.length }
+          override def get(): InternalRow = out(i)
           override def close(): Unit = ()
         }
     }

@@ -1457,6 +1457,55 @@ class SnapSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY the identity partition column answers from the " +
+      "manifest with zero opens") {
+    val base = freshRoot()
+    val r1 = base + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k,v')")
+    // v is a SECONDARY stat column: per-file boxes and sums for it
+    // ride the manifest, which is what lets min/max/sum(v) fold.
+    // Two commits: every key gets TWO files — per-key folds must
+    // union whole files, not assume one file per key
+    spark.sql(s"INSERT INTO graftsnap.`$r1` " +
+      "SELECT id % 8, id FROM range(0, 800)")
+    spark.sql(s"INSERT INTO graftsnap.`$r1` " +
+      "SELECT id % 8, id * 10 FROM range(0, 80)")
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    val g = spark.sql(
+      s"""SELECT k, count(*) AS n, sum(v) AS s, min(v) AS mn,
+         |  max(v) AS mx
+         |FROM graftsnap.`$r1` GROUP BY k""".stripMargin).collect()
+    assert(graft.sources.SnapSource.filesOpened.get() == c0,
+      "GROUP BY the partition key must fold manifests, not rows")
+    assert(g.length == 8)
+    g.foreach { r =>
+      val k = r.getLong(0)
+      val vs = (0L until 800L).filter(_ % 8 == k) ++
+        (0L until 80L).filter(_ % 8 == k).map(_ * 10)
+      assert(r.getLong(1) == vs.size.toLong, s"count k=$k")
+      assert(r.getLong(2) == vs.sum, s"sum k=$k")
+      assert(r.getLong(3) == vs.min, s"min k=$k")
+      assert(r.getLong(4) == vs.max, s"max k=$k")
+    }
+    // grouping by a NON-partition column refuses and row-scans
+    val c1 = graft.sources.SnapSource.filesOpened.get()
+    val byV = spark.sql(s"SELECT v % 2 AS p, count(*) AS n " +
+      s"FROM graftsnap.`$r1` GROUP BY v % 2").collect()
+    assert(graft.sources.SnapSource.filesOpened.get() > c1)
+    assert(byV.map(_.getLong(1)).sum == 880L)
+    // a filtered grouped aggregate still pushes when the bound
+    // absorbs exactly (whole-key files: k = 3 is box-aligned)
+    val c2 = graft.sources.SnapSource.filesOpened.get()
+    val one = spark.sql(s"SELECT k, count(*) AS n " +
+      s"FROM graftsnap.`$r1` WHERE k = 3 GROUP BY k").collect()
+    assert(graft.sources.SnapSource.filesOpened.get() == c2,
+      "a box-aligned key filter must keep the grouped agg pushed")
+    assert(one.length == 1 && one(0).getLong(1) == 110L)
+  }
+
   test("startingTimestamp resolves the CDF start from commit times") {
     val root = freshRoot()
     SnapTable.commit((1L to 10L).toDF("id"), root, "id") // v1
