@@ -1506,6 +1506,45 @@ class SnapSourceSpec extends AnyFunSuite {
     assert(one.length == 1 && one(0).getLong(1) == 110L)
   }
 
+  test("a clone of a bucketed table keeps the SPJ layout: clone " +
+      "joins its source with zero exchanges") {
+    val base = freshRoot()
+    val src = base + "/src"
+    val dst = base + "/dst"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$src` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO graftsnap.`$src` " +
+      "SELECT id, id * 3 FROM range(0, 400)")
+    spark.sql("CALL graftsnap.system.clone(" +
+      s"source => '$src', target => '$dst')").collect()
+    val old = (spark.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the clone carried bucketSpec AND references the tagged files,
+      // so clone ⋈ source storage-partition-joins exchange-free
+      val j = spark.sql(
+        s"""SELECT a.k AS k, a.v + b.v AS t
+           |FROM graftsnap.`$dst` a JOIN graftsnap.`$src` b
+           |ON a.k = b.k""".stripMargin)
+      assert(j.collect().length == 400)
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "clone ⋈ source must stay storage-partitioned")
+      // and the clone's grouped aggregate...refuses (bucket, not
+      // identity) while a point lookup still prunes to one bucket
+      val c0 = graft.sources.SnapSource.filesOpened.get()
+      assert(spark.sql(s"SELECT v FROM graftsnap.`$dst` WHERE k = 42")
+        .head().getLong(0) == 126L)
+      assert(graft.sources.SnapSource.filesOpened.get() - c0 == 1)
+    } finally {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+    }
+  }
+
   test("startingTimestamp resolves the CDF start from commit times") {
     val root = freshRoot()
     SnapTable.commit((1L to 10L).toDF("id"), root, "id") // v1
