@@ -99,9 +99,48 @@ object SnapIo {
     * those schemes are SINGLE-WRITER ONLY (Delta makes the same
     * trade: S3 multi-writer requires an external locking LogStore).
     * Multi-writer tables belong on a backend with a conditional
-    * create: bare local paths or hdfs:.
+    * create: bare local paths, hdfs:, or any scheme with a
+    * registered [[Claim]] backend (below).
     */
+  /** Pluggable per-scheme CLAIM strategy — the seam that upgrades a
+    * check-then-create backend to a true conditional write. Hadoop's
+    * `file:` and classic `s3a:` createFile are check-then-create
+    * (two racing writers can both claim one version); a backend with
+    * a real conditional create — S3 `If-None-Match` via Hadoop 3.4's
+    * conditional-write flags, a locking LogStore, a DynamoDB mutex —
+    * registers here and every manifest claim for that scheme routes
+    * through it. Registration is process-wide (the claim happens on
+    * the driver).
+    */
+  trait Claim {
+    /** Create `path` with `bytes` IFF absent; throw
+      * `java.nio.file.FileAlreadyExistsException` when the path
+      * exists — atomically, that being the point.
+      */
+    def createNew(path: String, bytes: Array[Byte]): Unit
+  }
+
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, Claim]()
+
+  def registerClaim(scheme: String, c: Claim): Unit = {
+    claims.put(scheme.toLowerCase, c); ()
+  }
+  def unregisterClaim(scheme: String): Unit = {
+    claims.remove(scheme.toLowerCase); ()
+  }
+
+  private def schemeOf(p: String): Option[String] =
+    if (!hasScheme(p)) None
+    else Some(p.substring(0, p.indexOf(':')).toLowerCase)
+
   def createNew(p: String, bytes: Array[Byte]): Unit =
+    schemeOf(p).flatMap(s => Option(claims.get(s))) match {
+      case Some(c) => c.createNew(p, bytes)
+      case None => createNewDefault(p, bytes)
+    }
+
+  private def createNewDefault(p: String, bytes: Array[Byte]): Unit =
     if (hasScheme(p)) {
       val out =
         try fs(p).create(new HPath(p), /* overwrite = */ false)
@@ -143,6 +182,32 @@ object SnapIo {
   def delete(p: String): Boolean =
     if (hasScheme(p)) fs(p).delete(new HPath(p), /* recursive = */ false)
     else Files.deleteIfExists(Paths.get(p))
+
+  /** Remove a directory tree (DROP TABLE of a named warehouse
+    * table — the catalog owns that directory).
+    */
+  def deleteRecursive(dir: String): Unit =
+    if (hasScheme(dir)) { fs(dir).delete(new HPath(dir), true); () }
+    else if (Files.exists(Paths.get(dir))) {
+      val s = Files.walk(Paths.get(dir))
+      try s.iterator().asScala.toSeq.reverse.foreach(p =>
+        try { Files.delete(p); () }
+        catch { case _: java.io.IOException => () })
+      finally s.close()
+    }
+
+  /** Move a directory (RENAME TABLE within a warehouse). */
+  def rename(from: String, to: String): Unit =
+    if (hasScheme(from) || hasScheme(to)) {
+      require(hasScheme(from) && hasScheme(to),
+        s"rename cannot cross filesystems: $from -> $to")
+      val ok = fs(from).rename(new HPath(from), new HPath(to))
+      require(ok, s"filesystem refused rename $from -> $to")
+    } else {
+      Files.createDirectories(Paths.get(to).getParent)
+      Files.move(Paths.get(from), Paths.get(to))
+      ()
+    }
 
   /** Every .parquet file under `dir`, recursively. */
   def walkParquet(dir: String): Seq[String] = walkSuffix(dir, ".parquet")

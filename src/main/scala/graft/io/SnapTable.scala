@@ -985,9 +985,16 @@ object SnapTable {
 
   /** Read a file set applying DELETION VECTORS: files without a DV
     * keep the plain (mergeSchema) parquet path — identical plan to
-    * before DVs existed — and DV'd files anti-join their (path,
-    * row_index) exclusions, computed from `_metadata.row_index` so
-    * correctness is independent of how Spark splits the file.
+    * before DVs existed — and DV'd files filter their deleted
+    * positions EXECUTOR-SIDE: the plan carries only a (file path →
+    * sidecar path) map (one entry per DV'd file, never a position),
+    * each scan task loads its own file's sidecar through the per-JVM
+    * [[graft.functions.DvCache]] and binary-searches
+    * `_metadata.row_index` — so DVs accumulated across many
+    * operations never rebuild their positions on the driver, and the
+    * scan stays a single codegen'd filter instead of an anti-join.
+    * Positions key on `_metadata.row_index`, so correctness is
+    * independent of how Spark splits the file.
     */
   private[graft] def readFiles(spark: SparkSession,
       files: Seq[FileStat]): DataFrame = {
@@ -996,17 +1003,18 @@ object SnapTable {
       spark.read.option("mergeSchema", "true").parquet(fs.map(_.path): _*)
     if (dvd.isEmpty) rd(files)
     else {
-      val pairs = dvd.flatMap(f =>
-        readDv(f.dv.get._1).map(i => (normPath(f.path), i)))
-      import spark.implicits._
-      val del = pairs.toDF("_dv_p", "_dv_i")
+      val dvByPath: Map[String, String] =
+        dvd.map(f => normPath(f.path) -> f.dv.get._1).toMap
       val raw = rd(dvd)
-        .withColumn("_dv_p",
-          regexp_replace(col("_metadata.file_path"), "^file:/+", "/"))
-        .withColumn("_dv_i", col("_metadata.row_index"))
-      val clean = raw
-        .join(broadcast(del), Seq("_dv_p", "_dv_i"), "left_anti")
-        .drop("_dv_p", "_dv_i")
+      val keep = org.apache.spark.sql.graft.ColumnShim.column(
+        org.apache.spark.sql.catalyst.expressions.Not(
+          graft.functions.DvDeleted(
+            org.apache.spark.sql.graft.ColumnShim.expression(
+              col("_metadata.file_path")),
+            org.apache.spark.sql.graft.ColumnShim.expression(
+              col("_metadata.row_index")),
+            dvByPath)))
+      val clean = raw.filter(keep)
       if (plain.isEmpty) clean
       else rd(plain).unionByName(clean, allowMissingColumns = true)
     }
@@ -1021,7 +1029,9 @@ object SnapTable {
       asOf: Option[Int] = None): DataFrame = {
     val live = liveFiles(root, asOf)
     val hit = live.filter(f => bounds.forall { case (c, (lo, hi)) =>
-      f.range(c).exists { case (mn, mx) => mx >= lo && mn <= hi }
+      // a file with no box for the column MIGHT hold matching rows —
+      // only a recorded non-overlapping box can prune it
+      f.range(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     })
     val base =
       if (hit.isEmpty) read(spark, root, asOf).filter(lit(false))
@@ -1071,6 +1081,44 @@ object SnapTable {
       .map(f => f.copy(stats = f.stats ++ extraStats(f)))
     publishRebasing(root, baseV, rewritten, _ => false,
       schema = Some(frame.schema))
+  }
+
+  /** TARGETED DV compaction: rewrite ONLY the live files carrying a
+    * DELETION VECTOR (materializing the DV away); every clean file
+    * rides into the new manifest untouched. This is the maintenance
+    * verb that RESTORES manifest aggregate pushdown — which refuses
+    * MIN/MAX/SUM whenever any surviving file is DV'd — without paying
+    * a full-table rewrite: after sustained point-deletes the DV'd
+    * fraction is what degrades, and only it is touched. Bucketed
+    * tables rewrite per file (each file's bucket tag stays valid —
+    * its rows still hash to the same bucket); plain tables rewrite
+    * the DV'd set in one pass. Conflict contract like [[compact]]:
+    * concurrent appends rebase in, overwrites refuse. Returns
+    * (claimed version, files rewritten, live rows rewritten).
+    */
+  private[graft] def compactDv(spark: SparkSession, root: String)
+      : (Int, Int, Long) = {
+    val baseV = currentVersion(root)
+    val live = liveFiles(root, Some(baseV))
+    val touched = live.filter(_.dv.isDefined)
+    if (touched.isEmpty) return (baseV, 0, 0L)
+    val statCols = touched.head.stats.map(_._1).filterNot(_.contains('#'))
+    val bucketed = touched.exists(_.stats.exists(_._1.contains('#')))
+    val rewritten: Seq[FileStat] =
+      if (bucketed)
+        // per-file: the rewrite inherits the source file's layout tags
+        touched.flatMap { f =>
+          val tags = f.stats.filter(_._1.contains('#'))
+          writeFiles(readFiles(spark, Seq(f)), root, statCols, 1)
+            .map(nf => nf.copy(stats = nf.stats ++ tags))
+        }
+      else
+        writeFiles(readFiles(spark, touched), root, statCols,
+          math.max(1, touched.size))
+    val untouched = live.filterNot(_.dv.isDefined)
+    (publishRebasing(root, baseV, untouched ++ rewritten, _ => false,
+      schema = tableSchema(root, Some(baseV))),
+      touched.size, rewritten.map(_.rows).sum)
   }
 
   /** OPTIMIZE ... ZORDER BY: rewrite the live set clustered on the
@@ -1144,24 +1192,49 @@ object SnapTable {
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-    val rewritten = writeFiles(clustered, root, zCols, filesPerCommit = -1)
+    // keep the table's PRIMARY stat column FIRST in the recorded
+    // stats: DELETE/MERGE pruning and the SQL DELETE lowering key on
+    // it (by name since the statRange fix — correct either way — but
+    // recording it keeps their file selection TIGHT instead of
+    // conservatively touching every file whose box is missing)
+    val primary = tableProperty(root, "statCols")
+      .map(_.split(',').head.trim).filter(_.nonEmpty)
+      .orElse(live.headOption.map(_.stats.head._1))
+      .filterNot(_.contains('#'))
+      .filter(c => frame.columns.contains(c))
+    val statCols = (primary.toSeq ++ zCols).distinct
+    val rewritten = writeFiles(clustered, root, statCols,
+      filesPerCommit = -1)
     publishRebasing(root, baseV, rewritten, _ => false,
       schema = Some(frame.schema))
   }
 
-  /** Any of `sortedKeys` (ascending) inside the file's primary
+  /** The file's box for `statCol` BY NAME — never the positional head
+    * box: a rewrite that reordered or replaced the recorded stat
+    * columns (OPTIMIZE ... ZORDER BY records the z-columns) must not
+    * make a later DELETE/MERGE compare its range against the wrong
+    * column. A file with no box for the column answers the sentinel
+    * full range: it MIGHT hold anything, so every range test treats
+    * it as touched (conservative, never a missed row).
+    */
+  private def statRange(f: FileStat, statCol: String): (Long, Long) =
+    f.range(statCol).getOrElse((Long.MinValue, Long.MaxValue))
+
+  /** Any of `sortedKeys` (ascending) inside the file's `statCol`
     * [min, max]? Binary search — the per-file membership test that
     * replaces the global envelope, so a sparse update set with a wide
     * key span touches only the files that actually hold a key.
     */
-  private def overlapsKeys(f: FileStat, sortedKeys: Array[Long]): Boolean = {
+  private def overlapsKeys(f: FileStat, statCol: String,
+      sortedKeys: Array[Long]): Boolean = {
+    val (fMin, fMax) = statRange(f, statCol)
     var lo = 0
     var hi = sortedKeys.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (sortedKeys(mid) < f.min) lo = mid + 1 else hi = mid
+      if (sortedKeys(mid) < fMin) lo = mid + 1 else hi = mid
     }
-    lo < sortedKeys.length && sortedKeys(lo) <= f.max
+    lo < sortedKeys.length && sortedKeys(lo) <= fMax
   }
 
   /** MERGE (upsert) with FILE-GRANULAR copy-on-write: only live files
@@ -1211,13 +1284,14 @@ object SnapTable {
     val touchesUpdates: FileStat => Boolean =
       if (keyRows.length <= keyCap) {
         if (keys.isEmpty) (_ => false) // null-key updates: pure inserts
-        else f => overlapsKeys(f, keys)
+        else f => overlapsKeys(f, statCol, keys)
       } else { // over the cap: global envelope fallback
         val b = updates.agg(min(statLong(updates.schema, statCol)),
           max(statLong(updates.schema, statCol))).collect()(0)
         if (b.isNullAt(0)) (_ => false)
         else { val (lo, hi) = (b.getLong(0), b.getLong(1))
-          f => f.max >= lo && f.min <= hi }
+          f => { val (mn, mx) = statRange(f, statCol)
+            mx >= lo && mn <= hi } }
       }
     val touched = live.filter(touchesUpdates)
     val untouched = live.filterNot(touched.toSet)
@@ -1265,7 +1339,10 @@ object SnapTable {
       filesPerRewrite: Int, beforePublish: () => Unit): (Int, Int, Long) = {
     val baseV = currentVersion(root)
     val live = liveFiles(root, Some(baseV))
-    val inRange: FileStat => Boolean = f => f.max >= lo && f.min <= hi
+    val inRange: FileStat => Boolean = f => {
+      val (mn, mx) = statRange(f, statCol)
+      mx >= lo && mn <= hi
+    }
     val touched = live.filter(inRange)
     if (touched.isEmpty) {
       // no file intersects the range: nothing to delete — early-return
@@ -1327,7 +1404,10 @@ object SnapTable {
       beforePublish: () => Unit): (Int, Int, Long) = {
     val baseV = currentVersion(root)
     val live = liveFiles(root, Some(baseV))
-    val inRange: FileStat => Boolean = f => f.max >= lo && f.min <= hi
+    val inRange: FileStat => Boolean = f => {
+      val (mn, mx) = statRange(f, statCol)
+      mx >= lo && mn <= hi
+    }
     val touched = live.filter(inRange)
     if (touched.isEmpty) return (baseV, 0, 0L)
     // matched (file, position) pairs off the RAW parquet (physical
@@ -1422,7 +1502,8 @@ object SnapTable {
       val keys = keyRows.iterator.filter(!_.isNullAt(0))
         .map(_.getLong(0)).toArray.sorted
       val touchesUpdates: FileStat => Boolean =
-        if (keys.isEmpty) (_ => false) else f => overlapsKeys(f, keys)
+        if (keys.isEmpty) (_ => false)
+        else f => overlapsKeys(f, statCol, keys)
       val touched = live.filter(touchesUpdates)
       // freshly matched (file, position, key): raw read so positions
       // are physical; rows already dead in an old DV are subtracted
@@ -1713,7 +1794,10 @@ object SnapTable {
   def readPruned(spark: SparkSession, root: String, statCol: String,
       lo: Long, hi: Long, asOf: Option[Int] = None): DataFrame = {
     val live = liveFiles(root, asOf)
-    val hit = live.filter(f => f.max >= lo && f.min <= hi)
+    val hit = live.filter { f =>
+      val (mn, mx) = statRange(f, statCol)
+      mx >= lo && mn <= hi
+    }
     if (hit.isEmpty)
       // preserve the schema for an empty selection
       read(spark, root, asOf)

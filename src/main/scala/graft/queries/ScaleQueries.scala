@@ -2754,6 +2754,316 @@ object ScaleQueries {
         |  CAST(0 AS BIGINT) AS n_opens
         |FROM orders GROUP BY o_custkey % 8""".stripMargin),
 
+    // TARGETED DV COMPACTION + PUSHDOWN-LOSS VISIBILITY: one
+    // merge-on-read DELETE silently downgrades every manifest-
+    // answered MIN/MAX/SUM to a full scan (correct, but at 100 TB
+    // the difference between 0 opens and a table scan) — the
+    // aggRefusedByDv counter makes the loss observable, and
+    // `optimize(only_dv => true)` rewrites ONLY the DV'd files (the
+    // clean majority rides along untouched — gated: exactly the
+    // DV'd files change identity) and restores the fold.
+    "q324_snap_only_dv_optimize" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd40") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k,cents', 'dv'='true')")
+        val o = Tables(s, d, "orders").select(
+          col("o_orderkey").as("k"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            .as("cents"))
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          o.filter(col("k") >= a && col("k") < b)
+            .write.format("graft.sources.SnapSourceProvider")
+            .option("statCols", "k,cents")
+            .option("filesPerCommit", "1")
+            .mode("append").save(root)
+        }
+        def minMax(): (Long, Long, Long) = {
+          val c0 = graft.sources.SnapSource.filesOpened.get()
+          val r = s.sql(s"SELECT min(cents), max(cents) " +
+            s"FROM graftsnap.`$root`").collect()(0)
+          (r.getLong(0), r.getLong(1),
+            graft.sources.SnapSource.filesOpened.get() - c0)
+        }
+        val clean = minMax()
+        s.sql(s"DELETE FROM graftsnap.`$root` " +
+          "WHERE k BETWEEN 5000 AND 5099")
+        val nDv = graft.io.SnapTable.liveFiles(root)
+          .count(_.dv.isDefined)
+        val r0 = graft.sources.SnapSource.aggRefusedByDv.get()
+        val degraded = minMax()
+        val refusals = graft.sources.SnapSource.aggRefusedByDv.get() - r0
+        val before = graft.io.SnapTable.liveFiles(root).map(_.path).toSet
+        s.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+          "only_dv => true)").collect()
+        val after = graft.io.SnapTable.liveFiles(root)
+        val carried = after.count(f => before.contains(f.path))
+        val restored = minMax()
+        s.range(1).select(
+          lit(clean._3).as("opens_clean"),
+          lit(degraded._1).as("mn_degraded"),
+          lit(degraded._2).as("mx_degraded"),
+          lit(if (degraded._3 > 0) 1L else 0L).as("refused_scan"),
+          lit(if (refusals >= 1) 1L else 0L).as("refusal_counted"),
+          lit(nDv.toLong).as("n_dv_files"),
+          lit(carried.toLong).as("n_clean_carried"),
+          lit(after.count(_.dv.isDefined).toLong).as("n_dv_after"),
+          lit(restored._1).as("mn_restored"),
+          lit(restored._2).as("mx_restored"),
+          lit(restored._3).as("opens_restored"))
+      },
+      """WITH cents AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders),
+        |kept AS (SELECT c FROM cents WHERE k NOT BETWEEN 5000 AND 5099)
+        |SELECT CAST(0 AS BIGINT) AS opens_clean,
+        |  (SELECT min(c) FROM kept) AS mn_degraded,
+        |  (SELECT max(c) FROM kept) AS mx_degraded,
+        |  CAST(1 AS BIGINT) AS refused_scan,
+        |  CAST(1 AS BIGINT) AS refusal_counted,
+        |  CAST(1 AS BIGINT) AS n_dv_files,
+        |  CAST(3 AS BIGINT) AS n_clean_carried,
+        |  CAST(0 AS BIGINT) AS n_dv_after,
+        |  (SELECT min(c) FROM kept) AS mn_restored,
+        |  (SELECT max(c) FROM kept) AS mx_restored,
+        |  CAST(0 AS BIGINT) AS opens_restored""".stripMargin),
+
+    // NAMED-TABLE NAMESPACE: a warehouse root turns identifiers into
+    // NAMES — `CREATE TABLE wh.mart.t` instead of a backquoted
+    // absolute path in every statement. The full lifecycle runs by
+    // name: CTAS-shaped insert, MERGE, time travel, SHOW TABLES,
+    // RENAME (manifest data paths repointed — history survives the
+    // move), DROP. At 100 TB this is what lets multi-user SQL
+    // tooling (grants, lineage, dbt-style refs) address tables at
+    // all.
+    "q325_snap_named_tables" -> Q(
+      (s, d) => {
+        val wh = scratchDir("snapd41")
+        s.conf.set("spark.sql.catalog.graftwh",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.conf.set("spark.sql.catalog.graftwh.warehouse", wh)
+        Tables(s, d, "orders").createOrReplaceTempView("q325_orders")
+        s.sql("CREATE TABLE graftwh.mart.ord (k BIGINT, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k')")
+        s.sql("""INSERT INTO graftwh.mart.ord
+          |SELECT o_orderkey,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q325_orders""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMP VIEW q325_upd AS
+          |SELECT o_orderkey AS k,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 7 AS cents
+          |FROM q325_orders WHERE o_orderkey BETWEEN 100 AND 199""".stripMargin)
+        s.sql("""MERGE INTO graftwh.mart.ord t USING q325_upd u
+          |ON t.k = u.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val nTables = s.sql("SHOW TABLES IN graftwh.mart").count()
+        val preMerge = s.sql(
+          "SELECT count(*), sum(cents) FROM graftwh.mart.ord VERSION AS OF 2")
+          .collect()(0)
+        s.sql("ALTER TABLE graftwh.mart.ord RENAME TO mart.ord2")
+        val post = s.sql(
+          "SELECT count(*), sum(cents) FROM graftwh.mart.ord2").collect()(0)
+        // history survived the directory move (paths repointed)
+        val travel = s.sql(
+          "SELECT sum(cents) FROM graftwh.mart.ord2 VERSION AS OF 2")
+          .collect()(0)
+        s.sql("DROP TABLE graftwh.mart.ord2")
+        val nAfterDrop = s.sql("SHOW TABLES IN graftwh.mart").count()
+        s.range(1).select(
+          lit(nTables).as("n_tables"),
+          lit(preMerge.getLong(0)).as("n_pre_merge"),
+          lit(preMerge.getLong(1)).as("sum_pre_merge"),
+          lit(post.getLong(0)).as("n_post"),
+          lit(post.getLong(1)).as("sum_post"),
+          lit(travel.getLong(0)).as("sum_travel"),
+          lit(nAfterDrop).as("n_after_drop"))
+      },
+      """WITH cents AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS n_tables,
+        |  (SELECT count(*) FROM cents) AS n_pre_merge,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM cents) AS sum_pre_merge,
+        |  (SELECT count(*) FROM cents) AS n_post,
+        |  (SELECT CAST(sum(c) + 7 * count(*) FILTER (
+        |     WHERE k BETWEEN 100 AND 199) AS BIGINT) FROM cents)
+        |    AS sum_post,
+        |  (SELECT CAST(sum(c) AS BIGINT) FROM cents) AS sum_travel,
+        |  CAST(0 AS BIGINT) AS n_after_drop""".stripMargin),
+
+    // LAYOUT EVOLUTION — RE-BUCKET VIA OPTIMIZE: a bucket(8) fact
+    // table rewritten to bucket(4) in one conflict-checked overwrite
+    // (`optimize(bucket_count => 4)`), after which it SPJ-joins a
+    // bucket(4) table with ZERO join-key exchanges — the migration
+    // path when a growing cluster wants coarser (or a re-partnered
+    // table wants matching) bucketing without recreating the table.
+    // Exchange count gated as data; result hash-matched.
+    "q326_snap_rebucket" -> Q(
+      (s, d) => {
+        val base = scratchDir("snapd42")
+        val r1 = base + "/t1"
+        val r2 = base + "/t2"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (bucket(8, k))")
+        s.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, qty BIGINT) " +
+          "PARTITIONED BY (bucket(4, k))")
+        Tables(s, d, "orders").createOrReplaceTempView("q326_orders")
+        Tables(s, d, "lineitem").createOrReplaceTempView("q326_lineitem")
+        s.sql(s"""INSERT INTO graftsnap.`$r1`
+          |SELECT o_orderkey,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q326_orders""".stripMargin)
+        s.sql(s"""INSERT INTO graftsnap.`$r2`
+          |SELECT l_orderkey, CAST(l_quantity AS BIGINT)
+          |FROM q326_lineitem""".stripMargin)
+        val nFiles8 = graft.io.SnapTable.liveFiles(r1).size
+        s.sql(s"CALL graftsnap.system.optimize(table => '$r1', " +
+          "bucket_count => 4)").collect()
+        val after = graft.io.SnapTable.liveFiles(r1)
+        val tagged4 = after.count(_.range(
+          graft.sources.SnapBucket.tag("k", 4)).isDefined)
+        val old = (s.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            s"""SELECT a.k % 32 AS g, count(*) AS n_pairs,
+               |  sum(a.cents + b.qty) AS sv
+               |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+               |ON a.k = b.k GROUP BY a.k % 32""".stripMargin)
+          val rows = j.collect()
+          val joinShuffles = "Exchange hashpartitioning\\(k#"
+            .r.findAllIn(j.queryExecution.executedPlan.toString).size
+          import s.implicits._
+          rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            joinShuffles.toLong,
+            (if (nFiles8 > 0) 1L else 0L),
+            (if (tagged4 == after.size) 1L else 0L)))
+            .toSeq.toDF("g", "n_pairs", "sv", "n_join_shuffles",
+              "had_files", "all_rebucketed")
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+        }
+      },
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT CAST(a.k % 32 AS BIGINT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(a.cents + b.qty) AS BIGINT) AS sv,
+        |  CAST(0 AS BIGINT) AS n_join_shuffles,
+        |  CAST(1 AS BIGINT) AS had_files,
+        |  CAST(1 AS BIGINT) AS all_rebucketed
+        |FROM a JOIN b ON a.k = b.k GROUP BY a.k % 32""".stripMargin),
+
+    // MULTI-COLUMN GROUPED PUSHDOWN: q323 folded GROUP BY one
+    // identity key; the generalized gate proves the per-file
+    // single-value test (box min == max, zero nulls, per column)
+    // carries a TWO-column rollup with zero file opens — the shape
+    // of a per-(tenant, day) billing query over a manifest, at any
+    // table size.
+    "q327_snap_multi_grouped_agg" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd43") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(k1 BIGINT, k2 BIGINT, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k1,k2,cents')")
+        Tables(s, d, "orders").createOrReplaceTempView("q327_orders")
+        (0 until 4).foreach { a =>
+          (0 until 3).foreach { b =>
+            s.sql(s"""INSERT INTO graftsnap.`$root`
+              |SELECT o_custkey % 4, o_orderkey % 3,
+              |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+              |FROM q327_orders
+              |WHERE o_custkey % 4 = $a AND o_orderkey % 3 = $b""".stripMargin)
+          }
+        }
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val g = s.sql(
+          s"""SELECT k1, k2, count(*) AS n, sum(cents) AS sc,
+             |  min(cents) AS mn, max(cents) AS mx
+             |FROM graftsnap.`$root` GROUP BY k1, k2""".stripMargin)
+          .collect()
+        val opens = graft.sources.SnapSource.filesOpened.get() - c0
+        import s.implicits._
+        g.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), opens))
+          .toSeq.toDF("k1", "k2", "n", "sc", "mn", "mx", "n_opens")
+      },
+      """SELECT CAST(o_custkey % 4 AS BIGINT) AS k1,
+        |  CAST(o_orderkey % 3 AS BIGINT) AS k2,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sc,
+        |  CAST(min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS mn,
+        |  CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS mx,
+        |  CAST(0 AS BIGINT) AS n_opens
+        |FROM orders GROUP BY o_custkey % 4, o_orderkey % 3""".stripMargin),
+
+    // MERGE WITH SCHEMA EVOLUTION (Spark-native, Delta parity): the
+    // WITH SCHEMA EVOLUTION clause drives the source's extra column
+    // through the catalog's ALTER ADD COLUMN (one zero-file log
+    // commit; a fresh physical name, so no historical bytes are
+    // reinterpreted), then the merge resolves against the evolved
+    // schema — old rows read the new column as NULL, matched and
+    // inserted rows carry it. The post-merge rollup hash-matches an
+    // oracle that never saw a schema change.
+    "q328_snap_merge_schema_evolution" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd44") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k')")
+        Tables(s, d, "orders").createOrReplaceTempView("q328_orders")
+        s.sql(s"""INSERT INTO graftsnap.`$root`
+          |SELECT o_orderkey,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q328_orders WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql("""CREATE OR REPLACE TEMP VIEW q328_src AS
+          |SELECT o_orderkey AS k,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+          |  o_orderpriority AS prio
+          |FROM q328_orders
+          |WHERE o_orderkey % 2 = 1 OR o_orderkey % 10 = 0""".stripMargin)
+        s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graftsnap.`$root` t
+          |USING q328_src u ON t.k = u.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        s.sql(s"""SELECT coalesce(prio, '<none>') AS prio,
+          |  count(*) AS n, sum(cents) AS sc
+          |FROM graftsnap.`$root` GROUP BY coalesce(prio, '<none>')""".stripMargin)
+      },
+      """WITH cents AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+        |    o_orderpriority AS p
+        |  FROM orders),
+        |merged AS (
+        |  SELECT k, c,
+        |    CASE WHEN k % 2 = 1 OR k % 10 = 0 THEN p END AS prio
+        |  FROM cents)
+        |SELECT coalesce(prio, '<none>') AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sc
+        |FROM merged GROUP BY coalesce(prio, '<none>')""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -230,17 +230,27 @@ object SnapSource {
   }
 
   /** `startingTimestamp` option value → epoch millis: bare digits are
-    * millis, ISO-8601 instants and SQL timestamps (session-UTC) parse
-    * as themselves.
+    * millis; everything else parses through Catalyst's own timestamp
+    * reader in the SESSION time zone (the rule Delta applies to
+    * startingTimestamp) — which also accepts date-only forms like
+    * '2026-08-16' (midnight, session zone) and ISO instants with an
+    * explicit offset. Unparseable values raise a clear error instead
+    * of a raw DateTimeParseException.
     */
-  private[sources] def parseTsMillis(s: String): Long =
+  private[graft] def parseTsMillis(s: String): Long =
     if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
-    else try java.time.Instant.parse(s).toEpochMilli
-    catch {
-      case _: java.time.format.DateTimeParseException =>
-        java.time.LocalDateTime
-          .parse(s.replace(' ', 'T'))
-          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    else {
+      import org.apache.spark.sql.catalyst.util.DateTimeUtils
+      val zone = DateTimeUtils.getZoneId(
+        SQLConf.get.sessionLocalTimeZone)
+      DateTimeUtils
+        .stringToTimestamp(UTF8String.fromString(s), zone)
+        .map(micros => Math.floorDiv(micros, 1000L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot parse startingTimestamp '$s' — expected epoch " +
+            "millis, a date (2026-08-16), or a timestamp " +
+            "(2026-08-16 12:34:56[.ffffff][+HH:MM]); session zone " +
+            s"applies when no offset is given"))
     }
 
   /** Parquet footers physically opened for SCHEMA work — test
@@ -255,6 +265,15 @@ object SnapSource {
     * the JVM): a manifest-answered aggregate must open zero.
     */
   private[graft] val filesOpened =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Aggregate pushdowns REFUSED solely because a surviving file
+    * carries a deletion vector — the visibility signal that sustained
+    * point-deletes have silently downgraded manifest-answered
+    * MIN/MAX/SUM to full scans and a targeted
+    * `optimize(only_dv => true)` would restore them.
+    */
+  private[graft] val aggRefusedByDv =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   private[sources] def sparkType(t: PType): DataType = {
@@ -371,9 +390,17 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
   override def name(): String = s"graft_snap($root${asOf.fold("")("@v" + _)})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION enables Spark's native
+    // `MERGE WITH SCHEMA EVOLUTION INTO`: the analyzer computes the
+    // source-minus-target columns and drives them through the
+    // catalog's ALTER TABLE ADD COLUMN (a pure log commit here), then
+    // resolves the merge against the evolved schema — the WITH
+    // SCHEMA EVOLUTION clause is the per-statement opt-in, exactly
+    // Delta's contract. Old files read the new column as NULL.
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {
       override def name(): String = SnapSource.FileColumn
@@ -574,7 +601,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   private var pushed = Array.empty[Filter]
   private[sources] var required: StructType = full
   private var aggs: Option[Seq[AggregateFunc]] = None
-  private var aggGroupBy: Option[String] = None
+  private var aggGroupBy: Seq[String] = Nil
   private var limit: Option[Int] = None
 
   /** logical → physical column mapping from the table schema (ALTER
@@ -835,24 +862,6 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         Some(r.fieldNames.head)
       case _ => None
     }
-    // GROUPED pushdown only for `GROUP BY <identity partition col>`
-    // on a key-grouped table: every file provably holds ONE key
-    // (box min == max), so per-key groups are unions of whole files
-    // and every per-file stat folds per key exactly. COUNT(*) stays
-    // exact under deletion vectors (live counts); MIN/MAX/SUM refuse
-    // on them below as usual.
-    if (a.groupByExpressions.nonEmpty) {
-      val ok = a.groupByExpressions.toSeq match {
-        case Seq(g) => statName(g).exists(c =>
-          partCol.exists(_.equalsIgnoreCase(c)) &&
-            surviving.nonEmpty &&
-            surviving.forall(_.range(c).exists { case (mn, mx) =>
-              mn == mx && !(mn == Long.MinValue && mx == Long.MaxValue)
-            }))
-        case _ => false
-      }
-      if (!ok) return false
-    }
     def intCol(c: String): Boolean =
       full.fields.find(_.name == c).exists(f =>
         f.dataType == LongType || f.dataType == IntegerType)
@@ -863,48 +872,89 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     def boxCol(c: String): Boolean =
       intCol(c) || full.fields.find(_.name == c).exists(f =>
         f.dataType == DateType || f.dataType == TimestampType)
+    // GROUPED pushdown: every grouping expression must be a plain
+    // box-typed column for which EVERY surviving file provably holds
+    // exactly ONE non-null value — box min == max, non-sentinel, and
+    // ZERO recorded nulls. The null-count gate is load-bearing: a
+    // file can mix NULL-key rows with a single real key while keeping
+    // min == max (repartitionByRange sorts nulls first), and without
+    // the gate those null rows would fold into the real key's group
+    // while the NULL group vanished. Groups are then unions of whole
+    // files and every per-file stat folds per key exactly. One
+    // identity partition column (the roll-on-key layout) is the
+    // designed case, but ANY column set with the per-file proof
+    // qualifies — including several identity-like columns at once.
+    if (a.groupByExpressions.nonEmpty) {
+      val ok = surviving.nonEmpty &&
+        a.groupByExpressions.toSeq.forall(g =>
+          statName(g).exists(c => boxCol(c) &&
+            surviving.forall(f =>
+              f.nullCount(c).contains(0L) &&
+                f.range(c).exists { case (mn, mx) =>
+                  mn == mx &&
+                    !(mn == Long.MinValue && mx == Long.MaxValue)
+                })))
+      if (!ok) return false
+    }
     // a DELETION VECTOR makes extremes and sums unknowable from the
     // manifest (the deleted rows may have held them); COUNT stays
     // exact — the manifest records the live count
-    def noDv: Boolean = surviving.forall(_.dv.isEmpty)
-    def statOk(c: String): Boolean =
-      boxCol(c) && noDv &&
-        surviving.forall(_.range(c).exists { case (mn, mx) =>
-          !(mn == Long.MinValue && mx == Long.MaxValue)
-        })
-    // STRING MIN/MAX fold string boxes — exact only when every
-    // surviving file's box is UNTRUNCATED on both sides (a truncated
-    // prefix is not the extreme); all-null boxes contribute nothing
-    def strOk(c: String): Boolean =
-      full.fields.find(_.name == c).exists(_.dataType == StringType) &&
-        noDv && surviving.forall(_.strBox(c).exists(b =>
-          b.allNull || (!b.minTrunc && !b.maxTrunc)))
-    // SUM folds per-file sums: every surviving file must carry one
-    // (legacy manifests and per-file overflow refuse), and the total
-    // must fit a long — otherwise the row scan keeps engine-native
-    // overflow semantics
-    def sumOk(c: String): Boolean =
-      intCol(c) && noDv && {
-        val vals = surviving.map(_.colSum(c))
-        vals.forall(_.isDefined) &&
-          (try { vals.flatten.foldLeft(0L)(Math.addExact); true }
-          catch { case _: ArithmeticException => false })
+    def noDvOr(ignore: Boolean): Boolean =
+      ignore || surviving.forall(_.dv.isEmpty)
+    def verdict(ignoreDv: Boolean): Boolean = {
+      def statOk(c: String): Boolean =
+        boxCol(c) && noDvOr(ignoreDv) &&
+          surviving.forall(_.range(c).exists { case (mn, mx) =>
+            !(mn == Long.MinValue && mx == Long.MaxValue)
+          })
+      // STRING MIN/MAX fold string boxes — exact only when every
+      // surviving file's box is UNTRUNCATED on both sides (a truncated
+      // prefix is not the extreme); all-null boxes contribute nothing
+      def strOk(c: String): Boolean =
+        full.fields.find(_.name == c).exists(_.dataType == StringType) &&
+          noDvOr(ignoreDv) && surviving.forall(_.strBox(c).exists(b =>
+            b.allNull || (!b.minTrunc && !b.maxTrunc)))
+      // SUM folds per-file sums: every surviving file must carry one
+      // (legacy manifests and per-file overflow refuse), and the total
+      // must fit a long — otherwise the row scan keeps engine-native
+      // overflow semantics
+      def sumOk(c: String): Boolean =
+        intCol(c) && noDvOr(ignoreDv) && {
+          val vals = surviving.map(_.colSum(c))
+          vals.forall(_.isDefined) &&
+            (try { vals.flatten.foldLeft(0L)(Math.addExact); true }
+            catch { case _: ArithmeticException => false })
+        }
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => statName(m.column).exists(c =>
+          statOk(c) || strOk(c))
+        case m: Max => statName(m.column).exists(c =>
+          statOk(c) || strOk(c))
+        case s: Sum => !s.isDistinct && statName(s.column).exists(sumOk)
+        case _ => false
       }
-    a.aggregateExpressions.forall {
-      case _: CountStar => true
-      case m: Min => statName(m.column).exists(c => statOk(c) || strOk(c))
-      case m: Max => statName(m.column).exists(c => statOk(c) || strOk(c))
-      case s: Sum => !s.isDistinct && statName(s.column).exists(sumOk)
-      case _ => false
     }
+    val ok = verdict(ignoreDv = false)
+    // visibility: count a refusal whose ONLY cause is a deletion
+    // vector (the aggregate would have been manifest-answered on a
+    // clean live set) — once per builder, however often the planner
+    // re-probes
+    if (!ok && !dvRefusalCounted && verdict(ignoreDv = true)) {
+      dvRefusalCounted = true
+      SnapSource.aggRefusedByDv.incrementAndGet()
+    }
+    ok
   }
+
+  private var dvRefusalCounted = false
 
   override def supportCompletePushDown(a: Aggregation): Boolean =
     aggPushable(a)
   override def pushAggregation(a: Aggregation): Boolean =
     if (aggPushable(a)) {
       aggs = Some(a.aggregateExpressions.toSeq)
-      aggGroupBy = a.groupByExpressions.toSeq.headOption.collect {
+      aggGroupBy = a.groupByExpressions.toSeq.collect {
         case r: NamedReference => r.fieldNames.head
       }
       true
@@ -1445,7 +1495,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
 class SnapAggScan(root: String, files: Seq[FileStat],
     fns: Seq[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc],
     table: StructType,
-    groupBy: Option[String] = None) extends Scan with Batch {
+    groupBy: Seq[String] = Nil) extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.connector.expressions.NamedReference
 
@@ -1465,7 +1515,7 @@ class SnapAggScan(root: String, files: Seq[FileStat],
 
   override def readSchema(): StructType =
     StructType(groupBy.map(c =>
-      StructField(c, colType(c), nullable = true)).toSeq ++
+      StructField(c, colType(c), nullable = true)) ++
       fns.zipWithIndex.map {
         case (_: CountStar, i) =>
           StructField(s"agg$i", LongType, nullable = false)
@@ -1519,17 +1569,20 @@ class SnapAggScan(root: String, files: Seq[FileStat],
         if (sums.isEmpty) null else (sums.foldLeft(0L)(Math.addExact): Any)
       case other => throw new IllegalStateException(s"unpushable $other")
     }
-    // GROUPED form (GROUP BY the identity partition column): one row
-    // per key — pushdown validated every file holds exactly one key
-    // (box min == max), so each key's group is a union of whole
-    // files and the per-file folds are exact per key
-    val out: Array[InternalRow] = groupBy match {
-      case None => Array(InternalRow.fromSeq(valuesOf(files)))
-      case Some(c) =>
-        files.groupBy(_.range(c).get._1).toArray.map { case (k, fs) =>
-          InternalRow.fromSeq(typed(c, k) +: valuesOf(fs.toSeq))
+    // GROUPED form: one row per distinct key TUPLE — pushdown
+    // validated that every file holds exactly one non-null value per
+    // grouping column (box min == max, zero nulls), so each tuple's
+    // group is a union of whole files and the per-file folds are
+    // exact per key
+    val out: Array[InternalRow] =
+      if (groupBy.isEmpty) Array(InternalRow.fromSeq(valuesOf(files)))
+      else files
+        .groupBy(f => groupBy.map(c => f.range(c).get._1))
+        .toArray.map { case (ks, fs) =>
+          InternalRow.fromSeq(
+            groupBy.zip(ks).map { case (c, k) => typed(c, k) } ++
+              valuesOf(fs.toSeq))
         }
-    }
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
           : PartitionReader[InternalRow] =
@@ -2685,12 +2738,41 @@ class SnapCatalog
       .NoSuchFunctionException(ident)
 
   private var catalogName = "snap"
+  private var warehouse: Option[String] = None
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = catalogName = name
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    // spark.sql.catalog.<name>.warehouse=<root>: NAMED tables.
+    // `CREATE TABLE <name>.db.t` lays its log under
+    // <root>/db/t — identifiers stop leaking filesystem paths into
+    // every statement. Path-style identifiers (backquoted absolute
+    // paths, scheme'd roots) keep working unchanged beside it.
+    warehouse = Option(options.get("warehouse")).filter(_.nonEmpty)
+  }
   override def name(): String = catalogName
 
-  private def root(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  /** Identifier → table root. A joined identifier that is already a
+    * path (absolute, or scheme'd like hdfs:/s3a:) IS the root — the
+    * original addressing mode; anything else is a NAME resolved
+    * under the configured warehouse.
+    */
+  private def root(ident: Identifier): String = {
+    val joined = (ident.namespace() :+ ident.name()).mkString("/")
+    if (joined.startsWith("/") || graft.io.SnapIo.hasScheme(joined))
+      joined
+    else warehouse match {
+      case Some(w) =>
+        require(!(ident.namespace() :+ ident.name()).exists(p =>
+          p.isEmpty || p == "." || p == ".." || p.contains('/')),
+          s"invalid snap table identifier $joined")
+        graft.io.SnapIo.child(w, (ident.namespace() :+ ident.name()): _*)
+      case None => throw new IllegalArgumentException(
+        s"snap table identifier '$joined' is not a filesystem path " +
+          s"and catalog '$catalogName' has no warehouse — set " +
+          s"spark.sql.catalog.$catalogName.warehouse to address " +
+          "tables by name")
+    }
+  }
 
   private def propsPath(r: String): String =
     graft.io.SnapIo.child(r, "_log", "_table")
@@ -2744,9 +2826,29 @@ class SnapCatalog
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty // tables are filesystem roots, not an enumerable set
+    warehouse match {
+      // NAMED mode: every child of <warehouse>/<ns...> holding a
+      // _log directory is a table. Path-mode tables are filesystem
+      // roots — not an enumerable set — and never listed.
+      case Some(w) =>
+        val dir = graft.io.SnapIo.child(w, namespace.toSeq: _*)
+        if (!graft.io.SnapIo.isDir(dir)) Array.empty
+        else graft.io.SnapIo.listNames(dir)
+          .filter(n => graft.io.SnapIo.isDir(
+            graft.io.SnapIo.child(dir, n, "_log")))
+          .sorted
+          .map(n => Identifier.of(namespace, n)).toArray
+      case None => Array.empty
+    }
   override def tableExists(ident: Identifier): Boolean =
     graft.io.SnapIo.isDir(graft.io.SnapIo.child(root(ident), "_log"))
+
+  /** Is the identifier a warehouse-resident NAME (vs a raw path)? */
+  private def isNamed(ident: Identifier): Boolean = {
+    val joined = (ident.namespace() :+ ident.name()).mkString("/")
+    warehouse.isDefined && !joined.startsWith("/") &&
+      !graft.io.SnapIo.hasScheme(joined)
+  }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
@@ -2968,15 +3070,57 @@ class SnapCatalog
     }
     table(ident, None)
   }
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "snap catalog refuses DROP: a snap root owns its history; " +
-        "removing it is an operator action, not a query")
+  /** DROP/RENAME are meaningful only for NAMED tables: the warehouse
+    * owns the directory, so the identifier→location mapping is the
+    * catalog's to change. A path-style identifier keeps refusing —
+    * that root owns its history; destroying it is an operator action
+    * (vacuum), not a query.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!isNamed(ident))
+      throw new UnsupportedOperationException(
+        "snap catalog refuses DROP on a path-addressed table: the " +
+          "root owns its history; removing it is an operator action, " +
+          "not a query (named warehouse tables do support DROP)")
+    if (!tableExists(ident)) return false
+    graft.io.SnapIo.deleteRecursive(root(ident))
+    true
+  }
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      "snap catalog refuses RENAME: the identifier IS the filesystem " +
-        "root")
+      newIdent: Identifier): Unit = {
+    if (!isNamed(oldIdent) || !isNamed(newIdent))
+      throw new UnsupportedOperationException(
+        "snap catalog renames NAMED warehouse tables only — a " +
+          "path-style identifier IS the filesystem root")
+    if (!tableExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        oldIdent.asInstanceOf[Identifier])
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent)
+    val oldRoot = root(oldIdent)
+    val newRoot = root(newIdent)
+    require(oldRoot.startsWith("/") || graft.io.SnapIo.hasScheme(oldRoot),
+      s"RENAME needs an absolute warehouse root, got $oldRoot")
+    graft.io.SnapIo.rename(oldRoot, newRoot)
+    // manifests and checkpoints record ABSOLUTE data/dv paths (what
+    // makes zero-copy CLONE sound) — repoint every occurrence of the
+    // old root at the new one so the moved table's snapshots resolve.
+    // Path-prefix substitution covers both spellings ("file:/old/…"
+    // and "/old/…" share the "/old/" substring); foreign-root
+    // references (a clone's source files) never match and ride along
+    // untouched.
+    val log = graft.io.SnapIo.child(newRoot, "_log")
+    graft.io.SnapIo.listNames(log)
+      .filter(n => n.endsWith(".manifest") || n.endsWith(".checkpoint"))
+      .foreach { n =>
+        val p = graft.io.SnapIo.child(log, n)
+        val body = new String(graft.io.SnapIo.readBytes(p), "UTF-8")
+        val moved = body.replace(oldRoot, newRoot)
+        if (moved != body)
+          graft.io.SnapIo.write(p, moved.getBytes("UTF-8"))
+      }
+  }
 
   // ---- SQL MAINTENANCE PROCEDURES (ProcedureCatalog): the two
   // operator actions a table needs that are not queries — OPTIMIZE
@@ -3030,51 +3174,104 @@ class SnapCatalog
           .defaultValue("''")
           .comment("two comma-separated stat-typed columns: rewrite " +
             "Morton-clustered with multi-column boxes, so scans " +
-            "prune files on either dimension").build())
+            "prune files on either dimension").build(),
+        ProcedureParameter.in("only_dv", BooleanType)
+          .defaultValue("false")
+          .comment("rewrite ONLY files carrying a deletion vector " +
+            "(restores manifest MIN/MAX/SUM pushdown without a " +
+            "full-table rewrite)").build(),
+        ProcedureParameter.in("bucket_count", IntegerType)
+          .defaultValue("-1")
+          .comment("re-bucket a bucketed table to this count " +
+            "(layout evolution; -1 = keep)").build())
       override def call(input: InternalRow): java.util.Iterator[CScan] = {
         val r = input.getUTF8String(0).toString
         val target = input.getInt(1)
         val zBy = input.getUTF8String(2).toString.trim
+        val onlyDv = input.getBoolean(3)
+        val newBuckets = input.getInt(4)
         val spark = org.apache.spark.sql.SparkSession.active
         val before = SnapTable.liveFiles(r, None).size
         val bSpec = tableProps(r).get("bucketSpec")
           .map(SnapBucket.parseSpec)
-        val v = bSpec match {
-          // a BUCKETED table's compaction must preserve the layout
-          // contract (per-bucket files + manifest tags) or one
-          // OPTIMIZE would silently strip the join co-location:
-          // route rows by the bucket function (one partition per
-          // bucket — Spark's repartition placement IS the function)
-          // and re-derive each file's tag from its key box (every
-          // key in a file hashes to its bucket; an all-null sentinel
-          // box means every key is null = the null bucket)
-          case Some((bc, n)) =>
-            require(zBy.isEmpty,
-              s"snap table $r is bucketed by bucket($n, $bc) — " +
-                "ZORDER BY would destroy the join layout; refuse")
-            val wide = SnapTable.tableSchema(r, None)
-              .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
-              .forall(f => f.dataType == LongType ||
-                f.dataType == TimestampType)
-            SnapTable.compactWith(spark, r, Seq(bc),
-              _.repartition(n,
-                org.apache.spark.sql.functions.col(bc)),
-              f => {
-                val b = f.range(bc) match {
-                  case Some((mn, mx))
-                      if !(mn == Long.MinValue && mx == Long.MaxValue) =>
-                    if (wide) SnapBucket.ofLong(mn, n)
-                    else SnapBucket.ofInt(mn.toInt, n)
-                  case _ => SnapBucket.ofNull(n)
-                }
-                Seq(SnapBucket.tag(bc, n) -> (b.toLong, b.toLong))
-              })
-          case None if zBy.isEmpty =>
-            SnapTable.compact(spark, r, primaryStat(r), target)
-          case None =>
-            SnapTable.compactZ(spark, r,
-              zBy.split(',').map(_.trim).toSeq, target)
+        // bucketed compaction / re-bucketing must preserve the layout
+        // contract (per-bucket files + manifest tags) or one OPTIMIZE
+        // would silently strip the join co-location: route rows by
+        // the bucket function (one partition per bucket — Spark's
+        // repartition placement IS the function) and re-derive each
+        // file's tag from its key box (every key in a file hashes to
+        // its bucket; an all-null sentinel box means every key is
+        // null = the null bucket)
+        def rebucket(bc: String, n: Int): Int = {
+          val wide = SnapTable.tableSchema(r, None)
+            .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
+            .forall(f => f.dataType == LongType ||
+              f.dataType == TimestampType)
+          SnapTable.compactWith(spark, r, Seq(bc),
+            _.repartition(n,
+              org.apache.spark.sql.functions.col(bc)),
+            f => {
+              val b = f.range(bc) match {
+                case Some((mn, mx))
+                    if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+                  if (wide) SnapBucket.ofLong(mn, n)
+                  else SnapBucket.ofInt(mn.toInt, n)
+                case _ => SnapBucket.ofNull(n)
+              }
+              Seq(SnapBucket.tag(bc, n) -> (b.toLong, b.toLong))
+            })
         }
+        val v =
+          if (onlyDv) {
+            require(zBy.isEmpty && newBuckets == -1,
+              "only_dv is a targeted rewrite — it composes with " +
+                "neither zorder_by nor bucket_count")
+            SnapTable.compactDv(spark, r)._1
+          } else if (newBuckets != -1) {
+            // LAYOUT EVOLUTION: rewrite every bucket file under the
+            // NEW count and swap the table's bucketSpec property —
+            // one conflict-checked overwrite, after which scans and
+            // SPJ planning see bucket(newBuckets, k). History stays
+            // readable (old manifests keep their old-count tags).
+            val (bc, oldN) = bSpec.getOrElse(
+              throw new IllegalArgumentException(
+                s"snap table $r is not bucketed — bucket_count " +
+                  "applies to PARTITIONED BY (bucket(n, col)) tables"))
+            require(newBuckets >= 1 && newBuckets <= 4096,
+              s"bucket count must be in [1, 4096], got $newBuckets")
+            require(zBy.isEmpty,
+              s"snap table $r is bucketed — ZORDER BY would destroy " +
+                "the join layout; refuse")
+            val nv = rebucket(bc, newBuckets)
+            // swap the layout property AFTER the successful publish
+            // (the sidecar props file shadows the immutable v1
+            // manifest header for exactly this kind of evolution)
+            val updated = tableProps(r) +
+              ("bucketSpec" -> SnapBucket.formatSpec(bc, newBuckets))
+            graft.io.SnapIo.write(propsPath(r),
+              updated.toSeq.sortBy(_._1).map { case (k, p) => s"$k=$p" }
+                .mkString("", "\n", "\n").getBytes("UTF-8"))
+            nv
+          } else bSpec match {
+            case Some((bc, n)) =>
+              require(zBy.isEmpty,
+                s"snap table $r is bucketed by bucket($n, $bc) — " +
+                  "ZORDER BY would destroy the join layout; refuse")
+              rebucket(bc, n)
+            case None if zBy.isEmpty =>
+              SnapTable.compact(spark, r, primaryStat(r), target)
+            case None =>
+              // an identity-partitioned table's one-file-per-key
+              // layout is what KeyGroupedPartitioning (and SPJ)
+              // rests on — a z-order rewrite would silently
+              // downgrade every later join to a shuffle
+              require(tableProps(r).get("partitionCol").isEmpty,
+                s"snap table $r is identity-partitioned — ZORDER BY " +
+                  "would destroy the one-file-per-key layout that " +
+                  "storage-partitioned joins depend on; refuse")
+              SnapTable.compactZ(spark, r,
+                zBy.split(',').map(_.trim).toSeq, target)
+          }
         oneRow(StructType(Seq(
           StructField("version", IntegerType, nullable = false),
           StructField("files_before", IntegerType, nullable = false),

@@ -78,6 +78,26 @@ object SnapAb {
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
     val wideRatio = best("wide_snap") / best("wide_parquet")
     val narrowRatio = best("narrow_snap") / best("narrow_parquet")
+
+    // DV'd-SCAN A/B: mark a point-delete's worth of rows dead via a
+    // merge-on-read DV, then time the SAME wide fold through (a) the
+    // DSv2 reader (per-task sidecar position filter, row mode) and
+    // (b) the Scala read tier (codegen'd executor-side DvDeleted
+    // filter). The ratio against the clean snap scan IS the per-task
+    // cost of DV application — there is no driver-side position
+    // materialization left to hide in it.
+    val (_, dvFiles, dvRows) =
+      SnapTable.deleteDv(spark, root, "l_orderkey", 1L, 400L)
+    def wideScala: Long =
+      SnapTable.read(spark, root)
+        .agg(sum(xxhash64(cols.map(col): _*) % 1000003L))
+        .collect()(0).getLong(0)
+    require(wide(viaSnap) == wideScala, "DV'd scan answer drift")
+    (1 to rounds).foreach { _ =>
+      acc("wide_dv_dsv2") ::= sample(wide(viaSnap))
+      acc("wide_dv_scala") ::= sample(wideScala)
+    }
+
     println(
       s"""{"metric":"snap_ab","rows":${li.count()},"files":${files.size},""" +
         s""""wide_snap_sec":${r3(best("wide_snap"))},""" +
@@ -85,7 +105,12 @@ object SnapAb {
         s""""wide_ratio":${r3(wideRatio)},""" +
         s""""narrow_snap_sec":${r3(best("narrow_snap"))},""" +
         s""""narrow_parquet_sec":${r3(best("narrow_parquet"))},""" +
-        s""""narrow_ratio":${r3(narrowRatio)},"runs":$rounds,"sf":"$sfDir"}""")
+        s""""narrow_ratio":${r3(narrowRatio)},""" +
+        s""""dv_files":$dvFiles,"dv_rows":$dvRows,""" +
+        s""""wide_dv_dsv2_sec":${r3(best("wide_dv_dsv2"))},""" +
+        s""""wide_dv_scala_sec":${r3(best("wide_dv_scala"))},""" +
+        s""""wide_dv_ratio":${r3(best("wide_dv_dsv2") / best("wide_snap"))},""" +
+        s""""runs":$rounds,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
