@@ -169,7 +169,8 @@ object SnapTable {
       nullCounts: Seq[(String, Long)] = Nil,
       sums: Seq[(String, Long)] = Nil,
       dv: Option[(String, Long)] = None,
-      strStats: Seq[(String, StrBox)] = Nil) {
+      strStats: Seq[(String, StrBox)] = Nil,
+      blooms: Seq[(String, String)] = Nil) {
     def min: Long = stats.head._2._1
     def max: Long = stats.head._2._2
     /** Rows a reader of this file emits: the physical row count minus
@@ -198,6 +199,12 @@ object SnapTable {
       */
     def strBox(colName: String): Option[StrBox] =
       strStats.collectFirst { case (c, b) if c == colName => b }
+    /** BLOOM sidecar path for the column — `None` when the table
+      * declares no bloom for it (point lookups then cannot prune
+      * through this file; never wrong, just unpruned).
+      */
+    def bloomPath(colName: String): Option[String] =
+      blooms.collectFirst { case (c, p) if c == colName => p }
   }
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None,
@@ -309,10 +316,19 @@ object SnapTable {
           }
         }
     }.getOrElse(Nil)
+    // optional field: bloom=<col>=<sidecar path>[,...] — per-column
+    // bloom sketches for point-lookup file skipping
+    val blooms = c.drop(3).collectFirst {
+      case s if s.startsWith("bloom=") =>
+        s.stripPrefix("bloom=").split(',').toSeq.map { tok =>
+          val eq = tok.indexOf('=')
+          tok.substring(0, eq) -> tok.substring(eq + 1)
+        }
+    }.getOrElse(Nil)
     FileStat(c(0), c(1).toLong, parts.map(p => p._1 -> p._2),
       parts.collect { case (n, _, Some(nc), _) => n -> nc },
       parts.collect { case (n, _, _, Some(sm)) => n -> sm },
-      dv, strs)
+      dv, strs, blooms)
   }
 
   private def fileLine(f: FileStat): String =
@@ -330,7 +346,10 @@ object SnapTable {
         if (b.allNull) s"$c=!:${b.nulls}"
         else s"$c=${b.minB64}${if (b.minTrunc) "*" else ""}:" +
           s"${b.maxB64}${if (b.maxTrunc) "*" else ""}:${b.nulls}"
-      }.mkString(","))
+      }.mkString(",")) +
+      (if (f.blooms.isEmpty) ""
+      else "\tbloom=" + f.blooms.map { case (c, p) => s"$c=$p" }
+        .mkString(","))
 
   private def readManifest(root: String, v: Int): Manifest = {
     manifestFilesRead.incrementAndGet()
@@ -625,6 +644,14 @@ object SnapTable {
     val strCols = df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
       .take(StrStat.maxCols).map(_.name).toSeq
+    // declared BLOOM columns (table property `bloomCols`): one small
+    // sketch per (file, column), folded in the SAME read-back pass as
+    // the boxes — xxhash64 of every value, the encoding the scan's
+    // point-lookup probe replays (see graft.sources.SnapBloomSkip)
+    val bloomCols = tableProperty(root, "bloomCols")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+      .filter(c => df.columns.contains(c))
     val aggs = statCols.flatMap(c => Seq(
       min(sl(c)).as(s"mn_$c"),
       max(sl(c)).as(s"mx_$c"))) ++
@@ -637,7 +664,19 @@ object SnapTable {
       strCols.flatMap(c => Seq(
         min(col(physC(c))).as(s"smn_$c"),
         max(col(physC(c))).as(s"smx_$c"),
-        sum(when(col(physC(c)).isNull, 1L).otherwise(0L)).as(s"snc_$c")))
+        sum(when(col(physC(c)).isNull, 1L).otherwise(0L)).as(s"snc_$c"))) ++
+      bloomCols.map(c => graft.ops.BloomPrune.bloomAgg(col(physC(c)),
+        graft.sources.SnapBloomSkip.items,
+        graft.sources.SnapBloomSkip.numBits).as(s"bf_$c"))
+    val bloomDir =
+      if (bloomCols.isEmpty) null
+      else {
+        val d = SnapIo.child(root, "bloom",
+          java.util.UUID.randomUUID().toString)
+        SnapIo.mkdirs(d)
+        d
+      }
+    val fileSeq = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
@@ -679,8 +718,18 @@ object SnapTable {
             StrBox(mnP, mnT, mxP, mxT, nc, allNull = false)
           })
         }
+        val fi = fileSeq.getAndIncrement()
+        val blooms = bloomCols.zipWithIndex.flatMap { case (c, b) =>
+          val idx = 2 + 4 * n + 3 * strCols.length + b
+          if (r.isNullAt(idx)) None
+          else {
+            val p = SnapIo.child(bloomDir, s"f$fi.$c.bf")
+            SnapIo.write(p, r.getAs[Array[Byte]](idx))
+            Some(c -> p)
+          }
+        }
         FileStat(r.getString(0), r.getLong(1), stats, nulls, sums,
-          strStats = strs)
+          strStats = strs, blooms = blooms)
       }
       .sortBy(_.path).toSeq
   }
@@ -1756,17 +1805,21 @@ object SnapTable {
     val keptFiles = liveFiles(root, Some(keepFrom)) ++
       manifestsAfter(root, keepFrom).flatMap(_.files)
     val referenced = keptFiles.map(_.path).toSet
-    // DV sidecars referenced by any kept version survive too
+    // DV and BLOOM sidecars referenced by any kept version survive too
     val refDv = keptFiles.flatMap(_.dv.map(_._1)).toSet
+    val refBloom = keptFiles.flatMap(_.blooms.map(_._2)).toSet
     val dataRoot = SnapIo.child(root, "data")
     if (!SnapIo.isDir(dataRoot)) return 0
     val dvRoot = SnapIo.child(root, "dv")
+    val bloomRoot = SnapIo.child(root, "bloom")
     val all = SnapIo.walkParquet(dataRoot) ++
-      (if (SnapIo.isDir(dvRoot)) SnapIo.walkSuffix(dvRoot, ".dv") else Nil)
+      (if (SnapIo.isDir(dvRoot)) SnapIo.walkSuffix(dvRoot, ".dv") else Nil) ++
+      (if (SnapIo.isDir(bloomRoot)) SnapIo.walkSuffix(bloomRoot, ".bf")
+      else Nil)
     // liveFiles paths come from input_file_name() = file: URIs;
     // normalize both sides to the raw filesystem path
     def norm(s: String): String = s.stripPrefix("file://").stripPrefix("file:")
-    val refNorm = (referenced ++ refDv).map(norm)
+    val refNorm = (referenced ++ refDv ++ refBloom).map(norm)
     val cutoff = System.currentTimeMillis() - graceMs
     // a commit dir is in flight while its newest file is younger than
     // the grace window — protect every sibling, not just young files

@@ -46,6 +46,18 @@ object BloomPrune {
         new XxHash64(Seq(ColumnShim.expression(key))), expectedItems)
         .toAggregateExpression())
 
+  /** [[bloomAgg]] with an EXPLICIT bit budget — the per-file manifest
+    * blooms (graft.io.SnapTable) size each sketch for its own file's
+    * cardinality, not the session's 1 MB runtime-filter default.
+    */
+  def bloomAgg(key: Column, expectedItems: Long, numBits: Long): Column =
+    ColumnShim.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnShim.expression(key))),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
   /** Predicate Column: might `key` be in the serialized `bloom`? */
   def mightContain(bloom: Column, key: Column): Column =
     ColumnShim.column(BloomFilterMightContain(

@@ -3064,6 +3064,71 @@ object ScaleQueries {
         |  CAST(sum(c) AS BIGINT) AS sc
         |FROM merged GROUP BY coalesce(prio, '<none>')""".stripMargin),
 
+    // BLOOM FILE SKIPPING: min/max boxes cannot prune a point lookup
+    // on a HIGH-CARDINALITY UNORDERED column (every file's box spans
+    // the space) — a table declaring bloomCols records one ~18 KB
+    // sketch per (file, column) and the scan probes candidates'
+    // sidecars for EqualTo/IN literals: a rejecting bloom PROVES the
+    // file holds no match (no false negatives) and it is pruned
+    // before any footer opens. At 100 TB this turns "find document
+    // X by content hash" from a million-file scan into the files
+    // whose sketches admit it. Gated: the lookup opens fewer files
+    // than the table holds, a missing key opens ZERO, and the rows
+    // hash-match an oracle that recomputes the same md5 tags.
+    "q329_snap_bloom_skipping" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd45") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(k BIGINT, tag STRING, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+        val src = Tables(s, d, "orders").selectExpr(
+          "o_orderkey AS k",
+          "substr(md5(CAST(o_orderkey AS STRING)), 1, 12) AS tag",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        Seq((0L, 4000L), (4000L, 8000L), (8000L, 12000L),
+          (12000L, 100000000L)).foreach { case (a, b) =>
+          src.filter(col("k") >= a && col("k") < b)
+            .write.format("graft.sources.SnapSourceProvider")
+            .option("filesPerCommit", "1")
+            .mode("append").save(root)
+        }
+        val nFiles = graft.io.SnapTable.liveFiles(root).size
+        val probeKey = src.filter(col("k") >= 5000L)
+          .agg(min("k")).collect()(0).getLong(0)
+        val probeTag = src.filter(col("k") === probeKey)
+          .select("tag").collect()(0).getString(0)
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val hit = s.sql(s"SELECT k, cents FROM graftsnap.`$root` " +
+          s"WHERE tag = '$probeTag'").collect()
+        val opens = graft.sources.SnapSource.filesOpened.get() - c0
+        val c1 = graft.sources.SnapSource.filesOpened.get()
+        val missing = s.sql(s"SELECT k FROM graftsnap.`$root` " +
+          "WHERE tag = 'zzzz-not-a-tag'").count()
+        val missOpens = graft.sources.SnapSource.filesOpened.get() - c1
+        s.range(1).select(
+          lit(hit.length.toLong).as("n_hit"),
+          lit(hit(0).getLong(0)).as("k_hit"),
+          lit(hit(0).getLong(1)).as("cents_hit"),
+          lit(if (opens < nFiles) 1L else 0L).as("bloom_pruned"),
+          lit(missing).as("n_missing"),
+          lit(missOpens).as("miss_opens"))
+      },
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS tag,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 5000)
+        |SELECT CAST(1 AS BIGINT) AS n_hit,
+        |  (SELECT k FROM pk) AS k_hit,
+        |  (SELECT cents FROM src WHERE k = (SELECT k FROM pk))
+        |    AS cents_hit,
+        |  CAST(1 AS BIGINT) AS bloom_pruned,
+        |  CAST(0 AS BIGINT) AS n_missing,
+        |  CAST(0 AS BIGINT) AS miss_opens""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

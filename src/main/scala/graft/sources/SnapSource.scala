@@ -424,13 +424,22 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
       .orElse(SnapTable.tableProperty(root, "bucketSpec"))
       .map(SnapBucket.parseSpec)
 
+  /** Columns with per-file BLOOM sidecars (point-lookup skipping on
+    * non-clustered columns — see [[SnapBloomSkip]]).
+    */
+  private lazy val bloomCols: Seq[String] =
+    tableProps.get("bloomCols")
+      .orElse(SnapTable.tableProperty(root, "bloomCols"))
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
   override def partitioning(): Array[Transform] =
     partCol.map(c => Expressions.identity(c)).toArray ++
       bucketSpec.map { case (c, n) => Expressions.bucket(n, c) }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapScanBuilder(root, asOf, tableSchema, options, partCol,
-      bucketSpec)
+      bucketSpec, bloomCols)
 
   /** statCols resolution for writes that carry no reader option (SQL
     * INSERT INTO / CTAS): catalog table properties first (either
@@ -449,7 +458,7 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapWriteBuilder(root, info.schema(), info.options(),
-      defaultStatCols, partCol, bucketSpec)
+      defaultStatCols, partCol, bucketSpec, bloomCols)
 
   // ---- SQL DELETE (SupportsDelete): a WHERE fully expressible as a
   // range over the PRIMARY stat column lowers onto SnapTable.delete's
@@ -578,7 +587,8 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
 class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
     partCol: Option[String] = None,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -598,6 +608,11 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     mutable.Map.empty[String, Array[Array[Byte]]]
   // IS NULL columns: prune files whose recorded null count is zero
   private[sources] val needNull = mutable.Set.empty[String]
+  // BLOOM probes: xxhash64 of EqualTo/IN literals on declared bloom
+  // columns — a candidate file is pruned when its sidecar rejects
+  // EVERY key (no false negatives ⇒ provably no matching row).
+  // Repeated predicates on one column intersect like IN-sets.
+  private[sources] val bloomHashes = mutable.Map.empty[String, Array[Long]]
   private var pushed = Array.empty[Filter]
   private[sources] var required: StructType = full
   private var aggs: Option[Seq[AggregateFunc]] = None
@@ -683,9 +698,24 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       }
     }
 
+  /** Record a bloom probe for EqualTo/IN literals on a bloom column
+    * (side effect only — bloom pruning never absorbs a filter).
+    * Every literal must hash, or the conjunct's key set would be a
+    * SUBSET of the real one and pruning could drop a matching file.
+    */
+  private def noteBloom(c: String, vs: Seq[Any]): Unit =
+    if (bloomCols.exists(_.equalsIgnoreCase(c))) {
+      val hs = vs.flatMap(SnapBloomSkip.hashOf)
+      if (hs.length == vs.length && hs.nonEmpty) {
+        val sorted = hs.distinct.sorted.toArray
+        bloomHashes(c) = bloomHashes.get(c)
+          .fold(sorted)(_.intersect(sorted))
+      }
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val absorbed = filters.filter {
-      case EqualTo(c, v) => longVal(v).exists { l =>
+      case EqualTo(c, v) => noteBloom(c, Seq(v)); longVal(v).exists { l =>
         narrow(c, l, l); noteBucketKeys(c, Seq(l)); true } ||
         strVal(c, v).exists { b =>
           narrowStr(c, Some((b, false)), Some((b, false))); true }
@@ -719,6 +749,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         true
       }
       case In(c, vs) =>
+        noteBloom(c, vs.toSeq)
         val ls = vs.flatMap(longVal)
         if (ls.length == vs.length && ls.nonEmpty) {
           val sorted = ls.sorted
@@ -747,7 +778,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     // re-evaluated. Anything weaker stays residual.
     val surviving = liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap, needNull.toSet))
+        strBounds.toMap, strInSets.toMap, needNull.toSet,
+        bloomHashes.toMap))
     def noNulls(c: String): Boolean =
       surviving.forall(f => f.nullCount(c).contains(0L) ||
         f.strBox(c).exists(b => !b.allNull && b.nulls == 0L))
@@ -855,7 +887,8 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     if (!exactOnly) return false
     lazy val surviving = liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap, needNull.toSet))
+        strBounds.toMap, strInSets.toMap, needNull.toSet,
+        bloomHashes.toMap))
     def statName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -974,14 +1007,17 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     val live = liveAtPlan // the pinned planning snapshot, not a re-list
     val hit = live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap, needNull.toSet))
+        strBounds.toMap, strInSets.toMap, needNull.toSet,
+        bloomHashes.toMap))
     aggs match {
       case Some(fns) => new SnapAggScan(root, hit, fns, full, aggGroupBy)
       case None => new SnapScan(root, hit, required,
         // bucket tags are manifest pseudo-columns, not engine
         // attributes — they must not reach filterAttributes
-        live.flatMap(_.stats.map(_._1)).distinct.filterNot(_.contains('#')),
+        (live.flatMap(_.stats.map(_._1)).distinct ++ bloomCols)
+          .distinct.filterNot(_.contains('#')),
         physMap = physMap, partCol = partCol, bucketSpec = bucketSpec,
+        bloomCols = bloomCols,
         bucketWide = bucketSpec.exists { case (bc, _) =>
           full.fields.find(_.name.equalsIgnoreCase(bc)).forall(f =>
             f.dataType == LongType || f.dataType == TimestampType)
@@ -1160,7 +1196,8 @@ object SnapScan {
       inSets: Map[String, Array[Long]],
       strBounds: Map[String, StrBound] = Map.empty,
       strInSets: Map[String, Array[Array[Byte]]] = Map.empty,
-      needNull: Set[String] = Set.empty): Boolean =
+      needNull: Set[String] = Set.empty,
+      bloomProbes: Map[String, Array[Long]] = Map.empty): Boolean =
     bounds.forall { case (c, (lo, hi)) =>
       lo <= hi && f.range(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     } && inSets.forall { case (c, keys) =>
@@ -1175,6 +1212,12 @@ object SnapScan {
       // rows, never add a null); unknown counts cannot prune
       f.nullCount(c).forall(_ > 0L) &&
         f.strBox(c).forall(b => b.allNull || b.nulls > 0L)
+    } && bloomProbes.forall { case (c, hs) =>
+      // BLOOM probe: keep the file iff its sidecar admits AT LEAST
+      // ONE key (no false negatives — rejection is proof of absence);
+      // a file without a sidecar for the column cannot prune
+      hs.nonEmpty && f.bloomPath(c).forall(p =>
+        hs.exists(h => SnapBloomSkip.mightContain(p, h)))
     }
 
   /** Any of `sorted` inside [mn, mx]? Binary search. */
@@ -1219,6 +1262,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     statCols: Seq[String], physMap: Map[String, String] = Map.empty,
     partCol: Option[String] = None,
     bucketSpec: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil,
     bucketWide: Boolean = true,
     totalLive: Int = -1,
     ignoreOverwrites: Boolean = false,
@@ -1298,6 +1342,7 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
   private val rInSets = mutable.Map.empty[String, Array[Long]]
+  private val rBloom = mutable.Map.empty[String, Array[Long]]
 
   /** Batch CHANGE FEED: every per-version change in
     * (startingVersion, versionAsOf ?? current] — the batch twin of the
@@ -1334,14 +1379,30 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
       }
     }
 
+  /** Join-driven bloom pruning: the build side's key set probes the
+    * candidates' sidecars, so a dimension-filtered point-ish join on
+    * a bloom column reads only the files that might hold a surviving
+    * key (the bloom twin of the bucket-id runtime pruning above).
+    */
+  private def noteBloomRuntime(c: String, vs: Seq[Any]): Unit =
+    if (bloomCols.exists(_.equalsIgnoreCase(c))) {
+      val hs = vs.flatMap(SnapBloomSkip.hashOf)
+      if (hs.length == vs.length && hs.nonEmpty) {
+        val sorted = hs.distinct.sorted.toArray
+        rBloom(c) = rBloom.get(c).fold(sorted)(_.intersect(sorted))
+      }
+    }
+
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
     case In(c, vs) =>
+      noteBloomRuntime(c, vs.toSeq)
       val ls = vs.flatMap(SnapSource.statLit).sorted
       if (ls.length == vs.length) {
         rInSets(c) = rInSets.get(c).fold(ls)(_.intersect(ls))
         noteBucketRuntime(c, ls.toSeq)
       }
     case EqualTo(c, v) =>
+      noteBloomRuntime(c, Seq(v))
       // int-keyed DPP equalities arrive boxed as Integer (and
       // date-keyed ones as Date/LocalDate) — absorb in the typed-box
       // encoding, or the file list silently skips re-pruning
@@ -1420,7 +1481,8 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     */
   private def keptFiles: Seq[FileStat] = {
     val pruned =
-      files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap))
+      files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap,
+        bloomProbes = rBloom.toMap))
     // pushed LIMIT: keep the file prefix whose manifest LIVE counts
     // cover n (each kept file reads whole; Spark re-applies the limit)
     limit match {
@@ -2048,7 +2110,8 @@ class SnapWriteBuilder(root: String, schema: StructType,
     options: CaseInsensitiveStringMap,
     defaultStatCols: Option[Seq[String]] = None,
     partitionCol: Option[String] = None,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -2063,6 +2126,10 @@ class SnapWriteBuilder(root: String, schema: StructType,
       .orElse(Option(options.get("statCol")))
       .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
       .orElse(defaultStatCols) // catalog property / established layout
+      // PATH-based write (df.write.save(root)) to a catalog-created
+      // table: the layout lives in the table's own properties
+      .orElse(SnapTable.tableProperty(root, "statCols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
       .getOrElse(throw new IllegalArgumentException(
         "snap write needs option(\"statCols\", \"col[,col...]\") — the " +
           "manifest's file-skipping stats column(s)"))
@@ -2095,9 +2162,25 @@ class SnapWriteBuilder(root: String, schema: StructType,
       require(statCols.head == pc,
         s"partitioned snap table $root shapes files by $pc — it must " +
           "be the primary stat column"))
+    // a PATH-based write to a bloom-declaring table resolves the
+    // columns from the table's own properties, like the bucket spec
+    val bCols =
+      (if (bloomCols.nonEmpty) bloomCols
+      else SnapTable.tableProperty(root, "bloomCols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil))
+        .filter(c => schema.fieldNames.contains(c))
+    bCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).get.dataType
+      require(Seq(LongType, IntegerType, DateType, TimestampType,
+        StringType).contains(dt),
+        s"bloomCols column $c must be bigint/int/date/timestamp/" +
+          s"string, is $dt")
+    }
     new SnapWrite(root, schema, statCols, overwrite,
       options.getInt("filesPerCommit", 0), SnapTable.colMap(root),
-      rollOnKey = partitionCol.isDefined, bucketSpec = bSpec)
+      rollOnKey = partitionCol.isDefined, bucketSpec = bSpec,
+      bloomCols = bCols)
   }
 }
 
@@ -2105,7 +2188,8 @@ class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
     overwrite: Boolean, filesPerCommit: Int,
     physMap: Map[String, String] = Map.empty,
     rollOnKey: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.Distributions
@@ -2137,24 +2221,30 @@ class SnapWrite(root: String, schema: StructType, statCols: Seq[String],
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
     new SnapBatchWrite(root, schema, statCols, overwrite, physMap,
-      rollOnKey, bucketSpec)
+      rollOnKey, bucketSpec, bloomCols)
 }
 
 class SnapBatchWrite(root: String, schema: StructType,
     statCols: Seq[String], overwrite: Boolean,
     physMap: Map[String, String] = Map.empty,
     rollOnKey: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   private val dataDir = graft.io.SnapIo.child(root, "data",
     java.util.UUID.randomUUID().toString)
+  private val bloomDir =
+    if (bloomCols.isEmpty) null
+    else graft.io.SnapIo.child(root, "bloom",
+      java.util.UUID.randomUUID().toString)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     SnapWriterFactory(dataDir, schema, statCols, physMap = physMap,
-      rollOnKey = rollOnKey, bucketSpec = bucketSpec)
+      rollOnKey = rollOnKey, bucketSpec = bucketSpec,
+      bloomCols = bloomCols, bloomDir = bloomDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
@@ -2191,12 +2281,14 @@ case class SnapWriterFactory(dataDir: String, schema: StructType,
     statCols: Seq[String], collectKeys: Boolean = false,
     physMap: Map[String, String] = Map.empty,
     rollOnKey: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomDir: String = null)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new SnapDataWriter(dataDir, partitionId, taskId, schema, statCols,
-      collectKeys, physMap, rollOnKey, bucketSpec)
+      collectKeys, physMap, rollOnKey, bucketSpec, bloomCols, bloomDir)
 }
 
 /** Parquet files per task via Spark's own [[ParquetWriteSupport]] —
@@ -2216,8 +2308,17 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     collectKeys: Boolean = false,
     physMap: Map[String, String] = Map.empty,
     rollOnKey: Boolean = false,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Nil,
+    bloomDir: String = null)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  // declared bloom columns: (schema index, data type) — every value
+  // xxhash64'd into the file's sketch inline (same encoding the
+  // Scala writeFiles aggregate and the scan's probe use)
+  private val bloomIdx: Array[(Int, DataType)] =
+    bloomCols.map(c => schema.fieldIndex(c) ->
+      schema.fields(schema.fieldIndex(c)).dataType).toArray
 
   // distinct primary-key values written (row-level-op writes): feeds
   // the replacement commit's conflict predicate; past the cap the set
@@ -2284,9 +2385,33 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
     val strMin = new Array[UTF8String](strIdx.length)
     val strMax = new Array[UTF8String](strIdx.length)
     val strNulls = new Array[Long](strIdx.length)
+    // per-file bloom sketches (one per declared bloom column)
+    val blooms: Array[org.apache.spark.util.sketch.BloomFilter] =
+      bloomIdx.map(_ => org.apache.spark.util.sketch.BloomFilter
+        .create(SnapBloomSkip.items, SnapBloomSkip.fpp))
     def write(row: InternalRow): Unit = {
       writer.write(null, row)
       rows += 1
+      var bi = 0
+      while (bi < bloomIdx.length) {
+        val (idx, dt) = bloomIdx(bi)
+        if (!row.isNullAt(idx)) {
+          val h = dt match {
+            case LongType | TimestampType =>
+              org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashLong(row.getLong(idx), SnapBloomSkip.Seed)
+            case IntegerType | DateType =>
+              org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashInt(row.getInt(idx), SnapBloomSkip.Seed)
+            case _ =>
+              org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUTF8String(row.getUTF8String(idx),
+                  SnapBloomSkip.Seed)
+          }
+          blooms(bi).putLong(h)
+        }
+        bi += 1
+      }
       var j = 0
       while (j < strIdx.length) {
         val idx = strIdx(j)
@@ -2362,7 +2487,18 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         val uri =
           if (graft.io.SnapIo.hasScheme(absPath)) absPath
           else "file:" + absPath
-        Some(FileStat(uri, rows, fileStats, nulls, sums, strStats = strs))
+        val bloomRefs = bloomIdx.indices.map { bi =>
+          graft.io.SnapIo.mkdirs(bloomDir)
+          val name = absPath.substring(absPath.lastIndexOf('/') + 1)
+          val bp = graft.io.SnapIo.child(bloomDir,
+            s"$name.${bloomCols(bi)}.bf")
+          val out = new java.io.ByteArrayOutputStream()
+          blooms(bi).writeTo(out)
+          graft.io.SnapIo.write(bp, out.toByteArray)
+          bloomCols(bi) -> bp
+        }
+        Some(FileStat(uri, rows, fileStats, nulls, sums,
+          strStats = strs, blooms = bloomRefs))
       }
     }
     def kill(): Unit = {
@@ -2624,10 +2760,23 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
   private val dataDir = graft.io.SnapIo.child(root, "data",
     java.util.UUID.randomUUID().toString)
 
+  // a rewrite regenerates the replaced files' bloom sidecars too, or
+  // one MERGE would silently strip the table's point-lookup skipping
+  private val bloomCols: Seq[String] =
+    SnapTable.tableProperty(root, "bloomCols")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+      .filter(c => schema.fieldNames.contains(c))
+  private val bloomDir =
+    if (bloomCols.isEmpty) null
+    else graft.io.SnapIo.child(root, "bloom",
+      java.util.UUID.randomUUID().toString)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     SnapWriterFactory(dataDir, schema, statCols, collectKeys = true,
-      physMap = SnapTable.colMap(root), bucketSpec = bucketSpec)
+      physMap = SnapTable.colMap(root), bucketSpec = bucketSpec,
+      bloomCols = bloomCols, bloomDir = bloomDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rewritten = messages.toSeq
@@ -2793,7 +2942,8 @@ class SnapCatalog
           case _ => None
         }
       }.toMap
-    val keys = Seq("statCols", "dv", "partitionCol", "bucketSpec")
+    val keys = Seq("statCols", "dv", "partitionCol", "bucketSpec",
+      "bloomCols")
     if (keys.forall(fromFile.contains)) fromFile
     else fromFile ++ keys.filterNot(fromFile.contains).flatMap(k =>
       SnapTable.tableProperty(r, k).map(k -> _))
@@ -2917,6 +3067,20 @@ class SnapCatalog
             s"(got statCols=$sc) — file shaping and skipping key on it")
     }
     val dvProp = props.get("dv").orElse(props.get("option.dv"))
+    // bloomCols: validated here so a typo'd column fails CREATE, not
+    // silently never-prunes
+    val bloomProp = props.get("bloomCols")
+      .orElse(props.get("option.bloomCols"))
+    bloomProp.foreach(_.split(',').map(_.trim).filter(_.nonEmpty)
+      .foreach { c =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"bloomCols column $c is not in the table schema"))
+        require(Seq(LongType, IntegerType, DateType, TimestampType,
+          StringType).contains(f.dataType),
+          s"bloomCols column $c must be bigint/int/date/timestamp/" +
+            s"string, is ${f.dataType}")
+      })
     // version 1 FIRST, claimed atomically (single attempt, no
     // retry-into-next-slot): of two concurrent CREATEs exactly one
     // wins the v1 manifest; the loser surfaces TableAlreadyExists
@@ -2926,6 +3090,7 @@ class SnapCatalog
     // the sidecar props file below is a read fast-path only.
     try SnapTable.createEmpty(r, schema,
       (statCols.map("statCols" -> _) ++ dvProp.map("dv" -> _) ++
+        bloomProp.map("bloomCols" -> _) ++
         partitionCol.map("partitionCol" -> _) ++
         bucketSpec.map { case (c, n) =>
           "bucketSpec" -> SnapBucket.formatSpec(c, n) }).toMap)
@@ -2936,6 +3101,7 @@ class SnapCatalog
     }
     val propLines = statCols.map(sc => s"statCols=$sc") ++
       dvProp.map(v => s"dv=$v") ++
+      bloomProp.map(v => s"bloomCols=$v") ++
       partitionCol.map(pc => s"partitionCol=$pc") ++
       bucketSpec.map { case (c, n) =>
         s"bucketSpec=${SnapBucket.formatSpec(c, n)}" }
@@ -3342,7 +3508,8 @@ class SnapCatalog
         val schema = SnapTable.tableSchema(src, Some(v)).getOrElse(
           throw new IllegalArgumentException(
             s"source $src@$v predates schema headers — cannot clone"))
-        val props = Seq("statCols", "dv", "partitionCol", "bucketSpec")
+        val props = Seq("statCols", "dv", "partitionCol", "bucketSpec",
+          "bloomCols")
           .flatMap(k => SnapTable.tableProperty(src, k).map(k -> _))
           .toMap
         SnapTable.createEmpty(dst, schema, props) // atomic v1 claim

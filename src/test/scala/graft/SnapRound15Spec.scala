@@ -287,6 +287,81 @@ class SnapRound15Spec extends AnyFunSuite {
     }
   }
 
+  test("bloom skipping prunes point lookups on a non-clustered column") {
+    withCatalog()
+    val root = freshRoot() + "/t"
+    spark.sql(s"CREATE TABLE graftsnap.`$root` " +
+      "(k BIGINT, tag STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+    // tag is HIGH-CARDINALITY and unordered: every file's string box
+    // spans the hex space, so box pruning keeps everything and only
+    // the bloom can narrow a point lookup
+    val src = spark.range(1, 2001).selectExpr("id AS k",
+      "substr(md5(cast(id AS string)), 1, 12) AS tag",
+      "id * 3 AS cents")
+    Seq((1L, 500L), (501L, 1000L), (1001L, 1500L), (1501L, 2000L))
+      .foreach { case (a, b) =>
+        src.filter(col("k") >= a && col("k") <= b)
+          .write.format("graft.sources.SnapSourceProvider")
+          .option("filesPerCommit", "1").mode("append").save(root)
+      }
+    val live = SnapTable.liveFiles(root)
+    assert(live.size == 4 && live.forall(_.bloomPath("tag").isDefined))
+    val probeTag = src.filter(col("k") === 777L)
+      .select("tag").as[String].head()
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    val got = spark.sql(s"SELECT k, cents FROM graftsnap.`$root` " +
+      s"WHERE tag = '$probeTag'").as[(Long, Long)].collect().toSet
+    val opens = graft.sources.SnapSource.filesOpened.get() - c0
+    assert(got == Set((777L, 2331L)))
+    assert(opens < 4, s"bloom must prune some of 4 files, opened $opens")
+    // IN over two tags from two different files: both rows, still
+    // pruned below a full scan
+    val tag2 = src.filter(col("k") === 1600L).select("tag")
+      .as[String].head()
+    val c1 = graft.sources.SnapSource.filesOpened.get()
+    val got2 = spark.sql(s"SELECT k FROM graftsnap.`$root` " +
+      s"WHERE tag IN ('$probeTag', '$tag2')").as[Long].collect().toSet
+    val opens2 = graft.sources.SnapSource.filesOpened.get() - c1
+    assert(got2 == Set(777L, 1600L) && opens2 < 4)
+    // a MISSING tag prunes everything (no false negatives)
+    val c2 = graft.sources.SnapSource.filesOpened.get()
+    assert(spark.sql(s"SELECT k FROM graftsnap.`$root` " +
+      "WHERE tag = 'zzzz-not-a-tag'").isEmpty)
+    assert(graft.sources.SnapSource.filesOpened.get() - c2 == 0,
+      "a bloom-rejected probe must open zero files")
+  }
+
+  test("blooms survive Scala commits, rewrites, and vacuum") {
+    withCatalog()
+    val root = freshRoot() + "/t"
+    spark.sql(s"CREATE TABLE graftsnap.`$root` " +
+      "(k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+    // Scala-API commit reads the property and blooms its files too
+    val df = (1L to 300L)
+      .map(i => (i, s"v$i-${(i * 2654435761L).toHexString}"))
+      .toDF("k", "tag")
+    SnapTable.commit(df, root, "k")
+    assert(SnapTable.liveFiles(root).forall(_.bloomPath("tag").isDefined))
+    // a MERGE rewrite regenerates sidecars (skipping never silently
+    // lost), and compaction + vacuum reclaim the orphaned ones
+    spark.sql(s"""MERGE INTO graftsnap.`$root` t
+      |USING (SELECT 5L AS k, 'updated' AS tag) u ON t.k = u.k
+      |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(SnapTable.liveFiles(root).forall(_.bloomPath("tag").isDefined))
+    val vc = SnapTable.compact(spark, root, "k", targetFiles = 1)
+    val reclaimed = SnapTable.vacuum(root, keepFrom = vc, graceMs = 0L)
+    assert(reclaimed > 0)
+    val live = SnapTable.liveFiles(root)
+    assert(live.size == 1 && live.head.bloomPath("tag").isDefined)
+    assert(graft.io.SnapIo.isFile(live.head.bloomPath("tag").get),
+      "the kept bloom sidecar must survive vacuum")
+    // the rewritten table still probes correctly
+    assert(spark.sql(s"SELECT k FROM graftsnap.`$root` " +
+      "WHERE tag = 'updated'").as[Long].collect().toSeq == Seq(5L))
+  }
+
   test("startingTimestamp parses dates and SQL timestamps in session zone") {
     import graft.sources.SnapSource.parseTsMillis
     assert(parseTsMillis("1723795200000") == 1723795200000L)
