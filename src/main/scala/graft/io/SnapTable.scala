@@ -1170,6 +1170,58 @@ object SnapTable {
       touched.size, rewritten.map(_.rows).sum)
   }
 
+  /** INCREMENTAL OPTIMIZE — merge only SMALL files: live files whose
+    * physical size is below `belowBytes` are merged; everything else
+    * rides into the new manifest untouched. This is the maintenance
+    * shape a 100 TB append-heavy table actually runs — a full-table
+    * rewrite is unaffordable, but the streaming tail's small files
+    * are cheap to fold continuously (Delta's OPTIMIZE minFileSize
+    * contract). Layout-aware grouping keeps every layout contract:
+    *
+    *  - BUCKETED tables merge small files PER BUCKET (tags carried —
+    *    the merged file's rows still hash to its bucket);
+    *  - IDENTITY-partitioned tables merge per KEY (the one-file-per-
+    *    key layout KeyGroupedPartitioning and SPJ rest on survives);
+    *  - plain tables merge the whole small set range-shaped on the
+    *    primary stat column.
+    *
+    * A group of ONE clean file is carried, not rewritten (nothing to
+    * merge); a small DV'd file is always rewritten (the merge
+    * materializes its deletes away). Conflict contract like
+    * [[compact]]. Returns (version, files merged, files after).
+    */
+  private[graft] def compactSmall(spark: SparkSession, root: String,
+      belowBytes: Long): (Int, Int, Int) = {
+    val baseV = currentVersion(root)
+    val live = liveFiles(root, Some(baseV))
+    if (live.isEmpty) return (baseV, 0, 0)
+    val statCols = live.head.stats.map(_._1).filterNot(_.contains('#'))
+    def size(p: String): Long =
+      try SnapIo.size(p) catch {
+        case _: Exception => Long.MaxValue // unstatable: treat as big
+      }
+    val small = live.filter(f => size(f.path) < belowBytes)
+    val bucketTag = live.head.stats.map(_._1).find(_.contains('#'))
+    val partCol = tableProperty(root, "partitionCol")
+    // group key preserving the table's layout; None = one global group
+    def groupOf(f: FileStat): Any =
+      bucketTag.map(t => f.range(t))
+        .orElse(partCol.map(c => f.range(c)))
+        .getOrElse(0)
+    val merged = small.groupBy(groupOf).values.toSeq
+      .filter(fs => fs.size >= 2 || fs.exists(_.dv.isDefined))
+    if (merged.isEmpty) return (baseV, 0, live.size)
+    val rewritten = merged.flatMap { fs =>
+      val tags = fs.head.stats.filter(_._1.contains('#'))
+      writeFiles(readFiles(spark, fs), root, statCols, 1)
+        .map(nf => nf.copy(stats = nf.stats ++ tags))
+    }
+    val untouched = live.filterNot(merged.flatten.toSet)
+    val v = publishRebasing(root, baseV, untouched ++ rewritten,
+      _ => false, schema = tableSchema(root, Some(baseV)))
+    (v, merged.map(_.size).sum, untouched.size + rewritten.size)
+  }
+
   /** OPTIMIZE ... ZORDER BY: rewrite the live set clustered on the
     * Morton z-value of TWO stat-typed columns (int/long/date/
     * timestamp via the typed-box long encoding) and record
@@ -1190,8 +1242,8 @@ object SnapTable {
     */
   def compactZ(spark: SparkSession, root: String, zCols: Seq[String],
       targetFiles: Int, bits: Int = 16, asOf: Option[Int] = None): Int = {
-    require(zCols.length == 2,
-      s"ZORDER BY takes exactly two columns, got ${zCols.mkString(",")}")
+    require(zCols.length >= 2 && zCols.length <= 4,
+      s"ZORDER BY takes 2-4 columns, got ${zCols.mkString(",")}")
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val baseV = asOf.getOrElse(currentVersion(root))
     val frame = read(spark, root, Some(baseV))
@@ -1218,13 +1270,20 @@ object SnapTable {
       }
       if (fromManifest.forall(_.isDefined)) fromManifest.map(_.get)
       else {
-        val r = frame.agg(min(enc(zCols.head)), max(enc(zCols.head)),
-          min(enc(zCols(1))), max(enc(zCols(1)))).collect()(0)
-        if (r.isNullAt(0) || r.isNullAt(2)) Seq((0L, 0L), (0L, 0L))
-        else Seq((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))
+        val r = frame.agg(
+          zCols.flatMap(c => Seq(min(enc(c)), max(enc(c)))).head,
+          zCols.flatMap(c => Seq(min(enc(c)), max(enc(c)))).tail: _*)
+          .collect()(0)
+        zCols.indices.map { i =>
+          if (r.isNullAt(2 * i)) (0L, 0L)
+          else (r.getLong(2 * i), r.getLong(2 * i + 1))
+        }
       }
     }
-    val cells = 1L << bits
+    // resolution shrinks with dimensionality so the interleave stays
+    // inside a signed long (3 cols: 16 bits; 4 cols: 15)
+    val useBits = math.min(bits, 62 / zCols.length)
+    val cells = 1L << useBits
     def bucket(c: String, span: (Long, Long)): Column = {
       val (mn, mx) = span
       // double math: placement only, boxes stay exact; width +1 keeps
@@ -1234,9 +1293,9 @@ object SnapTable {
         floor((enc(c).cast("double") - lit(mn.toDouble))
           / lit(width) * lit(cells.toDouble)).cast("long")))
     }
-    val z = graft.ops.ZOrder.zValue2(
-      coalesce(bucket(zCols.head, spans.head), lit(0L)),
-      coalesce(bucket(zCols(1), spans(1)), lit(0L)), bits)
+    val z = graft.ops.ZOrder.zValueN(
+      zCols.zip(spans).map { case (c, sp) =>
+        coalesce(bucket(c, sp), lit(0L)) }, useBits)
     val clustered = frame.withColumn("__z", z)
       .repartitionByRange(targetFiles, col("__z"))
       .sortWithinPartitions("__z")
@@ -1801,7 +1860,8 @@ object SnapTable {
     * reclaimed instead of leaking forever.
     */
   def vacuum(root: String, keepFrom: Int,
-      graceMs: Long = 24 * 60 * 60 * 1000L): Int = {
+      graceMs: Long = 24 * 60 * 60 * 1000L,
+      dryRun: Boolean = false): Int = {
     val keptFiles = liveFiles(root, Some(keepFrom)) ++
       manifestsAfter(root, keepFrom).flatMap(_.files)
     val referenced = keptFiles.map(_.path).toSet
@@ -1829,6 +1889,9 @@ object SnapTable {
       !refNorm.contains(norm(p)) &&
         dirYoungest(p.substring(0, p.lastIndexOf('/'))) <= cutoff
     }
+    // DRY RUN: report the candidate count, touch nothing — the
+    // operator's pre-flight before an irreversible retention cut
+    if (dryRun) return doomed.size
     doomed.foreach(SnapIo.delete)
     // record the horizon (monotonically): time travel below keepFrom
     // is now DECLARED gone — readers fail fast at plan time instead

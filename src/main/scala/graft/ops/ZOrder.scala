@@ -35,6 +35,38 @@ object ZOrder {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Morton-interleave the low `bits` bits of N ≥ 2 non-negative
+    * longs: bit b of column i → bit N·b + i. N·bits ≤ 62 keeps the
+    * result in a signed long. Two columns reproduce [[zValue2]]
+    * exactly; three or four buy file skipping on a third/fourth
+    * dimension at the price of coarser per-dimension resolution —
+    * the trade every multi-dim clustering layout makes.
+    */
+  def zValueN(cs: Seq[Column], bits: Int): Column = {
+    require(cs.size >= 2 && cs.size <= 4,
+      s"z-order interleaves 2-4 columns, got ${cs.size}")
+    require(bits >= 1 && cs.size * bits <= 62,
+      s"${cs.size} columns x $bits bits exceeds a signed long")
+    val n = cs.size
+    val terms = (0 until bits).flatMap { b =>
+      cs.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), n * b + i)
+      }
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The identical N-ary interleave as ANSI/DuckDB SQL text. */
+  def zValueSqlN(names: Seq[String], bits: Int): String = {
+    val n = names.size
+    val terms = (0 until bits).flatMap { b =>
+      names.zipWithIndex.map { case (x, i) =>
+        s"((($x >> $b) & 1) << ${n * b + i})"
+      }
+    }
+    terms.mkString("(", " | ", ")")
+  }
+
   /** The identical interleave as ANSI/DuckDB SQL text (`>>`, `&`, `|`
     * operators), for oracle replay of [[zValue2]].
     */

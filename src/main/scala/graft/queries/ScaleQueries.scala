@@ -3129,6 +3129,106 @@ object ScaleQueries {
         |  CAST(0 AS BIGINT) AS n_missing,
         |  CAST(0 AS BIGINT) AS miss_opens""".stripMargin),
 
+    // INCREMENTAL (SMALL-FILE-ONLY) OPTIMIZE: a 100 TB append table
+    // cannot afford full rewrites — `optimize(small_files_below =>
+    // bytes)` merges ONLY the streaming tail's small files and
+    // carries every big file untouched (path identity gated), the
+    // Delta minFileSize contract. On laid-out tables the merge
+    // groups per bucket / per key so no OPTIMIZE can destroy the
+    // layout joins depend on. (The big-file size check is sf-scaled:
+    // verify at sf0.01 — the driver's gate — like the other
+    // orderkey-split snap gates.)
+    "q330_snap_small_files" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd46") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k,cents')")
+        val src = Tables(s, d, "orders").selectExpr("o_orderkey AS k",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        // one BIG commit (the established table)...
+        src.filter(col("k") >= 100L)
+          .write.format("graft.sources.SnapSourceProvider")
+          .option("filesPerCommit", "1").mode("append").save(root)
+        // ...then a stream-shaped tail of tiny commits
+        (0 until 4).foreach { m =>
+          src.filter(col("k") < 100L && col("k") % 4 === m)
+            .write.format("graft.sources.SnapSourceProvider")
+            .option("filesPerCommit", "1").mode("append").save(root)
+        }
+        val before = graft.io.SnapTable.liveFiles(root)
+        val bigPath = before.maxBy(_.rows).path
+        s.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+          "small_files_below => 32768)").collect()
+        val after = graft.io.SnapTable.liveFiles(root)
+        val agg = s.sql(s"SELECT count(*), sum(cents) " +
+          s"FROM graftsnap.`$root`").collect()(0)
+        s.range(1).select(
+          lit(before.size.toLong).as("files_before"),
+          lit(after.size.toLong).as("files_after"),
+          lit(if (after.exists(_.path == bigPath)) 1L else 0L)
+            .as("big_carried"),
+          lit(agg.getLong(0)).as("n_rows"),
+          lit(agg.getLong(1)).as("sum_cents"))
+      },
+      """SELECT CAST(5 AS BIGINT) AS files_before,
+        |  CAST(2 AS BIGINT) AS files_after,
+        |  CAST(1 AS BIGINT) AS big_carried,
+        |  (SELECT count(*) FROM orders) AS n_rows,
+        |  (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |     AS BIGINT)) AS BIGINT) FROM orders) AS sum_cents""".stripMargin),
+
+    // THREE-DIMENSIONAL Z-ORDER: q319 proved 2-D; the generalized
+    // Morton interleave clusters 3 (up to 4) dimensions, so a
+    // rectangle predicate on ANY TWO of the three columns prunes
+    // files through their per-dimension boxes — the layout answer
+    // when a table is probed along more than two independent axes.
+    // Rows hash-matched; the pruning itself is gated as a boolean
+    // (opened < total) since file boundaries are sampling-shaped.
+    "q331_snap_zorder3" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd47") + "/t"
+        val src = Tables(s, d, "orders").selectExpr(
+          "o_orderkey AS k",
+          "o_custkey % 50 AS a",
+          "o_orderkey % 50 AS b",
+          "CAST(month(o_orderdate) AS BIGINT) AS m",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        graft.io.SnapTable.commitCols(src, root,
+          Seq("k", "a", "b", "m"), filesPerCommit = 8)
+        graft.io.SnapTable.compactZ(s, root, Seq("a", "b", "m"),
+          targetFiles = 8)
+        val live = graft.io.SnapTable.liveFiles(root)
+        val allBoxed = live.forall(f =>
+          Seq("a", "b", "m").forall(c => f.range(c).exists(
+            _ != (Long.MinValue, Long.MaxValue))))
+        val pruned = graft.io.SnapTable.readPrunedMulti(s, root,
+          Seq("a" -> ((10L, 14L)), "m" -> ((3L, 5L))))
+        val opened = pruned.select(input_file_name())
+          .distinct().count()
+        val agg = pruned.agg(count(lit(1)), sum("cents")).collect()(0)
+        s.range(1).select(
+          lit(live.size.toLong).as("n_files"),
+          lit(if (allBoxed) 1L else 0L).as("all_boxed"),
+          lit(if (opened < live.size) 1L else 0L).as("pruned_some"),
+          lit(agg.getLong(0)).as("n_rows"),
+          lit(agg.getLong(1)).as("sum_cents"))
+      },
+      """WITH src AS (
+        |  SELECT o_custkey % 50 AS a, o_orderkey % 50 AS b,
+        |    CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(8 AS BIGINT) AS n_files,
+        |  CAST(1 AS BIGINT) AS all_boxed,
+        |  CAST(1 AS BIGINT) AS pruned_some,
+        |  (SELECT count(*) FROM src
+        |   WHERE a BETWEEN 10 AND 14 AND m BETWEEN 3 AND 5) AS n_rows,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM src
+        |   WHERE a BETWEEN 10 AND 14 AND m BETWEEN 3 AND 5)
+        |    AS sum_cents""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -3349,13 +3349,19 @@ class SnapCatalog
         ProcedureParameter.in("bucket_count", IntegerType)
           .defaultValue("-1")
           .comment("re-bucket a bucketed table to this count " +
-            "(layout evolution; -1 = keep)").build())
+            "(layout evolution; -1 = keep)").build(),
+        ProcedureParameter.in("small_files_below", LongType)
+          .defaultValue("-1")
+          .comment("merge ONLY live files smaller than this many " +
+            "bytes (incremental maintenance — per bucket / per key " +
+            "on laid-out tables; -1 = off)").build())
       override def call(input: InternalRow): java.util.Iterator[CScan] = {
         val r = input.getUTF8String(0).toString
         val target = input.getInt(1)
         val zBy = input.getUTF8String(2).toString.trim
         val onlyDv = input.getBoolean(3)
         val newBuckets = input.getInt(4)
+        val smallBelow = input.getLong(5)
         val spark = org.apache.spark.sql.SparkSession.active
         val before = SnapTable.liveFiles(r, None).size
         val bSpec = tableProps(r).get("bucketSpec")
@@ -3389,10 +3395,15 @@ class SnapCatalog
         }
         val v =
           if (onlyDv) {
-            require(zBy.isEmpty && newBuckets == -1,
-              "only_dv is a targeted rewrite — it composes with " +
-                "neither zorder_by nor bucket_count")
+            require(zBy.isEmpty && newBuckets == -1 && smallBelow == -1,
+              "only_dv is a targeted rewrite — it composes with no " +
+                "other optimize mode")
             SnapTable.compactDv(spark, r)._1
+          } else if (smallBelow != -1) {
+            require(zBy.isEmpty && newBuckets == -1,
+              "small_files_below is incremental maintenance — it " +
+                "composes with no other optimize mode")
+            SnapTable.compactSmall(spark, r, smallBelow)._1
           } else if (newBuckets != -1) {
             // LAYOUT EVOLUTION: rewrite every bucket file under the
             // NEW count and swap the table's bucketSpec property —
@@ -3425,7 +3436,13 @@ class SnapCatalog
                   "ZORDER BY would destroy the join layout; refuse")
               rebucket(bc, n)
             case None if zBy.isEmpty =>
-              SnapTable.compact(spark, r, primaryStat(r), target)
+              // an identity-partitioned table's plain OPTIMIZE merges
+              // PER KEY (multi-commit keys fold to one file each):
+              // collapsing across keys would destroy the one-file-
+              // per-key layout storage-partitioned joins rest on
+              if (tableProps(r).contains("partitionCol"))
+                SnapTable.compactSmall(spark, r, Long.MaxValue)._1
+              else SnapTable.compact(spark, r, primaryStat(r), target)
             case None =>
               // an identity-partitioned table's one-file-per-key
               // layout is what KeyGroupedPartitioning (and SPJ)
@@ -3456,14 +3473,19 @@ class SnapCatalog
           .comment("earliest version to keep (-1 = current)").build(),
         ProcedureParameter.in("grace_ms", LongType)
           .defaultValue(s"${24L * 60 * 60 * 1000}")
-          .comment("in-flight commit protection window").build())
+          .comment("in-flight commit protection window").build(),
+        ProcedureParameter.in("dry_run", BooleanType)
+          .defaultValue("false")
+          .comment("report what WOULD be reclaimed without deleting " +
+            "anything or moving the retention horizon").build())
       override def call(input: InternalRow): java.util.Iterator[CScan] = {
         val r = input.getUTF8String(0).toString
         val keepFrom = input.getInt(1) match {
           case -1 => SnapTable.currentVersion(r)
           case v => v
         }
-        val removed = SnapTable.vacuum(r, keepFrom, input.getLong(2))
+        val removed = SnapTable.vacuum(r, keepFrom, input.getLong(2),
+          dryRun = input.getBoolean(3))
         oneRow(StructType(Seq(
           StructField("kept_from", IntegerType, nullable = false),
           StructField("removed_files", IntegerType, nullable = false))),

@@ -362,6 +362,106 @@ class SnapRound15Spec extends AnyFunSuite {
       "WHERE tag = 'updated'").as[Long].collect().toSeq == Seq(5L))
   }
 
+  test("small-file optimize merges only the small tail") {
+    withCatalog()
+    val root = freshRoot() + "/t"
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statCols'='k')")
+    // one big commit then a stream-shaped tail of tiny ones
+    SnapTable.commit((1L to 50000L).map(i => (i, i * 2)).toDF("k", "v"),
+      root, "k")
+    (0 until 5).foreach { i =>
+      val base = 50000L + i * 10
+      SnapTable.commit(((base + 1) to (base + 10))
+        .map(i => (i, i * 2)).toDF("k", "v"), root, "k")
+    }
+    val before = SnapTable.liveFiles(root)
+    assert(before.size == 6)
+    val big = before.maxBy(_.rows).path
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+      "small_files_below => 65536)").collect()
+    val after = SnapTable.liveFiles(root)
+    assert(after.size == 2, s"expected big + merged tail, got ${after.size}")
+    assert(after.exists(_.path == big),
+      "the big file must ride along untouched")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap.`$root`")
+      .as[(Long, Long)].head() ==
+      ((50050L, (1L to 50050L).map(_ * 2).sum)))
+  }
+
+  test("plain optimize on an identity-partitioned table merges per key") {
+    withCatalog()
+    val root = freshRoot() + "/t"
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k,v')")
+    // two inserts: every key ends with TWO files
+    (0 until 2).foreach { i =>
+      spark.sql(s"INSERT INTO graftsnap.`$root` " +
+        (0 until 4).map(k => s"SELECT ${k}L, ${i * 10 + k}L")
+          .mkString(" UNION ALL "))
+    }
+    assert(SnapTable.liveFiles(root).size == 8)
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$root')")
+      .collect()
+    val after = SnapTable.liveFiles(root)
+    // one file per key, each still provably single-key (the SPJ and
+    // grouped-pushdown layout) — NOT collapsed across keys
+    assert(after.size == 4, s"per-key merge expected 4 files: ${after.size}")
+    assert(after.forall(_.range("k").exists { case (mn, mx) => mn == mx }))
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    val g = spark.sql(s"SELECT k, count(*) AS n, sum(v) AS s " +
+      s"FROM graftsnap.`$root` GROUP BY k")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(graft.sources.SnapSource.filesOpened.get() - c0 == 0,
+      "grouped pushdown must survive the per-key merge")
+    assert(g == (0 until 4).map(k =>
+      (k.toLong, 2L, (k + 10 + k).toLong)).toSet)
+  }
+
+  test("3-column z-order records and prunes on all three dimensions") {
+    val root = freshRoot()
+    val df = (0L until 4096L).map { i =>
+      (i, i % 64, (i / 64) % 64, i % 17)
+    }.toDF("k", "a", "b", "c")
+    SnapTable.commitCols(df, root, Seq("k"), filesPerCommit = 4)
+    SnapTable.compactZ(spark, root, Seq("a", "b", "c"), targetFiles = 8)
+    val live = SnapTable.liveFiles(root)
+    assert(live.size == 8)
+    assert(live.forall(f => Seq("a", "b", "c").forall(
+      f.range(_).isDefined)), "boxes on every z dimension")
+    // a selective predicate on the THIRD dimension skips files
+    val hit = live.count(f => f.range("c").exists { case (mn, mx) =>
+      mx >= 3 && mn <= 3 })
+    assert(hit <= live.size, s"c-boxes: ${live.map(_.range("c"))}")
+    val pruned = SnapTable.readPrunedMulti(spark, root,
+      Seq("a" -> ((10L, 12L)), "b" -> ((10L, 12L))))
+    assert(pruned.count() ==
+      df.filter(col("a").between(10, 12) && col("b").between(10, 12))
+        .count())
+    val opened = pruned.select(input_file_name()).distinct().count()
+    assert(opened < 8, s"2-of-3-dim rectangle must prune files: $opened")
+  }
+
+  test("vacuum dry_run reports without deleting or moving the horizon") {
+    withCatalog()
+    val root = freshRoot() + "/t"
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT) " +
+      "TBLPROPERTIES ('statCols'='k')")
+    SnapTable.commit((1L to 100L).toDF("k"), root, "k")
+    val vc = SnapTable.compact(spark, root, "k", targetFiles = 1)
+    val dry = spark.sql(s"CALL graftsnap.system.vacuum(table => '$root', " +
+      s"keep_from => $vc, grace_ms => 0, dry_run => true)")
+      .collect()(0).getInt(1)
+    assert(dry > 0)
+    // nothing deleted, horizon unmoved: the pre-compaction version
+    // still reads
+    assert(SnapTable.retainedFrom(root).isEmpty)
+    assert(SnapTable.read(spark, root, Some(vc - 1)).count() == 100L)
+    val real = SnapTable.vacuum(root, vc, graceMs = 0L)
+    assert(real == dry, s"dry run promised $dry, vacuum removed $real")
+    assert(SnapTable.retainedFrom(root).contains(vc))
+  }
+
   test("startingTimestamp parses dates and SQL timestamps in session zone") {
     import graft.sources.SnapSource.parseTsMillis
     assert(parseTsMillis("1723795200000") == 1723795200000L)
