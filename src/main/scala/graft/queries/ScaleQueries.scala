@@ -3229,6 +3229,86 @@ object ScaleQueries {
         |   WHERE a BETWEEN 10 AND 14 AND m BETWEEN 3 AND 5)
         |    AS sum_cents""".stripMargin),
 
+    // FILE INVENTORY AS SQL (`CALL snap.system.files`): the
+    // operator's view of what maintenance must work on — per-file
+    // physical/live rows, bytes, DV state, primary stat box — as a
+    // query result, Iceberg's `files` metadata table. Gated by
+    // AGGREGATING the inventory: counts and row sums must agree
+    // with the table's own content before and after a
+    // merge-on-read delete.
+    "q332_snap_files_inventory" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd48") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k', 'dv'='true')")
+        Tables(s, d, "orders").createOrReplaceTempView("q332_orders")
+        Seq(0, 1).foreach { m =>
+          s.sql(s"""INSERT INTO graftsnap.`$root`
+            |SELECT o_orderkey,
+            |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            |FROM q332_orders WHERE o_orderkey % 2 = $m""".stripMargin)
+        }
+        s.sql(s"DELETE FROM graftsnap.`$root` " +
+          "WHERE k BETWEEN 100 AND 199")
+        val inv = s.sql(
+          s"CALL graftsnap.system.files(table => '$root')").collect()
+        val nFiles = inv.length.toLong
+        val physRows = inv.map(_.getLong(1)).sum
+        val liveRows = inv.map(_.getLong(2)).sum
+        val dvRows = inv.map(_.getLong(4)).sum
+        val sized = inv.count(r => !r.isNullAt(3) && r.getLong(3) > 0L)
+        val statOk = inv.count(_.getString(5) == "k")
+        s.range(1).select(
+          lit(nFiles).as("n_files"),
+          lit(physRows).as("phys_rows"),
+          lit(liveRows).as("live_rows"),
+          lit(dvRows).as("dv_rows"),
+          lit(if (sized == inv.length) 1L else 0L).as("all_sized"),
+          lit(if (statOk == inv.length) 1L else 0L).as("all_stat_k"))
+      },
+      """SELECT CAST(2 AS BIGINT) AS n_files,
+        |  (SELECT count(*) FROM orders) AS phys_rows,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey NOT BETWEEN 100 AND 199) AS live_rows,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey BETWEEN 100 AND 199) AS dv_rows,
+        |  CAST(1 AS BIGINT) AS all_sized,
+        |  CAST(1 AS BIGINT) AS all_stat_k""".stripMargin),
+
+    // MANIFEST-ANSWERED DISTINCT: `SELECT DISTINCT k` over an
+    // identity-partitioned table is a pure manifest fold — every
+    // file provably holds ONE non-null key (box min == max, zero
+    // nulls), so the distinct key set is the distinct file-key set,
+    // ZERO file opens at any table size. The degenerate but common
+    // dashboard query ("what partitions exist") stops costing a
+    // scan.
+    "q333_snap_distinct_keys" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd49") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k,cents')")
+        Tables(s, d, "orders").createOrReplaceTempView("q333_orders")
+        Seq(0, 1).foreach { m =>
+          s.sql(s"""INSERT INTO graftsnap.`$root`
+            |SELECT o_custkey % 16,
+            |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+            |FROM q333_orders WHERE o_orderkey % 2 = $m""".stripMargin)
+        }
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val ks = s.sql(s"SELECT DISTINCT k FROM graftsnap.`$root`")
+          .collect().map(_.getLong(0))
+        val opens = graft.sources.SnapSource.filesOpened.get() - c0
+        import s.implicits._
+        ks.map(k => (k, opens)).toSeq.toDF("k", "n_opens")
+      },
+      """SELECT DISTINCT CAST(o_custkey % 16 AS BIGINT) AS k,
+        |  CAST(0 AS BIGINT) AS n_opens
+        |FROM orders""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -407,7 +407,27 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "originating data file path"
-    })
+    },
+      // the CDF columns are METADATA COLUMNS too, so a CATALOG table
+      // (whose schema the analyzer fixes at loadTable, before read
+      // options exist) can still project them by name — that is what
+      // makes `spark.read.option("readChangeFeed", true)
+      // .table("wh.db.t")` analyzable; on a plain snapshot scan they
+      // read null / -1, under the option they carry the feed tags
+      new MetadataColumn {
+        override def name(): String = SnapSource.ChangeTypeColumn
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "change feed row type (insert/delete/update_*)"
+      },
+      new MetadataColumn {
+        override def name(): String = SnapSource.CommitVersionColumn
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "version that produced this change row"
+      })
   /** Identity partition column of a PARTITIONED BY table — the
     * storage-partitioned-join contract (one file per key value).
     */
@@ -882,7 +902,12 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     * swap in an unvalidated file.
     */
   private def aggPushable(a: Aggregation): Boolean = {
-    if (a.aggregateExpressions.isEmpty) return false
+    // an empty aggregate list WITH grouping is SELECT DISTINCT — the
+    // manifest answers it when every surviving file provably holds
+    // one non-null key tuple (the grouped gate below); empty both
+    // ways is nothing to push
+    if (a.aggregateExpressions.isEmpty && a.groupByExpressions.isEmpty)
+      return false
     if (cdf) return false // change rows ≠ live rows
     if (!exactOnly) return false
     lazy val surviving = liveAtPlan.filter(f =>
@@ -3611,12 +3636,64 @@ class SnapCatalog
       }
     }
 
+  /** Per-file inventory of a snapshot as a result set (Iceberg's
+    * `files` metadata table): path, physical and live row counts,
+    * on-disk bytes, DV state, and the primary stat box. The
+    * operator's answer to "what does maintenance have to work on" —
+    * small-file counts, DV accumulation, skew — without leaving SQL.
+    * Driver-side by design like history: a listing is O(files)
+    * small rows.
+    */
+  private val filesProc: UnboundProcedure =
+    new SnapProcedure("files") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("snap table root path").build(),
+        ProcedureParameter.in("version", IntegerType)
+          .defaultValue("-1")
+          .comment("snapshot version (-1 = current)").build())
+      override def call(input: InternalRow): java.util.Iterator[CScan] = {
+        val r = input.getUTF8String(0).toString
+        val asOf = input.getInt(1) match {
+          case -1 => None
+          case v => Some(v)
+        }
+        val schema = StructType(Seq(
+          StructField("path", StringType, nullable = false),
+          StructField("rows", LongType, nullable = false),
+          StructField("live_rows", LongType, nullable = false),
+          StructField("size_bytes", LongType, nullable = true),
+          StructField("dv_rows", LongType, nullable = false),
+          StructField("stat_col", StringType, nullable = true),
+          StructField("stat_min", LongType, nullable = true),
+          StructField("stat_max", LongType, nullable = true)))
+        val out = SnapTable.liveFiles(r, asOf).map { f =>
+          val sz = try java.lang.Long.valueOf(
+            graft.io.SnapIo.size(f.path))
+          catch { case _: Exception => null }
+          val primary = f.stats.headOption.filterNot(_._1.contains('#'))
+          InternalRow.fromSeq(Seq(
+            UTF8String.fromString(f.path), f.rows, f.liveRows, sz,
+            f.dv.fold(0L)(_._2),
+            primary.map(p => UTF8String.fromString(p._1)).orNull,
+            primary.map(p => java.lang.Long.valueOf(p._2._1)).orNull,
+            primary.map(p => java.lang.Long.valueOf(p._2._2)).orNull))
+        }.toArray
+        val scan: CScan = new LocalScan {
+          override def readSchema(): StructType = schema
+          override def rows(): Array[InternalRow] = out
+        }
+        java.util.Collections.singletonList(scan).iterator()
+      }
+    }
+
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(Array("system"), "optimize"),
       Identifier.of(Array("system"), "vacuum"),
       Identifier.of(Array("system"), "clone"),
       Identifier.of(Array("system"), "restore"),
-      Identifier.of(Array("system"), "history"))
+      Identifier.of(Array("system"), "history"),
+      Identifier.of(Array("system"), "files"))
 
   override def loadProcedure(ident: Identifier): UnboundProcedure = {
     val nsOk = ident.namespace().isEmpty ||
@@ -3627,11 +3704,12 @@ class SnapCatalog
       case "clone" => return cloneProc
       case "restore" => return restoreProc
       case "history" => return historyProc
+      case "files" => return filesProc
       case _ => ()
     }
     throw new IllegalArgumentException(
       s"unknown snap procedure ${ident.namespace().mkString(".")}." +
         s"${ident.name()} — available: system.optimize, system.vacuum" +
-        ", system.clone, system.restore, system.history")
+        ", system.clone, system.restore, system.history, system.files")
   }
 }

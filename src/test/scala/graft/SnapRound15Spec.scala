@@ -462,6 +462,58 @@ class SnapRound15Spec extends AnyFunSuite {
     assert(SnapTable.retainedFrom(root).contains(vc))
   }
 
+  test("system.files lists the snapshot inventory; DISTINCT folds from it") {
+    withCatalog()
+    val root = freshRoot() + "/t"
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k,v', 'dv'='true')")
+    (0 until 2).foreach { i =>
+      spark.sql(s"INSERT INTO graftsnap.`$root` " +
+        (0 until 3).map(k => s"SELECT ${k}L, ${i * 10 + k}L")
+          .mkString(" UNION ALL "))
+    }
+    val inv = spark.sql(
+      s"CALL graftsnap.system.files(table => '$root')").collect()
+    val live = SnapTable.liveFiles(root)
+    assert(inv.length == live.size)
+    assert(inv.map(_.getLong(1)).sum == live.map(_.rows).sum)
+    assert(inv.forall(r => r.getString(5) == "k" &&
+      r.getLong(6) == r.getLong(7))) // one key per file
+    assert(inv.forall(r => !r.isNullAt(3) && r.getLong(3) > 0L))
+    // a versioned listing sees the older, smaller snapshot
+    val v2 = spark.sql(
+      s"CALL graftsnap.system.files(table => '$root', version => 2)")
+      .count()
+    assert(v2 == 3)
+    // SELECT DISTINCT over the partition key answers from the
+    // manifest — zero opens (every file provably single-key)
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    val ks = spark.sql(s"SELECT DISTINCT k FROM graftsnap.`$root`")
+      .as[Long].collect().toSet
+    assert(graft.sources.SnapSource.filesOpened.get() - c0 == 0,
+      "DISTINCT partition keys must fold from the manifest")
+    assert(ks == Set(0L, 1L, 2L))
+  }
+
+  test("change feed reads by table NAME through read options") {
+    val wh = freshRoot()
+    spark.conf.set("spark.sql.catalog.graftwh2",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftwh2.warehouse", wh)
+    spark.sql("CREATE TABLE graftwh2.db.t (k BIGINT) " +
+      "TBLPROPERTIES ('statCols'='k', 'dv'='true')")
+    spark.sql("INSERT INTO graftwh2.db.t VALUES (1), (2)")
+    spark.sql("DELETE FROM graftwh2.db.t WHERE k BETWEEN 2 AND 2")
+    val feed = spark.read.option("readChangeFeed", "true")
+      .table("graftwh2.db.t")
+      .select("k", graft.sources.SnapSource.ChangeTypeColumn,
+        graft.sources.SnapSource.CommitVersionColumn)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(feed == Set((1L, "insert", 2L), (2L, "insert", 2L),
+      (2L, "delete", 3L)), s"got $feed")
+  }
+
   test("startingTimestamp parses dates and SQL timestamps in session zone") {
     import graft.sources.SnapSource.parseTsMillis
     assert(parseTsMillis("1723795200000") == 1723795200000L)
