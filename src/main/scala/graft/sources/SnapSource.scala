@@ -1384,7 +1384,12 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     else s"graft_snap files=${files.size} cols=${required.fieldNames.mkString(",")}"
 
   override def filterAttributes(): Array[NamedReference] =
-    statCols.map(Expressions.column).toArray
+    // only columns the scan actually OUTPUTS: Spark's PartitionPruning
+    // resolves every declared attribute against the (column-pruned)
+    // scan output and THROWS on a miss — and a join can only deliver
+    // runtime keys for columns it reads anyway
+    statCols.filter(c => required.fieldNames.exists(_.equalsIgnoreCase(c)))
+      .map(Expressions.column).toArray
 
   /** Join-driven (DPP) keys on the BUCKET column prune whole buckets:
     * a dimension-filtered fact scan then reads only the buckets the

@@ -514,6 +514,37 @@ class SnapRound15Spec extends AnyFunSuite {
       (2L, "delete", 3L)), s"got $feed")
   }
 
+  test("join-driven runtime filtering probes blooms (string-keyed DPP)") {
+    withCatalog()
+    val root = freshRoot() + "/t"
+    spark.sql(s"CREATE TABLE graftsnap.`$root` " +
+      "(k BIGINT, tag STRING, cents BIGINT) " +
+      "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+    val src = spark.range(1, 2001).selectExpr("id AS k",
+      "substr(md5(cast(id AS string)), 1, 12) AS tag",
+      "id * 3 AS cents")
+    Seq((1L, 500L), (501L, 1000L), (1001L, 1500L), (1501L, 2000L))
+      .foreach { case (a, b) =>
+        src.filter(col("k") >= a && col("k") <= b)
+          .write.format("graft.sources.SnapSourceProvider")
+          .option("filesPerCommit", "1").mode("append").save(root)
+      }
+    // the dim's keys all live in ONE file (ids 707..797); the filter
+    // must survive optimization for DPP to fire (range, not Seq.toDF)
+    val dim = spark.range(700, 800).filter(col("id") % 10 === 7)
+      .selectExpr("substr(md5(cast(id AS string)), 1, 12) AS tag")
+    val fact = spark.read.format("graft.sources.SnapSourceProvider")
+      .load(root)
+    assert(fact.join(broadcast(dim), "tag").count() == 10)
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    val ks = fact.join(broadcast(dim), "tag").select("k")
+      .as[Long].collect().toSet
+    val opens = graft.sources.SnapSource.filesOpened.get() - c0
+    assert(ks == (707L to 797L by 10).toSet)
+    assert(opens < 4,
+      s"the broadcast keys must bloom-prune files at runtime: $opens")
+  }
+
   test("startingTimestamp parses dates and SQL timestamps in session zone") {
     import graft.sources.SnapSource.parseTsMillis
     assert(parseTsMillis("1723795200000") == 1723795200000L)
