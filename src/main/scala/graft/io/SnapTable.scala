@@ -677,7 +677,13 @@ object SnapTable {
         d
       }
     val fileSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-    spark.read.parquet(dataDir)
+    // commit-level AGGREGATE sketches: the union of the per-file
+    // blooms, one per column, written as `_agg.<col>.bf` in the same
+    // commit dir — what lets planning reject a whole commit with ONE
+    // probe instead of per-file sidecar reads (see SnapBloomSkip)
+    val aggParts = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+    val out = spark.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
       .agg(count(lit(1)).as("rows"), aggs: _*)
       .collect()
@@ -723,8 +729,14 @@ object SnapTable {
           val idx = 2 + 4 * n + 3 * strCols.length + b
           if (r.isNullAt(idx)) None
           else {
+            val bytes = r.getAs[Array[Byte]](idx)
             val p = SnapIo.child(bloomDir, s"f$fi.$c.bf")
-            SnapIo.write(p, r.getAs[Array[Byte]](idx))
+            SnapIo.write(p, bytes)
+            aggParts.synchronized {
+              aggParts.getOrElseUpdate(c,
+                scala.collection.mutable.ArrayBuffer
+                  .empty[Array[Byte]]) += bytes
+            }
             Some(c -> p)
           }
         }
@@ -732,6 +744,12 @@ object SnapTable {
           strStats = strs, blooms = blooms)
       }
       .sortBy(_.path).toSeq
+    aggParts.foreach { case (c, parts) =>
+      SnapIo.write(SnapIo.child(bloomDir,
+        graft.sources.SnapBloomSkip.aggName(c)),
+        graft.sources.SnapBloomSkip.union(parts.toSeq))
+    }
+    out
   }
 
   private def manifestBody(action: String, files: Seq[FileStat],
@@ -1865,9 +1883,14 @@ object SnapTable {
     val keptFiles = liveFiles(root, Some(keepFrom)) ++
       manifestsAfter(root, keepFrom).flatMap(_.files)
     val referenced = keptFiles.map(_.path).toSet
-    // DV and BLOOM sidecars referenced by any kept version survive too
+    // DV and BLOOM sidecars referenced by any kept version survive
+    // too — including each kept commit dir's `_agg.<col>.bf`
+    // aggregate (derived, not manifest-referenced: it lives beside
+    // its per-file sidecars and must outlive any of them)
     val refDv = keptFiles.flatMap(_.dv.map(_._1)).toSet
-    val refBloom = keptFiles.flatMap(_.blooms.map(_._2)).toSet
+    val refBloom = keptFiles.flatMap(_.blooms.map(_._2)).toSet ++
+      keptFiles.flatMap(_.blooms.map { case (c, p) =>
+        graft.sources.SnapBloomSkip.aggPathOf(p, c) })
     val dataRoot = SnapIo.child(root, "data")
     if (!SnapIo.isDir(dataRoot)) return 0
     val dvRoot = SnapIo.child(root, "dv")

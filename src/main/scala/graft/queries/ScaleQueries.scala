@@ -3309,6 +3309,83 @@ object ScaleQueries {
         |  CAST(0 AS BIGINT) AS n_opens
         |FROM orders""".stripMargin),
 
+    // TWO-TIER BLOOM SKIPPING (manifest-tier fix for q329's planning
+    // cost): every bloom-writing commit also records ONE aggregate
+    // sketch (`_agg.<col>.bf`, the union of its per-file sketches),
+    // and planning probes aggregates FIRST — a rejecting commit
+    // drops ALL its files with zero per-file sidecar reads. On the
+    // headline workload (point lookup on a non-clustered column,
+    // where boxes prune nothing and EVERY live file is a candidate)
+    // planning I/O falls from O(live files) to O(commits) + the
+    // admitted commits' files; a MISS reads no per-file sidecar and
+    // opens no data file at ANY table size. Gated as data: per-file
+    // sidecar READS ≤ files of admitted commits (computed from the
+    // aggregates themselves), at least one commit rejected, and the
+    // miss does zero per-file probes and zero opens.
+    "q334_snap_bloom_two_tier" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd50") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(k BIGINT, tag STRING, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+        val src = Tables(s, d, "orders").selectExpr(
+          "o_orderkey AS k",
+          "substr(md5(CAST(o_orderkey AS STRING)), 1, 12) AS tag",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        (0 until 6).foreach { m =>
+          src.filter(col("k") % 6 === m)
+            .write.format("graft.sources.SnapSourceProvider")
+            .option("filesPerCommit", "2")
+            .mode("append").save(root)
+        }
+        val live = graft.io.SnapTable.liveFiles(root)
+        val probeKey = src.filter(col("k") >= 5000L)
+          .agg(min("k")).collect()(0).getLong(0)
+        val probeTag = src.filter(col("k") === probeKey)
+          .select("tag").collect()(0).getString(0)
+        import graft.sources.SnapBloomSkip
+        val h = SnapBloomSkip.hashOf(probeTag).get
+        // the exact file set the aggregate tier admits — recomputed
+        // here as data so the read bound below is self-calibrating
+        val admitted = live.count(f => f.bloomPath("tag").exists(p =>
+          SnapBloomSkip.aggAdmits(SnapBloomSkip.aggPathOf(p, "tag"),
+            Array(h))))
+        val l0 = SnapBloomSkip.fileLoads.get()
+        val hit = s.sql(s"SELECT k, cents FROM graftsnap.`$root` " +
+          s"WHERE tag = '$probeTag'").collect()
+        val fileReads = SnapBloomSkip.fileLoads.get() - l0
+        val p1 = SnapBloomSkip.fileProbes.get()
+        val c1 = graft.sources.SnapSource.filesOpened.get()
+        val missing = s.sql(s"SELECT k FROM graftsnap.`$root` " +
+          "WHERE tag = 'zzzz-not-a-tag'").count()
+        val missProbes = SnapBloomSkip.fileProbes.get() - p1
+        val missOpens = graft.sources.SnapSource.filesOpened.get() - c1
+        s.range(1).select(
+          lit(hit.length.toLong).as("n_hit"),
+          lit(hit(0).getLong(0)).as("k_hit"),
+          lit(hit(0).getLong(1)).as("cents_hit"),
+          lit(if (fileReads <= admitted) 1L else 0L).as("reads_bounded"),
+          lit(if (admitted < live.size) 1L else 0L).as("agg_rejects"),
+          lit(missing + missProbes).as("miss_file_probes"),
+          lit(missOpens).as("miss_opens"))
+      },
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS tag,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 5000)
+        |SELECT CAST(1 AS BIGINT) AS n_hit,
+        |  (SELECT k FROM pk) AS k_hit,
+        |  (SELECT cents FROM src WHERE k = (SELECT k FROM pk))
+        |    AS cents_hit,
+        |  CAST(1 AS BIGINT) AS reads_bounded,
+        |  CAST(1 AS BIGINT) AS agg_rejects,
+        |  CAST(0 AS BIGINT) AS miss_file_probes,
+        |  CAST(0 AS BIGINT) AS miss_opens""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -53,12 +53,31 @@ object SnapBloomSkip {
       size() > MaxEntries
   }
 
+  /** PROBE counters (probes, not loads — cache-independent, so gates
+    * can assert on them as data): per-FILE sidecar probes vs
+    * per-COMMIT aggregate probes. The two-tier contract a 100 TB
+    * table needs is "file probes ≤ files in admitted commits":
+    * planning I/O on a point-lookup MISS is O(commits), never
+    * O(live files).
+    */
+  val fileProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+  val aggProbes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Actual sidecar READS (cache misses) — the I/O the two-tier
+    * design bounds: per-FILE loads vs per-COMMIT aggregate loads.
+    */
+  val fileLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+  val aggLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def load(path: String)
       : org.apache.spark.util.sketch.BloomFilter = {
     cache.synchronized {
       val hit = cache.get(path)
       if (hit != null) return hit
     }
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    (if (name.startsWith("_agg.")) aggLoads else fileLoads)
+      .incrementAndGet()
     val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
       graft.io.SnapIo.readBytes(path))
     cache.synchronized { cache.put(path, bf) }
@@ -68,9 +87,61 @@ object SnapBloomSkip {
   /** Might the file's sidecar contain a value hashing to `h`? An
     * unreadable sidecar answers true (cannot prune — never wrong).
     */
-  def mightContain(sidecarPath: String, h: Long): Boolean =
+  def mightContain(sidecarPath: String, h: Long): Boolean = {
+    fileProbes.incrementAndGet()
     try load(sidecarPath).mightContainLong(h)
     catch { case _: Exception => true }
+  }
+
+  /** COMMIT-AGGREGATE sidecar: every commit that writes per-file
+    * bloom sidecars into `root/bloom/<uuid>/` also writes ONE
+    * `_agg.<col>.bf` there — the bitwise union of the commit's
+    * per-file sketches. Planning probes the aggregate FIRST: a
+    * rejecting union proves NO file of the commit holds the value
+    * (unions keep the no-false-negative guarantee), so the whole
+    * commit's candidates drop without a single per-file sidecar
+    * read. This is the manifest-tier fix for the O(live files)
+    * planning cost: a point lookup on a non-clustered column (where
+    * min/max boxes prune nothing) does O(commits) aggregate probes
+    * plus per-file probes ONLY inside admitted commits — on a miss,
+    * zero per-file reads and zero data-file opens at any table size.
+    * A commit with many files saturates its fixed-size union and
+    * degrades toward admit-always (per-file probes then do the
+    * work, exactly the pre-aggregate behavior), never toward wrong.
+    */
+  def aggName(col: String): String = s"_agg.$col.bf"
+
+  /** Aggregate path derived from a per-file sidecar path — same
+    * commit directory, fixed name. No manifest format change: legacy
+    * commits simply lack the file and admit everything.
+    */
+  def aggPathOf(fileSidecar: String, col: String): String = {
+    val cut = fileSidecar.lastIndexOf('/')
+    fileSidecar.substring(0, cut + 1) + aggName(col)
+  }
+
+  /** Might the commit's aggregate admit ANY of the hashes? Missing or
+    * unreadable aggregate answers true (cannot prune — never wrong).
+    */
+  def aggAdmits(aggPath: String, hs: Array[Long]): Boolean = {
+    aggProbes.incrementAndGet()
+    try {
+      val bf = load(aggPath)
+      hs.exists(bf.mightContainLong)
+    } catch { case _: Exception => true }
+  }
+
+  /** Union serialized sketches (driver-side, at commit) — all sized
+    * identically by [[items]]/[[fpp]], so mergeInPlace never refuses.
+    */
+  def union(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val merged = parts.map(b =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(b))
+      .reduce((a, b) => a.mergeInPlace(b))
+    val out = new java.io.ByteArrayOutputStream()
+    merged.writeTo(out)
+    out.toByteArray
+  }
 
   /** xxhash64 of a pushed-filter literal in the encoding the write
     * side inserted: Catalyst hashes int/date as 4-byte ints,

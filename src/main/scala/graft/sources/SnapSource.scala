@@ -276,6 +276,25 @@ object SnapSource {
   private[graft] val aggRefusedByDv =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Union the tasks' per-column sketch blobs into the commit's
+    * `_agg.<col>.bf` aggregate sidecar (the two-tier bloom's commit
+    * tier — see [[SnapBloomSkip.aggAdmits]]). No-op for tables
+    * without bloom columns or commits that wrote no rows.
+    */
+  private[sources] def writeCommitAgg(bloomDir: String,
+      messages: Seq[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    if (bloomDir == null) return
+    val byCol = messages
+      .collect { case SnapWriteCommit(_, _, aggs) => aggs }
+      .flatten.groupBy(_._1)
+    byCol.foreach { case (c, parts) =>
+      graft.io.SnapIo.write(
+        graft.io.SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
+        SnapBloomSkip.union(parts.map(_._2).toSeq))
+    }
+  }
+
   private[sources] def sparkType(t: PType): DataType = {
     require(t.isPrimitive, s"nested column ${t.getName} is not supported " +
       "by the snap DSv2 reader")
@@ -796,10 +815,10 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     // about NULL rows; legacy manifests without null counts refuse)
     // — is satisfied by every row the scan can emit and need not be
     // re-evaluated. Anything weaker stays residual.
-    val surviving = liveAtPlan.filter(f =>
+    val surviving = SnapScan.bloomSurvivors(liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap, needNull.toSet,
-        bloomHashes.toMap))
+        strBounds.toMap, strInSets.toMap, needNull.toSet)),
+      bloomHashes.toMap)
     def noNulls(c: String): Boolean =
       surviving.forall(f => f.nullCount(c).contains(0L) ||
         f.strBox(c).exists(b => !b.allNull && b.nulls == 0L))
@@ -910,10 +929,10 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
       return false
     if (cdf) return false // change rows ≠ live rows
     if (!exactOnly) return false
-    lazy val surviving = liveAtPlan.filter(f =>
+    lazy val surviving = SnapScan.bloomSurvivors(liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap, needNull.toSet,
-        bloomHashes.toMap))
+        strBounds.toMap, strInSets.toMap, needNull.toSet)),
+      bloomHashes.toMap)
     def statName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -1030,10 +1049,10 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
 
   override def build(): Scan = {
     val live = liveAtPlan // the pinned planning snapshot, not a re-list
-    val hit = live.filter(f =>
+    val hit = SnapScan.bloomSurvivors(live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
-        strBounds.toMap, strInSets.toMap, needNull.toSet,
-        bloomHashes.toMap))
+        strBounds.toMap, strInSets.toMap, needNull.toSet)),
+      bloomHashes.toMap)
     aggs match {
       case Some(fns) => new SnapAggScan(root, hit, fns, full, aggGroupBy)
       case None => new SnapScan(root, hit, required,
@@ -1221,8 +1240,7 @@ object SnapScan {
       inSets: Map[String, Array[Long]],
       strBounds: Map[String, StrBound] = Map.empty,
       strInSets: Map[String, Array[Array[Byte]]] = Map.empty,
-      needNull: Set[String] = Set.empty,
-      bloomProbes: Map[String, Array[Long]] = Map.empty): Boolean =
+      needNull: Set[String] = Set.empty): Boolean =
     bounds.forall { case (c, (lo, hi)) =>
       lo <= hi && f.range(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
     } && inSets.forall { case (c, keys) =>
@@ -1237,13 +1255,41 @@ object SnapScan {
       // rows, never add a null); unknown counts cannot prune
       f.nullCount(c).forall(_ > 0L) &&
         f.strBox(c).forall(b => b.allNull || b.nulls > 0L)
-    } && bloomProbes.forall { case (c, hs) =>
-      // BLOOM probe: keep the file iff its sidecar admits AT LEAST
-      // ONE key (no false negatives — rejection is proof of absence);
-      // a file without a sidecar for the column cannot prune
-      hs.nonEmpty && f.bloomPath(c).forall(p =>
-        hs.exists(h => SnapBloomSkip.mightContain(p, h)))
     }
+
+  /** TWO-TIER bloom pruning over the box-surviving candidates:
+    * tier 1 probes ONE aggregate sketch per (commit directory,
+    * column) — a rejecting union drops ALL the commit's files with
+    * zero per-file sidecar reads — and tier 2 probes per-file
+    * sidecars only inside admitted commits. Semantics are unchanged
+    * from the per-file clause this replaces: a file survives iff
+    * every probed column's sidecar admits at least one key (no false
+    * negatives — rejection is proof of absence); a file without a
+    * sidecar for a column cannot prune on it; an EMPTY key set
+    * (contradictory equalities) prunes everything. What changes is
+    * the planning COST: a point-lookup miss on a 1M-file table reads
+    * O(commits) aggregates, not 1M sidecars.
+    */
+  private[sources] def bloomSurvivors(files: Seq[FileStat],
+      probes: Map[String, Array[Long]]): Seq[FileStat] = {
+    if (probes.isEmpty || files.isEmpty) return files
+    if (probes.exists(_._2.isEmpty)) return Nil
+    // tier 1: distinct commit dirs per column, one aggregate probe
+    // each (LRU-cached like the per-file sidecars)
+    val rejected: Map[String, Set[String]] = probes.map { case (c, hs) =>
+      val aggs = files.flatMap(_.bloomPath(c))
+        .map(p => SnapBloomSkip.aggPathOf(p, c)).distinct
+      c -> aggs.filterNot(a => SnapBloomSkip.aggAdmits(a, hs)).toSet
+    }
+    files.filter { f =>
+      probes.forall { case (c, hs) =>
+        f.bloomPath(c).forall { p =>
+          !rejected(c).contains(SnapBloomSkip.aggPathOf(p, c)) &&
+            hs.exists(h => SnapBloomSkip.mightContain(p, h))
+        }
+      }
+    }
+  }
 
   /** Any of `sorted` inside [mn, mx]? Binary search. */
   private[sources] def anyIn(sorted: Array[Long], mn: Long, mx: Long): Boolean = {
@@ -1510,9 +1556,9 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     * and the driver metrics report.
     */
   private def keptFiles: Seq[FileStat] = {
-    val pruned =
-      files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap,
-        bloomProbes = rBloom.toMap))
+    val pruned = SnapScan.bloomSurvivors(
+      files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap)),
+      rBloom.toMap)
     // pushed LIMIT: keep the file prefix whose manifest LIVE counts
     // cover n (each kept file reads whole; Spark re-applies the limit)
     limit match {
@@ -2278,8 +2324,12 @@ class SnapBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.toSeq
-      .collect { case SnapWriteCommit(fs, _) => fs }
+      .collect { case SnapWriteCommit(fs, _, _) => fs }
       .flatten.sortBy(_.path)
+    // union the tasks' sketch blobs into the commit's aggregate
+    // sidecar BEFORE publish (a reader of the new manifest must find
+    // it; a missing aggregate only costs pruning, never correctness)
+    SnapSource.writeCommitAgg(bloomDir, messages.toSeq)
     SnapTable.publish(root,
       if (overwrite) "overwrite" else "append", files,
       frameSchema = Some(schema))
@@ -2288,7 +2338,7 @@ class SnapBatchWrite(root: String, schema: StructType,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case SnapWriteCommit(fs, _) => fs.foreach(f =>
+      case SnapWriteCommit(fs, _, _) => fs.foreach(f =>
         try graft.io.SnapIo.delete(f.path)
         catch { case _: Exception => () })
       case _ => ()
@@ -2302,9 +2352,15 @@ class SnapBatchWrite(root: String, schema: StructType,
   */
 /** `files`: the task's finished file stats (several under the
   * roll-on-key partitioned write, at most one otherwise).
+  * `aggBlooms`: per bloom column, the union of THIS TASK's per-file
+  * sketches (~18 KB each) — the driver unions them across tasks into
+  * the commit's `_agg.<col>.bf`, so the aggregate tier costs one
+  * small blob per task in the commit message, never a driver
+  * read-back of the per-file sidecars.
   */
 case class SnapWriteCommit(files: Seq[FileStat],
-    writtenKeys: Option[Array[Long]] = None)
+    writtenKeys: Option[Array[Long]] = None,
+    aggBlooms: Seq[(String, Array[Byte])] = Nil)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class SnapWriterFactory(dataDir: String, schema: StructType,
@@ -2349,6 +2405,15 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   private val bloomIdx: Array[(Int, DataType)] =
     bloomCols.map(c => schema.fieldIndex(c) ->
       schema.fields(schema.fieldIndex(c)).dataType).toArray
+
+  // the task's running UNION of its files' sketches (one per column)
+  // — shipped in the commit message toward the commit-level
+  // `_agg.<col>.bf` the two-tier scan probes first
+  private val taskAggBlooms
+      : Array[org.apache.spark.util.sketch.BloomFilter] =
+    bloomIdx.map(_ => org.apache.spark.util.sketch.BloomFilter
+      .create(SnapBloomSkip.items, SnapBloomSkip.fpp))
+  private var taskWroteBlooms = false
 
   // distinct primary-key values written (row-level-op writes): feeds
   // the replacement commit's conflict predicate; past the cap the set
@@ -2525,6 +2590,8 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
           val out = new java.io.ByteArrayOutputStream()
           blooms(bi).writeTo(out)
           graft.io.SnapIo.write(bp, out.toByteArray)
+          taskAggBlooms(bi).mergeInPlace(blooms(bi))
+          taskWroteBlooms = true
           bloomCols(bi) -> bp
         }
         Some(FileStat(uri, rows, fileStats, nulls, sums,
@@ -2595,7 +2662,14 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
         java.util.Arrays.sort(arr)
         Some(arr)
       }
-    SnapWriteCommit(finished.result(), written)
+    val aggs =
+      if (!taskWroteBlooms) Nil
+      else bloomIdx.indices.map { bi =>
+        val out = new java.io.ByteArrayOutputStream()
+        taskAggBlooms(bi).writeTo(out)
+        bloomCols(bi) -> out.toByteArray
+      }.toSeq
+    SnapWriteCommit(finished.result(), written, aggs)
   }
 
   override def abort(): Unit = {
@@ -2810,8 +2884,9 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rewritten = messages.toSeq
-      .collect { case SnapWriteCommit(fs, _) => fs }
+      .collect { case SnapWriteCommit(fs, _, _) => fs }
       .flatten.sortBy(_.path)
+    SnapSource.writeCommitAgg(bloomDir, messages.toSeq)
     val replaced = op.scannedFiles.map(_.path).toSet
     val untouched = SnapTable.liveFiles(root, Some(op.baseVersion))
       .filterNot(f => replaced.contains(f.path))
@@ -2821,7 +2896,7 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
     val keyCap = SnapTable.mergeKeyLimit
     val writtenKeys: Option[Array[Long]] = {
       val sets = messages.toSeq.collect {
-        case SnapWriteCommit(_, k) => k }
+        case SnapWriteCommit(_, k, _) => k }
       if (sets.isEmpty || sets.exists(_.isEmpty)) None
       else {
         val merged = sets.flatMap(_.get).distinct
@@ -2865,7 +2940,7 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case SnapWriteCommit(fs, _) => fs.foreach(f =>
+      case SnapWriteCommit(fs, _, _) => fs.foreach(f =>
         try graft.io.SnapIo.delete(f.path)
         catch { case _: Exception => () })
       case _ => ()
@@ -3280,6 +3355,15 @@ class SnapCatalog
           "not a query (named warehouse tables do support DROP)")
     if (!tableExists(ident)) return false
     graft.io.SnapIo.deleteRecursive(root(ident))
+    // deleteRecursive is best-effort per file (a locked/undeletable
+    // entry is skipped, not fatal) — verify the table is actually
+    // GONE before reporting success: a surviving _log directory means
+    // the table still exists and DROP must say so loudly instead of
+    // returning a false "dropped" while SHOW TABLES still lists it
+    if (tableExists(ident))
+      throw new IllegalStateException(
+        s"DROP TABLE failed to remove ${root(ident)} — the _log " +
+          "directory survived a partial delete; the table is intact")
     true
   }
   override def renameTable(oldIdent: Identifier,
@@ -3299,20 +3383,23 @@ class SnapCatalog
     require(oldRoot.startsWith("/") || graft.io.SnapIo.hasScheme(oldRoot),
       s"RENAME needs an absolute warehouse root, got $oldRoot")
     graft.io.SnapIo.rename(oldRoot, newRoot)
-    // manifests and checkpoints record ABSOLUTE data/dv paths (what
-    // makes zero-copy CLONE sound) — repoint every occurrence of the
-    // old root at the new one so the moved table's snapshots resolve.
-    // Path-prefix substitution covers both spellings ("file:/old/…"
-    // and "/old/…" share the "/old/" substring); foreign-root
-    // references (a clone's source files) never match and ride along
-    // untouched.
+    // manifests and checkpoints record ABSOLUTE data/dv/bloom paths
+    // (what makes zero-copy CLONE sound) — repoint every occurrence
+    // of the old root at the new one so the moved table's snapshots
+    // resolve. The substitution is ANCHORED AT A PATH BOUNDARY
+    // (oldRoot + "/"): every in-table reference continues with "/"
+    // (data/…, dv/…, bloom/…), while a FOREIGN root that merely
+    // shares oldRoot as a string prefix (a zero-copy clone source at
+    // "<oldRoot>2/…") does NOT — an unanchored replace would corrupt
+    // it ("<newRoot>2/…"). Both spellings ("file:/old/…" and
+    // "/old/…") contain the anchored form, so both repoint.
     val log = graft.io.SnapIo.child(newRoot, "_log")
     graft.io.SnapIo.listNames(log)
       .filter(n => n.endsWith(".manifest") || n.endsWith(".checkpoint"))
       .foreach { n =>
         val p = graft.io.SnapIo.child(log, n)
         val body = new String(graft.io.SnapIo.readBytes(p), "UTF-8")
-        val moved = body.replace(oldRoot, newRoot)
+        val moved = body.replace(oldRoot + "/", newRoot + "/")
         if (moved != body)
           graft.io.SnapIo.write(p, moved.getBytes("UTF-8"))
       }

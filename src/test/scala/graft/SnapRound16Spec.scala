@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{SnapIo, SnapTable}
+
+/** Round-16 contracts:
+  *
+  *  - RENAME TABLE repoints only ITS OWN root's references: a foreign
+  *    root sharing the old root as a string prefix (a zero-copy
+  *    clone's source at "<root>2") must ride along untouched — the
+  *    substitution anchors at a path boundary;
+  *  - DROP TABLE verifies the delete actually removed the table
+  *    instead of reporting success over a partial delete;
+  *  - two-tier bloom skipping: planning probes ONE aggregate sketch
+  *    per commit and opens per-file sidecars only inside admitted
+  *    commits — O(commits) planning I/O on a miss, never O(files);
+  *  - one-pass DV compaction on bucketed tables (one Spark job for N
+  *    DV'd files, tags preserved) and per-key compaction on
+  *    identity-partitioned tables (one-file-per-key layout survives);
+  *  - commit-atomic layout-property swap: re-bucketing records the
+  *    new bucketSpec INSIDE the conflict-checked commit manifest, so
+  *    a crash between publish and the props-sidecar write cannot
+  *    leave tags and spec disagreeing (the stale sidecar self-heals);
+  *  - in-place partition-spec evolution: unpartitioned → bucket(n, k)
+  *    via optimize(bucket_by), old versions stay readable;
+  *  - per-bucket grouped pushdown: GROUP BY the catalog's bucket
+  *    function folds COUNT/SUM per bucket id from manifest tags with
+  *    zero file opens.
+  */
+class SnapRound16Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snap_r16").toString
+
+  test("rename anchors at a path boundary: prefix-sharing clone source survives") {
+    val wh = freshRoot()
+    spark.conf.set("spark.sql.catalog.graftwh16",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftwh16.warehouse", wh)
+    // source table "t2" — its root shares table "t"'s root as a
+    // string prefix (<wh>/ns/t vs <wh>/ns/t2)
+    spark.sql("CREATE TABLE graftwh16.ns.t2 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('statCols'='id')")
+    spark.sql("INSERT INTO graftwh16.ns.t2 " +
+      "SELECT id, id * 2 FROM range(1, 101)")
+    // "t" is a zero-copy clone of "t2": t's manifest references
+    // t2's data files by absolute path
+    spark.sql(s"CALL graftwh16.system.clone(source => '$wh/ns/t2', " +
+      s"target => '$wh/ns/t')").collect()
+    assert(spark.table("graftwh16.ns.t").count() == 100)
+    // rename t -> t3: an unanchored replace("<wh>/ns/t", "<wh>/ns/t3")
+    // would corrupt the clone-source refs into "<wh>/ns/t32/..."
+    spark.sql("ALTER TABLE graftwh16.ns.t RENAME TO ns.t3")
+    assert(spark.table("graftwh16.ns.t3")
+      .agg(count(lit(1)), sum("v")).as[(Long, Long)].head() ==
+      ((100L, 2L * (1L to 100L).sum)))
+    // and the renamed table's own commits (post-clone appends under
+    // its OWN root) must repoint — exercise by appending pre-rename
+    spark.sql("DROP TABLE graftwh16.ns.t3")
+    assert(!SnapIo.isDir(SnapIo.child(wh, "ns", "t3", "_log")),
+      "DROP must actually remove the table directory")
+    // the clone source is untouched by both rename and drop
+    assert(spark.table("graftwh16.ns.t2").count() == 100)
+  }
+
+  test("two-tier bloom: per-file probes bounded by admitted commits, miss probes none") {
+    import graft.sources.SnapBloomSkip
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+    // six commits × two files — the aggregate tier must reject whole
+    // commits so per-file probes stay inside the admitted ones
+    (0 until 6).foreach { c =>
+      spark.range(c * 500, (c + 1) * 500)
+        .selectExpr("id AS k", "substr(md5(cast(id AS string)), 1, 12) AS tag")
+        .write.format("graft.sources.SnapSourceProvider")
+        .option("filesPerCommit", "2").mode("append").save(root)
+    }
+    val live = SnapTable.liveFiles(root)
+    assert(live.size == 12, s"expected 12 files, got ${live.size}")
+    // every commit dir carries the aggregate sidecar
+    val dirs = live.flatMap(_.bloomPath("tag"))
+      .map(p => p.substring(0, p.lastIndexOf('/'))).distinct
+    assert(dirs.size == 6)
+    dirs.foreach(d => assert(SnapIo.isFile(d + "/_agg.tag.bf"),
+      s"missing aggregate sidecar in $d"))
+    val probeTag = spark.sql(
+      s"SELECT tag FROM graftsnap.`$root` WHERE k = 1234").head().getString(0)
+    val h = SnapBloomSkip.hashOf(probeTag).get
+    // expected per-file probes: the files of commits whose aggregate
+    // admits the hash (deterministic for fixed data)
+    val admitted = live.count(f => f.bloomPath("tag").exists(p =>
+      SnapBloomSkip.aggAdmits(SnapBloomSkip.aggPathOf(p, "tag"), Array(h))))
+    assert(admitted < 12, "at least one commit aggregate must reject")
+    val l0 = SnapBloomSkip.fileLoads.get()
+    val a0 = SnapBloomSkip.aggProbes.get()
+    val hit = spark.sql(s"SELECT k FROM graftsnap.`$root` " +
+      s"WHERE tag = '$probeTag'").collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(1234L))
+    // I/O bound: per-file sidecar READS stay inside admitted commits
+    // (planning runs the probe set twice — filter absorption + build
+    // — but the LRU makes the second pass free)
+    val hitFileLoads = SnapBloomSkip.fileLoads.get() - l0
+    assert(hitFileLoads <= admitted,
+      s"per-file sidecar reads ($hitFileLoads) must not exceed " +
+        s"admitted-commit files ($admitted)")
+    assert(SnapBloomSkip.aggProbes.get() - a0 >= 6,
+      "every candidate commit gets one aggregate probe")
+    // MISS: every aggregate rejects — zero per-file probes, zero opens
+    val f1 = SnapBloomSkip.fileProbes.get()
+    val o1 = graft.sources.SnapSource.filesOpened.get()
+    assert(spark.sql(s"SELECT k FROM graftsnap.`$root` " +
+      "WHERE tag = 'zzzz-no-such'").count() == 0L)
+    assert(SnapBloomSkip.fileProbes.get() - f1 == 0L,
+      "a miss must be answered at the aggregate tier")
+    assert(graft.sources.SnapSource.filesOpened.get() - o1 == 0L)
+    // vacuum never reclaims a live commit's aggregate sidecar
+    assert(SnapTable.vacuum(root, SnapTable.currentVersion(root),
+      graceMs = 0L) == 0)
+    dirs.foreach(d => assert(SnapIo.isFile(d + "/_agg.tag.bf")))
+  }
+
+  test("rename repoints the renamed table's own appended commits") {
+    val wh = freshRoot()
+    spark.conf.set("spark.sql.catalog.graftwh17",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftwh17.warehouse", wh)
+    spark.sql("CREATE TABLE graftwh17.ns.a (id BIGINT) " +
+      "TBLPROPERTIES ('statCols'='id')")
+    spark.sql("INSERT INTO graftwh17.ns.a SELECT id FROM range(1, 51)")
+    spark.sql("INSERT INTO graftwh17.ns.a SELECT id FROM range(51, 101)")
+    spark.sql("ALTER TABLE graftwh17.ns.a RENAME TO ns.b")
+    assert(spark.table("graftwh17.ns.b")
+      .agg(sum("id")).as[Long].head() == (1L to 100L).sum)
+  }
+}
