@@ -1170,18 +1170,63 @@ object SnapTable {
     val touched = live.filter(_.dv.isDefined)
     if (touched.isEmpty) return (baseV, 0, 0L)
     val statCols = touched.head.stats.map(_._1).filterNot(_.contains('#'))
-    val bucketed = touched.exists(_.stats.exists(_._1.contains('#')))
-    val rewritten: Seq[FileStat] =
-      if (bucketed)
-        // per-file: the rewrite inherits the source file's layout tags
-        touched.flatMap { f =>
-          val tags = f.stats.filter(_._1.contains('#'))
-          writeFiles(readFiles(spark, Seq(f)), root, statCols, 1)
-            .map(nf => nf.copy(stats = nf.stats ++ tags))
+    // the bucket tag every touched file carries (`<col>#b<n>`) — the
+    // layout contract the rewrite must re-establish per OUTPUT file
+    val bucketTag = touched.head.stats.map(_._1).find(_.contains('#'))
+      .filter(t => touched.forall(_.range(t).isDefined))
+    val partCol = tableProperty(root, "partitionCol")
+    val rewritten: Seq[FileStat] = bucketTag match {
+      case Some(tag) =>
+        // ONE PASS for N DV'd bucket files: after a wide MERGE leaves
+        // DVs on thousands of bucket files, a per-file rewrite loop
+        // is thousands of serial driver-dispatched jobs — instead
+        // route ALL surviving rows through the bucket function at
+        // once (`repartition(n, key)`'s placement IS the function,
+        // same identity the bucketed writer and re-bucketing use) and
+        // re-derive each output file's tag from its key box: every
+        // key in a post-route file hashes to its bucket; an all-null
+        // sentinel box means every key is null = the null bucket.
+        // Same-bucket DV'd files merge; tags stay exact.
+        val cut = tag.indexOf('#')
+        val bc = tag.substring(0, cut)
+        val n = tag.substring(cut + 2).toInt
+        val wide = tableSchema(root, Some(baseV))
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
+          .forall(f =>
+            f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.TimestampType)
+        val frame = readFiles(spark, touched)
+        // the frame carries PHYSICAL parquet names; resolve the
+        // logical bucket column through the mapping when they differ
+        val bcPhys =
+          if (frame.columns.contains(bc)) bc
+          else colMap(root).getOrElse(bc, bc)
+        val shaped = frame.repartition(n, col(bcPhys))
+        writeFiles(shaped, root, statCols, filesPerCommit = -1).map { nf =>
+          val b = nf.range(bc) match {
+            case Some((mn, mx))
+                if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+              if (wide) graft.sources.SnapBucket.ofLong(mn, n)
+              else graft.sources.SnapBucket.ofInt(mn.toInt, n)
+            case _ => graft.sources.SnapBucket.ofNull(n)
+          }
+          nf.copy(stats = nf.stats :+ (tag -> (b.toLong, b.toLong)))
         }
-      else
+      case None if partCol.isDefined =>
+        // IDENTITY layout: rewrite PER KEY GROUP — one global
+        // repartitionByRange pass could put several keys in one
+        // output file, silently breaking the one-file-per-key box
+        // proof (min == max) that KeyGroupedPartitioning and SPJ
+        // rest on. Job count is bounded by touched KEYS, not files
+        // (same-key sidecar'd files fold to one).
+        val pc = partCol.get
+        touched.groupBy(_.range(pc)).values.toSeq.flatMap { fs =>
+          writeFiles(readFiles(spark, fs), root, statCols, 1)
+        }
+      case None =>
         writeFiles(readFiles(spark, touched), root, statCols,
           math.max(1, touched.size))
+    }
     val untouched = live.filterNot(_.dv.isDefined)
     (publishRebasing(root, baseV, untouched ++ rewritten, _ => false,
       schema = tableSchema(root, Some(baseV))),

@@ -128,6 +128,99 @@ class SnapRound16Spec extends AnyFunSuite {
     dirs.foreach(d => assert(SnapIo.isFile(d + "/_agg.tag.bf")))
   }
 
+  test("one-pass DV compaction on a bucketed table: bounded jobs, tags preserved") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k)) " +
+      "TBLPROPERTIES ('statCols'='k', 'dv'='true')")
+    spark.range(0, 4000)
+      .selectExpr("id AS k", "id * 3 AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    // point range deletes (the DV-lowered shape) spread across every
+    // bucket -> DVs accumulate on many files
+    val doomed = (0 until 16).map(i => i * 250L + 7L)
+    doomed.foreach(k =>
+      spark.sql(s"DELETE FROM graftsnap.`$root` WHERE k = $k"))
+    val before = SnapTable.liveFiles(root)
+    val dvd = before.count(_.dv.isDefined)
+    assert(dvd >= 6, s"expected DVs on most bucket files, got $dvd")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+        "only_dv => true)").collect()
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // ONE routed pass, not one job per DV'd file: read+write plus the
+    // stats read-back and schema probes — never O(files)
+    assert(jobs.get() <= 6 && jobs.get() < 2 * dvd,
+      s"compactDv must be one pass, saw ${jobs.get()} jobs for $dvd files")
+    val after = SnapTable.liveFiles(root)
+    assert(after.forall(_.dv.isEmpty))
+    // clean files rode along untouched
+    val beforeClean = before.filter(_.dv.isEmpty).map(_.path).toSet
+    assert(beforeClean.subsetOf(after.map(_.path).toSet))
+    // every rewritten file carries an exact bucket tag derived from
+    // its key box — the layout contract SPJ and bucket pruning key on
+    val tag = "k#b8"
+    after.filterNot(f => beforeClean.contains(f.path)).foreach { f =>
+      val (bMin, bMax) = f.range(tag).getOrElse(
+        fail(s"rewritten file ${f.path} lost its bucket tag"))
+      assert(bMin == bMax)
+      val (kMin, _) = f.range("k").get
+      assert(bMin == graft.sources.SnapBucket.ofLong(kMin, 8).toLong)
+    }
+    val alive = (0L until 4000L).filterNot(doomed.contains)
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap.`$root`")
+      .as[(Long, Long)].head() == ((alive.size.toLong, 3L * alive.sum)))
+  }
+
+  test("DV compaction on an identity-partitioned table keeps one file per key") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k', 'dv'='true')")
+    // two commits -> two files per key
+    Seq((0L, 600L), (600L, 1200L)).foreach { case (a, b) =>
+      spark.range(a, b)
+        .selectExpr("id % 6 AS k", "id AS v")
+        .write.format("graft.sources.SnapSourceProvider")
+        .mode("append").save(root)
+    }
+    // PARTIAL DVs on identity files (the merge-on-read shape a MERGE
+    // leaves): a sparse predicate on a non-key column marks a few
+    // positions in every key's files
+    SnapTable.deleteDv(spark, root, "k", 0L, 5L,
+      extraPredicate = Some(col("v") % 17 === 0))
+    val dvd = SnapTable.liveFiles(root).count(_.dv.isDefined)
+    assert(dvd >= 10, s"expected partial DVs across keys, got $dvd")
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+      "only_dv => true)").collect()
+    val after = SnapTable.liveFiles(root)
+    assert(after.forall(_.dv.isEmpty))
+    // the one-file-per-key proof: every file's key box is a point —
+    // a cross-key merge would widen a box and kill KeyGrouped/SPJ
+    after.foreach { f =>
+      val (mn, mx) = f.range("k").get
+      assert(mn == mx, s"file ${f.path} spans keys [$mn,$mx]")
+    }
+    // same-key DV'd files folded to ONE file per key
+    assert(after.size == 6, s"expected 6 per-key files, got ${after.size}")
+    val alive = (0L until 1200L).filterNot(_ % 17 == 0)
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap.`$root`")
+      .as[(Long, Long)].head() == ((alive.size.toLong, alive.sum)))
+  }
+
   test("rename repoints the renamed table's own appended commits") {
     val wh = freshRoot()
     spark.conf.set("spark.sql.catalog.graftwh17",
