@@ -206,15 +206,25 @@ object SnapTable {
     def bloomPath(colName: String): Option[String] =
       blooms.collectFirst { case (c, p) if c == colName => p }
   }
+  /** `props`: the FULL table-property map as of this commit, carried
+    * as `prop.<k>=<v>` headers. Non-empty only in commits that SET
+    * properties (CREATE TABLE's v1; a layout evolution's overwrite;
+    * a stat-column rename) — the property map is versioned log state,
+    * resolved exactly like the file list (see [[resolveProps]]), so a
+    * layout swap and its data rewrite are ONE atomic claim: no crash
+    * window can leave file tags and the table's declared layout
+    * disagreeing.
+    */
   final case class Manifest(version: Int, action: String,
       files: Seq[FileStat], batchId: Option[Long] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       commitTs: Option[Long] = None,
       rowOp: Option[String] = None,
-      postimages: Set[String] = Set.empty)
+      postimages: Set[String] = Set.empty,
+      props: Map[String, String] = Map.empty)
 
   private final case class Checkpoint(version: Int, files: Seq[FileStat],
-      batchIds: Set[Long])
+      batchIds: Set[Long], props: Map[String, String] = Map.empty)
 
   /** Commits between checkpoints; small enough that the replay tail
     * stays a handful of reads, large enough that checkpoint writes
@@ -374,8 +384,19 @@ object SnapTable {
         h.stripPrefix("postimages=").split(',').filter(_.nonEmpty).toSet
     }.getOrElse(Set.empty[String])
     Manifest(v, action, body.filter(_.nonEmpty).map(parseFileLine), batchId,
-      schema, ts, rowOp, postimages)
+      schema, ts, rowOp, postimages, propLines(header))
   }
+
+  /** `prop.<k>=<v>` header lines → map (manifest and checkpoint
+    * headers share the spelling).
+    */
+  private def propLines(header: Seq[String]): Map[String, String] =
+    header.collect {
+      case l if l.startsWith("prop.") && l.contains('=') =>
+        val body = l.stripPrefix("prop.")
+        val cut = body.indexOf('=')
+        body.substring(0, cut) -> body.substring(cut + 1)
+    }.toMap
 
   /** Field-metadata key carrying a column's PHYSICAL (parquet) name
     * when it differs from the logical one — what makes ALTER TABLE
@@ -465,7 +486,7 @@ object SnapTable {
             case h if h.startsWith("batch=") =>
               h.stripPrefix("batch=").toLong }.toSet
           Some(Checkpoint(ver, body.filter(_.nonEmpty).map(parseFileLine),
-            batches))
+            batches, propLines(header)))
         } catch { case _: Exception => None }
       }
 
@@ -782,8 +803,14 @@ object SnapTable {
     if (v % checkpointInterval == 0) {
       try {
         val (files, bids) = resolveState(root, Some(v))
+        // fold the property map as of v into the checkpoint (same
+        // role as the resolved file list): [[resolveProps]] then
+        // replays only the tail above it, and a property-setting
+        // commit is never lost below a checkpoint horizon
+        val props = resolveProps(root, Some(v))
         val body = (Seq(s"version=$v") ++
           bids.toSeq.sorted.map(b => s"batch=$b") ++
+          props.toSeq.sortBy(_._1).map { case (k, p) => s"prop.$k=$p" } ++
           files.map(fileLine)).mkString("", "\n", "\n")
         SnapIo.createNew(checkpointPath(root, v), body.getBytes("UTF-8"))
       } catch { case _: Exception => () }
@@ -804,20 +831,56 @@ object SnapTable {
       Some(normalizeSchema(schema)),
       props.toSeq.sortBy(_._1).map { case (k, v) => s"prop.$k=$v" })
 
-  /** Table property recorded at creation — read from the FIRST
-    * manifest's `prop.<key>=` header, so properties live inside the
-    * atomically claimed v1 file: a crash after the claim can never
-    * leave an existing table missing its creation-time properties
-    * (the catalog's sidecar props file is a read fast-path only).
+  /** The FIRST manifest's full property map — creation-time
+    * properties, living inside the atomically claimed v1 file: a
+    * crash after the claim can never leave an existing table missing
+    * them (the catalog's sidecar props file is a read fast-path
+    * only).
+    */
+  private def firstProps(root: String): Map[String, String] =
+    listVersions(root).headOption.map { v =>
+      manifestFilesRead.incrementAndGet()
+      val lines = SnapIo.readLines(manifestPath(root, v))
+      propLines(lines.filter(l => l.contains('=') && !l.contains('\t')))
+    }.getOrElse(Map.empty)
+
+  /** Table properties AS OF a version, resolved from the log alone —
+    * the versioned twin of [[liveFiles]]: creation props (v1 header)
+    * overridden by every later property-setting commit's `prop.*`
+    * headers, checkpoint-accelerated (a props-carrying checkpoint is
+    * the base and only the tail above it replays). This is what
+    * makes LAYOUT EVOLUTION commit-atomic: a re-bucketing overwrite
+    * carries its new `bucketSpec` in the SAME claimed manifest as the
+    * rewritten files, so no crash between "publish" and any sidecar
+    * write can leave file tags and the declared layout disagreeing —
+    * and history reads its own epoch's layout.
+    */
+  private[graft] def resolveProps(root: String,
+      asOf: Option[Int] = None): Map[String, String] = {
+    val cp = latestCheckpoint(root, asOf)
+    val (base, after) = cp match {
+      case Some(c) if c.props.nonEmpty => (c.props, c.version)
+      // a checkpoint without prop lines: either a legacy checkpoint
+      // or a table with no props at that version — base on v1 and
+      // replay only the tail above the checkpoint (any
+      // property-setting commit ≤ a NEW checkpoint is folded into it
+      // by construction, so nothing below the horizon can be missed)
+      case Some(c) => (firstProps(root), c.version)
+      case None =>
+        (firstProps(root), listVersions(root).headOption.getOrElse(0))
+    }
+    // a property-setting commit carries the FULL map and REPLACES the
+    // state wholesale (not a merge) — that is what lets a layout
+    // evolution REMOVE a key (identity → bucket drops partitionCol)
+    manifestsAfter(root, after, asOf)
+      .foldLeft(base)((acc, m) => if (m.props.nonEmpty) m.props else acc)
+  }
+
+  /** One table property as of the current version (see
+    * [[resolveProps]] — later property-setting commits shadow v1).
     */
   def tableProperty(root: String, key: String): Option[String] =
-    listVersions(root).headOption.flatMap { v =>
-      manifestFilesRead.incrementAndGet()
-      SnapIo.readLines(manifestPath(root, v)).collectFirst {
-        case l if l.startsWith(s"prop.$key=") && !l.contains('\t') =>
-          l.stripPrefix(s"prop.$key=")
-      }
-    }
+    resolveProps(root).get(key)
 
   /** Publish a CLONE snapshot: an overwrite manifest referencing
     * another table's data files verbatim (paths are absolute; the
@@ -882,7 +945,8 @@ object SnapTable {
     * stale-read race. Zero files touched; history stays readable at
     * its own per-version schema.
     */
-  private[graft] def publishSchemaBy(root: String)(
+  private[graft] def publishSchemaBy(root: String,
+      newProps: Option[Map[String, String]] = None)(
       evolve: org.apache.spark.sql.types.StructType =>
         org.apache.spark.sql.types.StructType): Int = {
     while (true) {
@@ -893,7 +957,11 @@ object SnapTable {
             "record a schema the older manifests cannot corroborate"))
       try {
         writeManifestFile(root, v, "append", Nil, None,
-          Some(normalizeSchema(evolve(cur))))
+          Some(normalizeSchema(evolve(cur))),
+          // a property refresh that accompanies the DDL (a renamed
+          // stat column) rides in the SAME claimed manifest
+          newProps.toSeq.flatMap(_.toSeq.sortBy(_._1)
+            .map { case (k, p) => s"prop.$k=$p" }))
         maybeCheckpoint(root, v)
         return v
       } catch {
@@ -1141,13 +1209,18 @@ object SnapTable {
   private[graft] def compactWith(spark: SparkSession, root: String,
       statCols: Seq[String], shape: DataFrame => DataFrame,
       extraStats: FileStat => Seq[(String, (Long, Long))],
-      asOf: Option[Int] = None): Int = {
+      asOf: Option[Int] = None,
+      newProps: Option[Map[String, String]] = None): Int = {
     val baseV = asOf.getOrElse(currentVersion(root))
     val frame = read(spark, root, Some(baseV))
     val rewritten = writeFiles(shape(frame), root, statCols, -1)
       .map(f => f.copy(stats = f.stats ++ extraStats(f)))
+    // a layout evolution's NEW property map rides in the same claimed
+    // manifest as its rewritten files — the atomic swap
     publishRebasing(root, baseV, rewritten, _ => false,
-      schema = Some(frame.schema))
+      schema = Some(frame.schema),
+      extraHeaders = newProps.toSeq.flatMap(_.toSeq.sortBy(_._1)
+        .map { case (k, p) => s"prop.$k=$p" }))
   }
 
   /** TARGETED DV compaction: rewrite ONLY the live files carrying a

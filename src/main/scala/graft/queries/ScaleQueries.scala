@@ -3386,6 +3386,85 @@ object ScaleQueries {
         |  CAST(0 AS BIGINT) AS miss_file_probes,
         |  CAST(0 AS BIGINT) AS miss_opens""".stripMargin),
 
+    // PARTITION-SPEC EVOLUTION: an UNPARTITIONED fact table evolves
+    // IN PLACE to bucket(16, k) — `optimize(bucket_by => 'k',
+    // bucket_count => 16)` routes one rewrite through the bucket
+    // function and swaps the layout properties inside the SAME
+    // conflict-checked commit (no CTAS, no second table, no crash
+    // window where tags and spec disagree). The migration every
+    // 100 TB tenant performs exactly once. Gated: the evolved table
+    // storage-partition-joins a natively bucketed table with ZERO
+    // join exchanges, the pre-evolution version still reads (its own
+    // epoch's layout), and the join results hash-match the oracle.
+    "q335_snap_spec_evolution" -> Q(
+      (s, d) => {
+        val base = scratchDir("snapd51")
+        val r1 = base + "/t1"
+        val r2 = base + "/t2"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        // t1 starts UNPARTITIONED — the pre-migration estate
+        s.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k')")
+        s.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, qty BIGINT) " +
+          "PARTITIONED BY (bucket(16, k))")
+        Tables(s, d, "orders").createOrReplaceTempView("q335_orders")
+        Tables(s, d, "lineitem").createOrReplaceTempView("q335_lineitem")
+        s.sql(s"""INSERT INTO graftsnap.`$r1`
+          |SELECT o_orderkey,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q335_orders""".stripMargin)
+        s.sql(s"""INSERT INTO graftsnap.`$r2`
+          |SELECT l_orderkey, CAST(l_quantity AS BIGINT)
+          |FROM q335_lineitem""".stripMargin)
+        val vBefore = graft.io.SnapTable.currentVersion(r1)
+        val nBefore = s.sql(s"SELECT count(*) FROM graftsnap.`$r1`")
+          .head().getLong(0)
+        s.sql(s"CALL graftsnap.system.optimize(table => '$r1', " +
+          "bucket_by => 'k', bucket_count => 16)").collect()
+        val specNow = graft.io.SnapTable.tableProperty(r1, "bucketSpec")
+          .getOrElse("")
+        val old = (s.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            s"""SELECT a.k % 64 AS g, count(*) AS n_pairs,
+               |  sum(a.cents + b.qty) AS s
+               |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+               |ON a.k = b.k GROUP BY a.k % 64""".stripMargin)
+          val rows = j.collect()
+          val joinShuffles = "Exchange hashpartitioning\\(k#"
+            .r.findAllIn(j.queryExecution.executedPlan.toString).size
+          // the pre-evolution snapshot reads under its own layout
+          val nOld = s.sql(s"SELECT count(*) FROM graftsnap.`$r1` " +
+            s"VERSION AS OF $vBefore").head().getLong(0)
+          import s.implicits._
+          rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            joinShuffles.toLong,
+            if (specNow == "16:k") 1L else 0L,
+            if (nOld == nBefore) 1L else 0L))
+            .toSeq.toDF("g", "n_pairs", "s", "n_join_shuffles",
+              "spec_swapped", "history_reads")
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+        }
+      },
+      """WITH a AS (SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT CAST(a.k % 64 AS BIGINT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(a.cents + b.qty) AS BIGINT) AS s,
+        |  CAST(0 AS BIGINT) AS n_join_shuffles,
+        |  CAST(1 AS BIGINT) AS spec_swapped,
+        |  CAST(1 AS BIGINT) AS history_reads
+        |FROM a JOIN b ON a.k = b.k GROUP BY a.k % 64""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -3031,11 +3031,15 @@ class SnapCatalog
   private def propsPath(r: String): String =
     graft.io.SnapIo.child(r, "_log", "_table")
 
-  /** Table-level properties persisted at CREATE TABLE. The durable
-    * copy lives INSIDE the v1 manifest (`prop.<k>=` headers — written
-    * by the same atomic claim that creates the table, so no crash can
-    * separate a table from its properties); the sidecar props file is
-    * only a fast path and a legacy location.
+  /** Table-level properties. The durable copy is VERSIONED LOG STATE
+    * (`prop.<k>=` manifest headers — CREATE TABLE's v1 claim, later
+    * shadowed by any property-setting commit such as a re-bucketing
+    * overwrite or a stat-column rename; checkpoint-folded, see
+    * [[graft.io.SnapTable.resolveProps]]). The sidecar props file is
+    * only a legacy location: it fills keys the log never carried and
+    * can never SHADOW the log — a crash between a layout commit and
+    * any sidecar refresh leaves a stale sidecar, and resolution must
+    * keep answering the committed layout.
     */
   private def tableProps(r: String): Map[String, String] = {
     val p = propsPath(r)
@@ -3047,11 +3051,13 @@ class SnapCatalog
           case _ => None
         }
       }.toMap
-    val keys = Seq("statCols", "dv", "partitionCol", "bucketSpec",
-      "bloomCols")
-    if (keys.forall(fromFile.contains)) fromFile
-    else fromFile ++ keys.filterNot(fromFile.contains).flatMap(k =>
-      SnapTable.tableProperty(r, k).map(k -> _))
+    // the log tier is AUTHORITATIVE and complete when present (every
+    // property-setting commit carries the full map — including key
+    // REMOVALS an evolution makes, which a merge with a stale sidecar
+    // would resurrect); the sidecar only serves legacy path-tables
+    // whose log never carried properties
+    val logTier = SnapTable.resolveProps(r)
+    if (logTier.nonEmpty) logTier else fromFile
   }
 
   private def table(ident: Identifier, asOf: Option[Int]): CTable = {
@@ -3286,7 +3292,22 @@ class SnapCatalog
         require(rn.fieldNames.length == 1,
           "snap ALTER renames top-level columns only")
         val from = rn.fieldNames.head
-        SnapTable.publishSchemaBy(r) { cur =>
+        // a renamed stat column keeps row-level ops resolving: the
+        // refreshed property map rides INSIDE the same claimed
+        // manifest as the schema change (properties are versioned
+        // log state — a sidecar-only refresh could be shadowed or
+        // lost; the sidecar below is a cache only)
+        val props = tableProps(r)
+        val propsUpd: Option[Map[String, String]] =
+          props.get("statCols").flatMap { sc =>
+            val cols = sc.split(',').map(_.trim)
+            if (cols.exists(_.equalsIgnoreCase(from)))
+              Some(props + ("statCols" -> cols.map(c =>
+                if (c.equalsIgnoreCase(from)) rn.newName else c)
+                .mkString(",")))
+            else None
+          }
+        SnapTable.publishSchemaBy(r, propsUpd) { cur =>
           val f = find(cur, from).getOrElse(
             throw new IllegalArgumentException(
               s"no column $from in snap table $r"))
@@ -3304,19 +3325,10 @@ class SnapCatalog
             else g
           })
         }
-        // a renamed stat column keeps row-level ops resolving: the
-        // sidecar props file shadows the immutable v1 manifest header
-        val props = tableProps(r)
-        props.get("statCols").foreach { sc =>
-          val cols = sc.split(',').map(_.trim)
-          if (cols.exists(_.equalsIgnoreCase(from))) {
-            val updated = cols.map(c =>
-              if (c.equalsIgnoreCase(from)) rn.newName else c)
-            val lines = (props + ("statCols" -> updated.mkString(",")))
-              .toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
-            graft.io.SnapIo.write(propsPath(r),
-              lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-          }
+        propsUpd.foreach { updated =>
+          graft.io.SnapIo.write(propsPath(r),
+            updated.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+              .mkString("", "\n", "\n").getBytes("UTF-8"))
         }
       case del: DeleteColumn =>
         require(del.fieldNames.length == 1,
@@ -3471,7 +3483,14 @@ class SnapCatalog
           .defaultValue("-1")
           .comment("merge ONLY live files smaller than this many " +
             "bytes (incremental maintenance — per bucket / per key " +
-            "on laid-out tables; -1 = off)").build())
+            "on laid-out tables; -1 = off)").build(),
+        ProcedureParameter.in("bucket_by", StringType)
+          .defaultValue("''")
+          .comment("with bucket_count: PARTITION-SPEC EVOLUTION — " +
+            "install bucket(bucket_count, bucket_by) IN PLACE on an " +
+            "unpartitioned or identity-partitioned table (one " +
+            "rewrite, layout swap atomic with it; old versions stay " +
+            "readable under their own layout)").build())
       override def call(input: InternalRow): java.util.Iterator[CScan] = {
         val r = input.getUTF8String(0).toString
         val target = input.getInt(1)
@@ -3479,6 +3498,7 @@ class SnapCatalog
         val onlyDv = input.getBoolean(3)
         val newBuckets = input.getInt(4)
         val smallBelow = input.getLong(5)
+        val bucketBy = input.getUTF8String(6).toString.trim
         val spark = org.apache.spark.sql.SparkSession.active
         val before = SnapTable.liveFiles(r, None).size
         val bSpec = tableProps(r).get("bucketSpec")
@@ -3491,12 +3511,29 @@ class SnapCatalog
         // file's tag from its key box (every key in a file hashes to
         // its bucket; an all-null sentinel box means every key is
         // null = the null bucket)
-        def rebucket(bc: String, n: Int): Int = {
+        // stat columns the rewrite records: the bucket column FIRST
+        // (tag derivation and shaping key on it), then every other
+        // declared box-typed stat column, so the rewrite never sheds
+        // the secondary min/max pruning the table had
+        def statsFor(bc: String): Seq[String] = {
+          val schema = SnapTable.tableSchema(r, None)
+          def boxTyped(c: String): Boolean =
+            schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+              .exists(f => Seq(LongType, IntegerType, DateType,
+                TimestampType).contains(f.dataType))
+          val declared = tableProps(r).get("statCols")
+            .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(Nil)
+            .filter(boxTyped)
+          bc +: declared.filterNot(_.equalsIgnoreCase(bc))
+        }
+        def rebucket(bc: String, n: Int,
+            newProps: Option[Map[String, String]] = None): Int = {
           val wide = SnapTable.tableSchema(r, None)
             .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
             .forall(f => f.dataType == LongType ||
               f.dataType == TimestampType)
-          SnapTable.compactWith(spark, r, Seq(bc),
+          SnapTable.compactWith(spark, r, statsFor(bc),
             _.repartition(n,
               org.apache.spark.sql.functions.col(bc)),
             f => {
@@ -3508,7 +3545,7 @@ class SnapCatalog
                 case _ => SnapBucket.ofNull(n)
               }
               Seq(SnapBucket.tag(bc, n) -> (b.toLong, b.toLong))
-            })
+            }, newProps = newProps)
         }
         val v =
           if (onlyDv) {
@@ -3521,6 +3558,42 @@ class SnapCatalog
               "small_files_below is incremental maintenance — it " +
                 "composes with no other optimize mode")
             SnapTable.compactSmall(spark, r, smallBelow)._1
+          } else if (newBuckets != -1 && bucketBy.nonEmpty) {
+            // PARTITION-SPEC EVOLUTION: install bucket(n, col) IN
+            // PLACE on an unpartitioned or identity-partitioned table
+            // — the migration a 100 TB tenant performs exactly once
+            // and must not CTAS for. One routed rewrite establishes
+            // per-bucket files + tags; the new property map (bucket
+            // spec set, partitionCol dropped, bucket column promoted
+            // to primary stat) rides INSIDE the same conflict-checked
+            // commit, so the swap is atomic and old versions keep
+            // reading (and time-traveling) under their own layout.
+            require(zBy.isEmpty && !onlyDv && smallBelow == -1,
+              "bucket_by composes only with bucket_count")
+            require(newBuckets >= 1 && newBuckets <= 4096,
+              s"bucket count must be in [1, 4096], got $newBuckets")
+            val schema = SnapTable.tableSchema(r, None).getOrElse(
+              throw new IllegalArgumentException(
+                s"snap table $r predates schema headers — cannot evolve"))
+            val field = schema.fields
+              .find(_.name.equalsIgnoreCase(bucketBy))
+              .getOrElse(throw new IllegalArgumentException(
+                s"bucket_by column $bucketBy is not in the table schema"))
+            require(Seq(LongType, IntegerType, DateType, TimestampType)
+                .contains(field.dataType),
+              s"bucket_by column $bucketBy must be bigint/int/date/" +
+                s"timestamp, is ${field.dataType}")
+            val cur = tableProps(r)
+            val stats = statsFor(field.name)
+            val updated = cur - "partitionCol" +
+              ("bucketSpec" -> SnapBucket.formatSpec(field.name,
+                newBuckets)) +
+              ("statCols" -> stats.mkString(","))
+            val nv = rebucket(field.name, newBuckets, Some(updated))
+            graft.io.SnapIo.write(propsPath(r),
+              updated.toSeq.sortBy(_._1).map { case (k, p) => s"$k=$p" }
+                .mkString("", "\n", "\n").getBytes("UTF-8"))
+            nv
           } else if (newBuckets != -1) {
             // LAYOUT EVOLUTION: rewrite every bucket file under the
             // NEW count and swap the table's bucketSpec property —
@@ -3530,18 +3603,21 @@ class SnapCatalog
             val (bc, oldN) = bSpec.getOrElse(
               throw new IllegalArgumentException(
                 s"snap table $r is not bucketed — bucket_count " +
-                  "applies to PARTITIONED BY (bucket(n, col)) tables"))
+                  "applies to PARTITIONED BY (bucket(n, col)) tables " +
+                  "(pass bucket_by to INSTALL a bucket layout)"))
             require(newBuckets >= 1 && newBuckets <= 4096,
               s"bucket count must be in [1, 4096], got $newBuckets")
             require(zBy.isEmpty,
               s"snap table $r is bucketed — ZORDER BY would destroy " +
                 "the join layout; refuse")
-            val nv = rebucket(bc, newBuckets)
-            // swap the layout property AFTER the successful publish
-            // (the sidecar props file shadows the immutable v1
-            // manifest header for exactly this kind of evolution)
+            // the new layout property rides INSIDE the rewrite's
+            // conflict-checked commit (atomic swap: no crash window
+            // where file tags and the declared bucketSpec disagree);
+            // the sidecar refresh below is a cache only, and a crash
+            // before it self-heals on the next resolution
             val updated = tableProps(r) +
               ("bucketSpec" -> SnapBucket.formatSpec(bc, newBuckets))
+            val nv = rebucket(bc, newBuckets, Some(updated))
             graft.io.SnapIo.write(propsPath(r),
               updated.toSeq.sortBy(_._1).map { case (k, p) => s"$k=$p" }
                 .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -3647,10 +3723,10 @@ class SnapCatalog
         val schema = SnapTable.tableSchema(src, Some(v)).getOrElse(
           throw new IllegalArgumentException(
             s"source $src@$v predates schema headers — cannot clone"))
-        val props = Seq("statCols", "dv", "partitionCol", "bucketSpec",
-          "bloomCols")
-          .flatMap(k => SnapTable.tableProperty(src, k).map(k -> _))
-          .toMap
+        // properties AS OF the cloned version: a source re-bucketed
+        // AFTER v declares a layout v's files do not have — the clone
+        // must inherit the epoch its files were written under
+        val props = SnapTable.resolveProps(src, Some(v))
         SnapTable.createEmpty(dst, schema, props) // atomic v1 claim
         if (props.nonEmpty)
           graft.io.SnapIo.write(propsPath(dst),

@@ -221,6 +221,81 @@ class SnapRound16Spec extends AnyFunSuite {
       .as[(Long, Long)].head() == ((alive.size.toLong, alive.sum)))
   }
 
+  test("re-bucketing is commit-atomic: a stale props sidecar cannot shadow the committed layout") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('statCols'='k')")
+    spark.range(0, 2000).selectExpr("id AS k", "id * 7 AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+      "bucket_count => 8)").collect()
+    // SIMULATE THE CRASH WINDOW: the rewrite's manifest is published
+    // (files tagged k#b8, new bucketSpec in its prop headers) but the
+    // props sidecar still holds the OLD spec — restore it by hand
+    val sidecar = SnapIo.child(root, "_log", "_table")
+    SnapIo.write(sidecar,
+      "bucketSpec=4:k\nstatCols=k\n".getBytes("UTF-8"))
+    // resolution answers the COMMITTED layout, not the stale cache
+    assert(SnapTable.tableProperty(root, "bucketSpec") == Some("8:k"))
+    // and bucket pruning still works: a point lookup maps the key
+    // through bucket(8) onto the k#b8 tags and reads ONE bucket
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    assert(spark.sql(s"SELECT v FROM graftsnap.`$root` WHERE k = 1234")
+      .head().getLong(0) == 1234L * 7)
+    val opens = graft.sources.SnapSource.filesOpened.get() - c0
+    val nFiles = SnapTable.liveFiles(root).size
+    assert(opens < nFiles,
+      s"bucket pruning lost after the simulated crash: $opens/$nFiles")
+    // a repeated swap to the same count is an idempotent repair
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+      "bucket_count => 8)").collect()
+    assert(SnapTable.tableProperty(root, "bucketSpec") == Some("8:k"))
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap.`$root`")
+      .as[(Long, Long)].head() ==
+      ((2000L, 7L * (0L until 2000L).sum)))
+    // time travel reads its own epoch's layout declaration
+    assert(SnapTable.resolveProps(root, Some(2))
+      .get("bucketSpec") == Some("4:k"))
+  }
+
+  test("identity-partitioned table evolves in place to a bucket layout") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k')")
+    // 40 dimension keys outgrew one-file-per-key: fold into 8 buckets
+    spark.range(0, 2000).selectExpr("id % 40 AS k", "id AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    val vBefore = SnapTable.currentVersion(root)
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+      "bucket_by => 'k', bucket_count => 8)").collect()
+    // atomic swap: spec installed, identity layout dropped
+    assert(SnapTable.tableProperty(root, "bucketSpec") == Some("8:k"))
+    assert(SnapTable.tableProperty(root, "partitionCol").isEmpty)
+    val live = SnapTable.liveFiles(root)
+    assert(live.size <= 8 && live.forall(_.range("k#b8").exists {
+      case (mn, mx) => mn == mx }))
+    // post-evolution APPENDS bucket natively (per-bucket files+tags)
+    spark.range(2000, 2400).selectExpr("id % 40 AS k", "id AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    val appended = SnapTable.liveFiles(root).filterNot(live.contains)
+    assert(appended.nonEmpty &&
+      appended.forall(_.range("k#b8").exists { case (mn, mx) => mn == mx }))
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap.`$root`")
+      .as[(Long, Long)].head() == ((2400L, (0L until 2400L).sum)))
+    // the pre-evolution snapshot still reads under its own layout
+    assert(spark.sql(s"SELECT count(*) FROM graftsnap.`$root` " +
+      s"VERSION AS OF $vBefore").as[Long].head() == 2000L)
+    assert(SnapTable.resolveProps(root, Some(vBefore))
+      .get("partitionCol") == Some("k"))
+  }
+
   test("rename repoints the renamed table's own appended commits") {
     val wh = freshRoot()
     spark.conf.set("spark.sql.catalog.graftwh17",
