@@ -2516,9 +2516,14 @@ object ScaleQueries {
           // insert (the final %64 rollup legitimately repartitions)
           val joinShuffles = "Exchange hashpartitioning\\(k#"
             .r.findAllIn(j.queryExecution.executedPlan.toString).size
+          // probe key taken FROM the data (a literal key misses at
+          // small scale factors and the gate would throw while only
+          // planning — e.g. under the PlanReport harness at sf0.001)
+          val ptKey = s.sql("SELECT min(o_orderkey) FROM q320_orders " +
+            "WHERE o_orderkey >= 1000").head().getLong(0)
           val c0 = graft.sources.SnapSource.filesOpened.get()
           val pt = s.sql(s"SELECT cents FROM graftsnap.`$r1` " +
-            "WHERE k = 4321").collect()(0).getLong(0)
+            s"WHERE k = $ptKey").collect()(0).getLong(0)
           val ptOpens = graft.sources.SnapSource.filesOpened.get() - c0
           import s.implicits._
           rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
@@ -2540,7 +2545,8 @@ object ScaleQueries {
         |  CAST(sum(a.cents + b.qty) AS BIGINT) AS s,
         |  CAST(0 AS BIGINT) AS n_join_shuffles,
         |  (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
-        |   FROM orders WHERE o_orderkey = 4321) AS pt_cents,
+        |   FROM orders WHERE o_orderkey = (SELECT min(o_orderkey)
+        |     FROM orders WHERE o_orderkey >= 1000)) AS pt_cents,
         |  CAST(1 AS BIGINT) AS pt_opens
         |FROM a JOIN b ON a.k = b.k GROUP BY a.k % 64""".stripMargin),
 
@@ -3095,7 +3101,7 @@ object ScaleQueries {
             .mode("append").save(root)
         }
         val nFiles = graft.io.SnapTable.liveFiles(root).size
-        val probeKey = src.filter(col("k") >= 5000L)
+        val probeKey = src.filter(col("k") >= 1000L)
           .agg(min("k")).collect()(0).getLong(0)
         val probeTag = src.filter(col("k") === probeKey)
           .select("tag").collect()(0).getString(0)
@@ -3120,7 +3126,7 @@ object ScaleQueries {
         |    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS tag,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders),
-        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 5000)
+        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 1000)
         |SELECT CAST(1 AS BIGINT) AS n_hit,
         |  (SELECT k FROM pk) AS k_hit,
         |  (SELECT cents FROM src WHERE k = (SELECT k FROM pk))
@@ -3341,7 +3347,7 @@ object ScaleQueries {
             .mode("append").save(root)
         }
         val live = graft.io.SnapTable.liveFiles(root)
-        val probeKey = src.filter(col("k") >= 5000L)
+        val probeKey = src.filter(col("k") >= 1000L)
           .agg(min("k")).collect()(0).getLong(0)
         val probeTag = src.filter(col("k") === probeKey)
           .select("tag").collect()(0).getString(0)
@@ -3376,7 +3382,7 @@ object ScaleQueries {
         |    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS tag,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
         |  FROM orders),
-        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 5000)
+        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 1000)
         |SELECT CAST(1 AS BIGINT) AS n_hit,
         |  (SELECT k FROM pk) AS k_hit,
         |  (SELECT cents FROM src WHERE k = (SELECT k FROM pk))
@@ -3464,6 +3470,61 @@ object ScaleQueries {
         |  CAST(1 AS BIGINT) AS spec_swapped,
         |  CAST(1 AS BIGINT) AS history_reads
         |FROM a JOIN b ON a.k = b.k GROUP BY a.k % 64""".stripMargin),
+
+    // PER-BUCKET GROUPED PUSHDOWN: GROUP BY the catalog's own bucket
+    // function on a bucket(n, k) table folds COUNT/SUM per bucket id
+    // straight from the manifest tags — each file holds exactly one
+    // bucket BY CONSTRUCTION (`k#b16` box, min == max; the function
+    // is total, nulls hash to the null bucket), so groups are unions
+    // of whole files and the fold is exact with ZERO file opens. The
+    // per-bucket governance scan ("rows per bucket — is the layout
+    // skewed?") a 100 TB fact table runs routinely, answered at any
+    // table size from the log alone. Cross-checked in-gate against
+    // the same expression row-computed over the source frame (the
+    // oracle cannot replay Murmur3; the invariants it CAN check —
+    // group count, totals, zero opens — are emitted as data).
+    "q336_snap_bucket_grouped" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd52") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (bucket(16, k)) " +
+          "TBLPROPERTIES ('statCols'='k,cents')")
+        Tables(s, d, "orders").selectExpr("o_orderkey AS k",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+          .createOrReplaceTempView("q336_src")
+        s.sql(s"INSERT INTO graftsnap.`$root` SELECT k, cents " +
+          "FROM q336_src")
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val pushed = s.sql(
+          s"""SELECT graftsnap.bucket(16, k) AS b, count(*) AS n,
+             |  sum(cents) AS sc
+             |FROM graftsnap.`$root`
+             |GROUP BY graftsnap.bucket(16, k)""".stripMargin).collect()
+        val opens = graft.sources.SnapSource.filesOpened.get() - c0
+        // row-computed cross-check over the source frame (same V2
+        // function, evaluated per row instead of folded per file)
+        val check = s.sql(
+          """SELECT graftsnap.bucket(16, k) AS b, count(*) AS n,
+            |  sum(cents) AS sc
+            |FROM q336_src GROUP BY 1""".stripMargin).collect()
+        def asSet(rs: Array[org.apache.spark.sql.Row]) =
+          rs.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        s.range(1).select(
+          lit(pushed.length.toLong).as("n_groups"),
+          lit(pushed.map(_.getLong(1)).sum).as("total_n"),
+          lit(pushed.map(_.getLong(2)).sum).as("total_cents"),
+          lit(if (asSet(pushed) == asSet(check)) 1L else 0L)
+            .as("matched"),
+          lit(opens).as("n_opens"))
+      },
+      """SELECT CAST(16 AS BIGINT) AS n_groups,
+        |  (SELECT count(*) FROM orders) AS total_n,
+        |  (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+        |     AS BIGINT)) AS BIGINT) FROM orders) AS total_cents,
+        |  CAST(1 AS BIGINT) AS matched,
+        |  CAST(0 AS BIGINT) AS n_opens""".stripMargin),
 
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability

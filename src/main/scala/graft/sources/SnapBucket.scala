@@ -105,6 +105,16 @@ final class SnapBoundBucket(dt: DataType)
     */
   override def canonicalName(): String =
     s"graft.snap.bucket(${dt.catalogString})"
+  // value equality on the canonical name: every `bind` returns a
+  // FRESH instance, and without this two analyzer-resolved
+  // occurrences of bucket(n, k) — one in GROUP BY, one in the select
+  // list — would not be semantically equal, failing the aggregate
+  // validity check (MISSING_AGGREGATION) before any pushdown runs
+  override def equals(other: Any): Boolean = other match {
+    case o: SnapBoundBucket => o.canonicalName() == canonicalName()
+    case _ => false
+  }
+  override def hashCode(): Int = canonicalName().hashCode
   override def isResultNullable: Boolean = false
   override def produceResult(input: InternalRow): Integer =
     SnapBucket.ofRow(input, 1, dt, input.getInt(0))

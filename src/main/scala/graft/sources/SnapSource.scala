@@ -939,6 +939,31 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
         Some(r.fieldNames.head)
       case _ => None
     }
+    // GROUP BY <catalog>.bucket(n, key) on a bucket(n, key) table:
+    // the grouping expression IS the table's layout transform, so
+    // each file holds exactly one group value BY CONSTRUCTION — the
+    // manifest's `key#bN` tag (min == max always; the bucket function
+    // is total, nulls hash to the null bucket, so no null-count gate
+    // is needed). COUNT/SUM/MIN/MAX then fold per bucket id with zero
+    // file opens — the per-bucket governance scan ("rows per bucket",
+    // "is the layout skewed") a 100 TB fact table runs routinely.
+    def bucketTag(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: org.apache.spark.sql.connector.expressions
+          .UserDefinedScalarFunc
+          if f.name().equalsIgnoreCase("bucket") &&
+            f.canonicalName().startsWith("graft.snap.bucket(") =>
+        (f.children().toSeq, bucketSpec) match {
+          case (Seq(l: org.apache.spark.sql.connector.expressions
+              .Literal[_], r: NamedReference), Some((bc, n)))
+              if l.value() == Integer.valueOf(n) &&
+                r.fieldNames.length == 1 &&
+                r.fieldNames.head.equalsIgnoreCase(bc) =>
+            Some(SnapBucket.tag(bc, n))
+          case _ => None
+        }
+      case _ => None
+    }
     def intCol(c: String): Boolean =
       full.fields.find(_.name == c).exists(f =>
         f.dataType == LongType || f.dataType == IntegerType)
@@ -962,15 +987,19 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     // designed case, but ANY column set with the per-file proof
     // qualifies — including several identity-like columns at once.
     if (a.groupByExpressions.nonEmpty) {
+      def singleValued(c: String, needZeroNulls: Boolean): Boolean =
+        surviving.forall(f =>
+          (!needZeroNulls || f.nullCount(c).contains(0L)) &&
+            f.range(c).exists { case (mn, mx) =>
+              mn == mx &&
+                !(mn == Long.MinValue && mx == Long.MaxValue)
+            })
       val ok = surviving.nonEmpty &&
         a.groupByExpressions.toSeq.forall(g =>
           statName(g).exists(c => boxCol(c) &&
-            surviving.forall(f =>
-              f.nullCount(c).contains(0L) &&
-                f.range(c).exists { case (mn, mx) =>
-                  mn == mx &&
-                    !(mn == Long.MinValue && mx == Long.MaxValue)
-                })))
+            singleValued(c, needZeroNulls = true)) ||
+            bucketTag(g).exists(t =>
+              singleValued(t, needZeroNulls = false)))
       if (!ok) return false
     }
     // a DELETION VECTOR makes extremes and sums unknowable from the
@@ -1031,8 +1060,14 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   override def pushAggregation(a: Aggregation): Boolean =
     if (aggPushable(a)) {
       aggs = Some(a.aggregateExpressions.toSeq)
-      aggGroupBy = a.groupByExpressions.toSeq.collect {
+      // group keys by name — a bucket-transform grouping folds under
+      // its manifest tag pseudo-column (IntegerType in the output)
+      aggGroupBy = a.groupByExpressions.toSeq.map {
         case r: NamedReference => r.fieldNames.head
+        case f: org.apache.spark.sql.connector.expressions
+            .UserDefinedScalarFunc =>
+          bucketSpec.map { case (bc, n) => SnapBucket.tag(bc, n) }
+            .getOrElse(f.name())
       }
       true
     } else false
@@ -1649,7 +1684,11 @@ class SnapAggScan(root: String, files: Seq[FileStat],
   }
 
   private def colType(c: String): DataType =
-    table.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
+    // a bucket-tag pseudo-column (`key#bN`) groups under the catalog
+    // bucket function's result type (INT) — it is manifest state, not
+    // a table field
+    if (c.contains('#')) IntegerType
+    else table.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
 
   override def readSchema(): StructType =
     StructType(groupBy.map(c =>

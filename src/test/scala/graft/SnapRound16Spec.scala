@@ -296,6 +296,48 @@ class SnapRound16Spec extends AnyFunSuite {
       .get("partitionCol") == Some("k"))
   }
 
+  test("GROUP BY the bucket transform folds from manifest tags, zero opens") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('statCols'='k,v')")
+    spark.range(0, 4000).selectExpr("id AS k", "id * 3 AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    val q = spark.sql(
+      s"""SELECT graftsnap.bucket(8, k) AS b, count(*) AS n,
+         |  sum(v) AS sv, min(k) AS mk, max(k) AS xk
+         |FROM graftsnap.`$root`
+         |GROUP BY graftsnap.bucket(8, k)""".stripMargin)
+    val rows = q.collect()
+    assert(graft.sources.SnapSource.filesOpened.get() - c0 == 0L,
+      "per-bucket fold must be manifest-answered")
+    assert(q.queryExecution.executedPlan.toString.contains("agg=manifest"))
+    // cross-check against the row-computed grouping on raw data
+    val check = spark.range(0, 4000)
+      .selectExpr("graftsnap.bucket(8, id) AS b", "id AS k", "id*3 AS v")
+      .groupBy("b").agg(count(lit(1)), sum("v"), min("k"), max("k"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet == check)
+    // DISTINCT over the transform folds the same way
+    val c1 = graft.sources.SnapSource.filesOpened.get()
+    val ds = spark.sql(s"SELECT DISTINCT graftsnap.bucket(8, k) " +
+      s"FROM graftsnap.`$root`").collect().map(_.getInt(0)).sorted
+    assert(graft.sources.SnapSource.filesOpened.get() - c1 == 0L)
+    assert(ds.toSeq == (0 until 8))
+    // a mismatched count must NOT fold (bucket(4,·) on a bucket(8,·)
+    // table is not the layout transform) — correctness over cleverness
+    val other = spark.sql(s"SELECT graftsnap.bucket(4, k) AS b, " +
+      s"count(*) AS n FROM graftsnap.`$root` GROUP BY 1")
+    assert(!other.queryExecution.executedPlan.toString
+      .contains("agg=manifest"))
+    assert(other.collect().map(_.getLong(1)).sum == 4000L)
+  }
+
   test("rename repoints the renamed table's own appended commits") {
     val wh = freshRoot()
     spark.conf.set("spark.sql.catalog.graftwh17",
