@@ -855,8 +855,35 @@ object SnapTable {
     * write can leave file tags and the declared layout disagreeing —
     * and history reads its own epoch's layout.
     */
+  /** resolveProps memo: (root → (newest version seen, resolved map)).
+    * Properties are pure log state, so the map is immutable per
+    * version — a cached entry is valid exactly while the newest
+    * committed version is unchanged (one directory listing to check,
+    * zero manifest reads). LRU-capped: gates and tests create many
+    * short-lived roots.
+    */
+  private val propsMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Int, Map[String, String])](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Int, Map[String, String])])
+          : Boolean = size() > 256
+    })
+
   private[graft] def resolveProps(root: String,
       asOf: Option[Int] = None): Map[String, String] = {
+    if (asOf.isEmpty) {
+      val cur = listVersions(root).lastOption.getOrElse(0)
+      val hit = propsMemo.get(root)
+      if (hit != null && hit._1 == cur) return hit._2
+      val m = resolvePropsUncached(root, None)
+      propsMemo.put(root, (cur, m))
+      m
+    } else resolvePropsUncached(root, asOf)
+  }
+
+  private def resolvePropsUncached(root: String,
+      asOf: Option[Int]): Map[String, String] = {
     val cp = latestCheckpoint(root, asOf)
     val (base, after) = cp match {
       case Some(c) if c.props.nonEmpty => (c.props, c.version)

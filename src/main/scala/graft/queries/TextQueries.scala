@@ -904,10 +904,15 @@ object TextQueries {
     // partitioned by doc id, never global.
     "q74_keyword_extract" -> Q(
       (s, d) => {
+        // lazy localCheckpoint: tf is referenced TWICE (df build +
+        // join probe) and Spark has no cross-subtree CSE — without
+        // it the corpus is tokenized and aggregated twice, the
+        // dominant cost at scale (tokenize ≫ shuffle of the tf rows)
         val tf = Tables(s, d, "documents")
           .select(col("doc_id"),
             explode(TextOps.whitespaceTokens(col("text"))).as("t"))
           .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+          .localCheckpoint(false)
         val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
