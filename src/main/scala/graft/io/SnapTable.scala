@@ -1281,37 +1281,8 @@ object SnapTable {
         // DVs on thousands of bucket files, a per-file rewrite loop
         // is thousands of serial driver-dispatched jobs — instead
         // route ALL surviving rows through the bucket function at
-        // once (`repartition(n, key)`'s placement IS the function,
-        // same identity the bucketed writer and re-bucketing use) and
-        // re-derive each output file's tag from its key box: every
-        // key in a post-route file hashes to its bucket; an all-null
-        // sentinel box means every key is null = the null bucket.
-        // Same-bucket DV'd files merge; tags stay exact.
-        val cut = tag.indexOf('#')
-        val bc = tag.substring(0, cut)
-        val n = tag.substring(cut + 2).toInt
-        val wide = tableSchema(root, Some(baseV))
-          .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
-          .forall(f =>
-            f.dataType == org.apache.spark.sql.types.LongType ||
-              f.dataType == org.apache.spark.sql.types.TimestampType)
-        val frame = readFiles(spark, touched)
-        // the frame carries PHYSICAL parquet names; resolve the
-        // logical bucket column through the mapping when they differ
-        val bcPhys =
-          if (frame.columns.contains(bc)) bc
-          else colMap(root).getOrElse(bc, bc)
-        val shaped = frame.repartition(n, col(bcPhys))
-        writeFiles(shaped, root, statCols, filesPerCommit = -1).map { nf =>
-          val b = nf.range(bc) match {
-            case Some((mn, mx))
-                if !(mn == Long.MinValue && mx == Long.MaxValue) =>
-              if (wide) graft.sources.SnapBucket.ofLong(mn, n)
-              else graft.sources.SnapBucket.ofInt(mn.toInt, n)
-            case _ => graft.sources.SnapBucket.ofNull(n)
-          }
-          nf.copy(stats = nf.stats :+ (tag -> (b.toLong, b.toLong)))
-        }
+        // once. Same-bucket DV'd files merge; tags stay exact.
+        rewriteBucketed(spark, root, touched, statCols, tag)
       case None if partCol.isDefined =>
         // IDENTITY layout: rewrite PER KEY GROUP — one global
         // repartitionByRange pass could put several keys in one
@@ -1331,6 +1302,47 @@ object SnapTable {
     (publishRebasing(root, baseV, untouched ++ rewritten, _ => false,
       schema = tableSchema(root, Some(baseV))),
       touched.size, rewritten.map(_.rows).sum)
+  }
+
+  /** ONE-PASS rewrite of `files` on a bucketed table: route every
+    * surviving row through the bucket function at once
+    * (`repartition(n, key)`'s placement IS the function — the same
+    * identity the bucketed writer and re-bucketing rely on) and
+    * re-derive each output file's manifest tag from its key box:
+    * every key in a post-route file hashes to its bucket; an all-null
+    * sentinel box means every key is null = the null bucket. One
+    * Spark job for N input files (a per-file rewrite loop at 100 TB
+    * maintenance scale is thousands of serial driver-dispatched
+    * jobs); same-bucket inputs merge.
+    */
+  private def rewriteBucketed(spark: SparkSession, root: String,
+      files: Seq[FileStat], statCols: Seq[String],
+      tag: String): Seq[FileStat] = {
+    val cut = tag.indexOf('#')
+    val bc = tag.substring(0, cut)
+    val n = tag.substring(cut + 2).toInt
+    val wide = tableSchema(root, None)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
+      .forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType)
+    val frame = readFiles(spark, files)
+    // the frame carries PHYSICAL parquet names; resolve the logical
+    // bucket column through the mapping when they differ
+    val bcPhys =
+      if (frame.columns.contains(bc)) bc
+      else colMap(root).getOrElse(bc, bc)
+    val shaped = frame.repartition(n, col(bcPhys))
+    writeFiles(shaped, root, statCols, filesPerCommit = -1).map { nf =>
+      val b = nf.range(bc) match {
+        case Some((mn, mx))
+            if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+          if (wide) graft.sources.SnapBucket.ofLong(mn, n)
+          else graft.sources.SnapBucket.ofInt(mn.toInt, n)
+        case _ => graft.sources.SnapBucket.ofNull(n)
+      }
+      nf.copy(stats = nf.stats :+ (tag -> (b.toLong, b.toLong)))
+    }
   }
 
   /** INCREMENTAL OPTIMIZE — merge only SMALL files: live files whose
@@ -1374,10 +1386,19 @@ object SnapTable {
     val merged = small.groupBy(groupOf).values.toSeq
       .filter(fs => fs.size >= 2 || fs.exists(_.dv.isDefined))
     if (merged.isEmpty) return (baseV, 0, live.size)
-    val rewritten = merged.flatMap { fs =>
-      val tags = fs.head.stats.filter(_._1.contains('#'))
-      writeFiles(readFiles(spark, fs), root, statCols, 1)
-        .map(nf => nf.copy(stats = nf.stats ++ tags))
+    val rewritten = bucketTag match {
+      // bucketed: ONE routed pass for every selected group (the
+      // streaming tail leaves small files in EVERY bucket — a
+      // per-bucket rewrite loop is up to 4096 serial jobs); groups
+      // are per-bucket by construction, so the router reproduces
+      // them exactly, one output file per touched bucket
+      case Some(tag) =>
+        rewriteBucketed(spark, root, merged.flatten, statCols, tag)
+      // identity: per-key groups (preserves one-file-per-key); plain:
+      // one global group — both shapes bounded by touched keys
+      case None => merged.flatMap { fs =>
+        writeFiles(readFiles(spark, fs), root, statCols, 1)
+      }
     }
     val untouched = live.filterNot(merged.flatten.toSet)
     val v = publishRebasing(root, baseV, untouched ++ rewritten,

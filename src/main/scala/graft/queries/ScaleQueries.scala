@@ -3526,6 +3526,77 @@ object ScaleQueries {
         |  CAST(1 AS BIGINT) AS matched,
         |  CAST(0 AS BIGINT) AS n_opens""".stripMargin),
 
+    // ALTER TABLE SET/UNSET TBLPROPERTIES as VERSIONED LOG STATE: a
+    // 100 TB table's operational knobs (bloom skipping, merge-on-read
+    // deletes) are turned on AFTER the fact — the change is one
+    // claimed manifest carrying the full property map and applies to
+    // future commits. Gated: post-ALTER commits carry sketches (a
+    // point-lookup MISS opens ONLY the pre-bloom files — the new
+    // commit is pruned by its aggregate; the probe sits inside the
+    // hex string box so only the bloom tier can prune it), a range
+    // DELETE after `dv=true` lowers to a deletion vector instead of
+    // a rewrite, and SHOW TBLPROPERTIES reads the committed map.
+    "q337_snap_set_tblproperties" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd53") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(k BIGINT, tag STRING, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k')")
+        val src = Tables(s, d, "orders").selectExpr(
+          "o_orderkey AS k",
+          "substr(md5(CAST(o_orderkey AS STRING)), 1, 12) AS tag",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        src.filter(col("k") % 2 === 0)
+          .write.format("graft.sources.SnapSourceProvider")
+          .option("filesPerCommit", "2").mode("append").save(root)
+        s.sql(s"ALTER TABLE graftsnap.`$root` " +
+          "SET TBLPROPERTIES ('bloomCols'='tag', 'dv'='true')")
+        src.filter(col("k") % 2 === 1)
+          .write.format("graft.sources.SnapSourceProvider")
+          .option("filesPerCommit", "2").mode("append").save(root)
+        val shown = s.sql(s"SHOW TBLPROPERTIES graftsnap.`$root`")
+          .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        val preBloom = graft.io.SnapTable.liveFiles(root)
+          .count(_.bloomPath("tag").isEmpty)
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val nMiss = s.sql(s"SELECT k FROM graftsnap.`$root` " +
+          "WHERE tag = 'abcdefabcdef'").count()
+        val missOpens = graft.sources.SnapSource.filesOpened.get() - c0
+        // dv=true: a later range DELETE marks positions, no rewrite
+        val del = s.sql("SELECT min(k) FROM (SELECT k FROM " +
+          s"graftsnap.`$root` WHERE k >= 1000 AND k % 2 = 1)")
+          .head().getLong(0)
+        s.sql(s"DELETE FROM graftsnap.`$root` WHERE k = $del")
+        val dvUsed = graft.io.SnapTable.liveFiles(root)
+          .exists(_.dv.isDefined)
+        val agg = s.sql(s"SELECT count(*), sum(cents) " +
+          s"FROM graftsnap.`$root`").collect()(0)
+        s.range(1).select(
+          lit(if (shown.get("bloomCols").contains("tag") &&
+            shown.get("dv").contains("true")) 1L else 0L).as("props_ok"),
+          lit(nMiss).as("n_miss"),
+          lit(if (missOpens == preBloom.toLong) 1L else 0L)
+            .as("miss_opens_pre_bloom_only"),
+          lit(if (dvUsed) 1L else 0L).as("dv_used"),
+          lit(agg.getLong(0)).as("n_rows"),
+          lit(agg.getLong(1)).as("sum_cents"))
+      },
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |del AS (SELECT min(k) AS k FROM src
+        |  WHERE k >= 1000 AND k % 2 = 1)
+        |SELECT CAST(1 AS BIGINT) AS props_ok,
+        |  CAST(0 AS BIGINT) AS n_miss,
+        |  CAST(1 AS BIGINT) AS miss_opens_pre_bloom_only,
+        |  CAST(1 AS BIGINT) AS dv_used,
+        |  (SELECT count(*) - 1 FROM src) AS n_rows,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM src
+        |    WHERE k <> (SELECT k FROM del)) AS sum_cents""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -408,6 +408,9 @@ class SnapDsvTable(root: String, asOf: Option[Int], tableSchema: StructType,
     with SupportsMetadataColumns {
   override def name(): String = s"graft_snap($root${asOf.fold("")("@v" + _)})"
   override def schema(): StructType = tableSchema
+  // SHOW TBLPROPERTIES / DESCRIBE EXTENDED read these
+  override def properties(): util.Map[String, String] =
+    tableProps.asJava
   override def capabilities(): util.Set[TableCapability] =
     // AUTOMATIC_SCHEMA_EVOLUTION enables Spark's native
     // `MERGE WITH SCHEMA EVOLUTION INTO`: the analyzer computes the
@@ -3284,7 +3287,7 @@ class SnapCatalog
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): CTable = {
-    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn, RenameColumn}
+    import org.apache.spark.sql.connector.catalog.TableChange.{AddColumn, DeleteColumn, RemoveProperty, RenameColumn, SetProperty}
     val r = root(ident)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -3386,11 +3389,88 @@ class SnapCatalog
           } else StructType(cur.fields.toSeq
             .filterNot(_.name.equalsIgnoreCase(name)))
         }
+      case sp: SetProperty =>
+        setTableProperty(r, sp.property(), Some(sp.value()))
+      case rp: RemoveProperty =>
+        setTableProperty(r, rp.property(), None)
       case other => throw new UnsupportedOperationException(
         "snap catalog supports ALTER TABLE ADD/RENAME/DROP COLUMN " +
-          s"only, not $other")
+          s"and SET/UNSET TBLPROPERTIES only, not $other")
     }
     table(ident, None)
+  }
+
+  /** `ALTER TABLE ... SET/UNSET TBLPROPERTIES` — properties are
+    * versioned log state, so the change is ONE claimed manifest
+    * carrying the full updated map (schema untouched) and applies to
+    * FUTURE commits: enabling `bloomCols` on an established table
+    * makes every later commit record sketches (old files simply
+    * cannot prune — conservative, never wrong), and enabling `dv`
+    * turns later range DELETEs into merge-on-read sidecars. The
+    * physical-LAYOUT keys refuse: `partitionCol`/`bucketSpec`
+    * describe how existing data is arranged and only
+    * `CALL system.optimize(bucket_by/bucket_count)` — which rewrites
+    * that data — may change them.
+    */
+  private def setTableProperty(r: String, key: String,
+      value: Option[String]): Unit = {
+    require(key.nonEmpty && !key.contains('=') &&
+      Seq('\n', '\r', '\t').forall(c => !key.contains(c)),
+      s"invalid snap property key '$key'")
+    value.foreach(v => require(
+      Seq('\n', '\r', '\t').forall(c => !v.contains(c)),
+      s"invalid snap property value for '$key'"))
+    require(key != "partitionCol" && key != "bucketSpec",
+      s"'$key' is the table's physical layout — it evolves through " +
+        "CALL <catalog>.system.optimize(bucket_by => ..., " +
+        "bucket_count => ...), which rewrites the data the property " +
+        "describes; SET TBLPROPERTIES cannot change it")
+    val cur = tableProps(r)
+    def schemaOf: StructType = SnapTable.tableSchema(r, None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snap table $r predates schema headers; cannot alter properties"))
+    def typedCols(v: String, types: Seq[DataType], what: String): Unit =
+      v.split(',').map(_.trim).filter(_.nonEmpty).foreach { c =>
+        val f = schemaOf.fields.find(_.name.equalsIgnoreCase(c))
+          .getOrElse(throw new IllegalArgumentException(
+            s"$what column $c is not in the table schema"))
+        require(types.contains(f.dataType),
+          s"$what column $c has unsupported type ${f.dataType}")
+      }
+    key match {
+      case "bloomCols" => value.foreach(typedCols(_,
+        Seq(LongType, IntegerType, DateType, TimestampType, StringType),
+        "bloomCols"))
+      case "dv" => value.foreach(v => require(
+        v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),
+        s"dv must be true or false, got '$v'"))
+      case "statCols" =>
+        require(value.isDefined,
+          "statCols cannot be UNSET — write shaping and file skipping " +
+            "key on it")
+        value.foreach(typedCols(_,
+          Seq(LongType, IntegerType, DateType, TimestampType),
+          "statCols"))
+        val newPrimary = value.flatMap(_.split(',').headOption
+          .map(_.trim))
+        cur.get("partitionCol")
+          .orElse(cur.get("bucketSpec").map(SnapBucket.parseSpec(_)._1))
+          .foreach(kc => require(newPrimary.exists(_.equalsIgnoreCase(kc)),
+            s"the table is laid out on $kc — it must stay the primary " +
+              "stat column (shaping, skipping and row-level operations " +
+              "key on it)"))
+      case _ => ()
+    }
+    val updated = value.fold(cur - key)(v => cur + (key -> v))
+    require(updated.nonEmpty,
+      "cannot UNSET a table's last property (property-setting commits " +
+        "carry the full map; an empty map is indistinguishable from " +
+        "'never had properties')")
+    // the full updated map rides ONE claimed manifest, schema unchanged
+    SnapTable.publishSchemaBy(r, Some(updated))(s => s)
+    graft.io.SnapIo.write(propsPath(r),
+      updated.toSeq.sortBy(_._1).map { case (k, p) => s"$k=$p" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
   }
   /** DROP/RENAME are meaningful only for NAMED tables: the warehouse
     * owns the directory, so the identifier→location mapping is the

@@ -338,6 +338,126 @@ class SnapRound16Spec extends AnyFunSuite {
     assert(other.collect().map(_.getLong(1)).sum == 4000L)
   }
 
+  test("SET TBLPROPERTIES enables blooms/DVs on an established table; layout keys refuse") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, tag STRING) " +
+      "TBLPROPERTIES ('statCols'='k')")
+    // commit A: BEFORE blooms exist
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "substr(md5(cast(id AS string)), 1, 12) AS tag")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    spark.sql(s"ALTER TABLE graftsnap.`$root` " +
+      "SET TBLPROPERTIES ('bloomCols'='tag', 'dv'='true')")
+    // visible through SQL (versioned log state, not just the sidecar)
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graftsnap.`$root`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("bloomCols") == Some("tag") &&
+      shown.get("dv") == Some("true"))
+    // commit B: records sketches (and the commit aggregate)
+    spark.range(1000, 2000)
+      .selectExpr("id AS k", "substr(md5(cast(id AS string)), 1, 12) AS tag")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    val live = SnapTable.liveFiles(root)
+    val (withBloom, withoutBloom) =
+      live.partition(_.bloomPath("tag").isDefined)
+    assert(withBloom.nonEmpty && withoutBloom.nonEmpty)
+    // a MISS opens only the pre-bloom files (commit B is pruned by
+    // its aggregate; commit A has no sidecars and cannot prune). The
+    // probe value sits INSIDE the hex string box so only the bloom
+    // tier can prune it.
+    val c0 = graft.sources.SnapSource.filesOpened.get()
+    assert(spark.sql(s"SELECT k FROM graftsnap.`$root` " +
+      "WHERE tag = 'abcdefabcdef'").count() == 0L)
+    assert(graft.sources.SnapSource.filesOpened.get() - c0 ==
+      withoutBloom.size.toLong)
+    // dv=true now lowers a range DELETE to a deletion vector
+    spark.sql(s"DELETE FROM graftsnap.`$root` WHERE k = 1500")
+    assert(SnapTable.liveFiles(root).exists(_.dv.isDefined))
+    // UNSET works and is versioned too
+    spark.sql(s"ALTER TABLE graftsnap.`$root` UNSET TBLPROPERTIES ('dv')")
+    assert(SnapTable.tableProperty(root, "dv").isEmpty)
+    // layout keys refuse (they evolve through optimize, not DDL)
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root` " +
+        "SET TBLPROPERTIES ('bucketSpec'='8:k')"))
+    assert(e.getMessage.contains("optimize"))
+    // the laid-out primary stat column cannot be demoted
+    val root2 = freshRoot() + "/t2"
+    spark.sql(s"CREATE TABLE graftsnap.`$root2` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE graftsnap.`$root2` " +
+        "SET TBLPROPERTIES ('statCols'='v,k')"))
+    assert(e2.getMessage.contains("primary"))
+  }
+
+  test("small-file optimize on a bucketed table is one routed pass") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(8, k)) TBLPROPERTIES ('statCols'='k')")
+    // a stream-shaped tail: four tiny commits leave small files in
+    // EVERY bucket
+    (0 until 4).foreach { m =>
+      spark.range(0, 2000).filter(col("id") % 4 === m)
+        .selectExpr("id AS k", "id * 3 AS v")
+        .write.format("graft.sources.SnapSourceProvider")
+        .mode("append").save(root)
+    }
+    val before = SnapTable.liveFiles(root).size
+    assert(before >= 24, s"expected many small bucket files, got $before")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+        "small_files_below => 1048576)").collect()
+      Thread.sleep(300)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 6 && jobs.get() < before,
+      s"small-file merge must be one pass, saw ${jobs.get()} jobs " +
+        s"for $before files")
+    val after = SnapTable.liveFiles(root)
+    assert(after.size == 8, s"expected 8 per-bucket files, got ${after.size}")
+    after.foreach { f =>
+      val (mn, mx) = f.range("k#b8").get
+      assert(mn == mx)
+      assert(mn == graft.sources.SnapBucket.ofLong(f.range("k").get._1, 8))
+    }
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap.`$root`")
+      .as[(Long, Long)].head() == ((2000L, 3L * (0L until 2000L).sum)))
+  }
+
+  test("evolution can re-key a bucketed table onto another column") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap.`$root` (k BIGINT, u BIGINT) " +
+      "PARTITIONED BY (bucket(8, k))")
+    spark.range(0, 2000).selectExpr("id AS k", "id * 11 % 997 AS u")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    spark.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+      "bucket_by => 'u', bucket_count => 4)").collect()
+    assert(SnapTable.tableProperty(root, "bucketSpec") == Some("4:u"))
+    val live = SnapTable.liveFiles(root)
+    assert(live.size <= 4 && live.forall(_.range("u#b4").exists {
+      case (mn, mx) => mn == mx }))
+    assert(spark.sql(s"SELECT count(*), sum(u) FROM graftsnap.`$root`")
+      .as[(Long, Long)].head() ==
+      ((2000L, (0L until 2000L).map(i => i * 11 % 997).sum)))
+  }
+
   test("rename repoints the renamed table's own appended commits") {
     val wh = freshRoot()
     spark.conf.set("spark.sql.catalog.graftwh17",
