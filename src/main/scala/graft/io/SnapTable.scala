@@ -872,14 +872,15 @@ object SnapTable {
 
   private[graft] def resolveProps(root: String,
       asOf: Option[Int] = None): Map[String, String] = {
-    if (asOf.isEmpty) {
-      val cur = listVersions(root).lastOption.getOrElse(0)
-      val hit = propsMemo.get(root)
-      if (hit != null && hit._1 == cur) return hit._2
-      val m = resolvePropsUncached(root, None)
-      propsMemo.put(root, (cur, m))
-      m
-    } else resolvePropsUncached(root, asOf)
+    // deterministic per (root, version): a checkpoint appearing later
+    // only accelerates the same fold, never changes its result
+    val v = asOf.getOrElse(listVersions(root).lastOption.getOrElse(0))
+    val key = s"$root@$v"
+    val hit = propsMemo.get(key)
+    if (hit != null && hit._1 == v) return hit._2
+    val m = resolvePropsUncached(root, Some(v).filter(_ > 0))
+    propsMemo.put(key, (v, m))
+    m
   }
 
   private def resolvePropsUncached(root: String,
