@@ -336,6 +336,32 @@ class SnapRound16Spec extends AnyFunSuite {
     assert(!other.queryExecution.executedPlan.toString
       .contains("agg=manifest"))
     assert(other.collect().map(_.getLong(1)).sum == 4000L)
+    // MIXED grouping folds too: the bucket transform plus a column
+    // provably single-valued per file (a per-commit batch id) —
+    // groups are per-(bucket, commit) unions of whole files
+    val root2 = freshRoot() + "/t2"
+    spark.sql(s"CREATE TABLE graftsnap.`$root2` " +
+      "(k BIGINT, batch BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('statCols'='k,batch,v')")
+    Seq(1L, 2L).foreach { bid =>
+      spark.range(0, 800).selectExpr("id AS k", s"$bid AS batch",
+        "id * 2 AS v")
+        .write.format("graft.sources.SnapSourceProvider")
+        .mode("append").save(root2)
+    }
+    val c2 = graft.sources.SnapSource.filesOpened.get()
+    val mixed = spark.sql(
+      s"""SELECT graftsnap.bucket(4, k) AS b, batch, count(*) AS n,
+         |  sum(v) AS sv
+         |FROM graftsnap.`$root2`
+         |GROUP BY graftsnap.bucket(4, k), batch""".stripMargin)
+    val mrows = mixed.collect()
+    assert(graft.sources.SnapSource.filesOpened.get() - c2 == 0L,
+      "mixed bucket+batch grouping must be manifest-answered")
+    assert(mrows.length == 8) // 4 buckets x 2 batches
+    assert(mrows.map(_.getLong(2)).sum == 1600L &&
+      mrows.map(_.getLong(3)).sum == 2L * 2 * (0L until 800L).sum)
   }
 
   test("SET TBLPROPERTIES enables blooms/DVs on an established table; layout keys refuse") {
