@@ -826,10 +826,12 @@ object SnapTable {
     */
   private[graft] def createEmpty(root: String,
       schema: org.apache.spark.sql.types.StructType,
-      props: Map[String, String] = Map.empty): Unit =
+      props: Map[String, String] = Map.empty): Unit = {
+    invalidateProps(root) // a recreate must never see the old table's map
     writeManifestFile(root, 1, "append", Nil, None,
       Some(normalizeSchema(schema)),
       props.toSeq.sortBy(_._1).map { case (k, v) => s"prop.$k=$v" })
+  }
 
   /** The FIRST manifest's full property map — creation-time
     * properties, living inside the atomically claimed v1 file: a
@@ -855,20 +857,48 @@ object SnapTable {
     * write can leave file tags and the declared layout disagreeing —
     * and history reads its own epoch's layout.
     */
-  /** resolveProps memo: (root → (newest version seen, resolved map)).
-    * Properties are pure log state, so the map is immutable per
-    * version — a cached entry is valid exactly while the newest
-    * committed version is unchanged (one directory listing to check,
-    * zero manifest reads). LRU-capped: gates and tests create many
-    * short-lived roots.
+  /** resolveProps memo: (root@version → (version, v1 fingerprint,
+    * resolved map)). Properties are pure log state, so the map is
+    * immutable per version — BUT a version number alone does not
+    * identify a table: DROP + CREATE at the same root reaches the
+    * same version numbers again (the standard test/notebook
+    * sequence), and a memo keyed by version only would serve the
+    * PREVIOUS table's map for the JVM's lifetime. Every entry
+    * therefore also records the v1 manifest's (mtime, size)
+    * fingerprint — two stat calls to validate, zero manifest reads —
+    * and a hit with a stale fingerprint re-resolves. Same-JVM DROP/
+    * RENAME/CREATE additionally [[invalidateProps]] eagerly.
+    * LRU-capped: gates and tests create many short-lived roots.
     */
   private val propsMemo = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (Int, Map[String, String])](
+    new java.util.LinkedHashMap[String, (Int, Long, Map[String, String])](
         64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Int, Map[String, String])])
+          e: java.util.Map.Entry[String, (Int, Long, Map[String, String])])
           : Boolean = size() > 256
     })
+
+  /** Identity of the table CURRENTLY living at `root`: the v1
+    * manifest's mtime and size folded together. A recreated table
+    * writes a fresh v1 file (new mtime; CREATE-time properties also
+    * shift the size), so a memo entry stamped under the old table
+    * can never satisfy the new one.
+    */
+  private def tableFingerprint(root: String): Long = {
+    val p = manifestPath(root, listVersions(root).headOption.getOrElse(1))
+    try SnapIo.mtime(p) * 1000003L + SnapIo.size(p)
+    catch { case _: Exception => -1L }
+  }
+
+  /** Drop every memoized property entry of `root` — called by the
+    * catalog's DROP/RENAME (both roots) and by [[createEmpty]], so a
+    * same-JVM recreate never even consults a stale entry.
+    */
+  private[graft] def invalidateProps(root: String): Unit =
+    propsMemo.synchronized {
+      val prefix = s"$root@"
+      propsMemo.keySet().removeIf(k => k.startsWith(prefix))
+    }
 
   private[graft] def resolveProps(root: String,
       asOf: Option[Int] = None): Map[String, String] = {
@@ -876,10 +906,11 @@ object SnapTable {
     // only accelerates the same fold, never changes its result
     val v = asOf.getOrElse(listVersions(root).lastOption.getOrElse(0))
     val key = s"$root@$v"
+    val fp = tableFingerprint(root)
     val hit = propsMemo.get(key)
-    if (hit != null && hit._1 == v) return hit._2
+    if (hit != null && hit._1 == v && hit._2 == fp) return hit._3
     val m = resolvePropsUncached(root, Some(v).filter(_ > 0))
-    propsMemo.put(key, (v, m))
+    propsMemo.put(key, (v, fp, m))
     m
   }
 
@@ -974,7 +1005,7 @@ object SnapTable {
     * its own per-version schema.
     */
   private[graft] def publishSchemaBy(root: String,
-      newProps: Option[Map[String, String]] = None)(
+      newProps: Option[Map[String, String] => Map[String, String]] = None)(
       evolve: org.apache.spark.sql.types.StructType =>
         org.apache.spark.sql.types.StructType): Int = {
     while (true) {
@@ -987,9 +1018,15 @@ object SnapTable {
         writeManifestFile(root, v, "append", Nil, None,
           Some(normalizeSchema(evolve(cur))),
           // a property refresh that accompanies the DDL (a renamed
-          // stat column) rides in the SAME claimed manifest
-          newProps.toSeq.flatMap(_.toSeq.sortBy(_._1)
-            .map { case (k, p) => s"prop.$k=$p" }))
+          // stat column, SET/UNSET TBLPROPERTIES) rides in the SAME
+          // claimed manifest. The update is a TRANSFORM applied to
+          // the map resolved at THIS attempt's base — a lost claim
+          // re-reads the concurrent winner's state and re-applies,
+          // so a racing SET TBLPROPERTIES or layout evolution is
+          // never silently overwritten by a stale full-map retry.
+          newProps.toSeq.flatMap(f =>
+            f(resolveProps(root, None)).toSeq.sortBy(_._1)
+              .map { case (k, p) => s"prop.$k=$p" }))
         maybeCheckpoint(root, v)
         return v
       } catch {
@@ -1034,6 +1071,15 @@ object SnapTable {
           throw new java.util.ConcurrentModificationException(
             s"concurrent append v${m.version} on $root intersects the " +
               s"key range rewritten by a merge based on v$base")
+        // an overwrite CARRYING a property map (a layout evolution)
+        // replaces the props state wholesale — if a concurrent commit
+        // also set properties, rebasing over it would silently undo
+        // that commit's map (lost update); refuse-and-rerun instead
+        if (m.props.nonEmpty && extraHeaders.exists(_.startsWith("prop.")))
+          throw new java.util.ConcurrentModificationException(
+            s"version ${m.version} set table properties on $root " +
+              s"concurrently with a property-carrying overwrite based " +
+              s"on v$base; rerun on the new snapshot")
         live = live ++ m.files
         // a rebased append rides in with its columns: union its
         // recorded table schema; a legacy append (no header) would

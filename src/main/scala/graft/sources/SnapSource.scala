@@ -3083,32 +3083,65 @@ class SnapCatalog
     * any sidecar refresh leaves a stale sidecar, and resolution must
     * keep answering the committed layout.
     */
-  private def tableProps(r: String): Map[String, String] = {
+  private def readSidecarProps(r: String): Map[String, String] = {
     val p = propsPath(r)
-    val fromFile =
-      if (!graft.io.SnapIo.isFile(p)) Map.empty[String, String]
-      else graft.io.SnapIo.readLines(p).flatMap { l =>
-        l.split("=", 2) match {
-          case Array(k, v) if k.nonEmpty => Some(k -> v)
-          case _ => None
-        }
-      }.toMap
-    // the log tier is AUTHORITATIVE and complete when present (every
-    // property-setting commit carries the full map — including key
-    // REMOVALS an evolution makes, which a merge with a stale sidecar
-    // would resurrect); the sidecar only serves legacy path-tables
-    // whose log never carried properties
-    val logTier = SnapTable.resolveProps(r)
-    if (logTier.nonEmpty) logTier else fromFile
+    if (!graft.io.SnapIo.isFile(p)) Map.empty[String, String]
+    else graft.io.SnapIo.readLines(p).flatMap { l =>
+      l.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
   }
+
+  /** Fold the sidecar props file into a log-resolved map. The log
+    * tier is AUTHORITATIVE once any commit AFTER creation has set
+    * properties (every property-setting commit carries the full map
+    * — including key REMOVALS an evolution makes, which a merge with
+    * a stale sidecar would resurrect, and a crash between a commit
+    * and the sidecar refresh leaves the sidecar stale). But a table
+    * evolved under PRE-log-props code wrote its re-bucketing
+    * bucketSpec / renamed statCols to the sidecar ONLY — for those,
+    * the log's state still equals its v1 creation map, and the
+    * sidecar is the newer truth. Detection is exactly that
+    * comparison: log state == creation state means no later commit
+    * ever changed properties (any post-creation property commit
+    * rewrites the sidecar too, so a reverting commit leaves the two
+    * agreeing and the merge a no-op) — let the sidecar override.
+    */
+  private def sidecarMerged(r: String,
+      logTier: Map[String, String]): Map[String, String] = {
+    val fromFile = readSidecarProps(r)
+    if (logTier.isEmpty) fromFile
+    else if (fromFile.nonEmpty &&
+        logTier == SnapTable.resolveProps(r, Some(1)))
+      logTier ++ fromFile // legacy sidecar-evolved table: sidecar wins
+    else logTier
+  }
+
+  private def tableProps(r: String): Map[String, String] =
+    sidecarMerged(r, SnapTable.resolveProps(r))
 
   private def table(ident: Identifier, asOf: Option[Int]): CTable = {
     val r = root(ident)
     if (!graft.io.SnapIo.isDir(graft.io.SnapIo.child(r, "_log")))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.asInstanceOf[Identifier])
+    // a VERSION/TIMESTAMP AS OF read declares ITS OWN EPOCH's
+    // properties (resolveProps accepts asOf) — after a partition-spec
+    // evolution, a history read keeps its pre-evolution layout for
+    // SPJ planning and SHOW TBLPROPERTIES instead of inheriting the
+    // post-evolution map. Legacy logs whose props never reached the
+    // log (empty at that version) fall back to the HEAD resolution —
+    // the sidecar cannot be placed on the version axis.
+    val props = asOf match {
+      case Some(v) =>
+        val epoch = SnapTable.resolveProps(r, Some(v))
+        if (epoch.nonEmpty) epoch else tableProps(r)
+      case None => tableProps(r)
+    }
     new SnapDsvTable(r, asOf, SnapSource.inferSchema(r, asOf),
-      CaseInsensitiveStringMap.empty(), tableProps(r))
+      CaseInsensitiveStringMap.empty(), props)
   }
 
   override def loadTable(ident: Identifier): CTable = table(ident, None)
@@ -3241,26 +3274,34 @@ class SnapCatalog
     // ride INSIDE the claimed manifest (prop. headers) so a crash
     // right after the claim cannot leave the table property-less;
     // the sidecar props file below is a read fast-path only.
-    try SnapTable.createEmpty(r, schema,
+    // arbitrary user TBLPROPERTIES persist too (CREATE/ALTER
+    // symmetry: SET TBLPROPERTIES accepts any key, so must CREATE);
+    // Spark's reserved catalog metadata and write options stay out,
+    // and the canonical computed layout keys override user spellings
+    val reserved = Set("provider", "location", "comment", "owner",
+      "external", "is_managed_location", "path")
+    val userProps = props.filter { case (k, v) =>
+      !reserved.contains(k) && !k.startsWith("option.") &&
+        !k.startsWith("spark.") && v != null &&
+        Seq('\n', '\r', '\t', '=').forall(c => !k.contains(c)) &&
+        Seq('\n', '\r', '\t').forall(c => !v.contains(c))
+    }
+    val createProps = userProps ++
       (statCols.map("statCols" -> _) ++ dvProp.map("dv" -> _) ++
         bloomProp.map("bloomCols" -> _) ++
         partitionCol.map("partitionCol" -> _) ++
         bucketSpec.map { case (c, n) =>
-          "bucketSpec" -> SnapBucket.formatSpec(c, n) }).toMap)
+          "bucketSpec" -> SnapBucket.formatSpec(c, n) }).toMap
+    try SnapTable.createEmpty(r, schema, createProps)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
     }
-    val propLines = statCols.map(sc => s"statCols=$sc") ++
-      dvProp.map(v => s"dv=$v") ++
-      bloomProp.map(v => s"bloomCols=$v") ++
-      partitionCol.map(pc => s"partitionCol=$pc") ++
-      bucketSpec.map { case (c, n) =>
-        s"bucketSpec=${SnapBucket.formatSpec(c, n)}" }
-    if (propLines.nonEmpty)
+    if (createProps.nonEmpty)
       graft.io.SnapIo.write(propsPath(r),
-        propLines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        createProps.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
     new SnapDsvTable(r, None, schema, CaseInsensitiveStringMap.empty(),
       tableProps(r))
   }
@@ -3339,16 +3380,19 @@ class SnapCatalog
         // manifest as the schema change (properties are versioned
         // log state — a sidecar-only refresh could be shadowed or
         // lost; the sidecar below is a cache only)
-        val props = tableProps(r)
-        val propsUpd: Option[Map[String, String]] =
-          props.get("statCols").flatMap { sc =>
-            val cols = sc.split(',').map(_.trim)
-            if (cols.exists(_.equalsIgnoreCase(from)))
-              Some(props + ("statCols" -> cols.map(c =>
-                if (c.equalsIgnoreCase(from)) rn.newName else c)
-                .mkString(",")))
-            else None
+        def renameStat(m: Map[String, String]): Map[String, String] =
+          m.get("statCols").fold(m) { sc =>
+            m + ("statCols" -> sc.split(',').map(_.trim).map(c =>
+              if (c.equalsIgnoreCase(from)) rn.newName else c)
+              .mkString(","))
           }
+        // recomputed per claim attempt against the actual base map —
+        // a racing SET TBLPROPERTIES keeps its keys on retry
+        val propsUpd: Option[Map[String, String] => Map[String, String]] =
+          if (tableProps(r).get("statCols").exists(
+              _.split(',').map(_.trim).exists(_.equalsIgnoreCase(from))))
+            Some(base => renameStat(sidecarMerged(r, base)))
+          else None
         SnapTable.publishSchemaBy(r, propsUpd) { cur =>
           val f = find(cur, from).getOrElse(
             throw new IllegalArgumentException(
@@ -3367,9 +3411,10 @@ class SnapCatalog
             else g
           })
         }
-        propsUpd.foreach { updated =>
+        propsUpd.foreach { _ =>
+          val committed = SnapTable.resolveProps(r)
           graft.io.SnapIo.write(propsPath(r),
-            updated.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+            committed.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
               .mkString("", "\n", "\n").getBytes("UTF-8"))
         }
       case del: DeleteColumn =>
@@ -3461,15 +3506,25 @@ class SnapCatalog
               "key on it)"))
       case _ => ()
     }
-    val updated = value.fold(cur - key)(v => cur + (key -> v))
-    require(updated.nonEmpty,
-      "cannot UNSET a table's last property (property-setting commits " +
-        "carry the full map; an empty map is indistinguishable from " +
-        "'never had properties')")
+    // the update is a TRANSFORM of whatever map is current at the
+    // actual claimed base (not the map read above): a concurrent SET
+    // TBLPROPERTIES that wins the claim race keeps its keys — the
+    // retry re-reads and re-applies instead of replaying a stale
+    // full map over it
+    val update: Map[String, String] => Map[String, String] = { base =>
+      val m = sidecarMerged(r, base)
+      val u = value.fold(m - key)(v => m + (key -> v))
+      require(u.nonEmpty,
+        "cannot UNSET a table's last property (property-setting commits " +
+          "carry the full map; an empty map is indistinguishable from " +
+          "'never had properties')")
+      u
+    }
     // the full updated map rides ONE claimed manifest, schema unchanged
-    SnapTable.publishSchemaBy(r, Some(updated))(s => s)
+    SnapTable.publishSchemaBy(r, Some(update))(s => s)
+    val committed = SnapTable.resolveProps(r)
     graft.io.SnapIo.write(propsPath(r),
-      updated.toSeq.sortBy(_._1).map { case (k, p) => s"$k=$p" }
+      committed.toSeq.sortBy(_._1).map { case (k, p) => s"$k=$p" }
         .mkString("", "\n", "\n").getBytes("UTF-8"))
   }
   /** DROP/RENAME are meaningful only for NAMED tables: the warehouse
@@ -3495,6 +3550,9 @@ class SnapCatalog
       throw new IllegalStateException(
         s"DROP TABLE failed to remove ${root(ident)} — the _log " +
           "directory survived a partial delete; the table is intact")
+    // a later CREATE at this root reaches the same version numbers —
+    // memoized property maps of the dropped table must not serve it
+    SnapTable.invalidateProps(root(ident))
     true
   }
   override def renameTable(oldIdent: Identifier,
@@ -3534,6 +3592,10 @@ class SnapCatalog
         if (moved != body)
           graft.io.SnapIo.write(p, moved.getBytes("UTF-8"))
       }
+    // both roots' memoized property maps are stale: the old root may
+    // be recreated; the new root may shadow an older dropped table
+    SnapTable.invalidateProps(oldRoot)
+    SnapTable.invalidateProps(newRoot)
   }
 
   // ---- SQL MAINTENANCE PROCEDURES (ProcedureCatalog): the two
