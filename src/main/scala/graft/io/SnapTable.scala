@@ -261,6 +261,29 @@ object SnapTable {
   private def checkpointPath(root: String, v: Int): String =
     SnapIo.child(logDir(root), f"c$v%05d.checkpoint")
 
+  /** CHECKPOINT-TIER bloom pack path (one per column, BY CONVENTION
+    * next to its checkpoint — no header/format change): the
+    * per-commit `_agg.<col>.bf` aggregates of every commit directory
+    * live at the checkpoint, concatenated into one sidecar. A cold
+    * point-lookup then pays ONE sequential pack read for all
+    * pre-checkpoint commits plus per-commit probes only for the tail
+    * above it — the same horizon contract the checkpoint already
+    * gives file-list and props resolution. Best-effort like the
+    * checkpoint itself: a missing/corrupt pack only means per-commit
+    * fallback probes.
+    */
+  private[graft] def bloomPackPath(root: String, v: Int,
+      col: String): String =
+    SnapIo.child(logDir(root), f"c$v%05d.bloom.$col.bfpack")
+
+  /** Newest checkpoint version at or below `asOf` (listing only) —
+    * the pack horizon the scan's bloom pruning keys on.
+    */
+  private[graft] def latestCheckpointVersion(root: String,
+      asOf: Option[Int]): Option[Int] =
+    listCheckpointVersions(root)
+      .filter(v => asOf.forall(v <= _)).lastOption
+
   /** Committed version numbers in order — one directory listing, zero
     * file reads. `\d{5,}` + full-digit-run parse: the writer pads to
     * five digits but f"%05d" simply grows past 99999, so versions
@@ -765,12 +788,58 @@ object SnapTable {
           strStats = strs, blooms = blooms)
       }
       .sortBy(_.path).toSeq
-    aggParts.foreach { case (c, parts) =>
-      SnapIo.write(SnapIo.child(bloomDir,
-        graft.sources.SnapBloomSkip.aggName(c)),
-        graft.sources.SnapBloomSkip.union(parts.toSeq))
-    }
+    writeAggSidecars(spark, dataDir, bloomDir, physC,
+      aggParts.toMap.map { case (c, p) => c -> p.toSeq })
     out
+  }
+
+  /** Write the commit's `_agg.<col>.bf` aggregate sidecars, SIZED BY
+    * THE COMMIT: a multi-file commit holds ~nFiles × a file's
+    * distinct values, and a union of per-file sketches (each sized
+    * for ONE file) saturates to admit-always exactly on the bulk
+    * loads where commit-tier pruning matters most. For ≥2 files the
+    * aggregate is rebuilt FROM RAW VALUES at `items × nFiles`
+    * capacity (capped) in one column-pruned pass over the freshly
+    * written files — reading only the bloom columns, a tiny fraction
+    * of the commit the stats job just scanned in full. Single-file
+    * commits keep the zero-cost union (the one per-file sketch IS
+    * the aggregate); any failure falls back to the union, which
+    * degrades toward admit-always, never toward wrong.
+    */
+  private[graft] def writeAggSidecars(spark: SparkSession,
+      dataDir: String, bloomDir: String, physC: String => String,
+      aggParts: Map[String, Seq[Array[Byte]]]): Unit = {
+    import graft.sources.SnapBloomSkip
+    if (bloomDir == null || aggParts.isEmpty) return
+    def unionFallback(): Unit =
+      aggParts.foreach { case (c, parts) =>
+        SnapIo.write(SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
+          SnapBloomSkip.union(parts))
+      }
+    val nFiles = aggParts.valuesIterator.map(_.size).max
+    if (nFiles <= 1) { unionFallback(); return }
+    try {
+      val cols = aggParts.keys.toSeq.sorted
+      val cap = SnapBloomSkip.aggItemsFor(nFiles)
+      val bits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(cap, SnapBloomSkip.aggFpp)
+      val row = spark.read.parquet(dataDir)
+        .select(cols.map(c => col(physC(c))): _*)
+        .agg(
+          graft.ops.BloomPrune.bloomAgg(col(physC(cols.head)), cap, bits)
+            .as(s"bf_${cols.head}"),
+          cols.tail.map(c => graft.ops.BloomPrune
+            .bloomAgg(col(physC(c)), cap, bits).as(s"bf_$c")): _*)
+        .collect()(0)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (row.isNullAt(i)) // all-null column: keep the union
+          SnapIo.write(SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
+            SnapBloomSkip.union(aggParts(c)))
+        else
+          SnapIo.write(SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
+            row.getAs[Array[Byte]](i))
+      }
+    } catch { case _: Exception => unionFallback() }
   }
 
   private def manifestBody(action: String, files: Seq[FileStat],
@@ -813,8 +882,46 @@ object SnapTable {
           props.toSeq.sortBy(_._1).map { case (k, p) => s"prop.$k=$p" } ++
           files.map(fileLine)).mkString("", "\n", "\n")
         SnapIo.createNew(checkpointPath(root, v), body.getBytes("UTF-8"))
+        writeBloomPacks(root, v, files)
       } catch { case _: Exception => () }
     }
+
+  /** Fold the live commits' aggregate bloom sidecars into per-column
+    * checkpoint packs (see [[bloomPackPath]]). INCREMENTAL: entries
+    * still live in the previous checkpoint's pack are carried forward
+    * without re-reading their commit sidecars, so a checkpoint costs
+    * O(commits since the last one) aggregate reads, not O(all
+    * commits). Keys are commit-dir UUIDs — rename-invariant, no
+    * binary rewrite on table moves. Per-column best-effort: failure
+    * just leaves planning on per-commit fallback probes.
+    */
+  private def writeBloomPacks(root: String, v: Int,
+      files: Seq[FileStat]): Unit = {
+    import graft.sources.SnapBloomSkip
+    val cols = files.flatMap(_.blooms.map(_._1)).distinct
+    if (cols.isEmpty) return
+    val prevCk = listCheckpointVersions(root).filter(_ < v).lastOption
+    cols.foreach { c =>
+      try {
+        val dirAggs = files.flatMap(_.bloomPath(c))
+          .map(p => SnapBloomSkip.aggPathOf(p, c)).distinct
+          .map(p => SnapBloomSkip.dirKeyOf(p) -> p)
+        val prev: Map[String, Array[Byte]] = prevCk.map { pv =>
+          try SnapBloomSkip.unpackBytes(
+            SnapIo.readBytes(bloomPackPath(root, pv, c)))
+          catch { case _: Exception => Map.empty[String, Array[Byte]] }
+        }.getOrElse(Map.empty)
+        val entries = dirAggs.flatMap { case (k, p) =>
+          prev.get(k).map(k -> _).orElse(
+            try Some(k -> SnapIo.readBytes(p))
+            catch { case _: Exception => None })
+        }
+        if (entries.nonEmpty)
+          SnapIo.write(bloomPackPath(root, v, c),
+            SnapBloomSkip.packBytes(entries))
+      } catch { case _: Exception => () }
+    }
+  }
 
   /** Claim VERSION 1 of a brand-new table — the atomic CREATE TABLE
     * primitive. Unlike [[publish]], which retries into the next free
@@ -1331,16 +1438,13 @@ object SnapTable {
         // once. Same-bucket DV'd files merge; tags stay exact.
         rewriteBucketed(spark, root, touched, statCols, tag)
       case None if partCol.isDefined =>
-        // IDENTITY layout: rewrite PER KEY GROUP — one global
-        // repartitionByRange pass could put several keys in one
-        // output file, silently breaking the one-file-per-key box
-        // proof (min == max) that KeyGroupedPartitioning and SPJ
-        // rest on. Job count is bounded by touched KEYS, not files
-        // (same-key sidecar'd files fold to one).
-        val pc = partCol.get
-        touched.groupBy(_.range(pc)).values.toSeq.flatMap { fs =>
-          writeFiles(readFiles(spark, fs), root, statCols, 1)
-        }
+        // IDENTITY layout: ONE routed pass — each key's rows to its
+        // own output partition via the manifest-derived slot map, so
+        // the one-file-per-key box proof (min == max) that
+        // KeyGroupedPartitioning and SPJ rest on survives while a
+        // wide MERGE's thousands of DV'd key files compact in a
+        // single Spark job (was one job per touched key).
+        rewriteIdentity(spark, root, touched, statCols, partCol.get)
       case None =>
         writeFiles(readFiles(spark, touched), root, statCols,
           math.max(1, touched.size))
@@ -1392,6 +1496,88 @@ object SnapTable {
     }
   }
 
+  /** Identity partitioner over pre-assigned slot ids — top-level so
+    * serialization never drags an outer instance along.
+    */
+  private final class ExactPartitioner(n: Int)
+      extends org.apache.spark.Partitioner {
+    override def numPartitions: Int = n
+    override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** ONE-PASS rewrite of `files` on an IDENTITY-partitioned table:
+    * every surviving row routes to its key's own output partition in
+    * a single Spark job, so a 4096-key table freshly DV'd by a wide
+    * MERGE compacts in ONE job instead of up to 4096 serial
+    * driver-dispatched per-key-group jobs. The one-file-per-key box
+    * proof (min == max) that KeyGroupedPartitioning and SPJ rest on
+    * is preserved BY CONSTRUCTION — key slots come straight from the
+    * manifest boxes (min == max per input file, so the slot map is
+    * total over every non-null row; an all-null sentinel box routes
+    * to the null slot) — and re-ASSERTED on the output stats. A
+    * hash partitioner cannot do this (distinct keys collide into
+    * shared partitions at any realistic partition count), hence the
+    * explicit slot map + identity partitioner on the row RDD — the
+    * one place imperative partition placement is genuinely needed.
+    * Files whose boxes don't prove single-key (foreign Scala-API
+    * commits) fall back to the per-key-group loop, never wrong.
+    */
+  private def rewriteIdentity(spark: SparkSession, root: String,
+      files: Seq[FileStat], statCols: Seq[String],
+      pc: String): Seq[FileStat] = {
+    def sentinel(b: (Long, Long)): Boolean =
+      b._1 == Long.MinValue && b._2 == Long.MaxValue
+    val boxes = files.map(_.range(pc))
+    val provablySingleKey = boxes.forall(_.exists(b =>
+      b._1 == b._2 || sentinel(b)))
+    if (!provablySingleKey || files.size <= 1)
+      return files.groupBy(_.range(pc)).values.toSeq.flatMap { fs =>
+        writeFiles(readFiles(spark, fs), root, statCols, 1)
+      }
+    // key slots from the manifest (no discovery job); the null slot
+    // is always present — a box never counts null rows, so a tagged
+    // file may legally hold them alongside its single key
+    val keySlots: Map[Option[Long], Int] =
+      (boxes.map {
+        case Some(b) if !sentinel(b) => Some(b._1)
+        case _ => None
+      } :+ None).distinct.zipWithIndex.toMap
+    val frame = readFiles(spark, files)
+    val cmap = colMap(root)
+    val pcPhys =
+      if (frame.columns.contains(pc)) pc else cmap.getOrElse(pc, pc)
+    val idx = frame.schema.fieldIndex(pcPhys)
+    val slots = spark.sparkContext.broadcast(keySlots)
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val keyed = frame.rdd.map { r =>
+      // the same typed-box long encoding statLong records, so a
+      // row's slot is exactly its file's box key
+      val k: Option[Long] =
+        if (r.isNullAt(idx)) None
+        else Some(r.get(idx) match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case d: java.sql.Date => d.toLocalDate.toEpochDay
+          case d: java.time.LocalDate => d.toEpochDay
+          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+          case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
+          case other => throw new IllegalStateException(
+            s"identity partition column $pc has non-box type " +
+              s"${other.getClass}")
+        })
+      (slots.value(k), r)
+    }
+    val routed = spark.createDataFrame(
+      keyed.partitionBy(new ExactPartitioner(keySlots.size)).values,
+      frame.schema)
+    val out = writeFiles(routed, root, statCols, filesPerCommit = -1)
+    out.foreach(f => require(f.range(pc).forall(b =>
+      b._1 == b._2 || sentinel(b)),
+      s"identity rewrite of $root produced a multi-key file — the " +
+        "one-file-per-key layout proof would be lost"))
+    out
+  }
+
   /** INCREMENTAL OPTIMIZE — merge only SMALL files: live files whose
     * physical size is below `belowBytes` are merged; everything else
     * rides into the new manifest untouched. This is the maintenance
@@ -1441,8 +1627,13 @@ object SnapTable {
       // them exactly, one output file per touched bucket
       case Some(tag) =>
         rewriteBucketed(spark, root, merged.flatten, statCols, tag)
-      // identity: per-key groups (preserves one-file-per-key); plain:
-      // one global group — both shapes bounded by touched keys
+      // identity: ONE routed pass preserving one-file-per-key (the
+      // streaming tail leaves small files under MANY keys — a
+      // per-key job loop is up to that many serial jobs); plain:
+      // one global merge group
+      case None if partCol.isDefined =>
+        rewriteIdentity(spark, root, merged.flatten, statCols,
+          partCol.get)
       case None => merged.flatMap { fs =>
         writeFiles(readFiles(spark, fs), root, statCols, 1)
       }

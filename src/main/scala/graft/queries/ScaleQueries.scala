@@ -3602,6 +3602,219 @@ object ScaleQueries {
         |  (SELECT CAST(sum(cents) AS BIGINT) FROM src
         |    WHERE k <> (SELECT k FROM del)) AS sum_cents""".stripMargin),
 
+    // COMMIT-SIZED AGGREGATE BLOOMS: a bulk-load commit of N files
+    // holds ~N× one file's distinct values, and an aggregate built
+    // by unioning per-file-sized sketches saturates to admit-always
+    // exactly where commit-tier pruning matters most. The aggregate
+    // is instead rebuilt from raw values at `items × N` capacity
+    // (one column-pruned pass over the freshly written files, fpp
+    // 0.001). Gated as data: lineitem at sf0.01 holds ~60k distinct
+    // tags — 3× the per-file sketch capacity — in ONE 24-file
+    // commit, and a point-lookup MISS must still be rejected by the
+    // commit aggregate with zero per-file probes and zero opens.
+    "q338_snap_bloom_sized_agg" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd54") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(k BIGINT, tag STRING, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+        val src = Tables(s, d, "lineitem").selectExpr(
+          "CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k",
+          "substr(md5(CAST(l_orderkey * 10 + l_linenumber AS STRING))" +
+            ", 1, 16) AS tag",
+          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents")
+        src.write.format("graft.sources.SnapSourceProvider")
+          .option("filesPerCommit", "24")
+          .mode("append").save(root)
+        val live = graft.io.SnapTable.liveFiles(root)
+        import graft.sources.SnapBloomSkip
+        val aggPath = live.head.bloomPath("tag")
+          .map(p => SnapBloomSkip.aggPathOf(p, "tag")).get
+        val probeKey = src.filter(col("k") >= 1000L)
+          .agg(min("k")).collect()(0).getLong(0)
+        val probeTag = src.filter(col("k") === probeKey)
+          .select("tag").collect()(0).getString(0)
+        // guaranteed-missing tags that still sit INSIDE the files'
+        // string boxes (17 chars extending a real mid-range tag), so
+        // only the bloom tier can prune them: a saturated union
+        // would admit all three, the commit-sized aggregate rejects
+        val missTags = Seq(probeTag + "0", probeTag + "1",
+          probeTag + "2")
+        val rejected = missTags.count(t =>
+          !SnapBloomSkip.aggAdmits(aggPath,
+            Array(SnapBloomSkip.hashOf(t).get)))
+        val hit = s.sql(s"SELECT k, cents FROM graftsnap.`$root` " +
+          s"WHERE tag = '$probeTag'").collect()
+        val p0 = SnapBloomSkip.fileProbes.get()
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val missing = s.sql(s"SELECT k FROM graftsnap.`$root` " +
+          s"WHERE tag = '${missTags.head}'").count()
+        val missProbes = SnapBloomSkip.fileProbes.get() - p0
+        val missOpens = graft.sources.SnapSource.filesOpened.get() - c0
+        s.range(1).select(
+          lit(hit.length.toLong).as("n_hit"),
+          lit(hit(0).getLong(0)).as("k_hit"),
+          lit(hit(0).getLong(1)).as("cents_hit"),
+          lit(if (rejected >= 2) 1L else 0L).as("agg_rejects_bulk"),
+          lit(missing + missProbes).as("miss_file_probes"),
+          lit(missOpens).as("miss_opens"))
+      },
+      """WITH src AS (
+        |  SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 1000)
+        |SELECT CAST(1 AS BIGINT) AS n_hit,
+        |  (SELECT k FROM pk) AS k_hit,
+        |  (SELECT cents FROM src WHERE k = (SELECT k FROM pk))
+        |    AS cents_hit,
+        |  CAST(1 AS BIGINT) AS agg_rejects_bulk,
+        |  CAST(0 AS BIGINT) AS miss_file_probes,
+        |  CAST(0 AS BIGINT) AS miss_opens""".stripMargin),
+
+    // CHECKPOINT-TIER BLOOM PACK: every commit's aggregate sketch is
+    // folded (concatenated, per-commit granularity preserved) into
+    // one `_log/c<v>.bloom.<col>.bfpack` sidecar at checkpoint time,
+    // carried forward INCREMENTALLY between checkpoints. A COLD
+    // point-lookup miss on a long-lived streaming table then costs
+    // ONE sequential pack read plus per-commit aggregate reads only
+    // for the post-checkpoint tail — O(tail), not O(all commits) —
+    // with zero per-file sidecar reads and zero data-file opens.
+    // Gated as data on a 24-commit table checkpointed at v20: the
+    // cold miss does exactly 1 pack load and at most 5 tail loads.
+    "q339_snap_bloom_ck_pack" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd55") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(k BIGINT, tag STRING, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k', 'bloomCols'='tag')")
+        val src = Tables(s, d, "orders").selectExpr(
+          "o_orderkey AS k",
+          "substr(md5(CAST(o_orderkey AS STRING)), 1, 12) AS tag",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+          .cache()
+        // 24 single-file commits → versions 2..25; the default
+        // checkpoint interval (20) lands a checkpoint (and the pack)
+        // at v20, leaving a 5-commit tail above it
+        (0 until 24).foreach { m =>
+          src.filter(col("k") % 24 === m)
+            .write.format("graft.sources.SnapSourceProvider")
+            .option("filesPerCommit", "1")
+            .mode("append").save(root)
+        }
+        import graft.sources.SnapBloomSkip
+        val ck = graft.io.SnapTable
+          .latestCheckpointVersion(root, None).getOrElse(-1)
+        val tail = graft.io.SnapTable.currentVersion(root) - ck
+        val probeKey = src.filter(col("k") >= 1000L)
+          .agg(min("k")).collect()(0).getLong(0)
+        val probeTag = src.filter(col("k") === probeKey)
+          .select("tag").collect()(0).getString(0)
+        src.unpersist()
+        // COLD measurement: drop every cached sketch first. The miss
+        // probe extends a real mid-range tag (13 chars — inside the
+        // string boxes, absent from the data) so only the bloom tier
+        // prunes it.
+        SnapBloomSkip.clearCache()
+        val a0 = SnapBloomSkip.aggLoads.get()
+        val f0 = SnapBloomSkip.fileLoads.get()
+        val k0 = SnapBloomSkip.packLoads.get()
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val missing = s.sql(s"SELECT k FROM graftsnap.`$root` " +
+          s"WHERE tag = '${probeTag}0'").count()
+        val aggTail = SnapBloomSkip.aggLoads.get() - a0
+        val fileReads = SnapBloomSkip.fileLoads.get() - f0
+        val packReads = SnapBloomSkip.packLoads.get() - k0
+        val missOpens = graft.sources.SnapSource.filesOpened.get() - c0
+        // hit path still answers exactly through the (now warm) pack
+        val hit = s.sql(s"SELECT k, cents FROM graftsnap.`$root` " +
+          s"WHERE tag = '$probeTag'").collect()
+        s.range(1).select(
+          lit(if (ck == 20) 1L else 0L).as("ck_at_20"),
+          lit(packReads).as("pack_loads"),
+          lit(if (aggTail <= tail) 1L else 0L).as("agg_tail_bounded"),
+          lit(missing + fileReads).as("miss_file_reads"),
+          lit(missOpens).as("miss_opens"),
+          lit(hit.length.toLong).as("n_hit"),
+          lit(hit(0).getLong(1)).as("cents_hit"))
+      },
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 1000)
+        |SELECT CAST(1 AS BIGINT) AS ck_at_20,
+        |  CAST(1 AS BIGINT) AS pack_loads,
+        |  CAST(1 AS BIGINT) AS agg_tail_bounded,
+        |  CAST(0 AS BIGINT) AS miss_file_reads,
+        |  CAST(0 AS BIGINT) AS miss_opens,
+        |  CAST(1 AS BIGINT) AS n_hit,
+        |  (SELECT cents FROM src WHERE k = (SELECT k FROM pk))
+        |    AS cents_hit""".stripMargin),
+
+    // BINARY bloom columns: content digests (image/document hashes)
+    // are the canonical NON-CLUSTERED point-lookup key of a
+    // training-data lake — high-cardinality, unordered, so min/max
+    // boxes prune nothing and only the bloom tier can. Hashing is
+    // Catalyst XxHash64 over the raw bytes on both write paths and
+    // the probe. Gated: a lookup BY DIGEST (hex literal) returns the
+    // exact row, and a missing digest is rejected by the commit
+    // aggregates with zero per-file probes and zero file opens.
+    "q340_snap_bloom_binary" -> Q(
+      (s, d) => {
+        val root = scratchDir("snapd56") + "/t"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$root` " +
+          "(k BIGINT, digest BINARY, cents BIGINT) " +
+          "TBLPROPERTIES ('statCols'='k', 'bloomCols'='digest')")
+        val src = Tables(s, d, "orders").selectExpr(
+          "o_orderkey AS k",
+          "unhex(md5(CAST(o_orderkey AS STRING))) AS digest",
+          "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents")
+        (0 until 6).foreach { m =>
+          src.filter(col("k") % 6 === m)
+            .write.format("graft.sources.SnapSourceProvider")
+            .option("filesPerCommit", "2")
+            .mode("append").save(root)
+        }
+        val probeKey = src.filter(col("k") >= 1000L)
+          .agg(min("k")).collect()(0).getLong(0)
+        val probeHex = s.sql(
+          s"SELECT md5(CAST($probeKey AS STRING))").collect()(0)
+          .getString(0)
+        import graft.sources.SnapBloomSkip
+        val hit = s.sql(s"SELECT k, cents FROM graftsnap.`$root` " +
+          s"WHERE digest = X'$probeHex'").collect()
+        val p0 = SnapBloomSkip.fileProbes.get()
+        val c0 = graft.sources.SnapSource.filesOpened.get()
+        val missing = s.sql(s"SELECT k FROM graftsnap.`$root` " +
+          "WHERE digest = X'00000000000000000000000000000000'").count()
+        val missProbes = SnapBloomSkip.fileProbes.get() - p0
+        val missOpens = graft.sources.SnapSource.filesOpened.get() - c0
+        s.range(1).select(
+          lit(hit.length.toLong).as("n_hit"),
+          lit(hit(0).getLong(0)).as("k_hit"),
+          lit(hit(0).getLong(1)).as("cents_hit"),
+          lit(missing + missProbes).as("miss_file_probes"),
+          lit(missOpens).as("miss_opens"))
+      },
+      """WITH src AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |pk AS (SELECT min(k) AS k FROM src WHERE k >= 1000)
+        |SELECT CAST(1 AS BIGINT) AS n_hit,
+        |  (SELECT k FROM pk) AS k_hit,
+        |  (SELECT cents FROM src WHERE k = (SELECT k FROM pk))
+        |    AS cents_hit,
+        |  CAST(0 AS BIGINT) AS miss_file_probes,
+        |  CAST(0 AS BIGINT) AS miss_opens""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

@@ -44,14 +44,67 @@ object SnapBloomSkip {
   def numBits: Long =
     org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)
 
-  /** Driver-side sidecar cache (immutable files, LRU-capped). */
-  private val MaxEntries = 128
-  private val cache = new java.util.LinkedHashMap[String,
-      org.apache.spark.util.sketch.BloomFilter](32, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[String,
-        org.apache.spark.util.sketch.BloomFilter]): Boolean =
-      size() > MaxEntries
-  }
+  /** Capacity ceiling for a COMMIT-AGGREGATE sketch built from raw
+    * values (`items × files in the commit`, capped): a 100-file bulk
+    * load holds ~100× a file's distinct values, and an aggregate
+    * sized for one file saturates to admit-always exactly where
+    * pruning matters most. The cap bounds the sidecar (~3.5 MB at
+    * the default 2M / fpp 0.001); commits beyond it degrade
+    * gracefully toward admit-always, never toward wrong.
+    */
+  def aggItemsCap: Long =
+    sys.props.get("graft.snap.bloomAggItems").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** Aggregates use a tighter fpp than per-file sketches: ONE
+    * aggregate false positive admits a whole commit's files (and a
+    * gate asserting a miss prunes everything must not flake), while
+    * the cost is only bits in a driver-side sidecar.
+    */
+  def aggFpp: Double = 0.001
+
+  /** Raw-value aggregate capacity for a commit of `nFiles` files. */
+  def aggItemsFor(nFiles: Int): Long =
+    math.min(items * math.max(nFiles, 1), aggItemsCap)
+
+  /** Driver-side sidecar cache — BYTE-budgeted, not entry-counted:
+    * per-file sidecars (~18 KB) and commit aggregates (up to a few
+    * MB) share it, and a hot table can have far more than a fixed
+    * entry count of admitted files. Eviction is LRU among PER-FILE
+    * entries first; `_agg` aggregates and checkpoint packs — the
+    * highest-reuse entries, probed on EVERY planning pass — are
+    * evicted only when the budget cannot be met otherwise.
+    */
+  private def cacheBudgetBytes: Long =
+    sys.props.get("graft.snap.bloomCacheBytes").map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
+  private final case class Entry(
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      bytes: Long, pinned: Boolean)
+  private val cache =
+    new java.util.LinkedHashMap[String, Entry](32, 0.75f, true)
+  private var cacheBytes = 0L
+
+  private def cachePut(path: String, e: Entry): Unit =
+    cache.synchronized {
+      val prev = cache.put(path, e)
+      cacheBytes += e.bytes - (if (prev == null) 0L else prev.bytes)
+      if (cacheBytes > cacheBudgetBytes) {
+        // pass 1: evict LRU unpinned; pass 2: LRU pinned if still over
+        Seq(false, true).foreach { allowPinned =>
+          val it = cache.entrySet().iterator()
+          while (cacheBytes > cacheBudgetBytes && it.hasNext) {
+            val en = it.next()
+            if ((allowPinned || !en.getValue.pinned) &&
+                en.getKey != path) {
+              cacheBytes -= en.getValue.bytes
+              it.remove()
+            }
+          }
+        }
+      }
+    }
 
   /** PROBE counters (probes, not loads — cache-independent, so gates
     * can assert on them as data): per-FILE sidecar probes vs
@@ -73,14 +126,14 @@ object SnapBloomSkip {
       : org.apache.spark.util.sketch.BloomFilter = {
     cache.synchronized {
       val hit = cache.get(path)
-      if (hit != null) return hit
+      if (hit != null) return hit.bf
     }
     val name = path.substring(path.lastIndexOf('/') + 1)
-    (if (name.startsWith("_agg.")) aggLoads else fileLoads)
-      .incrementAndGet()
-    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-      graft.io.SnapIo.readBytes(path))
-    cache.synchronized { cache.put(path, bf) }
+    val isAgg = name.startsWith("_agg.")
+    (if (isAgg) aggLoads else fileLoads).incrementAndGet()
+    val raw = graft.io.SnapIo.readBytes(path)
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(raw)
+    cachePut(path, Entry(bf, raw.length.toLong, pinned = isAgg))
     bf
   }
 
@@ -143,6 +196,112 @@ object SnapBloomSkip {
     out.toByteArray
   }
 
+  // ---- CHECKPOINT-TIER bloom pack: the per-commit aggregates of
+  // every live commit directory, CONCATENATED into one `_log/
+  // c<v>.bloom.<col>.bfpack` sidecar written with the checkpoint.
+  // Planning loads the pack ONCE (one sequential read) and probes
+  // each contained aggregate in memory — a cold point-lookup MISS on
+  // a 100k-commit streaming table costs 1 pack read + per-commit
+  // loads only for POST-checkpoint commits, instead of 100k serial
+  // driver sidecar loads. Concatenation (not a bitwise union) keeps
+  // per-commit rejection granularity AND sidesteps the size-mismatch
+  // a union would hit now that aggregates are sized per commit.
+  // Entries are keyed by the commit directory's UUID (its last path
+  // segment) — rename-invariant, so a repointed table's pack stays
+  // valid without rewriting binary sidecars.
+
+  /** Commit-dir key of a sidecar path `.../bloom/<uuid>/<name>`. */
+  def dirKeyOf(sidecarPath: String): String = {
+    val cut = sidecarPath.lastIndexOf('/')
+    val dir = sidecarPath.substring(0, cut)
+    dir.substring(dir.lastIndexOf('/') + 1)
+  }
+
+  private val PackMagic = 0x47425031 // "GBP1"
+
+  /** Serialize (dirKey → serialized aggregate) entries. */
+  def packBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(PackMagic)
+    out.writeInt(entries.length)
+    entries.foreach { case (k, b) =>
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb)
+      out.writeInt(b.length); out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Parse a pack into raw (dirKey → aggregate bytes) entries —
+    * used by the incremental checkpoint writer to carry forward
+    * still-live entries without re-reading their commit sidecars.
+    */
+  def unpackBytes(raw: Array[Byte]): Map[String, Array[Byte]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(raw))
+    require(in.readInt() == PackMagic, "not a bloom pack")
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      val vb = new Array[Byte](in.readInt()); in.readFully(vb)
+      new String(kb, "UTF-8") -> vb
+    }.toMap
+  }
+
+  /** Parsed-pack cache entries ride the same byte budget, pinned
+    * like aggregates (highest reuse: one probe per planning pass).
+    */
+  private val packCache = new java.util.LinkedHashMap[String,
+      (Map[String, org.apache.spark.util.sketch.BloomFilter], Long)]()
+  private var packHeld = 0L
+
+  /** Pack loads (cache misses) — the ONE sequential read a cold
+    * planning pass pays for all pre-checkpoint commits.
+    */
+  val packLoads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test/gate hook: drop every cached sketch and pack so an I/O
+    * measurement starts cold (the gates assert LOADS as data).
+    */
+  private[graft] def clearCache(): Unit = {
+    cache.synchronized { cache.clear(); cacheBytes = 0L }
+    packCache.synchronized { packCache.clear(); packHeld = 0L }
+  }
+
+  /** Load (and cache) a checkpoint pack: dirKey → aggregate sketch.
+    * An unreadable pack answers empty — planning falls back to
+    * per-commit probes, never wrong.
+    */
+  def loadPack(path: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    packCache.synchronized {
+      val hit = packCache.get(path)
+      if (hit != null) return hit._1
+    }
+    try {
+      packLoads.incrementAndGet()
+      val raw = graft.io.SnapIo.readBytes(path)
+      val parsed = unpackBytes(raw).map { case (k, b) =>
+        k -> org.apache.spark.util.sketch.BloomFilter.readFrom(b)
+      }
+      packCache.synchronized {
+        // byte-budgeted like the sketch cache: drop LRU packs once
+        // they exceed a quarter of the budget (packs can be large)
+        val budget = cacheBudgetBytes / 4
+        val it = packCache.entrySet().iterator()
+        while (packHeld + raw.length > budget && it.hasNext) {
+          packHeld -= it.next().getValue._2
+          it.remove()
+        }
+        packCache.put(path, (parsed, raw.length.toLong))
+        packHeld += raw.length
+      }
+      parsed
+    } catch { case _: Exception => Map.empty }
+  }
+
   /** xxhash64 of a pushed-filter literal in the encoding the write
     * side inserted: Catalyst hashes int/date as 4-byte ints,
     * long/timestamp as longs, strings as their UTF-8 bytes. `None`
@@ -165,6 +324,13 @@ object SnapBloomSkip {
     case i: java.time.Instant => Some(XXH64.hashLong(
       org.apache.spark.sql.catalyst.util.DateTimeUtils
         .instantToMicros(i), Seed))
+    // BINARY content digests are the canonical non-clustered
+    // point-lookup key of a training-data lake (image/document
+    // hashes) — Catalyst's XxHash64 hashes BinaryType over the raw
+    // bytes, and so do both write paths
+    case b: Array[Byte] => Some(XXH64.hashUnsafeBytes(b,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length,
+      Seed))
     case _ => None
   }
 }

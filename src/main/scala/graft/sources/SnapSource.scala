@@ -276,23 +276,63 @@ object SnapSource {
   private[graft] val aggRefusedByDv =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Union the tasks' per-column sketch blobs into the commit's
-    * `_agg.<col>.bf` aggregate sidecar (the two-tier bloom's commit
-    * tier — see [[SnapBloomSkip.aggAdmits]]). No-op for tables
-    * without bloom columns or commits that wrote no rows.
+  /** Write the commit's `_agg.<col>.bf` aggregate sidecars (the
+    * two-tier bloom's commit tier — see [[SnapBloomSkip.aggAdmits]]).
+    * No-op for tables without bloom columns or commits that wrote no
+    * rows. SIZED BY THE COMMIT: a multi-file commit's aggregate is
+    * rebuilt from raw values at `items × nFiles` capacity in one
+    * column-pruned pass over the freshly written files (a union of
+    * per-file-sized task sketches saturates to admit-always exactly
+    * on the bulk loads where commit-tier pruning matters most);
+    * single-file commits — and any failure — keep the zero-cost task
+    * union, which degrades toward admit-always, never toward wrong.
     */
   private[sources] def writeCommitAgg(bloomDir: String,
       messages: Seq[org.apache.spark.sql.connector.write
-        .WriterCommitMessage]): Unit = {
+        .WriterCommitMessage],
+      physMap: Map[String, String] = Map.empty): Unit = {
     if (bloomDir == null) return
     val byCol = messages
       .collect { case SnapWriteCommit(_, _, aggs) => aggs }
       .flatten.groupBy(_._1)
-    byCol.foreach { case (c, parts) =>
-      graft.io.SnapIo.write(
-        graft.io.SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
-        SnapBloomSkip.union(parts.map(_._2).toSeq))
-    }
+    if (byCol.isEmpty) return
+    def unionFallback(): Unit =
+      byCol.foreach { case (c, parts) =>
+        graft.io.SnapIo.write(
+          graft.io.SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
+          SnapBloomSkip.union(parts.map(_._2).toSeq))
+      }
+    val withBlooms = messages
+      .collect { case SnapWriteCommit(fs, _, _) => fs }
+      .flatten.filter(_.blooms.nonEmpty)
+    if (withBlooms.size <= 1) { unionFallback(); return }
+    try {
+      import org.apache.spark.sql.functions.col
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cols = byCol.keys.toSeq.sorted
+      val cap = SnapBloomSkip.aggItemsFor(withBlooms.size)
+      val bits = org.apache.spark.util.sketch.BloomFilter
+        .optimalNumOfBits(cap, SnapBloomSkip.aggFpp)
+      def phys(c: String): String = physMap.getOrElse(c, c)
+      val row = spark.read.parquet(withBlooms.map(_.path): _*)
+        .select(cols.map(c => col(phys(c))): _*)
+        .agg(
+          graft.ops.BloomPrune.bloomAgg(col(phys(cols.head)), cap, bits)
+            .as(s"bf_${cols.head}"),
+          cols.tail.map(c => graft.ops.BloomPrune
+            .bloomAgg(col(phys(c)), cap, bits).as(s"bf_$c")): _*)
+        .collect()(0)
+      cols.zipWithIndex.foreach { case (c, i) =>
+        if (row.isNullAt(i))
+          graft.io.SnapIo.write(
+            graft.io.SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
+            SnapBloomSkip.union(byCol(c).map(_._2).toSeq))
+        else
+          graft.io.SnapIo.write(
+            graft.io.SnapIo.child(bloomDir, SnapBloomSkip.aggName(c)),
+            row.getAs[Array[Byte]](i))
+      }
+    } catch { case _: Exception => unionFallback() }
   }
 
   private[sources] def sparkType(t: PType): DataType = {
@@ -675,6 +715,16 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
   private[sources] lazy val liveAtPlan: Seq[FileStat] =
     SnapTable.liveFiles(root, asOf)
 
+  /** Checkpoint-pack resolver for the bloom tier (bloomSurvivors
+    * tier 0), keyed on this snapshot's newest checkpoint — one
+    * listing, resolved once per scan; a missing pack only means
+    * per-commit fallback probes.
+    */
+  private[sources] lazy val bloomPackFor: String => Option[String] = {
+    val ck = SnapTable.latestCheckpointVersion(root, asOf)
+    c => ck.map(v => SnapTable.bloomPackPath(root, v, c))
+  }
+
   /** CHANGE-DATA-FEED mode: rows come from per-version file diffs
     * (including files an overwrite REMOVED), tagged insert/delete —
     * so nothing that reasons over the LIVE set may fire: exact filter
@@ -821,7 +871,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     val surviving = SnapScan.bloomSurvivors(liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
         strBounds.toMap, strInSets.toMap, needNull.toSet)),
-      bloomHashes.toMap)
+      bloomHashes.toMap, bloomPackFor)
     def noNulls(c: String): Boolean =
       surviving.forall(f => f.nullCount(c).contains(0L) ||
         f.strBox(c).exists(b => !b.allNull && b.nulls == 0L))
@@ -935,7 +985,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     lazy val surviving = SnapScan.bloomSurvivors(liveAtPlan.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
         strBounds.toMap, strInSets.toMap, needNull.toSet)),
-      bloomHashes.toMap)
+      bloomHashes.toMap, bloomPackFor)
     def statName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -1090,7 +1140,7 @@ class SnapScanBuilder(root: String, asOf: Option[Int], full: StructType,
     val hit = SnapScan.bloomSurvivors(live.filter(f =>
       SnapScan.survives(f, bounds.toMap, inSets.toMap,
         strBounds.toMap, strInSets.toMap, needNull.toSet)),
-      bloomHashes.toMap)
+      bloomHashes.toMap, bloomPackFor)
     aggs match {
       case Some(fns) => new SnapAggScan(root, hit, fns, full, aggGroupBy)
       case None => new SnapScan(root, hit, required,
@@ -1309,15 +1359,29 @@ object SnapScan {
     * O(commits) aggregates, not 1M sidecars.
     */
   private[sources] def bloomSurvivors(files: Seq[FileStat],
-      probes: Map[String, Array[Long]]): Seq[FileStat] = {
+      probes: Map[String, Array[Long]],
+      packPathFor: String => Option[String] = _ => None): Seq[FileStat] = {
     if (probes.isEmpty || files.isEmpty) return files
     if (probes.exists(_._2.isEmpty)) return Nil
-    // tier 1: distinct commit dirs per column, one aggregate probe
-    // each (LRU-cached like the per-file sidecars)
+    // tier 0: the CHECKPOINT PACK — every pre-checkpoint commit's
+    // aggregate in one sidecar, loaded with ONE sequential read and
+    // probed in memory. tier 1: per-commit aggregate sidecars, only
+    // for commits the pack does not cover (the post-checkpoint tail
+    // and legacy commits). A cold miss on a 100k-commit table is
+    // 1 pack read + O(tail) aggregate reads, not 100k driver loads.
     val rejected: Map[String, Set[String]] = probes.map { case (c, hs) =>
       val aggs = files.flatMap(_.bloomPath(c))
         .map(p => SnapBloomSkip.aggPathOf(p, c)).distinct
-      c -> aggs.filterNot(a => SnapBloomSkip.aggAdmits(a, hs)).toSet
+      val pack = packPathFor(c).map(SnapBloomSkip.loadPack)
+        .getOrElse(Map.empty)
+      c -> aggs.filterNot { a =>
+        pack.get(SnapBloomSkip.dirKeyOf(a)) match {
+          case Some(bf) =>
+            SnapBloomSkip.aggProbes.incrementAndGet()
+            hs.exists(bf.mightContainLong)
+          case None => SnapBloomSkip.aggAdmits(a, hs)
+        }
+      }.toSet
     }
     files.filter { f =>
       probes.forall { case (c, hs) =>
@@ -1593,10 +1657,17 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     * Pure function of scan state — called by both partition planning
     * and the driver metrics report.
     */
+  // checkpoint-pack resolver for join-driven (runtime) bloom pruning
+  // — same tier-0 shortcut the static planner uses
+  private lazy val runtimePackFor: String => Option[String] = {
+    val ck = SnapTable.latestCheckpointVersion(root, asOf)
+    c => ck.map(v => SnapTable.bloomPackPath(root, v, c))
+  }
+
   private def keptFiles: Seq[FileStat] = {
     val pruned = SnapScan.bloomSurvivors(
       files.filter(f => SnapScan.survives(f, rBounds.toMap, rInSets.toMap)),
-      rBloom.toMap)
+      rBloom.toMap, runtimePackFor)
     // pushed LIMIT: keep the file prefix whose manifest LIVE counts
     // cover n (each kept file reads whole; Spark re-applies the limit)
     limit match {
@@ -2291,9 +2362,9 @@ class SnapWriteBuilder(root: String, schema: StructType,
     bCols.foreach { c =>
       val dt = schema.fields.find(_.name == c).get.dataType
       require(Seq(LongType, IntegerType, DateType, TimestampType,
-        StringType).contains(dt),
+        StringType, BinaryType).contains(dt),
         s"bloomCols column $c must be bigint/int/date/timestamp/" +
-          s"string, is $dt")
+          s"string/binary, is $dt")
     }
     new SnapWrite(root, schema, statCols, overwrite,
       options.getInt("filesPerCommit", 0), SnapTable.colMap(root),
@@ -2371,7 +2442,7 @@ class SnapBatchWrite(root: String, schema: StructType,
     // union the tasks' sketch blobs into the commit's aggregate
     // sidecar BEFORE publish (a reader of the new manifest must find
     // it; a missing aggregate only costs pruning, never correctness)
-    SnapSource.writeCommitAgg(bloomDir, messages.toSeq)
+    SnapSource.writeCommitAgg(bloomDir, messages.toSeq, physMap)
     SnapTable.publish(root,
       if (overwrite) "overwrite" else "append", files,
       frameSchema = Some(schema))
@@ -2540,6 +2611,12 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
             case IntegerType | DateType =>
               org.apache.spark.sql.catalyst.expressions.XXH64
                 .hashInt(row.getInt(idx), SnapBloomSkip.Seed)
+            case BinaryType =>
+              val b = row.getBinary(idx)
+              org.apache.spark.sql.catalyst.expressions.XXH64
+                .hashUnsafeBytes(b,
+                  org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+                  b.length, SnapBloomSkip.Seed)
             case _ =>
               org.apache.spark.sql.catalyst.expressions.XXH64
                 .hashUTF8String(row.getUTF8String(idx),
@@ -2928,7 +3005,8 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
     val rewritten = messages.toSeq
       .collect { case SnapWriteCommit(fs, _, _) => fs }
       .flatten.sortBy(_.path)
-    SnapSource.writeCommitAgg(bloomDir, messages.toSeq)
+    SnapSource.writeCommitAgg(bloomDir, messages.toSeq,
+      SnapTable.colMap(root))
     val replaced = op.scannedFiles.map(_.path).toSet
     val untouched = SnapTable.liveFiles(root, Some(op.baseVersion))
       .filterNot(f => replaced.contains(f.path))
@@ -3263,9 +3341,9 @@ class SnapCatalog
           .getOrElse(throw new IllegalArgumentException(
             s"bloomCols column $c is not in the table schema"))
         require(Seq(LongType, IntegerType, DateType, TimestampType,
-          StringType).contains(f.dataType),
+          StringType, BinaryType).contains(f.dataType),
           s"bloomCols column $c must be bigint/int/date/timestamp/" +
-            s"string, is ${f.dataType}")
+            s"string/binary, is ${f.dataType}")
       })
     // version 1 FIRST, claimed atomically (single attempt, no
     // retry-into-next-slot): of two concurrent CREATEs exactly one
@@ -3484,7 +3562,8 @@ class SnapCatalog
       }
     key match {
       case "bloomCols" => value.foreach(typedCols(_,
-        Seq(LongType, IntegerType, DateType, TimestampType, StringType),
+        Seq(LongType, IntegerType, DateType, TimestampType, StringType,
+          BinaryType),
         "bloomCols"))
       case "dv" => value.foreach(v => require(
         v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false"),

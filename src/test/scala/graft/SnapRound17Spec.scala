@@ -108,6 +108,188 @@ class SnapRound17Spec extends AnyFunSuite {
       "a stale sidecar shadowed committed log properties")
   }
 
+  test("byte-budgeted bloom cache pins aggregates under per-file churn") {
+    import graft.sources.SnapBloomSkip
+    import org.apache.spark.util.sketch.BloomFilter
+    val dir = freshRoot() + "/bloom/commit1"
+    SnapIo.mkdirs(dir)
+    def sketchBytes(vs: Range): Array[Byte] = {
+      val bf = BloomFilter.create(1000, 0.01)
+      vs.foreach(v => bf.putLong(SnapBloomSkip.hashOf(
+        java.lang.Long.valueOf(v.toLong)).get))
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    val aggPath = SnapIo.child(dir, SnapBloomSkip.aggName("c"))
+    SnapIo.write(aggPath, sketchBytes(0 until 1000))
+    val filePaths = (0 until 40).map { i =>
+      val p = SnapIo.child(dir, s"f$i.c.bf")
+      SnapIo.write(p, sketchBytes(i * 25 until (i + 1) * 25))
+      p
+    }
+    // budget far below 40 sidecars: per-file entries must churn,
+    // the aggregate must stay pinned
+    val fileSize = SnapIo.size(filePaths.head)
+    sys.props("graft.snap.bloomCacheBytes") = (fileSize * 8).toString
+    try {
+      SnapBloomSkip.clearCache()
+      val h = SnapBloomSkip.hashOf(java.lang.Long.valueOf(7L)).get
+      assert(SnapBloomSkip.aggAdmits(aggPath, Array(h)))
+      val a0 = SnapBloomSkip.aggLoads.get()
+      (0 until 3).foreach { _ =>
+        filePaths.foreach(p => SnapBloomSkip.mightContain(p, h))
+        // the aggregate answers from cache after any amount of
+        // per-file churn — zero reloads
+        assert(SnapBloomSkip.aggAdmits(aggPath, Array(h)))
+      }
+      assert(SnapBloomSkip.aggLoads.get() == a0,
+        "aggregate sidecar was evicted by per-file churn and reloaded")
+    } finally {
+      sys.props.remove("graft.snap.bloomCacheBytes")
+      SnapBloomSkip.clearCache()
+    }
+  }
+
+  test("bloom pack round-trips and probes like the per-commit aggregates") {
+    import graft.sources.SnapBloomSkip
+    import org.apache.spark.util.sketch.BloomFilter
+    def sk(seed: Long): Array[Byte] = {
+      val bf = BloomFilter.create(100, 0.01)
+      bf.putLong(seed)
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    val entries = Seq("dirA" -> sk(11L), "dirB" -> sk(22L))
+    val packed = SnapBloomSkip.packBytes(entries)
+    val back = SnapBloomSkip.unpackBytes(packed)
+    assert(back.keySet == Set("dirA", "dirB"))
+    assert(back("dirA").sameElements(entries.head._2))
+    val p = freshRoot() + "/c00020.bloom.c.bfpack"
+    SnapIo.write(p, packed)
+    val pack = SnapBloomSkip.loadPack(p)
+    assert(pack("dirA").mightContainLong(11L))
+    assert(!pack("dirA").mightContainLong(22L))
+    assert(pack("dirB").mightContainLong(22L))
+    // unreadable pack answers empty (planning falls back, never wrong)
+    assert(SnapBloomSkip.loadPack(p + ".missing").isEmpty)
+  }
+
+  test("binary hashOf matches Catalyst xxhash64 over the raw bytes") {
+    import graft.sources.SnapBloomSkip
+    val bytes = Array[Byte](0x01, 0x7f, -0x80, 0x00, 0x42)
+    val hex = bytes.map(b => f"${b & 0xff}%02x").mkString
+    val expected = spark.sql(s"SELECT xxhash64(X'$hex')")
+      .head().getLong(0)
+    assert(SnapBloomSkip.hashOf(bytes).contains(expected))
+  }
+
+  test("Scala-path commits also size the aggregate by the commit's file count") {
+    import graft.sources.SnapBloomSkip
+    val root = freshRoot() + "/t"
+    // shrink per-file capacity so a multi-file commit of distinct
+    // values would SATURATE a union of per-file-sized sketches
+    sys.props("graft.snap.bloomItems") = "100"
+    try {
+      SnapTable.createEmpty(root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, tag STRING"),
+        Map("statCols" -> "k", "bloomCols" -> "tag"))
+      import spark.implicits._
+      val df = spark.range(1, 2001)
+        .select(col("id").as("k"),
+          md5(col("id").cast("string")).as("tag"))
+      SnapTable.commitCols(df, root, Seq("k"), filesPerCommit = 8)
+      val live = SnapTable.liveFiles(root)
+      assert(live.size == 8)
+      val aggPath = live.head.bloomPath("tag")
+        .map(p => SnapBloomSkip.aggPathOf(p, "tag")).get
+      // 2000 distinct values in a commit whose per-file sketches hold
+      // 100 each: the raw-value aggregate still rejects a miss
+      val missHashes = (1 to 3).map(i =>
+        SnapBloomSkip.hashOf(s"definitely-not-a-tag-$i").get)
+      assert(missHashes.count(h =>
+        !SnapBloomSkip.aggAdmits(aggPath, Array(h))) >= 2)
+      // and admits a real value (no false negatives)
+      val realTag = df.filter($"k" === 700L).select("tag")
+        .head().getString(0)
+      assert(SnapBloomSkip.aggAdmits(aggPath,
+        Array(SnapBloomSkip.hashOf(realTag).get)))
+    } finally {
+      sys.props.remove("graft.snap.bloomItems")
+    }
+  }
+
+  test("identity-layout maintenance is ONE routed job across many touched keys") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap17e",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap17e.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k) TBLPROPERTIES ('statCols'='k', 'dv'='true')")
+    spark.range(0, 4000).selectExpr("id % 40 AS k", "id AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    // a wide sparse delete leaves DVs on (almost) every key's file —
+    // the shape a broad MERGE leaves at scale
+    SnapTable.deleteDv(spark, root, "k", 0L, 39L,
+      extraPredicate = Some(col("v") % 7 === 0))
+    val dvd = SnapTable.liveFiles(root).count(_.dv.isDefined)
+    assert(dvd >= 30, s"expected DVs across keys, got $dvd")
+    def countJobs(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) } // let queued job-start events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    val dvJobs = countJobs {
+      spark.sql(s"CALL graftsnap17e.system.optimize(table => '$root', " +
+        "only_dv => true)").collect()
+      ()
+    }
+    assert(dvJobs <= 8 && dvJobs < dvd / 2,
+      s"identity compactDv must be one routed pass, saw $dvJobs jobs " +
+        s"for $dvd DV'd key files")
+    val after = SnapTable.liveFiles(root)
+    assert(after.forall(_.dv.isEmpty))
+    assert(after.size == 40, s"expected 40 per-key files, got ${after.size}")
+    after.foreach { f =>
+      val (mn, mx) = f.range("k").get
+      assert(mn == mx, s"file ${f.path} spans keys [$mn,$mx]")
+    }
+    // phase 2: a second commit doubles the per-key file count; the
+    // small-file merge folds them back in one routed pass too
+    spark.range(4000, 8000).selectExpr("id % 40 AS k", "id AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    assert(SnapTable.liveFiles(root).size == 80)
+    val mergeJobs = countJobs {
+      spark.sql(s"CALL graftsnap17e.system.optimize(table => '$root')")
+        .collect()
+      ()
+    }
+    assert(mergeJobs <= 8,
+      s"identity small-file merge must be one routed pass, saw $mergeJobs")
+    val merged = SnapTable.liveFiles(root)
+    assert(merged.size == 40, s"expected 40 files, got ${merged.size}")
+    merged.foreach { f =>
+      val (mn, mx) = f.range("k").get
+      assert(mn == mx, s"file ${f.path} spans keys [$mn,$mx]")
+    }
+    import spark.implicits._
+    val alive = (0L until 8000L).filterNot(v => v < 4000L && v % 7 == 0)
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap17e.`$root`")
+      .as[(Long, Long)].head() == ((alive.size.toLong, alive.sum)))
+  }
+
   test("VERSION AS OF reads declare their own epoch's properties") {
     val root = freshRoot() + "/t"
     spark.conf.set("spark.sql.catalog.graftsnap17c",
