@@ -1429,23 +1429,27 @@ object SnapTable {
     val bucketTag = touched.head.stats.map(_._1).find(_.contains('#'))
       .filter(t => touched.forall(_.range(t).isDefined))
     val partCol = tableProperty(root, "partitionCol")
-    val rewritten: Seq[FileStat] = bucketTag match {
-      case Some(tag) =>
+    val rewritten: Seq[FileStat] = (bucketTag, partCol) match {
+      case (Some(tag), Some(pc)) =>
+        // COMPOSITE identity(pc) + bucket(k) layout: one routed pass
+        // per (key, bucket) cell — both layout proofs survive
+        rewriteKeyed(spark, root, touched, statCols, pc, Some(tag))
+      case (Some(tag), None) =>
         // ONE PASS for N DV'd bucket files: after a wide MERGE leaves
         // DVs on thousands of bucket files, a per-file rewrite loop
         // is thousands of serial driver-dispatched jobs — instead
         // route ALL surviving rows through the bucket function at
         // once. Same-bucket DV'd files merge; tags stay exact.
         rewriteBucketed(spark, root, touched, statCols, tag)
-      case None if partCol.isDefined =>
+      case (None, Some(pc)) =>
         // IDENTITY layout: ONE routed pass — each key's rows to its
         // own output partition via the manifest-derived slot map, so
         // the one-file-per-key box proof (min == max) that
         // KeyGroupedPartitioning and SPJ rest on survives while a
         // wide MERGE's thousands of DV'd key files compact in a
         // single Spark job (was one job per touched key).
-        rewriteIdentity(spark, root, touched, statCols, partCol.get)
-      case None =>
+        rewriteKeyed(spark, root, touched, statCols, pc, None)
+      case (None, None) =>
         writeFiles(readFiles(spark, touched), root, statCols,
           math.max(1, touched.size))
     }
@@ -1505,77 +1509,132 @@ object SnapTable {
     override def getPartition(key: Any): Int = key.asInstanceOf[Int]
   }
 
-  /** ONE-PASS rewrite of `files` on an IDENTITY-partitioned table:
-    * every surviving row routes to its key's own output partition in
-    * a single Spark job, so a 4096-key table freshly DV'd by a wide
-    * MERGE compacts in ONE job instead of up to 4096 serial
-    * driver-dispatched per-key-group jobs. The one-file-per-key box
-    * proof (min == max) that KeyGroupedPartitioning and SPJ rest on
-    * is preserved BY CONSTRUCTION — key slots come straight from the
-    * manifest boxes (min == max per input file, so the slot map is
-    * total over every non-null row; an all-null sentinel box routes
-    * to the null slot) — and re-ASSERTED on the output stats. A
-    * hash partitioner cannot do this (distinct keys collide into
-    * shared partitions at any realistic partition count), hence the
-    * explicit slot map + identity partitioner on the row RDD — the
-    * one place imperative partition placement is genuinely needed.
-    * Files whose boxes don't prove single-key (foreign Scala-API
-    * commits) fall back to the per-key-group loop, never wrong.
+  /** ONE-PASS rewrite of `files` on a KEYED layout — identity(pc)
+    * alone, or the COMPOSITE identity(pc) + bucket(n, k) a 100 TB
+    * fact table runs (`bucketTag` = the manifest pseudo-column
+    * `k#bN`). Every surviving row routes to its layout cell's own
+    * output partition in a single Spark job, so a 4096-cell table
+    * freshly DV'd by a wide MERGE compacts in ONE job instead of up
+    * to 4096 serial driver-dispatched per-group jobs. The layout
+    * proofs — one file per key (box min == max) for the identity
+    * dimension, one bucket id per file for the bucket dimension —
+    * are preserved BY CONSTRUCTION: cell slots come straight from
+    * the manifest boxes (point boxes per input file make the slot
+    * map total over every row; all-null sentinel boxes route to the
+    * null slot), and the identity proof is re-ASSERTED on the
+    * output stats. A hash partitioner cannot do this (distinct
+    * cells collide into shared partitions at any realistic
+    * partition count), hence the explicit slot map + identity
+    * partitioner on the row RDD — the one place imperative
+    * partition placement is genuinely needed. Files whose boxes
+    * don't prove their cell (foreign Scala-API commits) fall back
+    * to the per-cell-group loop, never wrong.
     */
-  private def rewriteIdentity(spark: SparkSession, root: String,
+  private def rewriteKeyed(spark: SparkSession, root: String,
       files: Seq[FileStat], statCols: Seq[String],
-      pc: String): Seq[FileStat] = {
+      pc: String, bucketTag: Option[String]): Seq[FileStat] = {
     def sentinel(b: (Long, Long)): Boolean =
       b._1 == Long.MinValue && b._2 == Long.MaxValue
-    val boxes = files.map(_.range(pc))
-    val provablySingleKey = boxes.forall(_.exists(b =>
-      b._1 == b._2 || sentinel(b)))
-    if (!provablySingleKey || files.size <= 1)
-      return files.groupBy(_.range(pc)).values.toSeq.flatMap { fs =>
-        writeFiles(readFiles(spark, fs), root, statCols, 1)
-      }
-    // key slots from the manifest (no discovery job); the null slot
-    // is always present — a box never counts null rows, so a tagged
-    // file may legally hold them alongside its single key
-    val keySlots: Map[Option[Long], Int] =
-      (boxes.map {
+    val (kc, n) = bucketTag.map { t =>
+      val cut = t.indexOf('#')
+      (t.substring(0, cut), t.substring(cut + 2).toInt)
+    }.getOrElse(("", 0))
+    // the bucket's OWN output tag is re-derived from each output
+    // file's key box exactly like rewriteBucketed: every key in a
+    // single-cell file hashes to its bucket; an all-null box is the
+    // null bucket
+    def retag(nf: FileStat): FileStat = bucketTag match {
+      case None => nf
+      case Some(tag) =>
+        val wide = tableSchema(root, None)
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(kc)))
+          .forall(f =>
+            f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.TimestampType)
+        val b = nf.range(kc) match {
+          case Some((mn, mx)) if !sentinel((mn, mx)) =>
+            if (wide) graft.sources.SnapBucket.ofLong(mn, n)
+            else graft.sources.SnapBucket.ofInt(mn.toInt, n)
+          case _ => graft.sources.SnapBucket.ofNull(n)
+        }
+        nf.copy(stats = nf.stats :+ (tag -> (b.toLong, b.toLong)))
+    }
+    def cellOf(f: FileStat): (Option[Long], Option[Long]) =
+      (f.range(pc) match {
         case Some(b) if !sentinel(b) => Some(b._1)
         case _ => None
-      } :+ None).distinct.zipWithIndex.toMap
+      }, bucketTag.flatMap(t => f.range(t).map(_._1)))
+    val provable = files.forall { f =>
+      f.range(pc).exists(b => b._1 == b._2 || sentinel(b)) &&
+        bucketTag.forall(t => f.range(t).exists(b => b._1 == b._2))
+    } && bucketTag.forall(_ =>
+      files.forall(_.range(kc).isDefined)) // needed to re-derive tags
+    if (!provable || files.size <= 1)
+      // group by the FULL boxes (not collapsed cells): a widened
+      // multi-key file — a foreign write — stays its own group and
+      // never merges into (and widens) a proven key's file
+      return files
+        .groupBy(f => (f.range(pc), bucketTag.map(f.range(_))))
+        .values.toSeq.flatMap { fs =>
+          writeFiles(readFiles(spark, fs), root, statCols, 1).map(retag)
+        }
+    // cell slots from the manifest (no discovery job); every bucket
+    // of a present identity key gets the null-identity slot too —
+    // boxes never count null rows, so a tagged file may legally hold
+    // them alongside its single key
+    val keySlots: Map[(Option[Long], Option[Long]), Int] =
+      (files.map(cellOf) ++ files.map(cellOf).map {
+        case (_, b) => (None: Option[Long], b)
+      }).distinct.zipWithIndex.toMap
     val frame = readFiles(spark, files)
     val cmap = colMap(root)
-    val pcPhys =
-      if (frame.columns.contains(pc)) pc else cmap.getOrElse(pc, pc)
-    val idx = frame.schema.fieldIndex(pcPhys)
+    def physOf(c: String): String =
+      if (frame.columns.contains(c)) c else cmap.getOrElse(c, c)
+    val pcIdx = frame.schema.fieldIndex(physOf(pc))
+    val kcIdx = bucketTag.map(_ => frame.schema.fieldIndex(physOf(kc)))
+    val kcWide = kcIdx.forall { i =>
+      val dt = frame.schema(i).dataType
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.TimestampType
+    }
     val slots = spark.sparkContext.broadcast(keySlots)
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    val keyed = frame.rdd.map { r =>
+    def encode(v: Any, what: String): Long = v match {
       // the same typed-box long encoding statLong records, so a
       // row's slot is exactly its file's box key
-      val k: Option[Long] =
-        if (r.isNullAt(idx)) None
-        else Some(r.get(idx) match {
-          case l: java.lang.Long => l.longValue()
-          case i: java.lang.Integer => i.longValue()
-          case d: java.sql.Date => d.toLocalDate.toEpochDay
-          case d: java.time.LocalDate => d.toEpochDay
-          case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
-          case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
-          case other => throw new IllegalStateException(
-            s"identity partition column $pc has non-box type " +
-              s"${other.getClass}")
-        })
-      (slots.value(k), r)
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case t: java.sql.Timestamp => DateTimeUtils.fromJavaTimestamp(t)
+      case i: java.time.Instant => DateTimeUtils.instantToMicros(i)
+      case other => throw new IllegalStateException(
+        s"$what column has non-box type ${other.getClass}")
+    }
+    val nParts = keySlots.size
+    val keyed = frame.rdd.map { r =>
+      val d: Option[Long] =
+        if (r.isNullAt(pcIdx)) None
+        else Some(encode(r.get(pcIdx), "identity partition"))
+      val b: Option[Long] = kcIdx.map { i =>
+        if (r.isNullAt(i)) graft.sources.SnapBucket.ofNull(n).toLong
+        else {
+          val kv = encode(r.get(i), "bucket")
+          (if (kcWide) graft.sources.SnapBucket.ofLong(kv, n)
+          else graft.sources.SnapBucket.ofInt(kv.toInt, n)).toLong
+        }
+      }
+      (slots.value((d, b)), r)
     }
     val routed = spark.createDataFrame(
-      keyed.partitionBy(new ExactPartitioner(keySlots.size)).values,
+      keyed.partitionBy(new ExactPartitioner(nParts)).values,
       frame.schema)
     val out = writeFiles(routed, root, statCols, filesPerCommit = -1)
     out.foreach(f => require(f.range(pc).forall(b =>
       b._1 == b._2 || sentinel(b)),
-      s"identity rewrite of $root produced a multi-key file — the " +
+      s"keyed rewrite of $root produced a multi-key file — the " +
         "one-file-per-key layout proof would be lost"))
-    out
+    out.map(retag)
   }
 
   /** INCREMENTAL OPTIMIZE — merge only SMALL files: live files whose
@@ -1611,30 +1670,34 @@ object SnapTable {
     val small = live.filter(f => size(f.path) < belowBytes)
     val bucketTag = live.head.stats.map(_._1).find(_.contains('#'))
     val partCol = tableProperty(root, "partitionCol")
-    // group key preserving the table's layout; None = one global group
+    // group key preserving the table's layout — BOTH dimensions for
+    // a composite identity + bucket table; (None, None) = one global
+    // group for plain tables
     def groupOf(f: FileStat): Any =
-      bucketTag.map(t => f.range(t))
-        .orElse(partCol.map(c => f.range(c)))
-        .getOrElse(0)
+      (bucketTag.map(t => f.range(t)), partCol.map(c => f.range(c)))
     val merged = small.groupBy(groupOf).values.toSeq
       .filter(fs => fs.size >= 2 || fs.exists(_.dv.isDefined))
     if (merged.isEmpty) return (baseV, 0, live.size)
-    val rewritten = bucketTag match {
+    val rewritten = (bucketTag, partCol) match {
+      // composite identity + bucket: one routed pass per (key,
+      // bucket) cell, both layout proofs preserved
+      case (Some(tag), Some(pc)) =>
+        rewriteKeyed(spark, root, merged.flatten, statCols, pc,
+          Some(tag))
       // bucketed: ONE routed pass for every selected group (the
       // streaming tail leaves small files in EVERY bucket — a
       // per-bucket rewrite loop is up to 4096 serial jobs); groups
       // are per-bucket by construction, so the router reproduces
       // them exactly, one output file per touched bucket
-      case Some(tag) =>
+      case (Some(tag), None) =>
         rewriteBucketed(spark, root, merged.flatten, statCols, tag)
       // identity: ONE routed pass preserving one-file-per-key (the
       // streaming tail leaves small files under MANY keys — a
       // per-key job loop is up to that many serial jobs); plain:
       // one global merge group
-      case None if partCol.isDefined =>
-        rewriteIdentity(spark, root, merged.flatten, statCols,
-          partCol.get)
-      case None => merged.flatMap { fs =>
+      case (None, Some(pc)) =>
+        rewriteKeyed(spark, root, merged.flatten, statCols, pc, None)
+      case (None, None) => merged.flatMap { fs =>
         writeFiles(readFiles(spark, fs), root, statCols, 1)
       }
     }

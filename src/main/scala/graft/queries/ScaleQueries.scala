@@ -3265,14 +3265,26 @@ object ScaleQueries {
         val liveRows = inv.map(_.getLong(2)).sum
         val dvRows = inv.map(_.getLong(4)).sum
         val sized = inv.count(r => !r.isNullAt(3) && r.getLong(3) > 0L)
-        val statOk = inv.count(_.getString(5) == "k")
+        val statOk = inv.count(_.getString(6) == "k")
+        // the DEGRADATION-TREND column (blocks_agg_pushdown): after
+        // the DELETE both files carry DVs — manifest MIN/MAX/SUM is
+        // disabled for them and the inventory SAYS so; a targeted
+        // optimize(only_dv) restores it and the column drops to none
+        val blockedBefore = inv.count(_.getBoolean(5)).toLong
+        s.sql(s"CALL graftsnap.system.optimize(table => '$root', " +
+          "only_dv => true)").collect()
+        val blockedAfter = s.sql(
+          s"CALL graftsnap.system.files(table => '$root')").collect()
+          .count(_.getBoolean(5)).toLong
         s.range(1).select(
           lit(nFiles).as("n_files"),
           lit(physRows).as("phys_rows"),
           lit(liveRows).as("live_rows"),
           lit(dvRows).as("dv_rows"),
           lit(if (sized == inv.length) 1L else 0L).as("all_sized"),
-          lit(if (statOk == inv.length) 1L else 0L).as("all_stat_k"))
+          lit(if (statOk == inv.length) 1L else 0L).as("all_stat_k"),
+          lit(blockedBefore).as("dv_blocked_before"),
+          lit(blockedAfter).as("dv_blocked_after"))
       },
       """SELECT CAST(2 AS BIGINT) AS n_files,
         |  (SELECT count(*) FROM orders) AS phys_rows,
@@ -3281,7 +3293,9 @@ object ScaleQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey BETWEEN 100 AND 199) AS dv_rows,
         |  CAST(1 AS BIGINT) AS all_sized,
-        |  CAST(1 AS BIGINT) AS all_stat_k""".stripMargin),
+        |  CAST(1 AS BIGINT) AS all_stat_k,
+        |  CAST(2 AS BIGINT) AS dv_blocked_before,
+        |  CAST(0 AS BIGINT) AS dv_blocked_after""".stripMargin),
 
     // MANIFEST-ANSWERED DISTINCT: `SELECT DISTINCT k` over an
     // identity-partitioned table is a pure manifest fold — every
@@ -3814,6 +3828,93 @@ object ScaleQueries {
         |    AS cents_hit,
         |  CAST(0 AS BIGINT) AS miss_file_probes,
         |  CAST(0 AS BIGINT) AS miss_opens""".stripMargin),
+
+    // COMPOSITE PARTITION SPEC — identity(seg) + bucket(8, k), the
+    // standard 100 TB fact-table layout (date/segment identity for
+    // pruning + key buckets for joins). One commit writes one file
+    // per (seg, bucket) CELL, the manifest composes both proofs
+    // (seg's point box + the k#b8 tag), and scans declare the
+    // two-transform KeyGroupedPartitioning — so two same-spec fact
+    // tables storage-partition-join on (seg, k) with ZERO join
+    // exchanges. Gated: cell layout asserted on the manifest, zero
+    // `Exchange hashpartitioning` under the join, results
+    // hash-matched against the oracle's plain join.
+    "q341_snap_composite_spec" -> Q(
+      (s, d) => {
+        val base = scratchDir("snapd57")
+        val r1 = base + "/t1"
+        val r2 = base + "/t2"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$r1` " +
+          "(seg BIGINT, k BIGINT, cents BIGINT) " +
+          "PARTITIONED BY (seg, bucket(8, k))")
+        s.sql(s"CREATE TABLE graftsnap.`$r2` " +
+          "(seg BIGINT, k BIGINT, qty BIGINT) " +
+          "PARTITIONED BY (seg, bucket(8, k))")
+        Tables(s, d, "orders").createOrReplaceTempView("q341_orders")
+        Tables(s, d, "lineitem").createOrReplaceTempView("q341_lineitem")
+        s.sql(s"""INSERT INTO graftsnap.`$r1`
+          |SELECT o_orderkey % 3, o_orderkey,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+          |FROM q341_orders""".stripMargin)
+        s.sql(s"""INSERT INTO graftsnap.`$r2`
+          |SELECT l_orderkey % 3, l_orderkey, CAST(l_quantity AS BIGINT)
+          |FROM q341_lineitem""".stripMargin)
+        // manifest proof: every file is a single (seg, bucket) cell,
+        // and the commit wrote exactly one file per populated cell
+        val live = graft.io.SnapTable.liveFiles(r1)
+        val cellsOk = live.forall { f =>
+          f.range("seg").exists(b => b._1 == b._2) &&
+            f.range("k#b8").exists(b => b._1 == b._2 &&
+              b._1 >= 0 && b._1 < 8)
+        }
+        val cells = live.flatMap(f =>
+          f.range("seg").zip(f.range("k#b8"))).distinct.size
+        val oneFilePerCell = live.size == cells
+        val old = (s.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            s"""SELECT a.k % 64 AS g, count(*) AS n_pairs,
+               |  sum(a.cents + b.qty) AS sums
+               |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+               |ON a.seg = b.seg AND a.k = b.k
+               |GROUP BY a.k % 64""".stripMargin)
+          val rows = j.collect()
+          // anchored on the join keys: the post-join GROUP BY's own
+          // exchange partitions on a derived expression ("((k % 64)")
+          // and must not count (and AQE prints the plan twice)
+          val joinShuffles = "Exchange hashpartitioning\\(seg#"
+            .r.findAllIn(j.queryExecution.executedPlan.toString).size
+          import s.implicits._
+          rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            joinShuffles.toLong,
+            if (cellsOk) 1L else 0L,
+            if (oneFilePerCell) 1L else 0L))
+            .toSeq.toDF("g", "n_pairs", "sums", "n_join_shuffles",
+              "cells_proven", "one_file_per_cell")
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+        }
+      },
+      """WITH a AS (SELECT o_orderkey % 3 AS seg, o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT l_orderkey % 3 AS seg, l_orderkey AS k,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem)
+        |SELECT CAST(a.k % 64 AS BIGINT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(a.cents + b.qty) AS BIGINT) AS sums,
+        |  CAST(0 AS BIGINT) AS n_join_shuffles,
+        |  CAST(1 AS BIGINT) AS cells_proven,
+        |  CAST(1 AS BIGINT) AS one_file_per_cell
+        |FROM a JOIN b ON a.seg = b.seg AND a.k = b.k
+        |GROUP BY a.k % 64""".stripMargin),
 
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability

@@ -1480,7 +1480,20 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    if (keyGrouped) {
+    if (keyGrouped && bucketGrouped) {
+      // COMPOSITE identity(d) + bucket(n, k): declare BOTH transforms
+      // — two same-spec fact tables storage-partition-join on (d, k)
+      // with zero exchanges, the standard 100 TB fact-join shape
+      val c = partCol.get
+      val (bc, n) = bucketSpec.get
+      val tag = SnapBucket.tag(bc, n)
+      val groups = files.map(f =>
+        (f.range(c).get._1, f.range(tag).get._1)).distinct.size
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(Expressions.identity(c), Expressions.bucket(n, bc)),
+          groups)
+    } else if (keyGrouped) {
       val c = partCol.get
       val n = files.flatMap(_.range(c)).map(_._1).distinct.size
       new org.apache.spark.sql.connector.read.partitioning
@@ -1494,24 +1507,34 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     } else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(0)
 
-  /** The partition-key value in the COLUMN's internal representation
-    * (int days / int / long) — what HasPartitionKey must hand Spark.
-    * Bucket-grouped scans key on the INT bucket id instead.
+  /** The identity partition-key value in the COLUMN's internal
+    * representation (int days / int / long) — what HasPartitionKey
+    * must hand Spark.
+    */
+  private def identityKeyVal(f: FileStat): Any = {
+    val c = partCol.get
+    val v = f.range(c).get._1
+    required.fields.find(_.name == c).map(_.dataType)
+      .orElse(Some(LongType)).get match {
+      case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
+      case _ => java.lang.Long.valueOf(v)
+    }
+  }
+
+  private def bucketKeyVal(f: FileStat): Any = {
+    val (c, n) = bucketSpec.get
+    java.lang.Integer.valueOf(
+      f.range(SnapBucket.tag(c, n)).get._1.toInt)
+  }
+
+  /** Partition-key row matching the DECLARED partitioning above —
+    * (d, bucket) for composite, one field otherwise. A composite
+    * table degraded to bucket-only grouping (a foreign write broke
+    * the d boxes) keys on the bucket id, matching its declaration.
     */
   private def keyValOf(f: FileStat): Any =
-    if (bucketGrouped && partCol.isEmpty) {
-      val (c, n) = bucketSpec.get
-      java.lang.Integer.valueOf(
-        f.range(SnapBucket.tag(c, n)).get._1.toInt)
-    } else {
-      val c = partCol.get
-      val v = f.range(c).get._1
-      required.fields.find(_.name == c).map(_.dataType)
-        .orElse(Some(LongType)).get match {
-        case IntegerType | DateType => java.lang.Integer.valueOf(v.toInt)
-        case _ => java.lang.Long.valueOf(v)
-      }
-    }
+    if (bucketGrouped && !keyGrouped) bucketKeyVal(f)
+    else identityKeyVal(f)
 
   private val rBounds = mutable.Map.empty[String, (Long, Long)]
   private val rInSets = mutable.Map.empty[String, Array[Long]]
@@ -1686,9 +1709,11 @@ class SnapScan(root: String, files: Seq[FileStat], required: StructType,
     if (cdf) return cdfParts.map(p => p: InputPartition).toArray
     keptFiles.map(f => SnapFilePartition(f.path, f.liveRows,
       dvPath = f.dv.map(_._1).orNull,
-      pKey = if (keyGrouped || bucketGrouped)
+      pKey = if (keyGrouped && bucketGrouped)
+        InternalRow.fromSeq(Seq(identityKeyVal(f), bucketKeyVal(f)))
+      else if (keyGrouped || bucketGrouped)
         InternalRow.fromSeq(Seq(keyValOf(f)))
-        else null): InputPartition).toArray
+      else null): InputPartition).toArray
   }
 
   // UI-visible pruning accounting (SQL tab on the scan node): how
@@ -2347,7 +2372,13 @@ class SnapWriteBuilder(root: String, schema: StructType,
     val bSpec = bucketSpec.orElse(
       SnapTable.tableProperty(root, "bucketSpec")
         .map(SnapBucket.parseSpec))
-    partitionCol.orElse(bSpec.map(_._1)).foreach(pc =>
+    // ...and the identity column the same way, so a path write to an
+    // identity or composite table rolls one file per key like the
+    // catalog write path does
+    val pCol = partitionCol.orElse(
+      SnapTable.tableProperty(root, "partitionCol"))
+      .filter(c => schema.fieldNames.contains(c))
+    pCol.orElse(bSpec.map(_._1)).foreach(pc =>
       require(statCols.head == pc,
         s"partitioned snap table $root shapes files by $pc — it must " +
           "be the primary stat column"))
@@ -2368,7 +2399,7 @@ class SnapWriteBuilder(root: String, schema: StructType,
     }
     new SnapWrite(root, schema, statCols, overwrite,
       options.getInt("filesPerCommit", 0), SnapTable.colMap(root),
-      rollOnKey = partitionCol.isDefined, bucketSpec = bSpec,
+      rollOnKey = pCol.isDefined, bucketSpec = bSpec,
       bloomCols = bCols)
   }
 }
@@ -2737,12 +2768,43 @@ class SnapDataWriter(dataDir: String, partitionId: Int, taskId: Long,
   private val byBucket =
     if (bucketSpec.isDefined) new java.util.HashMap[Integer, OneFile]()
     else null
+  // the bucket column's own index — equals primaryIdx on bucket-only
+  // tables (the bucket column IS the primary stat column there), its
+  // own column on COMPOSITE identity + bucket tables
+  private val bucketIdx =
+    bucketSpec.map(bs => schema.fieldIndex(bs._1)).getOrElse(-1)
   private val bucketDt =
-    bucketSpec.map(_ => schema.fields(primaryIdx).dataType).orNull
+    bucketSpec.map(_ => schema.fields(bucketIdx).dataType).orNull
 
   override def write(row: InternalRow): Unit = {
+    if (byBucket != null && rollOnKey) {
+      // COMPOSITE identity(d) + bucket(n, k): the clustered write
+      // groups rows by d and sorts by it, so the writer ROLLS the
+      // whole per-bucket set on every d change and splits per bucket
+      // within it — one file per (d, bucket) cell, at most n open
+      // writers at a time, and both manifest proofs (d's point box,
+      // the k#bN tag) hold by construction. Placement is an
+      // optimization only: any row order still writes correct cells,
+      // just more files.
+      val isNull = row.isNullAt(primaryIdx)
+      val dk = if (isNull) 0L else primaryVal(row)
+      if (!anyRow || isNull != curKeyNull || (!isNull && dk != curKey)) {
+        byBucket.values().asScala.toSeq.foreach(f => finished ++= f.finish())
+        byBucket.clear()
+        curKey = dk; curKeyNull = isNull; anyRow = true
+      }
+      val b = SnapBucket.ofRow(row, bucketIdx, bucketDt,
+        bucketSpec.get._2)
+      var f = byBucket.get(b)
+      if (f == null) {
+        f = new OneFile(fileSeq, bucket = Some(b)); fileSeq += 1
+        byBucket.put(b, f)
+      }
+      f.write(row)
+      return
+    }
     if (byBucket != null) {
-      val b = SnapBucket.ofRow(row, primaryIdx, bucketDt,
+      val b = SnapBucket.ofRow(row, bucketIdx, bucketDt,
         bucketSpec.get._2)
       var f = byBucket.get(b)
       if (f == null) {
@@ -3291,44 +3353,79 @@ class SnapCatalog
       schema.fields.find(_.name.equalsIgnoreCase(name))
         .getOrElse(throw new IllegalArgumentException(
           s"partition column $name is not in the table schema"))
+    def identityCol(t: Transform): String = {
+      val f = schemaField(singleRef(t))
+      require(Seq(LongType, IntegerType, DateType)
+          .contains(f.dataType),
+        s"partition column ${f.name} must be bigint/int/date, " +
+          s"is ${f.dataType}")
+      f.name
+    }
+    def bucketOf(t: Transform): (String, Int) = {
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType == IntegerType =>
+          l.value().asInstanceOf[Int]
+      }.getOrElse(throw new IllegalArgumentException(
+        "bucket transform needs an INT bucket count"))
+      require(n >= 1 && n <= 4096,
+        s"bucket count must be in [1, 4096], got $n")
+      val f = schemaField(singleRef(t))
+      require(Seq(LongType, IntegerType, DateType, TimestampType)
+          .contains(f.dataType),
+        s"bucket column ${f.name} must be bigint/int/date/" +
+          s"timestamp, is ${f.dataType}")
+      (f.name, n)
+    }
     val (partitionCol: Option[String], bucketSpec: Option[(String, Int)]) =
       partitions.toSeq match {
         case Nil => (None, None)
-        case Seq(t) if t.name == "identity" =>
-          val f = schemaField(singleRef(t))
-          require(Seq(LongType, IntegerType, DateType)
-              .contains(f.dataType),
-            s"partition column ${f.name} must be bigint/int/date, " +
-              s"is ${f.dataType}")
-          (Some(f.name), None)
-        case Seq(t) if t.name == "bucket" =>
-          val n = t.arguments().collectFirst {
-            case l: org.apache.spark.sql.connector.expressions.Literal[_]
-                if l.dataType == IntegerType =>
-              l.value().asInstanceOf[Int]
-          }.getOrElse(throw new IllegalArgumentException(
-            "bucket transform needs an INT bucket count"))
-          require(n >= 1 && n <= 4096,
-            s"bucket count must be in [1, 4096], got $n")
-          val f = schemaField(singleRef(t))
-          require(Seq(LongType, IntegerType, DateType, TimestampType)
-              .contains(f.dataType),
-            s"bucket column ${f.name} must be bigint/int/date/" +
-              s"timestamp, is ${f.dataType}")
-          (None, Some((f.name, n)))
+        case Seq(t) if t.name == "identity" => (Some(identityCol(t)), None)
+        case Seq(t) if t.name == "bucket" => (None, Some(bucketOf(t)))
+        // COMPOSITE identity(d) + bucket(n, k): the standard 100 TB
+        // fact-table spec — one file per (day, bucket) cell per
+        // commit, tags compose in the manifest (d's point box + the
+        // k#bN pseudo-box), and scans report the two-transform
+        // KeyGroupedPartitioning so same-spec facts SPJ on (d, k)
+        case Seq(a, b) if a.name == "identity" && b.name == "bucket" =>
+          val (d, bs) = (identityCol(a), bucketOf(b))
+          require(!d.equalsIgnoreCase(bs._1),
+            s"composite spec needs distinct columns, got $d twice")
+          (Some(d), Some(bs))
+        case Seq(a, b) if a.name == "bucket" && b.name == "identity" =>
+          val (d, bs) = (identityCol(b), bucketOf(a))
+          require(!d.equalsIgnoreCase(bs._1),
+            s"composite spec needs distinct columns, got $d twice")
+          (Some(d), Some(bs))
         case other => throw new UnsupportedOperationException(
-          "snap tables support PARTITIONED BY (<column>) or " +
-            s"(bucket(n, <column>)), not ${other.mkString(", ")}")
+          "snap tables support PARTITIONED BY (<column>), " +
+            "(bucket(n, <column>)), or the composite " +
+            "(<column>, bucket(n, <column>)), not " +
+            other.mkString(", "))
       }
     val props = properties.asScala.toMap
     val statCols = props.get("statCols").orElse(props.get("option.statCols"))
-      .orElse(partitionCol) // a partitioned table's layout IS its key
-      .orElse(bucketSpec.map(_._1))
+      // a partitioned table's layout IS its key; a composite table
+      // records BOTH dimensions (maintenance re-derives bucket tags
+      // from the key column's box)
+      .orElse((partitionCol, bucketSpec) match {
+        case (Some(d), Some((k, _))) => Some(s"$d,$k")
+        case (Some(d), None) => Some(d)
+        case (None, Some((k, _))) => Some(k)
+        case _ => None
+      })
     statCols.zip(partitionCol.orElse(bucketSpec.map(_._1))).foreach {
       case (sc, pc) =>
         require(sc.split(',').head.trim.equalsIgnoreCase(pc),
           s"partition column $pc must be the primary stat column " +
             s"(got statCols=$sc) — file shaping and skipping key on it")
+    }
+    if (partitionCol.isDefined) bucketSpec.foreach { case (k, _) =>
+      require(statCols.exists(_.split(',').map(_.trim)
+          .exists(_.equalsIgnoreCase(k))),
+        s"composite-layout table needs bucket column $k among " +
+          s"statCols (got ${statCols.getOrElse("")}) — maintenance " +
+          "re-derives bucket tags from its box")
     }
     val dvProp = props.get("dv").orElse(props.get("option.dv"))
     // bloomCols: validated here so a typo'd column fails CREATE, not
@@ -3830,6 +3927,11 @@ class SnapCatalog
             // reading (and time-traveling) under their own layout.
             require(zBy.isEmpty && !onlyDv && smallBelow == -1,
               "bucket_by composes only with bucket_count")
+            require(!(tableProps(r).contains("partitionCol") &&
+                tableProps(r).contains("bucketSpec")),
+              s"snap table $r has a COMPOSITE identity + bucket " +
+                "layout — re-keying it is not supported; CREATE a " +
+                "new table with the target spec and INSERT the data")
             require(newBuckets >= 1 && newBuckets <= 4096,
               s"bucket count must be in [1, 4096], got $newBuckets")
             val schema = SnapTable.tableSchema(r, None).getOrElse(
@@ -3865,6 +3967,11 @@ class SnapCatalog
                 s"snap table $r is not bucketed — bucket_count " +
                   "applies to PARTITIONED BY (bucket(n, col)) tables " +
                   "(pass bucket_by to INSTALL a bucket layout)"))
+            require(!tableProps(r).contains("partitionCol"),
+              s"snap table $r has a COMPOSITE identity + bucket " +
+                "layout — changing its bucket count is not " +
+                "supported; CREATE a new table with the target spec " +
+                "and INSERT the data")
             require(newBuckets >= 1 && newBuckets <= 4096,
               s"bucket count must be in [1, 4096], got $newBuckets")
             require(zBy.isEmpty,
@@ -3883,6 +3990,15 @@ class SnapCatalog
                 .mkString("", "\n", "\n").getBytes("UTF-8"))
             nv
           } else bSpec match {
+            // a COMPOSITE table's plain OPTIMIZE merges per (key,
+            // bucket) CELL — collapsing either dimension would
+            // destroy a layout proof joins rest on
+            case Some((bc, n))
+                if tableProps(r).contains("partitionCol") =>
+              require(zBy.isEmpty,
+                s"snap table $r has a composite layout — ZORDER BY " +
+                  "would destroy it; refuse")
+              SnapTable.compactSmall(spark, r, Long.MaxValue)._1
             case Some((bc, n)) =>
               require(zBy.isEmpty,
                 s"snap table $r is bucketed by bucket($n, $bc) — " +
@@ -4092,6 +4208,14 @@ class SnapCatalog
           StructField("live_rows", LongType, nullable = false),
           StructField("size_bytes", LongType, nullable = true),
           StructField("dv_rows", LongType, nullable = false),
+          // the DEGRADATION TREND column: a deletion vector on ANY
+          // surviving file disables manifest-answered MIN/MAX/SUM
+          // for scans that touch it (the known DV pushdown refusal)
+          // — `count_if(blocks_agg_pushdown) / count(*)` is the
+          // fraction an operator watches to schedule
+          // `optimize(only_dv => true)` BEFORE queries slow down
+          StructField("blocks_agg_pushdown", BooleanType,
+            nullable = false),
           StructField("stat_col", StringType, nullable = true),
           StructField("stat_min", LongType, nullable = true),
           StructField("stat_max", LongType, nullable = true)))
@@ -4103,6 +4227,7 @@ class SnapCatalog
           InternalRow.fromSeq(Seq(
             UTF8String.fromString(f.path), f.rows, f.liveRows, sz,
             f.dv.fold(0L)(_._2),
+            f.dv.isDefined,
             primary.map(p => UTF8String.fromString(p._1)).orNull,
             primary.map(p => java.lang.Long.valueOf(p._2._1)).orNull,
             primary.map(p => java.lang.Long.valueOf(p._2._2)).orNull))

@@ -477,8 +477,10 @@ class SnapRound15Spec extends AnyFunSuite {
     val live = SnapTable.liveFiles(root)
     assert(inv.length == live.size)
     assert(inv.map(_.getLong(1)).sum == live.map(_.rows).sum)
-    assert(inv.forall(r => r.getString(5) == "k" &&
-      r.getLong(6) == r.getLong(7))) // one key per file
+    assert(inv.forall(r => r.getString(6) == "k" &&
+      r.getLong(7) == r.getLong(8))) // one key per file
+    // no DVs yet: nothing blocks manifest aggregate pushdown
+    assert(inv.forall(r => !r.getBoolean(5)))
     assert(inv.forall(r => !r.isNullAt(3) && r.getLong(3) > 0L))
     // a versioned listing sees the older, smaller snapshot
     val v2 = spark.sql(

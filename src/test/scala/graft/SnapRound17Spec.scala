@@ -290,6 +290,68 @@ class SnapRound17Spec extends AnyFunSuite {
       .as[(Long, Long)].head() == ((alive.size.toLong, alive.sum)))
   }
 
+  test("composite identity+bucket: maintenance preserves both proofs, evolution refuses") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap17f",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap17f.`$root` " +
+      "(seg BIGINT, k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (seg, bucket(4, k)) " +
+      "TBLPROPERTIES ('dv'='true')")
+    // two commits → two files per populated (seg, bucket) cell
+    Seq((0L, 2000L), (2000L, 4000L)).foreach { case (a, b) =>
+      spark.range(a, b)
+        .selectExpr("id % 3 AS seg", "id AS k", "id AS v")
+        .write.format("graft.sources.SnapSourceProvider")
+        .mode("append").save(root)
+    }
+    def cellsOf(fs: Seq[SnapTable.FileStat]) = fs.map { f =>
+      val s0 = f.range("seg").get
+      val b0 = f.range("k#b4").get
+      assert(s0._1 == s0._2, s"file ${f.path} spans segs $s0")
+      assert(b0._1 == b0._2 && b0._1 >= 0 && b0._1 < 4,
+        s"file ${f.path} has invalid bucket box $b0")
+      (s0._1, b0._1)
+    }
+    val before = SnapTable.liveFiles(root)
+    assert(cellsOf(before).distinct.size * 2 == before.size,
+      "expected two files per populated cell before compaction")
+    // sparse DVs across cells, then one-pass compaction
+    SnapTable.deleteDv(spark, root, "seg", 0L, 2L,
+      extraPredicate = Some(col("v") % 13 === 0))
+    assert(SnapTable.liveFiles(root).count(_.dv.isDefined) >= 6)
+    spark.sql(s"CALL graftsnap17f.system.optimize(table => '$root', " +
+      "only_dv => true)").collect()
+    val afterDv = SnapTable.liveFiles(root)
+    assert(afterDv.forall(_.dv.isEmpty))
+    cellsOf(afterDv) // both proofs hold on every rewritten file
+    // plain OPTIMIZE folds the remaining two-files-per-cell to one
+    spark.sql(s"CALL graftsnap17f.system.optimize(table => '$root')")
+      .collect()
+    val merged = SnapTable.liveFiles(root)
+    val cells = cellsOf(merged).distinct
+    assert(merged.size == cells.size,
+      s"expected one file per cell, got ${merged.size} files for " +
+        s"${cells.size} cells")
+    import spark.implicits._
+    val alive = (0L until 4000L).filterNot(_ % 13 == 0)
+    assert(spark.sql(
+      s"SELECT count(*), sum(v) FROM graftsnap17f.`$root`")
+      .as[(Long, Long)].head() == ((alive.size.toLong, alive.sum)))
+    // layout evolution on a composite table refuses loudly
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graftsnap17f.system.optimize(table => '$root', " +
+        "bucket_count => 8)").collect()
+    }
+    assert(e1.getMessage.contains("COMPOSITE"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graftsnap17f.system.optimize(table => '$root', " +
+        "bucket_by => 'v', bucket_count => 8)").collect()
+    }
+    assert(e2.getMessage.contains("COMPOSITE"))
+  }
+
   test("VERSION AS OF reads declare their own epoch's properties") {
     val root = freshRoot() + "/t"
     spark.conf.set("spark.sql.catalog.graftsnap17c",
