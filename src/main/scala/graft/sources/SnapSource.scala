@@ -2930,17 +2930,24 @@ class SnapRowLevelOperation(root: String, tableSchema: StructType,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write = {
-        // a rewrite of a BUCKETED table must re-tag its files, or one
-        // MERGE would silently strip the layout joins depend on
+        // a rewrite of a BUCKETED table must re-tag its files, and a
+        // rewrite of an IDENTITY/COMPOSITE table must keep rolling
+        // one file per key — or one MERGE would silently strip the
+        // layout storage-partitioned joins depend on. SnapWrite's
+        // required distribution/ordering (sort by the primary stat
+        // column; clustered for bucket layouts) already shapes the
+        // rewrite's rows for both.
         val bSpec = SnapTable.tableProperty(root, "bucketSpec")
           .map(SnapBucket.parseSpec)
+        val roll = SnapTable.tableProperty(root, "partitionCol")
+          .exists(c => info.schema().fieldNames.contains(c))
         new SnapWrite(root, info.schema(), statCols, overwrite = false,
             filesPerCommit = 0, SnapTable.colMap(root),
-            bucketSpec = bSpec) {
+            rollOnKey = roll, bucketSpec = bSpec) {
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new SnapReplaceBatchWrite(SnapRowLevelOperation.this, root,
-              info.schema(), statCols, bSpec)
+              info.schema(), statCols, bSpec, rollOnKey = roll)
         }
       }
     }
@@ -3038,7 +3045,8 @@ class SnapRowLevelScan(op: SnapRowLevelOperation, files: Seq[FileStat],
   */
 class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
     schema: StructType, statCols: Seq[String],
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    rollOnKey: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
@@ -3060,7 +3068,8 @@ class SnapReplaceBatchWrite(op: SnapRowLevelOperation, root: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     SnapWriterFactory(dataDir, schema, statCols, collectKeys = true,
-      physMap = SnapTable.colMap(root), bucketSpec = bucketSpec,
+      physMap = SnapTable.colMap(root), rollOnKey = rollOnKey,
+      bucketSpec = bucketSpec,
       bloomCols = bloomCols, bloomDir = bloomDir)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -352,6 +352,32 @@ class SnapRound17Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("COMPOSITE"))
   }
 
+  test("row-level rewrites keep the identity layout (one key per file)") {
+    val root = freshRoot() + "/t"
+    spark.conf.set("spark.sql.catalog.graftsnap17g",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap17g.`$root` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    spark.range(0, 1000).selectExpr("id % 10 AS k", "id AS v")
+      .write.format("graft.sources.SnapSourceProvider")
+      .mode("append").save(root)
+    // a CoW UPDATE rewrites the touched key files — before round 17
+    // the replacement write did not roll on the key, so one MERGE
+    // silently widened boxes and stripped the SPJ layout
+    spark.sql(s"UPDATE graftsnap17g.`$root` SET v = v + 1000000 " +
+      "WHERE v % 3 = 0")
+    val after = SnapTable.liveFiles(root)
+    after.foreach { f =>
+      val (mn, mx) = f.range("k").get
+      assert(mn == mx, s"rewritten file ${f.path} spans keys [$mn,$mx]")
+    }
+    import spark.implicits._
+    val expect = (0L until 1000L)
+      .map(v => if (v % 3 == 0) v + 1000000L else v)
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap17g.`$root`")
+      .as[(Long, Long)].head() == ((1000L, expect.sum)))
+  }
+
   test("VERSION AS OF reads declare their own epoch's properties") {
     val root = freshRoot() + "/t"
     spark.conf.set("spark.sql.catalog.graftsnap17c",
