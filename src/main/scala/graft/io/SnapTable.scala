@@ -883,8 +883,37 @@ object SnapTable {
           files.map(fileLine)).mkString("", "\n", "\n")
         SnapIo.createNew(checkpointPath(root, v), body.getBytes("UTF-8"))
         writeBloomPacks(root, v, files)
+        pruneCheckpoints(root, v)
       } catch { case _: Exception => () }
     }
+
+  /** Checkpoints retained after a new one lands (newest N). */
+  private def checkpointsKept: Int =
+    sys.props.get("graft.snap.checkpointsKept").map(_.toInt).getOrElse(2)
+
+  /** Drop superseded checkpoints (and their bloom packs). Checkpoints
+    * are pure ACCELERATION — the manifests remain the log's truth —
+    * so deleting an old one only means a deep-history read replays a
+    * longer manifest tail; correctness is untouched (and a reader
+    * racing the delete falls back to full replay). Without this, a
+    * streaming table's `_log` accrues one resolved-state file (plus
+    * packs) per 20 commits FOREVER — an O(commits) storage and
+    * listing term. Keeping the newest two also guarantees the
+    * incremental pack writer always finds its predecessor.
+    */
+  private def pruneCheckpoints(root: String, v: Int): Unit = {
+    val doomed = listCheckpointVersions(root).filter(_ <= v)
+      .dropRight(checkpointsKept)
+    doomed.foreach { cv =>
+      try {
+        SnapIo.delete(checkpointPath(root, cv))
+        SnapIo.listNames(logDir(root))
+          .filter(n => n.startsWith(f"c$cv%05d.bloom.") &&
+            n.endsWith(".bfpack"))
+          .foreach(n => SnapIo.delete(SnapIo.child(logDir(root), n)))
+      } catch { case _: Exception => () }
+    }
+  }
 
   /** Fold the live commits' aggregate bloom sidecars into per-column
     * checkpoint packs (see [[bloomPackPath]]). INCREMENTAL: entries

@@ -378,6 +378,42 @@ class SnapRound17Spec extends AnyFunSuite {
       .as[(Long, Long)].head() == ((1000L, expect.sum)))
   }
 
+  test("superseded checkpoints (and their packs) are pruned; history still replays") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot() + "/t"
+    sys.props("graft.snap.checkpointInterval") = "5"
+    try {
+      SnapTable.createEmpty(root,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, tag STRING"),
+        Map("statCols" -> "k", "bloomCols" -> "tag"))
+      (1 to 22).foreach { i =>
+        SnapTable.commitCols(spark.range(i * 10, i * 10 + 5)
+          .selectExpr("id AS k", "md5(cast(id AS string)) AS tag"),
+          root, Seq("k"))
+      }
+      // commits 2..23 → checkpoints at 5,10,15,20; only the newest
+      // two (15, 20) survive, with their packs
+      val log = SnapIo.child(root, "_log")
+      val cks = SnapIo.listNames(log).filter(_.endsWith(".checkpoint"))
+      assert(cks.toSet == Set("c00015.checkpoint", "c00020.checkpoint"),
+        s"expected the newest two checkpoints, got $cks")
+      val packs = SnapIo.listNames(log).filter(_.endsWith(".bfpack"))
+      assert(packs.forall(p => p.startsWith("c00015.") ||
+        p.startsWith("c00020.")), s"stale packs survived: $packs")
+      assert(packs.exists(_.startsWith("c00020.")),
+        "the newest checkpoint must carry its bloom pack")
+      // the current snapshot and DEEP history (below the pruned
+      // horizon) both still read — old versions replay manifests
+      assert(SnapTable.read(spark, root).count() == 22 * 5)
+      assert(SnapTable.read(spark, root, Some(4)).count() == 3 * 5)
+      assert(SnapTable.resolveProps(root).get("bloomCols")
+        .contains("tag"))
+    } finally {
+      sys.props.remove("graft.snap.checkpointInterval")
+    }
+  }
+
   test("VERSION AS OF reads declare their own epoch's properties") {
     val root = freshRoot() + "/t"
     spark.conf.set("spark.sql.catalog.graftsnap17c",
