@@ -51,6 +51,48 @@ object TextQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // SEQUENCE PACKING — the last shaping stage of a pretraining
+    // pipeline: the corpus laid out as one deterministic document
+    // stream and cut into fixed-length training sequences (GPT-style
+    // concat-and-chunk; straddling documents contribute to both
+    // sides of a cut). The Spark side is the SCALABLE two-phase
+    // distributed cumsum (sort → per-partition offsets → one narrow
+    // pass) — NOT a global window, which would collapse a petabyte
+    // corpus into one task — then a bounded explode over the spanned
+    // sequence ids and an equi-keyed fold. Integer arithmetic over a
+    // deterministic order end to end, so DuckDB replays the exact
+    // layout with a window cumsum: per-sequence document counts,
+    // filled lengths, and boundary (split-document) counts must
+    // match bit for bit. Emitted per PACKED SEQUENCE (seqLen 2048
+    // chars-as-tokens over the documents table).
+    "q342_sequence_packing" -> Q(
+      (s, d) => graft.ops.Packing.pack(
+        Tables(s, d, "documents"), "doc_id", "n_chars", 2048L),
+      """WITH docs AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_tok
+        |  FROM documents WHERE n_chars > 0),
+        |laid AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT)
+        |      AS tok_end
+        |  FROM docs),
+        |spans AS (
+        |  SELECT n_tok, tok_end, tok_end - n_tok AS tok_start,
+        |    CAST((tok_end - n_tok) // 2048 AS BIGINT) AS first_seq,
+        |    CAST((tok_end - 1) // 2048 AS BIGINT) AS last_seq
+        |  FROM laid),
+        |ex AS (
+        |  SELECT tok_start, tok_end,
+        |    unnest(generate_series(first_seq, last_seq)) AS seq_id
+        |  FROM spans)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least(tok_end, (seq_id + 1) * 2048) -
+        |    greatest(tok_start, seq_id * 2048)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN tok_start < seq_id * 2048
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs
+        |FROM ex GROUP BY seq_id""".stripMargin),
+
     // Whitespace + BPE-ish token counts and char length.
     "q40_token_stats" -> Q(
       (s, d) =>

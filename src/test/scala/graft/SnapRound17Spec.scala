@@ -414,6 +414,37 @@ class SnapRound17Spec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: fixture layout, boundary docs, tail fill") {
+    import spark.implicits._
+    // stream: doc1 [0,5) doc2 [5,8) doc3 [8,12) doc4 [12,13); L=4 →
+    // seq0 [0,4): doc1 only, full, no boundary
+    // seq1 [4,8): doc1 spill (1) + doc2 (3), full, 1 boundary
+    // seq2 [8,12): doc3, full, no boundary
+    // seq3 [12,13): doc4, 1-token tail
+    val docs = Seq((1L, 5L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (5L, 0L)) // zero-token doc contributes nothing
+      .toDF("doc_id", "n_tokens")
+    val out = graft.ops.Packing.pack(docs, "doc_id", "n_tokens", 4L)
+      .orderBy("seq_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 1L, 4L, 0L),
+      (1L, 2L, 4L, 1L),
+      (2L, 1L, 4L, 0L),
+      (3L, 1L, 1L, 0L)))
+    // invariants at another shape: totals conserve tokens, every
+    // non-tail sequence is exactly full
+    val big = spark.range(1, 301)
+      .selectExpr("id AS doc_id", "(id * 37) % 97 + 1 AS n_tokens")
+    val packed = graft.ops.Packing.pack(big, "doc_id", "n_tokens", 128L)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val totalTok = big.selectExpr("sum(n_tokens)").head().getLong(0)
+    assert(packed.map(_._3).sum == totalTok)
+    assert(packed.dropRight(1).forall(_._3 == 128L))
+    assert(packed.map(_._1).toSeq ==
+      packed.indices.map(_.toLong).toSeq)
+  }
+
   test("VERSION AS OF reads declare their own epoch's properties") {
     val root = freshRoot() + "/t"
     spark.conf.set("spark.sql.catalog.graftsnap17c",
