@@ -1503,30 +1503,8 @@ object SnapTable {
       files: Seq[FileStat], statCols: Seq[String],
       tag: String): Seq[FileStat] = {
     val cut = tag.indexOf('#')
-    val bc = tag.substring(0, cut)
-    val n = tag.substring(cut + 2).toInt
-    val wide = tableSchema(root, None)
-      .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
-      .forall(f =>
-        f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.TimestampType)
-    val frame = readFiles(spark, files)
-    // the frame carries PHYSICAL parquet names; resolve the logical
-    // bucket column through the mapping when they differ
-    val bcPhys =
-      if (frame.columns.contains(bc)) bc
-      else colMap(root).getOrElse(bc, bc)
-    val shaped = frame.repartition(n, col(bcPhys))
-    writeFiles(shaped, root, statCols, filesPerCommit = -1).map { nf =>
-      val b = nf.range(bc) match {
-        case Some((mn, mx))
-            if !(mn == Long.MinValue && mx == Long.MaxValue) =>
-          if (wide) graft.sources.SnapBucket.ofLong(mn, n)
-          else graft.sources.SnapBucket.ofInt(mn.toInt, n)
-        case _ => graft.sources.SnapBucket.ofNull(n)
-      }
-      nf.copy(stats = nf.stats :+ (tag -> (b.toLong, b.toLong)))
-    }
+    routeBucketedFrame(spark, root, readFiles(spark, files), statCols,
+      tag.substring(0, cut), tag.substring(cut + 2).toInt)
   }
 
   /** Identity partitioner over pre-assigned slot ids — top-level so
@@ -1615,22 +1593,16 @@ object SnapTable {
       (files.map(cellOf) ++ files.map(cellOf).map {
         case (_, b) => (None: Option[Long], b)
       }).distinct.zipWithIndex.toMap
-    val frame = readFiles(spark, files)
-    val cmap = colMap(root)
-    def physOf(c: String): String =
-      if (frame.columns.contains(c)) c else cmap.getOrElse(c, c)
-    val pcIdx = frame.schema.fieldIndex(physOf(pc))
-    val kcIdx = bucketTag.map(_ => frame.schema.fieldIndex(physOf(kc)))
-    val kcWide = kcIdx.forall { i =>
-      val dt = frame.schema(i).dataType
-      dt == org.apache.spark.sql.types.LongType ||
-        dt == org.apache.spark.sql.types.TimestampType
-    }
-    val slots = spark.sparkContext.broadcast(keySlots)
+    routeToCells(spark, root, readFiles(spark, files), statCols, pc,
+      bucketTag.map(_ => (kc, n)), keySlots)
+  }
+
+  /** The typed-box long encoding of an external row value — the same
+    * encoding [[statLong]] records, so routing agrees with the boxes.
+    */
+  private def boxEncode(v: Any, what: String): Long = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    def encode(v: Any, what: String): Long = v match {
-      // the same typed-box long encoding statLong records, so a
-      // row's slot is exactly its file's box key
+    v match {
       case l: java.lang.Long => l.longValue()
       case i: java.lang.Integer => i.longValue()
       case d: java.sql.Date => d.toLocalDate.toEpochDay
@@ -1640,15 +1612,46 @@ object SnapTable {
       case other => throw new IllegalStateException(
         s"$what column has non-box type ${other.getClass}")
     }
+  }
+
+  /** Route every row of `frame` to its layout CELL's own output
+    * partition and write one file per cell — the shared core of the
+    * keyed maintenance rewrite AND the layout-shaped streaming
+    * commit. `keySlots` maps (identity key in box encoding | None
+    * for null, bucket id | None when unbucketed) to a partition
+    * slot; it must cover every cell the rows realize (callers derive
+    * it from manifest boxes or a distinct pass). The identity proof
+    * (point box per file) is re-asserted on the output stats; bucket
+    * tags are re-derived from each output file's key box.
+    */
+  private def routeToCells(spark: SparkSession, root: String,
+      frame: DataFrame, statCols: Seq[String], pc: String,
+      bucket: Option[(String, Int)],
+      keySlots: Map[(Option[Long], Option[Long]), Int]): Seq[FileStat] = {
+    def sentinel(b: (Long, Long)): Boolean =
+      b._1 == Long.MinValue && b._2 == Long.MaxValue
+    val cmap = colMap(root)
+    def physOf(c: String): String =
+      if (frame.columns.contains(c)) c else cmap.getOrElse(c, c)
+    val pcIdx = frame.schema.fieldIndex(physOf(pc))
+    val kcIdx = bucket.map { case (kc, _) =>
+      frame.schema.fieldIndex(physOf(kc)) }
+    val kcWide = kcIdx.forall { i =>
+      val dt = frame.schema(i).dataType
+      dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.TimestampType
+    }
+    val n = bucket.map(_._2).getOrElse(0)
+    val slots = spark.sparkContext.broadcast(keySlots)
     val nParts = keySlots.size
     val keyed = frame.rdd.map { r =>
       val d: Option[Long] =
         if (r.isNullAt(pcIdx)) None
-        else Some(encode(r.get(pcIdx), "identity partition"))
+        else Some(boxEncode(r.get(pcIdx), "identity partition"))
       val b: Option[Long] = kcIdx.map { i =>
         if (r.isNullAt(i)) graft.sources.SnapBucket.ofNull(n).toLong
         else {
-          val kv = encode(r.get(i), "bucket")
+          val kv = boxEncode(r.get(i), "bucket")
           (if (kcWide) graft.sources.SnapBucket.ofLong(kv, n)
           else graft.sources.SnapBucket.ofInt(kv.toInt, n)).toLong
         }
@@ -1663,7 +1666,25 @@ object SnapTable {
       b._1 == b._2 || sentinel(b)),
       s"keyed rewrite of $root produced a multi-key file — the " +
         "one-file-per-key layout proof would be lost"))
-    out.map(retag)
+    bucket match {
+      case None => out
+      case Some((kc, bn)) =>
+        val tag = graft.sources.SnapBucket.tag(kc, bn)
+        val wide = tableSchema(root, None)
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(kc)))
+          .forall(f =>
+            f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.TimestampType)
+        out.map { nf =>
+          val b = nf.range(kc) match {
+            case Some((mn, mx)) if !sentinel((mn, mx)) =>
+              if (wide) graft.sources.SnapBucket.ofLong(mn, bn)
+              else graft.sources.SnapBucket.ofInt(mn.toInt, bn)
+            case _ => graft.sources.SnapBucket.ofNull(bn)
+          }
+          nf.copy(stats = nf.stats :+ (tag -> (b.toLong, b.toLong)))
+        }
+    }
   }
 
   /** INCREMENTAL OPTIMIZE — merge only SMALL files: live files whose
@@ -2274,9 +2295,102 @@ object SnapTable {
   def commitStreamBatch(batch: DataFrame, batchId: Long, root: String,
       statCol: String, filesPerCommit: Int = 1): Option[Int] =
     if (seenBatchIds(root).contains(batchId)) None
-    else Some(publish(root, "append",
-      writeFiles(batch, root, Seq(statCol), filesPerCommit), Some(batchId),
-      frameSchema = Some(batch.schema)))
+    else {
+      // streaming ingestion HONORS a declared layout: bucket tables
+      // get per-bucket tagged files, identity/composite tables one
+      // file per cell — without this, every micro-batch lands
+      // untagged "foreign" files and silently downgrades the whole
+      // table's storage-partitioned joins until the next optimize.
+      // The table's own statCols (when declared and present in the
+      // batch) ride along so skipping stays uniform across paths.
+      val statCols = resolveProps(root).get("statCols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+          .filter(c => batch.columns.exists(_.equalsIgnoreCase(c))))
+        .filter(_.nonEmpty)
+        .getOrElse(Seq(statCol))
+      Some(publish(root, "append",
+        writeShapedFiles(batch, root, statCols, filesPerCommit),
+        Some(batchId), frameSchema = Some(batch.schema)))
+    }
+
+  /** Write `df`'s rows as ONE commit's files shaped by the table's
+    * declared layout (resolved from its properties): bucket-only
+    * tables route through the bucket function and tag per-bucket
+    * files; identity and composite tables route one file per
+    * (key[, bucket]) cell — cells discovered with one distinct pass
+    * over the frame (bounded by the frame's own cell count; for a
+    * streaming micro-batch, its keys). Tables with no layout — or a
+    * frame missing the layout columns — fall through to the plain
+    * range-shaped write.
+    */
+  private[graft] def writeShapedFiles(df: DataFrame, root: String,
+      statCols: Seq[String], filesPerCommit: Int): Seq[FileStat] = {
+    val spark = df.sparkSession
+    val props = resolveProps(root)
+    def present(c: String): Option[String] =
+      df.columns.find(_.equalsIgnoreCase(c))
+    val bSpec = props.get("bucketSpec")
+      .map(graft.sources.SnapBucket.parseSpec)
+      .flatMap { case (k, n) => present(k).map(kk => (kk, n)) }
+    val pc = props.get("partitionCol").flatMap(present)
+    (pc, bSpec) match {
+      case (None, None) =>
+        writeFiles(df, root, statCols, filesPerCommit)
+      case (None, Some((k, n))) =>
+        // clustered route: placement IS the bucket function, tags
+        // re-derived from each output file's key box
+        routeBucketedFrame(spark, root, df, statCols, k, n)
+      case (Some(d), bs) =>
+        // cells from ONE distinct pass: Spark's hash() IS Murmur3
+        // seed 42, so pmod(hash(k), n) equals SnapBucket's id
+        val cells = bs match {
+          case Some((k, n)) =>
+            df.select(col(d), pmod(hash(col(k)), lit(n)).cast("long"))
+              .distinct().collect().map { r =>
+                (if (r.isNullAt(0)) None
+                else Some(boxEncode(r.get(0), "identity partition")),
+                  Some(r.getLong(1)))
+              }
+          case None =>
+            df.select(col(d)).distinct().collect().map { r =>
+              (if (r.isNullAt(0)) None
+              else Some(boxEncode(r.get(0), "identity partition")),
+                None: Option[Long])
+            }
+        }
+        routeToCells(spark, root, df, statCols, d, bs,
+          cells.toSeq.distinct.zipWithIndex.toMap)
+    }
+  }
+
+  /** One clustered pass writing per-bucket tagged files of `df` —
+    * shared by the bucketed maintenance rewrite and the shaped
+    * streaming commit.
+    */
+  private def routeBucketedFrame(spark: SparkSession, root: String,
+      frame: DataFrame, statCols: Seq[String], bc: String,
+      n: Int): Seq[FileStat] = {
+    val wide = tableSchema(root, None)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(bc)))
+      .forall(f =>
+        f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.TimestampType)
+    val cmap = colMap(root)
+    val bcPhys =
+      if (frame.columns.contains(bc)) bc else cmap.getOrElse(bc, bc)
+    val shaped = frame.repartition(n, col(bcPhys))
+    writeFiles(shaped, root, statCols, filesPerCommit = -1).map { nf =>
+      val b = nf.range(bc) match {
+        case Some((mn, mx))
+            if !(mn == Long.MinValue && mx == Long.MaxValue) =>
+          if (wide) graft.sources.SnapBucket.ofLong(mn, n)
+          else graft.sources.SnapBucket.ofInt(mn.toInt, n)
+        case _ => graft.sources.SnapBucket.ofNull(n)
+      }
+      nf.copy(stats = nf.stats :+
+        (graft.sources.SnapBucket.tag(bc, n) -> (b.toLong, b.toLong)))
+    }
+  }
 
   /** Drive `stream` into the table with [[commitStreamBatch]] as an
     * AvailableNow pass (successive calls are incremental via the

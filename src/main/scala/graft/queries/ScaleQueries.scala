@@ -3916,6 +3916,71 @@ object ScaleQueries {
         |FROM a JOIN b ON a.seg = b.seg AND a.k = b.k
         |GROUP BY a.k % 64""".stripMargin),
 
+    // LAYOUT-PRESERVING STREAMING INGESTION: the exactly-once
+    // streaming sink (idempotent per batch id) now SHAPES each
+    // micro-batch by the table's declared layout — per-bucket tagged
+    // files on a bucket table — instead of landing untagged
+    // "foreign" files that silently downgrade the whole table's
+    // storage-partitioned joins until the next optimize. At 100 TB
+    // streaming IS the fact-table ingest path, so the layout must
+    // survive it continuously, not only after maintenance. Gated:
+    // every streamed file carries a valid bucket tag, and the
+    // just-streamed table SPJ-joins a batch-written same-spec table
+    // with ZERO join exchanges, hash-matched.
+    "q343_snap_stream_bucketed_ingest" -> Q(
+      (s, d) => {
+        val base = scratchDir("snapd58")
+        val r1 = base + "/t1"
+        val r2 = base + "/t2"
+        s.conf.set("spark.sql.catalog.graftsnap",
+          classOf[graft.sources.SnapCatalog].getName)
+        s.sql(s"CREATE TABLE graftsnap.`$r1` (k BIGINT, n BIGINT) " +
+          "PARTITIONED BY (bucket(8, k))")
+        s.sql(s"CREATE TABLE graftsnap.`$r2` (k BIGINT, n BIGINT) " +
+          "PARTITIONED BY (bucket(8, k))")
+        graft.io.SnapTable.streamInto(
+          s.readStream
+            .schema(graft.streaming.EventStream.documentsSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(d)
+            .selectExpr("doc_id AS k", "n_chars AS n"),
+          r1, "k", base + "/ck1")
+        Tables(s, d, "documents").createOrReplaceTempView("q343_docs")
+        s.sql(s"INSERT INTO graftsnap.`$r2` " +
+          "SELECT doc_id, n_chars FROM q343_docs")
+        val tagged = graft.io.SnapTable.liveFiles(r1).forall(f =>
+          f.range("k#b8").exists(b => b._1 == b._2 &&
+            b._1 >= 0 && b._1 < 8))
+        val old = (s.conf.get("spark.sql.sources.v2.bucketing.enabled"),
+          s.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val j = s.sql(
+            s"""SELECT a.k % 32 AS g, count(*) AS n_pairs,
+               |  sum(a.n + b.n) AS sums
+               |FROM graftsnap.`$r1` a JOIN graftsnap.`$r2` b
+               |ON a.k = b.k GROUP BY a.k % 32""".stripMargin)
+          val rows = j.collect()
+          val joinShuffles = "Exchange hashpartitioning\\(k#"
+            .r.findAllIn(j.queryExecution.executedPlan.toString).size
+          import s.implicits._
+          rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            joinShuffles.toLong, if (tagged) 1L else 0L))
+            .toSeq.toDF("g", "n_pairs", "sums", "n_join_shuffles",
+              "stream_tagged")
+        } finally {
+          s.conf.set("spark.sql.sources.v2.bucketing.enabled", old._1)
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old._2)
+        }
+      },
+      """SELECT CAST(d.doc_id % 32 AS BIGINT) AS g,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(d.n_chars + e.n_chars) AS BIGINT) AS sums,
+        |  CAST(0 AS BIGINT) AS n_join_shuffles,
+        |  CAST(1 AS BIGINT) AS stream_tagged
+        |FROM documents d JOIN documents e ON d.doc_id = e.doc_id
+        |GROUP BY d.doc_id % 32""".stripMargin),
+
     // q109's Bernoulli keep is VARIABLE-size; this is the fixed-size
     // complement: EXACTLY k docs per language, inclusion probability
     // ∝ length — priority sampling (Duffield–Lund–Thorup), where each

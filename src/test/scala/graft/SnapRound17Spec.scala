@@ -445,6 +445,47 @@ class SnapRound17Spec extends AnyFunSuite {
       packed.indices.map(_.toLong).toSeq)
   }
 
+  test("shaped streaming commits honor identity and composite layouts") {
+    import spark.implicits._
+    // identity table: each micro-batch must land one file per key
+    val r1 = freshRoot() + "/t1"
+    spark.conf.set("spark.sql.catalog.graftsnap17h",
+      classOf[graft.sources.SnapCatalog].getName)
+    spark.sql(s"CREATE TABLE graftsnap17h.`$r1` (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (k)")
+    val b1 = spark.range(0, 500).selectExpr("id % 5 AS k", "id AS v")
+    assert(SnapTable.commitStreamBatch(b1, 0L, r1, "k").isDefined)
+    // replay of the same batch id is recognized and skipped
+    assert(SnapTable.commitStreamBatch(b1, 0L, r1, "k").isEmpty)
+    val live1 = SnapTable.liveFiles(r1)
+    assert(live1.size == 5)
+    live1.foreach { f =>
+      val (mn, mx) = f.range("k").get
+      assert(mn == mx, s"streamed file ${f.path} spans keys [$mn,$mx]")
+    }
+    // composite table: one file per (seg, bucket) cell per batch
+    val r2 = freshRoot() + "/t2"
+    spark.sql(s"CREATE TABLE graftsnap17h.`$r2` " +
+      "(seg BIGINT, k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (seg, bucket(4, k))")
+    val b2 = spark.range(0, 600)
+      .selectExpr("id % 3 AS seg", "id AS k", "id AS v")
+    assert(SnapTable.commitStreamBatch(b2, 0L, r2, "seg").isDefined)
+    val live2 = SnapTable.liveFiles(r2)
+    val cells = live2.map { f =>
+      val s0 = f.range("seg").get
+      val t0 = f.range("k#b4").get
+      assert(s0._1 == s0._2 && t0._1 == t0._2 &&
+        t0._1 >= 0 && t0._1 < 4,
+        s"streamed file ${f.path} broke a layout proof")
+      (s0._1, t0._1)
+    }
+    assert(cells.distinct.size == live2.size,
+      "expected one file per (seg, bucket) cell")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM graftsnap17h.`$r2`")
+      .as[(Long, Long)].head() == ((600L, (0L until 600L).sum)))
+  }
+
   test("VERSION AS OF reads declare their own epoch's properties") {
     val root = freshRoot() + "/t"
     spark.conf.set("spark.sql.catalog.graftsnap17c",
