@@ -34,8 +34,9 @@ object Dedup {
     * shingle element.
     */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+    Spread.cpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        TextOps.whitespaceTokens(col(textCol)).as("__w"))
       .select(col("doc_id"),
         explode(TextOps.shinglesFromTokens(col("__w"), n)).as("shingle"))
 
@@ -174,8 +175,9 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+    Spread.cpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        TextOps.whitespaceTokens(col(textCol)).as("__w"))
       // shingles are non-empty exactly when the doc has >= n tokens;
       // filtering on the CHEAP token count (not size(__sh) > 0) keeps
       // the expensive shingle-array construction out of the Filter so
@@ -270,9 +272,9 @@ object Dedup {
     // scan it replaces was the dominant cost of the verify stage)
     val candIds = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("cid")).distinct()
-    val sets = docs
-      .join(broadcast(candIds), col(idCol) === col("cid"), "left_semi")
-      .select(col(idCol).as("doc_id"),
+    val sets = Spread.cpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .join(broadcast(candIds), col("doc_id") === col("cid"), "left_semi")
+      .select(col("doc_id"),
         TextOps.whitespaceTokens(col(textCol)).as("__w"))
       .select(col("doc_id"), TextOps.shinglesFromTokens(col("__w"), n).as("sh"))
       .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
@@ -295,8 +297,9 @@ object Dedup {
     * replaces bit-for-bit).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      TextOps.whitespaceTokens(col(textCol)).as("__w"))
+    Spread.cpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"),
+        TextOps.whitespaceTokens(col(textCol)).as("__w"))
       .filter(size(col("__w")) > 0)
       .select(col("doc_id"),
         graft.functions.SimHashFunctions.simhash64(col("__w")).as("simhash"))
@@ -337,8 +340,8 @@ object Dedup {
     */
   def scrubSharedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextOps.whitespaceTokens(col(textCol)).as("w"))
+    val toks = Spread.cpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), TextOps.whitespaceTokens(col(textCol)).as("w"))
     val pgrams = toks.select(col("doc_id"),
       posexplode(TextOps.ngramsFromTokens(col("w"), n)).as(Seq("pos", "gram")))
     val shared = pgrams.select("gram", "doc_id").distinct()
@@ -361,8 +364,8 @@ object Dedup {
     */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
-      TextOps.whitespaceTokens(col(textCol)).as("w"))
+    val toks = Spread.cpu(docs.select(col(idCol).as("doc_id"), col(textCol)))
+      .select(col("doc_id"), TextOps.whitespaceTokens(col(textCol)).as("w"))
     val pgrams = toks.select(col("doc_id"),
       posexplode(TextOps.ngramsFromTokens(col("w"), n)).as(Seq("pos", "gram")))
     val repeated = pgrams.groupBy("doc_id", "gram")
@@ -434,7 +437,8 @@ object Dedup {
     */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
       n: Int): DataFrame = {
-    val sh = docs.select(col(srcCol).as("source"),
+    val sh = Spread.cpu(docs.select(col(srcCol).as("source"), col(textCol)))
+      .select(col("source"),
         explode(TextOps.shinglesFromTokens(
           TextOps.whitespaceTokens(col(textCol)), n)).as("sh"))
       .distinct()
@@ -468,6 +472,8 @@ object Dedup {
     */
   def prefixDupGroups(docs: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
+    // NOT spread: the per-row work here (slice of the first k tokens)
+    // is too cheap to amortize a rebalance exchange — measured +55%
     val toks = docs.select(col(idCol).as("doc_id"),
       TextOps.whitespaceTokens(col(textCol)).as("w"))
     val p = toks.select(col("doc_id"),

@@ -660,9 +660,9 @@ object DedupQueries {
   private def imageMedia(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
     import s.implicits._
-    Tables(s, d, "documents")
+    graft.ops.Spread.cpu(Tables(s, d, "documents")
       .select(col("doc_id").cast("long"))
-      .filter(col("doc_id") % 7 === 0)
+      .filter(col("doc_id") % 7 === 0))
       .as[Long]
       .mapPartitions(_.flatMap { docId =>
         val base = Multimodal.SyntheticImages.gradientPng(docId, 1, 0)
