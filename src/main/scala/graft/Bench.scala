@@ -18,6 +18,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing targets max(totalBytes/defaultParallelism,
+      // minPartitionSize); the default 1 MB floor collapses small-byte
+      // but CPU-heavy post-shuffle stages (levenshtein/array_intersect
+      // verifies) to ONE task on this box. 64k lets parallelismFirst
+      // keep cores busy on small shuffles; at cluster scale
+      // bytes/parallelism is far above 64k and the floor never binds.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions) // native-operator strategies

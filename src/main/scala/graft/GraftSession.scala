@@ -24,6 +24,13 @@ object GraftSession {
     */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing targets max(totalBytes/defaultParallelism,
+      // minPartitionSize); the default 1 MB floor collapses small-byte
+      // but CPU-heavy post-shuffle stages (levenshtein/array_intersect
+      // verifies) to ONE task. 64k lets parallelismFirst keep cores
+      // busy on small shuffles; at cluster scale bytes/parallelism is
+      // far above 64k and the floor never binds.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

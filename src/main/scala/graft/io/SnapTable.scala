@@ -1014,16 +1014,22 @@ object SnapTable {
           : Boolean = size() > 256
     })
 
-  /** Identity of the table CURRENTLY living at `root`: the v1
-    * manifest's mtime and size folded together. A recreated table
-    * writes a fresh v1 file (new mtime; CREATE-time properties also
-    * shift the size), so a memo entry stamped under the old table
-    * can never satisfy the new one.
+  /** Identity of the table CURRENTLY living at `root`: a content hash
+    * of the v1 manifest (folded with its mtime/size). mtime+size alone
+    * was not sufficient (ADVICE r17): a cross-JVM DROP+CREATE within
+    * the filesystem's mtime granularity that produces a same-length v1
+    * manifest would collide and a long-lived reader would serve the
+    * dropped table's properties. The v1 manifest is a small CREATE
+    * record, so hashing it per resolve is two stat calls plus one
+    * sub-KB read.
     */
   private def tableFingerprint(root: String): Long = {
     val p = manifestPath(root, listVersions(root).headOption.getOrElse(1))
-    try SnapIo.mtime(p) * 1000003L + SnapIo.size(p)
-    catch { case _: Exception => -1L }
+    try {
+      val meta = SnapIo.mtime(p) * 1000003L + SnapIo.size(p)
+      val content = java.util.Arrays.hashCode(SnapIo.readBytes(p))
+      meta * 31L + content
+    } catch { case _: Exception => -1L }
   }
 
   /** Drop every memoized property entry of `root` — called by the

@@ -79,8 +79,12 @@ object Packing {
         org.apache.spark.sql.types.StructType.fromDDL(
           "oid BIGINT, n_tok BIGINT, tok_start BIGINT, tok_end BIGINT"))
       laid
-        .withColumn("first_seq", floor(col("tok_start") / seqLen))
-        .withColumn("last_seq", floor((col("tok_end") - 1) / seqLen))
+        // integer DIV, not floor(double /): a correctly-rounded double
+        // quotient can cross an integer boundary near 2^53 total
+        // tokens, silently desyncing from the oracle's integer `//`
+        // (ADVICE r17). Offsets are non-negative, so DIV == floor-div.
+        .withColumn("first_seq", expr(s"tok_start DIV $seqLen"))
+        .withColumn("last_seq", expr(s"(tok_end - 1) DIV $seqLen"))
         .withColumn("seq_id",
           explode(sequence(col("first_seq"), col("last_seq"))))
         .groupBy("seq_id")

@@ -99,7 +99,8 @@ object StreamQueries {
     // end-EXCLUSIVE (last event + gap; an event exactly at the
     // boundary opens a new session), hence the >= break.
     "q236_stream_sessions" -> Q(
-      (s, d) => EventStream.sessionWindows(s, d),
+      (s, d) => EventStream.sessionWindows(s, d,
+        statePartitions = Some(8)),
       """WITH e AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

@@ -253,8 +253,12 @@ object SnapBloomSkip {
   /** Parsed-pack cache entries ride the same byte budget, pinned
     * like aggregates (highest reuse: one probe per planning pass).
     */
+  // accessOrder=true: eviction below is LRU (a hot pack probed every
+  // planning pass survives a cold one) — insertion order would make
+  // it FIFO (ADVICE r17)
   private val packCache = new java.util.LinkedHashMap[String,
-      (Map[String, org.apache.spark.util.sketch.BloomFilter], Long)]()
+      (Map[String, org.apache.spark.util.sketch.BloomFilter], Long)](
+      16, 0.75f, true)
   private var packHeld = 0L
 
   /** Pack loads (cache misses) — the ONE sequential read a cold

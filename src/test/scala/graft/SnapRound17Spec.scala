@@ -246,7 +246,19 @@ class SnapRound17Spec extends AnyFunSuite {
         }
       }
       spark.sparkContext.addSparkListener(listener)
-      try { body; Thread.sleep(500) } // let queued job-start events drain
+      // drain by polling OUR counter until quiet (bounded), not a fixed
+      // sleep: a loaded bus can lag past any constant and undercount
+      // (ADVICE r17); waitUntilEmpty is private[spark] and can block on
+      // unrelated streaming events (the Bench.settle lesson)
+      try {
+        body
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        var prev = -1
+        while (jobs.get() != prev && System.nanoTime() < deadline) {
+          prev = jobs.get()
+          Thread.sleep(200)
+        }
+      }
       finally spark.sparkContext.removeSparkListener(listener)
       jobs.get()
     }
