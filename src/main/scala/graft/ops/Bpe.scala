@@ -41,7 +41,8 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       maxVocab: Int = 4096): Seq[(String, String)] = {
-    val vocab: Seq[(Seq[String], Long)] = docs
+    val vocab: Seq[(Seq[String], Long)] = Spread.cpu(
+        docs.select(col(textCol)))
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))

@@ -51,7 +51,23 @@ object Spread {
         p.isInstanceOf[Generate] || p.isInstanceOf[LeafNode] ||
         p.isInstanceOf[SubqueryAlias]) => p
     }.isEmpty
-    if (narrow && df.rdd.getNumPartitions < target) df.repartition(target)
+    // scan width read off the physical leaf, NOT df.rdd: .rdd opens a
+    // SQL execution at plan time (PlanShapeSpec gates builders on
+    // zero of those). A narrow plan is never adaptive, so the leaf is
+    // the plain file scan; inputRDDs() builds the scan RDD without an
+    // execution or a job. Non-file leaves pass through untouched.
+    val scanParts =
+      if (!narrow) None
+      else df.queryExecution.executedPlan.collectLeaves() match {
+        case Seq(f: org.apache.spark.sql.execution.FileSourceScanExec) =>
+          Some(f.inputRDDs().map(_.getNumPartitions).sum)
+        // a foreachBatch micro-batch frame: LogicalRDD over the
+        // already-materialized batch — partition count is a field read
+        case Seq(r: org.apache.spark.sql.execution.RDDScanExec) =>
+          Some(r.rdd.getNumPartitions)
+        case _ => None
+      }
+    if (scanParts.exists(_ < target)) df.repartition(target)
     else df
   }
 }

@@ -452,7 +452,7 @@ object AnnQueries {
     // search replays in SQL → hash-exact.
     "q126_ivfpq" -> Q.dynamic(
       (s, d) => {
-        val emb = Tables(s, d, "embeddings")
+        val emb = graft.ops.Spread.cpu(Tables(s, d, "embeddings"))
         graft.ops.Pq.ivfPqTopK(ivfIndex(s, d), pqBooks(s, d), emb,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           k = 10, nProbe = 4)
@@ -466,7 +466,7 @@ object AnnQueries {
     // literals; hash-exact like q126.
     "q127_ivfpq_residual" -> Q.dynamic(
       (s, d) => {
-        val emb = Tables(s, d, "embeddings")
+        val emb = graft.ops.Spread.cpu(Tables(s, d, "embeddings"))
         val ivf = ivfIndex(s, d)
         graft.ops.Pq.ivfPqResidualTopK(ivf, pqResidualBooks(s, d), emb,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding",
@@ -481,7 +481,7 @@ object AnnQueries {
     // the q127 chain, cosines the q36 sequential fold).
     "q128_pq_rerank" -> Q.dynamic(
       (s, d) => {
-        val emb = Tables(s, d, "embeddings")
+        val emb = graft.ops.Spread.cpu(Tables(s, d, "embeddings"))
         graft.ops.Pq.adcRerankTopK(ivfIndex(s, d), pqResidualBooks(s, d),
           emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
           shortlist = 50, k = 10, nProbe = 4)
@@ -842,7 +842,9 @@ object AnnQueries {
     // tiny 1-NN frame on the reversed pair.
     "q210_mutual_nn" -> Q(
       (s, d) => {
-        val emb = Tables(s, d, "embeddings")
+        // all-pairs scoring parallelism = streamed-side partitions:
+        // rebalance the one-row-group scan (was one 1.5 s task)
+        val emb = graft.ops.Spread.cpu(Tables(s, d, "embeddings"))
         // the 1-NN frame is consumed twice (both sides of the mutual
         // join) — persist the tiny result or the all-pairs scoring
         // pass runs twice (lazy; Verify/Bench clearCache afterwards)

@@ -235,7 +235,13 @@ object ComplexTypeQueries {
     // explicit guard — same rows, different spelling.
     "q270_try_functions" -> Q(
       (s, d) => {
-        Tables(s, d, "events")
+        // try_* failure paths throw-and-catch PER ROW (every even id
+        // divides by zero, every add overflows) — the most CPU-heavy
+        // row-local projection in the suite, so rebalance the
+        // one-row-group scan before it (guide §2.5; measured 3.5 s in
+        // ONE task)
+        graft.ops.Spread.cpu(Tables(s, d, "events")
+          .select(col("event_id"), col("props")))
           .select(col("event_id"),
             expr("try_divide(event_id, event_id % 2)").as("dv"),
             expr("try_cast(props AS BIGINT)").as("tc"),

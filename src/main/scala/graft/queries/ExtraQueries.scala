@@ -1213,7 +1213,13 @@ object ExtraQueries {
             e => e.getField("event_type")), ">").as("path"))
           .groupBy("path")
           .agg(count(lit(1)).as("n_users"))
-        paths.as("a").join(paths.as("b"), col("a.path") < col("b.path"))
+        // the pairwise stage is bounded (≤ |types|^4 paths) but its
+        // per-row levenshtein is CPU-heavy and the tiny aggregate
+        // coalesces to one partition — spread the STREAMED side of the
+        // nested-loop join so the O(paths²) verify uses every core
+        // (measured: the whole query was one 2.3 s task)
+        paths.repartition(s.sparkContext.defaultParallelism)
+          .as("a").join(broadcast(paths.as("b")), col("a.path") < col("b.path"))
           .withColumn("dist",
             levenshtein(col("a.path"), col("b.path")).cast("long"))
           .filter(col("dist") <= 6)

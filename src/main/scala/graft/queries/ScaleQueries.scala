@@ -458,7 +458,8 @@ object ScaleQueries {
     // would drag in libm divergence). One explode + three aggregates.
     "q122_skipgram_lift" -> Q(
       (s, d) => {
-        val toks = Tables(s, d, "documents")
+        val toks = graft.ops.Spread.cpu(Tables(s, d, "documents")
+            .select(col("text")))
           .select(TextOps.whitespaceTokens(lower(col("text"))).as("w"))
         val pairs = toks.select(explode(concat(
             zip_with(col("w"), slice(col("w"), lit(2), greatest(size(col("w")) - 1, lit(0))),

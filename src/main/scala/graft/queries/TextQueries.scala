@@ -117,7 +117,10 @@ object TextQueries {
       (s, d) => {
         val docs = Tables(s, d, "documents")
         val merges = graft.ops.Bpe.train(docs, "text", numMerges = 24)
-        docs.select(col("doc_id"),
+        // the nested-replace BPE chain is the heaviest row expression
+        // in the suite — rebalance the one-row-group scan before it
+        graft.ops.Spread.cpu(docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
           size(filter(split(trim(col("text")), "\\s+"), _ =!= ""))
             .cast("long").as("n_words"),
           graft.ops.Bpe.tokenCount(merges, col("text")).as("n_bpe"))
@@ -447,7 +450,10 @@ object TextQueries {
     "q55_rolling_fingerprint" -> Q(
       (s, d) => {
         val w = TextOps.whitespaceTokens(col("text"))
-        Tables(s, d, "documents")
+        // polyHash folds every character per row — rebalance the
+        // one-row-group scan first (guide §2.5; was one 1.4 s task)
+        graft.ops.Spread.cpu(Tables(s, d, "documents")
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"), col("text"), w.as("__w"))
           .select(
             col("doc_id"),
@@ -540,7 +546,8 @@ object TextQueries {
     // int÷int divisions — bit-identical cross-engine.
     "q70_repetition" -> Q(
       (s, d) => {
-        val docs = Tables(s, d, "documents")
+        val docs = graft.ops.Spread.cpu(Tables(s, d, "documents")
+          .select(col("doc_id"), col("text")))
         val w = TextOps.whitespaceTokens(col("text"))
         val tokStats = docs.select(col("doc_id"), explode(w).as("t"))
           .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
@@ -684,9 +691,10 @@ object TextQueries {
     "q147_lm_score" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val bg = docs.select(col("doc_id"),
-          explode(TextOps.ngramsFromTokens(
-            TextOps.whitespaceTokens(lower(col("text"))), 2)).as("pair"))
+        val bg = graft.ops.Spread.cpu(docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            explode(TextOps.ngramsFromTokens(
+              TextOps.whitespaceTokens(lower(col("text"))), 2)).as("pair"))
         val c12 = bg.groupBy("pair").agg(count(lit(1)).as("c12"))
         val lm = c12.withColumn("w1", split(col("pair"), " ").getItem(0))
         val c1 = lm.groupBy("w1").agg(sum("c12").as("c1"))
@@ -810,9 +818,10 @@ object TextQueries {
     "q140_novelty" -> Q(
       (s, d) => {
         val docs = Tables(s, d, "documents")
-        val bg = docs.select(col("doc_id"),
-          explode(TextOps.ngramsFromTokens(
-            TextOps.whitespaceTokens(col("text")), 2)).as("b"))
+        val bg = graft.ops.Spread.cpu(docs.select(col("doc_id"), col("text")))
+          .select(col("doc_id"),
+            explode(TextOps.ngramsFromTokens(
+              TextOps.whitespaceTokens(col("text")), 2)).as("b"))
           .distinct()
         val df = bg.groupBy("b").agg(count(lit(1)).as("bdf"))
         val per = bg.join(df, Seq("b"))
@@ -1188,7 +1197,8 @@ object TextQueries {
     // so the limit is deterministic across engines.
     "q174_repeated_spans" -> Q(
       (s, d) => {
-        val grams = Tables(s, d, "documents")
+        val grams = graft.ops.Spread.cpu(Tables(s, d, "documents")
+            .select(col("doc_id"), col("text")))
           .select(col("doc_id"), explode(TextOps.ngramsFromTokens(
             TextOps.whitespaceTokens(col("text")), 5)).as("span"))
         grams.groupBy("span")
@@ -1488,7 +1498,8 @@ object TextQueries {
       (s, d) => {
         val docs = Tables(s, d, "documents")
         val merges = graft.ops.Bpe.train(docs, "text", numMerges = 24)
-        docs.select(col("lang"),
+        graft.ops.Spread.cpu(docs.select(col("lang"), col("text")))
+          .select(col("lang"),
             length(col("text")).cast("long").as("ch"),
             graft.ops.Bpe.tokenCount(merges, col("text")).as("nb"))
           .groupBy("lang")
