@@ -147,14 +147,20 @@ object Dedup {
     // candidate-proportional exact verify: bring both docs' (distinct,
     // already-assembled) shingle arrays to the pair row and intersect
     // ROW-WISE — two equi-joins sized by the candidate set, no
-    // explode-join-regroup of the full index
+    // explode-join-regroup of the full index. The arrays are re-sorted
+    // lexicographically ONCE PER DOC (below the join, df-rank order is
+    // only needed for the prefix slice) so each pair pays a single
+    // allocation-free merge-count instead of array_intersect's
+    // hash-set build + intersection materialization — same count,
+    // byte-exact comparisons, no hashing (the oracle contract).
     val inter = cands
-      .join(ranked.select(col("doc_id").as("doc_a"), col("__sorted").as("__sa")),
-        Seq("doc_a"))
-      .join(ranked.select(col("doc_id").as("doc_b"), col("__sorted").as("__sb")),
-        Seq("doc_b"))
+      .join(ranked.select(col("doc_id").as("doc_a"),
+        sort_array(col("__sorted")).as("__sa")), Seq("doc_a"))
+      .join(ranked.select(col("doc_id").as("doc_b"),
+        sort_array(col("__sorted")).as("__sb")), Seq("doc_b"))
       .withColumn("inter",
-        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+        graft.functions.IntersectFunctions
+          .sorted_intersect_count(col("__sa"), col("__sb")))
     val out = inter
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -277,11 +283,17 @@ object Dedup {
       .select(col("doc_id"),
         TextOps.whitespaceTokens(col(textCol)).as("__w"))
       .select(col("doc_id"), TextOps.shinglesFromTokens(col("__w"), n).as("sh"))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("nsh"))
+      // sorted once per doc so every candidate pair verifies with one
+      // allocation-free merge-count (vs array_intersect's per-pair
+      // hash set + materialized intersection) — identical count,
+      // byte-exact string comparisons
+      .select(col("doc_id"), sort_array(col("sh")).as("sh"),
+        size(col("sh")).as("nsh"))
     candidates
       .join(sets.toDF("doc_a", "sa", "na"), Seq("doc_a"))
       .join(sets.toDF("doc_b", "sb", "nb"), Seq("doc_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("inter", graft.functions.IntersectFunctions
+        .sorted_intersect_count(col("sa"), col("sb")))
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
