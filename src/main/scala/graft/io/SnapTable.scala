@@ -676,7 +676,6 @@ object SnapTable {
       else if (filesPerCommit == 1) physed.coalesce(1)
       else physed.repartitionByRange(filesPerCommit,
         col(physC(statCols.head)))
-    shaped.write.parquet(dataDir)
     // stats are computed over the physical column but recorded under
     // the LOGICAL key — the name filters and aggregates arrive with
     def sl(c: String) = statLong(physed.schema, physC(c))
@@ -720,6 +719,111 @@ object SnapTable {
         SnapIo.mkdirs(d)
         d
       }
+    // SINGLE-FILE, NO-BLOOM commits (the overwhelming majority of gate
+    // and streaming commits) fold the stats pass INTO the write job via
+    // observe(): the whole frame is the one file, so the per-file
+    // aggregates equal the frame aggregates and the read-back scan job
+    // — one full extra job per commit, ~25 ms of driver latency plus a
+    // delta-sized scan — disappears. Bounded fallback: if the observed
+    // metrics do not arrive, or the writer produced anything but
+    // exactly one data file, the classic read-back below runs
+    // unchanged (correctness never depends on the observation).
+    // Bare-local roots only: the manifest path is derived from the
+    // directory listing and must match input_file_name()'s URI
+    // spelling, which is only pinned down for java.nio paths.
+    val observeAggs =
+      if (filesPerCommit == 1 && bloomCols.isEmpty &&
+        !SnapIo.hasScheme(root)) Some(aggs)
+      else None
+    val obs = observeAggs.map { as =>
+      val o = new org.apache.spark.sql.Observation
+      (o, shaped.observe(o, count(lit(1)).as("__rows"), as: _*))
+    }
+    obs.foreach(_._2.write.parquet(dataDir))
+    if (obs.isEmpty) shaped.write.parquet(dataDir)
+    val observed = obs.flatMap { case (o, _) =>
+      observedSingleFileStats(o, dataDir, statCols, strCols)
+    }
+    observed.getOrElse(readBackStats(spark, dataDir, statCols, strCols,
+      bloomCols, bloomDir, aggs, physC))
+  }
+
+  /** Build the single FileStat of a one-file commit from the write
+    * job's observed metrics — zero extra jobs. `None` (→ caller falls
+    * back to the read-back pass) when the metrics don't arrive in
+    * bounded time or the writer emitted more than one data file.
+    */
+  private def observedSingleFileStats(o: org.apache.spark.sql.Observation,
+      dataDir: String, statCols: Seq[String],
+      strCols: Seq[String]): Option[Seq[FileStat]] = {
+    // the write action has completed, so the listener event is already
+    // enqueued; this wait is one bus cycle, not an open-ended block
+    import org.apache.spark.sql.graft.ObservationShim
+    var m = ObservationShim.getOrEmpty(o)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(10)
+      m = ObservationShim.getOrEmpty(o)
+    }
+    if (m.isEmpty) return None
+    val rows = m("__rows").asInstanceOf[Long]
+    // empty commit: the read-back's groupBy yields zero groups, i.e.
+    // no manifest entry — mirror that (the empty part file, if any,
+    // is unreferenced and vacuum-reclaimable, as today)
+    if (rows == 0L) return Some(Nil)
+    val parts = SnapIo.listNames(dataDir).filter(n =>
+      n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+    if (parts.size != 1) return None
+    // input_file_name()'s spelling for a local file is the file: URI —
+    // keep manifests byte-compatible with read-back-produced ones
+    val path = java.nio.file.Paths
+      .get(SnapIo.child(dataDir, parts.head)).toUri.toString
+    def anyOf(k: String): Option[Any] = m.get(k).flatMap(Option(_))
+    val stats = statCols.map { c =>
+      (anyOf(s"mn_$c"), anyOf(s"mx_$c")) match {
+        case (Some(mn), Some(mx)) =>
+          c -> (mn.asInstanceOf[Long], mx.asInstanceOf[Long])
+        // all-null stat column: the sentinel full-range box
+        case _ => c -> (Long.MinValue, Long.MaxValue)
+      }
+    }
+    val nulls = statCols.map(c =>
+      c -> anyOf(s"nc_$c").fold(0L)(_.asInstanceOf[Long]))
+    val lmin = java.math.BigDecimal.valueOf(Long.MinValue)
+    val lmax = java.math.BigDecimal.valueOf(Long.MaxValue)
+    val sums = statCols.flatMap { c =>
+      anyOf(s"sm_$c").flatMap { v =>
+        val bd = v.asInstanceOf[java.math.BigDecimal]
+        if (bd.compareTo(lmin) >= 0 && bd.compareTo(lmax) <= 0)
+          Some(c -> bd.longValueExact())
+        else None // does not fit a long: omit, readers fall back
+      }
+    }
+    val strs = strCols.map { c =>
+      val nc = anyOf(s"snc_$c").fold(0L)(_.asInstanceOf[Long])
+      c -> (anyOf(s"smn_$c") match {
+        case None =>
+          StrBox("", minTrunc = false, "", maxTrunc = false, nc,
+            allNull = true)
+        case Some(mn) =>
+          val (mnP, mnT) = StrStat.prefixOf(mn.asInstanceOf[String])
+          val (mxP, mxT) = StrStat.prefixOf(
+            anyOf(s"smx_$c").get.asInstanceOf[String])
+          StrBox(mnP, mnT, mxP, mxT, nc, allNull = false)
+      })
+    }
+    Some(Seq(FileStat(path, rows, stats, nulls, sums, strStats = strs)))
+  }
+
+  /** The classic per-file stats pass: one delta-sized scan of the
+    * freshly written files, grouped by file — the general path for
+    * multi-file, bloom-carrying, or scheme'd-root commits (and the
+    * fallback when observation doesn't deliver).
+    */
+  private def readBackStats(spark: SparkSession, dataDir: String,
+      statCols: Seq[String], strCols: Seq[String], bloomCols: Seq[String],
+      bloomDir: String, aggs: Seq[Column],
+      physC: String => String): Seq[FileStat] = {
     val fileSeq = new java.util.concurrent.atomic.AtomicInteger(0)
     // commit-level AGGREGATE sketches: the union of the per-file
     // blooms, one per column, written as `_agg.<col>.bf` in the same
@@ -1027,7 +1131,13 @@ object SnapTable {
     val p = manifestPath(root, listVersions(root).headOption.getOrElse(1))
     try {
       val meta = SnapIo.mtime(p) * 1000003L + SnapIo.size(p)
-      val content = java.util.Arrays.hashCode(SnapIo.readBytes(p))
+      // 64-bit content hash (the collision-resistance headroom is the
+      // point of hashing the content at all — 32 bits was a thin
+      // margin when mtime/size already collide)
+      val bytes = SnapIo.readBytes(p)
+      val content = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42L)
       meta * 31L + content
     } catch { case _: Exception => -1L }
   }

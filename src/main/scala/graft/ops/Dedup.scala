@@ -275,7 +275,17 @@ object Dedup {
     // candidate pair — at corpus scale the candidate set is orders of
     // magnitude smaller than the corpus, so the heavy tokenize/shingle
     // projection runs over a sliver of the data (and the full-corpus
-    // scan it replaces was the dominant cost of the verify stage)
+    // scan it replaces was the dominant cost of the verify stage).
+    // Spread sits BELOW the semi join: when its guard fires (planned
+    // scan parallelism under the core count — the one-giant-row-group
+    // layout) the rebalance moves the full (doc_id, text) scan output,
+    // not just the sliver. That is deliberate: the guard only fires on
+    // layouts where the alternative is the whole corpus tokenizing in
+    // ONE task, and Spread cannot probe through a join without
+    // materializing AQE stages at plan time. On healthy multi-split
+    // layouts (any real table) the guard sees parallelism ≥ cores and
+    // adds nothing, so the mid-scale "shuffle every text byte" cost is
+    // confined to layouts that are already pathological.
     val candIds = candidates
       .select(explode(array(col("doc_a"), col("doc_b"))).as("cid")).distinct()
     val sets = Spread.cpu(docs.select(col(idCol).as("doc_id"), col(textCol)))

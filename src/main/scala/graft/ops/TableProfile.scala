@@ -7,25 +7,27 @@ import org.apache.spark.sql.functions._
   * count, exact distinct count, and min/max rendered as strings, one
   * output row per column.
   *
-  * Scale design — TWO aggregations over the same columnar scan bytes,
-  * shaped so BOTH stay in hash aggregation:
+  * Scale design — one INDEPENDENT single-column aggregation per NDV
+  * plus a row count and an Expand-free min/max/null pass, all 1-row
+  * frames cross-joined (each join a one-row broadcast):
   *
-  *  - NDV pass: all the `count(distinct …)` aggregates in one
-  *    aggregation → a single Expand (rows replicated once per
-  *    distinct-aggregate) + map-side combine. Its buffers are all
-  *    longs, so it plans as HashAggregate.
-  *  - min/max/null pass: a plain Expand-free aggregation. Kept OUT of
-  *    the NDV aggregation deliberately: string-typed min/max buffers
-  *    disqualify HashAggregate, and fused with the Expand that demoted
-  *    the whole 12×-inflated pipeline to SortAggregate — two full
-  *    sorts of the expanded table, ~10× the query's cost (measured at
-  *    sf0.1).
+  *  - NDV per column: `count(distinct c)` alone in its own
+  *    aggregation plans WITHOUT Expand (partial distinct at the scan,
+  *    distinct values per task cross the wire), reads ONLY its
+  *    column, and shares no dependency with the other columns — the
+  *    scheduler runs all the scan stages CONCURRENTLY inside the one
+  *    action, so the profile's wall is max(per-column work), not the
+  *    Σ(per-column work) a single Expand pipeline serializes through
+  *    every task.
+  *  - min/max/null pass: a plain Expand-free aggregation, kept
+  *    separate: string-typed min/max buffers disqualify
+  *    HashAggregate, and fused with distinct aggregates they demote
+  *    whole pipelines to SortAggregate (~10× measured at sf0.1; a
+  *    keyless SortAggregate with no Sort operator is harmless).
   *
-  * The two one-row results join on a constant key (broadcast hash
-  * join, no shuffle). For very wide tables where the ×ncols Expand
-  * inflation dominates, the approximate profile is the mergeable HLL
-  * path in [[Sketches]] — this operator is the exact gate-checkable
-  * baseline.
+  * For very wide tables where even per-column exact NDV is too dear,
+  * the approximate profile is the mergeable HLL path in [[Sketches]]
+  * — this operator is the exact gate-checkable baseline.
   *
   * min/max are cast to string AFTER aggregating (so the comparison
   * runs on the native type) — one schema fits every column type.
@@ -72,16 +74,26 @@ object TableProfile {
 
   private def profileExact(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
-    val ndvAggs = count(lit(1)).as("__n") +:
-      cols.map(c => countDistinct(col(c)).as(s"__ndv_$c"))
-    val ndv = df.agg(ndvAggs.head, ndvAggs.tail: _*).withColumn("__k", lit(1))
+    // ONE INDEPENDENT aggregation per column NDV (plus the row count
+    // and the Expand-free min/max pass), cross-joined as 1-row frames:
+    // no multi-distinct Expand — so no ×ncols row inflation — and the
+    // per-aggregation scan stages share no dependency, so the
+    // scheduler materializes them CONCURRENTLY inside the one action.
+    // On a single-row-group table each column scan is one task; the
+    // profile's wall drops from Σ(per-column distinct work), serial in
+    // the Expand pipeline, to max(per-column work). Each countDistinct
+    // partial-aggregates at its own scan (distinct values per task
+    // cross the wire, not rows), and every scan reads ONLY its column.
+    val cnt = df.agg(count(lit(1)).as("__n"))
+    val ndvs = cols.map(c => df.agg(countDistinct(col(c)).as(s"__ndv_$c")))
     val mmAggs = cols.flatMap { c => Seq(
       count(col(c)).as(s"__cnt_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).withColumn("__k", lit(1))
-    val one = ndv.join(mm, "__k")
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*)
+    // all sides are single rows: every join is a broadcast of one row
+    val one = (cnt +: ndvs :+ mm).reduce(_.crossJoin(_))
     // unpivot the single stats row into one row per column
     one.select(explode(array(cols.map(perColStruct): _*)).as("p"))
       .select("p.*")

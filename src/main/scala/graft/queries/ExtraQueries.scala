@@ -437,8 +437,26 @@ object ExtraQueries {
           .join(Tables(s, d, "customer")
             .filter(col("c_mktsegment") === "BUILDING")
             .select(col("c_custkey").cast("long").as("node")), "node")
-        val nNodes = edges.select("src").distinct().count()
-        val nSeeds = members.count()
+        // |V| and |seeds| in ONE pass over the cached pairs instead of
+        // two driver actions: distinct nodes tagged with "ever seen on
+        // the customer side", left-joined to the broadcast seed keys.
+        // count(*) ≡ edges.select(src).distinct().count() (same node
+        // set) and the tagged count ≡ members.count() (only c-side
+        // appearances join the segment), exactly — no disjointness
+        // assumption on the id spaces.
+        val bld = Tables(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").cast("long").as("bc"))
+        val nodeTags = pairs.select(col("c").as("node"), lit(1).as("isC"))
+          .union(pairs.select(col("p").as("node"), lit(0).as("isC")))
+          .groupBy("node").agg(max(col("isC")).as("isC"))
+        val cnts = nodeTags
+          .join(broadcast(bld), col("node") === col("bc"), "left")
+          .agg(count(lit(1)).as("nn"),
+            count(when(col("isC") === 1 && col("bc").isNotNull, 1)).as("ns"))
+          .head()
+        val nNodes = cnts.getLong(0)
+        val nSeeds = cnts.getLong(1)
         val tele = members
           .select(col("node"), lit(nNodes.toDouble / nSeeds).as("t"))
         val out = PageRank.run(edges, iterations = 5, teleport = Some(tele),
@@ -1725,8 +1743,15 @@ object ExtraQueries {
         val n1 = sym.groupBy("x").agg(count(lit(1)).as("n1"))
         val seeds = n1.orderBy(col("n1").desc, col("x")).limit(30)
         val seeded = sym.join(broadcast(seeds.select("x")), "x")
-        val hops = seeded
-          .join(sym.select(col("x").as("y"), col("y").as("z")), "y")
+        // the wedge expansion joins the FULL symmetric edge list with
+        // the seed-incident slice; broadcasting the slice (≤ |seeds|·
+        // max-deg rows — the same frame the anti-join below already
+        // broadcasts, so no new scale assumption) keeps the 2|E| side
+        // a narrow map over its checkpoint instead of shuffling it by
+        // the wedge midpoint — the r18 64k-floor regression was this
+        // chain of small shuffles paying per-partition overhead
+        val hops = sym.select(col("x").as("y"), col("y").as("z"))
+          .join(broadcast(seeded), Seq("y"))
           .filter(col("x") =!= col("z"))
           .select("x", "z")
         val n2 = hops

@@ -250,36 +250,36 @@ object ScaleQueries {
       (s, d) => graft.ops.ShuffleWidth.pinned(s, 8) {
         val o = Tables(s, d, "orders").select("o_orderkey", "o_custkey")
         val l = Tables(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_partkey")
-        l.join(o, col("l_orderkey") === col("o_orderkey"))
+        val pairs = l.join(o, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"),
             (col("l_suppkey") + 10000000L).as("p"))
           .distinct()
           .persist()
-          .createOrReplaceTempView("q112_pairs")
-        l.filter(col("l_partkey") === 1)
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+        val seeds = l.filter(col("l_partkey") === 1)
           .select((col("l_suppkey") + 10000000L).as("node"))
           .distinct()
-          .createOrReplaceTempView("q112_seeds")
-        // the recursion re-plans its body EVERY step at the width in
-        // force when the job RUNS, and each step's frame is walk-sized
-        // (thousands of rows) — so the whole query materializes inside
-        // the pinned scope (the q159/q168 discipline; persist() means
-        // the result frame is what Verify/Bench consume, clearCache
-        // reclaims)
-        val out = s.sql(
-          """WITH RECURSIVE edges AS (
-            |  SELECT c AS src, p AS dst FROM q112_pairs
-            |  UNION ALL
-            |  SELECT p AS src, c AS dst FROM q112_pairs),
-            |walk(node, depth) AS (
-            |  SELECT node, 0 FROM q112_seeds
-            |  UNION ALL
-            |  SELECT e.dst, w.depth + 1
-            |  FROM walk w JOIN edges e ON e.src = w.node
-            |  WHERE w.depth < 2)
-            |SELECT node, min(depth) AS depth, count(*) AS n_paths
-            |FROM walk GROUP BY node""".stripMargin).persist()
+        // the WITH RECURSIVE form re-plans AND re-executes the
+        // recursion body per step even over the cached view (Spark 4
+        // limitation — measured ~1 s of the query at sf0.1); the
+        // depth bound is a FIXED 2, so the walk unrolls into two
+        // joins over the one persisted pair set — path multiplicity
+        // (UNION ALL), BFS level (min depth) and the oracle's
+        // recursive statement are matched exactly
+        def hop(w: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = w
+          .join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), (col("depth") + 1).as("depth"))
+        val w0 = seeds.select(col("node"), lit(0).as("depth"))
+        val w1 = hop(w0)
+        val w2 = hop(w1)
+        val out = w0.union(w1).union(w2)
+          .groupBy("node")
+          .agg(min("depth").as("depth"), count(lit(1)).as("n_paths"))
+          .persist()
         out.count()
+        pairs.unpersist()
         out
       },
       reachabilitySql("orders", "lineitem")),

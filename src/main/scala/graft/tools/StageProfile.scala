@@ -77,10 +77,23 @@ object StageProfile {
       stages.synchronized(stages.clear())
       collecting = true
       val t0 = System.nanoTime()
-      try exec(name) catch { case _: Throwable => () }
+      // a failure in the MEASURED pass must be visible and must not
+      // print a stage table as if the run succeeded (a query failing
+      // only on its second run would otherwise profile as healthy)
+      val measuredOk =
+        try { exec(name); true }
+        catch { case t: Throwable =>
+          println(s"[stageprof] $name MEASURED PASS FAILED: " +
+            s"${String.valueOf(t.getMessage).take(200)}")
+          false
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(800) // listener drain (dev harness only)
       collecting = false
+      if (!measuredOk) {
+        println(f"[stageprof] ===== $name FAILED after $wall%.3f s " +
+          "(no stage table) =====")
+      } else {
       println(f"[stageprof] ===== $name wall=$wall%.3f s =====")
       val snap = stages.synchronized(stages.toSeq)
       val totalTask = snap.map(_._2.taskMs).sum.max(1)
@@ -91,6 +104,7 @@ object StageProfile {
           f"span=$span%6d ms  ${s.name}")
       }
       println(f"[stageprof]  total task ms: $totalTask, stages: ${snap.size}")
+      }
     }
     spark.stop()
   }

@@ -30,6 +30,16 @@ object NormalizeShim {
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }
 
+/** Bridge to `Observation.getOrEmpty` (`private[spark]`): the
+  * NON-BLOCKING metrics read. The public `get` blocks indefinitely if
+  * the listener event never lands — a commit path must instead poll
+  * bounded and fall back to its read-back pass.
+  */
+object ObservationShim {
+  def getOrEmpty(o: org.apache.spark.sql.Observation): Map[String, Any] =
+    o.getOrEmpty
+}
+
 /** Bridge to construct a DataFrame from a hand-built LogicalPlan
   * (custom operator nodes). `Dataset.ofRows` moved to the
   * `private[sql]` classic package in Spark 4.

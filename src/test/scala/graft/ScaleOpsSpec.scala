@@ -84,19 +84,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(qty.getString(4) == "1.0" && qty.getString(5) == "50.0")
   }
 
-  test("TableProfile: one Expand, no SortAggregate, both passes hash-aggregated") {
+  test("TableProfile: Expand-free, per-column independent NDV scans") {
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_quantity", "l_returnflag")
     val plan = TableProfile.profile(li).queryExecution.executedPlan.toString
-    assert("Expand".r.findAllIn(plan).length == 1, plan)
-    // two columnar scans (same bytes as one row-store pass), and the
-    // string min/max buffers must NOT demote the Expand pipeline to
-    // sort-based aggregation — that regression measured ~10× at sf0.1.
-    // A KEYLESS SortAggregate is fine (the Expand-free min/max branch:
-    // string buffers bar HashAggregate, but with no grouping keys it's
-    // a per-partition fold needing no Sort) — the assertion is that no
-    // actual Sort operator exists and every sort-agg is keyless.
-    assert("FileScan parquet".r.findAllIn(plan).length == 2, plan)
+    // no multi-distinct Expand anywhere: each column's exact NDV is
+    // its own single-distinct aggregation (no ×ncols row inflation),
+    // and the per-aggregation scans are independent so the scheduler
+    // runs them concurrently — ncols NDV scans + 1 count + 1 min/max
+    assert(!plan.contains("Expand"), s"profile must be Expand-free:\n$plan")
+    assert("FileScan parquet".r.findAllIn(plan).length == 3 + 2, plan)
+    // string min/max buffers bar HashAggregate but a KEYLESS
+    // SortAggregate plans no Sort operator — assert nothing sorts and
+    // every sort-agg is keyless (the ~10× sf0.1 regression guard)
     assert(!plan.contains("+- Sort "),
       s"profile must not sort anything:\n$plan")
     assert("SortAggregate".r.findAllIn(plan).length ==

@@ -252,9 +252,14 @@ class SnapRound17Spec extends AnyFunSuite {
       // unrelated streaming events (the Bench.settle lesson)
       try {
         body
+        // TWO consecutive quiet polls before declaring the drain done:
+        // one quiet 200 ms window can still miss an event the lagging
+        // bus delivers late (ADVICE r18)
         val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
         var prev = -1
-        while (jobs.get() != prev && System.nanoTime() < deadline) {
+        var quiet = 0
+        while (quiet < 2 && System.nanoTime() < deadline) {
+          if (jobs.get() == prev) quiet += 1 else quiet = 0
           prev = jobs.get()
           Thread.sleep(200)
         }
