@@ -118,24 +118,21 @@ object Components {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // TWO star rounds per checkpoint/signature job: the per-round
-      // frames are tiny (pair-set-sized) and each round's wall is
-      // dominated by fixed driver latency (checkpoint materialization
-      // + fixpoint-test action), so halving the driver round-trips
-      // halves that term. Correctness is untouched: the star fixpoint
-      // is the unique all-stars state and both operators are the
-      // identity there, so running one extra round past convergence
-      // changes nothing, and the signature test still compares
-      // successive materialized states (the algorithm is monotone —
-      // Kiveris et al. §3 — so states never cycle; equal signature ⇒
-      // fixpoint).
-      val next = smallStar(largeStar(smallStar(largeStar(edges))))
-        .localCheckpoint(false)
+      // ONE star round per checkpoint+signature job. Fusing TWO rounds
+      // per job was tried (r19) and measured 1.5-2× WORSE (q68 4.1→7.4
+      // s, q95 4.7→7.2 s at sf0.1): each star references its input
+      // twice, and without a materialization boundary between the
+      // fused rounds the first round's whole subtree re-EXECUTES ~4×
+      // inside the second (no exchange reuse across the differing
+      // copies) — the same 2^rounds replay the checkpoint exists to
+      // prevent. The driver round-trip saved is far smaller than the
+      // recompute added.
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       edges = next
       converged = nextSig == sig
       sig = nextSig
-      it += 2
+      it += 1
     }
     // O(log n) rounds: hitting the cap means the loop is broken, not
     // the graph — fail loudly rather than emit partial clusters
