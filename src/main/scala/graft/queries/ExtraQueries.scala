@@ -447,8 +447,16 @@ object ExtraQueries {
         val bld = Tables(s, d, "customer")
           .filter(col("c_mktsegment") === "BUILDING")
           .select(col("c_custkey").cast("long").as("bc"))
-        val nodeTags = pairs.select(col("c").as("node"), lit(1).as("isC"))
-          .union(pairs.select(col("p").as("node"), lit(0).as("isC")))
+        // explode, not union: this is the FIRST action on the lazy
+        // pairs persist, and a union's two branches each materialize
+        // the join+distinct pipeline concurrently (racing cache puts —
+        // measured as the query's single biggest stage); one exploding
+        // scan populates the cache exactly once
+        val nodeTags = pairs
+          .select(explode(array(
+            struct(col("c").as("node"), lit(1).as("isC")),
+            struct(col("p").as("node"), lit(0).as("isC")))).as("t"))
+          .select(col("t.node").as("node"), col("t.isC").as("isC"))
           .groupBy("node").agg(max(col("isC")).as("isC"))
         val cnts = nodeTags
           .join(broadcast(bld), col("node") === col("bc"), "left")
