@@ -168,20 +168,63 @@ object EventStream {
     // `agg` is by-name: the plan (and any conf [[source]] needs at
     // query start) materializes inside the restore scope
     withNanosRestored(spark) {
-      val writer = agg.writeStream
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-      val q = withStatePartitions(spark, statePartitions) {
-        checkpointDir
-          .fold(writer)(c => writer.option("checkpointLocation", c))
-          .start()
-      }
-      q.awaitTermination()
+      // EPHEMERAL runs (no caller checkpoint) put their throwaway
+      // checkpoint — file-source progress + every state store's delta
+      // files, fsynced per store per micro-batch — on the fastest
+      // scratch filesystem instead of java.io.tmpdir: state-store
+      // commits are the dominant task cost of small stream-stream
+      // joins (q71: ~0.7 s per 8-way batch on disk-backed /tmp), and
+      // an ephemeral checkpoint needs no durability by definition.
+      // Durable paths (explicit checkpointDir) are untouched. The
+      // scratch root is a property with a sane local default — the
+      // same choice a cluster deployment makes by pointing scratch at
+      // local NVMe.
+      val ephemeral = checkpointDir.isEmpty
+      val ck = checkpointDir.getOrElse(
+        java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(scratchRoot), "graft_stream_ckpt")
+          .toString)
+      try {
+        val writer = agg.writeStream
+          .outputMode(mode)
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+        val q = withStatePartitions(spark, statePartitions) {
+          writer.option("checkpointLocation", ck).start()
+        }
+        q.awaitTermination()
+      } finally if (ephemeral) deleteTree(ck)
     }
     spark.table(name)
   }
+
+  /** Scratch root for ephemeral stream checkpoints:
+    * `graft.stream.scratchDir` if set, else /dev/shm when present
+    * (Linux tmpfs — state deltas are pure scratch), else
+    * java.io.tmpdir.
+    */
+  private[graft] def scratchRoot: String =
+    sys.props.get("graft.stream.scratchDir").getOrElse {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) shm.toString
+      else System.getProperty("java.io.tmpdir")
+    }
+
+  private def deleteTree(dir: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toSeq.reverse.foreach(f =>
+            try { java.nio.file.Files.delete(f); () }
+            catch { case _: java.io.IOException => () })
+        } finally s.close()
+      }
+    } catch { case _: Exception => () }
 
   private val NanosKey = "spark.sql.legacy.parquet.nanosAsLong"
 
@@ -625,7 +668,16 @@ object EventStream {
   def attributedClicks(spark: SparkSession, dir: String,
       attribution: String = "30 minutes",
       watermark: String = "2 hours",
-      statePartitions: Option[Int] = Some(8)): DataFrame = {
+      // a stream-stream join pays a LARGE per-partition store cost per
+      // micro-batch (4 stores/partition, commit + eviction sweep): a
+      // r19 width sweep on the sf0.1 fixture measured task CPU of
+      // 2.5/4.6/11.5/200 s at widths 2/4/8/32 — hugely superlinear in
+      // width — with wall flattening below 4. The harness default
+      // stays a small constant (this entry point is the
+      // run-to-completion exploration path; production deployments
+      // call the durable variant and size the width to their state
+      // volume via this same knob)
+      statePartitions: Option[Int] = Some(4)): DataFrame = {
     val name = s"graft_stream_join_${runId.incrementAndGet()}"
     runToTable(spark, attributionJoin(spark, dir, attribution, watermark),
       name, mode = OutputMode.Append, statePartitions = statePartitions)
